@@ -1,0 +1,226 @@
+package graft.recon
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The reconciliation algebra: match / anti / zero-effect / tolerance /
+ * order-aware dedup / iterative passes. All pure `DataFrame => DataFrame` —
+ * Spark-first analog of the reference's Reconciliator
+ * (reference: src/reconciliatior.py) with one deliberate semantic upgrade:
+ * every order-dependent Polars `unique(keep=first/last, maintain_order=True)`
+ * becomes an explicit `row_number()` window over a named order column, because
+ * Spark has no implicit row order (SURVEY §4, §7.3-1).
+ *
+ * Contract: the internal ("a") and external ("b") DataFrames carry disjoint
+ * column names (external columns are `ext_`-prefixed at source prep,
+ * reference: src/data_extractor.py:104-110), so joins never collide and no
+ * key coalescing happens.
+ */
+final class Reconciler(val conf: ReconConfig) extends Serializable {
+
+  /** Multi-key equi-join condition between the two sides
+    * (reference: src/reconciliatior.py:66-74). Null keys never match. */
+  def joinCond(a: DataFrame, b: DataFrame): Column =
+    conf.keys.map(kp => a(kp.internal) === b(kp.external)).reduce(_ && _)
+
+  /** Matched records: multi-key inner equi-join (J1,
+    * reference: src/reconciliatior.py:66-74). Catalyst picks
+    * broadcast-hash vs sort-merge; both sides shuffle on the full key set
+    * only when neither is broadcastable. */
+  def matchRecords(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, joinCond(a, b), "inner")
+
+  /** Internal remanents: rows of `a` with no match in `b` (J2,
+    * reference: src/reconciliatior.py:76-83). */
+  def notMatchInternal(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, joinCond(a, b), "left_anti")
+
+  /** External remanents: rows of `b` with no match in `a` (J3,
+    * reference: src/reconciliatior.py:85-91). */
+  def notMatchExternal(a: DataFrame, b: DataFrame): DataFrame =
+    b.join(a, joinCond(a, b), "left_anti")
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Rows whose `keys` occur more than once (P4, reference
+    * `is_duplicated()` at src/reconciliatior.py:21). Window count avoids a
+    * self-join; the single shuffle is on `keys`. */
+  def duplicated(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__dup_count", count(lit(1)).over(w))
+      .where(col("__dup_count") > 1)
+      .drop("__dup_count")
+  }
+
+  /** Keep the first row per key by explicit order (A3 keep="first",
+    * reference: src/reconciliatior.py:24-26 — but order is explicit here). */
+  def keepFirstBy(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    keepNth(df, keys, order)
+
+  /** Keep the last row per key by explicit order (A3 keep="last"). */
+  def keepLastBy(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    keepNth(df, keys, order.map(_.desc))
+
+  private def keepNth(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /**
+   * Duplicate handling on the matched set (reference `_process_duplicates`,
+   * src/reconciliatior.py:20-59): when one internal row matched several
+   * external rows, keep the first pairing by external provenance order —
+   * then symmetrically one external row keeps only its first internal
+   * pairing. Displaced rows fall out and rejoin the remanents via the
+   * caller's anti-joins.
+   */
+  def processDuplicates(matched: DataFrame, extOrder: Column): DataFrame = {
+    val oneExtPerInternal = keepFirstBy(matched, Seq(conf.idField), Seq(extOrder))
+    keepFirstBy(oneExtPerInternal, Seq(conf.externalId), Seq(col(conf.idField)))
+  }
+
+  // ---------------------------------------------------------- zero-effect
+
+  /**
+   * Zero-effect cancellation (J4, reference: src/reconciliatior.py:162-199):
+   * a SALE row and its VOID row inside the internal set cancel; both leave
+   * before reconciliation. Returns (reducedInternal, cancelledPairs).
+   *
+   * The pair join keys come from the rule (ticket_code↔sale_ticket_code +
+   * amount in the reference). Each side is deduped to one row per join key
+   * before pairing so one VOID cannot cancel two SALEs.
+   */
+  def applyZeroEffect(a: DataFrame, rule: ZeroEffectRule, order: Column): (DataFrame, DataFrame) = {
+    // one row per pairing key on each side (deterministic via the explicit
+    // order column) so one VOID cannot cancel two SALEs
+    val s1 = keepFirstBy(a.where(col(rule.kindField) === rule.saleKind), rule.saleCols, Seq(order)).alias("s")
+    val v1 = keepFirstBy(a.where(col(rule.kindField) === rule.voidKind), rule.voidCols, Seq(order)).alias("v")
+
+    val cond = rule.saleCols.zip(rule.voidCols)
+      .map { case (sc, vc) => col(s"s.$sc") === col(s"v.$vc") }
+      .reduce(_ && _)
+
+    val pairs = s1.join(v1, cond, "inner")
+      .select(
+        col(s"s.${rule.idField}").as("sale_id"),
+        col(s"v.${rule.idField}").as("void_id"))
+
+    // reference removes BOTH sides via two anti-joins on _id / _id_right
+    // (src/reconciliatior.py:196-198)
+    val reduced = a
+      .join(pairs.select(col("sale_id").as(rule.idField)), Seq(rule.idField), "left_anti")
+      .join(pairs.select(col("void_id").as(rule.idField)), Seq(rule.idField), "left_anti")
+
+    (reduced, pairs)
+  }
+
+  // ----------------------------------------------------------- tolerance
+
+  /**
+   * Tolerance pass (J5, reference: src/reconciliatior.py:93-151): drop the
+   * tolerance field from the equi-keys, join on the rest, accept
+   * |a.amount − b.amount| <= tol, then greedily keep the best (smallest-diff)
+   * candidate per internal row. Ties break on the external order column so
+   * the result is deterministic (the reference relied on sort + keep-first
+   * row order, src/reconciliatior.py:128-141).
+   *
+   * Catalyst plans this as an equi-join on the reduced keys with the band
+   * predicate as a residual filter — no cross join.
+   */
+  def toleranceMatch(aRem: DataFrame, bRem: DataFrame, rule: ToleranceRule, extOrder: Column): DataFrame = {
+    val reduced = conf.keys.filterNot(_ == rule.pair)
+    require(reduced.nonEmpty, "tolerance rule would leave zero equi-keys (cross join)")
+    // both remanent frames descend from the same scans, so qualify via
+    // aliases to avoid ambiguous-attribute resolution in the self-join
+    val ta = aRem.alias("__tol_a")
+    val tb = bRem.alias("__tol_b")
+    val equiCond = reduced
+      .map(kp => col(s"__tol_a.${kp.internal}") === col(s"__tol_b.${kp.external}"))
+      .reduce(_ && _)
+    val diff = abs(col(s"__tol_a.${rule.pair.internal}") - col(s"__tol_b.${rule.pair.external}"))
+
+    val candidates = ta
+      .join(tb, equiCond && diff <= lit(rule.tolerance), "inner")
+      .withColumn("tolerance_diff", diff)
+
+    // greedy best-per-internal-row: window beats orderBy+dropDuplicates,
+    // which does NOT guarantee keep-first in Spark (SURVEY §2.3 J5)
+    keepFirstBy(candidates, Seq(conf.idField), Seq(col("tolerance_diff"), extOrder))
+  }
+
+  /**
+   * Full tolerance step: matches plus both rebuilt remanent sides
+   * (reference: anti-join rebuild at src/reconciliatior.py:143-148).
+   */
+  def applyTolerance(aRem: DataFrame, bRem: DataFrame, rule: ToleranceRule, extOrder: Column)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val matches = toleranceMatch(aRem, bRem, rule, extOrder)
+    val aLeft = aRem.join(matches.select(col(conf.idField)), Seq(conf.idField), "left_anti")
+    val bLeft = bRem.join(matches.select(col(conf.externalId)), Seq(conf.externalId), "left_anti")
+    (matches, aLeft, bLeft)
+  }
+
+  // ----------------------------------------------------------- iteration
+
+  /** Diagonal concat: union by name, missing columns null-filled (U2,
+    * reference: pl.concat(how="diagonal") at src/reconciliatior.py:52-54). */
+  def diagonalUnion(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /**
+   * One full reconciliation pass: exact match + optional tolerance second
+   * chance, remanents out (reference pass structure:
+   * src/reconciliation.py:60-65 plus new_rc_step at
+   * src/reconciliatior.py:201-206).
+   */
+  def reconcilePass(a: DataFrame, b: DataFrame, extOrder: Column): ReconResult = {
+    val exact = matchRecords(a, b)
+    val aRem0 = notMatchInternal(a, b)
+    val bRem0 = notMatchExternal(a, b)
+    conf.tolerance match {
+      case Some(rule) =>
+        val (tol, aRem, bRem) = applyTolerance(aRem0, bRem0, rule, extOrder)
+        ReconResult(
+          matched = diagonalUnion(Seq(exact.withColumn("tolerance_diff", lit(0.0d)), tol)),
+          internalRemanent = aRem,
+          externalRemanent = bRem)
+      case None =>
+        ReconResult(exact, aRem0, bRem0)
+    }
+  }
+
+  /**
+   * Iterative multi-pass reconciliation: remanents of pass N re-enter pass
+   * N+1 (reference new_rc_step loop, src/reconciliatior.py:201-206). Each
+   * pass's inputs are the previous remanents, so with a fixed config extra
+   * passes are idempotent — the hook exists for per-pass config changes
+   * (the reference relaxes keys between passes). Inputs are cached per pass
+   * and the unbounded union lineage is cut with localCheckpoint at scale
+   * (SURVEY §7.3-6).
+   */
+  def iterate(a: DataFrame, b: DataFrame, extOrder: Column,
+      passes: Seq[ReconConfig]): ReconResult = {
+    var aCur = a
+    var bCur = b
+    var acc: Option[DataFrame] = None
+    passes.foreach { pc =>
+      val r = new Reconciler(pc).reconcilePass(aCur, bCur, extOrder)
+      acc = Some(acc.fold(r.matched)(m => diagonalUnion(Seq(m, r.matched))))
+      aCur = r.internalRemanent
+      bCur = r.externalRemanent
+    }
+    ReconResult(acc.getOrElse(a.limit(0)), aCur, bCur)
+  }
+}
+
+/** Output of a reconciliation pass: the three result sets the reference
+  * persists (matched / internal remanent / external remanent,
+  * src/reconciliatior.py:61-64). */
+final case class ReconResult(
+    matched: DataFrame,
+    internalRemanent: DataFrame,
+    externalRemanent: DataFrame)

@@ -1,0 +1,120 @@
+package graft.recon
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Source builders — Spark-first analog of the reference's DataExtractor
+ * (reference: src/data_extractor.py; lazy variants second_conciliate.py:120-279).
+ * Where the reference hand-ships `$match`/`$project` JSON to mongod for
+ * pushdown, here the filter/projection are plain Catalyst operators and the
+ * DataSource framework pushes them into the scan (check `.explain`:
+ * PushedFilters / ReadSchema).
+ */
+object Sources {
+
+  /**
+   * Document-store scan with pushdown predicate + stringify projection
+   * (S1, reference: src/data_extractor.py:26-50). In production this is the
+   * mongo connector with an `aggregation.pipeline` option; offline it is any
+   * file source — the declared filter and typed projection reach the scan
+   * either way.
+   */
+  def typedScan(
+      spark: SparkSession,
+      path: String,
+      fields: Seq[String],
+      types: FieldTypes,
+      predicate: Option[Column] = None): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val filtered = predicate.fold(raw)(raw.where)
+    filtered.select(ExprBuilder.typedProjection(fields, types): _*)
+  }
+
+  /**
+   * CSV scan, no inference, header row, all columns string (S3,
+   * reference: pl.read_csv(infer_schema_length=0) at
+   * src/data_extractor.py:95-116).
+   */
+  def csvAllString(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .csv(path)
+
+  /**
+   * External-side prep (reference: src/data_extractor.py:95-116):
+   * row-provenance index, join-key casts, `ext_` prefix, `exd_` shadow keys.
+   * `conf.keys.external` names refer to the *unprefixed* csv columns here;
+   * the produced frame has every column `ext_`-prefixed plus shadows.
+   */
+  def prepareExternal(raw: DataFrame, conf: ReconConfig, rowIdxName: String = "file_row_number"): DataFrame = {
+    val unprefixedConf = conf.copy(keys = conf.keys.map(kp =>
+      kp.copy(external = kp.external.stripPrefix("ext_"))))
+    val indexed = withRowIndex(raw, rowIdxName)
+    val cast = ExprBuilder.applyExternalKeyCasts(indexed, unprefixedConf)
+    val prefixed = cast.toDF(cast.columns.map {
+      case `rowIdxName` => rowIdxName
+      case c            => s"ext_$c"
+    }.toIndexedSeq: _*)
+    // exd_ shadow copies of the join keys (src/expression_builder.py:66-69)
+    val shadows = unprefixedConf.keys.map(kp =>
+      col(s"ext_${kp.external}").as(s"exd_${kp.external}"))
+    prefixed.select(col("*") +: shadows: _*)
+  }
+
+  /**
+   * Row-provenance index (P9, reference: with_row_index(offset=1) at
+   * src/data_extractor.py:98-99). Spark has no implicit row order, so this
+   * is a two-pass zipWithIndex over the *current* partition order: exact,
+   * distributed, no single-partition bottleneck — per-partition offsets are
+   * computed from partition sizes, so it scales to any partition count.
+   * Deterministic as long as the source's partition/row order is (true for
+   * file sources with a fixed file listing).
+   */
+  def withRowIndex(df: DataFrame, name: String, offset: Long = 1L): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(name, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ (idx + offset))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /**
+   * Deterministic row index by explicit sort keys — the Spark-idiomatic
+   * variant when a total order exists in the data (preferred at scale over
+   * [[withRowIndex]]: stays inside Catalyst/codegen, single range-partition
+   * sort, no RDD hop). One global window = one task only for the final
+   * row_number stamping; use when provenance must follow a domain order
+   * rather than file order.
+   */
+  def withRowIndexBy(df: DataFrame, name: String, order: Seq[Column], offset: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn(name,
+      row_number().over(Window.orderBy(order: _*)).cast(LongType) + lit(offset - 1))
+  }
+
+  /**
+   * Remanent re-read (S2, reference: `$lookup`+`$unwind` at
+   * src/data_extractor.py:52-83): prior-run REMANENT rows joined back to the
+   * full transaction table on the id. The 1:1 `$lookup`+`$unwind` collapses
+   * to an inner join; only the id column of the remanent side is needed, so
+   * it is pruned before the join (and broadcast when small).
+   */
+  def remanentLookup(remanents: DataFrame, transactions: DataFrame, idField: String): DataFrame =
+    transactions.join(remanents.select(idField).distinct(), Seq(idField), "left_semi")
+
+  /** Vertical concat of current + remanent inputs, deduped by id keeping the
+    * *current* row on conflict (U1+A3, reference: src/data_extractor.py:85-93).
+    * `preferenceRank`: lower wins (0 = current batch, 1 = remanent). */
+  def concatPreferFirst(current: DataFrame, remanent: DataFrame, idField: String): DataFrame = {
+    val tagged = current.withColumn("__pref", lit(0))
+      .unionByName(remanent.withColumn("__pref", lit(1)))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idField)).orderBy(col("__pref"))
+    tagged.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", "__pref")
+  }
+}
