@@ -1,0 +1,237 @@
+package graft.demo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.ops._
+
+/**
+ * Training-data-pipeline operators (dedup / similarity / text / multimodal)
+ * as named queries over `documents` + `embeddings`, with DuckDB oracles
+ * where the computation is engine-portable. Hash-sketch operators (xxhash64
+ * MinHash/SimHash, LSH) have no DuckDB equivalent → rows-only checks; their
+ * *verification* stages (exact Jaccard, exact cosine) are oracle-checked
+ * through the portable queries.
+ */
+object OpsQueries {
+
+  private def docs(s: SparkSession, d: String) = s.read.parquet(s"$d/documents.parquet")
+  private def embs(s: SparkSession, d: String) = s.read.parquet(s"$d/embeddings.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
+    * read nanos as long (legacy conf) and truncate to a micros timestamp —
+    * same ms values the DuckDB oracle sees via epoch_ms. */
+  private[demo] def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$d/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ---- text analysis ---------------------------------------------------
+
+    QuerySpec("text_tokens",
+      raw"""SELECT doc_id,
+           |  CASE WHEN length(trim(text)) = 0 THEN 0
+           |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           |  length(text) AS n_chars_measured
+           |FROM documents""".stripMargin) { (s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars_measured"))
+    },
+
+    QuerySpec("text_quality",
+      raw"""WITH f AS (
+           |  SELECT doc_id,
+           |    CAST(length(text) AS DOUBLE) AS n,
+           |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+           |    CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) AS puncts,
+           |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nonspace,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+           |  FROM documents)
+           |SELECT doc_id, n_tokens,
+           |  CASE WHEN n = 0 THEN 0.0 ELSE alpha / n END AS alpha_ratio,
+           |  CASE WHEN n = 0 THEN 0.0 ELSE digits / n END AS digit_ratio,
+           |  CASE WHEN n = 0 THEN 0.0 ELSE puncts / n END AS punct_ratio,
+           |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE nonspace / CAST(n_tokens AS DOUBLE) END AS mean_token_len,
+           |  greatest(0.0, least(1.0,
+           |    0.5 * (CASE WHEN n = 0 THEN 0.0 ELSE alpha / n END)
+           |    + 0.3 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+           |    + 0.2 * (1.0 - (CASE WHEN n = 0 THEN 0.0 ELSE digits / n END)
+           |                 - (CASE WHEN n = 0 THEN 0.0 ELSE puncts / n END)))) AS quality_score
+           |FROM f""".stripMargin) { (s, d) =>
+      TextAnalysis.qualityScore(docs(s, d), "text")
+        .select(col("doc_id"), col("n_tokens"), col("alpha_ratio"), col("digit_ratio"),
+          col("punct_ratio"), col("mean_token_len"), col("quality_score"))
+    },
+
+    QuerySpec("text_langid",
+      raw"""WITH sc AS (
+           |  SELECT doc_id,
+           |    len(list_intersect(t, ['der','die','das','und','zu','in','ein','eine','ist','nicht'])) AS s_de,
+           |    len(list_intersect(t, ['the','a','of','and','to','in','is','that','it','for'])) AS s_en,
+           |    len(list_intersect(t, ['el','la','de','y','que','en','un','una','los','es'])) AS s_es,
+           |    len(list_intersect(t, ['le','la','de','et','que','en','un','une','les','est'])) AS s_fr,
+           |    len(list_intersect(t, ['的','是','了','在','和','有','我','不','人','这'])) AS s_zh
+           |  FROM (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |                           ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+           |        FROM documents))
+           |SELECT doc_id,
+           |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+           |       WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+           |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+           |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+           |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+           |       ELSE 'de' END AS lang_pred
+           |FROM sc""".stripMargin) { (s, d) =>
+      TextAnalysis.languageId(docs(s, d), "text").select(col("doc_id"), col("lang_pred"))
+    },
+
+    // min-window-hash fingerprint: xxhash64 kernel — no DuckDB equivalent
+    QuerySpec.rowsOnly("text_fingerprint") { (s, d) =>
+      TextAnalysis.fingerprint(docs(s, d), "text").select(col("doc_id"), col("fingerprint"))
+    },
+
+    // BPE-ish sub-token count: Java-regex lookarounds — not portable to RE2
+    QuerySpec.rowsOnly("text_subtokens") { (s, d) =>
+      docs(s, d).select(col("doc_id"), TextAnalysis.subTokenCount(col("text")).as("n_subtokens"))
+    },
+
+    // ---- dedup -----------------------------------------------------------
+
+    QuerySpec("dedup_exact_groups",
+      """SELECT md5(lower(trim(text))) AS content_hash,
+        |  min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin) { (s, d) =>
+      Dedup.exactGroups(docs(s, d), "text", "doc_id")
+    },
+
+    QuerySpec("dedup_keyed_first",
+      """SELECT doc_id, lang, source
+        |FROM (SELECT doc_id, lang, source,
+        |        row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn = 1""".stripMargin) { (s, d) =>
+      Dedup.keyedKeepFirst(docs(s, d), Seq("lang", "source"), Seq(col("doc_id")))
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    QuerySpec("dedup_ngram_jaccard",
+      raw"""WITH sample_docs AS (
+           |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+           |  FROM documents WHERE doc_id % 5 = 0 AND length(trim(text)) > 0),
+           |sh AS (SELECT doc_id AS doc, unnest(list_distinct([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))])) AS shingle
+           |       FROM sample_docs WHERE len(t) >= 2),
+           |sizes AS (SELECT doc, count(*) AS set_size FROM sh GROUP BY 1),
+           |keep AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh GROUP BY 1) WHERE df <= 1000),
+           |pruned AS (SELECT sh.* FROM sh WHERE EXISTS (SELECT 1 FROM keep k WHERE k.shingle = sh.shingle)),
+           |common AS (SELECT a.doc AS doc1, b.doc AS doc2, count(*) AS n_common
+           |           FROM pruned a JOIN pruned b ON a.shingle = b.shingle AND a.doc < b.doc
+           |           GROUP BY 1, 2)
+           |SELECT doc1, doc2,
+           |  CAST(n_common AS DOUBLE) / CAST(s1.set_size + s2.set_size - n_common AS DOUBLE) AS jaccard
+           |FROM common JOIN sizes s1 ON doc1 = s1.doc JOIN sizes s2 ON doc2 = s2.doc
+           |WHERE CAST(n_common AS DOUBLE) / CAST(s1.set_size + s2.set_size - n_common AS DOUBLE) >= 0.3""".stripMargin) { (s, d) =>
+      Dedup.ngramJaccardPairs(
+        docs(s, d).where(col("doc_id") % 5 === 0), "text", "doc_id",
+        n = 2, threshold = 0.3d, maxDf = 1000L)
+    },
+
+    // xxhash64 MinHash/LSH sketches — no DuckDB equivalent, rows-only
+    QuerySpec.rowsOnly("dedup_minhash") { (s, d) =>
+      Dedup.minHashNearDups(docs(s, d), "text", "doc_id",
+        shingleN = 3, k = 64, bands = 8, threshold = 0.5d, maxBucket = 100)
+    },
+
+    QuerySpec.rowsOnly("dedup_simhash") { (s, d) =>
+      Dedup.simHashNearDups(docs(s, d), "text", "doc_id", maxHamming = 3)
+    },
+
+    QuerySpec("dedup_embed",
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  list_dot_product(a.embedding, b.embedding) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.embedding, b.embedding) >= 0.45""".stripMargin) { (s, d) =>
+      Dedup.embeddingNearDups(embs(s, d), "vec_id", "embedding", threshold = 0.45d)
+    },
+
+    // ---- similarity search ----------------------------------------------
+
+    QuerySpec("sim_topk_brute",
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+        |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |             list_dot_product(qv, e.embedding) AS score
+        |           FROM q JOIN embeddings e ON e.vec_id <> query_id)
+        |SELECT query_id, neighbor_id, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin) { (s, d) =>
+      val e = embs(s, d)
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5)
+    },
+
+    // sign-random-projection LSH — xxhash64 hyperplanes, rows-only
+    QuerySpec.rowsOnly("sim_lsh_topk") { (s, d) =>
+      Similarity.lshTopK(embs(s, d), "vec_id", "embedding", k = 5, h = 4)
+    },
+
+    // ---- multimodal ------------------------------------------------------
+
+    QuerySpec("mm_meta",
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  strlen(text) AS n_bytes,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format
+        |FROM documents""".stripMargin) { (s, d) =>
+      Multimodal.syntheticMedia(docs(s, d), "doc_id", "text")
+        .select(col("media_id"), col("media_type"), col("n_bytes"), col("format"))
+    },
+
+    // stub decoder output — JVM kernel, rows-only
+    QuerySpec.rowsOnly("mm_features") { (s, d) =>
+      Multimodal.decodeFeatures(
+        Multimodal.asMedia(Multimodal.syntheticMedia(docs(s, d), "doc_id", "text"))).toDF()
+    },
+
+    QuerySpec.rowsOnly("mm_frames") { (s, d) =>
+      Multimodal.sampleFrameOffsets(
+        Multimodal.decodeFeatures(
+          Multimodal.asMedia(Multimodal.syntheticMedia(docs(s, d), "doc_id", "text"))).toDF(),
+        k = 4)
+    },
+
+    // ---- streaming-shaped (batch-equivalent forms) -----------------------
+
+    QuerySpec("stream_tumbling",
+      """SELECT CAST(floor(epoch_ms(ts) / 300000.0) AS BIGINT) * 300000 AS bucket_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      graft.streaming.EventPipeline.tumblingAgg(events(s, d), windowMs = 300000L)
+    },
+
+    QuerySpec("stream_sessionize",
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR ms - prev > 600000 THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |numbered AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |  FROM flagged)
+        |SELECT user_id, session_seq, min(ms) AS session_start, max(ms) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM numbered GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      graft.streaming.EventPipeline.sessionize(events(s, d), gapMs = 600000L)
+    }
+  )
+}

@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/**
+ * Deduplication operators for a training-data pipeline, each designed for
+ * the 100 TB path:
+ *
+ *  - exact:    one hash-shuffle on a 128-bit content hash (never the raw
+ *              text) — the shuffle payload is 16 bytes + ids per row.
+ *  - MinHash:  signatures computed per-row (narrow), then LSH banding so
+ *              the only shuffle is on (band, bandHash) buckets; candidate
+ *              pairs are verified with real Jaccard — no quadratic blow-up.
+ *  - SimHash:  64-bit signature per row, chunk-banding (Hamming ≤ k ⇒ some
+ *              16-bit chunk equal), bucket join, bit_count verify.
+ *  - n-gram Jaccard: exact shingle-join version for modest candidate sets;
+ *              document-frequency cap bounds the worst hub shingle.
+ *  - embedding: cosine near-dup via the codegen'd float kernel; LSH
+ *              hyperplane bucketing available through [[Similarity]].
+ */
+object Dedup {
+
+  /** Canonical 128-bit content hash (md5 of the normalized text). */
+  def contentHash(text: Column): Column = md5(lower(trim(text)).cast("binary"))
+
+  /**
+   * Exact dedup groups: one row per distinct content, with the canonical
+   * (minimum) id and the duplicate count. Group-by on the 16-byte hash —
+   * map-side partial aggregation, single shuffle.
+   */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(contentHash(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup: keep one row per distinct content (the min-id row). */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(contentHash(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Keyed keep-first: one row per key set, by explicit deterministic order. */
+  def keyedKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Word n-gram shingles of a text column (lowercased, whitespace split). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+  }
+
+  /**
+   * Exact n-gram Jaccard near-dup pairs: explode distinct shingles, join
+   * on shingle, count common per pair, Jaccard ≥ threshold. `maxDf` drops
+   * hub shingles (docfreq > maxDf) before the pair join — the standard cap
+   * that keeps Σf² bounded at scale; dropped shingles only lower the
+   * estimate for pathological hub-heavy pairs.
+   */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double, maxDf: Long = 1000L): DataFrame = {
+    val shingled = df.select(col(idCol).as("doc"),
+        explode(array_distinct(wordShingles(col(textCol), n))).as("shingle"))
+    val sizes = shingled.groupBy("doc").agg(count(lit(1)).as("set_size"))
+    val pruned = shingled.join(
+      shingled.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDf).select("shingle"),
+      Seq("shingle"), "left_semi")
+    val a = pruned.alias("sa")
+    val b = pruned.alias("sb")
+    val common = a.join(b,
+        col("sa.shingle") === col("sb.shingle") && col("sa.doc") < col("sb.doc"))
+      .groupBy(col("sa.doc").as("doc1"), col("sb.doc").as("doc2"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc", "doc1").withColumnRenamed("set_size", "size1"), Seq("doc1"))
+      .join(sizes.withColumnRenamed("doc", "doc2").withColumnRenamed("set_size", "size2"), Seq("doc2"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("size1") + col("size2") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+
+  /**
+   * MinHash signatures as k min-aggregates over exploded shingles: slot i =
+   * min(xxhash64(i, shingle)). The explode keeps every hash evaluation
+   * inside whole-stage codegen (a per-row higher-order `transform` chain
+   * would evaluate interpreted), and the map-side partial min means the
+   * single shuffle carries only k longs per doc.
+   * Returns (doc, h0..h{k-1}).
+   */
+  def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, k: Int): DataFrame = {
+    val exploded = df.select(col(idCol).as("doc"),
+      explode(array_distinct(wordShingles(col(textCol), shingleN))).as("sh"))
+    val minCols = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    exploded.groupBy("doc").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /**
+   * MinHash + LSH banding candidate pairs: `bands` band hashes per doc
+   * (xxhash64 of that band's slot values); docs sharing any band hash are
+   * candidates. Only shuffles: the signature groupBy and the bucket
+   * groupBy on (band, bandHash). `maxBucket` skips degenerate hub buckets
+   * (boilerplate-heavy corpora collapse into giant buckets whose pair
+   * expansion is quadratic — the standard cap at scale; recall for pairs
+   * inside a skipped bucket is recovered by the other bands).
+   */
+  def minHashCandidates(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16, maxBucket: Int = 100): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sig = minHashSignatures(df, textCol, idCol, shingleN, k)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as(s"b$b")
+    }
+    val banded = sig.select(col("doc"), posexplode(array(bandCols: _*)))
+      .toDF("doc", "band", "band_hash")
+    val g = banded.groupBy("band", "band_hash")
+      .agg(collect_list(col("doc")).as("docs"))
+      .where(size(col("docs")) > 1 && size(col("docs")) <= maxBucket)
+    g.select(explode(col("docs")).as("doc1"), col("docs"))
+      .select(col("doc1"), explode(col("docs")).as("doc2"))
+      .where(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"))
+      .distinct()
+  }
+
+  /**
+   * Full MinHash near-dup pipeline: LSH candidates verified with exact
+   * n-gram Jaccard (shingle-set intersection via a join back to the docs).
+   */
+  def minHashNearDups(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.7,
+      maxBucket: Int = 100): DataFrame = {
+    val cands = minHashCandidates(df, textCol, idCol, shingleN, k, bands, maxBucket)
+    val sets = df.select(col(idCol).as("doc"),
+      array_distinct(wordShingles(col(textCol), shingleN)).as("sh"))
+    cands
+      .join(sets.select(col("doc").as("doc1"), col("sh").as("sh1")), Seq("doc1"))
+      .join(sets.select(col("doc").as("doc2"), col("sh").as("sh2")), Seq("doc2"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+          size(array_union(col("sh1"), col("sh2"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+
+  /**
+   * SimHash near-dup pairs: 64-bit signature, banding into four 16-bit
+   * chunks (pigeonhole: Hamming ≤ 3 ⇒ at least one chunk identical),
+   * bucket join on (chunk, value), verify with bit_count(xor) ≤ maxHamming.
+   */
+  def simHashNearDups(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol).as("doc"),
+      TextFunctions.simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
+    val chunked = sig.select(col("doc"), col("sig"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("doc", "sig", "chunk", "chunk_val")
+    val a = chunked.alias("ca")
+    val b = chunked.alias("cb")
+    a.join(b,
+        col("ca.chunk") === col("cb.chunk") &&
+          col("ca.chunk_val") === col("cb.chunk_val") &&
+          col("ca.doc") < col("cb.doc"))
+      .select(col("ca.doc").as("doc1"), col("cb.doc").as("doc2"),
+        TextFunctions.hamming64(col("ca.sig"), col("cb.sig")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /**
+   * Embedding cosine near-dup pairs over an id+vector frame: bounded
+   * block-join (self join with id inequality) + codegen'd float cosine.
+   * For web-scale inputs use [[Similarity.lshCandidates]] first and verify
+   * only bucket-mates; this exact form is the verification kernel.
+   */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cosine", graft.functions.VectorFunctions.vec_dot(col("v1"), col("v2")))
+      .where(col("cosine") >= threshold)
+      .select(col("id1"), col("id2"), col("cosine"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{vec_cosine, vec_dot}
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column.
+ *
+ * Baseline: brute-force top-k — broadcast the (small) query set against the
+ * corpus, score with the codegen'd float dot kernel, window top-k. One pass
+ * over the corpus, no corpus shuffle: this is the exact-answer path and
+ * scales to any corpus size as long as the query set broadcasts.
+ *
+ * Scale path: sign-random-projection LSH — h deterministic pseudo-random
+ * hyperplanes (seeded xxhash64 of (plane, dim), no RNG state), each vector
+ * keyed by its h-bit sign bucket; neighbors are searched only among
+ * bucket-mates (optionally probing near buckets). Turns the O(N·Q) scan
+ * into a bucket join whose shuffle is on the bucket key.
+ */
+object Similarity {
+
+  /** Cosine of pre-normalized vectors = dot; use `cosine=true` otherwise. */
+  private def score(a: Column, b: Column, cosine: Boolean): Column =
+    if (cosine) vec_cosine(a, b) else vec_dot(a, b)
+
+  /**
+   * Exact top-k neighbors for each query vector. `queries` must be small
+   * enough to broadcast (typical: ≤ a few 100k rows); ranking ties break
+   * on neighbor id for determinism.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, cosine: Boolean = false): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", score(col("qv"), col("cv"), cosine))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /**
+   * Deterministic pseudo-random hyperplane component for (plane, dim):
+   * xxhash64 parity mapped to ±1. Reproducible on any cluster layout —
+   * no RNG, no broadcast of a plane matrix.
+   */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    when(pmod(xxhash64(lit(plane), dim), lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f))
+
+  /** h-bit sign-random-projection bucket id for a float-vector column. */
+  def lshBucket(vec: Column, h: Int): Column = {
+    val bits = (0 until h).map { p =>
+      val dot = aggregate(
+        zip_with(vec, transform(sequence(lit(0), size(vec) - 1), i => planeComponent(p, i)),
+          (v, s) => v * s),
+        lit(0.0f), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** Corpus keyed by LSH bucket (the index-build step of the scale path). */
+  def lshIndex(df: DataFrame, idCol: String, vecCol: String, h: Int): DataFrame =
+    df.select(col(idCol), col(vecCol), lshBucket(col(vecCol), h).as("bucket"))
+
+  /** Candidate pairs = bucket-mates (verify with exact scores downstream). */
+  def lshCandidates(df: DataFrame, idCol: String, vecCol: String, h: Int): DataFrame = {
+    val idx = lshIndex(df, idCol, vecCol, h)
+    val a = idx.select(col("bucket"), col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = idx.select(col("bucket"), col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(b, Seq("bucket")).where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), col("v1"), col("v2"))
+  }
+
+  /**
+   * ANN top-k via LSH buckets: score only bucket-mates, then top-k per
+   * query. Recall < 1 by construction; raise `h` for precision-heavy
+   * buckets or lower it for recall (h sign bits ⇒ 2^h buckets).
+   */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int, h: Int,
+      cosine: Boolean = false): DataFrame = {
+    val idx = lshIndex(df, idCol, vecCol, h)
+    val a = idx.select(col("bucket"), col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val b = idx.select(col("bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = a.join(b, Seq("bucket")).where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", score(col("qv"), col("cv"), cosine))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a training-data pipeline: token counting,
+ * quality scoring, language ID, fingerprinting. All built from codegen'd
+ * built-in functions (no UDFs) except the fingerprint, which is a native
+ * Catalyst expression ([[graft.functions.MinWindowHash]]) — so every
+ * operator stays inside whole-stage codegen and scales linearly with
+ * input splits (no shuffle: all per-row).
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lowercased text; [] for blank input. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(lower(text)), "\\s+"))
+
+  /** Token count (whitespace segmentation; 0 for blank). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(split(trim(text), "\\s+")))
+
+  /**
+   * BPE-ish sub-token count: splits on whitespace AND letter/digit/symbol
+   * boundaries — a cheap proxy for tokenizer cost ("abc123,def" → 4).
+   */
+  def subTokenCount(text: Column): Column = {
+    val pieces = split(trim(text), "(?:\\s+|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])|(?=[^A-Za-z0-9\\s])|(?<=[^A-Za-z0-9\\s]))")
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(filter(pieces, p => length(p) > 0)))
+  }
+
+  /**
+   * Quality features: char/token counts plus alpha / digit / whitespace /
+   * punctuation ratios and mean token length — the standard cheap filters
+   * for web-scale corpus cleaning.
+   */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val n = length(t).cast("double")
+    def classLen(re: String) = length(regexp_replace(t, re, "")).cast("double")
+    df.withColumns(Map(
+      "n_chars_measured" -> length(t),
+      "n_tokens" -> tokenCount(t),
+      "alpha_ratio" -> when(n === 0, 0.0d).otherwise(classLen("[^A-Za-z]") / n),
+      "digit_ratio" -> when(n === 0, 0.0d).otherwise(classLen("[^0-9]") / n),
+      "space_ratio" -> when(n === 0, 0.0d).otherwise(classLen("[^ \\t]") / n),
+      "punct_ratio" -> when(n === 0, 0.0d).otherwise(classLen("[^.,;:!?'\"()]") / n),
+      "mean_token_len" -> when(tokenCount(t) === 0, 0.0d)
+        .otherwise((classLen("\\s") / tokenCount(t).cast("double")))
+    ))
+  }
+
+  /** Composite quality score in [0,1]: high alpha share, sane token
+    * length, low digit/punct noise. Weights are heuristic constants. */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame = {
+    val f = qualityFeatures(df, textCol)
+    val lenTerm = least(col("n_tokens").cast("double") / lit(20.0d), lit(1.0d))
+    f.withColumn("quality_score",
+      greatest(lit(0.0d), least(lit(1.0d),
+        lit(0.5d) * col("alpha_ratio") +
+          lit(0.3d) * lenTerm +
+          lit(0.2d) * (lit(1.0d) - col("digit_ratio") - col("punct_ratio")))))
+  }
+
+  /** Tiny per-language stopword lists for the n-gram/stopword heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "una", "los", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "que", "en", "un", "une", "les", "est"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "in", "ein", "eine", "ist", "nicht"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "人", "这"))
+
+  /**
+   * Language ID by stopword-hit ratio: score(lang) = |tokens ∩ stopwords|;
+   * argmax with deterministic tie-break on language code, 'und' when no
+   * stopword hits at all. Per-row only — no shuffle.
+   */
+  def languageId(df: DataFrame, textCol: String, outCol: String = "lang_pred"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    // array_max on struct(score,lang) picks highest score; ties break on the
+    // LARGER lang code, so invert: sort asc and take max of (score, negated rank)
+    val best = array_max(array(scored: _*))
+    df.withColumn(outCol,
+      when(best.getField("score") <= 0, lit("und"))
+        .otherwise(best.getField("lang")))
+  }
+
+  /** Min-window-hash document fingerprint (native expression, codegen'd). */
+  def fingerprint(df: DataFrame, textCol: String, window: Int = 16,
+      outCol: String = "fingerprint"): DataFrame =
+    df.withColumn(outCol, graft.functions.TextFunctions.min_window_hash(col(textCol), window))
+}

@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+final case class SessionSummary(user_id: Long, session_start: Long,
+    session_end: Long, n_events: Long, total_value: Double)
+
+final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+/**
+ * Structured-Streaming pipeline over the `events` table. The reference has
+ * no streaming surface (SURVEY §2.8) — this is the training-data-pipeline
+ * extension: the same transformations run in batch (for the oracle) and as
+ * a `readStream` (watermark + windowed state), because both are plain
+ * `DataFrame => DataFrame` over an event-time column.
+ */
+object EventPipeline {
+
+  /** Tumbling-window counts/sums per event type. Batch form — used by the
+    * oracle checks; identical logic runs under readStream. */
+  def tumblingAgg(events: DataFrame, windowMs: Long): DataFrame =
+    events
+      .withColumn("bucket_start",
+        (floor(unix_millis(col("ts").cast("timestamp")) / windowMs) * windowMs))
+      .groupBy(col("bucket_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        // money-style sum through decimal: exact + order-independent
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+
+  /** Same aggregation as a streaming query with watermarking. */
+  def tumblingAggStream(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType, windowSec: Int): DataFrame =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), s"$windowSec seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+
+  /**
+   * Gap-based sessionization, batch form: a new session starts when the
+   * user's inter-event gap exceeds `gapMs`. One shuffle on user_id; the
+   * per-user window sort is the standard lag+cumsum sessionizer.
+   */
+  def sessionize(events: DataFrame, gapMs: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ms = unix_millis(col("ts").cast("timestamp"))
+    events
+      .withColumn("__ms", ms)
+      .withColumn("__prev", lag(col("__ms"), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev").isNull || col("__ms") - col("__prev") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("__new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("__ms")).as("session_start"),
+        max(col("__ms")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+  }
+
+  /**
+   * Stateful streaming sessionizer: per-user state via
+   * flatMapGroupsWithState with processing-time timeout — emits a session
+   * when the gap closes it. The custom-state analog of [[sessionize]].
+   */
+  def sessionizeStream(events: Dataset[Event], gapMs: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[SessionSummary] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = state.getOption
+      val out = scala.collection.mutable.ListBuffer.empty[SessionSummary]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last > gapMs =>
+            out += SessionSummary(userId, s.start, s.last, s.n, s.total)
+            cur = Some(SessionState(t, t, 1L, e.value))
+          case Some(s) =>
+            cur = Some(SessionState(s.start, t, s.n + 1L, s.total + e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1L, e.value))
+        }
+      }
+      cur.foreach(state.update)
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+}

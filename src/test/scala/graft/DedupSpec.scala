@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),    // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),    // near dup of 1
+    (4L, "completely different words entirely here now ok"),
+    (5L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG  ")   // dup after normalize
+  ).toDF("doc_id", "text")
+
+  test("exactGroups groups normalized duplicates under the min id") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+    val byCanon = g.select("canonical_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(byCanon(1L) == 3L) // 1, 2, 5
+    assert(g.count() == 3)
+  }
+
+  test("exactDedup keeps one row per content") {
+    assert(Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L))
+  }
+
+  test("wordShingles builds n-grams, short texts yield empty") {
+    val sh = docs.select(Dedup.wordShingles(col("text"), 3).as("sh"))
+      .where(col("sh").getItem(0).isNotNull).limit(1)
+      .as[Seq[String]].head()
+    assert(sh.head == "the quick brown")
+    val short = Seq((9L, "one two")).toDF("doc_id", "text")
+      .select(Dedup.wordShingles(col("text"), 3).as("sh")).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("ngramJaccardPairs finds exact and near duplicates") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", n = 2, threshold = 0.5d)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))  // identical
+    assert(pairs.contains((1L, 3L)))  // one word differs
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minHash near-dups finds the planted pair and skips unrelated docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val corpus = (1L to 20L).map(i => (i, s"unique$i words body number$i distinct$i tokens$i from$i corpus$i item$i entry$i"))
+      .toDF("doc_id", "text")
+      .union(Seq((100L, base), (101L, base + " nu")).toDF("doc_id", "text"))
+    val pairs = Dedup.minHashNearDups(corpus, "text", "doc_id",
+      shingleN = 2, k = 32, bands = 8, threshold = 0.5d)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 101L)))
+  }
+
+  test("simHash near-dups finds near-identical docs within hamming budget") {
+    val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 8)
+      .select("doc1", "doc2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embeddingNearDups thresholds on float cosine") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.999f, 0.04f)),
+      (3L, Array(0.0f, 1.0f))
+    ).toDF("id", "vec")
+    val pairs = Dedup.embeddingNearDups(vecs, "id", "vec", threshold = 0.9d)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("keyedKeepFirst keeps min-order row per key") {
+    val df = Seq(("en", "s1", 5L), ("en", "s1", 3L), ("fr", "s1", 9L))
+      .toDF("lang", "source", "doc_id")
+    assert(Dedup.keyedKeepFirst(df, Seq("lang", "source"), Seq(col("doc_id")))
+      .select("doc_id").as[Long].collect().toSet == Set(3L, 9L))
+  }
+}

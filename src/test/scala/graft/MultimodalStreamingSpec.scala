@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.ops.Multimodal
+import graft.streaming.{Event, EventPipeline}
+
+class MultimodalStreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("syntheticMedia builds binary payloads with typed metadata") {
+    val docs = Seq((0L, "hello"), (1L, "world!"), (2L, "video doc")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val byId = media.select("media_id", "media_type", "n_bytes", "format")
+      .as[(Long, String, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(byId(0L)._2 == "image" && byId(0L)._4 == "png" && byId(0L)._3 == 5)
+    assert(byId(1L)._2 == "audio" && byId(2L)._2 == "video")
+    assert(media.schema("payload").dataType.typeName == "binary")
+  }
+
+  test("decodeFeatures is deterministic and partition-independent") {
+    val docs = Seq((0L, "aaa"), (1L, "bbb"), (2L, "ccc")).toDF("doc_id", "text")
+    val m = Multimodal.asMedia(Multimodal.syntheticMedia(docs, "doc_id", "text"))
+    val once = Multimodal.decodeFeatures(m).collect().map(f => f.media_id -> f.content_hash).toMap
+    val again = Multimodal.decodeFeatures(
+      Multimodal.asMedia(Multimodal.syntheticMedia(docs.repartition(3), "doc_id", "text")))
+      .collect().map(f => f.media_id -> f.content_hash).toMap
+    assert(once == again)
+    // audio has no dimensions; image has no duration
+    val feats = Multimodal.decodeFeatures(m).collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).width == 0 && feats(0L).duration_ms == 0L)
+  }
+
+  test("sampleFrameOffsets yields k in-range evenly spaced indices") {
+    val docs = Seq((2L, "some video payload bytes here")).toDF("doc_id", "text")
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.asMedia(Multimodal.syntheticMedia(docs, "doc_id", "text"))).toDF()
+    val row = Multimodal.sampleFrameOffsets(feats, k = 4).
+      select("n_frames", "frame_indices").as[(Long, Seq[Long])].head()
+    assert(row._2.size == 4)
+    assert(row._2.forall(i => i >= 0 && i < row._1))
+    assert(row._2 == row._2.sorted)
+  }
+
+  // ---- streaming ----
+
+  private def eventsDf = Seq(
+    (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 1.0),
+    (2L, java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 1L, "click", 2.0),
+    (3L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), 1L, "view", 4.0),
+    (4L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2L, "view", 8.0)
+  ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("sessionize splits on gap and aggregates per session") {
+    val s = EventPipeline.sessionize(eventsDf, gapMs = 600000L)
+      .select("user_id", "session_seq", "n_events", "total_value")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(s == Set((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 4.0), (2L, 1L, 1L, 8.0)))
+  }
+
+  test("tumblingAgg buckets by window") {
+    val t = EventPipeline.tumblingAgg(eventsDf, windowMs = 300000L)
+      .select("bucket_start", "event_type", "n_events").as[(Long, String, Long)].collect().toSet
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    assert(t == Set((base, "click", 2L), (base, "view", 1L), (base + 1800000L, "view", 1L)))
+  }
+
+  test("sessionizeStream matches batch sessionize on a replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toFile
+    eventsDf.write.mode("overwrite").parquet(dir.getAbsolutePath)
+
+    val src = spark.readStream.schema(eventsDf.schema).parquet(dir.getAbsolutePath).as[Event]
+    val q = EventPipeline.sessionizeStream(src, gapMs = 600000L)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    // Append-mode stateful emit only closes sessions when a later event
+    // arrives past the gap — user 1's first session closes, open tails stay
+    // in state. Verify the closed session agrees with the batch sessionizer.
+    val streamed = spark.table("sessions_out")
+      .select("user_id", "n_events", "total_value").as[(Long, Long, Double)].collect().toSet
+    val batch = EventPipeline.sessionize(eventsDf, gapMs = 600000L)
+      .select("user_id", "n_events", "total_value").as[(Long, Long, Double)].collect().toSet
+    assert(streamed.subsetOf(batch))
+    assert(streamed.contains((1L, 2L, 3.0)))
+  }
+
+  test("tumblingAggStream produces windowed aggregates via readStream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toFile
+    eventsDf.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val agg = EventPipeline.tumblingAggStream(spark, dir.getAbsolutePath, eventsDf.schema, 300)
+    val q = agg.writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("tumbling_out")
+      .select(col("window.start").cast("long") * 1000, col("event_type"), col("n_events"))
+      .as[(Long, String, Long)].collect().toSet
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    assert(rows == Set((base, "click", 2L), (base, "view", 1L), (base + 1800000L, "view", 1L)))
+  }
+}

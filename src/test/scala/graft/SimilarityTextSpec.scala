@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Similarity, TextAnalysis}
+import graft.functions.{TextFunctions, TextOps, VectorFunctions}
+
+class SimilarityTextSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("vec_dot matches manual float accumulation") {
+    val d = vecs.where(col("vec_id") === 1)
+      .crossJoin(vecs.where(col("vec_id") === 2).select(col("embedding").as("e2")))
+      .select(VectorFunctions.vec_dot(col("embedding"), col("e2"))).as[Float].head()
+    assert(d == 0.9f)
+  }
+
+  test("bruteForceTopK ranks by score desc with id tie-break") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 1),
+      "vec_id", "embedding", k = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSet
+    assert(top == Set((2L, 1), (3L, 2))) // 3 vs 4 tie at 0.0 -> lower id
+  }
+
+  test("lshTopK returns a subset of brute-force candidates with exact scores") {
+    val brute = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "score").as[(Long, Long, Float)].collect().toSet
+    val lsh = Similarity.lshTopK(vecs, "vec_id", "embedding", k = 3, h = 2)
+      .select("query_id", "neighbor_id", "score").as[(Long, Long, Float)].collect().toSet
+    assert(lsh.subsetOf(brute))
+  }
+
+  test("lshBucket is deterministic across evaluations") {
+    val b1 = Similarity.lshIndex(vecs, "vec_id", "embedding", 4)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toSet
+    val b2 = Similarity.lshIndex(vecs, "vec_id", "embedding", 4)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toSet
+    assert(b1 == b2)
+  }
+
+  // ---- text ----
+
+  test("tokenCount handles blanks and multiple spaces") {
+    val df = Seq(Tuple1("a  b   c"), Tuple1(""), Tuple1("   "), Tuple1("word")).toDF("text")
+    assert(df.select(TextAnalysis.tokenCount(col("text"))).as[Int].collect().toSeq ==
+      Seq(3, 0, 0, 1))
+  }
+
+  test("quality features on crafted text") {
+    val df = Seq((1L, "abc 123!")).toDF("doc_id", "text")
+    val f = TextAnalysis.qualityFeatures(df, "text")
+      .select("alpha_ratio", "digit_ratio", "n_tokens").as[(Double, Double, Int)].head()
+    assert(f._1 == 3.0 / 8.0 && f._2 == 3.0 / 8.0 && f._3 == 2)
+  }
+
+  test("languageId detects english and spanish stopword profiles") {
+    val df = Seq(
+      (1L, "the cat is in the house and it is big"),
+      (2L, "el gato es de la casa y es un animal"),
+      (3L, "xyzzy plugh qwerty")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.languageId(df, "text")
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(out(1L) == "en" && out(2L) == "es" && out(3L) == "und")
+  }
+
+  test("fingerprint equal for equal text, differs for different text") {
+    val df = Seq((1L, "some repeated body of text here"),
+      (2L, "some repeated body of text here"),
+      (3L, "a totally different body")).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(df, "text")
+      .select("doc_id", "fingerprint").as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+  }
+
+  test("simhash hamming is small for near texts, large for distinct ones") {
+    def sig(s: String): Long = {
+      val df = Seq(Tuple1(s)).toDF("text")
+      df.select(TextFunctions.simhash64(TextAnalysis.tokens(col("text")))).as[Long].head()
+    }
+    val a = sig("the quick brown fox jumps over the lazy dog again and again")
+    val b = sig("the quick brown fox jumps over the lazy cat again and again")
+    val c = sig("completely unrelated text with other words present")
+    assert(TextOps.hamming64(a, b) < TextOps.hamming64(a, c))
+  }
+
+  test("subTokenCount splits word/number/punct boundaries") {
+    val df = Seq(Tuple1("abc123,def")).toDF("text")
+    assert(df.select(TextAnalysis.subTokenCount(col("text"))).as[Int].head() == 4)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.recon._
+
+class SourcesSinksSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val conf = ReconConfig(
+    keys = Seq(KeyPair("ext_amount", "amount"), KeyPair("ext_code", "code")),
+    types = FieldTypes(doubleFields = Set("amount")))
+
+  test("csvAllString reads every column as string, prepareExternal casts keys") {
+    val dir = Files.createTempDirectory("graft_csv").toFile
+    val f = new java.io.File(dir, "ext.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("code,amount,name")
+    w.println("c1,10.50,foo")
+    w.println("c2,20.00,bar")
+    w.close()
+
+    val raw = Sources.csvAllString(spark, f.getAbsolutePath)
+    assert(raw.schema.fields.forall(_.dataType.typeName == "string"))
+
+    val prepped = Sources.prepareExternal(raw, conf)
+    assert(prepped.columns.toSet ==
+      Set("ext_code", "ext_amount", "ext_name", "file_row_number", "exd_code", "exd_amount"))
+    assert(prepped.schema("ext_amount").dataType.typeName == "double")
+    // provenance index is 1-based and follows file order
+    assert(prepped.orderBy("file_row_number")
+      .select("ext_code", "file_row_number").as[(String, Long)].collect().toSeq ==
+      Seq(("c1", 1L), ("c2", 2L)))
+    // shadow copies carry the cast values
+    assert(prepped.where(col("exd_amount") === 10.5).count() == 1)
+  }
+
+  test("withRowIndex is exact and dense across partitions") {
+    val df = spark.range(0, 1000).repartition(7).toDF("v")
+    val idx = Sources.withRowIndex(df, "rn")
+    assert(idx.count() == 1000)
+    assert(idx.agg(min(col("rn")), max(col("rn")), countDistinct(col("rn")))
+      .as[(Long, Long, Long)].head() == ((1L, 1000L, 1000L)))
+  }
+
+  test("remanentLookup semi-joins ids back to the ledger") {
+    val tx = Seq(("a1", 1), ("a2", 2), ("a3", 3)).toDF("_id", "v")
+    val rem = Seq("a2", "a3", "a3", "zz").toDF("_id")
+    val out = Sources.remanentLookup(rem, tx, "_id")
+    assert(out.select("_id").as[String].collect().toSet == Set("a2", "a3"))
+  }
+
+  test("concatPreferFirst keeps the current-batch row on id conflict") {
+    val cur = Seq(("a1", "cur"), ("a2", "cur")).toDF("_id", "src")
+    val rem = Seq(("a2", "rem"), ("a3", "rem")).toDF("_id", "src")
+    val out = Sources.concatPreferFirst(cur, rem, "_id")
+    assert(out.as[(String, String)].collect().toSet ==
+      Set(("a1", "cur"), ("a2", "cur"), ("a3", "rem")))
+  }
+
+  test("upsert: overwrite replaces, keepExisting preserves") {
+    val existing = Seq(("a1", "old"), ("a2", "old")).toDF("_id", "v")
+    val incoming = Seq(("a2", "new"), ("a3", "new")).toDF("_id", "v")
+    assert(rowsOf(Sinks.upsert(existing, incoming, "_id", overwrite = true)) ==
+      rowsOf(Seq(("a1", "old"), ("a2", "new"), ("a3", "new")).toDF("_id", "v")))
+    assert(rowsOf(Sinks.upsert(existing, incoming, "_id", overwrite = false)) ==
+      rowsOf(Seq(("a1", "old"), ("a2", "old"), ("a3", "new")).toDF("_id", "v")))
+  }
+
+  test("summary sums are decimal-exact") {
+    val m = Seq(("a1", 0.1), ("a2", 0.2), ("a3", 0.3)).toDF("_id", "amt")
+    val empty = m.limit(0)
+    val s = Sinks.summary(m, empty, empty, "amt", "amt", "_id", "_id")
+      .select("conciliated_amount", "conciliated_count").as[(Double, Long)].head()
+    assert(s == ((0.6d, 3L))) // 0.1+0.2+0.3 in raw double would be 0.6000000000000001
+  }
+}
