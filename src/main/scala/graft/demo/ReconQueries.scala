@@ -190,8 +190,7 @@ object ReconQueries {
          |  'PENDING' AS conciliation_status, '${audit.executionId}' AS execution_id
          |FROM internal
          |WHERE create_timestamp >= 852076800000 AND create_timestamp < 883612800000""".stripMargin) { (s, d) =>
-      I(s, d)
-        .where(col("create_timestamp") >= 852076800000L && col("create_timestamp") < 883612800000L)
+      TpcMapping.internalInWindow(s, d, 852076800000L, 883612800000L)
         .select(col("_id"), col("transaction_code"), col("create_timestamp"),
           lit("PENDING").as("conciliation_status"), lit(audit.executionId).as("execution_id"))
     },
@@ -247,9 +246,8 @@ object ReconQueries {
          |SELECT _id, transaction_type, bin_code, create_timestamp FROM internal
          |WHERE transaction_type IN ('O','F') AND bin_code = '2-HIGH'
          |  AND create_timestamp >= 852076800000 AND create_timestamp < 915148800000""".stripMargin) { (s, d) =>
-      I(s, d)
-        .where(col("transaction_type").isin("O", "F") && col("bin_code") === "2-HIGH" &&
-          col("create_timestamp") >= 852076800000L && col("create_timestamp") < 915148800000L)
+      TpcMapping.internalInWindow(s, d, 852076800000L, 915148800000L)
+        .where(col("transaction_type").isin("O", "F") && col("bin_code") === "2-HIGH")
         .select(col("_id"), col("transaction_type"), col("bin_code"), col("create_timestamp"))
     },
 
@@ -264,6 +262,37 @@ object ReconQueries {
       val m = recon.matchRecords(a, e).select(col("_id"), col("ext_id"))
       val r = recon.notMatchInternal(a, e).select(col("_id"), col("transaction_type"))
       recon.diagonalUnion(Seq(m, r))
+    },
+
+    // O1/O2 — deterministic total-order sort (tolerance candidates best-first)
+    QuerySpec("recon_sort",
+      s"""$prelude,
+         |arem AS (SELECT * FROM internal i WHERE NOT EXISTS (SELECT 1 FROM external e WHERE ${joinOnAl("i", "e")})),
+         |brem AS (SELECT * FROM external e WHERE NOT EXISTS (SELECT 1 FROM internal i WHERE ${joinOnAl("i", "e")}))
+         |SELECT i._id AS _id, e.ext_id AS ext_id,
+         |  abs(i.approved_transaction_amount - e.ext_amount) AS tolerance_diff
+         |FROM arem i JOIN brem e
+         |  ON i.transaction_code = e.ext_code AND i.create_timestamp = e.ext_ts AND i.bin_code = e.ext_prio
+         |WHERE abs(i.approved_transaction_amount - e.ext_amount) <= 0.1
+         |ORDER BY tolerance_diff, _id, ext_id""".stripMargin) { (s, d) =>
+      val a = I(s, d); val e = E(s, d)
+      val aRem = recon.notMatchInternal(a, e)
+      val bRem = recon.notMatchExternal(a, e)
+      val rule = conf.tolerance.get
+      val ta = aRem.alias("sa"); val tb = bRem.alias("sb")
+      val equi = conf.keysWithoutTolerance
+        .map(kp => col(s"sa.${kp.internal}") === col(s"sb.${kp.external}")).reduce(_ && _)
+      val diff = abs(col(s"sa.${rule.pair.internal}") - col(s"sb.${rule.pair.external}"))
+      ta.join(tb, equi && diff <= lit(rule.tolerance))
+        .select(col("_id"), col("ext_id"), diff.as("tolerance_diff"))
+        .orderBy(col("tolerance_diff"), col("_id"), col("ext_id"))
+    },
+
+    // P11 — prefix-selector projection over the prepped external frame
+    QuerySpec("recon_prefix_select",
+      s"""$prelude
+         |SELECT ext_id, ext_code, ext_amount, ext_ts, ext_prio, ext_row FROM external""".stripMargin) { (s, d) =>
+      ExprBuilder.selectByPrefix(E(s, d), "ext_")
     },
 
     // new_rc_step — two-pass iterative reconciliation (exact, then tolerance)

@@ -50,16 +50,33 @@ object TpcMapping {
 
   /** Internal "a" side (reference ODL schema, FIXTURES.md §2). */
   def internal(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/orders.parquet").select(
-      col("o_orderkey").cast("string").as("_id"),
-      col("o_orderkey").cast("string").as("transaction_code"),
-      col("o_totalprice").as("approved_transaction_amount"),
-      unix_millis(col("o_orderdate").cast("timestamp")).as("create_timestamp"),
-      col("o_orderstatus").as("transaction_type"),
-      col("o_custkey").cast("string").as("ticket_code"),
-      col("o_custkey").cast("string").as("sale_ticket_code"),
-      col("o_orderpriority").as("bin_code"),
-      col("o_orderkey").as("row_order"))
+    internalFrom(spark.read.parquet(s"$dir/orders.parquet"))
+
+  /**
+   * Internal side restricted to an epoch-ms window, with the predicate
+   * expressed on the *source* timestamp column so it reaches the parquet
+   * scan (PushedFilters) — filtering the derived `create_timestamp`
+   * (unix_millis of a cast) is not invertible for pushdown. Equivalent
+   * because o_orderdate ↔ epoch-ms is a monotone bijection at ms precision.
+   */
+  def internalInWindow(spark: SparkSession, dir: String, fromMs: Long, toMs: Long): DataFrame = {
+    def ntz(ms: Long) = lit(java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(ms), java.time.ZoneOffset.UTC))
+    internalFrom(
+      spark.read.parquet(s"$dir/orders.parquet")
+        .where(col("o_orderdate") >= ntz(fromMs) && col("o_orderdate") < ntz(toMs)))
+  }
+
+  private def internalFrom(o: DataFrame): DataFrame = o.select(
+    col("o_orderkey").cast("string").as("_id"),
+    col("o_orderkey").cast("string").as("transaction_code"),
+    col("o_totalprice").as("approved_transaction_amount"),
+    unix_millis(col("o_orderdate").cast("timestamp")).as("create_timestamp"),
+    col("o_orderstatus").as("transaction_type"),
+    col("o_custkey").cast("string").as("ticket_code"),
+    col("o_custkey").cast("string").as("sale_ticket_code"),
+    col("o_orderpriority").as("bin_code"),
+    col("o_orderkey").as("row_order"))
 
   /** External "b" side (reference settlement CSV after prep, FIXTURES.md §1). */
   def external(spark: SparkSession, dir: String): DataFrame = {

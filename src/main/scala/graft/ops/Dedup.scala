@@ -47,13 +47,54 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word n-gram shingles of a text column (lowercased, whitespace split). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
+  /**
+   * Word n-gram shingles of a token-array column. IMPORTANT: pass a
+   * *materialized* token column (project `TextAnalysis.tokens` first), not
+   * the tokenizer expression inline — Catalyst does not CSE through
+   * higher-order-function lambdas, so an inline tokenizer re-splits the
+   * text for every `element_at` (measured ~40× slowdown on the shingle
+   * explode).
+   */
+  def shinglesOfTokens(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
-  }
+
+  /** Convenience: shingles straight off a text column (tokenizes inline —
+    * fine for single-row use; prefer [[shingleTable]]/[[shingleSets]] in
+    * pipelines). */
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesOfTokens(TextAnalysis.tokens(text), n)
+
+  /**
+   * (doc, shingle-set array) with tokens materialized before shingling.
+   * The repartition between tokenize and shingle is load-bearing twice
+   * over: (1) it is an optimizer barrier — without it CollapseProject
+   * re-inlines the tokenizer into the shingle lambda and, because
+   * higher-order functions run interpreted, the text is re-split for every
+   * element access (measured 18s → 0.4s at sf0.1); (2) small doc tables
+   * arrive as one parquet split, and the exchange spreads the interpreted
+   * lambda work across all cores.
+   */
+  def shingleSets(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc"), array_distinct(shinglesOfTokens(col("__toks"), n)).as("sh"))
+
+  /**
+   * (doc, shingle) exploded distinct-shingle table. The explode is applied
+   * to the shingle *expression*, not to a projected attribute: exploding an
+   * attribute lets `InferFiltersFromGenerate` add a `size(sh) > 0` filter
+   * that predicate-pushdown substitutes below the exchange — re-inlining
+   * the whole interpreted shingle pipeline into a pre-shuffle Filter that
+   * evaluates it twice per row on the unparallelized input (measured 17s
+   * vs 0.4s at sf0.1). Inference skips non-trivial generator children.
+   */
+  def shingleTable(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc"),
+        explode(array_distinct(shinglesOfTokens(col("__toks"), n))).as("shingle"))
 
   /**
    * Exact n-gram Jaccard near-dup pairs: explode distinct shingles, join
@@ -64,8 +105,7 @@ object Dedup {
    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double, maxDf: Long = 1000L): DataFrame = {
-    val shingled = df.select(col(idCol).as("doc"),
-        explode(array_distinct(wordShingles(col(textCol), n))).as("shingle"))
+    val shingled = shingleTable(df, textCol, idCol, n)
     val sizes = shingled.groupBy("doc").agg(count(lit(1)).as("set_size"))
     val pruned = shingled.join(
       shingled.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -97,9 +137,8 @@ object Dedup {
    */
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int, k: Int): DataFrame = {
-    val exploded = df.select(col(idCol).as("doc"),
-      explode(array_distinct(wordShingles(col(textCol), shingleN))).as("sh"))
-    val minCols = (0 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    val exploded = shingleTable(df, textCol, idCol, shingleN)
+    val minCols = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
     exploded.groupBy("doc").agg(minCols.head, minCols.tail: _*)
   }
 
@@ -140,8 +179,7 @@ object Dedup {
       shingleN: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.7,
       maxBucket: Int = 100): DataFrame = {
     val cands = minHashCandidates(df, textCol, idCol, shingleN, k, bands, maxBucket)
-    val sets = df.select(col(idCol).as("doc"),
-      array_distinct(wordShingles(col(textCol), shingleN)).as("sh"))
+    val sets = shingleSets(df, textCol, idCol, shingleN)
     cands
       .join(sets.select(col("doc").as("doc1"), col("sh").as("sh1")), Seq("doc1"))
       .join(sets.select(col("doc").as("doc2"), col("sh").as("sh2")), Seq("doc2"))

@@ -55,19 +55,31 @@ final class Reconciler(val conf: ReconConfig) extends Serializable {
   }
 
   /** Keep the first row per key by explicit order (A3 keep="first",
-    * reference: src/reconciliatior.py:24-26 — but order is explicit here). */
+    * reference: src/reconciliatior.py:24-26 — but order is explicit here).
+    *
+    * Implemented as a `min_by(wholeRow, orderTuple)` hash aggregation, not
+    * a `row_number()` window: the aggregate gets map-side partial merge
+    * (shuffle carries one candidate row per key per partition) and no
+    * per-key sort — the window form shuffles and sorts every row. Order
+    * columns must be non-null and should form a total order per key for
+    * determinism (same requirement the window form has).
+    */
   def keepFirstBy(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
-    keepNth(df, keys, order)
+    keepExtreme(df, keys, order, first = true)
 
   /** Keep the last row per key by explicit order (A3 keep="last"). */
   def keepLastBy(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
-    keepNth(df, keys, order.map(_.desc))
+    keepExtreme(df, keys, order, first = false)
 
-  private def keepNth(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn")
+  private def keepExtreme(df: DataFrame, keys: Seq[String], order: Seq[Column], first: Boolean): DataFrame = {
+    val others = df.columns.filterNot(keys.contains)
+    val row = struct(others.map(col).toIndexedSeq: _*)
+    val ord = struct(order: _*)
+    val picked = if (first) min_by(row, ord) else max_by(row, ord)
+    df.groupBy(keys.map(col): _*)
+      .agg(picked.as("__row"))
+      .select(keys.map(col) ++ others.map(c => col(s"__row.$c").as(c)): _*)
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /**

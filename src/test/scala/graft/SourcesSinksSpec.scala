@@ -67,6 +67,32 @@ class SourcesSinksSpec extends SparkSuite {
       rowsOf(Seq(("a1", "old"), ("a2", "old"), ("a3", "new")).toDF("_id", "v")))
   }
 
+  test("writeCsv emits a single headered file that round-trips") {
+    val dir = Files.createTempDirectory("graft_sink").toFile
+    val out = new java.io.File(dir, "res").getAbsolutePath
+    val df = Seq(("a1", 1.5), ("a2", 2.5)).toDF("_id", "amt")
+    Sinks.writeCsv(df, out)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() == 2 && back.columns.toSeq == Seq("_id", "amt"))
+  }
+
+  test("writeRangePartitioned produces ts-range-aligned files") {
+    val dir = Files.createTempDirectory("graft_sink2").toFile
+    val out = new java.io.File(dir, "parts").getAbsolutePath
+    val df = spark.range(0, 1000).toDF("ts")
+    Sinks.writeRangePartitioned(df, out, "ts", numRanges = 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 1000)
+    // each output file covers a disjoint ts range
+    val perFile = back.select(input_file_name().as("f"), col("ts"))
+      .groupBy("f").agg(min("ts").as("lo"), max("ts").as("hi"))
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(perFile.length == 4)
+    assert(perFile.sliding(2).forall { case Array(a, b) => a._3 < b._2; case _ => true })
+  }
+
   test("summary sums are decimal-exact") {
     val m = Seq(("a1", 0.1), ("a2", 0.2), ("a3", 0.3)).toDF("_id", "amt")
     val empty = m.limit(0)
