@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions._
+
+/**
+ * SparkSessionExtensions entry point: registers the engine's native
+ * Catalyst expressions as SQL functions, so any session created with
+ *
+ *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+ *   // or: spark.sql.extensions=graft.GraftExtensions
+ *
+ * can call `vec_dot`, `vec_cosine`, `simhash64`, `hamming64`,
+ * `min_window_hash` from SQL as first-class, codegen'd functions.
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - float32 dot product of two float arrays"),
+      (es: Seq[Expression]) => FloatVecDot(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - float32 cosine similarity"),
+      (es: Seq[Expression]) => FloatVecCosine(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+    ext.injectFunction((FunctionIdentifier("hamming64"),
+      info("hamming64", "hamming64(a, b) - Hamming distance of two int64 signatures"),
+      (es: Seq[Expression]) => HammingDistance64(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("min_window_hash"),
+      info("min_window_hash", "min_window_hash(text, w) - min sliding-window xxhash64 fingerprint"),
+      (es: Seq[Expression]) => MinWindowHash(es.head, es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => other.eval().asInstanceOf[Int]
+      })))
+  }
+}

@@ -30,10 +30,13 @@ case class MinWindowHash(child: Expression, window: Int) extends UnaryExpression
 /** Hamming distance between two long signatures (bit_count(a XOR b)). */
 case class HammingDistance64(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = IntegerType
+  // integral inputs accepted without analyzer help (AbstractDataType is
+  // private[sql], so ImplicitCastInputTypes is unavailable to extensions):
+  // eval widens via Number, codegen casts to long explicitly
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    TextOps.hamming64(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    TextOps.hamming64(a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount((long)$a ^ (long)$b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -76,6 +76,60 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) coarse quantizer index: centroids are a
+   * deterministic sample of the corpus (every `corpusSize/nCentroids`-th
+   * id — no RNG, reproducible on any layout; swap in k-means centroids
+   * when a trained codebook exists). Every vector is assigned to its
+   * nearest centroid via a broadcast of the (small) centroid set + the
+   * codegen'd float kernel, `min_by` picking the best — one pass over the
+   * corpus, no corpus shuffle until the groupBy on centroid id.
+   * Returns (idCol, vecCol, centroid_id).
+   */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String, nCentroids: Int,
+      modulus: Long): DataFrame = {
+    val cents = broadcast(
+      df.where(pmod(col(idCol), lit(modulus)) === 0)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+        .limit(nCentroids))
+    df.select(col(idCol), col(vecCol))
+      .join(cents)
+      .withColumn("__sim", vec_dot(col(vecCol), col("cv")))
+      .groupBy(col(idCol))
+      .agg(
+        first(col(vecCol)).as(vecCol),
+        max_by(col("centroid_id"), struct(col("__sim"), -col("centroid_id"))).as("centroid_id"))
+  }
+
+  /**
+   * IVF ANN top-k: search only vectors sharing the query's `nprobe`
+   * closest centroid cells. The cell join shuffles on centroid_id —
+   * bounded fan-out, no N×Q scan. Recall grows with nprobe.
+   */
+  def ivfTopK(df: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCentroids: Int, modulus: Long, nprobe: Int = 2): DataFrame = {
+    val indexed = ivfIndex(df, idCol, vecCol, nCentroids, modulus)
+    val cents = broadcast(
+      df.where(pmod(col(idCol), lit(modulus)) === 0)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+        .limit(nCentroids))
+    // nprobe nearest cells per query via the same broadcast
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(cents)
+      .withColumn("__sim", vec_dot(col("qv"), col("cv")))
+      .withColumn("__pr", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("centroid_id"))))
+      .where(col("__pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    val scored = probes.join(indexed, Seq("centroid_id"))
+      .where(col("query_id") =!= col(idCol))
+      .withColumn("score", vec_dot(col("qv"), col(vecCol)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /**
    * ANN top-k via LSH buckets: score only bucket-mates, then top-k per
    * query. Recall < 1 by construction; raise `h` for precision-heavy
    * buckets or lower it for recall (h sign bits ⇒ 2^h buckets).

@@ -66,6 +66,17 @@ object EventPipeline {
   }
 
   /**
+   * Streaming exact dedup: watermark + dropDuplicates on the id column —
+   * Spark keeps per-key state only within the watermark horizon, so state
+   * is bounded while duplicates inside the lateness window are removed.
+   * The streaming counterpart of Dedup.exactDedup for at-least-once
+   * sources.
+   */
+  def streamingDedup(events: DataFrame, idCols: Seq[String], watermarkDelay: String): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicates(idCols :+ "ts")
+
+  /**
    * Stateful streaming sessionizer: per-user state via
    * flatMapGroupsWithState with processing-time timeout — emits a session
    * when the gap closes it. The custom-state analog of [[sessionize]].

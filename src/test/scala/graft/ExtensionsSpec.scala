@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.recon.{FieldTypes, KeyPair, MongoPipelines, ReconConfig, SkewJoin}
+import graft.ops.Similarity
+
+class ExtensionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("custom expressions are SQL-callable with implicit input casts") {
+    graft.functions.VectorFunctions.register(spark)
+    graft.functions.TextFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
+        "array(cast(3.0 as float), cast(0.5 as float))) AS d, " +
+        "hamming64(7, 1) AS h, " +              // int literals -> implicit cast to long
+        "simhash64(array('a','b')) AS s").as[(Float, Int, Long)].head()
+    assert(r._1 == 4.0f && r._2 == 2 && r._3 != 0L)
+  }
+
+  test("GraftExtensions injects all five functions without error") {
+    // applying to a fresh extensions container exercises every injectFunction
+    // (a full withExtensions session would need its own SparkContext, which
+    // local tests share — verified here at the injection level instead)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+  }
+
+  test("MongoPipelines emits valid JSON stages mirroring the reference") {
+    val conf = ReconConfig(
+      keys = Seq(KeyPair("importe", "approved_transaction_amount")),
+      types = FieldTypes(longFields = Set("create_timestamp"),
+        doubleFields = Set("approved_transaction_amount")))
+    val p = MongoPipelines.scanPipeline(conf,
+      fields = Seq("_id", "approved_transaction_amount", "create_timestamp"),
+      statusIn = Seq("APPROVED"), statusField = "transaction_status_type",
+      tsField = "create_timestamp", fromMs = 1714521600000L, toMs = 1714523400000L)
+    assert(p.contains("$match") && p.contains("$project"))
+    assert(p.contains("{$in: [\"APPROVED\"]}"))
+    assert(p.contains("\"create_timestamp\": {$gte: 1714521600000, $lt: 1714523400000}"))
+    assert(p.contains("\"_id\": {$toString: \"$_id\"}"))         // default stringify
+    assert(p.contains("\"approved_transaction_amount\": 1"))      // typed passthrough
+    assert(MongoPipelines.mergeStage("final", keepExisting = true).contains("keepExisting"))
+    assert(MongoPipelines.lookupUnwind("card_transaction", "_id", "transaction")
+      .contains("$unwind"))
+  }
+
+  test("saltedEquiJoin matches plain join results on skewed data") {
+    // 900 rows of one hot key + 100 spread
+    val skewed = ((1 to 900).map(i => ("hot", i.toLong)) ++
+      (1 to 100).map(i => (s"k$i", i.toLong))).toDF("key", "row_id")
+    val small = Seq(("hot", "H"), ("k1", "A"), ("k50", "B"), ("zz", "C")).toDF("k", "tag")
+    val plain = skewed.join(small, skewed("key") === small("k"))
+      .select("key", "row_id", "tag")
+    val salted = SkewJoin.saltedEquiJoin(skewed, small,
+      keys = Seq("key" -> "k"), saltBy = Seq("key", "row_id"), saltFactor = 8)
+      .select("key", "row_id", "tag")
+    assert(rowsOf(salted) == rowsOf(plain))
+    assert(salted.count() == 902)
+  }
+
+  test("ivfTopK returns ranked neighbors from probed cells only") {
+    val vecs = (0L until 100L).map { i =>
+      val angle = i.toDouble / 100.0 * math.Pi
+      (i, Array(math.cos(angle).toFloat, math.sin(angle).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") === 10)
+    val top = Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+      k = 3, nCentroids = 5, modulus = 20, nprobe = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(top.length == 3)
+    // nearest angular neighbors of 10 are 9/11
+    assert(Set(top(0)._1, top(1)._1).subsetOf(Set(9L, 11L)))
+  }
+
+  test("streamingDedup drops duplicate ids within the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toFile
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1L, "click", 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1L, "click", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 1L, "view", 2.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    df.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val src = spark.readStream.schema(df.schema).parquet(dir.getAbsolutePath)
+    val q = graft.streaming.EventPipeline.streamingDedup(src, Seq("event_id"), "1 minute")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("dedup_out").count() == 2)
+  }
+}
