@@ -205,7 +205,41 @@ object OpsQueries {
         k = 4)
     },
 
+    // salted skew join: identical results to the plain join (the oracle IS
+    // the plain join — salting must never change multiplicity)
+    QuerySpec("recon_salted_join",
+      s"""${OracleSql.prelude}
+         |SELECT i._id AS _id, e.ext_id AS ext_id
+         |FROM internal i JOIN external e
+         |  ON i.create_timestamp = e.ext_ts AND i.bin_code = e.ext_prio""".stripMargin) { (s, d) =>
+      // low-cardinality keys (date x 5 priorities) -> skewed buckets; the
+      // salted join must reproduce the plain join bit-for-bit
+      graft.recon.SkewJoin.saltedEquiJoin(
+        TpcMapping.internal(s, d), TpcMapping.external(s, d),
+        keys = Seq("create_timestamp" -> "ext_ts", "bin_code" -> "ext_prio"),
+        saltBy = Seq("create_timestamp", "_id"), saltFactor = 8)
+        .select(col("_id"), col("ext_id"))
+    },
+
+    // IVF ANN (deterministic coarse centroids) — JVM float kernel, rows-only
+    QuerySpec.rowsOnly("sim_ivf_topk") { (s, d) =>
+      val e = embs(s, d)
+      Similarity.ivfTopK(e, e.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, nCentroids = 16, modulus = 50, nprobe = 4)
+    },
+
     // ---- streaming-shaped (batch-equivalent forms) -----------------------
+
+    // exact dedup by event id, keep-first by time (streamingDedup's batch twin)
+    QuerySpec("stream_dedup_ids",
+      """SELECT event_id, user_id, event_type
+        |FROM (SELECT event_id, user_id, event_type,
+        |        row_number() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin) { (s, d) =>
+      Dedup.keyedKeepFirst(events(s, d), Seq("event_id"), Seq(col("ts"), col("user_id")))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    },
 
     QuerySpec("stream_tumbling",
       """SELECT CAST(floor(epoch_ms(ts) / 300000.0) AS BIGINT) * 300000 AS bucket_start,

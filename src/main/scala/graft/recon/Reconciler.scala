@@ -214,16 +214,25 @@ final class Reconciler(val conf: ReconConfig) extends Serializable {
    * and the unbounded union lineage is cut with localCheckpoint at scale
    * (SURVEY §7.3-6).
    */
+  /**
+   * @param truncateLineage cut each pass's remanent lineage with an eager
+   *   localCheckpoint. Off by default (small inputs re-plan fine); turn on
+   *   for many passes over large inputs, where the accumulated
+   *   anti-join-of-anti-join plan re-executes pass 1..N-1 inside pass N
+   *   and the diagonal-union lineage grows unboundedly (SURVEY §7.3-6).
+   */
   def iterate(a: DataFrame, b: DataFrame, extOrder: Column,
-      passes: Seq[ReconConfig]): ReconResult = {
+      passes: Seq[ReconConfig], truncateLineage: Boolean = false): ReconResult = {
+    def cut(df: DataFrame): DataFrame =
+      if (truncateLineage) df.localCheckpoint(true) else df
     var aCur = a
     var bCur = b
     var acc: Option[DataFrame] = None
     passes.foreach { pc =>
       val r = new Reconciler(pc).reconcilePass(aCur, bCur, extOrder)
       acc = Some(acc.fold(r.matched)(m => diagonalUnion(Seq(m, r.matched))))
-      aCur = r.internalRemanent
-      bCur = r.externalRemanent
+      aCur = cut(r.internalRemanent)
+      bCur = cut(r.externalRemanent)
     }
     ReconResult(acc.getOrElse(a.limit(0)), aCur, bCur)
   }

@@ -93,6 +93,21 @@ class SourcesSinksSpec extends SparkSuite {
     assert(perFile.sliding(2).forall { case Array(a, b) => a._3 < b._2; case _ => true })
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = Files.createTempDirectory("graft_bucket").toFile.getAbsolutePath
+    val a = spark.range(0, 1000).select(col("id"), (col("id") * 2).as("va"))
+    val b = spark.range(0, 1000).select(col("id"), (col("id") * 3).as("vb"))
+    Sinks.writeBucketed(a, "bk_a", s"$wh/bk_a", Seq("id"), 4)
+    Sinks.writeBucketed(b, "bk_b", s"$wh/bk_b", Seq("id"), 4)
+    val joined = spark.table("bk_a").join(spark.table("bk_b"), Seq("id"))
+    assert(joined.count() == 1000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS bk_a")
+    spark.sql("DROP TABLE IF EXISTS bk_b")
+  }
+
   test("summary sums are decimal-exact") {
     val m = Seq(("a1", 0.1), ("a2", 0.2), ("a3", 0.3)).toDF("_id", "amt")
     val empty = m.limit(0)
