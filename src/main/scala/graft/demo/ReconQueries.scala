@@ -283,8 +283,12 @@ object ReconQueries {
       val equi = conf.keysWithoutTolerance
         .map(kp => col(s"sa.${kp.internal}") === col(s"sb.${kp.external}")).reduce(_ && _)
       val diff = abs(col(s"sa.${rule.pair.internal}") - col(s"sb.${rule.pair.external}"))
+      // materialize before the global sort: range partitioning samples its
+      // child to pick boundaries, which would otherwise execute the whole
+      // anti-join + band-join chain twice
       ta.join(tb, equi && diff <= lit(rule.tolerance))
         .select(col("_id"), col("ext_id"), diff.as("tolerance_diff"))
+        .localCheckpoint(true)
         .orderBy(col("tolerance_diff"), col("_id"), col("ext_id"))
     },
 
@@ -312,7 +316,10 @@ object ReconQueries {
          |FROM (SELECT *, row_number() OVER (PARTITION BY _id ORDER BY tolerance_diff, ext_row) AS rn FROM cand)
          |WHERE rn = 1""".stripMargin) { (s, d) =>
       val passes = Seq(conf.copy(tolerance = None), conf)
-      recon.iterate(I(s, d), E(s, d), extOrder, passes)
+      // truncateLineage: pass 2 consumes pass 1's remanents in three places
+      // (match + both antis) — materializing them once stops pass-1's
+      // anti-join chain re-executing per consumer
+      recon.iterate(I(s, d), E(s, d), extOrder, passes, truncateLineage = true)
         .matched.select(col("_id"), col("ext_id"), col("tolerance_diff"))
     }
   )

@@ -105,7 +105,11 @@ object Dedup {
    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       n: Int, threshold: Double, maxDf: Long = 1000L): DataFrame = {
-    val shingled = shingleTable(df, textCol, idCol, n)
+    // materialize once: the shingle table feeds three consumers (sizes,
+    // df-prune, pair join) and ReuseExchange only dedups the plan up to the
+    // repartition — the interpreted shingle explode above it would re-run
+    // per consumer without this cut
+    val shingled = shingleTable(df, textCol, idCol, n).localCheckpoint(true)
     val sizes = shingled.groupBy("doc").agg(count(lit(1)).as("set_size"))
     val pruned = shingled.join(
       shingled.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -136,10 +140,14 @@ object Dedup {
    * Returns (doc, h0..h{k-1}).
    */
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
-      shingleN: Int, k: Int): DataFrame = {
-    val exploded = shingleTable(df, textCol, idCol, shingleN)
+      shingleN: Int, k: Int): DataFrame =
+    minHashSignaturesOf(shingleTable(df, textCol, idCol, shingleN), k)
+
+  /** Signatures from a pre-built (doc, shingle) table — lets callers
+    * materialize the shingle work once and share it across stages. */
+  def minHashSignaturesOf(shingled: DataFrame, k: Int): DataFrame = {
     val minCols = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    exploded.groupBy("doc").agg(minCols.head, minCols.tail: _*)
+    shingled.groupBy("doc").agg(minCols.head, minCols.tail: _*)
   }
 
   /**
@@ -152,10 +160,15 @@ object Dedup {
    * inside a skipped bucket is recovered by the other bands).
    */
   def minHashCandidates(df: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 3, k: Int = 64, bands: Int = 16, maxBucket: Int = 100): DataFrame = {
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16, maxBucket: Int = 100): DataFrame =
+    minHashCandidatesOf(shingleTable(df, textCol, idCol, shingleN), k, bands, maxBucket)
+
+  /** LSH banding candidates from a pre-built (doc, shingle) table. */
+  def minHashCandidatesOf(shingled: DataFrame,
+      k: Int, bands: Int, maxBucket: Int): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sig = minHashSignatures(df, textCol, idCol, shingleN, k)
+    val sig = minHashSignaturesOf(shingled, k)
     val bandCols = (0 until bands).map { b =>
       xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as(s"b$b")
     }
@@ -178,8 +191,12 @@ object Dedup {
   def minHashNearDups(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.7,
       maxBucket: Int = 100): DataFrame = {
-    val cands = minHashCandidates(df, textCol, idCol, shingleN, k, bands, maxBucket)
-    val sets = shingleSets(df, textCol, idCol, shingleN)
+    // one materialized shingle pass feeds the signature/banding path AND
+    // both sides of the verification join (sh1/sh2) — without the cut the
+    // interpreted shingle pipeline executes 3×
+    val sets = shingleSets(df, textCol, idCol, shingleN).localCheckpoint(true)
+    val shingled = sets.select(col("doc"), explode(col("sh")).as("shingle"))
+    val cands = minHashCandidatesOf(shingled, k, bands, maxBucket)
     cands
       .join(sets.select(col("doc").as("doc1"), col("sh").as("sh1")), Seq("doc1"))
       .join(sets.select(col("doc").as("doc2"), col("sh").as("sh2")), Seq("doc2"))

@@ -1,7 +1,6 @@
 package graft.recon
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -45,13 +44,21 @@ final class Reconciler(val conf: ReconConfig) extends Serializable {
   // ---------------------------------------------------------------- dedup
 
   /** Rows whose `keys` occur more than once (P4, reference
-    * `is_duplicated()` at src/reconciliatior.py:21). Window count avoids a
-    * self-join; the single shuffle is on `keys`. */
+    * `is_duplicated()` at src/reconciliatior.py:21).
+    *
+    * Aggregate-then-semi-join rather than a `count().over(partitionBy(keys))`
+    * window: the aggregation gets map-side partial combine, so the first
+    * shuffle carries one (key, count) per key per partition instead of every
+    * row, and AQE broadcasts the (usually tiny) duplicate-key set for the
+    * semi join — the input rows then never shuffle at all. The window form
+    * shuffles AND sorts the full input by `keys`.
+    */
   def duplicated(df: DataFrame, keys: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
-    df.withColumn("__dup_count", count(lit(1)).over(w))
+    val dupKeys = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__dup_count"))
       .where(col("__dup_count") > 1)
       .drop("__dup_count")
+    df.join(dupKeys, keys, "left_semi")
   }
 
   /** Keep the first row per key by explicit order (A3 keep="first",
@@ -210,11 +217,8 @@ final class Reconciler(val conf: ReconConfig) extends Serializable {
    * N+1 (reference new_rc_step loop, src/reconciliatior.py:201-206). Each
    * pass's inputs are the previous remanents, so with a fixed config extra
    * passes are idempotent — the hook exists for per-pass config changes
-   * (the reference relaxes keys between passes). Inputs are cached per pass
-   * and the unbounded union lineage is cut with localCheckpoint at scale
-   * (SURVEY §7.3-6).
-   */
-  /**
+   * (the reference relaxes keys between passes).
+   *
    * @param truncateLineage cut each pass's remanent lineage with an eager
    *   localCheckpoint. Off by default (small inputs re-plan fine); turn on
    *   for many passes over large inputs, where the accumulated
