@@ -192,17 +192,23 @@ object OpsQueries {
         .select(col("media_id"), col("media_type"), col("n_bytes"), col("format"))
     },
 
-    // stub decoder output — JVM kernel, rows-only
-    QuerySpec.rowsOnly("mm_features") { (s, d) =>
+    // stub decoder output: the fake decode (31·h + signed-byte rolling hash
+    // over the first 64 utf-8 bytes, Java 64-bit wraparound) is re-derived in
+    // DuckDB via HUGEINT mod-2^64 arithmetic, so the whole mapPartitions
+    // decode path is oracle-checked end-to-end
+    QuerySpec("mm_features", MultimodalSql.featuresSql) { (s, d) =>
       Multimodal.decodeFeatures(
         Multimodal.asMedia(Multimodal.syntheticMedia(docs(s, d), "doc_id", "text"))).toDF()
     },
 
-    QuerySpec.rowsOnly("mm_frames") { (s, d) =>
+    // frame sampling, exploded to scalar rows for a portable value compare
+    QuerySpec("mm_frames", MultimodalSql.framesSql) { (s, d) =>
       Multimodal.sampleFrameOffsets(
         Multimodal.decodeFeatures(
           Multimodal.asMedia(Multimodal.syntheticMedia(docs(s, d), "doc_id", "text"))).toDF(),
         k = 4)
+        .select(col("media_id"), col("n_frames"),
+          posexplode(col("frame_indices")).as(Seq("frame_seq", "frame_idx")))
     },
 
     // salted skew join: identical results to the plain join (the oracle IS
@@ -250,6 +256,14 @@ object OpsQueries {
     },
 
     QuerySpec("stream_sessionize",
+      streamSessionizeSql) { (s, d) =>
+      graft.streaming.EventPipeline.sessionize(events(s, d), gapMs = 600000L)
+    }
+  )
+
+  // referenced from `all` above — keep a def (a val here would still be
+  // uninitialized when `all` runs, object init is declaration-ordered)
+  private def streamSessionizeSql =
       """WITH e AS (
         |  SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
         |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
@@ -264,8 +278,60 @@ object OpsQueries {
         |SELECT user_id, session_seq, min(ms) AS session_start, max(ms) AS session_end,
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM numbered GROUP BY 1, 2""".stripMargin) { (s, d) =>
-      graft.streaming.EventPipeline.sessionize(events(s, d), gapMs = 600000L)
-    }
-  )
+        |FROM numbered GROUP BY 1, 2""".stripMargin
+}
+
+/**
+ * DuckDB mirrors of the STUB media decode ([[graft.ops.Multimodal]]): the
+ * Java rolling hash (h = 31·h + signedByte over the first 64 utf-8 bytes,
+ * 64-bit wraparound) is reproduced with HUGEINT mod-2^64 arithmetic;
+ * DuckDB `>>` on BIGINT is an arithmetic shift, matching Java's `>>`.
+ */
+object MultimodalSql {
+
+  private val P = "18446744073709551616" // 2^64
+
+  /** CTE: (doc_id, text, ch) where ch == decodeStub's content_hash. */
+  private val hashCte: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    [CAST(CAST(('0x' || substr(hex(encode(text)), 2*i+1, 2)) AS BIGINT) AS HUGEINT)
+       |     FOR i IN range(0, least(octet_length(encode(text)), 64))] AS bytes
+       |  FROM documents
+       |),
+       |h AS (
+       |  SELECT doc_id, text,
+       |    CAST((m - CASE WHEN m >= 9223372036854775808 THEN $P ELSE 0 END) AS BIGINT) AS ch
+       |  FROM (SELECT doc_id, text,
+       |          list_reduce(
+       |            list_prepend(CAST(1125899906842597 AS HUGEINT),
+       |              [CASE WHEN x < 128 THEN x ELSE x - 256 END FOR x IN bytes]),
+       |            (acc, x) -> ((31*acc + x) % $P + $P) % $P) AS m
+       |        FROM b)
+       |)""".stripMargin
+
+  val featuresSql: String =
+    s"""$hashCte
+       |SELECT doc_id AS media_id,
+       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |  octet_length(encode(text)) AS n_bytes,
+       |  CASE WHEN doc_id % 3 = 1 THEN 0 ELSE CAST(64 + abs(ch) % 1024 AS INT) END AS width,
+       |  CASE WHEN doc_id % 3 = 1 THEN 0 ELSE CAST(64 + abs(ch >> 10) % 1024 AS INT) END AS height,
+       |  CASE WHEN doc_id % 3 = 0 THEN 0 ELSE abs(ch >> 20) % 600000 END AS duration_ms,
+       |  ch AS content_hash
+       |FROM h""".stripMargin
+
+  /** Video rows only; k=4 evenly spaced frame indices, exploded.
+    * trunc() before the BIGINT cast: DuckDB rounds on double→int casts
+    * where Spark truncates. */
+  val framesSql: String =
+    s"""$hashCte,
+       |f AS (
+       |  SELECT doc_id AS media_id,
+       |    greatest(1, CAST(trunc((abs(ch >> 20) % 600000) / 1000.0 * 30.0) AS BIGINT)) AS n_frames
+       |  FROM h WHERE doc_id % 3 = 2
+       |)
+       |SELECT media_id, n_frames, i AS frame_seq,
+       |  least(n_frames - 1, CAST(trunc(i * n_frames / 4.0) AS BIGINT)) AS frame_idx
+       |FROM f, range(0, 4) r(i)""".stripMargin
 }
