@@ -96,8 +96,10 @@ object OpsQueries {
       TextAnalysis.fingerprint(docs(s, d), "text").select(col("doc_id"), col("fingerprint"))
     },
 
-    // BPE-ish sub-token count: Java-regex lookarounds — not portable to RE2
-    QuerySpec.rowsOnly("text_subtokens") { (s, d) =>
+    QuerySpec("text_subtokens",
+      raw"""SELECT doc_id,
+           |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens
+           |FROM documents""".stripMargin) { (s, d) =>
       docs(s, d).select(col("doc_id"), TextAnalysis.subTokenCount(col("text")).as("n_subtokens"))
     },
 

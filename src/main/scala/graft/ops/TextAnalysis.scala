@@ -23,13 +23,14 @@ object TextAnalysis {
     when(length(trim(text)) === 0, lit(0)).otherwise(size(split(trim(text), "\\s+")))
 
   /**
-   * BPE-ish sub-token count: splits on whitespace AND letter/digit/symbol
-   * boundaries — a cheap proxy for tokenizer cost ("abc123,def" → 4).
+   * BPE-ish sub-token count: maximal letter runs + digit runs + individual
+   * symbol chars — a cheap proxy for tokenizer cost ("abc123,def" → 4).
+   * Counting matches of the alternation is equivalent to splitting on
+   * letter/digit/symbol boundaries, needs no lookarounds (RE2-portable,
+   * so the DuckDB oracle can mirror it), and stays codegen'd.
    */
-  def subTokenCount(text: Column): Column = {
-    val pieces = split(trim(text), "(?:\\s+|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])|(?=[^A-Za-z0-9\\s])|(?<=[^A-Za-z0-9\\s]))")
-    when(length(trim(text)) === 0, lit(0)).otherwise(size(filter(pieces, p => length(p) > 0)))
-  }
+  def subTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("int")
 
   /**
    * Quality features: char/token counts plus alpha / digit / whitespace /
