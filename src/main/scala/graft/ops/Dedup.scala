@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -36,15 +35,26 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
   /** Exact dedup: keep one row per distinct content (the min-id row). */
-  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(contentHash(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
-  }
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    keepFirstGrouped(df.withColumn("__ch", contentHash(col(textCol))),
+      Seq("__ch"), Seq(col(idCol))).drop("__ch")
 
-  /** Keyed keep-first: one row per key set, by explicit deterministic order. */
-  def keyedKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  /** Keyed keep-first: one row per key set, by explicit deterministic order.
+    * `min_by(wholeRow, orderTuple)` aggregation, not a `row_number()`
+    * window: map-side partial combine (the shuffle carries one candidate
+    * per key per partition) and no per-key sort. Order columns must form a
+    * total order per key for determinism — same contract the window form
+    * has (see graft.recon.Reconciler.keepFirstBy). */
+  def keyedKeepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    keepFirstGrouped(df, keys, order)
+
+  private def keepFirstGrouped(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val others = df.columns.filterNot(keys.contains)
+    val picked = min_by(struct(others.map(col).toIndexedSeq: _*), struct(order: _*))
+    df.groupBy(keys.map(col): _*)
+      .agg(picked.as("__row"))
+      .select(keys.map(col) ++ others.map(c => col(s"__row.$c").as(c)): _*)
+      .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
   /**
