@@ -111,10 +111,12 @@ object Sources {
   def concatPreferFirst(current: DataFrame, remanent: DataFrame, idField: String): DataFrame = {
     val tagged = current.withColumn("__pref", lit(0))
       .unionByName(remanent.withColumn("__pref", lit(1)))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(idField)).orderBy(col("__pref"))
-    tagged.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .drop("__rn", "__pref")
+    // min_by aggregation over the preference tag: map-side partial combine,
+    // no per-key sort (same shape as Reconciler.keepFirstBy)
+    val others = tagged.columns.filterNot(c => c == idField || c == "__pref")
+    tagged.groupBy(col(idField))
+      .agg(min_by(struct(others.map(col).toIndexedSeq: _*), col("__pref")).as("__row"))
+      .select(col(idField) +: others.map(c => col(s"__row.$c").as(c)): _*)
+      .select(current.columns.map(col).toIndexedSeq: _*)
   }
 }
