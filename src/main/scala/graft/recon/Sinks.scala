@@ -65,6 +65,17 @@ object Sinks {
       .saveAsTable(table)
 
   /**
+   * Hive-style partitioned parquet write: one directory per value of
+   * `partCols` (e.g. processing date). Readers filtering on a partition
+   * column prune whole directories at planning time (`PartitionFilters` in
+   * the scan — zero I/O for excluded partitions), which is how a 100 TB
+   * table serves day-window queries (the reference's TIMESTAMP_FROM/TO
+   * windows, second_conciliate.py:57-58) without touching the other days.
+   */
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(path)
+
+  /**
    * One-row run summary (A1/S9, reference: second_conciliate.py:450-483):
    * sums + counts of the matched and unmatched sets, as a single appendable
    * row. Aggregation is map-side partial + single reduce — no full shuffle.

@@ -93,6 +93,22 @@ class SourcesSinksSpec extends SparkSuite {
     assert(perFile.sliding(2).forall { case Array(a, b) => a._3 < b._2; case _ => true })
   }
 
+  test("partitioned write prunes non-matching partitions at the scan") {
+    val dir = Files.createTempDirectory("graft_part").toFile
+    val out = new java.io.File(dir, "byday").getAbsolutePath
+    val df = spark.range(0, 1000)
+      .select(col("id"), (col("id") % 10).as("day"), (col("id") * 2).as("v"))
+    Sinks.writePartitioned(df, out, Seq("day"))
+    val read = spark.read.parquet(out).where(col("day") === 3)
+    assert(read.count() == 100)
+    val scan = read.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("day"),
+      s"expected partition pruning on day:\n$scan")
+    // only the day=3 directory is ever touched
+    val files = read.select(input_file_name()).distinct().as[String].collect()
+    assert(files.nonEmpty && files.forall(_.contains("day=3")), files.mkString(","))
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val wh = Files.createTempDirectory("graft_bucket").toFile.getAbsolutePath
     val a = spark.range(0, 1000).select(col("id"), (col("id") * 2).as("va"))
