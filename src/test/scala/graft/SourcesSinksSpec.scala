@@ -43,6 +43,21 @@ class SourcesSinksSpec extends SparkSuite {
       .as[(Long, Long, Long)].head() == ((1L, 1000L, 1000L)))
   }
 
+  test("normalizeExtendedJson unwraps mongo export wrapper structs") {
+    val lines = Seq(
+      """{"_id":{"$oid":"662f9a1b8c"},"ts":{"$numberLong":"1714521600000"},"n":{"$numberInt":"7"},"amt":{"$numberDouble":"12.5"},"when":{"$date":{"$numberLong":"1714521600123"}},"name":"a","plain":3}""",
+      """{"_id":{"$oid":"662f9a1b8d"},"ts":{"$numberLong":"1714525200000"},"n":{"$numberInt":"8"},"amt":{"$numberDouble":"0.25"},"when":{"$date":{"$numberLong":"1714525200456"}},"name":"b","plain":4}""")
+    val raw = spark.read.json(lines.toDS())
+    val out = Sources.normalizeExtendedJson(raw)
+    val t = out.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(t("_id") == "string" && t("ts") == "long" && t("n") == "integer"
+      && t("amt") == "double" && t("when") == "long")
+    val row = out.where(col("name") === "a")
+      .select(col("_id"), col("ts"), col("n"), col("amt"), col("when"), col("plain"))
+      .as[(String, Long, Int, Double, Long, Long)].head()
+    assert(row == (("662f9a1b8c", 1714521600000L, 7, 12.5d, 1714521600123L, 3L)))
+  }
+
   test("remanentLookup semi-joins ids back to the ledger") {
     val tx = Seq(("a1", 1), ("a2", 2), ("a3", 3)).toDF("_id", "v")
     val rem = Seq("a2", "a3", "a3", "zz").toDF("_id")
