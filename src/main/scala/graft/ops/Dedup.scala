@@ -121,15 +121,23 @@ object Dedup {
     // per consumer without this cut
     val shingled = shingleTable(df, textCol, idCol, n).localCheckpoint(true)
     val sizes = shingled.groupBy("doc").agg(count(lit(1)).as("set_size"))
+    // hub prune BEFORE grouping doc lists, so no unbounded collect_list ever
+    // materializes: the count-only aggregate is partial-combined (tiny
+    // shuffle), AQE broadcasts the kept-shingle set for an exchange-free
+    // semi join, and every later per-shingle list is ≤ maxDf elements
     val pruned = shingled.join(
       shingled.groupBy("shingle").agg(count(lit(1)).as("df"))
         .where(col("df") <= maxDf).select("shingle"),
       Seq("shingle"), "left_semi")
-    val a = pruned.alias("sa")
-    val b = pruned.alias("sb")
-    val common = a.join(b,
-        col("sa.shingle") === col("sb.shingle") && col("sa.doc") < col("sb.doc"))
-      .groupBy(col("sa.doc").as("doc1"), col("sb.doc").as("doc2"))
+    // pair expansion from one grouped pass (same shape as the LSH banding
+    // path) instead of a self-join — the self-join shuffles the shingle
+    // table twice; this shuffles it once and explodes pairs in place
+    val common = pruned.groupBy("shingle").agg(collect_list(col("doc")).as("docs"))
+      .where(size(col("docs")) > 1)
+      .select(explode(col("docs")).as("doc1"), col("docs"))
+      .select(col("doc1"), explode(col("docs")).as("doc2"))
+      .where(col("doc1") < col("doc2"))
+      .groupBy(col("doc1"), col("doc2"))
       .agg(count(lit(1)).as("n_common"))
     common
       .join(sizes.withColumnRenamed("doc", "doc1").withColumnRenamed("set_size", "size1"), Seq("doc1"))
