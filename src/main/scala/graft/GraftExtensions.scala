@@ -12,8 +12,9 @@ import graft.functions._
  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
  *   // or: spark.sql.extensions=graft.GraftExtensions
  *
- * can call `vec_dot`, `vec_cosine`, `simhash64`, `hamming64`,
- * `min_window_hash` from SQL as first-class, codegen'd functions.
+ * can call `vec_dot`, `vec_cosine`, `vec_lsh_bucket`, `simhash64`,
+ * `hamming64`, `min_window_hash` from SQL as first-class, codegen'd
+ * functions.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -27,6 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "vec_cosine(a, b) - float32 cosine similarity"),
       (es: Seq[Expression]) => FloatVecCosine(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("vec_lsh_bucket"),
+      info("vec_lsh_bucket", "vec_lsh_bucket(v, h) - h-bit sign-random-projection LSH bucket"),
+      (es: Seq[Expression]) => FloatVecLshBucket(es.head, es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => other.eval().asInstanceOf[Int]
+      })))
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
       (es: Seq[Expression]) => SimHash64(es.head)))

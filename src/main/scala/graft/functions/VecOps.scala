@@ -43,4 +43,41 @@ object VecOps {
     val nb = normF(b)
     if (na == 0.0f || nb == 0.0f) 0.0f else dotF(a, b) / (na * nb)
   }
+
+  /** splitmix64 finalizer: the deterministic pseudo-random source for the
+    * LSH hyperplane signs — layout-independent, no RNG state, no plane
+    * matrix to broadcast (public-domain mixer from Steele et al.,
+    * "Fast Splittable Pseudorandom Number Generators", OOPSLA'14). */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /**
+   * h-bit sign-random-projection LSH bucket: bit p is set when the dot of
+   * the vector with pseudo-random ±1 hyperplane p is ≥ 0. Single pass per
+   * plane, signs derived on the fly from mix64(p, i) parity — one codegen'd
+   * kernel call per row instead of h interpreted higher-order-function
+   * chains.
+   */
+  def lshBucketF(a: ArrayData, h: Int): Long = {
+    val n = a.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < h) {
+      val base = p.toLong * 0x100000001BL
+      var acc = 0.0f
+      var i = 0
+      while (i < n) {
+        val sign = if ((mix64(base + i) & 1L) == 0L) 1.0f else -1.0f
+        acc += a.getFloat(i) * sign
+        i += 1
+      }
+      if (acc >= 0.0f) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
 }

@@ -43,12 +43,27 @@ case class FloatVecCosine(left: Expression, right: Expression) extends FloatVecB
     copy(left = l, right = r)
 }
 
+/** h-bit sign-random-projection LSH bucket of an array<float> column —
+  * one codegen'd kernel pass (see [[VecOps.lshBucketF]]). */
+case class FloatVecLshBucket(child: Expression, h: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.lshBucketF(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], h)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.lshBucketF($a, $h)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API entry points (and SQL registration) for the vector kernels. */
 object VectorFunctions {
   import org.apache.spark.sql.GraftInternals.{column, expression}
 
   def vec_dot(a: Column, b: Column): Column = column(FloatVecDot(expression(a), expression(b)))
   def vec_cosine(a: Column, b: Column): Column = column(FloatVecCosine(expression(a), expression(b)))
+  def vec_lsh_bucket(a: Column, h: Int): Column = column(FloatVecLshBucket(expression(a), h))
 
   /** Register `vec_dot` / `vec_cosine` for spark.sql use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

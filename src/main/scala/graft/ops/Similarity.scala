@@ -43,24 +43,15 @@ object Similarity {
   }
 
   /**
-   * Deterministic pseudo-random hyperplane component for (plane, dim):
-   * xxhash64 parity mapped to ±1. Reproducible on any cluster layout —
-   * no RNG, no broadcast of a plane matrix.
+   * h-bit sign-random-projection bucket id for a float-vector column.
+   * Native codegen'd kernel ([[graft.functions.VecOps.lshBucketF]]):
+   * hyperplane signs derive from a splitmix64 parity of (plane, dim) —
+   * reproducible on any cluster layout, no RNG state, no plane matrix to
+   * broadcast — and the whole h-plane projection is one static call per
+   * row instead of h interpreted higher-order-function chains.
    */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    when(pmod(xxhash64(lit(plane), dim), lit(2)) === 0, lit(1.0f)).otherwise(lit(-1.0f))
-
-  /** h-bit sign-random-projection bucket id for a float-vector column. */
-  def lshBucket(vec: Column, h: Int): Column = {
-    val bits = (0 until h).map { p =>
-      val dot = aggregate(
-        zip_with(vec, transform(sequence(lit(0), size(vec) - 1), i => planeComponent(p, i)),
-          (v, s) => v * s),
-        lit(0.0f), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-  }
+  def lshBucket(vec: Column, h: Int): Column =
+    graft.functions.VectorFunctions.vec_lsh_bucket(vec, h)
 
   /** Corpus keyed by LSH bucket (the index-build step of the scale path). */
   def lshIndex(df: DataFrame, idCol: String, vecCol: String, h: Int): DataFrame =

@@ -18,7 +18,23 @@ class ExtensionsSpec extends SparkSuite {
     assert(r._1 == 4.0f && r._2 == 2 && r._3 != 0L)
   }
 
-  test("GraftExtensions injects all five functions without error") {
+  test("vec_lsh_bucket kernel is deterministic, h-bit bounded, sign-sensitive") {
+    import graft.functions.VectorFunctions.vec_lsh_bucket
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(1.0f, 2.0f, 3.0f)),
+      (3L, Array(-1.0f, -2.0f, -3.0f))).toDF("id", "v")
+    val out = df.select(col("id"), vec_lsh_bucket(col("v"), 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val again = df.select(col("id"), vec_lsh_bucket(col("v"), 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == out(2L))          // same vector, same bucket
+    assert(out == again)                // deterministic across evaluations
+    assert(out.values.forall(b => b >= 0L && b < 256L))   // h-bit bounded
+    assert(out(1L) != out(3L))          // negated vector lands elsewhere
+  }
+
+  test("GraftExtensions injects all six functions without error") {
     // applying to a fresh extensions container exercises every injectFunction
     // (a full withExtensions session would need its own SparkContext, which
     // local tests share — verified here at the injection level instead)
