@@ -105,6 +105,32 @@ class ReconcilerSpec extends SparkSuite {
     assert(res.internalRemanent.select("_id").as[String].collect().toSet == Set("a3", "a4"))
   }
 
+  test("empty sides: all operators degrade to empty/identity, no failures") {
+    val emptyA = internal.limit(0)
+    val emptyB = external.limit(0)
+    assert(recon.matchRecords(emptyA, external).isEmpty)
+    assert(recon.matchRecords(internal, emptyB).isEmpty)
+    assert(recon.notMatchInternal(internal, emptyB).count() == 4) // nothing matches
+    assert(recon.notMatchExternal(emptyA, external).count() == 3)
+    assert(recon.toleranceMatch(emptyA, emptyB, conf.tolerance.get, col("ext_row")).isEmpty)
+    val res = recon.iterate(emptyA, emptyB, col("ext_row"), Seq(conf))
+    assert(res.matched.isEmpty && res.internalRemanent.isEmpty && res.externalRemanent.isEmpty)
+    assert(recon.keepFirstBy(emptyA, Seq("_id"), Seq(col("amount"))).isEmpty)
+    assert(recon.duplicated(emptyA, Seq("_id")).isEmpty)
+  }
+
+  test("null join keys never match and land in the remanents (both sides)") {
+    val a = Seq(("a1", "c1", 10.0), ("aN", null.asInstanceOf[String], 10.0))
+      .toDF("_id", "code", "amount")
+    val b = Seq(("e1", "c1", 10.0), ("eN", null.asInstanceOf[String], 10.0), ("eM", "cZ", 7.0))
+      .toDF("ext_id", "ext_code", "ext_amount")
+    val m = recon.matchRecords(a, b)
+    assert(m.select("_id").as[String].collect().toSeq == Seq("a1"))
+    // null-keyed rows are remanents — same as Polars/SQL equi-join semantics
+    assert(recon.notMatchInternal(a, b).select("_id").as[String].collect().toSet == Set("aN"))
+    assert(recon.notMatchExternal(a, b).select("ext_id").as[String].collect().toSet == Set("eN", "eM"))
+  }
+
   implicit class SortedOps(xs: Array[String]) {
     def toSorted: Seq[String] = xs.toSeq.sorted
   }
