@@ -229,8 +229,35 @@ object OpsQueries {
         .select(col("_id"), col("ext_id"))
     },
 
-    // IVF ANN (deterministic coarse centroids) — JVM float kernel, rows-only
-    QuerySpec.rowsOnly("sim_ivf_topk") { (s, d) =>
+    // IVF ANN — fully portable (dot products + windows, no hash kernels):
+    // centroid assignment, nprobe cell selection, and per-query top-k are
+    // all mirrored in the oracle; float32 dot accumulation is bit-identical
+    // to DuckDB's list_dot_product on FLOAT[]
+    QuerySpec("sim_ivf_topk",
+      """WITH cents AS (
+        |  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+        |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, embedding, centroid_id FROM (
+        |    SELECT e.vec_id, e.embedding, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.embedding, c.cv) DESC, c.centroid_id) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, qv, centroid_id FROM (
+        |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_dot_product(q.embedding, c.cv) DESC, c.centroid_id) AS pr
+        |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 100 = 0) WHERE pr <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_dot_product(p.qv, a.embedding) AS score
+        |  FROM probes p JOIN assigned a
+        |    ON p.centroid_id = a.centroid_id AND p.query_id <> a.vec_id)
+        |SELECT query_id, neighbor_id, score, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+        |WHERE rank <= 5""".stripMargin) { (s, d) =>
       val e = embs(s, d)
       Similarity.ivfTopK(e, e.where(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 5, nCentroids = 16, modulus = 50, nprobe = 4)

@@ -78,10 +78,7 @@ object Similarity {
    */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String, nCentroids: Int,
       modulus: Long): DataFrame = {
-    val cents = broadcast(
-      df.where(pmod(col(idCol), lit(modulus)) === 0)
-        .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
-        .limit(nCentroids))
+    val cents = broadcast(centroids(df, idCol, vecCol, nCentroids, modulus))
     df.select(col(idCol), col(vecCol))
       .join(cents)
       .withColumn("__sim", vec_dot(col(vecCol), col("cv")))
@@ -96,13 +93,20 @@ object Similarity {
    * closest centroid cells. The cell join shuffles on centroid_id —
    * bounded fan-out, no N×Q scan. Recall grows with nprobe.
    */
+  /** Deterministic sampled centroid set: every `modulus`-th id, first
+    * `nCentroids` BY ID ORDER — a bare `limit` would be partition-layout-
+    * dependent, which breaks reproducibility (and the oracle). */
+  private def centroids(df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, modulus: Long): DataFrame =
+    df.where(pmod(col(idCol), lit(modulus)) === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+      .orderBy(col("centroid_id"))
+      .limit(nCentroids)
+
   def ivfTopK(df: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nCentroids: Int, modulus: Long, nprobe: Int = 2): DataFrame = {
     val indexed = ivfIndex(df, idCol, vecCol, nCentroids, modulus)
-    val cents = broadcast(
-      df.where(pmod(col(idCol), lit(modulus)) === 0)
-        .select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
-        .limit(nCentroids))
+    val cents = broadcast(centroids(df, idCol, vecCol, nCentroids, modulus))
     // nprobe nearest cells per query via the same broadcast
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .join(cents)
