@@ -177,8 +177,11 @@ object OpsQueries {
         "vec_id", "embedding", k = 5)
     },
 
-    // sign-random-projection LSH — xxhash64 hyperplanes, rows-only
-    QuerySpec.rowsOnly("sim_lsh_topk") { (s, d) =>
+    // sign-random-projection LSH: the splitmix64 hyperplane signs are
+    // re-derived in DuckDB (HUGEINT mod-2^64 arithmetic, split multiply,
+    // let-bindings via single-element list comprehensions) — the whole
+    // bucket/score/top-k path is value-checked
+    QuerySpec("sim_lsh_topk", LshOracleSql.topkSql(h = 4, k = 5)) { (s, d) =>
       Similarity.lshTopK(embs(s, d), "vec_id", "embedding", k = 5, h = 4)
     },
 
@@ -308,6 +311,68 @@ object OpsQueries {
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM numbered GROUP BY 1, 2""".stripMargin
+}
+
+/**
+ * DuckDB mirror of the splitmix64 sign-LSH kernel
+ * ([[graft.functions.VecOps.lshBucketF]]): 64-bit wraparound arithmetic via
+ * HUGEINT mod-2^64, the multiply split into 32-bit halves so no
+ * intermediate exceeds INT128, and each mixer stage bound once through a
+ * single-element list comprehension (a SQL "let") so the expression stays
+ * linear in size instead of exponentially duplicated.
+ */
+object LshOracleSql {
+
+  private val P = "18446744073709551616" // 2^64
+
+  private def wrap(e: String) = s"(($e) % $P)"
+  private def bxor(a: String, b: String) = s"xor(($a), ($b))"
+  private def shr(e: String, k: Int) = s"(($e) >> $k)"
+
+  /** (a*c) mod 2^64 with a < 2^64: split a into 32-bit halves so the
+    * products fit in INT128. */
+  private def mulmod(a: String, c: String) = {
+    val al = s"(($a) % 4294967296)"
+    val ah = s"(($a) // 4294967296)"
+    wrap(s"$al * $c + ((($ah * $c) % 4294967296) * 4294967296)")
+  }
+
+  /** splitmix64 finalizer over HUGEINT, ≡ VecOps.mix64. `tag` uniquifies
+    * the let-bound variable names per instantiation. */
+  private def mix64(z0: String, tag: String): String = {
+    val (v1, v2, v3) = (s"__m${tag}a", s"__m${tag}b", s"__m${tag}c")
+    val s1 = wrap(s"($z0) + 11400714819323198485")          // 0x9E3779B97F4A7C15
+    val s2 = mulmod(bxor(v1, shr(v1, 30)), "13787848793156543929") // 0xBF58476D1CE4E5B9
+    val s3 = mulmod(bxor(v2, shr(v2, 27)), "10723151780598845931") // 0x94D049BB133111EB
+    val s4 = bxor(v3, shr(v3, 31))
+    s"[[[ $s4 FOR $v3 IN [$s3]][1] FOR $v2 IN [$s2]][1] FOR $v1 IN [$s1]][1]"
+  }
+
+  /** ±1f sign list for plane `p` over the embedding's dims (float32, so
+    * list_dot_product accumulates bit-identically to the JVM kernel). */
+  private def signs(p: Int): String = {
+    val base = p.toLong * 0x100000001BL
+    val m = mix64(s"CAST($base AS HUGEINT) + i", s"p$p")
+    s"[CASE WHEN ($m) % 2 = 0 THEN CAST(1.0 AS FLOAT) ELSE CAST(-1.0 AS FLOAT) END " +
+      s"FOR i IN range(0, len(embedding))]"
+  }
+
+  def topkSql(h: Int, k: Int): String = {
+    val bucketTerms = (0 until h).map(p =>
+      s"(CASE WHEN list_dot_product(embedding, ${signs(p)}) >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH idx AS (
+       |  SELECT vec_id, embedding, ($bucketTerms) AS bucket
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    list_dot_product(a.embedding, b.embedding) AS score
+       |  FROM idx a JOIN idx b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |SELECT query_id, neighbor_id, score, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+  }
 }
 
 /**
