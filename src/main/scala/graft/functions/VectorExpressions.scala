@@ -65,11 +65,16 @@ object VectorFunctions {
   def vec_cosine(a: Column, b: Column): Column = column(FloatVecCosine(expression(a), expression(b)))
   def vec_lsh_bucket(a: Column, h: Int): Column = column(FloatVecLshBucket(expression(a), h))
 
-  /** Register `vec_dot` / `vec_cosine` for spark.sql use. */
+  /** Register `vec_dot` / `vec_cosine` / `vec_lsh_bucket` for spark.sql use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_cosine", exprs => FloatVecCosine(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_lsh_bucket", exprs => FloatVecLshBucket(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => other.eval().asInstanceOf[Int]
+      }), "scala_udf")
   }
 }

@@ -16,6 +16,10 @@ class ExtensionsSpec extends SparkSuite {
         "hamming64(7, 1) AS h, " +              // int literals -> implicit cast to long
         "simhash64(array('a','b')) AS s").as[(Float, Int, Long)].head()
     assert(r._1 == 4.0f && r._2 == 2 && r._3 != 0L)
+    val b = spark.sql(
+      "SELECT vec_lsh_bucket(array(cast(1.0 as float), cast(-2.0 as float)), 8) AS b")
+      .as[Long].head()
+    assert(b >= 0L && b < 256L)
   }
 
   test("vec_lsh_bucket kernel is deterministic, h-bit bounded, sign-sensitive") {
