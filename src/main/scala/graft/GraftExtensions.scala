@@ -37,14 +37,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
       (es: Seq[Expression]) => SimHash64(es.head)))
+    ext.injectFunction((FunctionIdentifier("simhash64_md5"),
+      info("simhash64_md5", "simhash64_md5(tokens) - oracle-portable md5-token SimHash"),
+      (es: Seq[Expression]) => SimHash64(es.head, portable = true)))
     ext.injectFunction((FunctionIdentifier("hamming64"),
       info("hamming64", "hamming64(a, b) - Hamming distance of two int64 signatures"),
       (es: Seq[Expression]) => HammingDistance64(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("min_window_hash"),
       info("min_window_hash", "min_window_hash(text, w) - min sliding-window xxhash64 fingerprint"),
-      (es: Seq[Expression]) => MinWindowHash(es.head, es(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => other.eval().asInstanceOf[Int]
-      })))
+      (es: Seq[Expression]) => MinWindowHash(es.head, IntArg.of(es(1)))))
+    ext.injectFunction((FunctionIdentifier("min_window_md5"),
+      info("min_window_md5", "min_window_md5(text, w) - min sliding char-window md5 fingerprint"),
+      (es: Seq[Expression]) => MinWindowMd5(es.head, IntArg.of(es(1)))))
   }
 }

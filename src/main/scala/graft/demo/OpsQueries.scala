@@ -91,8 +91,16 @@ object OpsQueries {
       TextAnalysis.languageId(docs(s, d), "text").select(col("doc_id"), col("lang_pred"))
     },
 
-    // min-window-hash fingerprint: xxhash64 kernel — no DuckDB equivalent
-    QuerySpec.rowsOnly("text_fingerprint") { (s, d) =>
+    // min sliding CHARACTER-window md5 fingerprint — the portable kernel:
+    // both engines md5 the same UTF-8 bytes of each 16-char window and
+    // take the first 15 hex digits (60 bits, sign-safe in a BIGINT)
+    QuerySpec("text_fingerprint",
+      """SELECT doc_id,
+        |  CASE WHEN length(text) < 16 THEN 0
+        |       ELSE list_min([CAST(('0x' || substr(md5(substr(text, i, 16)), 1, 15)) AS BIGINT)
+        |                      FOR i IN range(1, length(text) - 14)])
+        |  END AS fingerprint
+        |FROM documents""".stripMargin) { (s, d) =>
       TextAnalysis.fingerprint(docs(s, d), "text").select(col("doc_id"), col("fingerprint"))
     },
 
@@ -143,22 +151,28 @@ object OpsQueries {
         n = 2, threshold = 0.3d, maxDf = 1000L)
     },
 
-    // xxhash64 MinHash/LSH sketches — no DuckDB equivalent, rows-only
-    QuerySpec.rowsOnly("dedup_minhash") { (s, d) =>
+    // md5-based MinHash slots + band hashes: the whole
+    // signature→banding→bucket-cap→Jaccard-verify path is value-checked
+    QuerySpec("dedup_minhash",
+      SketchOracleSql.minHashSql(k = 64, bands = 8, threshold = 0.5d, maxBucket = 100)) { (s, d) =>
       Dedup.minHashNearDups(docs(s, d), "text", "doc_id",
         shingleN = 3, k = 64, bands = 8, threshold = 0.5d, maxBucket = 100)
     },
 
-    QuerySpec.rowsOnly("dedup_simhash") { (s, d) =>
-      Dedup.simHashNearDups(docs(s, d), "text", "doc_id", maxHamming = 3)
+    // md5-token SimHash: signatures, 16-bit chunk banding, bucket cap and
+    // the Hamming verify are all mirrored (HUGEINT mod-2^64 sign fixup)
+    QuerySpec("dedup_simhash",
+      SketchOracleSql.simHashSql(maxHamming = 3, maxBucket = 1000)) { (s, d) =>
+      Dedup.simHashNearDups(docs(s, d), "text", "doc_id", maxHamming = 3, maxBucket = 1000)
     },
 
+    // scale path: sign-LSH bucket candidates (capped) + exact float dot
+    // verify — no cartesian; the bucket assignment is mirrored via the
+    // splitmix64 SQL kernel, so the whole path is value-checked
     QuerySpec("dedup_embed",
-      """SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |  list_dot_product(a.embedding, b.embedding) AS cosine
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.embedding, b.embedding) >= 0.45""".stripMargin) { (s, d) =>
-      Dedup.embeddingNearDups(embs(s, d), "vec_id", "embedding", threshold = 0.45d)
+      LshOracleSql.nearDupSql(h = 4, threshold = 0.45, maxBucket = 4096)) { (s, d) =>
+      Dedup.embeddingNearDupsLsh(embs(s, d), "vec_id", "embedding",
+        threshold = 0.45d, h = 4, maxBucket = 4096)
     },
 
     // ---- similarity search ----------------------------------------------
@@ -180,9 +194,9 @@ object OpsQueries {
     // sign-random-projection LSH: the splitmix64 hyperplane signs are
     // re-derived in DuckDB (HUGEINT mod-2^64 arithmetic, split multiply,
     // let-bindings via single-element list comprehensions) — the whole
-    // bucket/score/top-k path is value-checked
-    QuerySpec("sim_lsh_topk", LshOracleSql.topkSql(h = 4, k = 5)) { (s, d) =>
-      Similarity.lshTopK(embs(s, d), "vec_id", "embedding", k = 5, h = 4)
+    // bucket/cap/score/top-k path is value-checked
+    QuerySpec("sim_lsh_topk", LshOracleSql.topkSql(h = 4, k = 5, maxBucket = 4096)) { (s, d) =>
+      Similarity.lshTopK(embs(s, d), "vec_id", "embedding", k = 5, h = 4, maxBucket = 4096)
     },
 
     // ---- multimodal ------------------------------------------------------
@@ -357,22 +371,127 @@ object LshOracleSql {
       s"FOR i IN range(0, len(embedding))]"
   }
 
-  def topkSql(h: Int, k: Int): String = {
-    val bucketTerms = (0 until h).map(p =>
+  /** `(bucketTerms)` expression ≡ VecOps.lshBucketF over `embedding`. */
+  private def bucketExpr(h: Int): String =
+    (0 until h).map(p =>
       s"(CASE WHEN list_dot_product(embedding, ${signs(p)}) >= 0 THEN ${1L << p} ELSE 0 END)")
-      .mkString(" + ")
+      .mkString("(", " + ", ")")
+
+  /** Shared CTE prefix: bucket index + bucket sizes (for the cap). */
+  private def idxCte(h: Int): String =
     s"""WITH idx AS (
-       |  SELECT vec_id, embedding, ($bucketTerms) AS bucket
+       |  SELECT vec_id, embedding, ${bucketExpr(h)} AS bucket
        |  FROM embeddings),
+       |bsz AS (SELECT bucket, count(*) AS n FROM idx GROUP BY 1)""".stripMargin
+
+  def topkSql(h: Int, k: Int, maxBucket: Int): String =
+    s"""${idxCte(h)},
        |scored AS (
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |    list_dot_product(a.embedding, b.embedding) AS score
-       |  FROM idx a JOIN idx b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |  FROM idx a JOIN idx b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  JOIN bsz s ON a.bucket = s.bucket WHERE s.n <= $maxBucket)
        |SELECT query_id, neighbor_id, score, rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
        |  FROM scored)
        |WHERE rank <= $k""".stripMargin
+
+  /** Bucket-candidate near-dup pairs verified with exact float dot —
+    * ≡ Dedup.embeddingNearDupsLsh. */
+  def nearDupSql(h: Int, threshold: Double, maxBucket: Int): String =
+    s"""${idxCte(h)}
+       |SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |  list_dot_product(a.embedding, b.embedding) AS score
+       |FROM idx a JOIN idx b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |JOIN bsz s ON a.bucket = s.bucket
+       |WHERE s.n <= $maxBucket
+       |  AND list_dot_product(a.embedding, b.embedding) >= $threshold""".stripMargin
+}
+
+/**
+ * DuckDB mirrors of the md5-portable sketch kernels ([[graft.ops.Dedup]],
+ * [[graft.functions.TextOps]]): slot/band hashes are the first 15 hex
+ * digits of an md5 (60 bits — non-negative in a signed 64-bit int on both
+ * engines), SimHash per-token hashes the first 16 (full unsigned 64-bit,
+ * rebuilt through HUGEINT with an explicit sign fixup). Tokenization,
+ * shingling, banding, the bucket-size caps and the verification stages are
+ * all mirrored, so CORRECTNESS value-checks the entire sketch paths.
+ */
+object SketchOracleSql {
+
+  private val tokensCte: String =
+    raw"""tt AS (
+         |  SELECT doc_id AS doc, CASE WHEN length(trim(text)) = 0 THEN []
+         |                             ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+         |  FROM documents)""".stripMargin
+
+  /** ≡ Dedup.minHashNearDups(shingleN = 3, k, bands, threshold, maxBucket)
+    * with the Portable (md5) kernel. */
+  def minHashSql(k: Int, bands: Int, threshold: Double, maxBucket: Int): String = {
+    require(k % bands == 0)
+    val rows = k / bands
+    val bandBranches = (0 until bands).map { b =>
+      val bandStr = (0 until rows)
+        .map(i => s"CAST(hs[${b * rows + i + 1}] AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc, $b AS band, CAST(('0x' || substr(md5($bandStr), 1, 15)) AS BIGINT) AS band_hash FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $tokensCte,
+       |d AS (SELECT doc, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                                 FOR i IN range(1, len(t) - 1)]) AS sh FROM tt),
+       |sh AS (SELECT doc, unnest(sh) AS shingle FROM d),
+       |slot AS (
+       |  SELECT doc, i AS slot,
+       |    min(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT)) AS h
+       |  FROM sh CROSS JOIN range(0, $k) r(i) GROUP BY doc, i),
+       |sig AS (SELECT doc, list(h ORDER BY slot) AS hs FROM slot GROUP BY doc),
+       |banded AS (
+       |$bandBranches),
+       |bsz AS (SELECT band, band_hash, count(*) AS n FROM banded GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT DISTINCT a.doc AS doc1, c.doc AS doc2
+       |  FROM banded a
+       |  JOIN banded c ON a.band = c.band AND a.band_hash = c.band_hash AND a.doc < c.doc
+       |  JOIN bsz s ON a.band = s.band AND a.band_hash = s.band_hash
+       |  WHERE s.n > 1 AND s.n <= $maxBucket),
+       |common AS (
+       |  SELECT doc1, doc2, count(*) AS n_common
+       |  FROM cands JOIN sh s1 ON s1.doc = doc1 JOIN sh s2 ON s2.doc = doc2 AND s2.shingle = s1.shingle
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc, count(*) AS set_size FROM sh GROUP BY 1)
+       |SELECT doc1, doc2,
+       |  CAST(n_common AS DOUBLE) / CAST(s1.set_size + s2.set_size - n_common AS DOUBLE) AS jaccard
+       |FROM common JOIN sizes s1 ON doc1 = s1.doc JOIN sizes s2 ON doc2 = s2.doc
+       |WHERE CAST(n_common AS DOUBLE) / CAST(s1.set_size + s2.set_size - n_common AS DOUBLE) >= $threshold""".stripMargin
   }
+
+  /** ≡ Dedup.simHashNearDups(maxHamming, maxBucket) with md5 token
+    * hashes. A doc with no tokens has signature 0 (the LEFT JOIN +
+    * COALESCE — it still chunk-buckets with other blank docs). */
+  def simHashSql(maxHamming: Int, maxBucket: Int): String =
+    s"""WITH $tokensCte,
+       |tok AS (SELECT doc, unnest(t) AS tok FROM tt),
+       |th AS (SELECT doc, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h FROM tok),
+       |bits AS (
+       |  SELECT doc, b,
+       |    CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |         THEN CAST(1 AS UBIGINT) ELSE CAST(0 AS UBIGINT) END AS bit
+       |  FROM th CROSS JOIN range(0, 64) r(b) GROUP BY doc, b),
+       |sigu AS (SELECT doc, sum(bit * (CAST(1 AS UBIGINT) << CAST(b AS INTEGER))) AS m FROM bits GROUP BY doc),
+       |sig AS (
+       |  SELECT tt.doc AS doc,
+       |    CAST(COALESCE(m - CASE WHEN m >= CAST('9223372036854775808' AS HUGEINT)
+       |                           THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END, 0) AS BIGINT) AS sig
+       |  FROM tt LEFT JOIN sigu ON tt.doc = sigu.doc),
+       |chunked AS (
+       |  SELECT doc, sig, c.chunk, (sig >> (c.chunk * 16)) & 65535 AS chunk_val
+       |  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) c(chunk)),
+       |bsz AS (SELECT chunk, chunk_val, count(*) AS n FROM chunked GROUP BY 1, 2)
+       |SELECT DISTINCT a.doc AS doc1, b.doc AS doc2, bit_count(xor(a.sig, b.sig)) AS hamming
+       |FROM chunked a
+       |JOIN chunked b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc < b.doc
+       |JOIN bsz s ON a.chunk = s.chunk AND a.chunk_val = s.chunk_val
+       |WHERE s.n > 1 AND s.n <= $maxBucket AND bit_count(xor(a.sig, b.sig)) <= $maxHamming""".stripMargin
 }
 
 /**

@@ -1,25 +1,42 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** SimHash64 over an array<string> of tokens → long signature. */
-case class SimHash64(child: Expression) extends UnaryExpression {
+/** SimHash64 over an array<string> of tokens → long signature.
+  * `portable = true` hashes tokens with md5 (reproducible in the DuckDB
+  * oracle); `false` uses xxhash64 (faster, rows-only checkable). */
+case class SimHash64(child: Expression, portable: Boolean = false) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got ${other.catalogString}")
+  }
+  private def kernel: String =
+    if (portable) "simHash64Md5" else "simHash64"
   override protected def nullSafeEval(v: Any): Any =
-    TextOps.simHash64(v.asInstanceOf[ArrayData])
+    if (portable) TextOps.simHash64Md5(v.asInstanceOf[ArrayData])
+    else TextOps.simHash64(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.simHash64($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.$kernel($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Min sliding-window xxHash64 fingerprint of a string column. */
+/** Min sliding-window xxHash64 fingerprint of a string column (byte
+  * windows — fast path, rows-only checkable). */
 case class MinWindowHash(child: Expression, window: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"min_window_hash requires string, got ${other.catalogString}")
+  }
   override protected def nullSafeEval(v: Any): Any =
     TextOps.minWindowHash(v.asInstanceOf[UTF8String], window)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -27,11 +44,35 @@ case class MinWindowHash(child: Expression, window: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Min sliding CHARACTER-window md5-60-bit fingerprint — the
+  * oracle-portable variant ([[TextOps.minWindowMd5]]). */
+case class MinWindowMd5(child: Expression, window: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"min_window_md5 requires string, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    TextOps.minWindowMd5(v.asInstanceOf[UTF8String], window)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.minWindowMd5($c, $window)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Hamming distance between two long signatures (bit_count(a XOR b)). */
 case class HammingDistance64(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = IntegerType
-  // integral inputs accepted without analyzer help (AbstractDataType is
-  // private[sql], so ImplicitCastInputTypes is unavailable to extensions):
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left.dataType, right.dataType).forall {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hamming64 requires integral arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
   // eval widens via Number, codegen casts to long explicitly
   override protected def nullSafeEval(a: Any, b: Any): Any =
     TextOps.hamming64(a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue)
@@ -46,14 +87,20 @@ object TextFunctions {
   import org.apache.spark.sql.GraftInternals.{column, expression}
 
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def simhash64_md5(tokens: Column): Column =
+    column(SimHash64(expression(tokens), portable = true))
   def min_window_hash(text: Column, window: Int): Column =
     column(MinWindowHash(expression(text), window))
+  def min_window_md5(text: Column, window: Int): Column =
+    column(MinWindowMd5(expression(text), window))
   def hamming64(a: Column, b: Column): Column =
     column(HammingDistance64(expression(a), expression(b)))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64_md5",
+      es => SimHash64(es.head, portable = true), "scala_udf")
     reg.createOrReplaceTempFunction("hamming64", es => HammingDistance64(es(0), es(1)), "scala_udf")
   }
 }

@@ -17,18 +17,53 @@ object TextOps {
   def hashToken(t: UTF8String): Long =
     XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, Seed)
 
+  // -------------------------------------------------- md5-portable kernels
+  //
+  // The xxhash64 kernels above are the raw-throughput path, but DuckDB
+  // cannot reproduce xxhash64-of-variable-length-STRING, so queries hashed
+  // with them are only rows-checkable. Both engines share md5(VARCHAR):
+  // these variants hash with md5 so every sketch is value-checkable against
+  // the oracle ('0x' || substr(md5(s),1,16))::UBIGINT in DuckDB ≡
+  // the first 8 digest bytes big-endian here.
+
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 md5-digest bytes, big-endian, as a long (unsigned bit
+    * pattern — ≡ parsing the first 16 hex chars of the md5 hex string). */
+  def md5Hash64(t: UTF8String): Long = {
+    val d = md5Digest.get()
+    d.reset()
+    val dig = d.digest(t.getBytes)
+    var out = 0L
+    var i = 0
+    while (i < 8) { out = (out << 8) | (dig(i) & 0xFFL); i += 1 }
+    out
+  }
+
+  /** First 60 bits of the md5 (15 hex chars): always non-negative, so it
+    * compares identically as BIGINT in DuckDB and long here. */
+  def md5Hash60(t: UTF8String): Long = md5Hash64(t) >>> 4
+
   /**
    * 64-bit SimHash over a token array: per-token xxHash64 votes on each of
    * the 64 output bits; bit set iff positive majority. Near-duplicate docs
    * land within small Hamming distance (Charikar's scheme).
    */
-  def simHash64(tokens: ArrayData): Long = {
+  def simHash64(tokens: ArrayData): Long = simHashWith(tokens, hashToken)
+
+  /** SimHash with md5 per-token hashes — the oracle-portable variant. */
+  def simHash64Md5(tokens: ArrayData): Long = simHashWith(tokens, md5Hash64)
+
+  private def simHashWith(tokens: ArrayData, hash: UTF8String => Long): Long = {
     val counts = new Array[Int](64)
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       if (!tokens.isNullAt(i)) {
-        val h = hashToken(tokens.getUTF8String(i))
+        val h = hash(tokens.getUTF8String(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
@@ -61,6 +96,27 @@ object TextOps {
     while (i <= last) {
       val h = XXH64.hashUnsafeBytes(bytes,
         org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + i, w, Seed)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  /**
+   * Oracle-portable fingerprint: minimum md5-60-bit hash over a sliding
+   * CHARACTER window of width `w`. Character (not byte) windows so DuckDB
+   * can mirror it with substr() — both engines count code points — and the
+   * md5 runs over each window's UTF-8 bytes in both. 0 when shorter than
+   * the window.
+   */
+  def minWindowMd5(text: UTF8String, w: Int): Long = {
+    val n = text.numChars()
+    if (n < w) return 0L
+    var min = Long.MaxValue
+    var i = 1
+    val last = n - w + 1
+    while (i <= last) {
+      val h = md5Hash60(text.substringSQL(i, w))
       if (h < min) min = h
       i += 1
     }

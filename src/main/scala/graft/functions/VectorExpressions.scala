@@ -1,9 +1,41 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.types.{DataType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType}
+
+/** Shared analysis-time checks for the native kernels: misuse must fail in
+  * the analyzer with a readable message, not at runtime with a CCE inside
+  * generated code. (`AbstractDataType`/`ImplicitCastInputTypes` are
+  * private[sql], so the checks are spelled out via checkInputDataTypes.) */
+private[functions] object VecTypeChecks {
+  def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  def requireFloatArrays(name: String, dts: Seq[DataType]): TypeCheckResult =
+    dts.find(!isFloatArray(_)) match {
+      case Some(bad) => TypeCheckResult.TypeCheckFailure(
+        s"$name requires array<float> arguments, got ${bad.catalogString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+}
+
+/** Foldable-int SQL argument: accepts any integral literal (an INT or
+  * BIGINT in SQL text), not just a Scala Int — `vec_lsh_bucket(v, 4L)`
+  * must not throw a ClassCastException. */
+private[graft] object IntArg {
+  def of(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _) => v.intValue()
+    case other => other.eval() match {
+      case n: Number => n.intValue()
+      case bad => throw new IllegalArgumentException(
+        s"expected an integer literal argument, got $bad")
+    }
+  }
+}
 
 /**
  * Native Catalyst expressions for embedding math — preference (b) of the
@@ -15,6 +47,8 @@ import org.apache.spark.sql.types.{DataType, FloatType}
 abstract class FloatVecBinary extends BinaryExpression with Serializable {
   override def dataType: DataType = FloatType
   override def nullable: Boolean = left.nullable || right.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeChecks.requireFloatArrays(prettyName, Seq(left.dataType, right.dataType))
 
   /** fully-qualified static kernel, e.g. "graft.functions.VecOps.dotF" */
   protected def kernel: String
@@ -49,6 +83,8 @@ case class FloatVecLshBucket(child: Expression, h: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeChecks.requireFloatArrays(prettyName, Seq(child.dataType))
   override protected def nullSafeEval(a: Any): Any =
     VecOps.lshBucketF(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], h)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -72,9 +108,6 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_cosine", exprs => FloatVecCosine(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_lsh_bucket", exprs => FloatVecLshBucket(exprs(0), exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => other.eval().asInstanceOf[Int]
-      }), "scala_udf")
+      "vec_lsh_bucket", exprs => FloatVecLshBucket(exprs(0), IntArg.of(exprs(1))), "scala_udf")
   }
 }

@@ -26,6 +26,35 @@ object Dedup {
   def contentHash(text: Column): Column = md5(lower(trim(text)).cast("binary"))
 
   /**
+   * Hash kernels for the sketch operators (MinHash slots, LSH band
+   * hashes). `Portable` is the default: 60-bit md5-derived hashes that
+   * DuckDB reproduces exactly (`('0x' || substr(md5(x),1,15))::BIGINT`),
+   * so every sketch query is value-checkable against the oracle — 15 hex
+   * digits keep the value non-negative in a signed 64-bit int on both
+   * engines. `Fast` is xxhash64: cheapest per byte, JVM-only, rows-only
+   * checkable. Both are codegen'd built-ins; switching kernels never
+   * changes the plan shape, only the hash family.
+   */
+  sealed trait SketchHash {
+    /** slot-i hash of a shingle (MinHash signature rows). */
+    def slot(i: Int, shingle: Column): Column
+    /** hash of a band's slot values (LSH bucket key). */
+    def band(cols: Seq[Column]): Column
+  }
+  object SketchHash {
+    private def md5h60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    case object Portable extends SketchHash {
+      def slot(i: Int, shingle: Column): Column = md5h60(concat(lit(s"$i:"), shingle))
+      def band(cols: Seq[Column]): Column = md5h60(concat_ws(",", cols: _*))
+    }
+    case object Fast extends SketchHash {
+      def slot(i: Int, shingle: Column): Column = xxhash64(lit(i), shingle)
+      def band(cols: Seq[Column]): Column = xxhash64(cols: _*)
+    }
+  }
+
+  /**
    * Exact dedup groups: one row per distinct content, with the canonical
    * (minimum) id and the duplicate count. Group-by on the 16-byte hash —
    * map-side partial aggregation, single shuffle.
@@ -119,7 +148,7 @@ object Dedup {
     // df-prune, pair join) and ReuseExchange only dedups the plan up to the
     // repartition — the interpreted shingle explode above it would re-run
     // per consumer without this cut
-    val shingled = shingleTable(df, textCol, idCol, n).localCheckpoint(true)
+    val shingled = graft.recon.Checkpoints.cut(shingleTable(df, textCol, idCol, n))
     val sizes = shingled.groupBy("doc").agg(count(lit(1)).as("set_size"))
     // hub prune BEFORE grouping doc lists, so no unbounded collect_list ever
     // materializes: the count-only aggregate is partial-combined (tiny
@@ -151,20 +180,21 @@ object Dedup {
 
   /**
    * MinHash signatures as k min-aggregates over exploded shingles: slot i =
-   * min(xxhash64(i, shingle)). The explode keeps every hash evaluation
+   * min(hash.slot(i, shingle)). The explode keeps every hash evaluation
    * inside whole-stage codegen (a per-row higher-order `transform` chain
    * would evaluate interpreted), and the map-side partial min means the
    * single shuffle carries only k longs per doc.
    * Returns (doc, h0..h{k-1}).
    */
   def minHashSignatures(df: DataFrame, textCol: String, idCol: String,
-      shingleN: Int, k: Int): DataFrame =
-    minHashSignaturesOf(shingleTable(df, textCol, idCol, shingleN), k)
+      shingleN: Int, k: Int, hash: SketchHash = SketchHash.Portable): DataFrame =
+    minHashSignaturesOf(shingleTable(df, textCol, idCol, shingleN), k, hash)
 
   /** Signatures from a pre-built (doc, shingle) table — lets callers
     * materialize the shingle work once and share it across stages. */
-  def minHashSignaturesOf(shingled: DataFrame, k: Int): DataFrame = {
-    val minCols = (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+  def minHashSignaturesOf(shingled: DataFrame, k: Int,
+      hash: SketchHash = SketchHash.Portable): DataFrame = {
+    val minCols = (0 until k).map(i => min(hash.slot(i, col("shingle"))).as(s"h$i"))
     shingled.groupBy("doc").agg(minCols.head, minCols.tail: _*)
   }
 
@@ -178,17 +208,19 @@ object Dedup {
    * inside a skipped bucket is recovered by the other bands).
    */
   def minHashCandidates(df: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 3, k: Int = 64, bands: Int = 16, maxBucket: Int = 100): DataFrame =
-    minHashCandidatesOf(shingleTable(df, textCol, idCol, shingleN), k, bands, maxBucket)
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16, maxBucket: Int = 100,
+      hash: SketchHash = SketchHash.Portable): DataFrame =
+    minHashCandidatesOf(shingleTable(df, textCol, idCol, shingleN), k, bands, maxBucket, hash)
 
   /** LSH banding candidates from a pre-built (doc, shingle) table. */
   def minHashCandidatesOf(shingled: DataFrame,
-      k: Int, bands: Int, maxBucket: Int): DataFrame = {
+      k: Int, bands: Int, maxBucket: Int,
+      hash: SketchHash = SketchHash.Portable): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sig = minHashSignaturesOf(shingled, k)
+    val sig = minHashSignaturesOf(shingled, k, hash)
     val bandCols = (0 until bands).map { b =>
-      xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*).as(s"b$b")
+      hash.band((b * rows until (b + 1) * rows).map(i => col(s"h$i"))).as(s"b$b")
     }
     val banded = sig.select(col("doc"), posexplode(array(bandCols: _*)))
       .toDF("doc", "band", "band_hash")
@@ -208,13 +240,13 @@ object Dedup {
    */
   def minHashNearDups(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16, threshold: Double = 0.7,
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 100, hash: SketchHash = SketchHash.Portable): DataFrame = {
     // one materialized shingle pass feeds the signature/banding path AND
     // both sides of the verification join (sh1/sh2) — without the cut the
     // interpreted shingle pipeline executes 3×
-    val sets = shingleSets(df, textCol, idCol, shingleN).localCheckpoint(true)
+    val sets = graft.recon.Checkpoints.cut(shingleSets(df, textCol, idCol, shingleN))
     val shingled = sets.select(col("doc"), explode(col("sh")).as("shingle"))
-    val cands = minHashCandidatesOf(shingled, k, bands, maxBucket)
+    val cands = minHashCandidatesOf(shingled, k, bands, maxBucket, hash)
     cands
       .join(sets.select(col("doc").as("doc1"), col("sh").as("sh1")), Seq("doc1"))
       .join(sets.select(col("doc").as("doc2"), col("sh").as("sh2")), Seq("doc2"))
@@ -228,41 +260,78 @@ object Dedup {
   /**
    * SimHash near-dup pairs: 64-bit signature, banding into four 16-bit
    * chunks (pigeonhole: Hamming ≤ 3 ⇒ at least one chunk identical),
-   * bucket join on (chunk, value), verify with bit_count(xor) ≤ maxHamming.
+   * chunk-bucket grouping, verify with bit_count(xor) ≤ maxHamming.
+   *
+   * Bucket mechanics match the MinHash path: one shuffle on
+   * (chunk, chunk_val), grouped pair expansion in place (no self-join —
+   * that shape shuffles the chunked table twice), and `maxBucket` skips
+   * degenerate hub buckets (one boilerplate chunk value shared by the
+   * whole corpus would otherwise expand quadratically; pairs lost to a
+   * skipped bucket can still surface through the other three chunks).
+   *
+   * `portable = true` (default) hashes tokens with md5 so the DuckDB
+   * oracle reproduces the signatures; `false` uses the faster xxhash64.
    */
   def simHashNearDups(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sig = df.select(col(idCol).as("doc"),
-      TextFunctions.simhash64(TextAnalysis.tokens(col(textCol))).as("sig"))
+      maxHamming: Int = 3, maxBucket: Int = 1000, portable: Boolean = true): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val sigExpr =
+      if (portable) TextFunctions.simhash64_md5(toks) else TextFunctions.simhash64(toks)
+    val sig = df.select(col(idCol).as("doc"), sigExpr.as("sig"))
     val chunked = sig.select(col("doc"), col("sig"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .toDF("doc", "sig", "chunk", "chunk_val")
-    val a = chunked.alias("ca")
-    val b = chunked.alias("cb")
-    a.join(b,
-        col("ca.chunk") === col("cb.chunk") &&
-          col("ca.chunk_val") === col("cb.chunk_val") &&
-          col("ca.doc") < col("cb.doc"))
-      .select(col("ca.doc").as("doc1"), col("cb.doc").as("doc2"),
-        TextFunctions.hamming64(col("ca.sig"), col("cb.sig")).as("hamming"))
+    val buckets = chunked.groupBy("chunk", "chunk_val")
+      .agg(collect_list(struct(col("doc"), col("sig"))).as("members"))
+      .where(size(col("members")) > 1 && size(col("members")) <= maxBucket)
+    buckets
+      .select(explode(col("members")).as("m1"), col("members"))
+      .select(col("m1"), explode(col("members")).as("m2"))
+      .where(col("m1.doc") < col("m2.doc"))
+      .select(col("m1.doc").as("doc1"), col("m2.doc").as("doc2"),
+        TextFunctions.hamming64(col("m1.sig"), col("m2.sig")).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }
 
   /**
-   * Embedding cosine near-dup pairs over an id+vector frame: bounded
-   * block-join (self join with id inequality) + codegen'd float cosine.
-   * For web-scale inputs use [[Similarity.lshCandidates]] first and verify
-   * only bucket-mates; this exact form is the verification kernel.
+   * Embedding near-dup pairs, scale path: sign-LSH bucket candidates
+   * (bounded by `maxBucket`) verified with the exact codegen'd float
+   * kernel. The only corpus shuffle is the bucket groupBy; no self-join,
+   * no cartesian. Scores are DOT products — pass `cosine = true` for
+   * un-normalized embeddings.
+   */
+  def embeddingNearDupsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, h: Int = 4, maxBucket: Int = 4096,
+      cosine: Boolean = false): DataFrame = {
+    import graft.functions.VectorFunctions.{vec_cosine, vec_dot}
+    val cands = Similarity.lshCandidates(df, idCol, vecCol, h, maxBucket)
+    val scoreCol =
+      if (cosine) vec_cosine(col("v1"), col("v2")) else vec_dot(col("v1"), col("v2"))
+    cands.withColumn("score", scoreCol)
+      .where(col("score") >= threshold)
+      .select(col("id1"), col("id2"), col("score"))
+  }
+
+  /**
+   * Embedding near-dup pairs, exact form: all-pairs self join (a
+   * CartesianProduct — O(N²) scored pairs) + the codegen'd float kernel.
+   * This is the VERIFICATION kernel for small candidate sets and tests;
+   * register [[embeddingNearDupsLsh]] for anything corpus-sized. The
+   * score column is a DOT product — equal to cosine only for
+   * pre-normalized embeddings; pass `cosine = true` otherwise.
    */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, cosine: Boolean = false): DataFrame = {
+    import graft.functions.VectorFunctions.{vec_cosine, vec_dot}
     val a = df.select(col(idCol).as("id1"), col(vecCol).as("v1"))
     val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    val scoreCol =
+      if (cosine) vec_cosine(col("v1"), col("v2")) else vec_dot(col("v1"), col("v2"))
     a.join(b, col("id1") < col("id2"))
-      .withColumn("cosine", graft.functions.VectorFunctions.vec_dot(col("v1"), col("v2")))
-      .where(col("cosine") >= threshold)
-      .select(col("id1"), col("id2"), col("cosine"))
+      .withColumn("score", scoreCol)
+      .where(col("score") >= threshold)
+      .select(col("id1"), col("id2"), col("score"))
   }
 }

@@ -57,13 +57,29 @@ object Similarity {
   def lshIndex(df: DataFrame, idCol: String, vecCol: String, h: Int): DataFrame =
     df.select(col(idCol), col(vecCol), lshBucket(col(vecCol), h).as("bucket"))
 
-  /** Candidate pairs = bucket-mates (verify with exact scores downstream). */
-  def lshCandidates(df: DataFrame, idCol: String, vecCol: String, h: Int): DataFrame = {
+  /**
+   * Candidate pairs = bucket-mates (verify with exact scores downstream).
+   *
+   * One shuffle (the bucket groupBy) with pairs expanded in place — the
+   * self-join shape shuffles the index twice. `maxBucket` skips degenerate
+   * hub buckets: with too few sign bits for the corpus a bucket approaches
+   * N/2^h members and its pair expansion turns quadratic. Size `h` with the
+   * corpus (≥ log2(N / targetBucket) sign bits) and let the cap bound the
+   * worst case; skipped-bucket members simply produce no candidates, which
+   * is the standard recall/cost trade at scale.
+   */
+  def lshCandidates(df: DataFrame, idCol: String, vecCol: String, h: Int,
+      maxBucket: Int = 4096): DataFrame = {
     val idx = lshIndex(df, idCol, vecCol, h)
-    val a = idx.select(col("bucket"), col(idCol).as("id1"), col(vecCol).as("v1"))
-    val b = idx.select(col("bucket"), col(idCol).as("id2"), col(vecCol).as("v2"))
-    a.join(b, Seq("bucket")).where(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("v1"), col("v2"))
+    val buckets = idx.groupBy("bucket")
+      .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"))).as("members"))
+      .where(size(col("members")) > 1 && size(col("members")) <= maxBucket)
+    buckets
+      .select(explode(col("members")).as("m1"), col("members"))
+      .select(col("m1"), explode(col("members")).as("m2"))
+      .where(col("m1.id") < col("m2.id"))
+      .select(col("m1.id").as("id1"), col("m2.id").as("id2"),
+        col("m1.v").as("v1"), col("m2.v").as("v2"))
   }
 
   /**
@@ -78,14 +94,25 @@ object Similarity {
    */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String, nCentroids: Int,
       modulus: Long): DataFrame = {
-    val cents = broadcast(centroids(df, idCol, vecCol, nCentroids, modulus))
+    // the whole centroid set as ONE broadcast row holding an array of
+    // (centroid_id, cv) structs: the 1-row broadcast join just appends the
+    // array to every corpus row (no shuffle, no row inflation), and the
+    // assignment is a per-row argmax over that array — versus the
+    // join+groupBy shape, which inflates the corpus nCentroids× WITH the
+    // embeddings on board and then shuffles all of it back to pick max_by
+    val centsRow = broadcast(
+      centroids(df, idCol, vecCol, nCentroids, modulus)
+        .agg(collect_list(struct(col("centroid_id"), col("cv"))).as("__cents")))
     df.select(col(idCol), col(vecCol))
-      .join(cents)
-      .withColumn("__sim", vec_dot(col(vecCol), col("cv")))
-      .groupBy(col(idCol))
-      .agg(
-        first(col(vecCol)).as(vecCol),
-        max_by(col("centroid_id"), struct(col("__sim"), -col("centroid_id"))).as("centroid_id"))
+      .join(centsRow)
+      .withColumn("centroid_id",
+        array_max(transform(col("__cents"), c =>
+          struct(
+            vec_dot(col(vecCol), c.getField("cv")).as("sim"),
+            (-c.getField("centroid_id")).as("neg_id"), // tie → smallest id
+            c.getField("centroid_id").as("centroid_id"))))
+          .getField("centroid_id"))
+      .drop("__cents")
   }
 
   /**
@@ -127,17 +154,26 @@ object Similarity {
   /**
    * ANN top-k via LSH buckets: score only bucket-mates, then top-k per
    * query. Recall < 1 by construction; raise `h` for precision-heavy
-   * buckets or lower it for recall (h sign bits ⇒ 2^h buckets).
+   * buckets or lower it for recall (h sign bits ⇒ 2^h buckets); size h
+   * with the corpus so buckets stay under `maxBucket` — oversize buckets
+   * are skipped, bounding the pair expansion (see [[lshCandidates]]).
+   *
+   * Built on the unordered candidate pairs: each pair is scored ONCE
+   * (dot/cosine are exactly symmetric in float32) and then mirrored into
+   * both query directions — half the kernel work of a bucket self-join,
+   * and one corpus shuffle instead of two.
    */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, k: Int, h: Int,
-      cosine: Boolean = false): DataFrame = {
-    val idx = lshIndex(df, idCol, vecCol, h)
-    val a = idx.select(col("bucket"), col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val b = idx.select(col("bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val scored = a.join(b, Seq("bucket")).where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("score", score(col("qv"), col("cv"), cosine))
+      cosine: Boolean = false, maxBucket: Int = 4096): DataFrame = {
+    val scoredPairs = lshCandidates(df, idCol, vecCol, h, maxBucket)
+      .withColumn("score", score(col("v1"), col("v2"), cosine))
+    val both = scoredPairs.select(explode(array(
+        struct(col("id1").as("query_id"), col("id2").as("neighbor_id"), col("score")),
+        struct(col("id2").as("query_id"), col("id1").as("neighbor_id"), col("score"))))
+        .as("p"))
+      .select(col("p.query_id"), col("p.neighbor_id"), col("p.score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    both.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }

@@ -93,8 +93,15 @@ object TextAnalysis {
         .otherwise(best.getField("lang")))
   }
 
-  /** Min-window-hash document fingerprint (native expression, codegen'd). */
+  /** Min-window-hash document fingerprint (native expression, codegen'd).
+    * `portable = true` (default) slides a CHARACTER window hashed with md5
+    * — value-checkable against the DuckDB oracle; `false` slides the
+    * faster byte-window xxhash64 (rows-only checkable). */
   def fingerprint(df: DataFrame, textCol: String, window: Int = 16,
-      outCol: String = "fingerprint"): DataFrame =
-    df.withColumn(outCol, graft.functions.TextFunctions.min_window_hash(col(textCol), window))
+      outCol: String = "fingerprint", portable: Boolean = true): DataFrame = {
+    val f =
+      if (portable) graft.functions.TextFunctions.min_window_md5(col(textCol), window)
+      else graft.functions.TextFunctions.min_window_hash(col(textCol), window)
+    df.withColumn(outCol, f)
+  }
 }

@@ -1,0 +1,40 @@
+package graft.recon
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Lineage-cut policy for the engine's load-bearing materialization points
+ * (pre-fan-out shingle tables, per-pass remanents, pre-sort candidate
+ * sets). Catalyst re-executes a subplan once per consumer and
+ * ReuseExchange only dedups identical exchanges, so these cuts are
+ * correctness-of-cost, not correctness-of-result.
+ *
+ * Two modes:
+ *  - default: `localCheckpoint(eager)` — blocks stay on executor local
+ *    storage. Fastest, but non-replicated: on a real cluster an executor
+ *    loss past the cut fails the job.
+ *  - `spark.graft.checkpointDir` set: reliable `checkpoint()` into that
+ *    (HDFS/object-store) directory — survives executor loss, the right
+ *    setting for long multi-pass runs at the 100 TB scale. The directory
+ *    is installed as the SparkContext checkpoint dir on first use.
+ */
+object Checkpoints {
+
+  final val DirConf = "spark.graft.checkpointDir"
+
+  /** Materialize `df` eagerly and cut its lineage, per the session's
+    * checkpoint policy. */
+  def cut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(DirConf) match {
+      case Some(dir) if dir.nonEmpty =>
+        val sc = spark.sparkContext
+        // setCheckpointDir appends a per-app UUID subdir — startsWith, not
+        // equality, or every cut would install a fresh subdir
+        if (!sc.getCheckpointDir.exists(_.startsWith(dir))) sc.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case _ =>
+        df.localCheckpoint(eager = true)
+    }
+  }
+}

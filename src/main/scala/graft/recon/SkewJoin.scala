@@ -38,6 +38,12 @@ object SkewJoin {
       saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    // salting preserves multiplicity only when unmatched SMALL-side rows are
+    // never emitted: a right/full outer join would emit each unmatched small
+    // row once per salt replica (saltFactor duplicates)
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+      .contains(joinType.toLowerCase.replace("_", "")),
+      s"saltedEquiJoin supports inner/left joins only, got '$joinType'")
     val l = skewed.withColumn("__salt_l", saltOf(saltBy.map(col), saltFactor)).alias("__skew_l")
     val r = small
       .withColumn("__salt_r", explode(array((0 until saltFactor).map(lit): _*))).alias("__skew_r")

@@ -73,19 +73,33 @@ object EventPipeline {
    * sources.
    */
   def streamingDedup(events: DataFrame, idCols: Seq[String], watermarkDelay: String): DataFrame =
+    // dedup on the id columns ALONE (a duplicate id arriving with a
+    // different timestamp must still be dropped); WithinWatermark keeps the
+    // per-key state bounded by the watermark horizon even though no
+    // event-time column is part of the key
     events.withWatermark("ts", watermarkDelay)
-      .dropDuplicates(idCols :+ "ts")
+      .dropDuplicatesWithinWatermark(idCols)
 
   /**
    * Stateful streaming sessionizer: per-user state via
-   * flatMapGroupsWithState with processing-time timeout — emits a session
-   * when the gap closes it. The custom-state analog of [[sessionize]].
+   * flatMapGroupsWithState with a processing-time timeout — a session is
+   * emitted when a later event closes it OR when the timeout fires with no
+   * new events (so the last open session per user is eventually flushed
+   * and its state removed, instead of living forever). The custom-state
+   * analog of [[sessionize]].
    */
   def sessionizeStream(events: Dataset[Event], gapMs: Long): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
 
     def update(userId: Long, rows: Iterator[Event],
         state: GroupState[SessionState]): Iterator[SessionSummary] = {
+      if (state.hasTimedOut) {
+        // gap elapsed in processing time with no new events: flush + clear
+        val out = state.getOption
+          .map(s => SessionSummary(userId, s.start, s.last, s.n, s.total)).iterator
+        state.remove()
+        return out
+      }
       val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
       var cur = state.getOption
       val out = scala.collection.mutable.ListBuffer.empty[SessionSummary]
@@ -101,12 +115,15 @@ object EventPipeline {
             cur = Some(SessionState(t, t, 1L, e.value))
         }
       }
-      cur.foreach(state.update)
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutDuration(gapMs)
+      }
       out.iterator
     }
 
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionSummary](
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(update)
   }
 }

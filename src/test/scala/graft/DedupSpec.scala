@@ -56,11 +56,21 @@ class DedupSpec extends SparkSuite {
   }
 
   test("simHash near-dups finds near-identical docs within hamming budget") {
-    val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 8)
+    // the 4×16-bit chunk banding GUARANTEES candidates only for hamming ≤ 3
+    // (pigeonhole); docs 1/2/5 normalize identically (hamming 0 pairwise),
+    // doc 3 sits at hamming 11 with md5 token hashes (no shared chunk —
+    // legitimately outside banding recall), doc 4 at 25
+    val pairs = Dedup.simHashNearDups(docs, "text", "doc_id", maxHamming = 3)
       .select("doc1", "doc2").as[(Long, Long)].collect().toSet
-    assert(pairs.contains((1L, 2L)))
-    assert(pairs.contains((1L, 3L)))
-    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(pairs == Set((1L, 2L), (1L, 5L), (2L, 5L)))
+  }
+
+  test("simHash bucket cap skips hub buckets (pairs only via uncapped chunks)") {
+    // two identical docs always share all four chunks; with maxBucket = 1
+    // every bucket is oversize and no pairs can form
+    val capped = Dedup.simHashNearDups(docs, "text", "doc_id",
+      maxHamming = 12, maxBucket = 1)
+    assert(capped.count() == 0)
   }
 
   test("embeddingNearDups thresholds on float cosine") {
