@@ -299,6 +299,49 @@ object ReconQueries {
       ExprBuilder.selectByPrefix(E(s, d), "ext_")
     },
 
+    // THE full reference pass over an external side with duplicate
+    // pairings: exact match + _process_duplicates displacement (first
+    // pairing kept, last pairing's external row re-added to the external
+    // remanents) + tolerance second chance with the one-external-used-once
+    // invariant — every stage mirrored in the oracle
+    QuerySpec("recon_pass_full",
+      s"""${OracleSql.preludeWithDups},
+         |m AS (SELECT i._id AS _id, e.ext_id AS ext_id, e.ext_row AS ext_row
+         |      FROM internal i JOIN extdup e ON ${joinOnAl("i", "e")}),
+         |kept AS (SELECT _id, ext_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY _id ORDER BY ext_row) AS rn FROM m) WHERE rn = 1),
+         |disp AS (SELECT ext_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY _id ORDER BY ext_row DESC) AS rn,
+         |    count(*) OVER (PARTITION BY _id) AS c FROM m) WHERE c > 1 AND rn = 1),
+         |arem AS (SELECT * FROM internal i WHERE NOT EXISTS (SELECT 1 FROM extdup e WHERE ${joinOnAl("i", "e")})),
+         |brem AS (SELECT e.* FROM extdup e WHERE NOT EXISTS (SELECT 1 FROM internal i WHERE ${joinOnAl("i", "e")})
+         |         UNION ALL SELECT e.* FROM extdup e JOIN disp d ON e.ext_id = d.ext_id),
+         |cand AS (SELECT i._id AS _id, e.ext_id AS ext_id,
+         |           abs(i.approved_transaction_amount - e.ext_amount) AS tolerance_diff, e.ext_row AS ext_row
+         |         FROM arem i JOIN brem e
+         |           ON i.transaction_code = e.ext_code AND i.create_timestamp = e.ext_ts AND i.bin_code = e.ext_prio
+         |         WHERE abs(i.approved_transaction_amount - e.ext_amount) <= 0.1),
+         |tol1 AS (SELECT _id, ext_id, tolerance_diff FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY _id ORDER BY tolerance_diff, ext_row) AS rn FROM cand) WHERE rn = 1),
+         |tol AS (SELECT _id, ext_id, tolerance_diff FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY ext_id ORDER BY tolerance_diff, _id) AS rn2 FROM tol1) WHERE rn2 = 1)
+         |SELECT _id, ext_id, CAST(0.0 AS DOUBLE) AS tolerance_diff, 'MATCHED' AS status FROM kept
+         |UNION ALL
+         |SELECT _id, ext_id, tolerance_diff, 'MATCHED' AS status FROM tol
+         |UNION ALL
+         |SELECT a2._id, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), 'INTERNAL_REMANENT'
+         |FROM arem a2 WHERE NOT EXISTS (SELECT 1 FROM tol t WHERE t._id = a2._id)
+         |UNION ALL
+         |SELECT CAST(NULL AS VARCHAR), b2.ext_id, CAST(NULL AS DOUBLE), 'EXTERNAL_REMANENT'
+         |FROM brem b2 WHERE NOT EXISTS (SELECT 1 FROM tol t WHERE t.ext_id = b2.ext_id)""".stripMargin) { (s, d) =>
+      val r = recon.reconcilePass(I(s, d), TpcMapping.externalWithDups(s, d), extOrder)
+      recon.diagonalUnion(Seq(
+        r.matched.select(col("_id"), col("ext_id"), col("tolerance_diff"),
+          lit("MATCHED").as("status")),
+        r.internalRemanent.select(col("_id"), lit("INTERNAL_REMANENT").as("status")),
+        r.externalRemanent.select(col("ext_id"), lit("EXTERNAL_REMANENT").as("status"))))
+    },
+
     // new_rc_step — two-pass iterative reconciliation (exact, then tolerance)
     QuerySpec("recon_iterate2",
       s"""$prelude,

@@ -93,6 +93,27 @@ object TpcMapping {
     val extra = base(col("o_totalprice"), 10000000L).where((col("ext_row") - 10000000L) % 7 === 0)
     exact.unionByName(tol).unionByName(extra)
   }
+
+  /**
+   * External side plus deliberate duplicate pairings: for
+   * o_orderkey % 10 <= 2 a SECOND external row with identical join keys
+   * but shifted id/provenance (+20M) — so those internals match two
+   * externals and the full pass's duplicate-displacement path
+   * (first kept, last re-added to the external remanents) is exercised
+   * and value-checked.
+   */
+  def externalWithDups(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val dup = o.select(
+      (col("o_orderkey") + lit(20000000L)).cast("string").as("ext_id"),
+      col("o_orderkey").cast("string").as("ext_code"),
+      col("o_totalprice").as("ext_amount"),
+      unix_millis(col("o_orderdate").cast("timestamp")).as("ext_ts"),
+      col("o_orderpriority").as("ext_prio"),
+      (col("o_orderkey") + lit(20000000L)).as("ext_row"))
+      .where(col("o_orderkey") % 10 <= 2)
+    external(spark, dir).unionByName(dup)
+  }
 }
 
 /**
@@ -141,9 +162,23 @@ object OracleSql {
       |  o_orderkey + 10000000
       |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin
 
+  /** CTE body ≡ TpcMapping.externalWithDups' extra branch. */
+  val externalDupSql: String =
+    """SELECT CAST(o_orderkey + 20000000 AS VARCHAR) AS ext_id,
+      |  CAST(o_orderkey AS VARCHAR) AS ext_code,
+      |  o_totalprice AS ext_amount,
+      |  epoch_ms(o_orderdate) AS ext_ts,
+      |  o_orderpriority AS ext_prio,
+      |  o_orderkey + 20000000 AS ext_row
+      |FROM orders WHERE o_orderkey % 10 <= 2""".stripMargin
+
   /** Shared WITH prelude for recon oracles. */
   val prelude: String =
     s"WITH internal AS (\n$internalSql\n), external AS (\n$externalSql\n)"
+
+  /** Prelude variant adding the duplicate-pairing external (extdup CTE). */
+  val preludeWithDups: String =
+    s"$prelude, extdup AS (\nSELECT * FROM external\nUNION ALL\n$externalDupSql\n)"
 
   /** The 4-key equi-join predicate between the CTEs. */
   val joinOn: String =

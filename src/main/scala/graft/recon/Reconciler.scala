@@ -174,10 +174,20 @@ final class Reconciler(val conf: ReconConfig) extends Serializable {
   /**
    * Full tolerance step: matches plus both rebuilt remanent sides
    * (reference: anti-join rebuild at src/reconciliatior.py:143-148).
+   *
+   * After the per-internal greedy pick, a symmetric keep-first per
+   * EXTERNAL id enforces the one-external-used-once invariant: two
+   * internal rows sharing reduced keys would otherwise both claim the
+   * same external row while `bLeft` removes it only once. Ties break on
+   * (diff, internal id) for determinism. The internal rows displaced by
+   * this second pick simply stay in `aLeft` (their id is absent from the
+   * final matches), eligible for the next pass.
    */
   def applyTolerance(aRem: DataFrame, bRem: DataFrame, rule: ToleranceRule, extOrder: Column)
       : (DataFrame, DataFrame, DataFrame) = {
-    val matches = toleranceMatch(aRem, bRem, rule, extOrder)
+    val best = toleranceMatch(aRem, bRem, rule, extOrder)
+    val matches = keepFirstBy(best, Seq(conf.externalId),
+      Seq(col("tolerance_diff"), col(conf.idField)))
     val aLeft = aRem.join(matches.select(col(conf.idField)), Seq(conf.idField), "left_anti")
     val bLeft = bRem.join(matches.select(col(conf.externalId)), Seq(conf.externalId), "left_anti")
     (matches, aLeft, bLeft)
@@ -191,24 +201,52 @@ final class Reconciler(val conf: ReconConfig) extends Serializable {
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
   /**
-   * One full reconciliation pass: exact match + optional tolerance second
-   * chance, remanents out (reference pass structure:
-   * src/reconciliation.py:60-65 plus new_rc_step at
+   * One full reconciliation pass: exact match + duplicate displacement +
+   * optional tolerance second chance, remanents out (reference pass
+   * structure: src/reconciliation.py:60-65 plus new_rc_step at
    * src/reconciliatior.py:201-206).
+   *
+   * Duplicate displacement follows the reference's `_process_duplicates`
+   * exactly (src/reconciliatior.py:20-59, invoked from match_records at
+   * :73): when one internal row matched several external rows, the FIRST
+   * pairing (by external provenance order) stays matched, the LAST
+   * pairing's external row is re-added to the external remanents, and any
+   * middle pairings drop outright — faithful to the reference's
+   * keep="first" / keep="last" pair, quirks included. The reference
+   * reconstructs the re-added external row from its `exd_` shadow keys
+   * (Polars coalesces the right-hand join keys away); our joins keep both
+   * sides' columns, so a projection onto `b`'s columns suffices.
+   *
+   * Both outcomes come from ONE hash aggregation over the matched set
+   * (min_by + max_by + count per internal id, map-side combined) — not a
+   * keep-first window plus a duplicate probe plus a keep-last pass, which
+   * would re-execute the match join three times.
    */
   def reconcilePass(a: DataFrame, b: DataFrame, extOrder: Column): ReconResult = {
     val exact = matchRecords(a, b)
+    val others = exact.columns.filterNot(_ == conf.idField)
+    val row = struct(others.map(col).toIndexedSeq: _*)
+    val fl = exact.groupBy(col(conf.idField)).agg(
+      min_by(row, struct(extOrder)).as("__first"),
+      max_by(row, struct(extOrder)).as("__last"),
+      count(lit(1)).as("__n"))
+    val kept = fl
+      .select(col(conf.idField) +: others.map(c => col(s"__first.$c").as(c)): _*)
+      .select(exact.columns.map(col).toIndexedSeq: _*)
+    val displaced = fl.where(col("__n") > 1)
+      .select(others.map(c => col(s"__last.$c").as(c)): _*)
+      .select(b.columns.map(col).toIndexedSeq: _*)
     val aRem0 = notMatchInternal(a, b)
-    val bRem0 = notMatchExternal(a, b)
+    val bRem0 = notMatchExternal(a, b).unionByName(displaced)
     conf.tolerance match {
       case Some(rule) =>
         val (tol, aRem, bRem) = applyTolerance(aRem0, bRem0, rule, extOrder)
         ReconResult(
-          matched = diagonalUnion(Seq(exact.withColumn("tolerance_diff", lit(0.0d)), tol)),
+          matched = diagonalUnion(Seq(kept.withColumn("tolerance_diff", lit(0.0d)), tol)),
           internalRemanent = aRem,
           externalRemanent = bRem)
       case None =>
-        ReconResult(exact, aRem0, bRem0)
+        ReconResult(kept, aRem0, bRem0)
     }
   }
 

@@ -90,6 +90,37 @@ class ReconcilerSpec extends SparkSuite {
       Set(("a1", "e2")))
   }
 
+  test("reconcilePass displaces duplicate externals into the remanents") {
+    // a1 matches THREE externals: first (e1) stays matched, last (e3) is
+    // re-added to the external remanents, the middle (e2) drops outright —
+    // the reference's keep-first/keep-last _process_duplicates contract
+    val a = Seq(("a1", "c1", 10.0)).toDF("_id", "code", "amount")
+    val b = Seq(
+      ("e1", "c1", 10.0, 1L),
+      ("e2", "c1", 10.0, 2L),
+      ("e3", "c1", 10.0, 3L),
+      ("e9", "cZ", 77.0, 9L)  // plain external remanent
+    ).toDF("ext_id", "ext_code", "ext_amount", "ext_row")
+    val r = new Reconciler(conf.copy(tolerance = None)).reconcilePass(a, b, col("ext_row"))
+    assert(r.matched.select("_id", "ext_id").as[(String, String)].collect().toSet ==
+      Set(("a1", "e1")))
+    assert(r.externalRemanent.select("ext_id").as[String].collect().toSet ==
+      Set("e3", "e9"))
+    assert(r.internalRemanent.isEmpty)
+  }
+
+  test("applyTolerance enforces one-external-used-once (symmetric dedup)") {
+    // a1 and a2 share the reduced key c1; both band-match e1 but a1 wins
+    // (smaller diff) — e1 must be consumed exactly once, a2 stays remanent
+    val a = Seq(("a1", "c1", 10.0), ("a2", "c1", 10.06)).toDF("_id", "code", "amount")
+    val b = Seq(("e1", "c1", 10.01, 1L)).toDF("ext_id", "ext_code", "ext_amount", "ext_row")
+    val (tol, aLeft, bLeft) = recon.applyTolerance(a, b, conf.tolerance.get, col("ext_row"))
+    assert(tol.select("_id", "ext_id").as[(String, String)].collect().toSet ==
+      Set(("a1", "e1")))
+    assert(aLeft.select("_id").as[String].collect().toSet == Set("a2"))
+    assert(bLeft.isEmpty)
+  }
+
   test("diagonal union fills missing columns with null") {
     val a = Seq(("1", "x")).toDF("id", "only_a")
     val b = Seq(("2", 5)).toDF("id", "only_b")
