@@ -85,27 +85,28 @@ object ReconQueries {
         .withColumn("conciliation_status", lit("REMANENT"))
     },
 
-    // J4 (join half) — zero-effect SALE⋈VOID pairs
+    // J4 (join half) — zero-effect SALE⋈VOID pairs on the TWO-column rule
+    // (ticket + banded amount, the reference's [ticket_code, amount] shape)
     QuerySpec("recon_zero_effect_pairs",
       s"""$prelude,
-         |s1 AS (SELECT * FROM (SELECT i.*, row_number() OVER (PARTITION BY ticket_code ORDER BY row_order) AS rn
+         |s1 AS (SELECT * FROM (SELECT i.*, row_number() OVER (PARTITION BY ticket_code, amount_band ORDER BY row_order) AS rn
          |       FROM internal i WHERE transaction_type = 'O') WHERE rn = 1),
-         |v1 AS (SELECT * FROM (SELECT i.*, row_number() OVER (PARTITION BY sale_ticket_code ORDER BY row_order) AS rn
+         |v1 AS (SELECT * FROM (SELECT i.*, row_number() OVER (PARTITION BY sale_ticket_code, amount_band ORDER BY row_order) AS rn
          |       FROM internal i WHERE transaction_type = 'F') WHERE rn = 1)
          |SELECT s1._id AS sale_id, v1._id AS void_id
-         |FROM s1 JOIN v1 ON s1.ticket_code = v1.sale_ticket_code""".stripMargin) { (s, d) =>
+         |FROM s1 JOIN v1 ON s1.ticket_code = v1.sale_ticket_code AND s1.amount_band = v1.amount_band""".stripMargin) { (s, d) =>
       recon.applyZeroEffect(I(s, d), conf.zeroEffect.get, col("row_order"))._2
     },
 
     // J4 (anti half) — internal set reduced by the cancelled pairs
     QuerySpec("recon_zero_effect_reduced",
       s"""$prelude,
-         |s1 AS (SELECT * FROM (SELECT i.*, row_number() OVER (PARTITION BY ticket_code ORDER BY row_order) AS rn
+         |s1 AS (SELECT * FROM (SELECT i.*, row_number() OVER (PARTITION BY ticket_code, amount_band ORDER BY row_order) AS rn
          |       FROM internal i WHERE transaction_type = 'O') WHERE rn = 1),
-         |v1 AS (SELECT * FROM (SELECT i.*, row_number() OVER (PARTITION BY sale_ticket_code ORDER BY row_order) AS rn
+         |v1 AS (SELECT * FROM (SELECT i.*, row_number() OVER (PARTITION BY sale_ticket_code, amount_band ORDER BY row_order) AS rn
          |       FROM internal i WHERE transaction_type = 'F') WHERE rn = 1),
          |pairs AS (SELECT s1._id AS sale_id, v1._id AS void_id
-         |          FROM s1 JOIN v1 ON s1.ticket_code = v1.sale_ticket_code)
+         |          FROM s1 JOIN v1 ON s1.ticket_code = v1.sale_ticket_code AND s1.amount_band = v1.amount_band)
          |SELECT i.* FROM internal i
          |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.sale_id = i._id)
          |  AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.void_id = i._id)""".stripMargin) { (s, d) =>
@@ -232,11 +233,13 @@ object ReconQueries {
       Sinks.upsert(existing, incoming, "_id", overwrite = true)
     },
 
-    // P9 — deterministic row-provenance index over an explicit order
+    // P9 — deterministic row-provenance index over an explicit order,
+    // distributed (range partitions + per-partition offsets; no
+    // single-partition window task)
     QuerySpec("recon_row_index",
       s"""$prelude
          |SELECT _id, row_number() OVER (ORDER BY row_order) AS file_row_number FROM internal""".stripMargin) { (s, d) =>
-      Sources.withRowIndexBy(I(s, d), "file_row_number", Seq(col("row_order")))
+      Sources.withRowIndexRanged(I(s, d), "file_row_number", Seq(col("row_order")))
         .select(col("_id"), col("file_row_number"))
     },
 
@@ -288,7 +291,7 @@ object ReconQueries {
       // anti-join + band-join chain twice
       ta.join(tb, equi && diff <= lit(rule.tolerance))
         .select(col("_id"), col("ext_id"), diff.as("tolerance_diff"))
-        .localCheckpoint(true)
+        .transform(Checkpoints.cut)
         .orderBy(col("tolerance_diff"), col("_id"), col("ext_id"))
     },
 

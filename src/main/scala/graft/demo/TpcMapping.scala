@@ -38,9 +38,14 @@ object TpcMapping {
     externalId = "ext_id",
     orderField = "ext_row",
     tolerance = Some(ToleranceRule(KeyPair("ext_amount", "approved_transaction_amount"), 0.1d)),
+    // two-column rule like the reference's [ticket_code,
+    // approved_transaction_amount] pairing (reconciliatior.py:169-171);
+    // the demo's second column is the banded amount so the fixture data
+    // actually produces cancelling pairs (raw doubles never collide)
     zeroEffect = Some(ZeroEffectRule(
       kindField = "transaction_type", saleKind = "O", voidKind = "F",
-      saleCols = Seq("ticket_code"), voidCols = Seq("sale_ticket_code"))))
+      saleCols = Seq("ticket_code", "amount_band"),
+      voidCols = Seq("sale_ticket_code", "amount_band"))))
 
   val audit: AuditSpec = AuditSpec(
     executionId = "exec-0001",
@@ -76,6 +81,7 @@ object TpcMapping {
     col("o_custkey").cast("string").as("ticket_code"),
     col("o_custkey").cast("string").as("sale_ticket_code"),
     col("o_orderpriority").as("bin_code"),
+    floor(col("o_totalprice") / 10000).cast("long").as("amount_band"),
     col("o_orderkey").as("row_order"))
 
   /** External "b" side (reference settlement CSV after prep, FIXTURES.md §1). */
@@ -133,6 +139,7 @@ object OracleSql {
       |  CAST(o_custkey AS VARCHAR) AS ticket_code,
       |  CAST(o_custkey AS VARCHAR) AS sale_ticket_code,
       |  o_orderpriority AS bin_code,
+      |  CAST(trunc(o_totalprice / 10000) AS BIGINT) AS amount_band,
       |  o_orderkey AS row_order
       |FROM orders""".stripMargin
 

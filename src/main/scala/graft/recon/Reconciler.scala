@@ -257,18 +257,23 @@ final class Reconciler(val conf: ReconConfig) extends Serializable {
    * passes are idempotent — the hook exists for per-pass config changes
    * (the reference relaxes keys between passes).
    *
-   * @param truncateLineage cut each pass's remanent lineage with an eager
-   *   localCheckpoint. Off by default (small inputs re-plan fine); turn on
-   *   for many passes over large inputs, where the accumulated
-   *   anti-join-of-anti-join plan re-executes pass 1..N-1 inside pass N
-   *   and the diagonal-union lineage grows unboundedly (SURVEY §7.3-6).
+   * @param truncateLineage cut the base frames and each pass's remanent
+   *   lineage with an eager checkpoint ([[Checkpoints.cut]]: executor-local
+   *   by default, reliable when `spark.graft.checkpointDir` is set). Off by
+   *   default (small inputs re-plan fine); turn on for many passes over
+   *   large inputs, where the accumulated anti-join-of-anti-join plan
+   *   re-executes pass 1..N-1 inside pass N and the diagonal-union lineage
+   *   grows unboundedly (SURVEY §7.3-6).
    */
   def iterate(a: DataFrame, b: DataFrame, extOrder: Column,
       passes: Seq[ReconConfig], truncateLineage: Boolean = false): ReconResult = {
     def cut(df: DataFrame): DataFrame =
-      if (truncateLineage) df.localCheckpoint(true) else df
-    var aCur = a
-    var bCur = b
+      if (truncateLineage) Checkpoints.cut(df) else df
+    // materialize the base frames too: pass 1 consumes each side in three
+    // places (match + both antis), so an uncut source derivation (scan +
+    // unions + casts) would execute three times before pass 2 even starts
+    var aCur = cut(a)
+    var bCur = cut(b)
     var acc: Option[DataFrame] = None
     passes.foreach { pc =>
       val r = new Reconciler(pc).reconcilePass(aCur, bCur, extOrder)

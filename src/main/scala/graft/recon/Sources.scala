@@ -82,12 +82,26 @@ object Sources {
   }
 
   /**
-   * Deterministic row index by explicit sort keys — the Spark-idiomatic
-   * variant when a total order exists in the data (preferred at scale over
-   * [[withRowIndex]]: stays inside Catalyst/codegen, single range-partition
-   * sort, no RDD hop). One global window = one task only for the final
-   * row_number stamping; use when provenance must follow a domain order
-   * rather than file order.
+   * Distributed deterministic row index by explicit sort keys — ≡
+   * `row_number() OVER (ORDER BY keys)` but with no single-partition
+   * stamping task: range-repartition on the keys (partitions are ordered
+   * ranges), sort within each partition, then assign indexes via the
+   * two-pass partition-offset scheme of [[withRowIndex]]. Every stage is
+   * distributed; the only extra cost over a global window is the
+   * partition-size count job. Keys should totally order the rows — ties
+   * that straddle a range boundary get an arbitrary (but still unique,
+   * strictly increasing) relative order, same as `row_number` itself.
+   */
+  def withRowIndexRanged(df: DataFrame, name: String, order: Seq[Column], offset: Long = 1L): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    withRowIndex(df.repartitionByRange(n, order: _*).sortWithinPartitions(order: _*), name, offset)
+  }
+
+  /**
+   * Row index via a global `row_number()` window. CAUTION: with no
+   * partition column Spark moves every row through ONE task for the
+   * stamping — fine for post-aggregation frames that are already small,
+   * a scale-killer on raw inputs. Prefer [[withRowIndexRanged]] there.
    */
   def withRowIndexBy(df: DataFrame, name: String, order: Seq[Column], offset: Long = 1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
