@@ -336,31 +336,7 @@ object OpsQueries {
  * linear in size instead of exponentially duplicated.
  */
 object LshOracleSql {
-
-  private val P = "18446744073709551616" // 2^64
-
-  private def wrap(e: String) = s"(($e) % $P)"
-  private def bxor(a: String, b: String) = s"xor(($a), ($b))"
-  private def shr(e: String, k: Int) = s"(($e) >> $k)"
-
-  /** (a*c) mod 2^64 with a < 2^64: split a into 32-bit halves so the
-    * products fit in INT128. */
-  private def mulmod(a: String, c: String) = {
-    val al = s"(($a) % 4294967296)"
-    val ah = s"(($a) // 4294967296)"
-    wrap(s"$al * $c + ((($ah * $c) % 4294967296) * 4294967296)")
-  }
-
-  /** splitmix64 finalizer over HUGEINT, ≡ VecOps.mix64. `tag` uniquifies
-    * the let-bound variable names per instantiation. */
-  private def mix64(z0: String, tag: String): String = {
-    val (v1, v2, v3) = (s"__m${tag}a", s"__m${tag}b", s"__m${tag}c")
-    val s1 = wrap(s"($z0) + 11400714819323198485")          // 0x9E3779B97F4A7C15
-    val s2 = mulmod(bxor(v1, shr(v1, 30)), "13787848793156543929") // 0xBF58476D1CE4E5B9
-    val s3 = mulmod(bxor(v2, shr(v2, 27)), "10723151780598845931") // 0x94D049BB133111EB
-    val s4 = bxor(v3, shr(v3, 31))
-    s"[[[ $s4 FOR $v3 IN [$s3]][1] FOR $v2 IN [$s2]][1] FOR $v1 IN [$s1]][1]"
-  }
+  import DuckHashSql.mix64
 
   /** ±1f sign list for plane `p` over the embedding's dims (float32, so
     * list_dot_product accumulates bit-identically to the JVM kernel). */
@@ -409,11 +385,48 @@ object LshOracleSql {
 }
 
 /**
+ * Shared DuckDB HUGEINT mod-2^64 primitives for mirroring JVM 64-bit
+ * wraparound hash kernels: the multiply splits into 32-bit halves so no
+ * intermediate exceeds INT128, and each mixer stage binds once through a
+ * single-element list comprehension (a SQL "let") so the generated
+ * expression stays linear in size.
+ */
+object DuckHashSql {
+
+  val P = "18446744073709551616" // 2^64
+
+  def wrap(e: String): String = s"(($e) % $P)"
+  def bxor(a: String, b: String): String = s"xor(($a), ($b))"
+  def shr(e: String, k: Int): String = s"(($e) >> $k)"
+
+  /** (a*c) mod 2^64 with a < 2^64: split a into 32-bit halves so the
+    * products fit in INT128. */
+  def mulmod(a: String, c: String): String = {
+    val al = s"(($a) % 4294967296)"
+    val ah = s"(($a) // 4294967296)"
+    wrap(s"$al * $c + ((($ah * $c) % 4294967296) * 4294967296)")
+  }
+
+  /** splitmix64 finalizer over HUGEINT, ≡ VecOps.mix64. `tag` uniquifies
+    * the let-bound variable names per instantiation. */
+  def mix64(z0: String, tag: String): String = {
+    val (v1, v2, v3) = (s"__m${tag}a", s"__m${tag}b", s"__m${tag}c")
+    val s1 = wrap(s"($z0) + 11400714819323198485")          // 0x9E3779B97F4A7C15
+    val s2 = mulmod(bxor(v1, shr(v1, 30)), "13787848793156543929") // 0xBF58476D1CE4E5B9
+    val s3 = mulmod(bxor(v2, shr(v2, 27)), "10723151780598845931") // 0x94D049BB133111EB
+    val s4 = bxor(v3, shr(v3, 31))
+    s"[[[ $s4 FOR $v3 IN [$s3]][1] FOR $v2 IN [$s2]][1] FOR $v1 IN [$s1]][1]"
+  }
+}
+
+/**
  * DuckDB mirrors of the md5-portable sketch kernels ([[graft.ops.Dedup]],
- * [[graft.functions.TextOps]]): slot/band hashes are the first 15 hex
- * digits of an md5 (60 bits — non-negative in a signed 64-bit int on both
- * engines), SimHash per-token hashes the first 16 (full unsigned 64-bit,
- * rebuilt through HUGEINT with an explicit sign fixup). Tokenization,
+ * [[graft.functions.TextOps]]): MinHash slot hashes are
+ * splitmix64(md5_64(shingle) + slot) >> 4 (one digest per shingle, 60-bit
+ * non-negative values; mixer mirrored via [[DuckHashSql.mix64]]), band
+ * hashes the first 15 hex digits of an md5, SimHash per-token hashes the
+ * first 16 (full unsigned 64-bit, rebuilt through HUGEINT with an
+ * explicit sign fixup). Tokenization,
  * shingling, banding, the bucket-size caps and the verification stages are
  * all mirrored, so CORRECTNESS value-checks the entire sketch paths.
  */
@@ -440,10 +453,11 @@ object SketchOracleSql {
        |d AS (SELECT doc, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
        |                                 FOR i IN range(1, len(t) - 1)]) AS sh FROM tt),
        |sh AS (SELECT doc, unnest(sh) AS shingle FROM d),
+       |bs AS (SELECT doc, CAST(CAST(('0x' || substr(md5(shingle), 1, 16)) AS UBIGINT) AS HUGEINT) AS b FROM sh),
        |slot AS (
        |  SELECT doc, i AS slot,
-       |    min(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT)) AS h
-       |  FROM sh CROSS JOIN range(0, $k) r(i) GROUP BY doc, i),
+       |    min(CAST((${DuckHashSql.mix64("b + i", "sl")} // 16) AS BIGINT)) AS h
+       |  FROM bs CROSS JOIN range(0, $k) r(i) GROUP BY doc, i),
        |sig AS (SELECT doc, list(h ORDER BY slot) AS hs FROM slot GROUP BY doc),
        |banded AS (
        |$bandBranches),

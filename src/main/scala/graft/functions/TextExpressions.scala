@@ -60,6 +60,22 @@ case class MinWindowMd5(child: Expression, window: Int) extends UnaryExpression 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** k md5+splitmix64 MinHash slot hashes of a shingle → array<long>
+  * ([[TextOps.md5Slots]]): one digest per shingle instead of k. */
+case class Md5Slots(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_slots requires string, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    TextOps.md5Slots(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.md5Slots($c, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Hamming distance between two long signatures (bit_count(a XOR b)). */
 case class HammingDistance64(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = IntegerType
@@ -89,6 +105,8 @@ object TextFunctions {
   def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
   def simhash64_md5(tokens: Column): Column =
     column(SimHash64(expression(tokens), portable = true))
+  def md5_slots(shingle: Column, k: Int): Column =
+    column(Md5Slots(expression(shingle), k))
   def min_window_hash(text: Column, window: Int): Column =
     column(MinWindowHash(expression(text), window))
   def min_window_md5(text: Column, window: Int): Column =

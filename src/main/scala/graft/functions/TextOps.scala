@@ -48,6 +48,24 @@ object TextOps {
   def md5Hash60(t: UTF8String): Long = md5Hash64(t) >>> 4
 
   /**
+   * k MinHash slot hashes of one shingle: ONE md5, then slot i =
+   * splitmix64(md5 + i) >>> 4 — 60-bit non-negative values. 64× fewer
+   * digest computations than hashing (slot, shingle) pairs, and still
+   * oracle-portable: DuckDB mirrors the mixer with HUGEINT mod-2^64
+   * arithmetic (the same mirror the LSH bucket oracle uses).
+   */
+  def md5Slots(t: UTF8String, k: Int): ArrayData = {
+    val base = md5Hash64(t)
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      out(i) = VecOps.mix64(base + i) >>> 4
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /**
    * 64-bit SimHash over a token array: per-token xxHash64 votes on each of
    * the 64 output bits; bit set iff positive majority. Near-duplicate docs
    * land within small Hamming distance (Charikar's scheme).

@@ -36,8 +36,8 @@ object Dedup {
    * changes the plan shape, only the hash family.
    */
   sealed trait SketchHash {
-    /** slot-i hash of a shingle (MinHash signature rows). */
-    def slot(i: Int, shingle: Column): Column
+    /** all k slot hashes of a shingle at once (array<long>). */
+    def slots(shingle: Column, k: Int): Column
     /** hash of a band's slot values (LSH bucket key). */
     def band(cols: Seq[Column]): Column
   }
@@ -45,11 +45,15 @@ object Dedup {
     private def md5h60(c: Column): Column =
       conv(substring(md5(c), 1, 15), 16, 10).cast("long")
     case object Portable extends SketchHash {
-      def slot(i: Int, shingle: Column): Column = md5h60(concat(lit(s"$i:"), shingle))
+      // one digest + k splitmix64 mixes per shingle (native kernel) —
+      // not k digests; the mixer is mirrored in SQL via HUGEINT mod-2^64
+      def slots(shingle: Column, k: Int): Column =
+        graft.functions.TextFunctions.md5_slots(shingle, k)
       def band(cols: Seq[Column]): Column = md5h60(concat_ws(",", cols: _*))
     }
     case object Fast extends SketchHash {
-      def slot(i: Int, shingle: Column): Column = xxhash64(lit(i), shingle)
+      def slots(shingle: Column, k: Int): Column =
+        array((0 until k).map(i => xxhash64(lit(i), shingle)): _*)
       def band(cols: Seq[Column]): Column = xxhash64(cols: _*)
     }
   }
@@ -191,11 +195,15 @@ object Dedup {
     minHashSignaturesOf(shingleTable(df, textCol, idCol, shingleN), k, hash)
 
   /** Signatures from a pre-built (doc, shingle) table — lets callers
-    * materialize the shingle work once and share it across stages. */
+    * materialize the shingle work once and share it across stages. The
+    * slot array is projected ONCE per (doc, shingle) row; the k mins then
+    * read elements of that attribute (map-side combined, k longs per doc
+    * on the shuffle). */
   def minHashSignaturesOf(shingled: DataFrame, k: Int,
       hash: SketchHash = SketchHash.Portable): DataFrame = {
-    val minCols = (0 until k).map(i => min(hash.slot(i, col("shingle"))).as(s"h$i"))
-    shingled.groupBy("doc").agg(minCols.head, minCols.tail: _*)
+    val sl = shingled.select(col("doc"), hash.slots(col("shingle"), k).as("__slots"))
+    val minCols = (0 until k).map(i => min(element_at(col("__slots"), i + 1)).as(s"h$i"))
+    sl.groupBy("doc").agg(minCols.head, minCols.tail: _*)
   }
 
   /**
