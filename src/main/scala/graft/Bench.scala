@@ -23,7 +23,13 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val secs = (System.nanoTime() - t0) / 1e9
+      // between queries (outside the timed window): drop this query's
+      // lineage-cut blocks (localCheckpoint RDDs) — letting 40+ queries'
+      // blocks pile up in the block manager taxes every later query
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+      (name, secs, ok)
     }
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")

@@ -337,7 +337,8 @@ object ReconQueries {
          |UNION ALL
          |SELECT CAST(NULL AS VARCHAR), b2.ext_id, CAST(NULL AS DOUBLE), 'EXTERNAL_REMANENT'
          |FROM brem b2 WHERE NOT EXISTS (SELECT 1 FROM tol t WHERE t.ext_id = b2.ext_id)""".stripMargin) { (s, d) =>
-      val r = recon.reconcilePass(I(s, d), TpcMapping.externalWithDups(s, d), extOrder)
+      val r = recon.reconcilePass(I(s, d), TpcMapping.externalWithDups(s, d), extOrder,
+        truncate = true)
       recon.diagonalUnion(Seq(
         r.matched.select(col("_id"), col("ext_id"), col("tolerance_diff"),
           lit("MATCHED").as("status")),

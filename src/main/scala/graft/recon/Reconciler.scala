@@ -222,14 +222,24 @@ final class Reconciler(val conf: ReconConfig) extends Serializable {
    * keep-first window plus a duplicate probe plus a keep-last pass, which
    * would re-execute the match join three times.
    */
-  def reconcilePass(a: DataFrame, b: DataFrame, extOrder: Column): ReconResult = {
+  /**
+   * @param truncate materialize the first/last aggregation and the
+   *   pre-tolerance remanents once ([[Checkpoints.cut]]). The aggregation
+   *   feeds the matched output AND the displaced-external branch, and each
+   *   remanent side feeds the tolerance join plus its rebuild anti-join —
+   *   uncut, Catalyst re-executes the match-join subtree once per
+   *   consumer. Off by default for single-consumer callers.
+   */
+  def reconcilePass(a: DataFrame, b: DataFrame, extOrder: Column,
+      truncate: Boolean = false): ReconResult = {
+    def cut(df: DataFrame): DataFrame = if (truncate) Checkpoints.cut(df) else df
     val exact = matchRecords(a, b)
     val others = exact.columns.filterNot(_ == conf.idField)
     val row = struct(others.map(col).toIndexedSeq: _*)
-    val fl = exact.groupBy(col(conf.idField)).agg(
+    val fl = cut(exact.groupBy(col(conf.idField)).agg(
       min_by(row, struct(extOrder)).as("__first"),
       max_by(row, struct(extOrder)).as("__last"),
-      count(lit(1)).as("__n"))
+      count(lit(1)).as("__n")))
     val kept = fl
       .select(col(conf.idField) +: others.map(c => col(s"__first.$c").as(c)): _*)
       .select(exact.columns.map(col).toIndexedSeq: _*)
@@ -240,7 +250,10 @@ final class Reconciler(val conf: ReconConfig) extends Serializable {
     val bRem0 = notMatchExternal(a, b).unionByName(displaced)
     conf.tolerance match {
       case Some(rule) =>
-        val (tol, aRem, bRem) = applyTolerance(aRem0, bRem0, rule, extOrder)
+        // only the tolerance path fans each remanent out to 2 consumers —
+        // with no tolerance the caller is the single consumer, so cutting
+        // here would just double-materialize under iterate()
+        val (tol, aRem, bRem) = applyTolerance(cut(aRem0), cut(bRem0), rule, extOrder)
         ReconResult(
           matched = diagonalUnion(Seq(kept.withColumn("tolerance_diff", lit(0.0d)), tol)),
           internalRemanent = aRem,
@@ -276,7 +289,7 @@ final class Reconciler(val conf: ReconConfig) extends Serializable {
     var bCur = cut(b)
     var acc: Option[DataFrame] = None
     passes.foreach { pc =>
-      val r = new Reconciler(pc).reconcilePass(aCur, bCur, extOrder)
+      val r = new Reconciler(pc).reconcilePass(aCur, bCur, extOrder, truncate = truncateLineage)
       acc = Some(acc.fold(r.matched)(m => diagonalUnion(Seq(m, r.matched))))
       aCur = cut(r.internalRemanent)
       bCur = cut(r.externalRemanent)
