@@ -36,6 +36,30 @@ class SimilarityTextSpec extends SparkSuite {
     assert(lsh.subsetOf(brute))
   }
 
+  test("lshCandidates caps oversize buckets and shuffles the index once") {
+    // with h = 0 every vector lands in bucket 0: cap 2 < 4 members -> no
+    // pairs; cap 4 -> all 6 unordered pairs
+    assert(Similarity.lshCandidates(vecs, "vec_id", "embedding", h = 0, maxBucket = 2)
+      .count() == 0)
+    val all = Similarity.lshCandidates(vecs, "vec_id", "embedding", h = 0, maxBucket = 4)
+    assert(all.count() == 6)
+    // grouped pair expansion: exactly ONE hash-partitioning exchange (the
+    // bucket groupBy) — a bucket self-join would need two
+    val exchanges = all.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 bucket shuffle, saw $exchanges")
+  }
+
+  test("ivfIndex assigns per-row over broadcast centroids with no shuffle") {
+    val idx = Similarity.ivfIndex(vecs, "vec_id", "embedding", nCentroids = 2, modulus = 2)
+    val plan = idx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"IVF assignment must not shuffle the corpus:\n$plan")
+    // nearest centroid by dot product (centroids = ids {2, 4})
+    val assigned = idx.select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(assigned(1L) == 2L && assigned(3L) == 2L && assigned(4L) == 4L)
+  }
+
   test("lshBucket is deterministic across evaluations") {
     val b1 = Similarity.lshIndex(vecs, "vec_id", "embedding", 4)
       .select("vec_id", "bucket").as[(Long, Long)].collect().toSet
