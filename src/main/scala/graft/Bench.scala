@@ -13,9 +13,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional comma-separated allowlist for profiling single queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // warm the JVM (classloading, codegen, shuffle machinery) outside any
+    // timed window so the first real query isn't charged ~3s of JIT
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(200000)
+        .select(col("id"), md5(col("id").cast("string")).as("h"))
+        .groupBy(pmod(xxhash64(col("h")), lit(16))).count().count()
+    }
     // (name, seconds, succeeded) — a failed query must be loud (stderr) and
     // visible in the JSON (-1 marker + errors list), never a silent fast run
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

@@ -283,16 +283,22 @@ final class Reconciler(val conf: ReconConfig) extends Serializable {
     def cut(df: DataFrame): DataFrame =
       if (truncateLineage) Checkpoints.cut(df) else df
     // materialize the base frames too: pass 1 consumes each side in three
-    // places (match + both antis), so an uncut source derivation (scan +
-    // unions + casts) would execute three times before pass 2 even starts
+    // places (match + both antis), so an uncut source derivation would
+    // execute three times before pass 2 even starts. (Measured: an eager
+    // block cut beats Dataset.cache here — the columnar InMemoryRelation
+    // build costs more than the three scans it saves.)
     var aCur = cut(a)
     var bCur = cut(b)
     var acc: Option[DataFrame] = None
-    passes.foreach { pc =>
+    passes.zipWithIndex.foreach { case (pc, i) =>
       val r = new Reconciler(pc).reconcilePass(aCur, bCur, extOrder, truncate = truncateLineage)
       acc = Some(acc.fold(r.matched)(m => diagonalUnion(Seq(m, r.matched))))
-      aCur = cut(r.internalRemanent)
-      bCur = cut(r.externalRemanent)
+      // the LAST pass's remanents have no next pass to feed — leave them
+      // lazy (cutting them would eagerly materialize frames the caller
+      // may never consume)
+      val last = i == passes.length - 1
+      aCur = if (last) r.internalRemanent else cut(r.internalRemanent)
+      bCur = if (last) r.externalRemanent else cut(r.externalRemanent)
     }
     ReconResult(acc.getOrElse(a.limit(0)), aCur, bCur)
   }
