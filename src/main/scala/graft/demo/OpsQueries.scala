@@ -166,6 +166,15 @@ object OpsQueries {
       Dedup.simHashNearDups(docs(s, d), "text", "doc_id", maxHamming = 3, maxBucket = 1000)
     },
 
+    // near-dup clustering: connected components over the SimHash pair
+    // graph (iterative min-label propagation; oracle = recursive-CTE
+    // transitive closure) — the survivor-selection step of dedup
+    QuerySpec("dedup_components",
+      SketchOracleSql.simHashComponentsSql(maxHamming = 3, maxBucket = 1000)) { (s, d) =>
+      Dedup.connectedComponents(
+        Dedup.simHashNearDups(docs(s, d), "text", "doc_id", maxHamming = 3, maxBucket = 1000))
+    },
+
     // scale path: sign-LSH bucket candidates (capped) + exact float dot
     // verify — no cartesian; the bucket assignment is mirrored via the
     // splitmix64 SQL kernel, so the whole path is value-checked
@@ -483,7 +492,31 @@ object SketchOracleSql {
     * hashes. A doc with no tokens has signature 0 (the LEFT JOIN +
     * COALESCE — it still chunk-buckets with other blank docs). */
   def simHashSql(maxHamming: Int, maxBucket: Int): String =
-    s"""WITH $tokensCte,
+    s"WITH ${simHashCtes(maxHamming, maxBucket)}\n${simHashSelect(maxHamming, maxBucket)}"
+
+  /** ≡ Dedup.connectedComponents over simHashNearDups pairs: the
+    * transitive closure of the near-dup graph via a recursive CTE,
+    * component label = min reachable node. */
+  def simHashComponentsSql(maxHamming: Int, maxBucket: Int): String =
+    s"""WITH RECURSIVE ${simHashCtes(maxHamming, maxBucket)},
+       |pairs AS (
+       |${simHashSelect(maxHamming, maxBucket)}),
+       |edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs UNION SELECT doc2, doc1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a""".stripMargin
+
+  private def simHashSelect(maxHamming: Int, maxBucket: Int): String =
+    s"""SELECT DISTINCT a.doc AS doc1, b.doc AS doc2, bit_count(xor(a.sig, b.sig)) AS hamming
+       |FROM chunked a
+       |JOIN chunked b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc < b.doc
+       |JOIN bsz s ON a.chunk = s.chunk AND a.chunk_val = s.chunk_val
+       |WHERE s.n > 1 AND s.n <= $maxBucket AND bit_count(xor(a.sig, b.sig)) <= $maxHamming""".stripMargin
+
+  private def simHashCtes(maxHamming: Int, maxBucket: Int): String =
+    s"""$tokensCte,
        |tok AS (SELECT doc, unnest(t) AS tok FROM tt),
        |th AS (SELECT doc, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h FROM tok),
        |bits AS (
@@ -500,12 +533,7 @@ object SketchOracleSql {
        |chunked AS (
        |  SELECT doc, sig, c.chunk, (sig >> (c.chunk * 16)) & 65535 AS chunk_val
        |  FROM sig CROSS JOIN (VALUES (0),(1),(2),(3)) c(chunk)),
-       |bsz AS (SELECT chunk, chunk_val, count(*) AS n FROM chunked GROUP BY 1, 2)
-       |SELECT DISTINCT a.doc AS doc1, b.doc AS doc2, bit_count(xor(a.sig, b.sig)) AS hamming
-       |FROM chunked a
-       |JOIN chunked b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc < b.doc
-       |JOIN bsz s ON a.chunk = s.chunk AND a.chunk_val = s.chunk_val
-       |WHERE s.n > 1 AND s.n <= $maxBucket AND bit_count(xor(a.sig, b.sig)) <= $maxHamming""".stripMargin
+       |bsz AS (SELECT chunk, chunk_val, count(*) AS n FROM chunked GROUP BY 1, 2)""".stripMargin
 }
 
 /**

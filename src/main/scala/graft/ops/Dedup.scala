@@ -304,6 +304,60 @@ object Dedup {
   }
 
   /**
+   * Connected components over an undirected pair list — the clustering
+   * step of near-dup dedup (pairs are transitive: A≈B and B≈C put all
+   * three in one cluster even when A≈C was never emitted, and exactly one
+   * document per cluster should survive).
+   *
+   * Iterative min-label propagation: each round every node adopts the
+   * smallest label among itself and its neighbors; fixpoint after
+   * O(component diameter) rounds — near-dup graphs have tiny diameters,
+   * so 3-4 rounds typical. Each round is one join + one
+   * partial-aggregated groupBy (both shuffling label-sized rows on node
+   * id), with the label frame lineage-cut per round (without the cut the
+   * plan doubles every iteration). The driver loop with a cheap
+   * convergence probe is the standard Pregel-style shape; the fixpoint is
+   * independent of iteration order, so the result is deterministic on any
+   * cluster layout.
+   *
+   * Returns (node, component) for every node appearing in a pair, where
+   * component = the minimum reachable node id.
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc1", bCol: String = "doc2",
+      maxIter: Int = 25): DataFrame = {
+    import graft.recon.Checkpoints.cut
+    val edges = cut(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    var labels = cut(
+      edges.select(col("src").as("node")).distinct().withColumn("component", col("node")))
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val viaNbr = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), col("component"))
+      val next = cut(
+        labels.unionByName(viaNbr).groupBy("node").agg(min("component").as("component")))
+      done = next.join(labels.withColumnRenamed("component", "__old"), Seq("node"))
+        .where(col("component") =!= col("__old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Keep one document per near-dup cluster: the component-canonical
+    * (minimum-id) member survives; documents in no pair pass through. */
+  def dedupByComponents(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "doc1", bCol: String = "doc2"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val losers = comps.where(col("node") =!= col("component"))
+      .select(col("node").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Embedding near-dup pairs, scale path: sign-LSH bucket candidates
    * (bounded by `maxBucket`) verified with the exact codegen'd float
    * kernel. The only corpus shuffle is the bucket groupBy; no self-join,

@@ -84,6 +84,23 @@ class DedupSpec extends SparkSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("connectedComponents labels transitive chains with the min node") {
+    // chain 1-2-3, pair 10-11, triangle 30-31-32
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L), (31L, 32L), (30L, 32L))
+      .toDF("doc1", "doc2")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L))
+  }
+
+  test("dedupByComponents keeps one canonical doc per cluster") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "solo")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc1", "doc2")
+    assert(Dedup.dedupByComponents(df, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 9L))
+  }
+
   test("keyedKeepFirst keeps min-order row per key") {
     val df = Seq(("en", "s1", 5L), ("en", "s1", 3L), ("fr", "s1", 9L))
       .toDF("lang", "source", "doc_id")
