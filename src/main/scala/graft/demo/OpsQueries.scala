@@ -111,6 +111,20 @@ object OpsQueries {
       docs(s, d).select(col("doc_id"), TextAnalysis.subTokenCount(col("text")).as("n_subtokens"))
     },
 
+    // deterministic stratified sampling: keep/drop is a pure function of
+    // (doc_id, lang) — reproducible on any layout, value-checked exactly
+    QuerySpec("text_sample_stratified", {
+      val (tEn, tZh, tDef) = (Sampling.threshold(0.5), Sampling.threshold(0.2),
+        Sampling.threshold(0.1))
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) <
+         |  CASE lang WHEN 'en' THEN $tEn WHEN 'zh' THEN $tZh ELSE $tDef END""".stripMargin
+    }) { (s, d) =>
+      Sampling.stratifiedSample(docs(s, d), "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 0.2), defaultFraction = 0.1)
+        .select(col("doc_id"), col("lang"))
+    },
+
     // ---- dedup -----------------------------------------------------------
 
     QuerySpec("dedup_exact_groups",

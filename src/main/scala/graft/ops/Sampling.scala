@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling for training-data curation. Unlike
+ * `df.sample()` (partition-layout- and seed-dependent RNG), the gate is a
+ * pure function of the row's KEY: a row is kept iff the 60-bit md5 of
+ * its key falls below `fraction × 2^60`. Properties that matter at
+ * 100 TB:
+ *
+ *  - reproducible on any cluster layout, any retry, any engine — the
+ *    same corpus always yields the same sample (and the DuckDB oracle
+ *    value-checks it);
+ *  - stable under incremental growth: a document's keep/drop decision
+ *    never changes as the corpus grows, so downstream caches stay valid;
+ *  - consistent across tables: sampling two tables by the same join key
+ *    keeps them join-complete.
+ *
+ * Thresholds are computed ONCE on the driver and embedded as literals,
+ * so no cross-engine float arithmetic is involved in the compare.
+ */
+object Sampling {
+
+  /** fraction ∈ [0,1] → 60-bit threshold (driver-side, embedded as a
+    * literal in the plan and in the oracle SQL). */
+  def threshold(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction out of range: $fraction")
+    math.min((fraction * (1L << 60).toDouble).toLong, 1L << 60)
+  }
+
+  /** 60-bit md5 hash of the stringified key — `md5Hash60` ≡
+    * `('0x' || substr(md5(key), 1, 15))::BIGINT` in DuckDB. */
+  def keyHash(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Uniform deterministic sample: keep ~fraction of rows by key hash. */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.where(keyHash(col(keyCol)) < lit(threshold(fraction)))
+
+  /**
+   * Stratified deterministic sample: a per-stratum fraction (e.g. keep
+   * 50% of English, 10% of everything else — the standard language
+   * rebalancing step). Per-row gate, no shuffle; strata with no
+   * configured fraction use `defaultFraction`.
+   */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0): DataFrame = {
+    val thresholdCol = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(threshold(defaultFraction))) { case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(threshold(f))).otherwise(acc)
+      }
+    df.where(keyHash(col(keyCol)) < thresholdCol)
+  }
+}

@@ -101,6 +101,30 @@ class DedupSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSet == Set(1L, 9L))
   }
 
+  test("deterministic sampling is stable, layout-independent, ~fraction-sized") {
+    import graft.ops.Sampling
+    val df = spark.range(0, 2000).toDF("id")
+    val once = Sampling.deterministicSample(df, "id", 0.3).as[Long].collect().toSet
+    val again = Sampling.deterministicSample(df.repartition(7), "id", 0.3)
+      .as[Long].collect().toSet
+    assert(once == again)                       // layout-independent
+    assert(math.abs(once.size - 600) < 100)     // ~30% of 2000
+    // growing the corpus never flips an existing decision
+    val grown = Sampling.deterministicSample(spark.range(0, 4000).toDF("id"), "id", 0.3)
+      .as[Long].collect().toSet
+    assert(once.subsetOf(grown))
+  }
+
+  test("stratified sampling applies per-stratum fractions") {
+    import graft.ops.Sampling
+    val df = spark.range(0, 3000)
+      .select(col("id"), (when(col("id") % 2 === 0, "en").otherwise("de")).as("lang"))
+    val kept = Sampling.stratifiedSample(df, "id", "lang", Map("en" -> 0.8), 0.0)
+    assert(kept.where(col("lang") === "de").count() == 0)
+    val en = kept.where(col("lang") === "en").count()
+    assert(math.abs(en - 1200) < 200)           // ~80% of 1500
+  }
+
   test("keyedKeepFirst keeps min-order row per key") {
     val df = Seq(("en", "s1", 5L), ("en", "s1", 3L), ("fr", "s1", 9L))
       .toDF("lang", "source", "doc_id")
