@@ -241,10 +241,10 @@ final class Reconciler(val conf: ReconConfig) extends Serializable {
       max_by(row, struct(extOrder)).as("__last"),
       count(lit(1)).as("__n")))
     val kept = fl
-      .select(col(conf.idField) +: others.map(c => col(s"__first.$c").as(c)): _*)
+      .select((col(conf.idField) +: others.map(c => col(s"__first.$c").as(c))).toIndexedSeq: _*)
       .select(exact.columns.map(col).toIndexedSeq: _*)
     val displaced = fl.where(col("__n") > 1)
-      .select(others.map(c => col(s"__last.$c").as(c)): _*)
+      .select(others.map(c => col(s"__last.$c").as(c)).toIndexedSeq: _*)
       .select(b.columns.map(col).toIndexedSeq: _*)
     val aRem0 = notMatchInternal(a, b)
     val bRem0 = notMatchExternal(a, b).unionByName(displaced)

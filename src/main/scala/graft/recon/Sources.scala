@@ -168,7 +168,7 @@ object Sources {
     val others = tagged.columns.filterNot(c => c == idField || c == "__pref")
     tagged.groupBy(col(idField))
       .agg(min_by(struct(others.map(col).toIndexedSeq: _*), col("__pref")).as("__row"))
-      .select(col(idField) +: others.map(c => col(s"__row.$c").as(c)): _*)
+      .select((col(idField) +: others.map(c => col(s"__row.$c").as(c))).toIndexedSeq: _*)
       .select(current.columns.map(col).toIndexedSeq: _*)
   }
 }

@@ -71,6 +71,26 @@ class ReconPropertySpec extends SparkSuite {
     }
   }
 
+  test("property: reconcilePass displacement invariants hold for any dup multiplicity") {
+    forSeeds(genPair, 5) { case (aRows, bRows) =>
+      val a = aRows.zipWithIndex.map { case ((c, m), i) => (s"a$i", c, m) }
+        .toDF("_id", "code", "amount")
+      val b2 = bRows.zipWithIndex.map { case ((c, m), i) => (s"e$i", c, m, i.toLong) }
+        .toDF("ext_id", "ext_code", "ext_amount", "ext_row")
+      val r = new Reconciler(conf.copy(tolerance = None)).reconcilePass(a, b2, col("ext_row"))
+      // one pairing per matched internal id
+      assert(r.matched.groupBy("_id").count().where(col("count") > 1).count() == 0)
+      // matched ∪ internal-remanent partitions the internal ids
+      val mIds = r.matched.select("_id")
+      assert(mIds.join(r.internalRemanent.select("_id"), Seq("_id")).count() == 0)
+      assert(mIds.count() + r.internalRemanent.count() == a.count())
+      // every external is matched, a remanent, or a dropped middle pairing —
+      // and the remanent side never contains a KEPT external
+      assert(r.externalRemanent.select("ext_id")
+        .join(r.matched.select("ext_id"), Seq("ext_id")).count() == 0)
+    }
+  }
+
   test("property: upsert covers the id union exactly once, both modes") {
     val gen = Gen.zip(Gen.listOfN(20, Gen.chooseNum(0, 15)), Gen.listOfN(20, Gen.chooseNum(0, 15)))
     forSeeds(gen, 5) { case (exIds, inIds) =>
