@@ -111,6 +111,45 @@ object OpsQueries {
       docs(s, d).select(col("doc_id"), TextAnalysis.subTokenCount(col("text")).as("n_subtokens"))
     },
 
+    // end-to-end curation pipeline: quality gate → exact dedup (min-id
+    // survivor per normalized content) → deterministic per-source sample.
+    // The composition of three oracle-checked stages, itself value-checked.
+    QuerySpec("text_curation_pipeline", {
+      val (tS1, tDef) = (Sampling.threshold(0.8), Sampling.threshold(0.25))
+      s"""WITH f AS (
+         |  SELECT doc_id, text, source,
+         |    CAST(length(text) AS DOUBLE) AS n,
+         |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+         |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+         |    CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) AS puncts,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, text, source,
+         |    greatest(0.0, least(1.0,
+         |      0.5 * (CASE WHEN n = 0 THEN 0.0 ELSE alpha / n END)
+         |      + 0.3 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+         |      + 0.2 * (1.0 - (CASE WHEN n = 0 THEN 0.0 ELSE digits / n END)
+         |                   - (CASE WHEN n = 0 THEN 0.0 ELSE puncts / n END)))) AS quality_score
+         |  FROM f),
+         |q AS (SELECT * FROM scored WHERE quality_score >= 0.5),
+         |d AS (SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+         |  FROM q) WHERE rn = 1)
+         |SELECT doc_id, source FROM d
+         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) <
+         |  CASE source WHEN 'src1' THEN $tS1 ELSE $tDef END""".stripMargin
+    }) { (s, d) =>
+      val q = TextAnalysis.qualityScore(docs(s, d), "text")
+        .where(col("quality_score") >= 0.5)
+      val deduped = Dedup.exactDedup(q, "text", "doc_id")
+      Sampling.stratifiedSample(deduped, "doc_id", "source",
+        Map("src1" -> 0.8), defaultFraction = 0.25)
+        .select(col("doc_id"), col("source"))
+    },
+
     // deterministic stratified sampling: keep/drop is a pure function of
     // (doc_id, lang) — reproducible on any layout, value-checked exactly
     QuerySpec("text_sample_stratified", {

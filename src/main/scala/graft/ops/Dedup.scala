@@ -326,10 +326,14 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "doc1", bCol: String = "doc2",
       maxIter: Int = 25): DataFrame = {
     import graft.recon.Checkpoints.cut
+    // pre-partition the (static) edge set by the join key before the cut:
+    // localCheckpoint preserves the partitioning, so the per-round join
+    // reshuffles only the (changing) label frame, not the edges
     val edges = cut(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-        .distinct())
+        .distinct()
+        .repartition(col("dst")))
     var labels = cut(
       edges.select(col("src").as("node")).distinct().withColumn("component", col("node")))
     var done = false

@@ -38,12 +38,38 @@ class ExtensionsSpec extends SparkSuite {
     assert(out(1L) != out(3L))          // negated vector lands elsewhere
   }
 
-  test("GraftExtensions injects all six functions without error") {
+  test("GraftExtensions injects all native functions without error") {
     // applying to a fresh extensions container exercises every injectFunction
     // (a full withExtensions session would need its own SparkContext, which
     // local tests share — verified here at the injection level instead)
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
+  }
+
+  test("portable md5 kernels agree with their SQL-callable forms") {
+    graft.functions.TextFunctions.register(spark)
+    // md5-token simhash: SQL call == Column API == python-validated kernel
+    val viaSql = spark.sql("SELECT simhash64_md5(array('the','cat')) AS s").as[Long].head()
+    val viaCol = Seq(Tuple1(Seq("the", "cat"))).toDF("t")
+      .select(graft.functions.TextFunctions.simhash64_md5(col("t"))).as[Long].head()
+    assert(viaSql == viaCol && viaSql != 0L)
+    // char-window md5 fingerprint: 0 below window width, stable above
+    val fp = Seq(Tuple1("abcdefghijklmnopqr"), Tuple1("short")).toDF("text")
+      .select(graft.functions.TextFunctions.min_window_md5(col("text"), 16))
+      .as[Long].collect()
+    assert(fp(0) > 0L && fp(1) == 0L)
+    // md5_slots: k 60-bit non-negative values, deterministic
+    val slots = Seq(Tuple1("shingle text")).toDF("s")
+      .select(graft.functions.TextFunctions.md5_slots(col("s"), 8)).as[Seq[Long]].head()
+    assert(slots.size == 8 && slots.forall(v => v >= 0L && v < (1L << 60)))
+  }
+
+  test("native expressions reject wrong input types at analysis time") {
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Tuple1("not an array")).toDF("v")
+        .select(graft.functions.VectorFunctions.vec_dot(col("v"), col("v"))).collect()
+    }
+    assert(err.getMessage.contains("array<float>"))
   }
 
   test("MongoPipelines emits valid JSON stages mirroring the reference") {
