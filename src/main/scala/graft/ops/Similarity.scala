@@ -53,6 +53,16 @@ object Similarity {
   def lshBucket(vec: Column, h: Int): Column =
     graft.functions.VectorFunctions.vec_lsh_bucket(vec, h)
 
+  /** Sign bits needed so the EXPECTED bucket holds ~`targetBucket`
+    * vectors: h = ceil(log2(corpus / targetBucket)). Size h with the
+    * corpus — a fixed h that was fine at 10^6 vectors produces
+    * 2^h-times-too-fat buckets at 10^9 (the `maxBucket` cap then skips
+    * them, silently costing recall). */
+  def recommendedH(corpusSize: Long, targetBucket: Int = 1024): Int = {
+    require(corpusSize > 0 && targetBucket > 0)
+    math.max(1, math.ceil(math.log(corpusSize.toDouble / targetBucket) / math.log(2.0)).toInt)
+  }
+
   /** Corpus keyed by LSH bucket (the index-build step of the scale path). */
   def lshIndex(df: DataFrame, idCol: String, vecCol: String, h: Int): DataFrame =
     df.select(col(idCol), col(vecCol), lshBucket(col(vecCol), h).as("bucket"))

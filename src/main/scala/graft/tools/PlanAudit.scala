@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Scale red-flag scan over every registered query's physical plan:
+ * cartesian products, single-partition exchanges (global windows /
+ * unpartitioned sorts funneling all rows through one task), and
+ * interpreted non-codegen stages are exactly the patterns that pass a
+ * small-SF correctness check and then die at 100×. Run ad hoc:
+ *
+ *   sbt "runMain graft.tools.PlanAudit [sfDir]"
+ *
+ * Prints one line per query; FLAG lines name the offending pattern.
+ */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var flagged = 0
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        // typed node checks, not string grep: a SinglePartition exchange
+        // under a global AGGREGATE is the normal tiny final-combine stage;
+        // the killers are whole-input funnels (unpartitioned windows) and
+        // cartesian joins
+        val flags = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => "global window over all rows"
+          case _: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+            "cartesian product"
+        }.distinct
+        if (flags.nonEmpty) { flagged += 1; println(s"FLAG  $name: ${flags.mkString(", ")}") }
+        else println(s"ok    $name")
+      } catch {
+        case e: Throwable => flagged += 1; println(s"ERR   $name: ${e.getMessage}")
+      } finally {
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
+    }
+    println(s"AUDIT flagged=$flagged")
+    spark.stop()
+  }
+}
