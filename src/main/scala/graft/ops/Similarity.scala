@@ -103,18 +103,22 @@ object Similarity {
    * Returns (idCol, vecCol, centroid_id).
    */
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String, nCentroids: Int,
-      modulus: Long): DataFrame = {
+      modulus: Long): DataFrame =
+    ivfIndexWith(df, idCol, vecCol, centroids(df, idCol, vecCol, nCentroids, modulus))
+
+  /** IVF index against an EXPLICIT centroid set (centroid_id, cv) — the
+    * hook for a trained codebook ([[kmeansCentroids]]) instead of the
+    * deterministic sample. */
+  def ivfIndexWith(df: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame =
     // the whole centroid set as ONE broadcast row holding an array of
     // (centroid_id, cv) structs: the 1-row broadcast join just appends the
     // array to every corpus row (no shuffle, no row inflation), and the
     // assignment is a per-row argmax over that array — versus the
     // join+groupBy shape, which inflates the corpus nCentroids× WITH the
     // embeddings on board and then shuffles all of it back to pick max_by
-    val centsRow = broadcast(
-      centroids(df, idCol, vecCol, nCentroids, modulus)
-        .agg(collect_list(struct(col("centroid_id"), col("cv"))).as("__cents")))
     df.select(col(idCol), col(vecCol))
-      .join(centsRow)
+      .join(broadcast(cents.agg(
+        collect_list(struct(col("centroid_id"), col("cv"))).as("__cents"))))
       .withColumn("centroid_id",
         array_max(transform(col("__cents"), c =>
           struct(
@@ -123,6 +127,44 @@ object Similarity {
             c.getField("centroid_id").as("centroid_id"))))
           .getField("centroid_id"))
       .drop("__cents")
+
+  /**
+   * Distributed Lloyd's k-means over an embedding column — trains the IVF
+   * codebook when a better-than-sampled one is wanted. Assignment uses
+   * the DOT metric (the same metric the IVF search probes with — i.e.
+   * spherical k-means for normalized embeddings). Initialization is
+   * the deterministic every-`modulus`-th sample (reproducible, no RNG);
+   * each iteration is (a) the shuffle-free broadcast-argmax assignment of
+   * [[ivfIndexWith]] and (b) an element-wise mean per cluster via a
+   * posexplode + (cluster, dim) aggregation — the only shuffle, carrying
+   * (cluster, dim, partial sum) after map-side combine. Clusters that
+   * lose all members keep their previous centroid. Returns
+   * (centroid_id, cv) with centroid ids 0..k-1 (re-labeled from the
+   * seeds, stable across iterations).
+   */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, modulus: Long): DataFrame = {
+    var cents = graft.recon.Checkpoints.cut(
+      centroids(df, idCol, vecCol, k, modulus)
+        .select(
+          (row_number().over(Window.orderBy(col("centroid_id"))) - 1).as("centroid_id"),
+          col("cv")))
+    (0 until iters).foreach { _ =>
+      val assigned = ivfIndexWith(df, idCol, vecCol, cents)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("__dim", "__v")))
+        .groupBy(col("centroid_id"), col("__dim"))
+        .agg(avg(col("__v")).as("__m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("__dim"), col("__m")))).as("__dm"))
+        .select(col("centroid_id"),
+          transform(col("__dm"), e => e.getField("__m").cast("float")).as("cv"))
+      // empty clusters keep their previous centroid
+      cents = graft.recon.Checkpoints.cut(
+        means.unionByName(
+          cents.join(means.select("centroid_id"), Seq("centroid_id"), "left_anti")))
+    }
+    cents
   }
 
   /**

@@ -60,6 +60,24 @@ class SimilarityTextSpec extends SparkSuite {
     assert(assigned(1L) == 2L && assigned(3L) == 2L && assigned(4L) == 4L)
   }
 
+  test("kmeansCentroids converges to per-cluster means with stable ids") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    // modulus 2 seeds ids {0, 2} — one per true cluster
+    val cents = Similarity.kmeansCentroids(df, "vec_id", "embedding",
+      k = 2, iters = 2, modulus = 2)
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(cents.keySet == Set(0L, 1L))
+    assert(math.abs(cents(0L)(0) - 0.95f) < 1e-6 && math.abs(cents(0L)(1) - 0.05f) < 1e-6)
+    assert(math.abs(cents(1L)(0) - 0.05f) < 1e-6 && math.abs(cents(1L)(1) - 0.95f) < 1e-6)
+    // a trained codebook drops into the IVF index unchanged
+    val centsDf = Similarity.kmeansCentroids(df, "vec_id", "embedding", 2, 2, 2)
+    val idx = Similarity.ivfIndexWith(df, "vec_id", "embedding", centsDf)
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(idx(0L) == idx(1L) && idx(2L) == idx(3L) && idx(0L) != idx(2L))
+  }
+
   test("lshBucket is deterministic across evaluations") {
     val b1 = Similarity.lshIndex(vecs, "vec_id", "embedding", 4)
       .select("vec_id", "bucket").as[(Long, Long)].collect().toSet
