@@ -326,12 +326,17 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "doc1", bCol: String = "doc2",
       maxIter: Int = 25): DataFrame = {
     import graft.recon.Checkpoints.cut
-    // pre-partition the (static) edge set by the join key before the cut:
+    // symmetrize with ONE pass over `pairs` (an explode of both
+    // directions) — a union of two selects would consume `pairs` twice
+    // and re-execute its whole upstream sketch pipeline per consumer.
+    // Pre-partition the (static) edge set by the join key before the cut:
     // localCheckpoint preserves the partitioning, so the per-round join
     // reshuffles only the (changing) label frame, not the edges
     val edges = cut(
-      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      pairs.select(explode(array(
+          struct(col(aCol).as("src"), col(bCol).as("dst")),
+          struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct()
         .repartition(col("dst")))
     var labels = cut(

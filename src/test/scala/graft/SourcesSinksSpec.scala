@@ -146,4 +146,20 @@ class SourcesSinksSpec extends SparkSuite {
       .select("conciliated_amount", "conciliated_count").as[(Double, Long)].head()
     assert(s == ((0.6d, 3L))) // 0.1+0.2+0.3 in raw double would be 0.6000000000000001
   }
+
+  test("Checkpoints.cut switches to reliable checkpoints when the dir conf is set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile
+    val df = spark.range(0, 100).toDF("id")
+    try {
+      spark.conf.set(graft.recon.Checkpoints.DirConf, dir.getAbsolutePath)
+      val cut = graft.recon.Checkpoints.cut(df)
+      assert(cut.select("id").as[Long].collect().toSet == (0L until 100L).toSet)
+      // reliable checkpoint data landed under the configured directory
+      def files(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+      assert(files(dir).nonEmpty, "expected checkpoint files under the configured dir")
+    } finally {
+      spark.conf.unset(graft.recon.Checkpoints.DirConf)
+    }
+  }
 }
