@@ -219,6 +219,17 @@ object OpsQueries {
       Dedup.simHashNearDups(docs(s, d), "text", "doc_id", maxHamming = 3, maxBucket = 1000)
     },
 
+    // THE dedup story end-to-end: MinHash+LSH pairs → transitive
+    // components → canonical survivor per cluster; everything mirrored
+    // (signatures, banding, caps, Jaccard verify, recursive closure)
+    QuerySpec("dedup_minhash_survivors",
+      SketchOracleSql.minHashSurvivorsSql(k = 64, bands = 8, threshold = 0.5d, maxBucket = 100)) { (s, d) =>
+      Dedup.dedupByComponents(docs(s, d), "doc_id",
+        Dedup.minHashNearDups(docs(s, d), "text", "doc_id",
+          shingleN = 3, k = 64, bands = 8, threshold = 0.5d, maxBucket = 100))
+        .select(col("doc_id"))
+    },
+
     // near-dup clustering: connected components over the SimHash pair
     // graph (iterative min-label propagation; oracle = recursive-CTE
     // transitive closure) — the survivor-selection step of dedup
@@ -502,7 +513,33 @@ object SketchOracleSql {
 
   /** ≡ Dedup.minHashNearDups(shingleN = 3, k, bands, threshold, maxBucket)
     * with the Portable (md5) kernel. */
-  def minHashSql(k: Int, bands: Int, threshold: Double, maxBucket: Int): String = {
+  def minHashSql(k: Int, bands: Int, threshold: Double, maxBucket: Int): String =
+    s"WITH ${minHashCtes(k, bands, maxBucket)}\n${minHashSelect(threshold)}"
+
+  /** ≡ Dedup.dedupByComponents over minHashNearDups pairs: survivors =
+    * documents minus non-canonical members of each transitive near-dup
+    * cluster (recursive-CTE closure over the mirrored pair SQL). */
+  def minHashSurvivorsSql(k: Int, bands: Int, threshold: Double, maxBucket: Int): String =
+    s"""WITH RECURSIVE ${minHashCtes(k, bands, maxBucket)},
+       |pairs AS (
+       |${minHashSelect(threshold)}),
+       |e2 AS (SELECT doc1 AS a, doc2 AS b FROM pairs UNION SELECT doc2, doc1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM e2
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a),
+       |losers AS (
+       |  SELECT a AS node FROM reach GROUP BY a HAVING a <> least(a, min(b)))
+       |SELECT doc_id FROM documents
+       |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.node = doc_id)""".stripMargin
+
+  private def minHashSelect(threshold: Double): String =
+    s"""SELECT doc1, doc2,
+       |  CAST(n_common AS DOUBLE) / CAST(s1.set_size + s2.set_size - n_common AS DOUBLE) AS jaccard
+       |FROM common JOIN sizes s1 ON doc1 = s1.doc JOIN sizes s2 ON doc2 = s2.doc
+       |WHERE CAST(n_common AS DOUBLE) / CAST(s1.set_size + s2.set_size - n_common AS DOUBLE) >= $threshold""".stripMargin
+
+  private def minHashCtes(k: Int, bands: Int, maxBucket: Int): String = {
     require(k % bands == 0)
     val rows = k / bands
     val bandBranches = (0 until bands).map { b =>
@@ -511,7 +548,7 @@ object SketchOracleSql {
         .mkString(" || ',' || ")
       s"SELECT doc, $b AS band, CAST(('0x' || substr(md5($bandStr), 1, 15)) AS BIGINT) AS band_hash FROM sig"
     }.mkString("\nUNION ALL\n")
-    s"""WITH $tokensCte,
+    s"""$tokensCte,
        |d AS (SELECT doc, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
        |                                 FOR i IN range(1, len(t) - 1)]) AS sh FROM tt),
        |sh AS (SELECT doc, unnest(sh) AS shingle FROM d),
@@ -534,11 +571,7 @@ object SketchOracleSql {
        |  SELECT doc1, doc2, count(*) AS n_common
        |  FROM cands JOIN sh s1 ON s1.doc = doc1 JOIN sh s2 ON s2.doc = doc2 AND s2.shingle = s1.shingle
        |  GROUP BY 1, 2),
-       |sizes AS (SELECT doc, count(*) AS set_size FROM sh GROUP BY 1)
-       |SELECT doc1, doc2,
-       |  CAST(n_common AS DOUBLE) / CAST(s1.set_size + s2.set_size - n_common AS DOUBLE) AS jaccard
-       |FROM common JOIN sizes s1 ON doc1 = s1.doc JOIN sizes s2 ON doc2 = s2.doc
-       |WHERE CAST(n_common AS DOUBLE) / CAST(s1.set_size + s2.set_size - n_common AS DOUBLE) >= $threshold""".stripMargin
+       |sizes AS (SELECT doc, count(*) AS set_size FROM sh GROUP BY 1)""".stripMargin
   }
 
   /** ≡ Dedup.simHashNearDups(maxHamming, maxBucket) with md5 token
