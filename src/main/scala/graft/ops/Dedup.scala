@@ -348,7 +348,10 @@ object Dedup {
         .select(edges("src").as("node"), col("component"))
       val next = cut(
         labels.unionByName(viaNbr).groupBy("node").agg(min("component").as("component")))
-      done = next.join(labels.withColumnRenamed("component", "__old"), Seq("node"))
+      // round 1 always changes something when any edge exists — probing
+      // it would burn a job to learn nothing
+      done = i > 0 && next
+        .join(labels.withColumnRenamed("component", "__old"), Seq("node"))
         .where(col("component") =!= col("__old")).isEmpty
       labels = next
       i += 1

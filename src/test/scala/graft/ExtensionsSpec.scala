@@ -64,6 +64,24 @@ class ExtensionsSpec extends SparkSuite {
     assert(slots.size == 8 && slots.forall(v => v >= 0L && v < (1L << 60)))
   }
 
+  test("saltedEquiJoin semi/anti forms match their plain counterparts") {
+    val skewed = ((1 to 200).map(i => ("hot", i.toLong)) ++
+      (1 to 50).map(i => (s"k$i", 1000L + i))).toDF("key", "row_id")
+    val small = Seq(("hot", "H"), ("k1", "A"), ("kZ", "Z")).toDF("key", "tag")
+    for (jt <- Seq("left_semi", "left_anti")) {
+      val salted = SkewJoin.saltedEquiJoin(skewed, small, Seq("key" -> "key"),
+        saltBy = Seq("key", "row_id"), saltFactor = 4, joinType = jt)
+        .select("row_id").as[Long].collect().toSet
+      val plain = skewed.alias("l").join(small.alias("r"),
+        col("l.key") === col("r.key"), jt).select("row_id").as[Long].collect().toSet
+      assert(salted == plain, s"joinType=$jt")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedEquiJoin(skewed, small, Seq("key" -> "key"),
+        Seq("key"), 4, joinType = "full_outer")
+    }
+  }
+
   test("native expressions reject wrong input types at analysis time") {
     val err = intercept[org.apache.spark.sql.AnalysisException] {
       Seq(Tuple1("not an array")).toDF("v")
