@@ -111,6 +111,27 @@ object OpsQueries {
       docs(s, d).select(col("doc_id"), TextAnalysis.subTokenCount(col("text")).as("n_subtokens"))
     },
 
+    // vocabulary extraction: top-5 tokens per language by frequency —
+    // partial-aggregated token counts, then a PARTITIONED window top-k
+    // (each language ranks independently; no global funnel)
+    QuerySpec("text_top_tokens",
+      raw"""WITH tok AS (
+           |  SELECT lang, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+           |    ELSE string_split_regex(trim(lower(text)), '\s+') END) AS token
+           |  FROM documents),
+           |c AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY 1, 2)
+           |SELECT lang, token, n, rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+           |  FROM c)
+           |WHERE rank <= 5""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = docs(s, d)
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang").orderBy(col("n").desc, col("token"))
+      counts.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+    },
+
     // end-to-end curation pipeline: quality gate → exact dedup (min-id
     // survivor per normalized content) → deterministic per-source sample.
     // The composition of three oracle-checked stages, itself value-checked.
@@ -351,6 +372,34 @@ object OpsQueries {
       val e = embs(s, d)
       Similarity.ivfTopK(e, e.where(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 5, nCentroids = 16, modulus = 50, nprobe = 4)
+    },
+
+    // as-of join (point-in-time lookup): every click sees the value of
+    // the user's most recent prior-or-simultaneous view — composed from
+    // union + ignore-nulls window, no custom plan node
+    QuerySpec("stream_asof",
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ms FROM events),
+        |u AS (
+        |  SELECT user_id, ms, event_id AS tb, NULL AS click_id, value AS rv, 0 AS side
+        |  FROM e WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, ms, event_id, event_id, NULL, 1 FROM e WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT *, last_value(rv IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ms, side, tb
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+        |  FROM u)
+        |SELECT user_id, click_id AS event_id, ms, asof_value FROM w WHERE side = 1""".stripMargin) { (s, d) =>
+      val e = events(s, d).withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ms"))
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ms"), col("value"))
+      AsOfJoin.asOf(clicks, views, keys = Seq("user_id"),
+        leftTs = "ms", rightTs = "ms", valueCols = Seq("value"),
+        tiebreak = col("event_id"))
+        .select(col("user_id"), col("event_id"), col("ms"), col("asof_value"))
     },
 
     // ---- streaming-shaped (batch-equivalent forms) -----------------------

@@ -51,6 +51,21 @@ class MultimodalStreamingSpec extends SparkSuite {
     (4L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2L, "view", 8.0)
   ).toDF("event_id", "ts", "user_id", "event_type", "value")
 
+  test("asOf join picks the most recent prior-or-simultaneous right row per key") {
+    import graft.ops.AsOfJoin
+    val clicks = Seq((1L, 10L, 100L), (2L, 20L, 100L), (3L, 30L, 200L), (9L, 5L, 300L))
+      .toDF("event_id", "ms", "user_id")
+    val views = Seq((50L, 10L, 100L, 1.5), (51L, 15L, 100L, 2.5), (52L, 25L, 200L, 9.0))
+      .toDF("event_id", "ms", "user_id", "value")
+    val out = AsOfJoin.asOf(clicks, views, Seq("user_id"), "ms", "ms",
+      valueCols = Seq("value"), tiebreak = col("event_id"))
+      .select("event_id", "asof_value").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) == Some(1.5))   // simultaneous view at ms=10 is visible
+    assert(out(2L) == Some(2.5))   // latest of the two prior views
+    assert(out(3L) == Some(9.0))
+    assert(out(9L) == None)        // no prior view for user 300
+  }
+
   test("sessionize splits on gap and aggregates per session") {
     val s = EventPipeline.sessionize(eventsDf, gapMs = 600000L)
       .select("user_id", "session_seq", "n_events", "total_value")
