@@ -402,6 +402,29 @@ object OpsQueries {
         .select(col("user_id"), col("event_id"), col("ms"), col("asof_value"))
     },
 
+    // pure range join via temporal binning: clicks × errors within ±60 s
+    // of each other (NO equi key) — bucketed to near-diagonal candidates
+    // instead of a cartesian theta-join; zero-neighbor clicks kept
+    QuerySpec("stream_near_errors",
+      """WITH e AS (
+        |  SELECT event_id, event_type, epoch_ms(ts) AS ms FROM events),
+        |c AS (SELECT event_id, ms FROM e WHERE event_type = 'click'),
+        |x AS (SELECT event_id, ms FROM e WHERE event_type = 'error')
+        |SELECT c.event_id, c.ms, count(x.event_id) AS n_errors
+        |FROM c LEFT JOIN x ON abs(c.ms - x.ms) <= 60000
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val e = events(s, d).withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+      val clicks = e.where(col("event_type") === "click").select(col("event_id"), col("ms"))
+      val errors = e.where(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ms").as("err_ms"))
+      val pairs = RangeJoin.withinWindow(clicks, errors, "ms", "err_ms", window = 60000L)
+      val counts = pairs.groupBy(col("event_id"), col("ms"))
+        .agg(count(lit(1)).as("n_errors"))
+      clicks.join(counts, Seq("event_id", "ms"), "left")
+        .select(col("event_id"), col("ms"),
+          coalesce(col("n_errors"), lit(0L)).as("n_errors"))
+    },
+
     // ---- streaming-shaped (batch-equivalent forms) -----------------------
 
     // exact dedup by event id, keep-first by time (streamingDedup's batch twin)

@@ -66,6 +66,21 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(out(9L) == None)        // no prior view for user 300
   }
 
+  test("rangeJoin binning finds exactly the within-window pairs, once each") {
+    import graft.ops.RangeJoin
+    val l = Seq((1L, 100L), (2L, 250L), (3L, 999L)).toDF("lid", "lms")
+    val r = Seq((10L, 50L), (11L, 199L), (12L, 310L), (13L, 2000L)).toDF("rid", "rms")
+    val got = RangeJoin.withinWindow(l, r, "lms", "rms", window = 100L)
+      .select("lid", "rid").as[(Long, Long)].collect().toList
+    // brute-force truth at |Δ| ≤ 100
+    val want = for {
+      (lid, lms) <- Seq((1L, 100L), (2L, 250L), (3L, 999L))
+      (rid, rms) <- Seq((10L, 50L), (11L, 199L), (12L, 310L), (13L, 2000L))
+      if math.abs(lms - rms) <= 100L
+    } yield (lid, rid)
+    assert(got.sorted == want.sorted)          // complete AND duplicate-free
+  }
+
   test("sessionize splits on gap and aggregates per session") {
     val s = EventPipeline.sessionize(eventsDf, gapMs = 600000L)
       .select("user_id", "session_seq", "n_events", "total_value")
