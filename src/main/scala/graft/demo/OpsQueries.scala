@@ -251,6 +251,15 @@ object OpsQueries {
         .select(col("doc_id"))
     },
 
+    // cosine-thresholded variant for UN-normalized embeddings: the float32
+    // cosine kernel is mirrored bit-for-bit (float dot, norms as
+    // double-sqrt-rounded-to-float, float multiply/divide)
+    QuerySpec("dedup_embed_cosine",
+      LshOracleSql.nearDupCosineSql(h = 4, threshold = 0.4, maxBucket = 4096)) { (s, d) =>
+      Dedup.embeddingNearDupsLsh(embs(s, d), "vec_id", "embedding",
+        threshold = 0.4d, h = 4, maxBucket = 4096, cosine = true)
+    },
+
     // near-dup clustering: connected components over the SimHash pair
     // graph (iterative min-label propagation; oracle = recursive-CTE
     // transitive closure) — the survivor-selection step of dedup
@@ -527,6 +536,28 @@ object LshOracleSql {
        |JOIN bsz s ON a.bucket = s.bucket
        |WHERE s.n <= $maxBucket
        |  AND list_dot_product(a.embedding, b.embedding) >= $threshold""".stripMargin
+
+  /** float32 cosine ≡ VecOps.cosineF, bit-for-bit: float dot + norms as
+    * double-sqrt-rounded-to-float + float multiply/divide (validated
+    * bit-exact against the JVM kernel on random vectors). */
+  private def cosExpr(x: String, y: String): String = {
+    def norm(v: String) =
+      s"CAST(sqrt(CAST(list_dot_product($v, $v) AS DOUBLE)) AS FLOAT)"
+    s"""CASE WHEN ${norm(x)} = 0 OR ${norm(y)} = 0 THEN CAST(0 AS FLOAT)
+       |     ELSE list_dot_product($x, $y) / (${norm(x)} * ${norm(y)}) END""".stripMargin
+  }
+
+  /** Cosine variant of [[nearDupSql]] ≡ embeddingNearDupsLsh(cosine=true)
+    * — the right threshold semantics for UN-normalized embeddings. */
+  def nearDupCosineSql(h: Int, threshold: Double, maxBucket: Int): String =
+    s"""${idxCte(h)}
+       |SELECT id1, id2, score FROM (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |    ${cosExpr("a.embedding", "b.embedding")} AS score
+       |  FROM idx a JOIN idx b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  JOIN bsz s ON a.bucket = s.bucket
+       |  WHERE s.n <= $maxBucket)
+       |WHERE score >= $threshold""".stripMargin
 }
 
 /**
