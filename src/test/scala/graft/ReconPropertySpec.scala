@@ -104,6 +104,29 @@ class ReconPropertySpec extends SparkSuite {
     }
   }
 
+  test("property: connectedComponents matches union-find on random graphs") {
+    val genEdges = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0L, 49L), Gen.chooseNum(0L, 49L))).map(_.filter(e => e._1 != e._2))
+    forSeeds(genEdges, 4) { edges =>
+      // reference: plain union-find with min-root canonicalization
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(n => n -> find(n)).toMap
+      if (edges.nonEmpty) {
+        val got = graft.ops.Dedup.connectedComponents(
+          edges.toDF("doc1", "doc2")).as[(Long, Long)].collect().toMap
+        assert(got == want)
+      }
+    }
+  }
+
   test("property: zero-effect cancels sales and voids pairwise, ids unique") {
     val gen = Gen.listOfN(30, Gen.zip(Gen.oneOf("S", "V"), Gen.oneOf("t1", "t2", "t3", "t4")))
     forSeeds(gen, 5) { rows =>
