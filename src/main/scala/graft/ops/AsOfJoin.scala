@@ -19,8 +19,10 @@ import org.apache.spark.sql.types.StructType
  * survives 100× as long as no single key dominates (salt upstream if
  * one does).
  *
- * Rows with no prior right row get nulls. `tiebreak` must totally order
- * rows within (key, ts, side) for a deterministic pick; right rows at
+ * Rows with no prior right row get nulls. `tiebreak` is a RIGHT-side
+ * expression that must totally order right rows within (key, ts) for a
+ * deterministic pick (the largest wins at equal ts); left rows never
+ * compete with each other, so they need none. Right rows at
  * ts == leftTs are visible to the left row (inclusive as-of).
  *
  * @param valueCols right-side columns to surface, prefixed `asof_`
@@ -35,11 +37,12 @@ object AsOfJoin {
       keys.map(col) ++ Seq(col(rightTs).as("__ts"), rv.as("__rv"),
         lit(0).as("__side"), tiebreak.as("__tb")): _*)
     val rvType = rTagged.schema("__rv").dataType.asInstanceOf[StructType]
+    val tbType = rTagged.schema("__tb").dataType
     val lRow = struct(left.columns.map(col).toIndexedSeq: _*)
     val lTagged = left.select(
       keys.map(col) ++ Seq(col(leftTs).as("__ts"),
         lit(null).cast(rvType).as("__rv"), lit(1).as("__side"),
-        tiebreak.as("__tb"), lRow.as("__lrow")): _*)
+        lit(null).cast(tbType).as("__tb"), lRow.as("__lrow")): _*)
     val u = rTagged
       .withColumn("__lrow", lit(null).cast(lTagged.schema("__lrow").dataType))
       .unionByName(lTagged)

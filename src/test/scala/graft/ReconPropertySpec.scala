@@ -127,6 +127,27 @@ class ReconPropertySpec extends SparkSuite {
     }
   }
 
+  test("property: asOf join equals the brute-force point-in-time lookup") {
+    val genEvents = Gen.listOfN(40, Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(0L, 100L)))
+    forSeeds(Gen.zip(genEvents, genEvents), 4) { case (lRows, rRows) =>
+      val left = lRows.zipWithIndex.map { case ((u, t), i) => (i.toLong, t, u) }
+        .toDF("lid", "lms", "user_id")
+      val right = rRows.zipWithIndex.map { case ((u, t), i) =>
+        (1000L + i, t, u, i * 1.5) }.toDF("rid", "rms", "user_id", "value")
+      val got = graft.ops.AsOfJoin.asOf(left, right, Seq("user_id"), "lms", "rms",
+        valueCols = Seq("value"), tiebreak = col("rid"))
+        .select("lid", "asof_value").as[(Long, Option[Double])].collect().toMap
+      val rByUser = rRows.zipWithIndex.map { case ((u, t), i) => (u, t, 1000L + i, i * 1.5) }
+        .groupBy(_._1)
+      val want = lRows.zipWithIndex.map { case ((u, t), i) =>
+        val best = rByUser.getOrElse(u, Nil).filter(_._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption // latest ts, then max tiebreak
+        i.toLong -> best.map(_._4)
+      }.toMap
+      assert(got == want)
+    }
+  }
+
   test("property: zero-effect cancels sales and voids pairwise, ids unique") {
     val gen = Gen.listOfN(30, Gen.zip(Gen.oneOf("S", "V"), Gen.oneOf("t1", "t2", "t3", "t4")))
     forSeeds(gen, 5) { rows =>
