@@ -13,8 +13,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // optional comma-separated allowlist for profiling single queries
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // optional comma-separated allowlist for profiling single queries —
+    // trimmed, and unknown names fail loudly (a typo must not silently
+    // bench nothing)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in the registry: ${unknown.mkString(", ")}")
+    }
     // warm the JVM (classloading, codegen, shuffle machinery) outside any
     // timed window so the first real query isn't charged ~3s of JIT
     locally {

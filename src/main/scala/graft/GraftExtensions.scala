@@ -18,10 +18,11 @@ import graft.functions._
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  // usage strings live in the scaladoc of each expression; the multi-arg
-  // ExpressionInfo constructors are deprecated/validating, so register
-  // with the minimal (class, db, name) form
-  private def info(name: String, usage: String) =
+  // the multi-arg ExpressionInfo constructors are deprecated/validating,
+  // so register with the minimal (class, db, name) form; the call sites'
+  // usage strings stay as in-place documentation even though DESCRIBE
+  // FUNCTION cannot surface them
+  private def info(name: String, @annotation.unused usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {

@@ -387,17 +387,21 @@ object OpsQueries {
     // the user's most recent prior-or-simultaneous view — composed from
     // union + ignore-nulls window, no custom plan node
     QuerySpec("stream_asof",
+      // rv is a STRUCT (non-null for every right row even when its value
+      // is NULL) so the IGNORE NULLS pick counts a NULL-valued observation
+      // as an observation — exactly the Spark side's struct semantics
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, value, epoch_ms(ts) AS ms FROM events),
         |u AS (
-        |  SELECT user_id, ms, event_id AS tb, NULL AS click_id, value AS rv, 0 AS side
+        |  SELECT user_id, ms, event_id AS tb, NULL AS click_id, {'v': value} AS rv, 0 AS side
         |  FROM e WHERE event_type = 'view'
         |  UNION ALL
-        |  SELECT user_id, ms, event_id, event_id, NULL, 1 FROM e WHERE event_type = 'click'),
+        |  SELECT user_id, ms, event_id, event_id, CAST(NULL AS STRUCT(v DOUBLE)), 1
+        |  FROM e WHERE event_type = 'click'),
         |w AS (
-        |  SELECT *, last_value(rv IGNORE NULLS) OVER (
+        |  SELECT *, (last_value(rv IGNORE NULLS) OVER (
         |    PARTITION BY user_id ORDER BY ms, side, tb
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v AS asof_value
         |  FROM u)
         |SELECT user_id, click_id AS event_id, ms, asof_value FROM w WHERE side = 1""".stripMargin) { (s, d) =>
       val e = events(s, d).withColumn("ms", unix_millis(col("ts").cast("timestamp")))

@@ -285,14 +285,23 @@ object Dedup {
     val toks = TextAnalysis.tokens(col(textCol))
     val sigExpr =
       if (portable) TextFunctions.simhash64_md5(toks) else TextFunctions.simhash64(toks)
-    val sig = df.select(col(idCol).as("doc"), sigExpr.as("sig"))
+    // materialize the signatures once: the chunked table feeds both the
+    // bucket-size prune and the member grouping below
+    val sig = graft.recon.Checkpoints.cut(
+      df.select(col(idCol).as("doc"), sigExpr.as("sig")))
     val chunked = sig.select(col("doc"), col("sig"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .toDF("doc", "sig", "chunk", "chunk_val")
-    val buckets = chunked.groupBy("chunk", "chunk_val")
+    // count-prune hub buckets BEFORE collect_list (see lshCandidates: a
+    // skipped bucket must never be buffered whole in one agg group)
+    val okBuckets = chunked.groupBy("chunk", "chunk_val")
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1 && col("__n") <= maxBucket)
+      .select("chunk", "chunk_val")
+    val buckets = chunked.join(okBuckets, Seq("chunk", "chunk_val"), "left_semi")
+      .groupBy("chunk", "chunk_val")
       .agg(collect_list(struct(col("doc"), col("sig"))).as("members"))
-      .where(size(col("members")) > 1 && size(col("members")) <= maxBucket)
     buckets
       .select(explode(col("members")).as("m1"), col("members"))
       .select(col("m1"), explode(col("members")).as("m2"))
@@ -356,6 +365,11 @@ object Dedup {
       labels = next
       i += 1
     }
+    // silent non-convergence would split one cluster into several and let
+    // extra "survivors" through downstream — fail loudly instead
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge within maxIter=$maxIter rounds " +
+        "(component diameter exceeds the budget); raise maxIter")
     labels
   }
 

@@ -81,9 +81,17 @@ object Similarity {
   def lshCandidates(df: DataFrame, idCol: String, vecCol: String, h: Int,
       maxBucket: Int = 4096): DataFrame = {
     val idx = lshIndex(df, idCol, vecCol, h)
-    val buckets = idx.groupBy("bucket")
+    // prune oversize buckets BEFORE any collect_list, with a count-only
+    // aggregate (map-side combined) + semi join — building a hub bucket's
+    // member list only to discard it would buffer the whole bucket's
+    // embeddings in one aggregation group (the OOM the cap exists to
+    // prevent). Same discipline as the n-gram maxDf prune.
+    val okBuckets = idx.groupBy("bucket").agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1 && col("__n") <= maxBucket)
+      .select("bucket")
+    val buckets = idx.join(okBuckets, Seq("bucket"), "left_semi")
+      .groupBy("bucket")
       .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"))).as("members"))
-      .where(size(col("members")) > 1 && size(col("members")) <= maxBucket)
     buckets
       .select(explode(col("members")).as("m1"), col("members"))
       .select(col("m1"), explode(col("members")).as("m2"))

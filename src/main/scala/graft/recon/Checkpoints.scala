@@ -29,9 +29,14 @@ object Checkpoints {
     spark.conf.getOption(DirConf) match {
       case Some(dir) if dir.nonEmpty =>
         val sc = spark.sparkContext
-        // setCheckpointDir appends a per-app UUID subdir — startsWith, not
-        // equality, or every cut would install a fresh subdir
-        if (!sc.getCheckpointDir.exists(_.startsWith(dir))) sc.setCheckpointDir(dir)
+        // setCheckpointDir stores a fully-QUALIFIED path ("file:/…",
+        // "hdfs://…") plus a per-app UUID subdir — qualify the configured
+        // dir the same way before the prefix check, or every cut would
+        // install a fresh subdir
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val qualified = p.getFileSystem(sc.hadoopConfiguration)
+          .makeQualified(p).toString
+        if (!sc.getCheckpointDir.exists(_.startsWith(qualified))) sc.setCheckpointDir(dir)
         df.checkpoint(eager = true)
       case _ =>
         df.localCheckpoint(eager = true)

