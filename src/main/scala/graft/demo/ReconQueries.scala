@@ -138,7 +138,7 @@ object ReconQueries {
       s"""$prelude,
          |m AS (SELECT i._id AS _id, e.ext_id AS ext_id, e.ext_row AS ext_row
          |      FROM internal i JOIN external e ON i.create_timestamp = e.ext_ts AND i.bin_code = e.ext_prio),
-         |d1 AS (SELECT _id, ext_id FROM (SELECT *, row_number() OVER (PARTITION BY _id ORDER BY ext_row) AS rn FROM m) WHERE rn = 1)
+         |d1 AS (SELECT _id, ext_id FROM (SELECT *, row_number() OVER (PARTITION BY _id ORDER BY ext_row, ext_id) AS rn FROM m) WHERE rn = 1)
          |SELECT _id, ext_id
          |FROM (SELECT _id, ext_id, row_number() OVER (PARTITION BY ext_id ORDER BY _id) AS rn2 FROM d1)
          |WHERE rn2 = 1""".stripMargin) { (s, d) =>
@@ -312,9 +312,9 @@ object ReconQueries {
          |m AS (SELECT i._id AS _id, e.ext_id AS ext_id, e.ext_row AS ext_row
          |      FROM internal i JOIN extdup e ON ${joinOnAl("i", "e")}),
          |kept AS (SELECT _id, ext_id FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY _id ORDER BY ext_row) AS rn FROM m) WHERE rn = 1),
+         |  SELECT *, row_number() OVER (PARTITION BY _id ORDER BY ext_row, ext_id) AS rn FROM m) WHERE rn = 1),
          |disp AS (SELECT ext_id FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY _id ORDER BY ext_row DESC) AS rn,
+         |  SELECT *, row_number() OVER (PARTITION BY _id ORDER BY ext_row DESC, ext_id DESC) AS rn,
          |    count(*) OVER (PARTITION BY _id) AS c FROM m) WHERE c > 1 AND rn = 1),
          |arem AS (SELECT * FROM internal i WHERE NOT EXISTS (SELECT 1 FROM extdup e WHERE ${joinOnAl("i", "e")})),
          |brem AS (SELECT e.* FROM extdup e WHERE NOT EXISTS (SELECT 1 FROM internal i WHERE ${joinOnAl("i", "e")})

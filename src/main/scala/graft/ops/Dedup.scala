@@ -226,15 +226,23 @@ object Dedup {
       hash: SketchHash = SketchHash.Portable): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sig = minHashSignaturesOf(shingled, k, hash)
+    // materialize the signatures once: the banded table feeds both the
+    // bucket-size prune and the member grouping below (doc + k longs — tiny)
+    val sig = graft.recon.Checkpoints.cut(minHashSignaturesOf(shingled, k, hash))
     val bandCols = (0 until bands).map { b =>
       hash.band((b * rows until (b + 1) * rows).map(i => col(s"h$i"))).as(s"b$b")
     }
     val banded = sig.select(col("doc"), posexplode(array(bandCols: _*)))
       .toDF("doc", "band", "band_hash")
-    val g = banded.groupBy("band", "band_hash")
+    // count-prune hub buckets BEFORE collect_list (see lshCandidates: a
+    // skipped bucket must never be buffered whole in one agg group)
+    val okBuckets = banded.groupBy("band", "band_hash")
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1 && col("__n") <= maxBucket)
+      .select("band", "band_hash")
+    val g = banded.join(okBuckets, Seq("band", "band_hash"), "left_semi")
+      .groupBy("band", "band_hash")
       .agg(collect_list(col("doc")).as("docs"))
-      .where(size(col("docs")) > 1 && size(col("docs")) <= maxBucket)
     g.select(explode(col("docs")).as("doc1"), col("docs"))
       .select(col("doc1"), explode(col("docs")).as("doc2"))
       .where(col("doc1") < col("doc2"))

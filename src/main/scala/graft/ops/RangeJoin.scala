@@ -22,16 +22,24 @@ object RangeJoin {
    * Candidate-complete pairs within `window` of each other, every pair
    * exactly once. Columns of both inputs must be disjoint.
    */
+  /** Exact integral floor division for bucket ids. `floor(col / w)` is
+    * double-precision division — for |ts| > 2^53 (nanosecond-epoch
+    * timestamps) the quotient loses ulps and rows land in the wrong
+    * bucket, silently dropping within-window pairs. `pmod` is always in
+    * [0, w), so subtracting it yields the exact floor multiple and the
+    * integral `div` is then exact over the full long range (callers need
+    * one window of headroom above Long.MinValue). */
+  private def floorBucket(ts: Column, window: Long): Column =
+    call_function("div", ts - pmod(ts, lit(window)), lit(window))
+
   def withinWindow(left: DataFrame, right: DataFrame,
       leftTs: String, rightTs: String, window: Long): DataFrame = {
     require(window > 0, "window must be positive")
-    val lB = left.withColumn("__lb", floor(col(leftTs) / window))
+    val lB = left.withColumn("__lb", floorBucket(col(leftTs), window))
     // each right row visits its own and both adjacent buckets, so every
     // within-window pair co-locates exactly once on (__lb == one visit)
-    val rB = right.withColumn("__rb",
-      explode(array(floor(col(rightTs) / window) - 1,
-        floor(col(rightTs) / window),
-        floor(col(rightTs) / window) + 1)))
+    val rb = floorBucket(col(rightTs), window)
+    val rB = right.withColumn("__rb", explode(array(rb - 1, rb, rb + 1)))
     lB.join(rB, col("__lb") === col("__rb"), "inner")
       .where(abs(col(leftTs) - col(rightTs)) <= window)
       .drop("__lb", "__rb")

@@ -117,7 +117,11 @@ object Similarity {
   /** IVF index against an EXPLICIT centroid set (centroid_id, cv) — the
     * hook for a trained codebook ([[kmeansCentroids]]) instead of the
     * deterministic sample. */
-  def ivfIndexWith(df: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame =
+  def ivfIndexWith(df: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
+    // an empty codebook would broadcast an empty array whose argmax is a
+    // silent null centroid_id on every row — fail loudly instead (the
+    // probe is one tiny job; codebooks are broadcast-sized by contract)
+    require(cents.head(1).nonEmpty, "ivfIndexWith: centroid set is empty")
     // the whole centroid set as ONE broadcast row holding an array of
     // (centroid_id, cv) structs: the 1-row broadcast join just appends the
     // array to every corpus row (no shuffle, no row inflation), and the
@@ -135,6 +139,7 @@ object Similarity {
             c.getField("centroid_id").as("centroid_id"))))
           .getField("centroid_id"))
       .drop("__cents")
+  }
 
   /**
    * Distributed Lloyd's k-means over an embedding column — trains the IVF

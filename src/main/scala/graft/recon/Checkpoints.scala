@@ -16,11 +16,33 @@ import org.apache.spark.sql.DataFrame
  *  - `spark.graft.checkpointDir` set: reliable `checkpoint()` into that
  *    (HDFS/object-store) directory — survives executor loss, the right
  *    setting for long multi-pass runs at the 100 TB scale. The directory
- *    is installed as the SparkContext checkpoint dir on first use.
+ *    is installed as the SparkContext checkpoint dir on first use, and the
+ *    per-app UUID subdir is deleted at application end (multi-pass runs
+ *    lay down one checkpoint per cut — without cleanup they accumulate
+ *    unboundedly). For mid-run reclamation of checkpoints whose frames
+ *    have been GC'd, additionally submit with
+ *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` (read at
+ *    SparkContext construction — cannot be installed here).
  */
 object Checkpoints {
 
   final val DirConf = "spark.graft.checkpointDir"
+
+  private val cleanupHooked = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Delete the per-app checkpoint subdir when the application ends. */
+  private def hookCleanup(sc: org.apache.spark.SparkContext): Unit =
+    if (cleanupHooked.compareAndSet(false, true)) {
+      sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          sc.getCheckpointDir.foreach { d =>
+            val p = new org.apache.hadoop.fs.Path(d)
+            try p.getFileSystem(sc.hadoopConfiguration).delete(p, true)
+            catch { case _: java.io.IOException => () } // best-effort
+          }
+      })
+    }
 
   /** Materialize `df` eagerly and cut its lineage, per the session's
     * checkpoint policy. */
@@ -37,6 +59,7 @@ object Checkpoints {
         val qualified = p.getFileSystem(sc.hadoopConfiguration)
           .makeQualified(p).toString
         if (!sc.getCheckpointDir.exists(_.startsWith(qualified))) sc.setCheckpointDir(dir)
+        hookCleanup(sc)
         df.checkpoint(eager = true)
       case _ =>
         df.localCheckpoint(eager = true)

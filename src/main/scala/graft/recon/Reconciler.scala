@@ -98,7 +98,10 @@ final class Reconciler(val conf: ReconConfig) extends Serializable {
    * caller's anti-joins.
    */
   def processDuplicates(matched: DataFrame, extOrder: Column): DataFrame = {
-    val oneExtPerInternal = keepFirstBy(matched, Seq(conf.idField), Seq(extOrder))
+    // the external id rides along as a secondary order key so the pick is
+    // total even when extOrder ties (see reconcilePass)
+    val oneExtPerInternal =
+      keepFirstBy(matched, Seq(conf.idField), Seq(extOrder, col(conf.externalId)))
     keepFirstBy(oneExtPerInternal, Seq(conf.externalId), Seq(col(conf.idField)))
   }
 
@@ -236,9 +239,16 @@ final class Reconciler(val conf: ReconConfig) extends Serializable {
     val exact = matchRecords(a, b)
     val others = exact.columns.filterNot(_ == conf.idField)
     val row = struct(others.map(col).toIndexedSeq: _*)
+    // the external id is a secondary order key: extOrder alone is only
+    // assumed unique, and min_by/max_by pick independently — on an extOrder
+    // tie they could otherwise resolve to the SAME external row, which
+    // would then sit in the matched set AND be re-added to the remanents
+    // (double-consumed). (ext ids are distinct within an internal id's
+    // pairings, so the extended ordering is total.)
+    val ord = struct(extOrder, col(conf.externalId))
     val fl = cut(exact.groupBy(col(conf.idField)).agg(
-      min_by(row, struct(extOrder)).as("__first"),
-      max_by(row, struct(extOrder)).as("__last"),
+      min_by(row, ord).as("__first"),
+      max_by(row, ord).as("__last"),
       count(lit(1)).as("__n")))
     val kept = fl
       .select((col(conf.idField) +: others.map(c => col(s"__first.$c").as(c))).toIndexedSeq: _*)

@@ -81,6 +81,23 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(got.sorted == want.sorted)          // complete AND duplicate-free
   }
 
+  test("rangeJoin buckets exactly for |ts| > 2^53 and negative timestamps") {
+    import graft.ops.RangeJoin
+    // at 2^62 doubles have spacing 1024: q+511 rounds DOWN to q while
+    // q+513 rounds UP to q+1024, so double-division bucket ids for this
+    // Δ=2 pair differ by ~146 windows and the pair silently vanishes —
+    // integral floor division must keep it
+    val q = 1L << 62
+    val l = Seq((1L, q + 513L), (2L, -5L)).toDF("lid", "lms")
+    val r = Seq((10L, q + 511L), (11L, 3L)).toDF("rid", "rms")
+    val got = RangeJoin.withinWindow(l, r, "lms", "rms", window = 7L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))              // Δ=2 found; Δ=8 (−5 vs 3) excluded
+    val got2 = RangeJoin.withinWindow(l, r, "lms", "rms", window = 8L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got2 == Set((1L, 10L), (2L, 11L))) // negative-ts floor is exact too
+  }
+
   test("sessionize splits on gap and aggregates per session") {
     val s = EventPipeline.sessionize(eventsDf, gapMs = 600000L)
       .select("user_id", "session_seq", "n_events", "total_value")
