@@ -1,0 +1,258 @@
+package graft.demo
+
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.ops._
+
+/**
+ * Round-3 curation / retrieval / packing / windowing queries, plus
+ * oracle-checked upgrades of previously spec-only reference operators
+ * (S3/S6 CSV round-trip, P10 shadow keys, A2 row count). Same contract as
+ * [[OpsQueries]]: every entry pairs the Spark implementation with its
+ * exact DuckDB mirror.
+ */
+object CurationQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    s.read.parquet(s"$d/documents.parquet")
+
+  /** DuckDB CTE: (doc_id, t) lowercase whitespace tokens — the
+    * [[graft.ops.TextAnalysis.tokens]] mirror used across text oracles. */
+  private val tokensCte: String =
+    raw"""tt AS (
+         |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         |                      ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+         |  FROM documents)""".stripMargin
+
+  /** DuckDB expression: whitespace token count of `text` ≡ TextAnalysis.tokenCount. */
+  private val tokenCountSql: String =
+    raw"""CASE WHEN length(trim(text)) = 0 THEN 0
+         |     ELSE len(string_split_regex(trim(text), '\s+')) END""".stripMargin
+
+  // BM25 constants — interpolated into BOTH engines from the same doubles
+  // so the literals agree bit-for-bit
+  private val K1 = 1.2d
+  private val B = 0.75d
+  private val Bm25Terms = Seq("spark", "dup", "merge")
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // Gopher-style repetition filters, token granularity (the synthetic
+    // docs are single-line, so line-level dup fractions would be
+    // degenerate): duplicate-token, top-token and duplicate-bigram
+    // fractions per document
+    QuerySpec("text_repetition",
+      raw"""WITH $tokensCte,
+           |tok AS (SELECT doc_id, unnest(t) AS tk FROM tt),
+           |tc AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+           |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+           |         count(*) AS n_distinct_tokens, CAST(max(c) AS BIGINT) AS top
+           |       FROM tc GROUP BY 1),
+           |gr AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS g FROM tt),
+           |gc AS (SELECT doc_id, g, count(*) AS c FROM gr GROUP BY 1, 2),
+           |gs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_ngrams,
+           |         count(*) AS n_distinct_ngrams
+           |       FROM gc GROUP BY 1)
+           |SELECT d.doc_id,
+           |  coalesce(n_tokens, 0) AS n_tokens,
+           |  coalesce(n_distinct_tokens, 0) AS n_distinct_tokens,
+           |  CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+           |       ELSE 1.0 - CAST(n_distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS dup_token_frac,
+           |  CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+           |       ELSE CAST(top AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS top_token_frac,
+           |  coalesce(n_ngrams, 0) AS n_ngrams,
+           |  coalesce(n_distinct_ngrams, 0) AS n_distinct_ngrams,
+           |  CASE WHEN coalesce(n_ngrams, 0) = 0 THEN 0.0
+           |       ELSE 1.0 - CAST(n_distinct_ngrams AS DOUBLE) / CAST(n_ngrams AS DOUBLE) END AS dup_ngram_frac
+           |FROM documents d LEFT JOIN ts USING (doc_id) LEFT JOIN gs USING (doc_id)""".stripMargin) { (s, d) =>
+      TextAnalysis.repetitionMetrics(docs(s, d), "text", "doc_id", n = 2)
+    },
+
+    // PII redaction over deterministically synthesized PII (the synthetic
+    // corpus has none of its own): emails masked first, then long digit
+    // runs — counts + redacted text value-checked
+    QuerySpec("text_redact",
+      raw"""WITH s AS (
+           |  SELECT doc_id,
+           |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+           |         || '@example.com or 00447700' || CAST(doc_id % 1000 + 900000 AS VARCHAR) AS t
+           |  FROM documents),
+           |e AS (
+           |  SELECT doc_id, t,
+           |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS de
+           |  FROM s)
+           |SELECT doc_id, n_emails,
+           |  len(regexp_extract_all(de, '[0-9]{7,}')) AS n_digit_runs,
+           |  regexp_replace(de, '[0-9]{7,}', '<NUMBER>', 'g') AS text_redacted
+           |FROM e""".stripMargin) { (s, d) =>
+      val synth = docs(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 00447700"),
+          (col("doc_id") % 1000 + 900000).cast("string")).as("pii_text"))
+      TextAnalysis.redactPii(synth, "pii_text")
+        .select(col("doc_id"), col("n_emails"), col("n_digit_runs"), col("text_redacted"))
+    },
+
+    // BM25 keyword retrieval (rational-idf variant — bit-reproducible in
+    // ANSI SQL; the log-idf form is spec-checked): top-10 docs for a
+    // mixed common/rare term set
+    QuerySpec("text_bm25", {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val perTermSum = Bm25Terms
+        .map(t => s"coalesce(sum(CASE WHEN tk = '$t' THEN s END), 0.0)")
+        .mkString("\n      + ")
+      raw"""WITH $tokensCte,
+           |dl AS (SELECT doc_id, CAST($tokenCountSql AS DOUBLE) AS dl FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS s FROM dl),
+           |tok AS (SELECT doc_id, unnest(t) AS tk FROM tt),
+           |tf AS (SELECT doc_id, tk, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM tok WHERE tk IN ($termList) GROUP BY 1, 2),
+           |dfq AS (SELECT tk, CAST(count(*) AS DOUBLE) AS dfq FROM tf GROUP BY 1),
+           |sc AS (SELECT f.doc_id, f.tk,
+           |    ((st.n - q.dfq + 0.5) / (q.dfq + 0.5)) *
+           |    ((f.tf * ${K1 + 1.0d}) / (f.tf + $K1 * (${1.0d - B} + $B * (d.dl / (st.s / st.n))))) AS s
+           |  FROM tf f JOIN dfq q USING (tk) JOIN dl d USING (doc_id) CROSS JOIN st),
+           |agg AS (SELECT doc_id, $perTermSum AS score FROM sc GROUP BY 1)
+           |SELECT doc_id, score, rank FROM (
+           |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM agg)
+           |WHERE rank <= 10""".stripMargin
+    }) { (s, d) =>
+      Retrieval.bm25TopK(docs(s, d), "text", "doc_id", Bm25Terms, k = 10,
+        k1 = K1, b = B, logIdf = false)
+    },
+
+    // concat-then-chunk sequence packing per language (2048-token budget):
+    // bin population + token totals, value-checked. Exact integral div on
+    // the running sum — no double floor
+    QuerySpec("text_pack_bins",
+      raw"""WITH t AS (
+           |  SELECT lang, doc_id, CAST($tokenCountSql AS BIGINT) AS w FROM documents),
+           |c AS (
+           |  SELECT lang, doc_id, w,
+           |    sum(w) OVER (PARTITION BY lang ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM t)
+           |SELECT lang, CAST((cum - w) // 2048 AS BIGINT) AS pack_id,
+           |  count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS pack_tokens
+           |FROM c GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val weighted = docs(s, d).select(col("lang"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__w"))
+      Packing.packByBudget(weighted, "__w", Seq(col("doc_id")), 2048L, Seq("lang"))
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("pack_tokens"))
+    },
+
+    // per-language length distribution: exact interpolated quantiles
+    // (Spark `percentile` ≡ DuckDB `quantile_cont` — both linear
+    // interpolation at rank p*(n-1); dyadic fractions over integers are
+    // bit-exact in either formula)
+    QuerySpec("text_len_quantiles",
+      """SELECT lang, count(*) AS n_docs,
+        |  quantile_cont(n_chars, 0.25) AS q25,
+        |  quantile_cont(n_chars, 0.50) AS q50,
+        |  quantile_cont(n_chars, 0.75) AS q75
+        |FROM documents GROUP BY lang""".stripMargin) { (s, d) =>
+      docs(s, d).groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        percentile(col("n_chars"), lit(0.25d)).as("q25"),
+        percentile(col("n_chars"), lit(0.50d)).as("q50"),
+        percentile(col("n_chars"), lit(0.75d)).as("q75"))
+    },
+
+    // hopping (sliding) windows: 10-minute window every 5 minutes — each
+    // event in exactly 2 windows, same boundaries as Structured
+    // Streaming's window(ts, size, slide)
+    QuerySpec("stream_hopping",
+      """WITH e AS (SELECT epoch_ms(ts) AS ms, event_type, value FROM events),
+        |a AS (
+        |  SELECT (ms // 300000) * 300000 - off * 300000 AS win_start, event_type, value
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1]) AS off) o)
+        |SELECT win_start, event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM a GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      graft.streaming.EventPipeline.hoppingAgg(OpsQueries.events(s, d),
+        windowMs = 600000L, slideMs = 300000L)
+    },
+
+    // semi-structured props: JSON field extraction + typed grouping —
+    // get_json_object stays per-row/codegen'd; the aggregate is the only
+    // shuffle
+    QuerySpec("events_json_extract",
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      OpsQueries.events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("user_id"), col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+    },
+
+    // S3+S6 upgraded from spec-only to value-checked: the internal frame
+    // round-trips through the reference's CSV convention (write header CSV,
+    // re-read all-string with no inference, cast back) and must equal the
+    // original scan bit-for-bit
+    QuerySpec("recon_csv_roundtrip",
+      s"${OracleSql.prelude}\nSELECT * FROM internal") { (s, d) =>
+      val i = TpcMapping.internal(s, d)
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_csv_roundtrip").getAbsolutePath
+      graft.recon.Sinks.writeCsv(i, tmp)
+      val back = graft.recon.Sources.csvAllString(s, tmp)
+      i.schema.fields.foldLeft(back) { (df, f) =>
+        df.withColumn(f.name, col(f.name).cast(f.dataType))
+      }
+    },
+
+    // P10 upgraded from spec-only to value-checked: full external prep
+    // (row index, key casts, ext_ prefix, exd_ shadow keys) with the
+    // ext_/exd_ projection (P11) over it
+    QuerySpec("recon_shadow_keys",
+      """SELECT CAST(o_orderkey AS VARCHAR) AS ext_id,
+        |  CAST(o_orderkey AS VARCHAR) AS ext_code,
+        |  o_totalprice AS ext_amount,
+        |  epoch_ms(o_orderdate) AS ext_ts,
+        |  o_orderpriority AS ext_prio,
+        |  CAST(o_orderkey AS VARCHAR) AS exd_code,
+        |  o_totalprice AS exd_amount,
+        |  epoch_ms(o_orderdate) AS exd_ts,
+        |  o_orderpriority AS exd_prio
+        |FROM orders""".stripMargin) { (s, d) =>
+      val raw = s.read.parquet(s"$d/orders.parquet").select(
+        col("o_orderkey").cast("string").as("id"),
+        col("o_orderkey").cast("string").as("code"),
+        col("o_totalprice").cast("string").as("amount"),
+        unix_millis(col("o_orderdate").cast("timestamp")).cast("string").as("ts"),
+        col("o_orderpriority").as("prio"))
+      val prepped = graft.recon.Sources.prepareExternal(raw, TpcMapping.conf)
+      graft.recon.ExprBuilder.selectByPrefix(prepped, "ext_", "exd_")
+    },
+
+    // S8/§2.8 upgraded from spec-only to value-checked: the interval-
+    // partitioned write fan-out (the reference's 5-thread `$merge` split,
+    // second_conciliate.py:409-447, as repartitionByRange) round-trips
+    // through parquet and must preserve content exactly
+    QuerySpec("recon_write_intervals",
+      s"${OracleSql.prelude}\nSELECT * FROM internal") { (s, d) =>
+      val i = TpcMapping.internal(s, d)
+      val tmp = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_interval_write").getAbsolutePath
+      graft.recon.Sinks.writeRangePartitioned(i, tmp, "create_timestamp", numRanges = 5)
+      s.read.parquet(tmp)
+    },
+
+    // A2 upgraded from spec-only to value-checked: row count + emptiness
+    // guard as a one-row frame
+    QuerySpec("recon_count",
+      s"${OracleSql.prelude}\nSELECT count(*) AS n_rows, count(*) > 0 AS non_empty FROM internal") { (s, d) =>
+      TpcMapping.internal(s, d)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(col("n_rows"), (col("n_rows") > 0).as("non_empty"))
+    }
+  )
+}

@@ -361,16 +361,19 @@ object Dedup {
     var done = false
     var i = 0
     while (!done && i < maxIter) {
+      // the self row is flagged so the SAME aggregate that computes the new
+      // label also carries the old one out — the convergence probe is then
+      // a shuffle-free filter over the checkpointed frame, not a second
+      // join+shuffle job per round
+      val compType = labels.schema("component").dataType
       val viaNbr = edges.join(labels, edges("dst") === labels("node"))
-        .select(edges("src").as("node"), col("component"))
+        .select(edges("src").as("node"), col("component"), lit(null).cast(compType).as("__old"))
+      val self = labels.select(col("node"), col("component"), col("component").as("__old"))
       val next = cut(
-        labels.unionByName(viaNbr).groupBy("node").agg(min("component").as("component")))
-      // round 1 always changes something when any edge exists — probing
-      // it would burn a job to learn nothing
-      done = i > 0 && next
-        .join(labels.withColumnRenamed("component", "__old"), Seq("node"))
-        .where(col("component") =!= col("__old")).isEmpty
-      labels = next
+        self.unionByName(viaNbr).groupBy("node")
+          .agg(min("component").as("component"), min("__old").as("__old")))
+      done = next.where(col("component") =!= col("__old")).isEmpty
+      labels = next.select("node", "component")
       i += 1
     }
     // silent non-convergence would split one cluster into several and let

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Keyword retrieval over a document corpus: BM25 scoring for a fixed term
+ * set — the standard "find the docs about X" primitive of a training-data
+ * pipeline (topic filtering, contamination checks against benchmark terms,
+ * quality-by-query probes).
+ *
+ * Scale shape: the token explode is filtered to the query terms BEFORE any
+ * shuffle (the per-doc term-frequency aggregate only ever sees matching
+ * tokens), document frequencies and the corpus stats are one-row/tiny
+ * frames joined via broadcast, and the final top-k is a
+ * TakeOrderedAndProject (per-partition heaps + driver merge of k rows) —
+ * never a global sort or single-partition window. No UDFs; everything
+ * stays in whole-stage codegen.
+ *
+ * The reference has no text-retrieval surface (its "engine" is
+ * reconciliation joins, reference: src/reconciliatior.py) — this is part
+ * of the LLM-pipeline extension set.
+ */
+object Retrieval {
+
+  /**
+   * Per-document BM25 score for `terms` (docs matching no term are absent —
+   * their score is 0). Output: (idCol, score).
+   *
+   * `logIdf = true` is the textbook idf `ln(1 + (N - df + 0.5)/(df + 0.5))`;
+   * `false` uses the rational core `(N - df + 0.5)/(df + 0.5)` alone — the
+   * same value without the log wrap. The log is monotone, and per-term
+   * scores are summed either way, so rankings agree except in rare
+   * multi-term weighing edge cases; the rational form exists because it is
+   * reproducible bit-for-bit in any ANSI SQL engine (the oracle), while
+   * `ln` may differ in the last ulp across math libraries.
+   */
+  def bm25Scores(df: DataFrame, textCol: String, idCol: String, terms: Seq[String],
+      k1: Double = 1.2d, b: Double = 0.75d, logIdf: Boolean = true): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one term")
+    val termsLc = terms.map(_.toLowerCase)
+    require(termsLc.distinct.size == termsLc.size, "duplicate query terms")
+
+    // per-doc length in tokens: pure projection, no shuffle
+    val dl = df.select(col(idCol),
+      TextAnalysis.tokenCount(col(textCol)).cast("double").as("__dl"))
+    // corpus stats: one-row frame (token totals are whole numbers, so the
+    // double sum is exact and order-independent below 2^53)
+    val stats = dl.agg(count(lit(1)).cast("double").as("__n"), sum(col("__dl")).as("__s"))
+
+    // term filter BEFORE the tf aggregation: the shuffle only carries
+    // (doc, matching-term) rows, never the corpus token stream
+    val tok = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .where(col("__t").isin(termsLc: _*))
+    val tf = tok.groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).cast("double").as("__df"))
+
+    val scored = tf
+      .join(broadcast(dfreq), "__t")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+    val idfCore = (col("__n") - col("__df") + lit(0.5d)) / (col("__df") + lit(0.5d))
+    val idf = if (logIdf) log(lit(1.0d) + idfCore) else idfCore
+    val avgdl = col("__s") / col("__n")
+    val termScore = idf *
+      ((col("__tf") * lit(k1 + 1.0d)) /
+        (col("__tf") + lit(k1) * (lit(1.0d - b) + lit(b) * (col("__dl") / avgdl))))
+
+    // fixed-order per-term sum (each per-term aggregate sees at most one
+    // row): float addition order is deterministic, unlike a bare
+    // sum(score) whose partial-merge order Spark does not fix
+    val withScore = scored.withColumn("__score", termScore)
+    val perTerm = termsLc.zipWithIndex.map { case (t, i) =>
+      sum(when(col("__t") === t, col("__score"))).as(s"__s_$i")
+    }
+    val total = termsLc.indices
+      .map(i => coalesce(col(s"__s_$i"), lit(0.0d)))
+      .reduce(_ + _)
+    withScore.groupBy(col(idCol))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col(idCol), total.as("score"))
+  }
+
+  /** Top-k documents by BM25 for `terms`, with a deterministic dense rank
+    * (ties break on the id). The k-selection is orderBy+limit — Spark plans
+    * it as TakeOrderedAndProject (distributed heaps), NOT a global sort;
+    * the rank column is stamped on the k surviving rows only. */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String, terms: Seq[String], k: Int,
+      k1: Double = 1.2d, b: Double = 0.75d, logIdf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = bm25Scores(df, textCol, idCol, terms, k1, b, logIdf)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+    // window over ≤ k rows — bounded by construction
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+  }
+}

@@ -93,6 +93,79 @@ object TextAnalysis {
         .otherwise(best.getField("lang")))
   }
 
+  /**
+   * Repetition metrics per document (the Gopher-style repetition filters at
+   * token granularity): duplicate-token fraction, most-frequent-token
+   * fraction, duplicate n-gram fraction. High values flag boilerplate /
+   * degenerate documents for removal before training.
+   *
+   * Distributed shape: explode + two-level count aggregation with map-side
+   * partial combine — never a per-document collect, so a pathological
+   * gigabyte document costs its token count, not a buffered array. Both
+   * explodes read a materialized token array behind a repartition barrier
+   * (same discipline as [[Dedup.shingleSets]]: higher-order-function
+   * lambdas run interpreted and are NOT CSE'd, so the tokenizer must not
+   * be re-inlined per element access).
+   */
+  def repetitionMetrics(df: DataFrame, textCol: String, idCol: String, n: Int = 2): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__toks")).repartition(par)
+
+    val tokStats = toks.select(col(idCol), explode(col("__toks")).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        max(col("__c")).as("__top"))
+
+    val gramStats = toks
+      .select(col(idCol), explode(Dedup.shinglesOfTokens(col("__toks"), n)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol)).agg(
+        sum(col("__c")).as("n_ngrams"),
+        count(lit(1)).as("n_distinct_ngrams"))
+
+    def frac(distinct: Column, total: Column): Column =
+      when(total.isNull || total === 0L, lit(0.0d))
+        .otherwise(lit(1.0d) - distinct.cast("double") / total.cast("double"))
+
+    // empty docs fall out of both explodes — restore them with zero counts
+    df.select(col(idCol))
+      .join(tokStats, Seq(idCol), "left")
+      .join(gramStats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct_tokens"), lit(0L)).as("n_distinct_tokens"),
+        frac(col("n_distinct_tokens"), col("n_tokens")).as("dup_token_frac"),
+        when(col("n_tokens").isNull || col("n_tokens") === 0L, lit(0.0d))
+          .otherwise(col("__top").cast("double") / col("n_tokens").cast("double"))
+          .as("top_token_frac"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_distinct_ngrams"), lit(0L)).as("n_distinct_ngrams"),
+        frac(col("n_distinct_ngrams"), col("n_ngrams")).as(s"dup_ngram_frac"))
+  }
+
+  /** Email pattern (RE2-portable: no lookarounds, mirrors in DuckDB). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long digit runs — phone/card/account-number shaped. */
+  val DigitRunRe = "[0-9]{7,}"
+
+  /**
+   * PII redaction: emails → `<EMAIL>`, then 7+-digit runs → `<NUMBER>`
+   * (ordered so an address's digits are consumed by the email mask and
+   * never double-counted). Adds `n_emails`, `n_digit_runs`,
+   * `text_redacted`. Pure per-row regex projection — codegen'd, no
+   * shuffle, linear in input splits.
+   */
+  def redactPii(df: DataFrame, textCol: String, outCol: String = "text_redacted"): DataFrame = {
+    val t = col(textCol)
+    val deEmailed = regexp_replace(t, EmailRe, "<EMAIL>")
+    df.withColumn("n_emails", regexp_count(t, lit(EmailRe)).cast("int"))
+      .withColumn("n_digit_runs", regexp_count(deEmailed, lit(DigitRunRe)).cast("int"))
+      .withColumn(outCol, regexp_replace(deEmailed, DigitRunRe, "<NUMBER>"))
+  }
+
   /** Min-window-hash document fingerprint (native expression, codegen'd).
     * `portable = true` (default) slides a CHARACTER window hashed with md5
     * — value-checkable against the DuckDB oracle; `false` slides the

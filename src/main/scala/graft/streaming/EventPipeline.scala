@@ -33,6 +33,38 @@ object EventPipeline {
         // money-style sum through decimal: exact + order-independent
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
 
+  /**
+   * Hopping (sliding) window counts/sums: window `windowMs`, advancing
+   * every `slideMs` (must divide it). Each event lands in exactly
+   * windowMs/slideMs windows — assigned via an explode of that constant
+   * fan-out, then one partial-combined aggregation; identical window
+   * boundaries to Structured Streaming's `window(ts, size, slide)`
+   * (starts aligned to multiples of the slide). Window starts use exact
+   * integral division (`div`), not a double `floor` — epoch-ms past 2^53
+   * would lose precision in a double quotient.
+   */
+  def hoppingAgg(events: DataFrame, windowMs: Long, slideMs: Long): DataFrame = {
+    require(windowMs % slideMs == 0, "slide must divide window")
+    val nWin = (windowMs / slideMs).toInt
+    val starts = (0 until nWin).map(i => col("__base") - lit(i.toLong * slideMs))
+    events
+      .withColumn("__ms", unix_millis(col("ts").cast("timestamp")))
+      .withColumn("__base", expr(s"(__ms div ${slideMs}L) * ${slideMs}L"))
+      .withColumn("win_start", explode(array(starts: _*)))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+  }
+
+  /** [[hoppingAgg]] as a streaming query (watermark + sliding window). */
+  def hoppingAggStream(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType, windowSec: Int, slideSec: Int): DataFrame =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), s"$windowSec seconds", s"$slideSec seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+
   /** Same aggregation as a streaming query with watermarking. */
   def tumblingAggStream(spark: SparkSession, sourceDir: String,
       schema: org.apache.spark.sql.types.StructType, windowSec: Int): DataFrame =

@@ -38,9 +38,19 @@ object PlanAudit {
         // under a global AGGREGATE is the normal tiny final-combine stage;
         // the killers are whole-input funnels (unpartitioned windows) and
         // cartesian joins
+        // an unpartitioned window whose input passed through a global
+        // limit of ≤ 100k rows is bounded by construction (e.g. a rank
+        // stamp on a top-k result) — only flag whole-input funnels
+        def boundedByLimit(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+          p.collectFirst {
+            case l: org.apache.spark.sql.execution.GlobalLimitExec if l.limit <= 100000 => true
+            case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+                if t.limit <= 100000 => true
+          }.nonEmpty
         val flags = plan.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec
-              if w.partitionSpec.isEmpty => "global window over all rows"
+              if w.partitionSpec.isEmpty && !w.children.exists(boundedByLimit) =>
+            "global window over all rows"
           case _: org.apache.spark.sql.execution.joins.CartesianProductExec =>
             "cartesian product"
         }.distinct

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Packing, Retrieval, TextAnalysis}
+import graft.streaming.EventPipeline
+
+class CurationOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---------------------------------------------------------- repetition
+
+  test("repetitionMetrics computes dup/top fractions, zeros for empty docs") {
+    val df = Seq(
+      (1L, "a a a b"),
+      (2L, "x y z"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(df, "text", "doc_id", n = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val r1 = m(1L) // tokens: a a a b; bigrams: "a a","a a","a b"
+    assert(r1.getLong(1) == 4L && r1.getLong(2) == 2L)
+    assert(r1.getDouble(3) == 0.5d)   // dup_token_frac
+    assert(r1.getDouble(4) == 0.75d)  // top_token_frac
+    assert(r1.getLong(5) == 3L && r1.getLong(6) == 2L)
+    assert(math.abs(r1.getDouble(7) - (1.0 - 2.0 / 3.0)) < 1e-15)
+
+    val r2 = m(2L) // all distinct
+    assert(r2.getDouble(3) == 0.0d && r2.getDouble(4) == 1.0 / 3.0)
+
+    val r3 = m(3L) // empty doc restored with zero counts
+    assert(r3.getLong(1) == 0L && r3.getDouble(3) == 0.0d && r3.getDouble(7) == 0.0d)
+  }
+
+  // ---------------------------------------------------------- redaction
+
+  test("redactPii masks emails then digit runs, counts each") {
+    val df = Seq(
+      (1L, "write to john.doe+x@sub.example.org or call 07700900123 ok"),
+      (2L, "short number 123456 stays, code A9 stays"),
+      (3L, "two mails a@b.io c@d.net and 99999999999")
+    ).toDF("id", "t")
+    val out = TextAnalysis.redactPii(df, "t").collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1L).getInt(2) == 1 && out(1L).getInt(3) == 1)
+    assert(out(1L).getString(4) == "write to <EMAIL> or call <NUMBER> ok")
+    assert(out(2L).getInt(2) == 0 && out(2L).getInt(3) == 0)
+    assert(out(2L).getString(4).contains("123456"))
+    assert(out(3L).getInt(2) == 2 && out(3L).getInt(3) == 1)
+    assert(out(3L).getString(4) == "two mails <EMAIL> <EMAIL> and <NUMBER>")
+  }
+
+  // ---------------------------------------------------------- BM25
+
+  private def corpus = Seq(
+    (1L, "apple banana cherry"),
+    (2L, "apple apple apple"),
+    (3L, "banana banana"),
+    (4L, "durian")
+  ).toDF("doc_id", "text")
+
+  test("bm25 scores only matching docs; higher tf wins at equal length") {
+    val scores = Retrieval.bm25Scores(corpus, "text", "doc_id", Seq("apple"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.keySet == Set(1L, 2L))
+    assert(scores(2L) > scores(1L)) // tf 3 vs 1 (same length)
+    assert(scores.values.forall(_ > 0.0))
+  }
+
+  test("bm25TopK ranks deterministically and matches the score order") {
+    val top = Retrieval.bm25TopK(corpus, "text", "doc_id",
+      Seq("apple", "banana"), k = 3)
+      .select("doc_id", "score", "rank").as[(Long, Double, Int)].collect()
+    assert(top.map(_._3).toSeq == Seq(1, 2, 3))
+    assert(top.map(_._2).toSeq == top.map(_._2).sorted.reverse.toSeq)
+    // doc 1 matches both terms — must beat the single-term docs here
+    assert(top.head._1 == 1L)
+  }
+
+  test("bm25 rational and log idf agree on single-term ranking") {
+    def ranking(logIdf: Boolean) =
+      Retrieval.bm25TopK(corpus, "text", "doc_id", Seq("banana"), k = 4, logIdf = logIdf)
+        .select("doc_id").as[Long].collect().toSeq
+    assert(ranking(true) == ranking(false))
+  }
+
+  // ---------------------------------------------------------- packing
+
+  test("packByBudget assigns chunk of first token; oversize docs straddle") {
+    val df = Seq((1L, 3L), (2L, 20L), (3L, 4L)).toDF("id", "w")
+      .withColumn("g", lit("x"))
+    val bins = Packing.packByBudget(df, "w", Seq(col("id")), 8L, Seq("g"))
+      .select("id", "pack_id").as[(Long, Long)].collect().toMap
+    // starts: 0, 3, 23 → bins 0, 0, 2
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 2L))
+  }
+
+  test("packGlobal matches the window form on a single group") {
+    val df = (1L to 500L).map(i => (i, (i % 7) + 1)).toDF("id", "w")
+      .withColumn("w", col("w").cast("long"))
+    val expected = Packing.packByBudget(df.withColumn("g", lit(1)), "w",
+      Seq(col("id")), 37L, Seq("g"))
+      .select("id", "pack_id").as[(Long, Long)].collect().toSet
+    val got = Packing.packGlobal(df, "w", Seq(col("id")), 37L)
+      .select("id", "pack_id").as[(Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("packGlobal rejects negative weights") {
+    val df = Seq((1L, -5L)).toDF("id", "w")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Packing.packGlobal(df, "w", Seq(col("id")), 10L).collect()
+    }
+    assert(ex.getMessage.contains("negative weight")
+      || Option(ex.getCause).exists(_.getMessage.contains("negative weight")))
+  }
+
+  // ---------------------------------------------------------- hopping
+
+  test("hoppingAgg matches Structured Streaming's window(size, slide) boundaries") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = (0 until 200).map { i =>
+      (i.toLong, new java.sql.Timestamp(base.getTime + i * 97_000L),
+        i.toLong % 5, if (i % 3 == 0) "click" else "view", i * 1.5d)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val got = EventPipeline.hoppingAgg(events, windowMs = 600000L, slideMs = 300000L)
+      .select("win_start", "event_type", "n_events", "total_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+
+    val want = events
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("tv"))
+      .select(unix_millis(col("window.start")), col("event_type"), col("n"), col("tv"))
+      .as[(Long, String, Long, Double)].collect().toSet
+
+    assert(got == want)
+    // every event lands in exactly window/slide = 2 windows
+    assert(got.toSeq.map(_._3).sum == 400L)
+  }
+}
