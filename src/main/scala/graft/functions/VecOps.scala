@@ -55,6 +55,55 @@ object VecOps {
     z ^ (z >>> 31)
   }
 
+  /** Max absolute component of a float array (0 for an empty array) — the
+    * per-vector scale of symmetric int8 quantization. */
+  def maxAbsF(a: ArrayData): Float = {
+    val n = a.numElements()
+    var m = 0.0f
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getFloat(i))
+      if (v > m) m = v
+      i += 1
+    }
+    m
+  }
+
+  /**
+   * Symmetric int8 quantization: q[i] = floor(v[i] · 127 / maxabs + 0.5)
+   * in DOUBLE (floor(x+0.5), not a round() whose half-even/half-up
+   * convention varies across engines — this exact formula is what the
+   * DuckDB oracle mirrors). |v[i]| ≤ maxabs bounds q in [-127, 127] with
+   * no clamp; a zero vector quantizes to zeros. 4× smaller at rest than
+   * float32 — the difference between an in-memory ANN shard and a spilled
+   * one at the 100 TB tier.
+   */
+  def quant8F(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val ma = maxAbsF(a).toDouble
+    val out = new Array[Byte](n)
+    if (ma > 0.0d) {
+      var i = 0
+      while (i < n) {
+        out(i) = math.floor(a.getFloat(i) * 127.0d / ma + 0.5d).toByte
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Exact integer dot product of two int8-quantized vectors. */
+  def dotQ8(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getByte(i).toLong * b.getByte(i).toLong
+      i += 1
+    }
+    acc
+  }
+
   /**
    * h-bit sign-random-projection LSH bucket: bit p is set when the dot of
    * the vector with pseudo-random ±1 hyperplane p is ≥ 0. Single pass per

@@ -77,6 +77,61 @@ case class FloatVecCosine(left: Expression, right: Expression) extends FloatVecB
     copy(left = l, right = r)
 }
 
+/** Max absolute component of an array<float> column — the int8
+  * quantization scale (see [[VecOps.maxAbsF]]). */
+case class FloatVecMaxAbs(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+  override def dataType: DataType = FloatType
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeChecks.requireFloatArrays(prettyName, Seq(child.dataType))
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.maxAbsF(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.maxAbsF($a)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Symmetric int8 quantization of an array<float> column → array<tinyint>
+  * (see [[VecOps.quant8F]] for the exact, oracle-mirrored formula). */
+case class FloatVecQuant8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with Serializable {
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.ByteType, false)
+  override def nullable: Boolean = child.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    VecTypeChecks.requireFloatArrays(prettyName, Seq(child.dataType))
+  override protected def nullSafeEval(a: Any): Any =
+    VecOps.quant8F(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VecOps.quant8F($a)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Exact integer dot product of two array<tinyint> (quantized) columns. */
+case class ByteVecDot(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(left.dataType, right.dataType).find {
+      case ArrayType(org.apache.spark.sql.types.ByteType, _) => false
+      case _ => true
+    } match {
+      case Some(bad) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<tinyint> arguments, got ${bad.catalogString}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dotQ8(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = graft.functions.VecOps.dotQ8($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** h-bit sign-random-projection LSH bucket of an array<float> column —
   * one codegen'd kernel pass (see [[VecOps.lshBucketF]]). */
 case class FloatVecLshBucket(child: Expression, h: Int)
@@ -100,6 +155,9 @@ object VectorFunctions {
   def vec_dot(a: Column, b: Column): Column = column(FloatVecDot(expression(a), expression(b)))
   def vec_cosine(a: Column, b: Column): Column = column(FloatVecCosine(expression(a), expression(b)))
   def vec_lsh_bucket(a: Column, h: Int): Column = column(FloatVecLshBucket(expression(a), h))
+  def vec_maxabs(a: Column): Column = column(FloatVecMaxAbs(expression(a)))
+  def vec_quant8(a: Column): Column = column(FloatVecQuant8(expression(a)))
+  def vec_qdot(a: Column, b: Column): Column = column(ByteVecDot(expression(a), expression(b)))
 
   /** Register `vec_dot` / `vec_cosine` / `vec_lsh_bucket` for spark.sql use. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -109,5 +167,11 @@ object VectorFunctions {
       "vec_cosine", exprs => FloatVecCosine(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_lsh_bucket", exprs => FloatVecLshBucket(exprs(0), IntArg.of(exprs(1))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_maxabs", exprs => FloatVecMaxAbs(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_quant8", exprs => FloatVecQuant8(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_qdot", exprs => ByteVecDot(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -53,4 +53,39 @@ object Sampling {
       }
     df.where(keyHash(col(keyCol)) < thresholdCol)
   }
+
+  /**
+   * Domain-mixture resampling: downsample strata so the output matches
+   * `targetWeights` proportions (the DoReMi/Pile-style mixture step —
+   * "make the corpus 60% en / 20% de / 20% fr"). The largest mixture
+   * achievable without upsampling is used: C = min over strata of
+   * n_d / w_d, per-stratum keep fraction = w_d · C / n_d (the binding
+   * stratum keeps everything). Strata absent from `targetWeights` (or
+   * with weight 0) are dropped.
+   *
+   * Fully in-plan — no driver collect: stratum counts are a tiny
+   * aggregate, the global scale a one-row frame, both broadcast back onto
+   * the per-row hash gate. Two passes over the corpus (count + gate), the
+   * minimum any exact mixture requires; the gate itself is the same
+   * deterministic 60-bit md5 as [[deterministicSample]], so the output is
+   * layout-independent and value-checkable.
+   */
+  def mixtureResample(df: DataFrame, keyCol: String, strataCol: String,
+      targetWeights: Map[String, Double]): DataFrame = {
+    require(targetWeights.values.forall(_ >= 0.0), "negative mixture weight")
+    require(targetWeights.values.exists(_ > 0.0), "all mixture weights are zero")
+    val weightCol = targetWeights.toSeq.sortBy(_._1)
+      .foldLeft(lit(0.0d)) { case (acc, (stratum, w)) =>
+        when(col(strataCol) === stratum, lit(w)).otherwise(acc)
+      }
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", weightCol).where(col("__w") > 0.0d)
+    val scale = counts.agg(min(col("__n").cast("double") / col("__w")).as("__c"))
+    val thresholds = counts.crossJoin(broadcast(scale)).select(col(strataCol),
+      floor(col("__w") * col("__c") / col("__n").cast("double")
+        * lit((1L << 60).toDouble)).cast("long").as("__thr"))
+    df.join(broadcast(thresholds), strataCol)
+      .where(keyHash(col(keyCol)) < col("__thr"))
+      .drop("__thr")
+  }
 }

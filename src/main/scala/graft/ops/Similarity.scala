@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions.{vec_cosine, vec_dot}
+import graft.functions.VectorFunctions.{vec_cosine, vec_dot, vec_maxabs, vec_qdot, vec_quant8}
 
 /**
  * Approximate-nearest-neighbor search over an embedding column.
@@ -36,6 +36,41 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("score", score(col("qv"), col("cv"), cosine))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /**
+   * Project a float-vector frame to its int8-quantized form:
+   * (idCol, q array<tinyint>, maxabs float). Pure per-row kernel
+   * projection — the quantized corpus is 4× smaller at rest, which is
+   * what keeps a 100 TB embedding shard resident instead of spilled.
+   */
+  def quantize8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), vec_quant8(col(vecCol)).as("q"),
+      vec_maxabs(col(vecCol)).as("maxabs"))
+
+  /**
+   * Exact top-k over int8-quantized vectors: the dot runs in integer
+   * arithmetic (4× less memory traffic than float32, exactly reproducible
+   * in any engine), rescaled by the two per-vector scales —
+   * score = qdot · (maxabs_a/127) · (maxabs_b/127), an approximation of
+   * the float dot with ≤ 0.8% per-component quantization error. Same
+   * broadcast shape as [[bruteForceTopK]].
+   */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(quantize8(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("q").as("qq"), col("maxabs").as("qma")))
+    val c = quantize8(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("q").as("cq"), col("maxabs").as("cma"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        vec_qdot(col("qq"), col("cq")).cast("double") *
+          (col("qma").cast("double") / lit(127.0d)) *
+          (col("cma").cast("double") / lit(127.0d)))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
