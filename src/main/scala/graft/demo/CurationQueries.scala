@@ -16,6 +16,23 @@ object CurationQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     s.read.parquet(s"$d/documents.parquet")
 
+  /** Per-run temp dir for the round-trip queries: suffixed with the Spark
+    * applicationId so concurrent runs never collide, and cleared up front
+    * so a stale run's output can never leak into this run's value check.
+    * Callers materialize the read-back ([[graft.recon.Checkpoints.cut]])
+    * and then [[deleteRecursively]] the dir before returning. */
+  private def runTmpDir(s: org.apache.spark.sql.SparkSession, name: String): java.io.File = {
+    val f = new java.io.File(sys.props("java.io.tmpdir"),
+      s"${name}_${s.sparkContext.applicationId}")
+    if (f.exists()) deleteRecursively(f)
+    f
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** DuckDB CTE: (doc_id, t) lowercase whitespace tokens — the
     * [[graft.ops.TextAnalysis.tokens]] mirror used across text oracles. */
   private val tokensCte: String =
@@ -200,13 +217,16 @@ object CurationQueries {
     QuerySpec("recon_csv_roundtrip",
       s"${OracleSql.prelude}\nSELECT * FROM internal") { (s, d) =>
       val i = TpcMapping.internal(s, d)
-      val tmp = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_csv_roundtrip").getAbsolutePath
-      graft.recon.Sinks.writeCsv(i, tmp)
-      val back = graft.recon.Sources.csvAllString(s, tmp)
-      i.schema.fields.foldLeft(back) { (df, f) =>
+      val tmp = runTmpDir(s, "graft_csv_roundtrip")
+      graft.recon.Sinks.writeCsv(i, tmp.getAbsolutePath)
+      val back = graft.recon.Sources.csvAllString(s, tmp.getAbsolutePath)
+      val casted = i.schema.fields.foldLeft(back) { (df, f) =>
         df.withColumn(f.name, col(f.name).cast(f.dataType))
       }
+      // materialize before deleting the CSV the frame reads from
+      val out = graft.recon.Checkpoints.cut(casted)
+      deleteRecursively(tmp)
+      out
     },
 
     // P10 upgraded from spec-only to value-checked: full external prep
@@ -240,10 +260,12 @@ object CurationQueries {
     QuerySpec("recon_write_intervals",
       s"${OracleSql.prelude}\nSELECT * FROM internal") { (s, d) =>
       val i = TpcMapping.internal(s, d)
-      val tmp = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_interval_write").getAbsolutePath
-      graft.recon.Sinks.writeRangePartitioned(i, tmp, "create_timestamp", numRanges = 5)
-      s.read.parquet(tmp)
+      val tmp = runTmpDir(s, "graft_interval_write")
+      graft.recon.Sinks.writeRangePartitioned(i, tmp.getAbsolutePath,
+        "create_timestamp", numRanges = 5)
+      val out = graft.recon.Checkpoints.cut(s.read.parquet(tmp.getAbsolutePath))
+      deleteRecursively(tmp)
+      out
     },
 
     // A2 upgraded from spec-only to value-checked: row count + emptiness

@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
  * reduced to a DISTINCT set of 60-bit gram hashes and BROADCAST; the
  * corpus-side gram stream is filtered by the broadcast hash join *before*
  * the per-document aggregation, so the only shuffle carries (doc, hit)
- * rows — contamination hits, a vanishing fraction of the corpus. The
- * corpus is scanned once; the benchmark twice (tiny). Grams are compared
+ * rows — contamination hits, normally a vanishing fraction of the corpus.
+ * The corpus is scanned twice (gram extraction, then the removal
+ * anti-join); the benchmark twice (tiny). Grams are compared
  * by [[Sampling.keyHash]] (md5-60) rather than by string: constant-width
  * join keys at scale, and the same hash is reproducible in any engine, so
  * the whole path stays value-checkable. A hash collision could at worst
@@ -52,13 +53,17 @@ object Decontaminate {
   /**
    * Remove contaminated documents: keep docs whose distinct-gram overlap
    * with the benchmark is below `maxHits` (default: any overlap removes).
-   * Left-anti against the (tiny) hit list — the corpus itself is never
-   * shuffled.
+   * Left-anti against the hit list — NOT force-broadcast: when
+   * contamination is normal (rare hits) AQE picks a broadcast join at
+   * runtime anyway, and when it is widespread (adversarial corpus, or a
+   * mis-set `n` that matches everything) the hit list can be corpus-sized
+   * and a forced broadcast would blow the driver — the shuffle anti-join
+   * is the safe degradation.
    */
   def decontaminate(docs: DataFrame, bench: DataFrame, textCol: String, idCol: String,
       n: Int, maxHits: Long = 1L): DataFrame = {
     val hits = overlapCounts(docs, bench, textCol, idCol, n)
       .where(col("n_hit_grams") >= maxHits)
-    docs.join(broadcast(hits.select(idCol)), Seq(idCol), "left_anti")
+    docs.join(hits.select(idCol), Seq(idCol), "left_anti")
   }
 }

@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
  *
  * Scale shape: the token explode is filtered to the query terms BEFORE any
  * shuffle (the per-doc term-frequency aggregate only ever sees matching
- * tokens), document frequencies and the corpus stats are one-row/tiny
- * frames joined via broadcast, and the final top-k is a
+ * tokens, with the per-doc length riding those rows as a column — no
+ * full-corpus length join), document frequencies and the corpus stats are
+ * one-row/tiny frames joined via broadcast, and the final top-k is a
  * TakeOrderedAndProject (per-partition heaps + driver merge of k rows) —
  * never a global sort or single-partition window. No UDFs; everything
  * stays in whole-stage codegen.
@@ -41,24 +42,28 @@ object Retrieval {
     val termsLc = terms.map(_.toLowerCase)
     require(termsLc.distinct.size == termsLc.size, "duplicate query terms")
 
-    // per-doc length in tokens: pure projection, no shuffle
-    val dl = df.select(col(idCol),
-      TextAnalysis.tokenCount(col(textCol)).cast("double").as("__dl"))
-    // corpus stats: one-row frame (token totals are whole numbers, so the
-    // double sum is exact and order-independent below 2^53)
-    val stats = dl.agg(count(lit(1)).cast("double").as("__n"), sum(col("__dl")).as("__s"))
+    // corpus stats: one-row frame via map-side partial aggregation — a
+    // full scan but never a wide shuffle (token totals are whole numbers,
+    // so the double sum is exact and order-independent below 2^53)
+    val stats = df.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(TextAnalysis.tokenCount(col(textCol)).cast("double")).as("__s"))
 
-    // term filter BEFORE the tf aggregation: the shuffle only carries
-    // (doc, matching-term) rows, never the corpus token stream
-    val tok = df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+    // term filter BEFORE the tf aggregation, and the per-doc length rides
+    // the surviving token rows as a column: the only shuffle carries
+    // (doc, matching-term) rows — the full-corpus (doc, dl) frame is
+    // never joined, let alone shuffled
+    val tok = df.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("double").as("__dl"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__t"))
       .where(col("__t").isin(termsLc: _*))
     val tf = tok.groupBy(col(idCol), col("__t"))
-      .agg(count(lit(1)).cast("double").as("__tf"))
+      .agg(count(lit(1)).cast("double").as("__tf"),
+        min(col("__dl")).as("__dl")) // constant within the group
     val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).cast("double").as("__df"))
 
     val scored = tf
       .join(broadcast(dfreq), "__t")
-      .join(dl, idCol)
       .crossJoin(broadcast(stats))
     val idfCore = (col("__n") - col("__df") + lit(0.5d)) / (col("__df") + lit(0.5d))
     val idf = if (logIdf) log(lit(1.0d) + idfCore) else idfCore

@@ -24,14 +24,17 @@ object EventPipeline {
 
   /** Tumbling-window counts/sums per event type. Batch form — used by the
     * oracle checks; identical logic runs under readStream. */
-  def tumblingAgg(events: DataFrame, windowMs: Long): DataFrame =
+  def tumblingAgg(events: DataFrame, windowMs: Long): DataFrame = {
+    // same exact floor alignment as hoppingAgg: pmod is non-negative for
+    // negative epoch-ms, and no double quotient (exact past 2^53)
+    val ms = unix_millis(col("ts").cast("timestamp"))
     events
-      .withColumn("bucket_start",
-        (floor(unix_millis(col("ts").cast("timestamp")) / windowMs) * windowMs))
+      .withColumn("bucket_start", ms - pmod(ms, lit(windowMs)))
       .groupBy(col("bucket_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         // money-style sum through decimal: exact + order-independent
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+  }
 
   /**
    * Hopping (sliding) window counts/sums: window `windowMs`, advancing
@@ -40,8 +43,11 @@ object EventPipeline {
    * fan-out, then one partial-combined aggregation; identical window
    * boundaries to Structured Streaming's `window(ts, size, slide)`
    * (starts aligned to multiples of the slide). Window starts use exact
-   * integral division (`div`), not a double `floor` — epoch-ms past 2^53
-   * would lose precision in a double quotient.
+   * integer FLOOR alignment (`__ms - pmod(__ms, slide)`): `pmod` is
+   * non-negative for any sign of `__ms`, so pre-1970 (negative epoch-ms)
+   * events land in the same floor-aligned windows as `window()` — a
+   * truncating `div` would shift their starts up by one slide — and no
+   * double quotient ever touches the math (exact past 2^53).
    */
   def hoppingAgg(events: DataFrame, windowMs: Long, slideMs: Long): DataFrame = {
     require(windowMs % slideMs == 0, "slide must divide window")
@@ -49,7 +55,7 @@ object EventPipeline {
     val starts = (0 until nWin).map(i => col("__base") - lit(i.toLong * slideMs))
     events
       .withColumn("__ms", unix_millis(col("ts").cast("timestamp")))
-      .withColumn("__base", expr(s"(__ms div ${slideMs}L) * ${slideMs}L"))
+      .withColumn("__base", col("__ms") - pmod(col("__ms"), lit(slideMs)))
       .withColumn("win_start", explode(array(starts: _*)))
       .groupBy(col("win_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),

@@ -40,13 +40,20 @@ object PlanAudit {
         // cartesian joins
         // an unpartitioned window whose input passed through a global
         // limit of ≤ 100k rows is bounded by construction (e.g. a rank
-        // stamp on a top-k result) — only flag whole-input funnels
-        def boundedByLimit(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-          p.collectFirst {
-            case l: org.apache.spark.sql.execution.GlobalLimitExec if l.limit <= 100000 => true
-            case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec
-                if t.limit <= 100000 => true
-          }.nonEmpty
+        // stamp on a top-k result) — only flag whole-input funnels. The
+        // limit must sit on the DIRECT input path: walk single-child
+        // nodes only, and stop at anything that can re-multiply rows
+        // after the limit (joins/unions via the multi-child case,
+        // generate/explode explicitly) — a ≤100k limit under one join
+        // side bounds nothing about the window's input
+        def boundedByLimit(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+          case l: org.apache.spark.sql.execution.GlobalLimitExec if l.limit <= 100000 => true
+          case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+              if t.limit <= 100000 => true
+          case _: org.apache.spark.sql.execution.GenerateExec => false
+          case u if u.children.length == 1 => boundedByLimit(u.children.head)
+          case _ => false // leaves and multi-child (join/union) nodes
+        }
         val flags = plan.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec
               if w.partitionSpec.isEmpty && !w.children.exists(boundedByLimit) =>

@@ -112,6 +112,37 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(t == Set((base, "click", 2L), (base, "view", 1L), (base + 1800000L, "view", 1L)))
   }
 
+  test("hopping/tumbling windows floor-align pre-1970 timestamps like window()") {
+    // negative epoch-ms: a truncating div would shift starts up one slide;
+    // compare against Spark's own window() (batch form) which floor-aligns
+    val ev = Seq(
+      (1L, new java.sql.Timestamp(-7_200_000L + 123L), 1L, "click", 1.0),  // 1969-12-31 22:00
+      (2L, new java.sql.Timestamp(-1L), 1L, "click", 2.0),                 // 1ms before epoch
+      (3L, new java.sql.Timestamp(450_000L), 2L, "view", 3.0)              // post-epoch control
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val win = 600_000L
+    val slide = 300_000L
+    def viaWindow(size: Long, sl: Long) = ev
+      .groupBy(window(col("ts"), s"$size milliseconds", s"$sl milliseconds"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_millis(col("window.start")).as("win_start"), col("event_type"), col("n_events"))
+      .as[(Long, String, Long)].collect().toSet
+
+    val hop = EventPipeline.hoppingAgg(ev, win, slide)
+      .select(col("win_start"), col("event_type"), col("n_events"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(hop == viaWindow(win, slide))
+
+    val tum = EventPipeline.tumblingAgg(ev, win)
+      .select(col("bucket_start"), col("event_type"), col("n_events"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(tum == viaWindow(win, win))
+    // the -7_200_000+123 event's bucket must be floor (-7_200_000), not
+    // truncation toward zero (-6_600_000)
+    assert(tum.contains((-7_200_000L, "click", 1L)))
+  }
+
   test("sessionizeStream matches batch sessionize on a replay") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toFile
     eventsDf.write.mode("overwrite").parquet(dir.getAbsolutePath)
