@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private def registries: Seq[QuerySpec] =
-    graft.demo.ReconQueries.all ++ graft.demo.OpsQueries.all ++ graft.demo.CurationQueries.all
+    graft.demo.ReconQueries.all ++ graft.demo.OpsQueries.all ++
+      graft.demo.CurationQueries.all ++ graft.demo.ScaleQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full reference pipeline: zero-effect → exact match → tolerance pass. */

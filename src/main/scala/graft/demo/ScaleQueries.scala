@@ -1,0 +1,102 @@
+package graft.demo
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+import graft.ops._
+
+/**
+ * Round-4 export / split / quantization queries — the last-mile steps of
+ * a training-data pipeline (choose the split, shuffle into shards, ship
+ * int8 vectors, audit contamination). Same contract as [[OpsQueries]]:
+ * every entry pairs the Spark implementation with its exact DuckDB
+ * mirror; all hashes are md5-60 so both engines compute the very same
+ * bits.
+ */
+object ScaleQueries {
+
+  private def docs(s: SparkSession, d: String) =
+    s.read.parquet(s"$d/documents.parquet")
+  private def embs(s: SparkSession, d: String) =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  /** DuckDB mirror of [[graft.ops.Sampling.keyHash]]. */
+  private def md5h60(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
+  private val Splits = Seq("train" -> 0.8d, "val" -> 0.1d, "test" -> 0.1d)
+  private val ShardSeed = 42L
+  private val NShards = 8
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // disjoint deterministic train/val/test split: 60-bit hash bands with
+    // driver-computed edges interpolated into BOTH engines as literals
+    QuerySpec("text_split", {
+      val edges = Sampling.splitEdges(Splits)
+      val bands = edges.init
+        .map { case (name, e) => s"WHEN h < $e THEN '$name'" }
+        .mkString(" ")
+      raw"""WITH h AS (SELECT doc_id, ${md5h60("CAST(doc_id AS VARCHAR)")} AS h FROM documents)
+           |SELECT doc_id, CASE $bands ELSE '${edges.last._1}' END AS split FROM h""".stripMargin
+    }) { (s, d) =>
+      Sampling.hashSplit(docs(s, d), "doc_id", Splits).select(col("doc_id"), col("split"))
+    },
+
+    // seeded deterministic shuffle → (shard, position): the training-order
+    // export addressing, value-checked down to every row's offset
+    QuerySpec("text_shards",
+      raw"""WITH h AS (SELECT doc_id,
+           |    ${md5h60(s"'$ShardSeed:' || CAST(doc_id AS VARCHAR)")} AS h FROM documents)
+           |SELECT doc_id, h % $NShards AS shard,
+           |  row_number() OVER (PARTITION BY h % $NShards ORDER BY h, doc_id) AS pos
+           |FROM h""".stripMargin) { (s, d) =>
+      Sharding.shardPositions(docs(s, d), "doc_id", NShards, ShardSeed)
+    },
+
+    // benchmark-contamination audit: per-doc distinct word 5-grams vs a
+    // benchmark slice of the corpus (every 97th doc plays the benchmark —
+    // those docs hit at fraction 1.0, genuine n-gram collisions below)
+    QuerySpec("text_contamination",
+      raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |                ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_distinct(
+           |         CASE WHEN len(t) < 5 THEN []
+           |              ELSE [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)] END)) AS g
+           |       FROM tt),
+           |gh AS (SELECT doc_id, ${md5h60("g")} AS gh FROM sh),
+           |bh AS (SELECT DISTINCT gh FROM gh WHERE doc_id % 97 = 0)
+           |SELECT g.doc_id, count(*) AS n_grams,
+           |  CAST(sum(CASE WHEN b.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_grams,
+           |  CAST(sum(CASE WHEN b.gh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS hit_frac
+           |FROM gh g LEFT JOIN bh b USING (gh) GROUP BY 1""".stripMargin) { (s, d) =>
+      val corpus = docs(s, d)
+      Decontaminate.contaminationStats(corpus,
+        corpus.where(col("doc_id") % 97 === 0), "text", "doc_id", n = 5)
+    },
+
+    // int8-quantized exact top-k: integer dot + two per-vector scales,
+    // quantization (floor(x·127/maxabs + 0.5)) and the triple-product
+    // score both mirrored bit-for-bit (integer dots are exact in doubles)
+    QuerySpec("sim_quant_topk",
+      raw"""WITH m AS (SELECT vec_id, embedding,
+           |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma FROM embeddings),
+           |qz AS (SELECT vec_id, ma,
+           |    CASE WHEN ma = 0 THEN list_transform(embedding, x -> 0.0)
+           |         ELSE list_transform(embedding, x -> floor((CAST(x AS DOUBLE)*127.0)/ma + 0.5)) END AS codes
+           |  FROM m),
+           |q AS (SELECT vec_id AS query_id, codes AS qc, ma AS qma FROM qz WHERE vec_id % 100 = 0),
+           |scored AS (SELECT query_id, z.vec_id AS neighbor_id,
+           |    (list_dot_product(qc, z.codes) * (qma/127.0)) * (z.ma/127.0) AS score
+           |  FROM q JOIN qz z ON z.vec_id <> query_id)
+           |SELECT query_id, neighbor_id, score, rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+           |  FROM scored)
+           |WHERE rank <= 5""".stripMargin) { (s, d) =>
+      val e = embs(s, d)
+      Similarity.quantizedTopK(e, e.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5)
+    }
+  )
+}

@@ -51,6 +51,30 @@ object Decontaminate {
   }
 
   /**
+   * Per-document contamination profile over the WHOLE corpus (not just
+   * hit docs): total distinct grams, benchmark-hit grams, and the hit
+   * fraction — the report a release review reads before choosing the
+   * removal threshold. Docs shorter than `n` tokens have no grams and are
+   * absent (nothing to measure). Shape: the (tiny) benchmark hash set is
+   * broadcast onto the gram stream as a LEFT join carrying a hit flag, so
+   * both counts come out of the one per-doc aggregation — same single
+   * corpus-side shuffle as [[overlapCounts]].
+   */
+  def contaminationStats(docs: DataFrame, bench: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val grams = Dedup.shingleTable(docs, textCol, idCol, n)
+      .select(col("doc").as(idCol), Sampling.keyHash(col("shingle")).as("gram_hash"))
+    val hitSet = benchmarkGramHashes(bench, textCol, n).withColumn("__hit", lit(1L))
+    grams
+      .join(broadcast(hitSet), Seq("gram_hash"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit_grams"))
+      .withColumn("hit_frac",
+        col("n_hit_grams").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /**
    * Remove contaminated documents: keep docs whose distinct-gram overlap
    * with the benchmark is below `maxHits` (default: any overlap removes).
    * Left-anti against the hit list — NOT force-broadcast: when

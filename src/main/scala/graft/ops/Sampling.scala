@@ -55,6 +55,45 @@ object Sampling {
   }
 
   /**
+   * Cumulative 60-bit band edges for a disjoint split: split i keeps rows
+   * with hash in [edge(i-1), edge(i)). Driver-side, embedded as literals
+   * in the plan AND the oracle SQL so both engines compare the same
+   * constants. Weights must sum to 1 (the last band absorbs the rounding
+   * remainder up to 2^60, so the split is exhaustive by construction).
+   */
+  def splitEdges(splits: Seq[(String, Double)]): Seq[(String, Long)] = {
+    require(splits.nonEmpty, "empty split spec")
+    require(splits.map(_._1).distinct.size == splits.size, "duplicate split names")
+    require(splits.forall(_._2 >= 0.0), "negative split weight")
+    require(math.abs(splits.map(_._2).sum - 1.0d) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val cum = splits.scanLeft(0.0d)(_ + _._2).tail
+    // fp cumulative sums can land an ulp above 1.0 — clamp before the
+    // threshold range check (the last edge is the absorbing band anyway)
+    splits.map(_._1).zip(cum.map(c => threshold(math.min(c, 1.0d))))
+  }
+
+  /**
+   * Disjoint deterministic train/val/test split: the row's split is the
+   * first hash band its 60-bit key hash falls into. Same three scale
+   * properties as [[deterministicSample]] (layout-independent, stable
+   * under corpus growth, key-consistent across tables) plus: bands are
+   * DISJOINT and EXHAUSTIVE, so every row lands in exactly one split —
+   * the invariant that makes a train/test leak impossible by
+   * construction. Per-row gate, no shuffle.
+   */
+  def hashSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
+      outCol: String = "split"): DataFrame = {
+    val edges = splitEdges(splits)
+    // last band catches everything below 2^60 — no `otherwise` gap
+    val assign = edges.init.foldRight(lit(edges.last._1): Column) {
+      case ((name, edge), acc) =>
+        when(keyHash(col(keyCol)) < lit(edge), lit(name)).otherwise(acc)
+    }
+    df.withColumn(outCol, assign)
+  }
+
+  /**
    * Domain-mixture resampling: downsample strata so the output matches
    * `targetWeights` proportions (the DoReMi/Pile-style mixture step —
    * "make the corpus 60% en / 20% de / 20% fr"). The largest mixture

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic training-order shuffle + sharding: the export step of a
+ * training-data pipeline ("shuffle the corpus with seed S and write N
+ * shard files") re-expressed as pure hash math instead of an RNG.
+ *
+ * Each row's seeded 60-bit hash ([[Sampling.keyHash]] of "seed:key")
+ * drives BOTH decisions: shard = hash mod N, within-shard order = hash
+ * order (ties on the key, so the permutation is total). Properties at
+ * the 100 TB tier:
+ *
+ *  - reproducible on any cluster layout / retry / engine — a seeded
+ *    permutation, not an RNG draw (and the DuckDB oracle value-checks
+ *    shard AND position);
+ *  - a different seed is a statistically independent re-shuffle — epoch
+ *    re-shuffles are a seed bump, not a data move;
+ *  - one shuffle (on the shard id); the within-shard sort happens
+ *    shard-parallel. Size `nShards` to the cluster (≥ executor count):
+ *    each sort group holds corpus/N rows and spills if oversized, so N
+ *    is the parallelism knob.
+ *
+ * The reference has no sharding surface (its engine is reconciliation
+ * joins, reference: src/reconciliatior.py) — LLM-pipeline extension.
+ */
+object Sharding {
+
+  /** Seeded 60-bit order hash: md5-60 of "seed:key" — portable to any
+    * engine with md5 (the oracle mirrors it literally). */
+  def orderHash(key: Column, seed: Long): Column =
+    Sampling.keyHash(concat(lit(s"$seed:"), key.cast("string")))
+
+  /** Rows + (shard, __order) columns — the assignment alone, no sort.
+    * Pure per-row projection: no shuffle. */
+  def assignShards(df: DataFrame, keyCol: String, nShards: Int, seed: Long): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val h = orderHash(col(keyCol), seed)
+    df.withColumn("__order", h)
+      .withColumn("shard", pmod(col("__order"), lit(nShards.toLong)))
+  }
+
+  /**
+   * (key, shard, pos): the exact position of every row in its shard under
+   * the seeded permutation — what a downstream loader needs to address
+   * any training example by (shard, offset). One shuffle on the shard id;
+   * the per-shard rank is a window PARTITIONED by shard (never a global
+   * window) and positions start at 1, dense within each shard.
+   */
+  def shardPositions(df: DataFrame, keyCol: String, nShards: Int, seed: Long): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("__order"), col(keyCol))
+    assignShards(df, keyCol, nShards, seed)
+      .select(col(keyCol), col("shard"), row_number().over(w).cast("long").as("pos"))
+  }
+
+  /**
+   * Export the shuffled corpus: one directory per shard
+   * (`shard=<i>/part-*`), rows inside each shard file in permutation
+   * order. `repartition(N, shard)` puts each shard in exactly one task;
+   * `sortWithinPartitions` makes the file order the training order — the
+   * writer never needs a global sort.
+   */
+  def writeShards(df: DataFrame, keyCol: String, nShards: Int, seed: Long,
+      path: String): Unit =
+    assignShards(df, keyCol, nShards, seed)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("__order"), col(keyCol))
+      .drop("__order")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+}

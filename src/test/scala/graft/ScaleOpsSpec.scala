@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Decontaminate, Sampling, Sharding, Similarity}
+
+class ScaleOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val splits = Seq("train" -> 0.8d, "val" -> 0.1d, "test" -> 0.1d)
+
+  test("hashSplit is disjoint, exhaustive, and deterministic") {
+    val df = (0L until 1000L).toDF("id")
+    val s1 = Sampling.hashSplit(df, "id", splits)
+    val counts = s1.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 1000L)              // exhaustive, one split per row
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    assert(rowsOf(s1) == rowsOf(Sampling.hashSplit(df, "id", splits))) // deterministic
+  }
+
+  test("hashSplit assignment is stable under corpus growth") {
+    val small = (0L until 100L).toDF("id")
+    val big = (0L until 1000L).toDF("id")
+    val inSmall = Sampling.hashSplit(small, "id", splits).as[(Long, String)].collect().toMap
+    val inBig = Sampling.hashSplit(big, "id", splits).as[(Long, String)].collect().toMap
+    inSmall.foreach { case (id, sp) => assert(inBig(id) == sp) }
+  }
+
+  test("splitEdges validates weights") {
+    intercept[IllegalArgumentException](Sampling.splitEdges(Seq("a" -> 0.5, "b" -> 0.4)))
+    intercept[IllegalArgumentException](Sampling.splitEdges(Seq("a" -> 1.2, "b" -> -0.2)))
+    intercept[IllegalArgumentException](Sampling.splitEdges(Seq("a" -> 0.5, "a" -> 0.5)))
+    intercept[IllegalArgumentException](Sampling.splitEdges(Nil))
+  }
+
+  test("shardPositions yields dense 1..n positions per shard and a seeded total permutation") {
+    val df = (0L until 500L).toDF("id")
+    val p = Sharding.shardPositions(df, "id", nShards = 4, seed = 7L)
+      .as[(Long, Long, Long)].collect()
+    assert(p.length == 500 && p.map(_._1).distinct.length == 500)
+    p.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq) // dense, from 1
+    }
+    // same seed → identical; different seed → a different permutation
+    val again = Sharding.shardPositions(df, "id", 4, 7L).as[(Long, Long, Long)].collect()
+    assert(p.toSet == again.toSet)
+    val other = Sharding.shardPositions(df, "id", 4, 8L).as[(Long, Long, Long)].collect()
+    assert(p.toSet != other.toSet)
+  }
+
+  test("writeShards lays out one pure shard per directory in permutation order") {
+    val df = (0L until 200L).toDF("id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toFile
+    Sharding.writeShards(df, "id", nShards = 4, seed = 7L, dir.getAbsolutePath)
+    val back = spark.read.parquet(dir.getAbsolutePath)
+    assert(back.count() == 200L)
+    // shard dirs are pure and complete vs the assignment
+    val expected = Sharding.assignShards(df, "id", 4, 7L)
+      .select(col("id"), col("shard")).as[(Long, Long)].collect().toSet
+    assert(back.select(col("id"), col("shard").cast("long")).as[(Long, Long)]
+      .collect().toSet == expected)
+  }
+
+  test("contaminationStats counts hit grams and fractions per doc") {
+    val docsDf = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // shares no 3-gram with bench
+      (2L, "alpha beta gamma delta epsilon"),              // fully inside bench doc
+      (3L, "zero one alpha beta gamma delta nine"),        // partial overlap
+      (4L, "too short")                                    // < n tokens: absent
+    ).toDF("doc_id", "text")
+    val bench = Seq((99L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val stats = Decontaminate.contaminationStats(docsDf, bench, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!stats.contains(4L))
+    assert(stats(1L)._3 == 0L && stats(1L)._4 == 0.0d)
+    assert(stats(2L)._2 == 3L && stats(2L)._3 == 3L && stats(2L)._4 == 1.0d)
+    assert(stats(3L)._2 == 5L && stats(3L)._3 == 2L && stats(3L)._4 == 0.4d)
+  }
+
+  test("quantizedTopK approximates the float ranking within quantization error") {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(16)(j => (math.sin((i * 16 + j).toDouble) * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") % 20 === 0)
+    val exact = Similarity.bruteForceTopK(vecs, queries, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "score")
+      .as[(Long, Long, Float)].collect().groupBy(_._1)
+    val quant = Similarity.quantizedTopK(vecs, queries, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id", "score")
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+    assert(quant.keySet == exact.keySet)
+    quant.foreach { case (q, rows) =>
+      // per-pair: quantized score within per-component bound of float score
+      val fl = exact(q).map(r => r._2 -> r._3.toDouble).toMap
+      rows.foreach { case (_, n, s) =>
+        fl.get(n).foreach(f => assert(math.abs(s - f) < 0.05d, s"q=$q n=$n $s vs $f"))
+      }
+      // top-3 sets mostly agree (quantization may swap near-ties)
+      val overlap = rows.map(_._2).toSet.intersect(exact(q).map(_._2).toSet).size
+      assert(overlap >= 2, s"q=$q overlap=$overlap")
+    }
+  }
+}
