@@ -38,6 +38,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
         case other => other.eval().asInstanceOf[Int]
       })))
+    ext.injectFunction((FunctionIdentifier("vec_maxabs"),
+      info("vec_maxabs", "vec_maxabs(v) - max absolute component (int8 quantization scale)"),
+      (es: Seq[Expression]) => FloatVecMaxAbs(es.head)))
+    ext.injectFunction((FunctionIdentifier("vec_quant8"),
+      info("vec_quant8", "vec_quant8(v) - symmetric int8 quantization to array<tinyint>"),
+      (es: Seq[Expression]) => FloatVecQuant8(es.head)))
+    ext.injectFunction((FunctionIdentifier("vec_qdot"),
+      info("vec_qdot", "vec_qdot(a, b) - exact integer dot of two int8-quantized vectors"),
+      (es: Seq[Expression]) => ByteVecDot(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
       (es: Seq[Expression]) => SimHash64(es.head)))

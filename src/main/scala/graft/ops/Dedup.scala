@@ -341,14 +341,17 @@ object Dedup {
    * component = the minimum reachable node id.
    */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc1", bCol: String = "doc2",
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, verbose: Boolean = false): DataFrame = {
     import graft.recon.Checkpoints.cut
+    def note(tag: String, t0: Long): Unit = if (verbose)
+      println(f"CC STAGE=$tag SECONDS=${(System.nanoTime() - t0) / 1e9}%.2f")
     // symmetrize with ONE pass over `pairs` (an explode of both
     // directions) — a union of two selects would consume `pairs` twice
     // and re-execute its whole upstream sketch pipeline per consumer.
     // Pre-partition the (static) edge set by the join key before the cut:
     // localCheckpoint preserves the partitioning, so the per-round join
     // reshuffles only the (changing) label frame, not the edges
+    val tEdges = System.nanoTime()
     val edges = cut(
       pairs.select(explode(array(
           struct(col(aCol).as("src"), col(bCol).as("dst")),
@@ -356,11 +359,15 @@ object Dedup {
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct()
         .repartition(col("dst")))
+    note("edges", tEdges)
+    val tLabels = System.nanoTime()
     var labels = cut(
       edges.select(col("src").as("node")).distinct().withColumn("component", col("node")))
+    note("labels0", tLabels)
     var done = false
     var i = 0
     while (!done && i < maxIter) {
+      val tRound = System.nanoTime()
       // the self row is flagged so the SAME aggregate that computes the new
       // label also carries the old one out — the convergence probe is then
       // a shuffle-free filter over the checkpointed frame, not a second
@@ -375,6 +382,7 @@ object Dedup {
       done = next.where(col("component") =!= col("__old")).isEmpty
       labels = next.select("node", "component")
       i += 1
+      note(s"round$i", tRound)
     }
     // silent non-convergence would split one cluster into several and let
     // extra "survivors" through downstream — fail loudly instead

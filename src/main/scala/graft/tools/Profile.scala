@@ -28,6 +28,11 @@ object Profile {
     time("signatures")(Dedup.minHashSignatures(docs, "text", "doc_id", 3, 64).count())
     time("candidates")(Dedup.minHashCandidates(docs, "text", "doc_id", 3, 64, 8, 100).count())
     time("full")(Dedup.minHashNearDups(docs, "text", "doc_id", 3, 64, 8, 0.5, 100).count())
+    time("simhash_pairs")(
+      Dedup.simHashNearDups(docs, "text", "doc_id", 3, 1000).count())
+    time("components")(
+      Dedup.connectedComponents(
+        Dedup.simHashNearDups(docs, "text", "doc_id", 3, 1000), verbose = true).count())
     spark.stop()
   }
 }

@@ -20,6 +20,13 @@ class ExtensionsSpec extends SparkSuite {
       "SELECT vec_lsh_bucket(array(cast(1.0 as float), cast(-2.0 as float)), 8) AS b")
       .as[Long].head()
     assert(b >= 0L && b < 256L)
+    // the quantization trio: scale, codes, integer dot — end-to-end in SQL
+    val q = spark.sql(
+      "WITH v AS (SELECT array(cast(0.5 as float), cast(-1.0 as float)) AS x) " +
+        "SELECT vec_maxabs(x) AS ma, vec_quant8(x) AS c, vec_qdot(vec_quant8(x), vec_quant8(x)) AS d FROM v")
+      .as[(Float, Seq[Byte], Long)].head()
+    assert(q._1 == 1.0f && q._2 == Seq[Byte](64, -127))
+    assert(q._3 == 64L * 64L + 127L * 127L)
   }
 
   test("vec_lsh_bucket kernel is deterministic, h-bit bounded, sign-sensitive") {
