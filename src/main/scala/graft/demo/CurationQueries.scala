@@ -20,11 +20,19 @@ object CurationQueries {
     * applicationId so concurrent runs never collide, and cleared up front
     * so a stale run's output can never leak into this run's value check.
     * Callers materialize the read-back ([[graft.recon.Checkpoints.cut]])
-    * and then [[deleteRecursively]] the dir before returning. */
+    * and then [[deleteRecursively]] the dir before returning. Entry also
+    * best-effort sweeps SIBLING dirs with the same name prefix (left by a
+    * crashed earlier run under a different appId) and registers a JVM
+    * shutdown hook so abnormal termination of THIS run cleans up too. */
   private def runTmpDir(s: org.apache.spark.sql.SparkSession, name: String): java.io.File = {
-    val f = new java.io.File(sys.props("java.io.tmpdir"),
-      s"${name}_${s.sparkContext.applicationId}")
+    val base = new java.io.File(sys.props("java.io.tmpdir"))
+    Option(base.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith(s"${name}_"))
+      .foreach(f => scala.util.Try(deleteRecursively(f)))
+    val f = new java.io.File(base, s"${name}_${s.sparkContext.applicationId}")
     if (f.exists()) deleteRecursively(f)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scala.util.Try(deleteRecursively(f)): Unit))
     f
   }
 

@@ -59,15 +59,21 @@ object Sharding {
   /**
    * Export the shuffled corpus: one directory per shard
    * (`shard=<i>/part-*`), rows inside each shard file in permutation
-   * order. `repartition(N, shard)` puts each shard in exactly one task;
-   * `sortWithinPartitions` makes the file order the training order — the
+   * order. `repartitionByRange(N, shard)` assigns each task a contiguous
+   * shard-id range (hash repartition could collide distinct shards into
+   * one task and leave others idle); a task may still hold more than one
+   * shard, so the within-partition sort leads with `shard` — that both
+   * groups each shard's rows contiguously for the partitioned writer
+   * (satisfying its required partition-column ordering, so Spark injects
+   * no extra sort) and makes each shard file's row order the permutation
+   * order by our own sort, not a write-path implementation detail. The
    * writer never needs a global sort.
    */
   def writeShards(df: DataFrame, keyCol: String, nShards: Int, seed: Long,
       path: String): Unit =
     assignShards(df, keyCol, nShards, seed)
-      .repartition(nShards, col("shard"))
-      .sortWithinPartitions(col("__order"), col(keyCol))
+      .repartitionByRange(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__order"), col(keyCol))
       .drop("__order")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

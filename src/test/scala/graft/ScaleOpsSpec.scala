@@ -59,6 +59,21 @@ class ScaleOpsSpec extends SparkSuite {
       .select(col("id"), col("shard")).as[(Long, Long)].collect().toSet
     assert(back.select(col("id"), col("shard").cast("long")).as[(Long, Long)]
       .collect().toSet == expected)
+    // each shard's on-disk row order (files in name order, rows in file
+    // order) IS the seeded permutation order from shardPositions
+    val wantOrder = Sharding.shardPositions(df, "id", 4, 7L)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._2).map { case (sh, rows) => sh -> rows.sortBy(_._3).map(_._1).toSeq }
+    (0 until 4).foreach { sh =>
+      val files = new java.io.File(dir, s"shard=$sh").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      assert(files.nonEmpty, s"shard=$sh has no part files")
+      val gotOrder = files.toSeq.flatMap { f =>
+        spark.read.parquet(f.getAbsolutePath).select("id").as[Long].collect().toSeq
+      }
+      assert(gotOrder == wantOrder(sh.toLong), s"shard=$sh file order != permutation order")
+    }
   }
 
   test("contaminationStats counts hit grams and fractions per doc") {
