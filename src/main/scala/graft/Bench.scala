@@ -1,9 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Median of a non-empty sample: middle element for odd n, mean of the
+    * two middles for even n. */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // k timed repetitions per query, MEDIAN reported: single-run totals
+    // flagged a 1.42x "regression" in round 5 that was pure JIT/machine
+    // variance (same query swung 2.5x by run order) — the median of 3 is
+    // robust to one cold/noisy rep while keeping wall time bounded
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,31 +45,43 @@ object Bench {
         .select(col("id"), md5(col("id").cast("string")).as("h"))
         .groupBy(pmod(xxhash64(col("h")), lit(16))).count().count()
     }
-    // (name, seconds, succeeded) — a failed query must be loud (stderr) and
-    // visible in the JSON (-1 marker + errors list), never a silent fast run
+    // (name, per-rep seconds, succeeded) — a failed query must be loud
+    // (stderr) and visible in the JSON (-1 marker + errors list), never a
+    // silent fast run
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          false
+        val times = (0 until reps).map { _ =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+              false
+            }
+          val secs = (System.nanoTime() - t0) / 1e9
+          // between reps (outside the timed window): drop this query's
+          // lineage-cut blocks (localCheckpoint RDDs) — letting 40+
+          // queries' blocks pile up in the block manager taxes every
+          // later query
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+          System.gc()
+          (secs, ok)
         }
-      val secs = (System.nanoTime() - t0) / 1e9
-      // between queries (outside the timed window): drop this query's
-      // lineage-cut blocks (localCheckpoint RDDs) — letting 40+ queries'
-      // blocks pile up in the block manager taxes every later query
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      System.gc()
-      (name, secs, ok)
-    }
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -1.0) }
-      .mkString("{", ",", "}")
+        (name, times.map(_._1), times.forall(_._2))
+      }
+    def fmtNum(v: Double) = if (v.isNaN || v.isInfinite) "-1.0" else v.toString
+    val qs = results.map { case (k, ts, ok) =>
+      "\"" + k + "\":" + (if (ok) fmtNum(median(ts)) else -1.0)
+    }.mkString("{", ",", "}")
+    // per-query spread so a noisy machine is visible in the artifact
+    // itself (median is the headline; min/max bound the variance)
+    val detail = results.map { case (k, ts, _) =>
+      s""""$k":{"median":${fmtNum(median(ts))},"min":${fmtNum(ts.min)},"max":${fmtNum(ts.max)}}"""
+    }.mkString("{", ",", "}")
     val errs = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.map(r => median(r._2)).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_detail":$detail,"reps":$reps,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

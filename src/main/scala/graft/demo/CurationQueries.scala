@@ -5,6 +5,43 @@ import graft.QuerySpec
 import graft.ops._
 
 /**
+ * Shutdown-time cleanup for the round-trip queries' temp dirs: ONE JVM
+ * hook for the whole process (guarded by an AtomicBoolean — the previous
+ * per-call `addShutdownHook` accumulated a thread per query invocation,
+ * 2N threads across N bench reps), draining a shared pending set.
+ * Registration is Try-wrapped: `addShutdownHook` throws
+ * IllegalStateException once the JVM is already shutting down, and a
+ * cleanup helper must never turn teardown into a crash.
+ */
+private[graft] object TmpDirs {
+
+  /** Sibling sweep threshold: dirs untouched this long are crash leftovers,
+    * anything younger may belong to a live concurrent run. */
+  final val StaleMs: Long = 2L * 60 * 60 * 1000
+
+  private val pending =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.File]()
+  private val hooked = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // observable by the spec: how many times the JVM hook was registered
+  private[graft] val hookRegistrations = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Delete `f` at JVM exit (best-effort) unless already cleaned up. */
+  private[graft] def enroll(f: java.io.File): Unit = {
+    pending.add(f)
+    if (hooked.compareAndSet(false, true)) {
+      scala.util.Try {
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          pending.forEach(d => scala.util.Try(CurationQueries.deleteRecursively(d)): Unit)
+        }, "graft-tmpdir-cleanup"))
+        hookRegistrations.incrementAndGet()
+      }: Unit
+    }
+  }
+
+  private[graft] def pendingCount: Int = pending.size()
+}
+
+/**
  * Round-3 curation / retrieval / packing / windowing queries, plus
  * oracle-checked upgrades of previously spec-only reference operators
  * (S3/S6 CSV round-trip, P10 shadow keys, A2 row count). Same contract as
@@ -21,22 +58,26 @@ object CurationQueries {
     * so a stale run's output can never leak into this run's value check.
     * Callers materialize the read-back ([[graft.recon.Checkpoints.cut]])
     * and then [[deleteRecursively]] the dir before returning. Entry also
-    * best-effort sweeps SIBLING dirs with the same name prefix (left by a
-    * crashed earlier run under a different appId) and registers a JVM
-    * shutdown hook so abnormal termination of THIS run cleans up too. */
+    * best-effort sweeps STALE sibling dirs with the same name prefix (left
+    * by a crashed earlier run under a different appId) — stale meaning
+    * untouched for [[TmpDirs.StaleMs]], so the live temp dir of a
+    * CONCURRENT run under another appId is never deleted mid-query — and
+    * enrolls the dir with the single process-wide shutdown hook so
+    * abnormal termination of THIS run cleans up too. */
   private def runTmpDir(s: org.apache.spark.sql.SparkSession, name: String): java.io.File = {
     val base = new java.io.File(sys.props("java.io.tmpdir"))
+    val cutoff = System.currentTimeMillis() - TmpDirs.StaleMs
     Option(base.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith(s"${name}_"))
+      .filter(f => f.isDirectory && f.getName.startsWith(s"${name}_")
+        && f.lastModified() < cutoff)
       .foreach(f => scala.util.Try(deleteRecursively(f)))
     val f = new java.io.File(base, s"${name}_${s.sparkContext.applicationId}")
     if (f.exists()) deleteRecursively(f)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      scala.util.Try(deleteRecursively(f)): Unit))
+    TmpDirs.enroll(f)
     f
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRecursively)
     f.delete(): Unit
   }
@@ -166,6 +207,25 @@ object CurationQueries {
       Packing.packByBudget(weighted, "__w", Seq(col("doc_id")), 2048L, Seq("lang"))
         .groupBy(col("lang"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("pack_tokens"))
+    },
+
+    // globally-ordered packing (no per-group funnel): the two-phase
+    // distributed prefix sum of Packing.packGlobal vs DuckDB's running-sum
+    // window WITHOUT a partition clause — value-checks the claim that the
+    // distributed form equals the single-sequence semantics exactly
+    QuerySpec("text_pack_global",
+      raw"""WITH t AS (
+           |  SELECT doc_id, CAST($tokenCountSql AS BIGINT) AS w FROM documents),
+           |c AS (
+           |  SELECT doc_id, w,
+           |    sum(w) OVER (ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM t)
+           |SELECT doc_id, CAST((cum - w) // 2048 AS BIGINT) AS pack_id FROM c""".stripMargin) { (s, d) =>
+      val weighted = docs(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("__w"))
+      Packing.packGlobal(weighted, "__w", Seq(col("doc_id")), 2048L)
+        .select(col("doc_id"), col("pack_id"))
     },
 
     // per-language length distribution: exact interpolated quantiles

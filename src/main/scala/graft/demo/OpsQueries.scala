@@ -18,6 +18,20 @@ object OpsQueries {
   private def docs(s: SparkSession, d: String) = s.read.parquet(s"$d/documents.parquet")
   private def embs(s: SparkSession, d: String) = s.read.parquet(s"$d/embeddings.parquet")
 
+  // Sign-LSH sizing shared by the three embedding-LSH queries and their
+  // oracles: h tracks the corpus (targetBucket ≈ expected bucket size, 128
+  // here so the derivation provably changes across the test SFs — 500
+  // vectors → h=2, 2000 → h=4); HMax bounds the oracle's unrolled plane
+  // expression (2^8 buckets covers any corpus the oracle will ever scan;
+  // the Spark kernel itself has no such bound).
+  private[demo] val LshTargetBucket = 128
+  private[demo] val HMax = 8
+
+  /** Runtime h for the Spark side — one cheap count aggregate, the mirror
+    * of the oracle's `hh` CTE. */
+  private def autoH(corpus: DataFrame): Int =
+    Similarity.recommendedH(corpus.count(), LshTargetBucket)
+
   /** events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
     * read nanos as long (legacy conf) and truncate to a micros timestamp —
     * same ms values the DuckDB oracle sees via epoch_ms. */
@@ -253,11 +267,15 @@ object OpsQueries {
 
     // cosine-thresholded variant for UN-normalized embeddings: the float32
     // cosine kernel is mirrored bit-for-bit (float dot, norms as
-    // double-sqrt-rounded-to-float, float multiply/divide)
+    // double-sqrt-rounded-to-float, float multiply/divide). h is DERIVED
+    // from the corpus size on both sides (recommendedH / the hh CTE) — a
+    // hard-coded h that was right at one SF silently cap-skips at 100×
     QuerySpec("dedup_embed_cosine",
-      LshOracleSql.nearDupCosineSql(h = 4, threshold = 0.4, maxBucket = 4096)) { (s, d) =>
-      Dedup.embeddingNearDupsLsh(embs(s, d), "vec_id", "embedding",
-        threshold = 0.4d, h = 4, maxBucket = 4096, cosine = true)
+      LshOracleSql.nearDupCosineSqlAuto(HMax, LshTargetBucket,
+        threshold = 0.4, maxBucket = 4096)) { (s, d) =>
+      val e = embs(s, d)
+      Dedup.embeddingNearDupsLsh(e, "vec_id", "embedding",
+        threshold = 0.4d, h = autoH(e), maxBucket = 4096, cosine = true)
     },
 
     // near-dup clustering: connected components over the SimHash pair
@@ -271,11 +289,14 @@ object OpsQueries {
 
     // scale path: sign-LSH bucket candidates (capped) + exact float dot
     // verify — no cartesian; the bucket assignment is mirrored via the
-    // splitmix64 SQL kernel, so the whole path is value-checked
+    // splitmix64 SQL kernel, so the whole path is value-checked. h derived
+    // from the corpus size (see dedup_embed_cosine)
     QuerySpec("dedup_embed",
-      LshOracleSql.nearDupSql(h = 4, threshold = 0.45, maxBucket = 4096)) { (s, d) =>
-      Dedup.embeddingNearDupsLsh(embs(s, d), "vec_id", "embedding",
-        threshold = 0.45d, h = 4, maxBucket = 4096)
+      LshOracleSql.nearDupSqlAuto(HMax, LshTargetBucket,
+        threshold = 0.45, maxBucket = 4096)) { (s, d) =>
+      val e = embs(s, d)
+      Dedup.embeddingNearDupsLsh(e, "vec_id", "embedding",
+        threshold = 0.45d, h = autoH(e), maxBucket = 4096)
     },
 
     // ---- similarity search ----------------------------------------------
@@ -297,9 +318,12 @@ object OpsQueries {
     // sign-random-projection LSH: the splitmix64 hyperplane signs are
     // re-derived in DuckDB (HUGEINT mod-2^64 arithmetic, split multiply,
     // let-bindings via single-element list comprehensions) — the whole
-    // bucket/cap/score/top-k path is value-checked
-    QuerySpec("sim_lsh_topk", LshOracleSql.topkSql(h = 4, k = 5, maxBucket = 4096)) { (s, d) =>
-      Similarity.lshTopK(embs(s, d), "vec_id", "embedding", k = 5, h = 4, maxBucket = 4096)
+    // bucket/cap/score/top-k path is value-checked. h derived from the
+    // corpus size (see dedup_embed_cosine)
+    QuerySpec("sim_lsh_topk",
+      LshOracleSql.topkSqlAuto(HMax, LshTargetBucket, k = 5, maxBucket = 4096)) { (s, d) =>
+      val e = embs(s, d)
+      Similarity.lshTopK(e, "vec_id", "embedding", k = 5, h = autoH(e), maxBucket = 4096)
     },
 
     // ---- multimodal ------------------------------------------------------
@@ -511,15 +535,32 @@ object LshOracleSql {
       s"(CASE WHEN list_dot_product(embedding, ${signs(p)}) >= 0 THEN ${1L << p} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
-  /** Shared CTE prefix: bucket index + bucket sizes (for the cap). */
-  private def idxCte(h: Int): String =
-    s"""WITH idx AS (
-       |  SELECT vec_id, embedding, ${bucketExpr(h)} AS bucket
+  /** Shared CTE prefix: bucket index + bucket sizes (for the cap), with a
+    * caller-chosen bucket expression and optional leading CTEs. */
+  private def idxCteWith(bucketSql: String, extraCtes: String = ""): String =
+    s"""WITH ${extraCtes}idx AS (
+       |  SELECT vec_id, embedding, $bucketSql AS bucket
        |  FROM embeddings),
        |bsz AS (SELECT bucket, count(*) AS n FROM idx GROUP BY 1)""".stripMargin
 
-  def topkSql(h: Int, k: Int, maxBucket: Int): String =
-    s"""${idxCte(h)},
+  private def idxCte(h: Int): String = idxCteWith(bucketExpr(h))
+
+  /**
+   * h derived IN-SQL from the corpus count — the exact mirror of
+   * [[graft.ops.Similarity.recommendedH]] (`ceil(ln(n/target)/ln 2)`,
+   * floored at 1). The bucket is computed with `hMax` sign planes and
+   * masked down to the derived h's low bits: plane p's bit is independent
+   * of h, so `bucket_h = bucket_hMax & (2^h - 1)` — which keeps the SQL
+   * static while the effective h tracks the data size, exactly like the
+   * Spark side's runtime `recommendedH(corpus.count())`.
+   */
+  private def idxCteAuto(hMax: Int, targetBucket: Int): String =
+    idxCteWith(
+      s"(${bucketExpr(hMax)} & ((1 << (SELECT h FROM hh)) - 1))",
+      s"hh AS (SELECT greatest(1, CAST(ceil(ln(count(*) / ${targetBucket}.0) / ln(2)) AS INT)) AS h FROM embeddings),\n")
+
+  private def topkBody(k: Int, maxBucket: Int): String =
+    s""",
        |scored AS (
        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
        |    list_dot_product(a.embedding, b.embedding) AS score
@@ -530,16 +571,30 @@ object LshOracleSql {
        |  FROM scored)
        |WHERE rank <= $k""".stripMargin
 
-  /** Bucket-candidate near-dup pairs verified with exact float dot —
-    * ≡ Dedup.embeddingNearDupsLsh. */
-  def nearDupSql(h: Int, threshold: Double, maxBucket: Int): String =
-    s"""${idxCte(h)}
+  def topkSql(h: Int, k: Int, maxBucket: Int): String =
+    idxCte(h) + topkBody(k, maxBucket)
+
+  /** [[topkSql]] with h auto-derived from the corpus count. */
+  def topkSqlAuto(hMax: Int, targetBucket: Int, k: Int, maxBucket: Int): String =
+    idxCteAuto(hMax, targetBucket) + topkBody(k, maxBucket)
+
+  private def nearDupBody(threshold: Double, maxBucket: Int): String =
+    s"""
        |SELECT a.vec_id AS id1, b.vec_id AS id2,
        |  list_dot_product(a.embedding, b.embedding) AS score
        |FROM idx a JOIN idx b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
        |JOIN bsz s ON a.bucket = s.bucket
        |WHERE s.n <= $maxBucket
        |  AND list_dot_product(a.embedding, b.embedding) >= $threshold""".stripMargin
+
+  /** Bucket-candidate near-dup pairs verified with exact float dot —
+    * ≡ Dedup.embeddingNearDupsLsh. */
+  def nearDupSql(h: Int, threshold: Double, maxBucket: Int): String =
+    idxCte(h) + nearDupBody(threshold, maxBucket)
+
+  /** [[nearDupSql]] with h auto-derived from the corpus count. */
+  def nearDupSqlAuto(hMax: Int, targetBucket: Int, threshold: Double, maxBucket: Int): String =
+    idxCteAuto(hMax, targetBucket) + nearDupBody(threshold, maxBucket)
 
   /** float32 cosine ≡ VecOps.cosineF, bit-for-bit: float dot + norms as
     * double-sqrt-rounded-to-float + float multiply/divide (validated
@@ -551,10 +606,8 @@ object LshOracleSql {
        |     ELSE list_dot_product($x, $y) / (${norm(x)} * ${norm(y)}) END""".stripMargin
   }
 
-  /** Cosine variant of [[nearDupSql]] ≡ embeddingNearDupsLsh(cosine=true)
-    * — the right threshold semantics for UN-normalized embeddings. */
-  def nearDupCosineSql(h: Int, threshold: Double, maxBucket: Int): String =
-    s"""${idxCte(h)}
+  private def nearDupCosineBody(threshold: Double, maxBucket: Int): String =
+    s"""
        |SELECT id1, id2, score FROM (
        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
        |    ${cosExpr("a.embedding", "b.embedding")} AS score
@@ -562,6 +615,15 @@ object LshOracleSql {
        |  JOIN bsz s ON a.bucket = s.bucket
        |  WHERE s.n <= $maxBucket)
        |WHERE score >= $threshold""".stripMargin
+
+  /** Cosine variant of [[nearDupSql]] ≡ embeddingNearDupsLsh(cosine=true)
+    * — the right threshold semantics for UN-normalized embeddings. */
+  def nearDupCosineSql(h: Int, threshold: Double, maxBucket: Int): String =
+    idxCte(h) + nearDupCosineBody(threshold, maxBucket)
+
+  /** [[nearDupCosineSql]] with h auto-derived from the corpus count. */
+  def nearDupCosineSqlAuto(hMax: Int, targetBucket: Int, threshold: Double, maxBucket: Int): String =
+    idxCteAuto(hMax, targetBucket) + nearDupCosineBody(threshold, maxBucket)
 }
 
 /**

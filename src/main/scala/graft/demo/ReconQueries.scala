@@ -368,6 +368,39 @@ object ReconQueries {
       // anti-join chain re-executing per consumer
       recon.iterate(I(s, d), E(s, d), extOrder, passes, truncateLineage = true)
         .matched.select(col("_id"), col("ext_id"), col("tolerance_diff"))
+    },
+
+    // new_rc_step with PER-PASS KEY RELAXATION — the reference's actual
+    // multi-pass point (it swaps rules between passes,
+    // reference: src/reconciliatior.py:201-206): pass 1 matches on all 4
+    // keys, pass 2 re-matches the remanents with the amount key DROPPED,
+    // which exactly captures the fixture's +0.05-perturbed settlement rows.
+    // Proves the `passes: Seq[ReconConfig]` hook changes behavior per pass
+    // (recon_iterate2 above runs a fixed config, where pass 2 is idempotent)
+    QuerySpec("recon_iterate_relaxed",
+      s"""$prelude,
+         |arem AS (SELECT * FROM internal i WHERE NOT EXISTS (SELECT 1 FROM external e WHERE ${joinOnAl("i", "e")})),
+         |brem AS (SELECT * FROM external e WHERE NOT EXISTS (SELECT 1 FROM internal i WHERE ${joinOnAl("i", "e")}))
+         |SELECT internal._id AS _id, external.ext_id AS ext_id, 1 AS pass
+         |FROM internal JOIN external ON $joinOn
+         |UNION ALL
+         |SELECT i._id AS _id, e.ext_id AS ext_id, 2 AS pass
+         |FROM arem i JOIN brem e
+         |  ON i.transaction_code = e.ext_code AND i.create_timestamp = e.ext_ts AND i.bin_code = e.ext_prio""".stripMargin) { (s, d) =>
+      val relaxed = conf.copy(
+        keys = conf.keys.filterNot(_.internal == "approved_transaction_amount"),
+        tolerance = None)
+      val passes = Seq(conf.copy(tolerance = None), relaxed)
+      val a = I(s, d)
+      val b = E(s, d)
+      // tag rows by pass so the value check proves WHICH pass matched each
+      // pair: run the two passes through iterate, then recover the pass
+      // split by re-deriving pass 1's key match on the matched output
+      val m = recon.iterate(a, b, extOrder, passes, truncateLineage = true).matched
+      val exactCond = conf.keys
+        .map(kp => col(kp.internal) === col(kp.external)).reduce(_ && _)
+      m.select(col("_id"), col("ext_id"),
+        when(exactCond, lit(1)).otherwise(lit(2)).as("pass"))
     }
   )
 }

@@ -76,6 +76,28 @@ object ScaleQueries {
         corpus.where(col("doc_id") % 97 === 0), "text", "doc_id", n = 5)
     },
 
+    // the REMOVAL arm of decontamination (the audit above is the stats
+    // arm): surviving documents after dropping every doc sharing ≥1
+    // distinct 5-gram with the benchmark slice — oracle is the same gram
+    // CTE chain closed with an anti-join
+    QuerySpec("text_decontaminated",
+      raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |                ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |sh AS (SELECT doc_id, unnest(list_distinct(
+           |         CASE WHEN len(t) < 5 THEN []
+           |              ELSE [array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)] END)) AS g
+           |       FROM tt),
+           |gh AS (SELECT doc_id, ${md5h60("g")} AS gh FROM sh),
+           |bh AS (SELECT DISTINCT gh FROM gh WHERE doc_id % 97 = 0),
+           |hits AS (SELECT DISTINCT g.doc_id FROM gh g JOIN bh b USING (gh))
+           |SELECT d.doc_id, d.lang, d.source FROM documents d
+           |WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)""".stripMargin) { (s, d) =>
+      val corpus = docs(s, d)
+      Decontaminate.decontaminate(corpus,
+        corpus.where(col("doc_id") % 97 === 0), "text", "doc_id", n = 5)
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+
     // int8-quantized exact top-k: integer dot + two per-vector scales,
     // quantization (floor(x·127/maxabs + 0.5)) and the triple-product
     // score both mirrored bit-for-bit (integer dots are exact in doubles)

@@ -59,20 +59,22 @@ object Sharding {
   /**
    * Export the shuffled corpus: one directory per shard
    * (`shard=<i>/part-*`), rows inside each shard file in permutation
-   * order. `repartitionByRange(N, shard)` assigns each task a contiguous
-   * shard-id range (hash repartition could collide distinct shards into
-   * one task and leave others idle); a task may still hold more than one
-   * shard, so the within-partition sort leads with `shard` — that both
-   * groups each shard's rows contiguously for the partitioned writer
-   * (satisfying its required partition-column ordering, so Spark injects
-   * no extra sort) and makes each shard file's row order the permutation
-   * order by our own sort, not a write-path implementation detail. The
-   * writer never needs a global sort.
+   * order. Hash `repartition(N, shard)` — not `repartitionByRange`, whose
+   * boundary-sampling job re-evaluates the whole upstream plan (an extra
+   * full corpus pass at the 100 TB tier) for no correctness gain here: a
+   * task may hold several shards under either scheme, so the
+   * within-partition sort leads with `shard` — that both groups each
+   * shard's rows contiguously for the partitioned writer (satisfying its
+   * required partition-column ordering, so Spark injects no extra sort)
+   * and makes each shard file's row order the permutation order by our
+   * own sort, not a write-path implementation detail. The writer never
+   * needs a global sort, and the partitioned write splits co-located
+   * shards into their own directories regardless of task assignment.
    */
   def writeShards(df: DataFrame, keyCol: String, nShards: Int, seed: Long,
       path: String): Unit =
     assignShards(df, keyCol, nShards, seed)
-      .repartitionByRange(nShards, col("shard"))
+      .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("__order"), col(keyCol))
       .drop("__order")
       .write.mode("overwrite").partitionBy("shard").parquet(path)

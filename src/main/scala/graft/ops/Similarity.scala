@@ -231,12 +231,22 @@ object Similarity {
       .limit(nCentroids)
 
   def ivfTopK(df: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nCentroids: Int, modulus: Long, nprobe: Int = 2): DataFrame = {
-    val indexed = ivfIndex(df, idCol, vecCol, nCentroids, modulus)
-    val cents = broadcast(centroids(df, idCol, vecCol, nCentroids, modulus))
+      k: Int, nCentroids: Int, modulus: Long, nprobe: Int = 2): DataFrame =
+    ivfTopKWith(df, queries, idCol, vecCol, k,
+      centroids(df, idCol, vecCol, nCentroids, modulus), nprobe)
+
+  /** IVF ANN top-k against an EXPLICIT centroid set (centroid_id, cv) —
+    * the probe arm for a TRAINED codebook ([[kmeansCentroids]]); the
+    * sampled-codebook [[ivfTopK]] delegates here. Same shape: broadcast
+    * centroids assign cells and pick each query's `nprobe` nearest, the
+    * cell join is the only corpus shuffle. */
+  def ivfTopKWith(df: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, cents: DataFrame, nprobe: Int): DataFrame = {
+    val indexed = ivfIndexWith(df, idCol, vecCol, cents)
+    val bcCents = broadcast(cents)
     // nprobe nearest cells per query via the same broadcast
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .join(cents)
+      .join(bcCents)
       .withColumn("__sim", vec_dot(col("qv"), col("cv")))
       .withColumn("__pr", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("centroid_id"))))

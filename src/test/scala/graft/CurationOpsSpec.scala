@@ -116,6 +116,23 @@ class CurationOpsSpec extends SparkSuite {
       || Option(ex.getCause).exists(_.getMessage.contains("negative weight")))
   }
 
+  // ---------------------------------------------------------- tmp dirs
+
+  test("TmpDirs registers exactly one JVM shutdown hook across many enrolls") {
+    import graft.demo.TmpDirs
+    val base = java.nio.file.Files.createTempDirectory("graft_tmpdirs_spec").toFile
+    val before = TmpDirs.pendingCount
+    (1 to 5).foreach { i =>
+      val d = new java.io.File(base, s"run_$i"); d.mkdirs()
+      TmpDirs.enroll(d)
+    }
+    // repeated query invocations in one JVM must not accumulate hook
+    // threads (the round-5 leak registered one per runTmpDir call)
+    assert(TmpDirs.hookRegistrations.get() == 1)
+    assert(TmpDirs.pendingCount >= before + 5)
+    graft.demo.CurationQueries.deleteRecursively(base)
+  }
+
   // ---------------------------------------------------------- hopping
 
   test("hoppingAgg matches Structured Streaming's window(size, slide) boundaries") {
