@@ -407,6 +407,24 @@ object OpsQueries {
         "vec_id", "embedding", k = 5, nCentroids = 16, modulus = 50, nprobe = 4)
     },
 
+    // IVF ANN with a TRAINED codebook: 2 Lloyd iterations of spherical
+    // k-means ([[graft.ops.Similarity.kmeansCentroids]]) feed the same
+    // probe arm as sim_ivf_topk. The oracle unrolls both assignment+mean
+    // iterations as CTEs; the per-(cluster,dim) mean is a double AVG cast
+    // to float32 on BOTH sides, so summation-order noise in the low double
+    // bits is absorbed by the float rounding and every downstream dot is
+    // bit-identical — the one substantial code path that had no
+    // CORRECTNESS entry before this query
+    QuerySpec("sim_ivf_kmeans_topk",
+      kmeansIvfSql(k = 16, modulus = 50, iters = 2, queryMod = 100,
+        nprobe = 4, topk = 5)) { (s, d) =>
+      val e = embs(s, d)
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        k = 16, iters = 2, modulus = 50)
+      Similarity.ivfTopKWith(e, e.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, cents, nprobe = 4)
+    },
+
     // as-of join (point-in-time lookup): every click sees the value of
     // the user's most recent prior-or-simultaneous view — composed from
     // union + ignore-nulls window, no custom plan node
@@ -488,6 +506,62 @@ object OpsQueries {
       graft.streaming.EventPipeline.sessionize(events(s, d), gapMs = 600000L)
     }
   )
+
+  /**
+   * DuckDB mirror of [[graft.ops.Similarity.kmeansCentroids]] (iters
+   * unrolled as CTEs) feeding the [[graft.ops.Similarity.ivfTopKWith]]
+   * probe. Structure per iteration i: a_i assigns every vector to its
+   * max-dot centroid (tie → smallest id, the argmax-struct semantics),
+   * m_i is the per-(cluster, dim) double AVG cast to float32, c_i is the
+   * new codebook with empty clusters keeping their previous centroid.
+   * Seeds are the deterministic every-`modulus`-th sample relabeled
+   * 0..k-1 by id order, exactly like the Spark side.
+   */
+  private def kmeansIvfSql(k: Int, modulus: Int, iters: Int, queryMod: Int,
+      nprobe: Int, topk: Int): String = {
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.centroid_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_dot_product(e.embedding, c.cv) DESC, c.centroid_id) AS rn
+         |    FROM embeddings e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""${assignCte(s"a$i", s"c${i - 1}")},
+         |m$i AS (
+         |  SELECT a.centroid_id, d.d, CAST(avg(a.embedding[d.d]) AS FLOAT) AS m
+         |  FROM a$i a CROSS JOIN dims d GROUP BY 1, 2),
+         |c$i AS (
+         |  SELECT centroid_id, list(m ORDER BY d) AS cv FROM m$i GROUP BY 1
+         |  UNION ALL
+         |  SELECT c.centroid_id, c.cv FROM c${i - 1} c
+         |  WHERE c.centroid_id NOT IN (SELECT centroid_id FROM m$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH dims AS (
+       |  SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1)) AS d),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding AS cv
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE vec_id % $modulus = 0 ORDER BY vec_id LIMIT $k)),
+       |$iterCtes,
+       |${assignCte("af", s"c$iters")},
+       |probes AS (
+       |  SELECT query_id, qv, centroid_id FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.embedding, c.cv) DESC, c.centroid_id) AS pr
+       |    FROM embeddings q CROSS JOIN c$iters c WHERE q.vec_id % $queryMod = 0)
+       |  WHERE pr <= $nprobe),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    list_dot_product(p.qv, a.embedding) AS score
+       |  FROM probes p JOIN af a
+       |    ON p.centroid_id = a.centroid_id AND p.query_id <> a.vec_id)
+       |SELECT query_id, neighbor_id, score, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+       |WHERE rank <= $topk""".stripMargin
+  }
 
   // referenced from `all` above — keep a def (a val here would still be
   // uninitialized when `all` runs, object init is declaration-ordered)

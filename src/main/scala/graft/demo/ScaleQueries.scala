@@ -98,6 +98,57 @@ object ScaleQueries {
         .select(col("doc_id"), col("lang"), col("source"))
     },
 
+    // domain-mixture resampling (the DoReMi/Pile-style mixing step): the
+    // largest mixture achievable without upsampling, thresholds computed
+    // IN-PLAN (stratum counts → min(n/w) scale → per-stratum 60-bit
+    // threshold) and mirrored CTE-for-CTE — 'es' has weight 0 and must be
+    // dropped entirely
+    QuerySpec("text_mixture",
+      raw"""WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+           |w AS (SELECT lang, n,
+           |        CASE lang WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.5
+           |                  WHEN 'fr' THEN 0.2 WHEN 'zh' THEN 0.1 ELSE 0.0 END AS w
+           |      FROM cnt),
+           |w2 AS (SELECT * FROM w WHERE w > 0.0),
+           |c AS (SELECT min(CAST(n AS DOUBLE) / w) AS c FROM w2),
+           |thr AS (SELECT lang,
+           |          CAST(floor(w * (SELECT c FROM c) / CAST(n AS DOUBLE)
+           |            * 1152921504606846976.0) AS BIGINT) AS t
+           |        FROM w2)
+           |SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+           |WHERE ${md5h60("CAST(d.doc_id AS VARCHAR)")} < thr.t""".stripMargin) { (s, d) =>
+      Sampling.mixtureResample(docs(s, d), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.1))
+        .select(col("doc_id"), col("lang"))
+    },
+
+    // per-row weighted (importance) sample: survival probability ∝ a
+    // deterministic per-row weight — here a length ramp capped at 1, so
+    // short docs are downsampled and 2000+-char docs always kept; the
+    // clamp + floor(w·2^60) threshold is mirrored bit-for-bit
+    QuerySpec("text_sample_weighted",
+      raw"""SELECT doc_id, lang FROM documents
+           |WHERE ${md5h60("CAST(doc_id AS VARCHAR)")}
+           |  < CAST(floor(greatest(0.0, least(CAST(n_chars AS DOUBLE) / 2000.0, 1.0))
+           |      * 1152921504606846976.0) AS BIGINT)""".stripMargin) { (s, d) =>
+      Sampling.weightedSample(docs(s, d), "doc_id",
+        col("n_chars").cast("double") / lit(2000.0d))
+        .select(col("doc_id"), col("lang"))
+    },
+
+    // context-budget crop: first 64 whitespace tokens rejoined — the
+    // truncation step before packing/export, value-checked on the full
+    // cropped string
+    QuerySpec("text_truncate",
+      raw"""SELECT doc_id,
+           |  CASE WHEN length(trim(text)) = 0 THEN ''
+           |       ELSE array_to_string(string_split_regex(trim(text), '\s+')[1:64], ' ')
+           |  END AS text_trunc
+           |FROM documents""".stripMargin) { (s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.truncateTokens(col("text"), maxTokens = 64).as("text_trunc"))
+    },
+
     // int8-quantized exact top-k: integer dot + two per-vector scales,
     // quantization (floor(x·127/maxabs + 0.5)) and the triple-product
     // score both mirrored bit-for-bit (integer dots are exact in doubles)

@@ -94,6 +94,19 @@ object Sampling {
   }
 
   /**
+   * Per-row weighted deterministic sample (importance / quality-weighted
+   * subsampling — "keep high-quality docs with probability ∝ score"): a
+   * row survives iff its 60-bit key hash falls below floor(weight × 2^60),
+   * so a row with weight w is kept with probability w, decided purely by
+   * its key — reproducible on any layout, stable under corpus growth,
+   * no RNG. `weight` is clamped to [0,1]; per-row gate, no shuffle.
+   */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column): DataFrame =
+    df.where(keyHash(col(keyCol)) <
+      floor(greatest(lit(0.0d), least(weight.cast("double"), lit(1.0d)))
+        * lit((1L << 60).toDouble)).cast("long"))
+
+  /**
    * Domain-mixture resampling: downsample strata so the output matches
    * `targetWeights` proportions (the DoReMi/Pile-style mixture step —
    * "make the corpus 60% en / 20% de / 20% fr"). The largest mixture

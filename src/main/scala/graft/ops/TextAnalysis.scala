@@ -32,6 +32,16 @@ object TextAnalysis {
   def subTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("int")
 
+  /** First `maxTokens` whitespace tokens re-joined with single spaces —
+    * the context-budget crop before packing/export (whitespace is
+    * normalized by the rejoin, like any tokenize→detokenize round-trip).
+    * Blank input stays empty. Per-row, codegen'd, no shuffle. */
+  def truncateTokens(text: Column, maxTokens: Int): Column = {
+    require(maxTokens > 0, s"maxTokens must be positive: $maxTokens")
+    when(length(trim(text)) === 0, lit(""))
+      .otherwise(array_join(slice(split(trim(text), "\\s+"), 1, maxTokens), " "))
+  }
+
   /**
    * Quality features: char/token counts plus alpha / digit / whitespace /
    * punctuation ratios and mean token length — the standard cheap filters

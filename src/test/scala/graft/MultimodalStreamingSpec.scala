@@ -164,6 +164,44 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(streamed.contains((1L, 2L, 3.0)))
   }
 
+  test("hopping/tumbling readStream twins equal their batch forms on the same files") {
+    import org.apache.spark.sql.{DataFrame, Dataset, Row}
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream3").toFile
+    eventsDf.write.mode("overwrite").parquet(dir.getAbsolutePath)
+
+    // complete-mode + AvailableNow: the last foreachBatch batch IS the
+    // full result over the fixture — collect it and compare value-for-value
+    // (including the decimal-exact total_value) with the batch twin
+    def collectStream(df: DataFrame): Set[(Long, String, Long, Double)] = {
+      val buf = new java.util.concurrent.atomic.AtomicReference[Set[(Long, String, Long, Double)]](Set.empty)
+      val q = df.writeStream
+        .outputMode("complete")
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          buf.set(b.select(unix_millis(col("window.start")).as("s"), col("event_type"),
+            col("n_events"), col("total_value"))
+            .as[(Long, String, Long, Double)].collect().toSet)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      buf.get()
+    }
+
+    val tumStream = collectStream(
+      EventPipeline.tumblingAggStream(spark, dir.getAbsolutePath, eventsDf.schema, windowSec = 300))
+    val tumBatch = EventPipeline.tumblingAgg(eventsDf, windowMs = 300000L)
+      .select(col("bucket_start"), col("event_type"), col("n_events"), col("total_value"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(tumStream.nonEmpty && tumStream == tumBatch)
+
+    val hopStream = collectStream(
+      EventPipeline.hoppingAggStream(spark, dir.getAbsolutePath, eventsDf.schema,
+        windowSec = 600, slideSec = 300))
+    val hopBatch = EventPipeline.hoppingAgg(eventsDf, windowMs = 600000L, slideMs = 300000L)
+      .select(col("win_start"), col("event_type"), col("n_events"), col("total_value"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(hopStream.nonEmpty && hopStream == hopBatch)
+  }
+
   test("tumblingAggStream produces windowed aggregates via readStream") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toFile
     eventsDf.write.mode("overwrite").parquet(dir.getAbsolutePath)

@@ -76,6 +76,50 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("mixtureResample hits target proportions, keeps the binding stratum whole, drops weight-0") {
+    // 600 en / 200 de / 100 fr / 100 es; target 50/25/25 en/de/fr → fr is
+    // binding (100/0.25 = 400, vs 800 for de and 1200 for en), so the
+    // largest no-upsampling mixture is ≈ 400 rows: 200 en / 100 de / 100 fr
+    val df = ((0L until 600L).map(i => (i, "en")) ++ (600L until 800L).map(i => (i, "de")) ++
+      (800L until 900L).map(i => (i, "fr")) ++ (900L until 1000L).map(i => (i, "es")))
+      .toDF("id", "lang")
+    val out = Sampling.mixtureResample(df, "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))
+    val counts = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(!counts.contains("es"))                       // weight 0 → dropped
+    assert(counts("fr") == 100L)                         // binding stratum kept whole
+    // hash-gate sampling noise: each downsampled stratum within ~25% of target
+    assert(math.abs(counts("en") - 200L) < 50 && math.abs(counts("de") - 100L) < 25)
+    assert(rowsOf(out) == rowsOf(Sampling.mixtureResample(df.repartition(7), "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25))))    // layout-independent
+  }
+
+  test("weightedSample keeps weight-1 rows, drops weight-0 rows, scales in between") {
+    val df = (0L until 3000L).toDF("id")
+      .withColumn("w", when(col("id") < 1000L, 0.0d)
+        .when(col("id") < 2000L, 0.5d).otherwise(2.0d))  // 2.0 clamps to always-keep
+    val kept = Sampling.weightedSample(df, "id", col("w")).as[(Long, Double)].collect()
+    assert(!kept.exists(_._1 < 1000L))                   // w=0 never survives
+    assert(kept.count(_._1 >= 2000L) == 1000)            // clamped w≥1 always survives
+    val mid = kept.count(r => r._1 >= 1000L && r._1 < 2000L)
+    assert(mid > 400 && mid < 600)                       // ≈ half of the w=0.5 band
+    // decision is per-key: a row's fate never changes with the corpus
+    val sub = Sampling.weightedSample(df.where(col("id") < 1500L), "id", col("w"))
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(sub == kept.map(_._1).filter(_ < 1500L).toSet)
+  }
+
+  test("truncateTokens crops to the budget and normalizes whitespace") {
+    import graft.ops.TextAnalysis
+    val df = Seq((1L, "a  b\tc d e"), (2L, "  "), (3L, "one two")).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.truncateTokens(col("text"), 3).as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "a b c")                           // cropped + single-spaced
+    assert(out(2L) == "")                                // blank stays empty
+    assert(out(3L) == "one two")                         // under budget → whole text
+    intercept[IllegalArgumentException](TextAnalysis.truncateTokens(col("text"), 0))
+  }
+
   test("contaminationStats counts hit grams and fractions per doc") {
     val docsDf = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"), // shares no 3-gram with bench
