@@ -187,6 +187,29 @@ object OpsQueries {
 
     // deterministic stratified sampling: keep/drop is a pure function of
     // (doc_id, lang) — reproducible on any layout, value-checked exactly
+    // unigram corpus-familiarity (cheap perplexity proxy): exact BIGINT
+    // token/frequency sums + one IEEE double division — no log/exp whose
+    // last bits could differ across engines; DuckDB's HUGEINT sum is cast
+    // back to BIGINT to match Spark's long sum
+    QuerySpec("text_familiarity",
+      raw"""WITH tt AS (
+           |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+           |    ELSE string_split_regex(trim(lower(text)), '\s+') END) AS t
+           |  FROM documents),
+           |freq AS (SELECT t, count(*) AS n FROM tt GROUP BY 1),
+           |per AS (SELECT doc_id, count(*) AS n_tokens,
+           |          CAST(sum(n) AS BIGINT) AS sum_freq
+           |        FROM tt JOIN freq USING (t) GROUP BY 1)
+           |SELECT d.doc_id,
+           |  COALESCE(p.n_tokens, 0) AS n_tokens,
+           |  COALESCE(p.sum_freq, 0) AS sum_freq,
+           |  CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0.0
+           |       ELSE CAST(p.sum_freq AS DOUBLE) / CAST(p.n_tokens AS DOUBLE)
+           |  END AS familiarity
+           |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin) { (s, d) =>
+      TextAnalysis.unigramFamiliarity(docs(s, d), "text", "doc_id")
+    },
+
     QuerySpec("text_sample_stratified", {
       val (tEn, tZh, tDef) = (Sampling.threshold(0.5), Sampling.threshold(0.2),
         Sampling.threshold(0.1))

@@ -98,6 +98,16 @@ object ScaleQueries {
         .select(col("doc_id"), col("lang"), col("source"))
     },
 
+    // uniform deterministic sample: the simplest hash-gate — keep ~25% of
+    // rows by key hash, threshold a driver-computed literal in both plans
+    QuerySpec("text_sample_uniform",
+      raw"""SELECT doc_id, lang FROM documents
+           |WHERE ${md5h60("CAST(doc_id AS VARCHAR)")} < ${Sampling.threshold(0.25)}""".stripMargin) {
+      (s, d) =>
+        Sampling.deterministicSample(docs(s, d), "doc_id", fraction = 0.25)
+          .select(col("doc_id"), col("lang"))
+    },
+
     // domain-mixture resampling (the DoReMi/Pile-style mixing step): the
     // largest mixture achievable without upsampling, thresholds computed
     // IN-PLAN (stratum counts → min(n/w) scale → per-stratum 60-bit

@@ -155,6 +155,38 @@ object TextAnalysis {
         frac(col("n_distinct_ngrams"), col("n_ngrams")).as(s"dup_ngram_frac"))
   }
 
+  /**
+   * Unigram corpus-familiarity score (the cheap LM-perplexity proxy used
+   * for web-corpus quality filtering): per document, the mean corpus
+   * frequency of its tokens. Rare-token-heavy documents (OCR noise,
+   * gibberish, wrong-language) score low; boilerplate scores very high;
+   * both tails are filter candidates. Deliberately transcendental-free so
+   * the oracle can match bit-for-bit: `n_tokens` and `sum_freq` are exact
+   * BIGINTs and the score is ONE IEEE double division.
+   *
+   * Distributed shape: one global token-count aggregation (map-side
+   * combined) over the exploded corpus, re-joined to the token stream on
+   * the token key, then a per-doc re-aggregation — two shuffles and one
+   * join, the minimum for any corpus-global statistic; no per-doc
+   * collect, so a pathological gigabyte document costs rows, not memory.
+   * Empty documents fall out of the explode and are restored with zeros.
+   */
+  def unigramFamiliarity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+    val freq = toks.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+    val perDoc = toks.join(freq, "__t")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__n")).as("sum_freq"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_freq"), lit(0L)).as("sum_freq"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0L, lit(0.0d))
+          .otherwise(col("sum_freq").cast("double") / col("n_tokens").cast("double"))
+          .as("familiarity"))
+  }
+
   /** Email pattern (RE2-portable: no lookarounds, mirrors in DuckDB). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 

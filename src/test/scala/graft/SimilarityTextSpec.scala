@@ -99,6 +99,19 @@ class SimilarityTextSpec extends SparkSuite {
       Seq(3, 0, 0, 1))
   }
 
+  test("unigramFamiliarity averages corpus token frequencies, zeros empty docs") {
+    // corpus freqs: "the"→3, "cat"→2, "sat"→1, "zz"→1
+    val df = Seq((1L, "the cat sat"), (2L, "the cat"), (3L, "the zz"), (4L, "  "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramFamiliarity(df, "text", "doc_id")
+      .select("doc_id", "n_tokens", "sum_freq", "familiarity")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 6L, 2.0)))           // (3+2+1)/3
+    assert(out(2L) == ((2L, 2L, 5L, 2.5)))           // (3+2)/2
+    assert(out(3L) == ((3L, 2L, 4L, 2.0)))           // (3+1)/2
+    assert(out(4L) == ((4L, 0L, 0L, 0.0)))           // empty doc restored with zeros
+  }
+
   test("quality features on crafted text") {
     val df = Seq((1L, "abc 123!")).toDF("doc_id", "text")
     val f = TextAnalysis.qualityFeatures(df, "text")
