@@ -83,6 +83,37 @@ object OpsQueries {
           col("punct_ratio"), col("mean_token_len"), col("quality_score"))
     },
 
+    // per-group top-k: the 3 highest-quality docs of every (lang, source)
+    // bucket — one hash shuffle on the group key, streaming row_number, no
+    // global sort (graft.ops.Ranking); ties broken by doc_id on both sides
+    QuerySpec("text_source_topk",
+      raw"""WITH f AS (
+           |  SELECT doc_id, lang, source,
+           |    CAST(length(text) AS DOUBLE) AS n,
+           |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+           |    CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) AS puncts,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+           |  FROM documents),
+           |q AS (SELECT doc_id, lang, source,
+           |  greatest(0.0, least(1.0,
+           |    0.5 * (CASE WHEN n = 0 THEN 0.0 ELSE alpha / n END)
+           |    + 0.3 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+           |    + 0.2 * (1.0 - (CASE WHEN n = 0 THEN 0.0 ELSE digits / n END)
+           |                 - (CASE WHEN n = 0 THEN 0.0 ELSE puncts / n END)))) AS quality_score
+           |  FROM f)
+           |SELECT lang, source, doc_id, quality_score, rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY lang, source
+           |    ORDER BY quality_score DESC, doc_id) AS rank FROM q)
+           |WHERE rank <= 3""".stripMargin) { (s, d) =>
+      Ranking.topKPerGroup(TextAnalysis.qualityScore(docs(s, d), "text"),
+        groupCols = Seq("lang", "source"),
+        order = Seq(col("quality_score").desc, col("doc_id")), k = 3)
+        .select(col("lang"), col("source"), col("doc_id"),
+          col("quality_score"), col("rank"))
+    },
+
     QuerySpec("text_langid",
       raw"""WITH sc AS (
            |  SELECT doc_id,
@@ -448,6 +479,32 @@ object OpsQueries {
         "vec_id", "embedding", k = 5, cents, nprobe = 4)
     },
 
+    // SemDeDup (Abbas et al. 2023): semantic near-dup pairs scored only
+    // within trained k-means cells — the codebook bounds candidate pairs
+    // to Σ(cluster²) instead of N²; the full path (Lloyd training,
+    // broadcast-argmax assignment, float32 cosine) is value-checked
+    QuerySpec("dedup_semantic_pairs",
+      semanticPairsSql(k = 16, modulus = 50, iters = 2,
+        threshold = 0.4, maxCluster = 4096)) { (s, d) =>
+      val e = embs(s, d)
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        k = 16, iters = 2, modulus = 50)
+      Dedup.semanticNearDups(e, "vec_id", "embedding", cents,
+        threshold = 0.4, maxCluster = 4096)
+    },
+
+    // the removal arm: keep-lowest-id survivors of the pair graph above
+    QuerySpec("dedup_semantic",
+      semanticSurvivorsSql(k = 16, modulus = 50, iters = 2,
+        threshold = 0.4, maxCluster = 4096)) { (s, d) =>
+      val e = embs(s, d)
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        k = 16, iters = 2, modulus = 50)
+      Dedup.semanticDedup(e, "vec_id", "embedding", cents,
+        threshold = 0.4, maxCluster = 4096)
+        .select(col("vec_id"), col("label"))
+    },
+
     // as-of join (point-in-time lookup): every click sees the value of
     // the user's most recent prior-or-simultaneous view — composed from
     // union + ignore-nulls window, no custom plan node
@@ -540,8 +597,10 @@ object OpsQueries {
    * Seeds are the deterministic every-`modulus`-th sample relabeled
    * 0..k-1 by id order, exactly like the Spark side.
    */
-  private def kmeansIvfSql(k: Int, modulus: Int, iters: Int, queryMod: Int,
-      nprobe: Int, topk: Int): String = {
+  /** WITH-prefix shared by every trained-codebook oracle: seed codebook
+    * `c0`, `iters` Lloyd iterations, final assignment `af` of (vec_id,
+    * embedding, centroid_id) against the trained codebook `c$iters`. */
+  private def kmeansCtes(k: Int, modulus: Int, iters: Int): String = {
     def assignCte(name: String, cents: String): String =
       s"""$name AS (
          |  SELECT vec_id, embedding, centroid_id FROM (
@@ -567,7 +626,12 @@ object OpsQueries {
        |  FROM (SELECT vec_id, embedding FROM embeddings
        |        WHERE vec_id % $modulus = 0 ORDER BY vec_id LIMIT $k)),
        |$iterCtes,
-       |${assignCte("af", s"c$iters")},
+       |${assignCte("af", s"c$iters")}""".stripMargin
+  }
+
+  private def kmeansIvfSql(k: Int, modulus: Int, iters: Int, queryMod: Int,
+      nprobe: Int, topk: Int): String = {
+    s"""${kmeansCtes(k, modulus, iters)},
        |probes AS (
        |  SELECT query_id, qv, centroid_id FROM (
        |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
@@ -585,6 +649,33 @@ object OpsQueries {
        |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
        |WHERE rank <= $topk""".stripMargin
   }
+
+  /** Within-cluster cosine pair CTE over the trained-codebook assignment —
+    * ≡ [[graft.ops.Dedup.semanticNearDups]] with the same (k, modulus,
+    * iters): cluster-size prune, a.id < b.id pair join, float32 cosine. */
+  private def semanticPairsCtes(k: Int, modulus: Int, iters: Int,
+      threshold: Double, maxCluster: Int): String =
+    s"""${kmeansCtes(k, modulus, iters)},
+       |csz AS (SELECT centroid_id, count(*) AS n FROM af GROUP BY 1),
+       |pairs AS (
+       |  SELECT id1, id2, score FROM (
+       |    SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |      ${LshOracleSql.cosExpr("a.embedding", "b.embedding")} AS score
+       |    FROM af a JOIN af b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       |    JOIN csz s ON a.centroid_id = s.centroid_id WHERE s.n <= $maxCluster)
+       |  WHERE score >= $threshold)""".stripMargin
+
+  private def semanticPairsSql(k: Int, modulus: Int, iters: Int,
+      threshold: Double, maxCluster: Int): String =
+    semanticPairsCtes(k, modulus, iters, threshold, maxCluster) +
+      "\nSELECT id1, id2, score FROM pairs"
+
+  private def semanticSurvivorsSql(k: Int, modulus: Int, iters: Int,
+      threshold: Double, maxCluster: Int): String =
+    semanticPairsCtes(k, modulus, iters, threshold, maxCluster) +
+      """
+        |SELECT e.vec_id, e.label FROM embeddings e
+        |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.id2 = e.vec_id)""".stripMargin
 
   // referenced from `all` above — keep a def (a val here would still be
   // uninitialized when `all` runs, object init is declaration-ordered)
@@ -696,7 +787,7 @@ object LshOracleSql {
   /** float32 cosine ≡ VecOps.cosineF, bit-for-bit: float dot + norms as
     * double-sqrt-rounded-to-float + float multiply/divide (validated
     * bit-exact against the JVM kernel on random vectors). */
-  private def cosExpr(x: String, y: String): String = {
+  private[demo] def cosExpr(x: String, y: String): String = {
     def norm(v: String) =
       s"CAST(sqrt(CAST(list_dot_product($v, $v) AS DOUBLE)) AS FLOAT)"
     s"""CASE WHEN ${norm(x)} = 0 OR ${norm(y)} = 0 THEN CAST(0 AS FLOAT)

@@ -98,6 +98,28 @@ object ScaleQueries {
         .select(col("doc_id"), col("lang"), col("source"))
     },
 
+    // duplicated-span profile (Lee et al. 2021 exact-substring measurement):
+    // per doc, the fraction of its word 6-gram POSITIONS whose text occurs
+    // ≥2 times anywhere in the corpus — spans travel as md5-60 hashes on
+    // both sides, repeats kept (occurrence-weighted, unlike the distinct
+    // contamination grams above)
+    QuerySpec("dedup_span_stats",
+      raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |                ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |sp AS (SELECT doc_id, unnest(
+           |         CASE WHEN len(t) < 6 THEN []
+           |              ELSE [array_to_string(t[i:i+5], ' ') FOR i IN range(1, len(t) - 4)] END) AS g
+           |       FROM tt),
+           |gh AS (SELECT doc_id, ${md5h60("g")} AS gh FROM sp),
+           |dup AS (SELECT gh FROM gh GROUP BY gh HAVING count(*) >= 2)
+           |SELECT g.doc_id, count(*) AS n_spans,
+           |  CAST(sum(CASE WHEN d.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           |  CAST(sum(CASE WHEN d.gh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS dup_frac
+           |FROM gh g LEFT JOIN dup d USING (gh) GROUP BY 1""".stripMargin) { (s, d) =>
+      Dedup.duplicatedSpanStats(docs(s, d), "text", "doc_id", n = 6)
+    },
+
     // uniform deterministic sample: the simplest hash-gate — keep ~25% of
     // rows by key hash, threshold a driver-computed literal in both plans
     QuerySpec("text_sample_uniform",

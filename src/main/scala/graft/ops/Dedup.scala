@@ -139,6 +139,47 @@ object Dedup {
       .select(col("doc"),
         explode(array_distinct(shinglesOfTokens(col("__toks"), n))).as("shingle"))
 
+  /** POSITIONAL (doc, shingle) table — every n-gram occurrence, repeats
+    * kept. Same explode-the-expression / repartition-barrier discipline as
+    * [[shingleTable]]; the only difference is no `array_distinct`, because
+    * span-level measurements weight by occurrence, not presence. */
+  def spanTable(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc"), explode(shinglesOfTokens(col("__toks"), n)).as("shingle"))
+
+  /**
+   * Duplicated-span profile (the measurement arm of exact substring dedup,
+   * Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+   * Better"): for every document, the fraction of its word n-gram spans
+   * whose text occurs ≥2 times anywhere in the corpus (other documents OR
+   * again in the same one). Output: (idCol, n_spans, n_dup_spans,
+   * dup_frac); documents shorter than `n` tokens have no spans and are
+   * absent.
+   *
+   * Scale shape: spans travel as 60-bit [[Sampling.keyHash]]es, never as
+   * strings. The span stream is cut once and feeds both consumers; the
+   * corpus-frequency aggregation is map-side combined on the hash, and the
+   * dup-mark join is hash-co-partitioned with it. Unlike
+   * [[graft.ops.Decontaminate]] there is no broadcast-able side — the dup
+   * set is corpus-sized — so both shuffles are genuinely necessary.
+   */
+  def duplicatedSpanStats(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val spans = graft.recon.Checkpoints.cut(
+      spanTable(df, textCol, idCol, n)
+        .select(col("doc"), Sampling.keyHash(col("shingle")).as("__gh")))
+    val dup = spans.groupBy(col("__gh"))
+      .agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= 2)
+      .select(col("__gh"), lit(1L).as("__dup"))
+    spans.join(dup, Seq("__gh"), "left")
+      .groupBy(col("doc").as(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+  }
+
   /**
    * Exact n-gram Jaccard near-dup pairs: explode distinct shingles, join
    * on shingle, count common per pair, Jaccard ≥ threshold. `maxDf` drops
@@ -440,5 +481,52 @@ object Dedup {
       .withColumn("score", scoreCol)
       .where(col("score") >= threshold)
       .select(col("id1"), col("id2"), col("score"))
+  }
+
+  /**
+   * Semantic near-dup pairs, SemDeDup-style (Abbas et al. 2023, "SemDeDup:
+   * Data-efficient learning at web-scale through semantic deduplication"):
+   * partition the embedding space with a k-means codebook, then score
+   * cosine pairs ONLY within each cluster — the codebook turns the O(N²)
+   * all-pairs problem into Σ(cluster²), with `maxCluster` bounding the
+   * worst cell exactly like `maxBucket` bounds an LSH bucket.
+   *
+   * Scale shape: the assignment is [[Similarity.ivfIndexWith]]'s zero-
+   * shuffle broadcast argmax; the ONE corpus shuffle is the groupBy on
+   * centroid_id, count-pruned before any member list is built (same
+   * discipline as [[Similarity.lshCandidates]]). `cents` is a trained
+   * [[Similarity.kmeansCentroids]] codebook (or any (centroid_id, cv)
+   * frame) — broadcast-sized by contract.
+   */
+  def semanticNearDups(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, threshold: Double, maxCluster: Int = 4096): DataFrame = {
+    import graft.functions.VectorFunctions.vec_cosine
+    val idx = Similarity.ivfIndexWith(df, idCol, vecCol, cents)
+    val okClusters = idx.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1 && col("__n") <= maxCluster)
+      .select("centroid_id")
+    val clusters = idx.join(okClusters, Seq("centroid_id"), "left_semi")
+      .groupBy(col("centroid_id"))
+      .agg(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v"))).as("members"))
+    clusters
+      .select(explode(col("members")).as("m1"), col("members"))
+      .select(col("m1"), explode(col("members")).as("m2"))
+      .where(col("m1.id") < col("m2.id"))
+      .withColumn("score", vec_cosine(col("m1.v"), col("m2.v")))
+      .where(col("score") >= threshold)
+      .select(col("m1.id").as("id1"), col("m2.id").as("id2"), col("score"))
+  }
+
+  /**
+   * SemDeDup removal: drop every row that has a semantic near-dup with a
+   * smaller id (keep-lowest-id per near-dup pair — deterministic on any
+   * layout). Survivors keep all their columns.
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, threshold: Double, maxCluster: Int = 4096): DataFrame = {
+    val losers = semanticNearDups(df, idCol, vecCol, cents, threshold, maxCluster)
+      .select(col("id2").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
   }
 }

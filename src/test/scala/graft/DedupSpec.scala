@@ -131,4 +131,60 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.keyedKeepFirst(df, Seq("lang", "source"), Seq(col("doc_id")))
       .select("doc_id").as[Long].collect().toSet == Set(3L, 9L))
   }
+
+  test("duplicatedSpanStats counts positional spans shared across or within docs") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),       // spans: "a b c"... shares all with doc 2
+      (2L, "a b c d e f g h"),       // exact copy → every span duplicated
+      (3L, "p q r s t u v w"),       // unique → zero duplicated spans
+      (4L, "x y z x y z x y z")      // within-doc repeat: "x y z x y z" ×2... n=3 spans repeat internally
+    ).toDF("doc_id", "text")
+    val stats = Dedup.duplicatedSpanStats(df, "text", "doc_id", n = 3)
+      .select("doc_id", "n_spans", "n_dup_spans").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(stats(1L) == ((6L, 6L)))  // 8 tokens → 6 spans, all in doc 2 too
+    assert(stats(2L) == ((6L, 6L)))
+    assert(stats(3L) == ((6L, 0L)))
+    // doc 4: 7 spans; "x y z" occurs 3×, "y z x"/"z x y" 2× each → all 7 dup
+    assert(stats(4L) == ((7L, 7L)))
+    // a doc shorter than n has no spans and is absent
+    val tiny = Dedup.duplicatedSpanStats(
+      Seq((9L, "one two")).toDF("doc_id", "text"), "text", "doc_id", n = 3)
+    assert(tiny.count() == 0)
+  }
+
+  test("semanticNearDups pairs only within k-means cells; semanticDedup keeps min id") {
+    import graft.ops.Similarity
+    // two tight clusters on orthogonal axes; ids chosen so the every-10th
+    // seed sample (modulus 10) starts one centroid in each cluster
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.99f, 0.05f)), (12L, Array(0.98f, -0.05f)),
+      (20L, Array(0.0f, 1.0f)), (21L, Array(0.05f, 0.99f)), (23L, Array(-0.6f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 2, iters = 2, modulus = 10)
+    val pairs = Dedup.semanticNearDups(vecs, "vec_id", "embedding", cents,
+      threshold = 0.9, maxCluster = 100)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    // near-identical pairs inside each cluster; 23 is in cluster 2 but
+    // below threshold against both members; nothing across clusters
+    assert(pairs == Set((10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)))
+    val kept = Dedup.semanticDedup(vecs, "vec_id", "embedding", cents,
+      threshold = 0.9, maxCluster = 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 20L, 23L))
+  }
+
+  test("semanticNearDups cluster cap prunes oversized cells") {
+    import graft.ops.Similarity
+    val vecs = (0L until 12L).map(i => (i, Array(1.0f, i.toFloat * 1e-4f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 1, iters = 1, modulus = 1)
+    // all 12 land in the one cell; cap 10 drops it entirely
+    assert(Dedup.semanticNearDups(vecs, "vec_id", "embedding", cents,
+      threshold = 0.0, maxCluster = 10).count() == 0)
+    assert(Dedup.semanticNearDups(vecs, "vec_id", "embedding", cents,
+      threshold = 0.0, maxCluster = 100).count() == 66) // 12 choose 2
+  }
 }
