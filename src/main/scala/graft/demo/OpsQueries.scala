@@ -262,6 +262,30 @@ object OpsQueries {
       Dedup.exactGroups(docs(s, d), "text", "doc_id")
     },
 
+    // cross-run incremental dedup: docs ≡0 mod 3 play the already-ingested
+    // corpus (its persisted content-hash state), the rest the new batch —
+    // survivors are new-batch docs whose content no prior run saw
+    QuerySpec("dedup_incremental",
+      """SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id % 3 <> 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents s WHERE s.doc_id % 3 = 0
+        |    AND md5(lower(trim(s.text))) = md5(lower(trim(d.text))))""".stripMargin) { (s, d) =>
+      val all = docs(s, d)
+      val seen = Dedup.seenContentHashes(all.where(col("doc_id") % 3 === 0), "text")
+      Dedup.incrementalDedup(all.where(col("doc_id") % 3 =!= 0), seen, "text")
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    // pre-join skew audit: the 20 heaviest user_id groups in events with
+    // their corpus share — TakeOrderedAndProject top-N, no global sort
+    QuerySpec("events_key_skew",
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |t AS (SELECT sum(n) AS tot FROM c)
+        |SELECT user_id, n, CAST(n AS DOUBLE) / CAST((SELECT tot FROM t) AS DOUBLE) AS share
+        |FROM c ORDER BY n DESC, user_id LIMIT 20""".stripMargin) { (s, d) =>
+      Profiling.keySkew(events(s, d), Seq("user_id"), topN = 20)
+    },
+
     QuerySpec("dedup_keyed_first",
       """SELECT doc_id, lang, source
         |FROM (SELECT doc_id, lang, source,

@@ -120,6 +120,21 @@ object ScaleQueries {
       Dedup.duplicatedSpanStats(docs(s, d), "text", "doc_id", n = 6)
     },
 
+    // exactly-k-per-group deterministic sample (the reservoir shape, but
+    // reproducible): each lang keeps its k=10 lowest-keyHash docs — hash
+    // order is layout-independent, so the "reservoir" is stable across
+    // runs and cluster sizes, unlike a true random reservoir
+    QuerySpec("text_sample_pergroup",
+      raw"""SELECT lang, doc_id FROM (
+           |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+           |    ORDER BY ${md5h60("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+           |  FROM documents)
+           |WHERE rn <= 10""".stripMargin) { (s, d) =>
+      Ranking.topKPerGroup(docs(s, d), Seq("lang"),
+        Seq(Sampling.keyHash(col("doc_id")), col("doc_id")), k = 10)
+        .select(col("lang"), col("doc_id"))
+    },
+
     // uniform deterministic sample: the simplest hash-gate — keep ~25% of
     // rows by key hash, threshold a driver-computed literal in both plans
     QuerySpec("text_sample_uniform",

@@ -72,6 +72,27 @@ object Dedup {
     keepFirstGrouped(df.withColumn("__ch", contentHash(col(textCol))),
       Seq("__ch"), Seq(col(idCol))).drop("__ch")
 
+  /** The persisted state for cross-run (incremental) exact dedup: one
+    * 16-byte content hash per distinct content already ingested. Write
+    * this once per run; union with the new batch's hashes for the next. */
+  def seenContentHashes(df: DataFrame, textCol: String): DataFrame =
+    df.select(contentHash(col(textCol)).as("content_hash")).distinct()
+
+  /**
+   * Incremental exact dedup: keep only new-batch rows whose content no
+   * prior run ingested — the every-few-hours corpus update path, where
+   * re-deduping the whole corpus per batch would be quadratic over the
+   * corpus lifetime. An anti-join on the 16-byte hash: the (small) new
+   * batch shuffles against the corpus-lifetime `seen` set hash-to-hash;
+   * AQE broadcasts `seen` on its own when it is genuinely small.
+   * Within-batch duplicates are NOT removed here (this is the cross-run
+   * filter) — compose with [[exactDedup]] on the survivors for both.
+   */
+  def incrementalDedup(newDf: DataFrame, seen: DataFrame, textCol: String): DataFrame =
+    newDf.withColumn("__ch", contentHash(col(textCol)))
+      .join(seen, col("__ch") === seen("content_hash"), "left_anti")
+      .drop("__ch")
+
   /** Keyed keep-first: one row per key set, by explicit deterministic order.
     * `min_by(wholeRow, orderTuple)` aggregation, not a `row_number()`
     * window: map-side partial combine (the shuffle carries one candidate

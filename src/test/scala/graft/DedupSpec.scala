@@ -132,6 +132,20 @@ class DedupSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSet == Set(3L, 9L))
   }
 
+  test("incrementalDedup drops only content a prior run ingested") {
+    val seenDocs = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val seen = Dedup.seenContentHashes(seenDocs, "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // seen (exact)
+      (2L, "  THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"), // seen (normalized)
+      (3L, "a genuinely new document body"),
+      (4L, "a genuinely new document body")                  // within-batch dup: kept
+    ).toDF("doc_id", "text")
+    assert(Dedup.incrementalDedup(batch, seen, "text")
+      .select("doc_id").as[Long].collect().toSet == Set(3L, 4L))
+  }
+
   test("duplicatedSpanStats counts positional spans shared across or within docs") {
     val df = Seq(
       (1L, "a b c d e f g h"),       // spans: "a b c"... shares all with doc 2
