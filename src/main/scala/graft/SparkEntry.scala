@@ -10,7 +10,8 @@ object SparkEntry {
 
   private def registries: Seq[QuerySpec] =
     graft.demo.ReconQueries.all ++ graft.demo.OpsQueries.all ++
-      graft.demo.CurationQueries.all ++ graft.demo.ScaleQueries.all
+      graft.demo.CurationQueries.all ++ graft.demo.ScaleQueries.all ++
+      graft.demo.SketchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full reference pipeline: zero-effect → exact match → tolerance pass. */

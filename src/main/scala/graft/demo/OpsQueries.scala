@@ -975,6 +975,44 @@ object SketchOracleSql {
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
        |SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a""".stripMargin
 
+  /** [[graft.ops.Dedup.canonicalByQuality]] over the simhash pair set:
+    * the components CTE chain plus the text_quality score formula and a
+    * per-component argmax (score DESC, id ASC). */
+  def simHashCanonicalSql(maxHamming: Int, maxBucket: Int): String =
+    s"""WITH RECURSIVE ${simHashCtes(maxHamming, maxBucket)},
+       |pairs AS (
+       |${simHashSelect(maxHamming, maxBucket)}),
+       |edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs UNION SELECT doc2, doc1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |labels AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+       |qf AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS DOUBLE) AS n,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+       |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+       |    CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) AS puncts,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, greatest(0.0, least(1.0,
+       |    0.5 * (CASE WHEN n = 0 THEN 0.0 ELSE alpha / n END)
+       |    + 0.3 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+       |    + 0.2 * (1.0 - (CASE WHEN n = 0 THEN 0.0 ELSE digits / n END)
+       |                 - (CASE WHEN n = 0 THEN 0.0 ELSE puncts / n END)))) AS quality_score
+       |  FROM qf),
+       |m AS (SELECT l.component, l.node, q.quality_score
+       |      FROM labels l JOIN q ON q.doc_id = l.node),
+       |r AS (SELECT component, node AS rep_id, quality_score AS rep_score,
+       |        count(*) OVER (PARTITION BY component) AS cluster_size,
+       |        row_number() OVER (PARTITION BY component
+       |          ORDER BY quality_score DESC, node) AS rn
+       |      FROM m)
+       |SELECT component, rep_id, rep_score, cluster_size FROM r WHERE rn = 1""".stripMargin
+
   private def simHashSelect(maxHamming: Int, maxBucket: Int): String =
     s"""SELECT DISTINCT a.doc AS doc1, b.doc AS doc2, bit_count(xor(a.sig, b.sig)) AS hamming
        |FROM chunked a

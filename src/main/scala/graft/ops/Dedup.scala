@@ -465,6 +465,34 @@ object Dedup {
   }
 
   /**
+   * Quality-aware canonicalization: each near-dup cluster (connected
+   * component of `pairs`) elects the member with the highest score, tie
+   * broken toward the lowest id. One row per cluster:
+   * `(component, rep_id, rep_score, cluster_size)`. The election is a
+   * `max_by` over a struct ordering — one hash aggregation on the
+   * component label, partial-aggregated map-side; no per-cluster window
+   * sort, so a pathological mega-cluster costs a skewed reduce key, not
+   * a driver melt-down.
+   *
+   * `scored` is `(idCol, scoreCol)` — typically
+   * [[TextAnalysis.qualityScore]] output — joined to the labels on the
+   * member id.
+   */
+  def canonicalByQuality(pairs: DataFrame, scored: DataFrame, idCol: String,
+      scoreCol: String = "quality_score",
+      aCol: String = "doc1", bCol: String = "doc2"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val members = comps.join(scored.withColumnRenamed(idCol, "node"), Seq("node"))
+    members.groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        max_by(struct(col("node"), col(scoreCol)),
+          struct(col(scoreCol), negate(col("node")))).as("rep"))
+      .select(col("component"), col("rep.node").as("rep_id"),
+        col(s"rep.$scoreCol").as("rep_score"), col("cluster_size"))
+  }
+
+  /**
    * Embedding near-dup pairs, scale path: sign-LSH bucket candidates
    * (bounded by `maxBucket`) verified with the exact codegen'd float
    * kernel. The only corpus shuffle is the bucket groupBy; no self-join,

@@ -208,6 +208,65 @@ object TextAnalysis {
       .withColumn(outCol, regexp_replace(deEmailed, DigitRunRe, "<NUMBER>"))
   }
 
+  /** Stopword probe list for [[gopherFilters]] — a tiny high-frequency
+    * English set (the Gopher rule asks only "does ANY common function
+    * word appear", not a full stopword model). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher/C4-style heuristic document filters (Rae et al. 2021 §A1.1,
+   * Raffel et al. 2020 §2.2 — re-derived, not copied): per-document
+   * structural signals and one conjunctive `keep` verdict. Everything is
+   * a per-row projection over codegen'd built-ins — no UDF, no shuffle,
+   * linear at any scale — and every float is a ratio of exact integers,
+   * so the DuckDB oracle reproduces each column bit for bit.
+   *
+   * Signals: word count and mean word length (bounds catch OCR noise and
+   * minified blobs), fraction of bullet-point lines and of
+   * ellipsis-terminated lines (boilerplate lists / truncated crawls),
+   * `#`/`…` symbol-per-word ratio (markup residue), and presence of ≥ 2
+   * distinct common stopwords (a cheap "is this prose" gate).
+   */
+  def gopherFilters(df: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 10, maxWords: Int = 1000000): DataFrame = {
+    val t = col(textCol)
+    val words = tokens(t)
+    val nWords = size(words).cast("long")
+    val lines = transform(split(t, "\n"), l => trim(l))
+    val nLines = size(lines).cast("double")
+    def lineFrac(pred: Column => Column): Column =
+      size(filter(lines, pred)).cast("double") / nLines
+    val meanLen = when(nWords === 0, lit(0.0d))
+      .otherwise(aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        nWords.cast("double"))
+    val nSymbols =
+      (length(t) - length(regexp_replace(t, "[#…]", ""))).cast("long")
+    val nStops = GopherStopwords
+      .map(s => when(array_contains(words, s), 1).otherwise(0))
+      .reduce(_ + _)
+    val bulletFrac = lineFrac(l =>
+      l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))
+    val ellipsisFrac = lineFrac(l => l.endsWith("...") || l.endsWith("…"))
+    val symbolRatio = when(nWords === 0, lit(0.0d))
+      .otherwise(nSymbols.cast("double") / nWords.cast("double"))
+    df.select(
+      col(idCol),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      bulletFrac.as("bullet_line_frac"),
+      ellipsisFrac.as("ellipsis_line_frac"),
+      symbolRatio.as("symbol_word_ratio"),
+      nStops.cast("int").as("n_stopword_hits"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("bullet_line_frac") <= 0.9 &&
+          col("ellipsis_line_frac") <= 0.3 &&
+          col("symbol_word_ratio") <= 0.1 &&
+          col("n_stopword_hits") >= 2)
+  }
+
   /** Min-window-hash document fingerprint (native expression, codegen'd).
     * `portable = true` (default) slides a CHARACTER window hashed with md5
     * — value-checkable against the DuckDB oracle; `false` slides the
