@@ -109,6 +109,138 @@ object SketchQueries {
       TextAnalysis.gopherFilters(docs(s, d), "text", "doc_id")
     },
 
+    // count-min sketch heavy-hitter estimation: the top-20 true-count
+    // tokens probed against a d=4 × w=256 CMS of the whole token stream.
+    // The sketch shuffle is bounded by d·w, never by vocabulary size; the
+    // top-k is TakeOrderedAndProject (no single-partition window).
+    // est ≥ true by construction — `overcount` shows the collision error
+    QuerySpec("text_cms_topk",
+      raw"""WITH tok AS (SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+           |    ELSE string_split_regex(trim(lower(text)), '\s+') END) AS token FROM documents),
+           |c AS (SELECT token, count(*) AS true_count FROM tok GROUP BY 1),
+           |top AS (SELECT token, true_count FROM c ORDER BY true_count DESC, token LIMIT 20),
+           |rb AS (SELECT t.r AS r,
+           |         ('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || token), 1, 15))::BIGINT % 256 AS bucket
+           |       FROM tok CROSS JOIN range(0, 4) t(r)),
+           |sk AS (SELECT r, bucket, count(*) AS cnt FROM rb GROUP BY 1, 2),
+           |pe AS (SELECT token, t.r AS r,
+           |         ('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || token), 1, 15))::BIGINT % 256 AS bucket
+           |       FROM top CROSS JOIN range(0, 4) t(r)),
+           |est AS (SELECT token, min(COALESCE(sk.cnt, 0)) AS est_count
+           |        FROM pe LEFT JOIN sk USING (r, bucket) GROUP BY 1)
+           |SELECT t.token, t.true_count, e.est_count, e.est_count - t.true_count AS overcount
+           |FROM top t JOIN est e USING (token)""".stripMargin) { (s, d) =>
+      val toks = docs(s, d).select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val top = toks.groupBy("token").agg(count(lit(1)).as("true_count"))
+        .orderBy(col("true_count").desc, col("token").asc).limit(20)
+      val est = Sketches.cmsEstimate(toks, col("token"), top.select("token"), "token")
+      top.join(est, Seq("token"))
+        .select(col("token"), col("true_count"), col("est_count"),
+          (col("est_count") - col("true_count")).as("overcount"))
+    },
+
+    // Morton (z-order) curve over (customer, order-day): the layout key
+    // that keeps rows close in BOTH filter dimensions in the same files,
+    // so footer min/max prune 2-D range scans. Pure bit arithmetic,
+    // mirrored term for term; the clustering writer is Layout.zorderBy
+    QuerySpec("layout_zorder",
+      s"""SELECT o_orderkey,
+         |  ${Layout.zValue2Sql("(o_custkey % 65536)",
+            "((epoch_ms(o_orderdate) // 86400000) % 65536)", 16)} AS zval
+         |FROM orders""".stripMargin) { (s, d) =>
+      val orders = s.read.parquet(s"$d/orders.parquet")
+      // o_orderdate is TIMESTAMP_NTZ; session tz is UTC, so the cast is
+      // the same naive-epoch read DuckDB's epoch_ms performs
+      val day = expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000")
+      orders.select(col("o_orderkey"),
+        Layout.zValue2(pmod(col("o_custkey"), lit(65536L)),
+          pmod(day, lit(65536L)), 16).as("zval"))
+    },
+
+    // fixed-memory histogram quantiles: 128 equi-width bins per lang,
+    // quantile = lower edge of the first bin reaching rank ceil(n·q).
+    // Integer bin/rank math end to end (the exact-sort percentile twin is
+    // text_len_quantiles — this is the shape that survives 100 TB)
+    QuerySpec("text_len_hist_quantiles",
+      raw"""WITH b AS (SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi, count(*) AS n
+           |           FROM documents GROUP BY 1),
+           |bi AS (SELECT d.lang,
+           |         CASE WHEN b.hi = b.lo THEN 0
+           |              ELSE least(127, ((d.n_chars - b.lo) * 128) // (b.hi - b.lo)) END AS bin
+           |       FROM documents d JOIN b USING (lang)),
+           |c AS (SELECT lang, bin, count(*) AS cnt FROM bi GROUP BY 1, 2),
+           |cu AS (SELECT lang, bin, sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum FROM c),
+           |qs AS (SELECT unnest([1, 2, 3]) AS qn, 4 AS qd),
+           |sel AS (SELECT cu.lang, qs.qn, qs.qd, min(cu.bin) AS bin
+           |        FROM cu CROSS JOIN qs JOIN b ON b.lang = cu.lang
+           |        WHERE cu.cum >= (b.n * qs.qn + qs.qd - 1) // qs.qd
+           |        GROUP BY 1, 2, 3)
+           |SELECT s.lang, CAST(s.qn AS DOUBLE) / s.qd AS q, b.n AS n_rows, s.bin,
+           |  CAST(b.lo * 128 + s.bin * (b.hi - b.lo) AS DOUBLE) / 128 AS est
+           |FROM sel s JOIN b ON b.lang = s.lang""".stripMargin) { (s, d) =>
+      Sketches.histQuantiles(docs(s, d), "lang", "n_chars",
+        nBins = 128, qs = Seq(1 -> 4, 2 -> 4, 3 -> 4))
+    },
+
+    // conversion funnel: per-user first-touch timestamps per stage, then
+    // one global count row — min(CASE) aggregates, a single shuffle on
+    // user_id, and timestamp comparison for stage ordering
+    QuerySpec("events_funnel",
+      raw"""WITH u AS (
+           |  SELECT user_id,
+           |    min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+           |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+           |  FROM events GROUP BY 1)
+           |SELECT count(*) AS n_users,
+           |  CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+           |  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after,
+           |  CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+           |                 AND t_purchase > t_click
+           |                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+           |FROM u""".stripMargin) { (s, d) =>
+      val u = events(s, d).groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      u.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t_signup").isNotNull, 1L).otherwise(0L)).as("n_signed_up"),
+        sum(when(col("t_signup").isNotNull && col("t_click") > col("t_signup"), 1L)
+          .otherwise(0L)).as("n_clicked_after"),
+        sum(when(col("t_signup").isNotNull && col("t_click") > col("t_signup")
+          && col("t_purchase") > col("t_click"), 1L).otherwise(0L)).as("n_converted"))
+    },
+
+    // per-user value outliers with EXACT integer arithmetic: cents =
+    // floor(100·v + 0.5), z² test as (c·n − S)² > 9·(n·Q − S²) — no
+    // float mean/stddev whose summation order could differ between
+    // engines. One shuffle on user_id; flags events > 3σ of their user
+    QuerySpec("events_value_outliers",
+      raw"""WITH c AS (SELECT event_id, user_id,
+           |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+           |st AS (SELECT user_id, count(*) AS n,
+           |         CAST(sum(cents) AS BIGINT) AS s,
+           |         CAST(sum(cents * cents) AS BIGINT) AS q
+           |       FROM c GROUP BY 1)
+           |SELECT c.event_id, c.user_id, c.cents
+           |FROM c JOIN st USING (user_id)
+           |WHERE st.n >= 10
+           |  AND (c.cents * st.n - st.s) * (c.cents * st.n - st.s)
+           |      > 9 * (st.n * st.q - st.s * st.s)""".stripMargin) { (s, d) =>
+      val cents = events(s, d).select(col("event_id"), col("user_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val stats = cents.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(col("cents") * col("cents")).as("q"))
+      cents.join(stats, Seq("user_id"))
+        .where(col("n") >= 10 &&
+          (col("cents") * col("n") - col("s")) * (col("cents") * col("n") - col("s"))
+            > lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+        .select(col("event_id"), col("user_id"), col("cents"))
+    },
+
     // quality-aware canonicalization: near-dup clusters (simhash pairs →
     // connected components) each elect the member with the highest
     // quality score (tie → lowest id) — detect → cluster → CHOOSE, the

@@ -90,4 +90,109 @@ object Sketches {
         when(col("raw_estimate") <= 2.5 * M && col("n_zero_registers") > 0,
           lit(M.toDouble) * log(lit(M.toDouble) / col("n_zero_registers").cast("double")))
           .otherwise(col("raw_estimate")))
+
+  // ---- count-min sketch --------------------------------------------------
+
+  /** CMS bucket of a value in hash row `i`: the portable 60-bit md5 key
+    * hash of the seeded value, mod the row width — same `"seed:value"`
+    * prefixing as [[Sharding]], mirrored in SQL as
+    * `md5(CAST(i AS VARCHAR) || ':' || value)`. */
+  def cmsBucket(value: Column, i: Int, w: Int): Column =
+    pmod(Sampling.keyHash(concat(lit(s"$i:"), value.cast("string"))), lit(w))
+
+  /**
+   * Count-min sketch of a value stream: `d` hash rows × `w` buckets of
+   * plain counts. The explode is d small structs per row, partial-count
+   * combined map-side, so the only shuffle carries at most `d·w` rows
+   * per upstream partition — the frequency table's size is fixed by the
+   * sketch, never by the vocabulary. Output: `(r, bucket, cnt)`.
+   */
+  def cmsSketch(df: DataFrame, valueCol: Column, d: Int = 4, w: Int = 256): DataFrame = {
+    require(d >= 1 && w >= 2, s"bad CMS shape: d=$d w=$w")
+    val rows = (0 until d).map(i =>
+      struct(lit(i).as("r"), cmsBucket(valueCol, i, w).as("bucket")))
+    df.select(explode(array(rows: _*)).as("rb"))
+      .select(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * Point-estimate the frequencies of `probes` (a small frame holding
+   * `probeCol`) against a CMS of the `df` stream: the classic
+   * `min_i sketch[i][h_i(x)]` upper bound — never an undercount, over
+   * only on collisions. The sketch is `d·w` rows, so the probe join
+   * broadcasts; nothing here scales with the stream's cardinality.
+   */
+  def cmsEstimate(df: DataFrame, valueCol: Column, probes: DataFrame,
+      probeCol: String, d: Int = 4, w: Int = 256): DataFrame = {
+    val sketch = cmsSketch(df, valueCol, d, w)
+    val pb = (0 until d).map(i =>
+      struct(lit(i).as("r"), cmsBucket(col(probeCol), i, w).as("bucket")))
+    probes
+      .select(col(probeCol), explode(array(pb: _*)).as("rb"))
+      .select(col(probeCol), col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy(col(probeCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+
+  // ---- histogram quantiles -----------------------------------------------
+
+  /**
+   * Fixed-memory quantile estimation: equi-width histogram over an
+   * integer column, quantile = lower edge of the first bin whose
+   * cumulative count reaches rank `ceil(n·q)`. The exact-sort
+   * `percentile` in this repo's `text_len_quantiles` shuffles every
+   * group value; this sketch shuffles at most `nBins` counts per
+   * stratum, which is the shape that survives a 100 TB column. Error is
+   * bounded by one bin width.
+   *
+   * Everything up to the final reported edge is INTEGER arithmetic —
+   * `bin = ((v - lo)·nBins) div (hi - lo)`, `rank = (n·qn + qd - 1) div
+   * qd` with quantiles given as exact rationals `qn/qd` — so the DuckDB
+   * oracle matches bit for bit; the edge is one exact-int-to-double
+   * division at the end. The cumulative window is partitioned by
+   * stratum over ≤ nBins rows, never the data.
+   *
+   * Output: `(strata, q, n_rows, bin, est)`.
+   */
+  def histQuantiles(df: DataFrame, strataCol: String, valueCol: String,
+      nBins: Int, qs: Seq[(Int, Int)]): DataFrame = {
+    require(nBins >= 2, s"nBins too small: $nBins")
+    require(qs.nonEmpty && qs.forall { case (n, d) => n > 0 && n <= d },
+      s"quantiles must be rationals in (0,1]: $qs")
+    import org.apache.spark.sql.expressions.Window
+    val bounds = df.groupBy(col(strataCol)).agg(
+      min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"),
+      count(lit(1)).as("__n"))
+    val binned = df.select(col(strataCol), col(valueCol))
+      .join(broadcast(bounds), Seq(strataCol))
+      .select(col(strataCol),
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(least(lit(nBins - 1L),
+            expr(s"(($valueCol - __lo) * $nBins) div (__hi - __lo)")))
+          .as("bin"))
+    val counts = binned.groupBy(col(strataCol), col("bin")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col(strataCol)).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("cnt")).over(wCum))
+    val qcols = qs.map { case (qn, qd) =>
+      struct(lit(qn).as("qn"), lit(qd).as("qd")) }
+    cum
+      .join(broadcast(bounds), Seq(strataCol))
+      .select(col(strataCol), col("bin"), col("cum"),
+        col("__lo"), col("__hi"), col("__n"),
+        explode(array(qcols: _*)).as("q"))
+      .select(col(strataCol), col("bin"), col("cum"), col("__lo"), col("__hi"),
+        col("__n"), col("q.qn").as("qn"), col("q.qd").as("qd"))
+      .where(col("cum") >= expr("(__n * qn + qd - 1) div qd"))
+      .groupBy(col(strataCol), col("qn"), col("qd"), col("__lo"), col("__hi"), col("__n"))
+      .agg(min(col("bin")).as("bin"))
+      .select(col(strataCol),
+        (col("qn").cast("double") / col("qd")).as("q"),
+        col("__n").as("n_rows"), col("bin"),
+        ((col("__lo") * nBins + col("bin") * (col("__hi") - col("__lo")))
+          .cast("double") / nBins).as("est"))
+  }
 }

@@ -93,6 +93,130 @@ class SketchesSpec extends SparkSuite {
     assert(!r.getAs[Boolean]("keep"))
   }
 
+  // ---- count-min sketch --------------------------------------------------
+
+  test("cmsEstimate never undercounts and is exact without collisions") {
+    // zipf-ish stream: value i appears (50 - i) times
+    val stream = (1 to 49).flatMap(i => Seq.fill(50 - i)(s"tok$i")).toDF("v")
+    val truth = (1 to 49).map(i => s"tok$i" -> (50L - i)).toMap
+    val probes = (1 to 49).map(i => s"tok$i").toDF("v")
+    val est = Sketches.cmsEstimate(stream, col("v"), probes, "v", d = 4, w = 256)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est_count")).toMap
+    truth.foreach { case (t, n) =>
+      assert(est(t) >= n, s"CMS undercounted $t: ${est(t)} < $n")
+    }
+    // 49 values in 4×256 buckets: expect the min-row to dodge collisions
+    assert(truth.count { case (t, n) => est(t) == n } >= 40,
+      "most estimates should be exact at this load factor")
+  }
+
+  test("cmsEstimate of an absent value is 0") {
+    val stream = Seq("a", "b", "c").toDF("v")
+    val est = Sketches.cmsEstimate(stream, col("v"), Seq("zzz").toDF("v"), "v")
+      .collect().head.getAs[Long]("est_count")
+    assert(est == 0L)
+  }
+
+  // ---- histogram quantiles -----------------------------------------------
+
+  test("histQuantiles lands within one bin width of the exact quantile") {
+    val rnd = new scala.util.Random(5)
+    val vals = Seq.fill(2000)(rnd.nextInt(10000).toLong)
+    val df = vals.map(("a", _)).toDF("g", "v")
+    val est = Sketches.histQuantiles(df, "g", "v", nBins = 128,
+      qs = Seq(1 -> 4, 2 -> 4, 3 -> 4))
+      .select("q", "est").as[(Double, Double)].collect().toMap
+    val sorted = vals.sorted
+    val binWidth = (sorted.last - sorted.head).toDouble / 128
+    Seq(0.25, 0.5, 0.75).foreach { q =>
+      val exact = sorted(math.ceil(q * vals.size).toInt - 1).toDouble
+      assert(math.abs(est(q) - exact) <= binWidth + 1e-9,
+        s"q=$q est=${est(q)} exact=$exact width=$binWidth")
+    }
+  }
+
+  test("histQuantiles degenerate stratum (constant value) reports the value") {
+    val df = Seq(("a", 7L), ("a", 7L), ("a", 7L)).toDF("g", "v")
+    val rows = Sketches.histQuantiles(df, "g", "v", 128, Seq(1 -> 2)).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("bin") == 0L)
+    assert(rows.head.getAs[Double]("est") == 7.0)
+  }
+
+  // ---- integer outlier test ----------------------------------------------
+
+  test("exact-integer z-square flags only genuine 3-sigma outliers") {
+    import org.apache.spark.sql.DataFrame
+    def outliers(df: DataFrame): Set[Long] = {
+      val stats = df.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(col("cents") * col("cents")).as("q"))
+      df.join(stats, Seq("user_id"))
+        .where(col("n") >= 10 &&
+          (col("cents") * col("n") - col("s")) * (col("cents") * col("n") - col("s"))
+            > lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+        .select("event_id").as[Long].collect().toSet
+    }
+    // user 1: ten ~100-cent events plus one 100000-cent spike (id 99)
+    val spiky = ((1L to 10L).map(i => (1L, i, 100L + i)) :+ ((1L, 99L, 100000L)))
+      .toDF("user_id", "event_id", "cents")
+    assert(outliers(spiky) == Set(99L))
+    // constant-valued user: zero variance, strict > must flag nothing
+    val flat = (1L to 12L).map(i => (2L, i, 500L)).toDF("user_id", "event_id", "cents")
+    assert(outliers(flat).isEmpty)
+    // short-history user (< 10 events) is exempt however extreme
+    val short = Seq((3L, 1L, 1L), (3L, 2L, 1000000L)).toDF("user_id", "event_id", "cents")
+    assert(outliers(short).isEmpty)
+  }
+
+  // ---- z-order -----------------------------------------------------------
+
+  /** reference Morton interleave for the property check. */
+  private def morton(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, b) =>
+      acc | (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))
+    }
+
+  test("zValue2 matches the reference Morton interleave") {
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(200)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), graft.ops.Layout.zValue2(col("x"), col("y"), 16).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) => assert(z == morton(x, y, 16), s"($x,$y)") }
+  }
+
+  test("zValue2 orders quadrants before offsets (curve locality)") {
+    // all points of the low-low quadrant sort before any high-high point
+    val ll = morton(3, 5, 8); val hh = morton(200, 200, 8)
+    assert(ll < hh)
+    // and interleaving weights both dimensions: far in y beats near in x
+    assert(morton(0, 128, 8) > morton(127, 0, 8))
+  }
+
+  test("zorderBy preserves rows and clusters both dimensions") {
+    val rnd = new scala.util.Random(11)
+    val df = Seq.fill(1000)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+      .zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("id", "x", "y")
+    val z = graft.ops.Layout.zorderBy(df, col("x"), col("y"), 8, 4)
+    assert(z.count() == 1000)
+    assert(z.columns.toSeq == Seq("id", "x", "y"), "layout key must not leak")
+    // per-partition bounding boxes should be far tighter than the full
+    // 256×256 domain — the whole point of the curve
+    val spans = z.select(spark_partition_id().as("p"), col("x"), col("y"))
+      .groupBy("p")
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .select(((col("sx") + 1) * (col("sy") + 1)).cast("double").as("area"))
+      .as[Double].collect()
+    // a random layout gives every partition the full ~65536 domain; the
+    // curve keeps most partitions inside one quadrant (~16384) with at
+    // most the range-boundary straddler wider
+    assert(spans.forall(_ < 256.0 * 256.0 * 0.75) &&
+      spans.sum / spans.length < 256.0 * 256.0 * 0.45,
+      s"partition bounding boxes not clustered: ${spans.mkString(",")}")
+  }
+
   // ---- canonicalByQuality ------------------------------------------------
 
   test("canonicalByQuality elects max score, tie → lowest id") {
