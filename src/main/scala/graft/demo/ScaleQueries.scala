@@ -120,6 +120,30 @@ object ScaleQueries {
       Dedup.duplicatedSpanStats(docs(s, d), "text", "doc_id", n = 6)
     },
 
+    // the REMOVAL arm of exact-substring dedup (dedup_span_stats above is
+    // the measurement arm): keep documents whose duplicated-span fraction
+    // is ≤ 0.5; docs too short to have spans carry no evidence and stay
+    QuerySpec("dedup_span_filtered",
+      raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |                ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |sp AS (SELECT doc_id, unnest(
+           |         CASE WHEN len(t) < 6 THEN []
+           |              ELSE [array_to_string(t[i:i+5], ' ') FOR i IN range(1, len(t) - 4)] END) AS g
+           |       FROM tt),
+           |gh AS (SELECT doc_id, ${md5h60("g")} AS gh FROM sp),
+           |dup AS (SELECT gh FROM gh GROUP BY gh HAVING count(*) >= 2),
+           |st AS (SELECT g.doc_id, count(*) AS n_spans,
+           |         sum(CASE WHEN d.gh IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+           |       FROM gh g LEFT JOIN dup d USING (gh) GROUP BY 1),
+           |bad AS (SELECT doc_id FROM st
+           |        WHERE CAST(n_dup AS DOUBLE) / CAST(n_spans AS DOUBLE) > 0.5)
+           |SELECT d.doc_id, d.lang, d.source FROM documents d
+           |WHERE NOT EXISTS (SELECT 1 FROM bad b WHERE b.doc_id = d.doc_id)""".stripMargin) {
+      (s, d) =>
+        Dedup.spanDedupFilter(docs(s, d), "text", "doc_id", n = 6, maxDupFrac = 0.5)
+          .select(col("doc_id"), col("lang"), col("source"))
+    },
+
     // exactly-k-per-group deterministic sample (the reservoir shape, but
     // reproducible): each lang keeps its k=10 lowest-keyHash docs — hash
     // order is layout-independent, so the "reservoir" is stable across

@@ -202,6 +202,22 @@ object Dedup {
   }
 
   /**
+   * Removal arm of exact-substring (span) dedup: keep documents whose
+   * duplicated-span fraction stays at or under `maxDupFrac`. Documents
+   * shorter than `n` tokens have no spans, carry no duplication
+   * evidence, and are kept. The join side is the stats aggregate — an id
+   * plus one double per doc, never text.
+   */
+  def spanDedupFilter(df: DataFrame, textCol: String, idCol: String, n: Int,
+      maxDupFrac: Double): DataFrame = {
+    val stats = duplicatedSpanStats(df, textCol, idCol, n)
+      .select(col(idCol), col("dup_frac"))
+    df.join(stats, Seq(idCol), "left")
+      .where(col("dup_frac").isNull || col("dup_frac") <= maxDupFrac)
+      .drop("dup_frac")
+  }
+
+  /**
    * Exact n-gram Jaccard near-dup pairs: explode distinct shingles, join
    * on shingle, count common per pair, Jaccard ≥ threshold. `maxDf` drops
    * hub shingles (docfreq > maxDf) before the pair join — the standard cap

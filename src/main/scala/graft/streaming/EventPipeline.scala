@@ -13,6 +13,15 @@ final case class SessionSummary(user_id: Long, session_start: Long,
 
 final case class SessionState(start: Long, last: Long, n: Long, total: Double)
 
+/** Per-user funnel progress: first-touch epoch-ms per stage
+  * (`Long.MaxValue` = not seen) — order-independent, so batch and
+  * streaming replays of the same events converge to the same state. */
+final case class FunnelState(signup: Long, click: Long, purchase: Long)
+
+/** stage: 0 = no signup, 1 = signed up, 2 = clicked after signup,
+  * 3 = purchased after that click. */
+final case class FunnelUserStage(user_id: Long, stage: Int)
+
 /**
  * Structured-Streaming pipeline over the `events` table. The reference has
  * no streaming surface (SURVEY §2.8) — this is the training-data-pipeline
@@ -163,5 +172,62 @@ object EventPipeline {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionSummary](
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(update)
+  }
+
+  /**
+   * Per-user funnel stage, batch form: one `min(CASE)` aggregation for
+   * the first-touch time of each stage, stage derived by strict
+   * event-time ordering (the same rule as the `events_funnel` oracle
+   * query). One shuffle on user_id.
+   */
+  def funnelStages(events: DataFrame): DataFrame = {
+    def firstMs(tpe: String) =
+      min(when(col("event_type") === tpe, unix_millis(col("ts").cast("timestamp"))))
+    events.groupBy(col("user_id")).agg(
+      firstMs("signup").as("t_signup"),
+      firstMs("click").as("t_click"),
+      firstMs("purchase").as("t_purchase"))
+      .withColumn("stage",
+        when(col("t_signup").isNull, 0)
+          .when(col("t_click").isNull || col("t_click") <= col("t_signup"), 1)
+          .when(col("t_purchase").isNull || col("t_purchase") <= col("t_click"), 2)
+          .otherwise(3))
+  }
+
+  /**
+   * Stateful streaming funnel: per-user first-touch times via
+   * `mapGroupsWithState` (update mode). The state is three min-folds —
+   * commutative and idempotent — so any arrival order and any batch
+   * split produce the batch [[funnelStages]] answer once the same
+   * events have been seen; state is three longs per live user.
+   */
+  def funnelStream(events: Dataset[Event]): Dataset[FunnelUserStage] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[FunnelState]): FunnelUserStage = {
+      var s = state.getOption
+        .getOrElse(FunnelState(Long.MaxValue, Long.MaxValue, Long.MaxValue))
+      rows.foreach { e =>
+        val t = e.ts.getTime
+        e.event_type match {
+          case "signup"   => if (t < s.signup) s = s.copy(signup = t)
+          case "click"    => if (t < s.click) s = s.copy(click = t)
+          case "purchase" => if (t < s.purchase) s = s.copy(purchase = t)
+          case _          => ()
+        }
+      }
+      state.update(s)
+      val stage =
+        if (s.signup == Long.MaxValue) 0
+        else if (s.click == Long.MaxValue || s.click <= s.signup) 1
+        else if (s.purchase == Long.MaxValue || s.purchase <= s.click) 2
+        else 3
+      FunnelUserStage(userId, stage)
+    }
+
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelUserStage](
+        GroupStateTimeout.NoTimeout)(update)
   }
 }

@@ -164,6 +164,38 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(streamed.contains((1L, 2L, 3.0)))
   }
 
+  test("funnelStream converges to the batch funnelStages on a replay") {
+    // out-of-order arrival: the purchase is written (and therefore
+    // streamed) before the signup that qualifies it — the min-fold state
+    // must still converge to the batch answer
+    val funnelEvents = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 1L, "purchase", 9.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 1L, "signup", 0.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 1L, "click", 1.0),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 2L, "click", 1.0), // click, no signup
+      (5L, java.sql.Timestamp.valueOf("2024-01-01 00:11:00"), 2L, "signup", 0.0), // signup AFTER click
+      (6L, java.sql.Timestamp.valueOf("2024-01-01 00:20:00"), 3L, "view", 2.0)    // never signs up
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toFile
+    funnelEvents.write.mode("overwrite").parquet(dir.getAbsolutePath)
+
+    val src = spark.readStream.schema(funnelEvents.schema)
+      .parquet(dir.getAbsolutePath).as[graft.streaming.Event]
+    val q = EventPipeline.funnelStream(src)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    // last emitted stage per user (AvailableNow may still split batches)
+    val streamed = spark.table("funnel_out")
+      .groupBy("user_id").agg(last("stage").as("stage"))
+      .as[(Long, Int)].collect().toMap
+    val batch = EventPipeline.funnelStages(funnelEvents)
+      .select("user_id", "stage").as[(Long, Int)].collect().toMap
+    assert(streamed == batch)
+    assert(batch == Map(1L -> 3, 2L -> 1, 3L -> 0))
+  }
+
   test("hopping/tumbling readStream twins equal their batch forms on the same files") {
     import org.apache.spark.sql.{DataFrame, Dataset, Row}
     val dir = java.nio.file.Files.createTempDirectory("graft_stream3").toFile
