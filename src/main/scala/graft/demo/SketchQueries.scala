@@ -16,8 +16,9 @@ object SketchQueries {
 
   private def docs(s: SparkSession, d: String) =
     s.read.parquet(s"$d/documents.parquet")
-  private def events(s: SparkSession, d: String) =
-    s.read.parquet(s"$d/events.parquet")
+  // the shared reader normalizes the parquet nanos column to a real
+  // timestamp — required wherever ts feeds window alignment
+  private def events(s: SparkSession, d: String) = OpsQueries.events(s, d)
 
   /** the tokens CTE shared by the token-level mirrors (matches
     * [[graft.ops.TextAnalysis.tokens]]: lowercased, blank → []). */
@@ -239,6 +240,49 @@ object SketchQueries {
           (col("cents") * col("n") - col("s")) * (col("cents") * col("n") - col("s"))
             > lit(9L) * (col("n") * col("q") - col("s") * col("s")))
         .select(col("event_id"), col("user_id"), col("cents"))
+    },
+
+    // inverted-index build: per-term document frequency + a BOUNDED
+    // posting list (16 lowest doc ids) — the df count is a plain
+    // aggregate, the postings collect only ever sees rows that survived
+    // a term-partitioned rank ≤ 16, so hub terms can't blow an
+    // aggregation buffer
+    QuerySpec("text_inverted_index",
+      raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |                ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |td AS (SELECT DISTINCT doc, term FROM
+           |         (SELECT doc_id AS doc, unnest(t) AS term FROM tt)),
+           |dfq AS (SELECT term, count(*) AS doc_freq FROM td GROUP BY 1),
+           |cap AS (SELECT term, doc FROM (
+           |          SELECT term, doc, row_number() OVER (PARTITION BY term ORDER BY doc) AS rn
+           |          FROM td) WHERE rn <= 16),
+           |pl AS (SELECT term, list_sort(list(doc)) AS postings FROM cap GROUP BY 1)
+           |SELECT d.term, d.doc_freq, p.postings FROM dfq d JOIN pl p USING (term)""".stripMargin) {
+      (s, d) =>
+        Retrieval.invertedIndex(docs(s, d), "text", "doc_id", maxPostings = 16)
+    },
+
+    // per-window leaderboard: hourly tumbling windows (exact pmod floor
+    // alignment), decimal-exact spend per user, top-3 per window via the
+    // group-partitioned streaming rank — windows + ranking composed
+    QuerySpec("events_window_topk",
+      raw"""WITH e AS (SELECT epoch_ms(ts) AS ms, user_id, value FROM events),
+           |sp AS (SELECT (ms // 3600000) * 3600000 AS win_start, user_id,
+           |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+           |         count(*) AS n_events
+           |       FROM e GROUP BY 1, 2)
+           |SELECT win_start, user_id, spend, n_events, rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY win_start
+           |    ORDER BY spend DESC, user_id) AS rank FROM sp)
+           |WHERE rank <= 3""".stripMargin) { (s, d) =>
+      val ms = unix_millis(col("ts").cast("timestamp"))
+      val spend = events(s, d)
+        .select((ms - pmod(ms, lit(3600000L))).as("win_start"), col("user_id"), col("value"))
+        .groupBy(col("win_start"), col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("spend"),
+          count(lit(1)).as("n_events"))
+      Ranking.topKPerGroup(spend, Seq("win_start"),
+        Seq(col("spend").desc, col("user_id")), k = 3)
     },
 
     // quality-aware canonicalization: near-dup clusters (simhash pairs →

@@ -87,6 +87,33 @@ object Retrieval {
       .select(col(idCol), total.as("score"))
   }
 
+  /**
+   * Inverted-index build: one row per distinct term with its document
+   * frequency and a BOUNDED posting list (the `maxPostings` lowest doc
+   * ids, sorted). The df count sees every (term, doc) pair, but the
+   * posting `collect_list` only ever sees rows that survived a
+   * term-partitioned `row_number ≤ maxPostings` — a hub term ("the")
+   * costs a skewed-but-streaming window key, never an unbounded array in
+   * one aggregation buffer. Both shuffles hash on the term.
+   *
+   * Output: `(term, doc_freq, postings)`.
+   */
+  def invertedIndex(df: DataFrame, textCol: String, idCol: String,
+      maxPostings: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val termDocs = df
+      .select(col(idCol).as("doc"), explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .distinct()
+    val dfreq = termDocs.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val w = Window.partitionBy(col("term")).orderBy(col("doc"))
+    val capped = termDocs
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxPostings)
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(col("doc"))).as("postings"))
+    dfreq.join(capped, Seq("term"))
+  }
+
   /** Top-k documents by BM25 for `terms`, with a deterministic dense rank
     * (ties break on the id). The k-selection is orderBy+limit — Spark plans
     * it as TakeOrderedAndProject (distributed heaps), NOT a global sort;
