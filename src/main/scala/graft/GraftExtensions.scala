@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: size(filter(a,f)) > 0 → exists(a,f) — drops a
+    // per-row array materialization from predicate-shaped plans
+    ext.injectOptimizerRule(_ => graft.plans.SizeFilterToExists)
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - float32 dot product of two float arrays"),
       (es: Seq[Expression]) => FloatVecDot(es(0), es(1))))

@@ -285,6 +285,44 @@ object SketchQueries {
         Seq(col("spend").desc, col("user_id")), k = 3)
     },
 
+    // multi-dimensional corpus accounting: ROLLUP(lang, source) — per
+    // (lang, source), per lang, and grand-total rows from ONE aggregation
+    // pass (Spark expands the grouping sets before the single shuffle);
+    // NULL group keys mark the subtotal levels identically in both engines
+    QuerySpec("text_stats_rollup",
+      raw"""SELECT lang, source, count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           |  CAST(grouping(lang) AS INTEGER) AS g_lang,
+           |  CAST(grouping(source) AS INTEGER) AS g_source
+           |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin) { (s, d) =>
+      docs(s, d).rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          grouping(col("lang")).cast("int").as("g_lang"),
+          grouping(col("source")).cast("int").as("g_source"))
+        .select(col("lang"), col("source"), col("n_docs"), col("total_chars"),
+          col("g_lang"), col("g_source"))
+    },
+
+    // weekly cohort retention: users bucketed by first-seen week, then
+    // (cohort_week, active_week, n_users) — two aggregations, both
+    // shuffling on user_id/cohort keys; week ids are exact integer floor
+    // divisions of epoch-ms
+    QuerySpec("events_retention",
+      raw"""WITH e AS (SELECT user_id, epoch_ms(ts) // 604800000 AS week FROM events),
+           |c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+           |a AS (SELECT DISTINCT user_id, week FROM e)
+           |SELECT c.cohort_week, a.week, count(*) AS n_users
+           |FROM a JOIN c USING (user_id)
+           |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+        .select(col("user_id"),
+          expr("unix_millis(CAST(ts AS TIMESTAMP)) div 604800000").as("week"))
+      val cohorts = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      ev.distinct().join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_week"), col("week"))
+        .agg(count(lit(1)).as("n_users"))
+    },
+
     // quality-aware canonicalization: near-dup clusters (simhash pairs →
     // connected components) each elect the member with the highest
     // quality score (tie → lowest id) — detect → cluster → CHOOSE, the

@@ -53,6 +53,49 @@ class ExtensionsSpec extends SparkSuite {
     new GraftExtensions().apply(ext)
   }
 
+  test("SizeFilterToExists rewrites the predicate and preserves results") {
+    import graft.plans.SizeFilterToExists
+    // parquet-backed (a pure local relation would be constant-folded away
+    // before the rewrite could be observed)
+    val dir = java.nio.file.Files.createTempDirectory("graft_rule").toFile
+    Seq(
+      (1L, Seq(1, 5, 7)),     // has a match (> 3)
+      (2L, Seq(1, 2)),        // no match
+      (3L, Seq.empty[Int]),   // empty array
+      (4L, null)              // null array
+    ).toDF("id", "xs").write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val df = spark.read.parquet(dir.getAbsolutePath)
+    def q(d: org.apache.spark.sql.DataFrame) =
+      d.where(size(filter(col("xs"), x => x > 3)) > 0).select("id")
+
+    val want = q(df).as[Long].collect().toSet
+    assert(want == Set(1L))
+
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ SizeFilterToExists
+    try {
+      val rewritten = q(df)
+      val plan = rewritten.queryExecution.optimizedPlan
+      val exprs = plan.collect { case n => n.expressions }.flatten.flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.ArrayExists => e
+        case f: org.apache.spark.sql.catalyst.expressions.ArrayFilter => f
+      })
+      assert(exprs.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.ArrayExists]), s"no exists in: $plan")
+      assert(!exprs.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.ArrayFilter]), s"filter survived: $plan")
+      assert(rewritten.as[Long].collect().toSet == want)
+
+      // the zero-equality spelling flips to NOT exists (modern semantics)
+      val zero = df.where(size(filter(col("xs"), x => x > 3)) === 0).select("id")
+      assert(zero.as[Long].collect().toSet ==
+        Set(2L, 3L)) // null array stays null → filtered out, like size(null)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == SizeFilterToExists)
+    }
+  }
+
   test("portable md5 kernels agree with their SQL-callable forms") {
     graft.functions.TextFunctions.register(spark)
     // md5-token simhash: SQL call == Column API == python-validated kernel
