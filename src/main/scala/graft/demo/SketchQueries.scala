@@ -323,6 +323,43 @@ object SketchQueries {
         .agg(count(lit(1)).as("n_users"))
     },
 
+    // curriculum binning: per-lang length quartiles FROM THE HISTOGRAM
+    // SKETCH (not an exact sort), broadcast back as 3 edge rows per lang,
+    // bin = number of edges ≤ the doc's length (0..3). The whole
+    // threshold derivation stays in-plan and integer-exact, so both
+    // engines assign every doc the same bin
+    QuerySpec("text_quality_bins",
+      raw"""WITH b AS (SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi, count(*) AS n
+           |           FROM documents GROUP BY 1),
+           |bi AS (SELECT d.lang,
+           |         CASE WHEN b.hi = b.lo THEN 0
+           |              ELSE least(127, ((d.n_chars - b.lo) * 128) // (b.hi - b.lo)) END AS bin
+           |       FROM documents d JOIN b USING (lang)),
+           |c AS (SELECT lang, bin, count(*) AS cnt FROM bi GROUP BY 1, 2),
+           |cu AS (SELECT lang, bin, sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum FROM c),
+           |qs AS (SELECT unnest([1, 2, 3]) AS qn, 4 AS qd),
+           |sel AS (SELECT cu.lang, qs.qn, min(cu.bin) AS bin
+           |        FROM cu CROSS JOIN qs JOIN b ON b.lang = cu.lang
+           |        WHERE cu.cum >= (b.n * qs.qn + qs.qd - 1) // qs.qd
+           |        GROUP BY 1, 2),
+           |edges AS (SELECT s.lang,
+           |            CAST(b.lo * 128 + s.bin * (b.hi - b.lo) AS DOUBLE) / 128 AS est
+           |          FROM sel s JOIN b ON b.lang = s.lang)
+           |SELECT d.doc_id, d.lang,
+           |  CAST(sum(CASE WHEN CAST(d.n_chars AS DOUBLE) >= e.est THEN 1 ELSE 0 END)
+           |       AS INTEGER) AS bin
+           |FROM documents d JOIN edges e USING (lang)
+           |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val dd = docs(s, d)
+      val edges = Sketches.histQuantiles(dd, "lang", "n_chars",
+        nBins = 128, qs = Seq(1 -> 4, 2 -> 4, 3 -> 4))
+        .select(col("lang"), col("est"))
+      dd.join(broadcast(edges), Seq("lang"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(when(col("n_chars").cast("double") >= col("est"), 1).otherwise(0))
+          .cast("int").as("bin"))
+    },
+
     // quality-aware canonicalization: near-dup clusters (simhash pairs →
     // connected components) each elect the member with the highest
     // quality score (tie → lowest id) — detect → cluster → CHOOSE, the
