@@ -360,6 +360,56 @@ object SketchQueries {
           .cast("int").as("bin"))
     },
 
+    // context-window chunking: 32-token chunks, 8-token overlap (stride
+    // 24) — the pre-embedding segmentation step. Chunk text itself is
+    // value-checked, so tokenization, stride math, and the tail clamp
+    // all have to agree
+    QuerySpec("text_chunks",
+      raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |                ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |p AS (SELECT doc_id, t, len(t) AS n FROM tt WHERE len(t) > 0),
+           |nc AS (SELECT doc_id, t, n,
+           |         greatest(1, CAST(ceil(CAST(n - 8 AS DOUBLE) / 24) AS INTEGER)) AS m
+           |       FROM p),
+           |ch AS (SELECT doc_id, t, n, unnest(range(0, m)) AS i FROM nc)
+           |SELECT doc_id, i AS chunk_idx,
+           |  array_to_string(t[i*24 + 1 : i*24 + 32], ' ') AS chunk_text,
+           |  least(32, n - i*24) AS chunk_tokens
+           |FROM ch""".stripMargin) { (s, d) =>
+      TextAnalysis.chunkTokens(docs(s, d), "text", "doc_id",
+        chunkTokens = 32, overlap = 8)
+    },
+
+    // per-lang quality percentile: percent_rank over the total order
+    // (score, doc_id) — the relative-quality signal curriculum samplers
+    // consume; the window is lang-partitioned, never global
+    QuerySpec("text_quality_pct",
+      raw"""WITH f AS (
+           |  SELECT doc_id, lang,
+           |    CAST(length(text) AS DOUBLE) AS n,
+           |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+           |    CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) AS puncts,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+           |  FROM documents),
+           |q AS (
+           |  SELECT doc_id, lang, greatest(0.0, least(1.0,
+           |    0.5 * (CASE WHEN n = 0 THEN 0.0 ELSE alpha / n END)
+           |    + 0.3 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+           |    + 0.2 * (1.0 - (CASE WHEN n = 0 THEN 0.0 ELSE digits / n END)
+           |                 - (CASE WHEN n = 0 THEN 0.0 ELSE puncts / n END)))) AS quality_score
+           |  FROM f)
+           |SELECT doc_id, lang, quality_score,
+           |  percent_rank() OVER (PARTITION BY lang ORDER BY quality_score, doc_id) AS pct
+           |FROM q""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = TextAnalysis.qualityScore(docs(s, d), "text")
+        .select(col("doc_id"), col("lang"), col("quality_score"))
+      q.withColumn("pct", percent_rank().over(
+        Window.partitionBy(col("lang")).orderBy(col("quality_score"), col("doc_id"))))
+    },
+
     // quality-aware canonicalization: near-dup clusters (simhash pairs →
     // connected components) each elect the member with the highest
     // quality score (tie → lowest id) — detect → cluster → CHOOSE, the

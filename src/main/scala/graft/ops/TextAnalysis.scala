@@ -267,6 +267,37 @@ object TextAnalysis {
           col("n_stopword_hits") >= 2)
   }
 
+  /**
+   * Context-window chunking: split each document into token chunks of
+   * `chunkTokens` with `overlap` tokens carried between consecutive
+   * chunks (stride = chunkTokens − overlap) — the standard pre-embedding
+   * / pre-training segmentation. One `posexplode` per doc (narrow, no
+   * shuffle); chunk count per doc is `ceil(max(n − overlap, 0) /
+   * stride)` with short-but-nonempty docs yielding exactly one chunk.
+   * Output: `(idCol, chunk_idx, chunk_text, chunk_tokens)`.
+   */
+  def chunkTokens(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunk=$chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // start offsets 0, stride, 2·stride, … while start < n (and at least
+    // one chunk for any non-empty doc)
+    val nChunks = when(n === 0, lit(0))
+      .otherwise(greatest(lit(1), ceil((n - lit(overlap)).cast("double") / stride).cast("int")))
+    df.select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+      .where(col("__nc") > 0)
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), col("__nc") - 1)).as(Seq("chunk_idx", "__i")))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__toks"), col("__i") * stride + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(lit(chunkTokens), size(col("__toks")) - col("__i") * stride)
+          .as("chunk_tokens"))
+  }
+
   /** Min-window-hash document fingerprint (native expression, codegen'd).
     * `portable = true` (default) slides a CHARACTER window hashed with md5
     * — value-checkable against the DuckDB oracle; `false` slides the

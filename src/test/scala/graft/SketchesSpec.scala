@@ -217,6 +217,31 @@ class SketchesSpec extends SparkSuite {
       s"partition bounding boxes not clustered: ${spans.mkString(",")}")
   }
 
+  // ---- chunking ----------------------------------------------------------
+
+  test("chunkTokens covers every token with the right stride and tail") {
+    import graft.ops.TextAnalysis
+    val text = (1 to 50).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "a b c"), (3L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(df, "text", "doc_id", chunkTokens = 32, overlap = 8)
+      .select("doc_id", "chunk_idx", "chunk_text", "chunk_tokens")
+      .as[(Long, Int, String, Int)].collect()
+    val byDoc = out.groupBy(_._1)
+    // 50 tokens, stride 24 → ceil(42/24) = 2 chunks: [0,32) and [24,50)
+    val d1 = byDoc(1L).sortBy(_._2)
+    assert(d1.length == 2)
+    assert(d1(0)._3.split(" ").head == "w1" && d1(0)._4 == 32)
+    assert(d1(1)._3.split(" ").head == "w25" && d1(1)._4 == 26)
+    // overlap: chunk 1 starts 8 tokens before chunk 0's end
+    assert(d1(0)._3.split(" ").drop(24).toSeq == d1(1)._3.split(" ").take(8).toSeq)
+    // short doc → one whole chunk; blank doc → no chunks
+    assert(byDoc(2L).toSeq == Seq((2L, 0, "a b c", 3)))
+    assert(!byDoc.contains(3L))
+    // de-overlapped concatenation reproduces the token stream
+    val rebuilt = d1(0)._3.split(" ").toSeq ++ d1(1)._3.split(" ").drop(8).toSeq
+    assert(rebuilt == text.split(" ").toSeq)
+  }
+
   // ---- canonicalByQuality ------------------------------------------------
 
   test("canonicalByQuality elects max score, tie → lowest id") {
