@@ -29,7 +29,7 @@ object OpsQueries {
 
   /** Runtime h for the Spark side — one cheap count aggregate, the mirror
     * of the oracle's `hh` CTE. */
-  private def autoH(corpus: DataFrame): Int =
+  private[demo] def autoH(corpus: DataFrame): Int =
     Similarity.recommendedH(corpus.count(), LshTargetBucket)
 
   /** events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;

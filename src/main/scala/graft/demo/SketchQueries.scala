@@ -410,6 +410,46 @@ object SketchQueries {
         Window.partitionBy(col("lang")).orderBy(col("quality_score"), col("doc_id"))))
     },
 
+    // ANN quality evaluation: per-query recall of the LSH top-5 against
+    // the brute-force ground truth — the harness that tells you whether
+    // an approximate index is trustworthy BEFORE you run it over 100 TB.
+    // Both arms are the already-value-checked paths; recall is an exact
+    // per-row integer ratio
+    QuerySpec("sim_ann_recall", {
+      val lshSql = LshOracleSql.topkSqlAuto(OpsQueries.HMax, OpsQueries.LshTargetBucket,
+        k = 5, maxBucket = 4096)
+      raw"""WITH brute AS (
+           |  WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+           |  scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+           |               list_dot_product(qv, e.embedding) AS score
+           |             FROM q JOIN embeddings e ON e.vec_id <> query_id)
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+           |    FROM scored)
+           |  WHERE rank <= 5),
+           |lsh AS (SELECT query_id, neighbor_id FROM ($lshSql))
+           |SELECT b.query_id, count(*) AS k,
+           |  CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS recall
+           |FROM brute b LEFT JOIN lsh l
+           |  ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+           |GROUP BY 1""".stripMargin
+    }) { (s, d) =>
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      val brute = Similarity.bruteForceTopK(e, e.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = Similarity.lshTopK(e, "vec_id", "embedding",
+        k = 5, h = OpsQueries.autoH(e), maxBucket = 4096)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+        .withColumn("recall", col("n_hit").cast("double") / col("k").cast("double"))
+    },
+
     // quality-aware canonicalization: near-dup clusters (simhash pairs →
     // connected components) each elect the member with the highest
     // quality score (tie → lowest id) — detect → cluster → CHOOSE, the
