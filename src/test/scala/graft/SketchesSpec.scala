@@ -43,6 +43,21 @@ class SketchesSpec extends SparkSuite {
     assert(byG("a") < byG("b"))
   }
 
+  test("hll registers merge by per-bucket max (sketch mergeability)") {
+    // the property that lets shard-local sketches combine into the
+    // corpus sketch without re-reading data: registers from disjoint
+    // halves, max-merged, equal the whole-corpus registers
+    val a = (1 to 500).map(i => ("g", s"v$i")).toDF("g", "v")
+    val b = (501 to 1000).map(i => ("g", s"v$i")).toDF("g", "v")
+    val whole = Sketches.hllRegisters(a.unionByName(b), "g", col("v"))
+      .select("bucket", "rho").as[(Int, Int)].collect().toMap
+    val merged = Sketches.hllRegisters(a, "g", col("v"))
+      .unionByName(Sketches.hllRegisters(b, "g", col("v")))
+      .groupBy("bucket").agg(max("rho").as("rho"))
+      .select("bucket", "rho").as[(Int, Int)].collect().toMap
+    assert(merged == whole)
+  }
+
   // ---- Bloom -------------------------------------------------------------
 
   test("bloom mightContain has no false negatives") {
