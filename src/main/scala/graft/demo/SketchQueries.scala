@@ -450,6 +450,65 @@ object SketchQueries {
         .withColumn("recall", col("n_hit").cast("double") / col("k").cast("double"))
     },
 
+    // the IVF twin of sim_ann_recall: nprobe=4 over 16 sampled centroids
+    // vs the brute-force truth — together the two recall harnesses cover
+    // both approximate index families this engine ships
+    QuerySpec("sim_ivf_recall",
+      raw"""WITH brute AS (
+           |  WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+           |  scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+           |               list_dot_product(qv, e.embedding) AS score
+           |             FROM q JOIN embeddings e ON e.vec_id <> query_id)
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+           |    FROM scored)
+           |  WHERE rank <= 5),
+           |ivf AS (
+           |  WITH cents AS (
+           |    SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+           |    WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 16),
+           |  assigned AS (
+           |    SELECT vec_id, embedding, centroid_id FROM (
+           |      SELECT e.vec_id, e.embedding, c.centroid_id,
+           |        row_number() OVER (PARTITION BY e.vec_id
+           |          ORDER BY list_dot_product(e.embedding, c.cv) DESC, c.centroid_id) AS rn
+           |      FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+           |  probes AS (
+           |    SELECT query_id, qv, centroid_id FROM (
+           |      SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+           |        row_number() OVER (PARTITION BY q.vec_id
+           |          ORDER BY list_dot_product(q.embedding, c.cv) DESC, c.centroid_id) AS pr
+           |      FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 100 = 0) WHERE pr <= 4),
+           |  scored AS (
+           |    SELECT p.query_id, a.vec_id AS neighbor_id,
+           |      list_dot_product(p.qv, a.embedding) AS score
+           |    FROM probes p JOIN assigned a
+           |      ON p.centroid_id = a.centroid_id AND p.query_id <> a.vec_id)
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+           |  WHERE rank <= 5)
+           |SELECT b.query_id, count(*) AS k,
+           |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS recall
+           |FROM brute b LEFT JOIN ivf i
+           |  ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+           |GROUP BY 1""".stripMargin) { (s, d) =>
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      val queries = e.where(col("vec_id") % 100 === 0)
+      val brute = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Similarity.ivfTopK(e, queries, "vec_id", "embedding",
+        k = 5, nCentroids = 16, modulus = 50, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+        .withColumn("recall", col("n_hit").cast("double") / col("k").cast("double"))
+    },
+
     // quality-aware canonicalization: near-dup clusters (simhash pairs →
     // connected components) each elect the member with the highest
     // quality score (tie → lowest id) — detect → cluster → CHOOSE, the
