@@ -509,6 +509,37 @@ object SketchQueries {
         .withColumn("recall", col("n_hit").cast("double") / col("k").cast("double"))
     },
 
+    // language-ID quality audit: confusion matrix of the declared lang
+    // against the stopword predictor — the check that tells you how far
+    // to trust metadata labels before using them as sampling strata.
+    // The predictor's distinct-hit scoring and its DESC/DESC tie-break
+    // are mirrored exactly (list_intersect dedups like array_intersect)
+    QuerySpec("text_lang_confusion", {
+      val cands = TextAnalysis.stopwords.toSeq.sortBy(_._1)
+        .map { case (l, ws) =>
+          s"('$l', [${ws.map(w => s"'$w'").mkString(", ")}])" }
+        .mkString(",\n|      ")
+      raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |                ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |s AS (
+           |  SELECT doc_id, l.cand, len(list_intersect(t, l.words)) AS score
+           |  FROM tt CROSS JOIN (VALUES
+           |      $cands) l(cand, words)),
+           |best AS (SELECT doc_id, cand, score,
+           |           row_number() OVER (PARTITION BY doc_id
+           |             ORDER BY score DESC, cand DESC) AS rn
+           |         FROM s),
+           |p AS (SELECT doc_id, CASE WHEN score <= 0 THEN 'und' ELSE cand END AS lang_pred
+           |      FROM best WHERE rn = 1)
+           |SELECT d.lang, p.lang_pred, count(*) AS n_docs
+           |FROM documents d JOIN p USING (doc_id)
+           |GROUP BY 1, 2""".stripMargin
+    }) { (s, d) =>
+      TextAnalysis.languageId(docs(s, d), "text")
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+
     // quality-aware canonicalization: near-dup clusters (simhash pairs →
     // connected components) each elect the member with the highest
     // quality score (tie → lowest id) — detect → cluster → CHOOSE, the
