@@ -540,6 +540,34 @@ object SketchQueries {
         .agg(count(lit(1)).as("n_docs"))
     },
 
+    // PII exposure report per source: email / long-digit-run counts from
+    // the redaction pass rolled up to the governance view — which feeds
+    // decide-before-train ("which sources need scrubbing"). Counts are
+    // exact integers from the same regexes the redactor applies
+    QuerySpec("text_pii_stats",
+      raw"""WITH c AS (
+           |  SELECT source,
+           |    len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           |    len(regexp_extract_all(
+           |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |      '[0-9]{7,}')) AS n_digit_runs
+           |  FROM documents)
+           |SELECT source,
+           |  CAST(sum(n_emails) AS BIGINT) AS total_emails,
+           |  CAST(sum(n_digit_runs) AS BIGINT) AS total_digit_runs,
+           |  CAST(sum(CASE WHEN n_emails + n_digit_runs > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+           |  count(*) AS n_docs
+           |FROM c GROUP BY 1""".stripMargin) { (s, d) =>
+      TextAnalysis.redactPii(docs(s, d), "text")
+        .groupBy(col("source"))
+        .agg(
+          sum(col("n_emails")).cast("long").as("total_emails"),
+          sum(col("n_digit_runs")).cast("long").as("total_digit_runs"),
+          sum(when(col("n_emails") + col("n_digit_runs") > 0, 1L).otherwise(0L))
+            .as("n_docs_with_pii"),
+          count(lit(1)).as("n_docs"))
+    },
+
     // quality-aware canonicalization: near-dup clusters (simhash pairs →
     // connected components) each elect the member with the highest
     // quality score (tie → lowest id) — detect → cluster → CHOOSE, the
