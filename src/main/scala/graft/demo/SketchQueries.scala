@@ -217,28 +217,39 @@ object SketchQueries {
     // per-user value outliers with EXACT integer arithmetic: cents =
     // floor(100·v + 0.5), z² test as (c·n − S)² > 9·(n·Q − S²) — no
     // float mean/stddev whose summation order could differ between
-    // engines. One shuffle on user_id; flags events > 3σ of their user
+    // engines. The test terms are computed in DECIMAL(38,0) in BOTH
+    // arms: in BIGINT, S² alone overflows at realistic scale (n≈1e6
+    // events of ~$1000 → S≈1e11, S²≈1e22), where DuckDB raises and
+    // non-ANSI Spark wraps silently — engine/oracle divergence exactly
+    // at the 100 TB tier. 38 digits hold every term up to n·cents ≈
+    // 1e19 per user. One shuffle on user_id; flags events > 3σ
     QuerySpec("events_value_outliers",
       raw"""WITH c AS (SELECT event_id, user_id,
            |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
            |st AS (SELECT user_id, count(*) AS n,
            |         CAST(sum(cents) AS BIGINT) AS s,
            |         CAST(sum(cents * cents) AS BIGINT) AS q
-           |       FROM c GROUP BY 1)
-           |SELECT c.event_id, c.user_id, c.cents
-           |FROM c JOIN st USING (user_id)
-           |WHERE st.n >= 10
-           |  AND (c.cents * st.n - st.s) * (c.cents * st.n - st.s)
-           |      > 9 * (st.n * st.q - st.s * st.s)""".stripMargin) { (s, d) =>
+           |       FROM c GROUP BY 1),
+           |w AS (SELECT c.event_id, c.user_id, c.cents, st.n,
+           |        CAST(c.cents AS DECIMAL(38,0)) AS cd,
+           |        CAST(st.n AS DECIMAL(38,0)) AS nd,
+           |        CAST(st.s AS DECIMAL(38,0)) AS sd,
+           |        CAST(st.q AS DECIMAL(38,0)) AS qd
+           |      FROM c JOIN st USING (user_id))
+           |SELECT event_id, user_id, cents FROM w
+           |WHERE n >= 10
+           |  AND (cd * nd - sd) * (cd * nd - sd) > 9 * (nd * qd - sd * sd)""".stripMargin) {
+      (s, d) =>
       val cents = events(s, d).select(col("event_id"), col("user_id"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"))
       val stats = cents.groupBy(col("user_id")).agg(
         count(lit(1)).as("n"), sum(col("cents")).as("s"),
         sum(col("cents") * col("cents")).as("q"))
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val (cd, nd, sd, qd) = (dec(col("cents")), dec(col("n")), dec(col("s")), dec(col("q")))
       cents.join(stats, Seq("user_id"))
         .where(col("n") >= 10 &&
-          (col("cents") * col("n") - col("s")) * (col("cents") * col("n") - col("s"))
-            > lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+          (cd * nd - sd) * (cd * nd - sd) > lit(9) * (nd * qd - sd * sd))
         .select(col("event_id"), col("user_id"), col("cents"))
     },
 
@@ -246,7 +257,10 @@ object SketchQueries {
     // posting list (16 lowest doc ids) — the df count is a plain
     // aggregate, the postings collect only ever sees rows that survived
     // a term-partitioned rank ≤ 16, so hub terms can't blow an
-    // aggregation buffer
+    // aggregation buffer. REGISTRY RULE: no array/struct columns in
+    // query outputs (the driver's pandas hash check can't sort them) —
+    // the posting list is serialized to a comma-joined string here; the
+    // library operator (Retrieval.invertedIndex) keeps the typed array
     QuerySpec("text_inverted_index",
       raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
            |                ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
@@ -256,10 +270,12 @@ object SketchQueries {
            |cap AS (SELECT term, doc FROM (
            |          SELECT term, doc, row_number() OVER (PARTITION BY term ORDER BY doc) AS rn
            |          FROM td) WHERE rn <= 16),
-           |pl AS (SELECT term, list_sort(list(doc)) AS postings FROM cap GROUP BY 1)
+           |pl AS (SELECT term, array_to_string(list_sort(list(doc)), ',') AS postings
+           |       FROM cap GROUP BY 1)
            |SELECT d.term, d.doc_freq, p.postings FROM dfq d JOIN pl p USING (term)""".stripMargin) {
       (s, d) =>
         Retrieval.invertedIndex(docs(s, d), "text", "doc_id", maxPostings = 16)
+          .withColumn("postings", array_join(col("postings"), ","))
     },
 
     // per-window leaderboard: hourly tumbling windows (exact pmod floor

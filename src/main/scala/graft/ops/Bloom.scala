@@ -83,6 +83,17 @@ object Bloom {
    */
   def semiJoin(probe: DataFrame, buildDf: DataFrame, keyCol: String,
       mBitsOpt: Option[Int] = None, k: Int = 4): DataFrame = {
+    // xxhash64 hashes by TYPE: an int probe key against a bigint build
+    // key lands on different bit positions, so real matches would fail
+    // the bit test — silent row loss, violating the no-false-negatives
+    // guarantee before the exact semi-join could correct it. Demand the
+    // caller reconcile types explicitly rather than guessing a cast.
+    val pt = probe.schema(keyCol).dataType
+    val bt = buildDf.schema(keyCol).dataType
+    require(pt == bt,
+      s"bloom semiJoin key '$keyCol' type mismatch: probe $pt vs build $bt — " +
+        "xxhash64 is type-sensitive, so mismatched key types cause false " +
+        "negatives; cast one side to the other's type first")
     val mBits = mBitsOpt.getOrElse(sizeBits(buildDf.count()))
     val words = build(buildDf, keyCol, mBits, k)
     probe.where(mightContain(col(keyCol), words, k))

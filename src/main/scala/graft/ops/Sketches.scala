@@ -155,6 +155,14 @@ object Sketches {
    * division at the end. The cumulative window is partitioned by
    * stratum over ≤ nBins rows, never the data.
    *
+   * BIGINT bound: `(v - lo) * nBins` must stay below 2^63, i.e. the
+   * per-stratum value RANGE `hi - lo` must be < 2^63 / nBins (≈ 1.4e17
+   * at nBins = 64). Counters/lengths/timestamps-in-ms all sit orders of
+   * magnitude under this; for a column that genuinely spans more, scale
+   * the values down (the sketch's error is a bin width anyway) rather
+   * than widening the arithmetic — DuckDB raises on BIGINT overflow
+   * while non-ANSI Spark wraps, so exceeding the bound diverges engines.
+   *
    * Output: `(strata, q, n_rows, bin, est)`.
    */
   def histQuantiles(df: DataFrame, strataCol: String, valueCol: String,

@@ -10,9 +10,12 @@ import org.apache.spark.sql.types.IntegerType
  * equivalent comparison spellings). The left form materializes the whole
  * filtered array and then counts it; `exists` short-circuits on the
  * first match and allocates nothing — on a 100 TB scan where such
- * predicates gate every row (the Gopher line-structure filters in this
- * repo are exactly this shape), the rewrite removes a per-row array
- * allocation proportional to the match count.
+ * predicates gate every row (e.g. the `text_bullet_gate` boolean gate
+ * in [[graft.demo.SketchQueries]], "keep docs with at least one
+ * bullet-ish line"), the rewrite removes a per-row array allocation
+ * proportional to the match count. (The Gopher fraction filters in
+ * [[graft.ops.TextAnalysis]] compute `size(filter(...))/n` ratios — a
+ * count, not an existence test — and are correctly left untouched.)
  *
  * Semantics are preserved exactly:
  *  - `ArrayExists` is constructed with `followThreeValuedLogic = false`,
@@ -42,22 +45,40 @@ object SizeFilterToExists extends Rule[LogicalPlan] {
     }
   }
 
+  /**
+   * `size(filter(a, f))` eligible for the exists rewrite. Two guards:
+   *  - single-argument lambda only — `filter` also accepts an
+   *    (element, index) lambda, but `ArrayExists` destructures its
+   *    function as one-argument and would MatchError at execution;
+   *  - deterministic predicate only — `exists` short-circuits where
+   *    `filter` evaluates every element, so a rand()-style predicate
+   *    could change results under the rewrite.
+   */
+  private object SizeOfFilter {
+    def unapply(e: Expression): Option[(Expression, Expression, Boolean)] = e match {
+      case Size(ArrayFilter(a, f @ LambdaFunction(_, Seq(_), _)), legacy)
+          if f.deterministic =>
+        Some((a, f, legacy))
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     // size(filter(a, f)) > 0  /  size(...) >= 1
-    case GreaterThan(Size(ArrayFilter(a, f), legacy), IntLit(0)) =>
+    case GreaterThan(SizeOfFilter(a, f, legacy), IntLit(0)) =>
       exists(a, f, legacy)
-    case GreaterThanOrEqual(Size(ArrayFilter(a, f), legacy), IntLit(1)) =>
+    case GreaterThanOrEqual(SizeOfFilter(a, f, legacy), IntLit(1)) =>
       exists(a, f, legacy)
     // 0 < size(filter(a, f))  /  1 <= size(...)
-    case LessThan(IntLit(0), Size(ArrayFilter(a, f), legacy)) =>
+    case LessThan(IntLit(0), SizeOfFilter(a, f, legacy)) =>
       exists(a, f, legacy)
-    case LessThanOrEqual(IntLit(1), Size(ArrayFilter(a, f), legacy)) =>
+    case LessThanOrEqual(IntLit(1), SizeOfFilter(a, f, legacy)) =>
       exists(a, f, legacy)
     // size(filter(a, f)) = 0 — only under modern null semantics (legacy
     // size(null) = -1 makes "= 0" FALSE where NOT exists would be TRUE)
-    case EqualTo(Size(ArrayFilter(a, f), false), IntLit(0)) =>
+    case EqualTo(SizeOfFilter(a, f, false), IntLit(0)) =>
       Not(new ArrayExists(a, f, false))
-    case EqualTo(IntLit(0), Size(ArrayFilter(a, f), false)) =>
+    case EqualTo(IntLit(0), SizeOfFilter(a, f, false)) =>
       Not(new ArrayExists(a, f, false))
   }
 }

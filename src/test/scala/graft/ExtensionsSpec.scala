@@ -96,6 +96,49 @@ class ExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("SizeFilterToExists leaves indexed and non-deterministic lambdas untouched") {
+    import graft.plans.SizeFilterToExists
+    val dir = java.nio.file.Files.createTempDirectory("graft_rule2").toFile
+    Seq((1L, Seq(5, 1, 9)), (2L, Seq(1, 2)), (3L, Seq.empty[Int]))
+      .toDF("id", "xs").write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val df = spark.read.parquet(dir.getAbsolutePath)
+
+    def countExprs(d: org.apache.spark.sql.DataFrame) = {
+      val exprs = d.queryExecution.optimizedPlan
+        .collect { case n => n.expressions }.flatten.flatMap(_.collect {
+          case e: org.apache.spark.sql.catalyst.expressions.ArrayExists => "exists"
+          case f: org.apache.spark.sql.catalyst.expressions.ArrayFilter => "filter"
+        })
+      (exprs.count(_ == "exists"), exprs.count(_ == "filter"))
+    }
+
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ SizeFilterToExists
+    try {
+      // (element, index) lambda: ArrayExists would MatchError on a 2-arg
+      // function — the rule must not fire, and the query must still run
+      val indexed = df.where(
+        size(filter(col("xs"), (x, i) => i < 2 && x > 3)) > 0).select("id")
+      val (ex1, fl1) = countExprs(indexed)
+      assert(ex1 == 0 && fl1 == 1, s"indexed lambda was rewritten ($ex1 exists, $fl1 filter)")
+      assert(indexed.as[Long].collect().toSet == Set(1L))
+
+      // non-deterministic predicate: exists short-circuits where filter
+      // evaluates all elements — the rule must not fire
+      val rnd = df.where(size(filter(col("xs"), x => x > rand() * 0)) > 0).select("id")
+      val (_, fl2) = countExprs(rnd)
+      assert(fl2 == 1, "non-deterministic lambda was rewritten")
+
+      // sanity: the single-arg deterministic form still rewrites
+      val ok = df.where(size(filter(col("xs"), x => x > 3)) > 0).select("id")
+      val (ex3, fl3) = countExprs(ok)
+      assert(ex3 == 1 && fl3 == 0)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == SizeFilterToExists)
+    }
+  }
+
   test("portable md5 kernels agree with their SQL-callable forms") {
     graft.functions.TextFunctions.register(spark)
     // md5-token simhash: SQL call == Column API == python-validated kernel

@@ -75,6 +75,22 @@ class SketchesSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("bloom semiJoin rejects mismatched key types instead of silently dropping rows") {
+    // xxhash64 hashes IntegerType and LongType differently: an int probe
+    // against a bigint build would land on different bit positions and
+    // real matches would fail the bit test — a silent false negative.
+    val probe = (1 to 100).toDF("k")                 // IntegerType
+    val build = (1L to 100L by 7).toDF("k")          // LongType
+    val e = intercept[IllegalArgumentException] {
+      Bloom.semiJoin(probe, build, "k")
+    }
+    assert(e.getMessage.contains("type mismatch"))
+    // and the documented fix — casting one side — restores exact results
+    val got = Bloom.semiJoin(probe.select(col("k").cast("long").as("k")), build, "k")
+      .as[Long].collect().toSet
+    assert(got == (1L to 100L by 7).toSet)
+  }
+
   test("bloom sizeBits clamps to a power of two in range") {
     assert(Bloom.sizeBits(1) == 1024)
     assert(Bloom.sizeBits(1000) == 16384)
