@@ -55,6 +55,39 @@ object SketchQueries {
       Sketches.hllEstimate(toks, "lang", col("tok"))
     },
 
+    // the DISTRIBUTIVE property that makes HLL useful at 100 TB: build
+    // registers on two disjoint corpus halves (doc_id parity — stand-in
+    // for shards/days), merge by per-(lang,bucket) max, estimate. The
+    // merge ships ≤ 64 rows per stratum per shard and never rescans
+    // text; by max-idempotence the result equals the whole-corpus
+    // sketch register for register (cross-checkable vs text_distinct_hll)
+    QuerySpec("text_distinct_hll_merged",
+      raw"""WITH tt AS (SELECT doc_id, lang, CASE WHEN length(trim(text)) = 0 THEN []
+           |          ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |tok AS (SELECT doc_id, lang, unnest(t) AS tok FROM tt),
+           |hh AS (SELECT doc_id, lang, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+           |rr AS (SELECT doc_id, lang, h % 64 AS bucket,
+           |         CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho
+           |       FROM hh),
+           |reg0 AS (SELECT lang, bucket, max(rho) AS rho FROM rr WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+           |reg1 AS (SELECT lang, bucket, max(rho) AS rho FROM rr WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+           |merged AS (SELECT lang, bucket, max(rho) AS rho FROM
+           |             (SELECT * FROM reg0 UNION ALL SELECT * FROM reg1) GROUP BY 1, 2),
+           |agg AS (SELECT lang,
+           |          64 - count(*) AS n_zero_registers,
+           |          CAST(sum(CAST(1 AS BIGINT) << CAST(55 - rho AS INTEGER))
+           |               + (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT) AS s_scaled
+           |        FROM merged GROUP BY 1)
+           |SELECT lang, n_zero_registers, s_scaled,
+           |  ${Sketches.EstimateNumerator} / CAST(s_scaled AS DOUBLE) AS raw_estimate
+           |FROM agg""".stripMargin) { (s, d) =>
+      val toks = docs(s, d)
+        .select(col("doc_id"), col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val half = (par: Int) =>
+        Sketches.hllRegisters(toks.where(pmod(col("doc_id"), lit(2)) === par), "lang", col("tok"))
+      Sketches.hllEstimateFromRegisters(Sketches.hllMerge(Seq(half(0), half(1)), "lang"), "lang")
+    },
+
     // bloom-pre-filtered semi-join: all events of users who ever had a
     // high-value error. The bloom bit-test drops non-candidate probe rows
     // at the scan before the only shuffle; the exact semi-join removes
@@ -138,6 +171,65 @@ object SketchQueries {
       top.join(est, Seq("token"))
         .select(col("token"), col("true_count"), col("est_count"),
           (col("est_count") - col("true_count")).as("overcount"))
+    },
+
+    // CMS's shard-merge story, the linear-count twin of
+    // text_distinct_hll_merged: sketch each doc_id-parity half
+    // separately, merge by per-(r,bucket) SUM (counts are linear, so
+    // merge(sketch A, sketch B) == sketch(A ⊎ B) exactly), then probe
+    // the same top-20. Each shard ships ≤ d·w count rows, never tokens;
+    // identical estimates to the one-pass sketch by construction
+    QuerySpec("text_cms_topk_merged",
+      raw"""WITH tok AS (SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+           |    ELSE string_split_regex(trim(lower(text)), '\s+') END) AS token FROM documents),
+           |c AS (SELECT token, count(*) AS true_count FROM tok GROUP BY 1),
+           |top AS (SELECT token, true_count FROM c ORDER BY true_count DESC, token LIMIT 20),
+           |rb AS (SELECT doc_id, t.r AS r,
+           |         ('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || token), 1, 15))::BIGINT % 256 AS bucket
+           |       FROM tok CROSS JOIN range(0, 4) t(r)),
+           |sk0 AS (SELECT r, bucket, count(*) AS cnt FROM rb WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+           |sk1 AS (SELECT r, bucket, count(*) AS cnt FROM rb WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+           |sk AS (SELECT r, bucket, CAST(sum(cnt) AS BIGINT) AS cnt FROM
+           |         (SELECT * FROM sk0 UNION ALL SELECT * FROM sk1) GROUP BY 1, 2),
+           |pe AS (SELECT token, t.r AS r,
+           |         ('0x' || substr(md5(CAST(t.r AS VARCHAR) || ':' || token), 1, 15))::BIGINT % 256 AS bucket
+           |       FROM top CROSS JOIN range(0, 4) t(r)),
+           |est AS (SELECT token, min(COALESCE(sk.cnt, 0)) AS est_count
+           |        FROM pe LEFT JOIN sk USING (r, bucket) GROUP BY 1)
+           |SELECT t.token, t.true_count, e.est_count, e.est_count - t.true_count AS overcount
+           |FROM top t JOIN est e USING (token)""".stripMargin) { (s, d) =>
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val top = toks.groupBy("token").agg(count(lit(1)).as("true_count"))
+        .orderBy(col("true_count").desc, col("token").asc).limit(20)
+      val half = (par: Int) =>
+        Sketches.cmsSketch(toks.where(pmod(col("doc_id"), lit(2)) === par), col("token"))
+      val est = Sketches.cmsEstimateFromSketch(
+        Sketches.cmsMerge(Seq(half(0), half(1))), top.select("token"), "token")
+      top.join(est, Seq("token"))
+        .select(col("token"), col("true_count"), col("est_count"),
+          (col("est_count") - col("true_count")).as("overcount"))
+    },
+
+    // boolean token gate in the exact shape SizeFilterToExists rewrites:
+    // size(filter(tokens, p)) > 0 → exists(...) — installed idempotently
+    // on the session here so the rule fires in every driver run
+    // (Verify/Bench/PlanAudit), not just its spec. The gate
+    // short-circuits on the first long token instead of materializing
+    // the filtered token array per row; ExtensionsSpec asserts the
+    // optimized plan holds ArrayExists and no ArrayFilter
+    QuerySpec("text_token_gate",
+      raw"""SELECT doc_id, lang FROM documents
+           |WHERE len(list_filter(CASE WHEN length(trim(text)) = 0 THEN []
+           |        ELSE string_split_regex(trim(lower(text)), '\s+') END,
+           |      t -> length(t) >= 8)) > 0""".stripMargin) {
+      (s, d) =>
+        if (!s.experimental.extraOptimizations.contains(graft.plans.SizeFilterToExists))
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations :+ graft.plans.SizeFilterToExists
+        docs(s, d)
+          .where(TextAnalysis.hasTokenMatching(col("text"), t => length(t) >= 8))
+          .select(col("doc_id"), col("lang"))
     },
 
     // Morton (z-order) curve over (customer, order-day): the layout key

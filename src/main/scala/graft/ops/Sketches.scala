@@ -63,13 +63,32 @@ object Sketches {
   }
 
   /**
-   * One row per stratum: `(strata, n_zero_registers, s_scaled,
-   * raw_estimate)`. `s_scaled` is the exact integer harmonic sum
-   * Σ 2^(55 - M_j); `raw_estimate = EstimateNumerator / s_scaled` is the
-   * uncorrected HLL estimate. All three are cross-engine exact.
+   * Merge register sets built on disjoint (or overlapping — max is
+   * idempotent) slices of a corpus: per-(stratum, bucket) max. THIS is
+   * what makes the sketch useful at 100 TB: registers are built
+   * shard-wise / day-wise where the data lives, and combining them is a
+   * union of ≤ m rows per stratum per shard — never a rescan of the
+   * text. `merge(build(A), build(B)) == build(A ∪ B)` exactly, register
+   * for register (spec-asserted and oracle-checked by
+   * `text_distinct_hll_merged`).
    */
-  def hllEstimate(df: DataFrame, strataCol: String, valueCol: Column): DataFrame =
-    hllRegisters(df, strataCol, valueCol)
+  def hllMerge(registers: Seq[DataFrame], strataCol: String): DataFrame = {
+    require(registers.nonEmpty, "nothing to merge")
+    registers.reduce(_ unionByName _)
+      .groupBy(col(strataCol), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /**
+   * Estimate from a register frame (`(strata, bucket, rho)` — the
+   * output shape of [[hllRegisters]] / [[hllMerge]]): one row per
+   * stratum `(strata, n_zero_registers, s_scaled, raw_estimate)`.
+   * `s_scaled` is the exact integer harmonic sum Σ 2^(55 - M_j);
+   * `raw_estimate = EstimateNumerator / s_scaled` is the uncorrected
+   * HLL estimate. All three are cross-engine exact.
+   */
+  def hllEstimateFromRegisters(registers: DataFrame, strataCol: String): DataFrame =
+    registers
       .groupBy(col(strataCol))
       .agg(
         (lit(M) - count(lit(1))).as("n_zero_registers"),
@@ -79,6 +98,10 @@ object Sketches {
           (lit(M) - count(lit(1))) * lit(1L << 55)).as("s_scaled"))
       .select(col(strataCol), col("n_zero_registers"), col("s_scaled"),
         (lit(EstimateNumerator) / col("s_scaled").cast("double")).as("raw_estimate"))
+
+  /** [[hllEstimateFromRegisters]] over a single frame's registers. */
+  def hllEstimate(df: DataFrame, strataCol: String, valueCol: Column): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, strataCol, valueCol), strataCol)
 
   /** Standard small-range correction (linear counting when the raw
     * estimate is under 2.5·m and empty registers remain). Uses `ln`, so
@@ -118,15 +141,30 @@ object Sketches {
   }
 
   /**
-   * Point-estimate the frequencies of `probes` (a small frame holding
-   * `probeCol`) against a CMS of the `df` stream: the classic
-   * `min_i sketch[i][h_i(x)]` upper bound — never an undercount, over
-   * only on collisions. The sketch is `d·w` rows, so the probe join
-   * broadcasts; nothing here scales with the stream's cardinality.
+   * Merge CMS sketches built on disjoint slices of a stream:
+   * per-(r, bucket) SUM — counts are linear, so
+   * `merge(sketch(A), sketch(B)) == sketch(A ⊎ B)` exactly. Same
+   * shard-wise build story as [[hllMerge]]: each shard ships at most
+   * `d·w` count rows, never its values (oracle-checked by
+   * `text_cms_topk_merged`).
    */
-  def cmsEstimate(df: DataFrame, valueCol: Column, probes: DataFrame,
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "nothing to merge")
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("r"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /**
+   * Point-estimate probe frequencies against an already-built sketch
+   * frame (`(r, bucket, cnt)` — the output shape of [[cmsSketch]] /
+   * [[cmsMerge]]): the classic `min_i sketch[i][h_i(x)]` upper bound —
+   * never an undercount, over only on collisions. The sketch is `d·w`
+   * rows, so the probe join broadcasts; nothing here scales with the
+   * stream's cardinality.
+   */
+  def cmsEstimateFromSketch(sketch: DataFrame, probes: DataFrame,
       probeCol: String, d: Int = 4, w: Int = 256): DataFrame = {
-    val sketch = cmsSketch(df, valueCol, d, w)
     val pb = (0 until d).map(i =>
       struct(lit(i).as("r"), cmsBucket(col(probeCol), i, w).as("bucket")))
     probes
@@ -136,6 +174,11 @@ object Sketches {
       .groupBy(col(probeCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
   }
+
+  /** [[cmsEstimateFromSketch]] over a sketch of `df` built in place. */
+  def cmsEstimate(df: DataFrame, valueCol: Column, probes: DataFrame,
+      probeCol: String, d: Int = 4, w: Int = 256): DataFrame =
+    cmsEstimateFromSketch(cmsSketch(df, valueCol, d, w), probes, probeCol, d, w)
 
   // ---- histogram quantiles -----------------------------------------------
 

@@ -228,6 +228,17 @@ object TextAnalysis {
    * `#`/`…` symbol-per-word ratio (markup residue), and presence of ≥ 2
    * distinct common stopwords (a cheap "is this prose" gate).
    */
+  /**
+   * Boolean token gate: TRUE when at least one token of `textCol`
+   * satisfies `pred`. Deliberately written as `size(filter(tokens, p))
+   * > 0` — the shape [[graft.plans.SizeFilterToExists]] rewrites to a
+   * short-circuiting, allocation-free `exists` when the rule is
+   * installed; without the rule the gate is still correct, just pays
+   * the filtered-array allocation per row.
+   */
+  def hasTokenMatching(textCol: Column, pred: Column => Column): Column =
+    size(filter(tokens(textCol), pred)) > 0
+
   def gopherFilters(df: DataFrame, textCol: String, idCol: String,
       minWords: Int = 10, maxWords: Int = 1000000): DataFrame = {
     val t = col(textCol)

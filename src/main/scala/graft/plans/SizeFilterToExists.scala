@@ -10,9 +10,9 @@ import org.apache.spark.sql.types.IntegerType
  * equivalent comparison spellings). The left form materializes the whole
  * filtered array and then counts it; `exists` short-circuits on the
  * first match and allocates nothing — on a 100 TB scan where such
- * predicates gate every row (e.g. the `text_bullet_gate` boolean gate
+ * predicates gate every row (e.g. the `text_token_gate` boolean gate
  * in [[graft.demo.SketchQueries]], "keep docs with at least one
- * bullet-ish line"), the rewrite removes a per-row array allocation
+ * long token"), the rewrite removes a per-row array allocation
  * proportional to the match count. (The Gopher fraction filters in
  * [[graft.ops.TextAnalysis]] compute `size(filter(...))/n` ratios — a
  * count, not an existence test — and are correctly left untouched.)

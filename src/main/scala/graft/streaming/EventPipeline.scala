@@ -134,6 +134,15 @@ object EventPipeline {
    * new events (so the last open session per user is eventually flushed
    * and its state removed, instead of living forever). The custom-state
    * analog of [[sessionize]].
+   *
+   * Scale contract: each invocation buffers and heap-sorts ONE user's
+   * rows from ONE micro-batch (`rows.toSeq.sortBy`) — fine at normal
+   * micro-batch sizes, but a pathological single-user flood inside one
+   * batch degrades to executor memory rather than spilling. The batch
+   * [[sessionize]] runs the same semantics through a spilling window
+   * sort and is the path for unbounded per-user volume; cap batch size
+   * (`maxOffsetsPerTrigger` or source equivalent) if a hot key can
+   * realistically exceed executor heap within a single batch.
    */
   def sessionizeStream(events: Dataset[Event], gapMs: Long): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._

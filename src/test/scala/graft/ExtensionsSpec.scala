@@ -139,6 +139,28 @@ class ExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("text_token_gate's optimized plan holds ArrayExists, not Size(ArrayFilter)") {
+    // the registered query installs SizeFilterToExists on its session,
+    // so the production registry — not just this spec — runs the
+    // short-circuiting exists form. Assert exactly that.
+    val fn = graft.SparkEntry.queries("text_token_gate")
+    try {
+      val df = fn(spark, "/root/testdata/sf0.001")
+      val exprs = df.queryExecution.optimizedPlan
+        .collect { case n => n.expressions }.flatten.flatMap(_.collect {
+          case e: org.apache.spark.sql.catalyst.expressions.ArrayExists => "exists"
+          case f: org.apache.spark.sql.catalyst.expressions.ArrayFilter => "filter"
+        })
+      assert(exprs.contains("exists"), s"no ArrayExists in optimized plan: $exprs")
+      assert(!exprs.contains("filter"), s"ArrayFilter survived the rewrite: $exprs")
+      assert(df.count() > 0, "gate must keep at least one sf0.001 doc")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations
+          .filterNot(_ == graft.plans.SizeFilterToExists)
+    }
+  }
+
   test("portable md5 kernels agree with their SQL-callable forms") {
     graft.functions.TextFunctions.register(spark)
     // md5-token simhash: SQL call == Column API == python-validated kernel

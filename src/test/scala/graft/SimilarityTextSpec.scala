@@ -93,6 +93,22 @@ class SimilarityTextSpec extends SparkSuite {
 
   // ---- text ----
 
+  test("approximate-index recall floors hold on the sf0.001 fixture") {
+    // regression gates, not quality claims: every input to both recall
+    // harnesses is deterministic (md5 hashing, modulo query sampling),
+    // so current recall is a constant of the code — floors sit just
+    // under it and fail on any index-quality regression (a hash change,
+    // a banding bug, a capping change) rather than on noise.
+    // Measured at pinning time: lsh 0.32, ivf 1.00.
+    def meanRecall(name: String): Double =
+      graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .agg(avg(col("recall"))).head().getDouble(0)
+    val lsh = meanRecall("sim_ann_recall")
+    val ivf = meanRecall("sim_ivf_recall")
+    assert(lsh >= 0.3, f"LSH mean recall regressed: $lsh%.3f < 0.3")
+    assert(ivf >= 0.9, f"IVF mean recall regressed: $ivf%.3f < 0.9")
+  }
+
   test("tokenCount handles blanks and multiple spaces") {
     val df = Seq(Tuple1("a  b   c"), Tuple1(""), Tuple1("   "), Tuple1("word")).toDF("text")
     assert(df.select(TextAnalysis.tokenCount(col("text"))).as[Int].collect().toSeq ==

@@ -51,10 +51,34 @@ class SketchesSpec extends SparkSuite {
     val b = (501 to 1000).map(i => ("g", s"v$i")).toDF("g", "v")
     val whole = Sketches.hllRegisters(a.unionByName(b), "g", col("v"))
       .select("bucket", "rho").as[(Int, Int)].collect().toMap
-    val merged = Sketches.hllRegisters(a, "g", col("v"))
-      .unionByName(Sketches.hllRegisters(b, "g", col("v")))
-      .groupBy("bucket").agg(max("rho").as("rho"))
+    val merged = Sketches.hllMerge(
+      Seq(Sketches.hllRegisters(a, "g", col("v")),
+        Sketches.hllRegisters(b, "g", col("v"))), "g")
       .select("bucket", "rho").as[(Int, Int)].collect().toMap
+    assert(merged == whole)
+    // and the merged ESTIMATE equals the whole-corpus estimate exactly
+    val estWhole = Sketches.hllEstimate(a.unionByName(b), "g", col("v"))
+      .select("s_scaled").as[Long].head()
+    val estMerged = Sketches.hllEstimateFromRegisters(
+      Sketches.hllMerge(
+        Seq(Sketches.hllRegisters(a, "g", col("v")),
+          Sketches.hllRegisters(b, "g", col("v"))), "g"), "g")
+      .select("s_scaled").as[Long].head()
+    assert(estWhole == estMerged)
+  }
+
+  test("cms sketches merge by per-(r,bucket) sum (count linearity)") {
+    // counts are linear: shard-local sketches summed per cell equal the
+    // one-pass sketch of the whole stream, cell for cell — so estimates
+    // from the merged sketch are identical too
+    val a = (1 to 300).map(i => s"t${i % 40}").toDF("v")
+    val b = (1 to 200).map(i => s"t${i % 25}").toDF("v")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select("r", "bucket", "cnt").as[(Int, Long, Long)].collect()
+        .map { case (r, bk, c) => (r, bk) -> c }.toMap
+    val whole = cells(Sketches.cmsSketch(a.unionByName(b), col("v")))
+    val merged = cells(Sketches.cmsMerge(
+      Seq(Sketches.cmsSketch(a, col("v")), Sketches.cmsSketch(b, col("v")))))
     assert(merged == whole)
   }
 
@@ -246,6 +270,47 @@ class SketchesSpec extends SparkSuite {
     assert(spans.forall(_ < 256.0 * 256.0 * 0.75) &&
       spans.sum / spans.length < 256.0 * 256.0 * 0.45,
       s"partition bounding boxes not clustered: ${spans.mkString(",")}")
+  }
+
+  test("zorderBy layout prunes files for a 2-D range predicate; scattered layout can't") {
+    // the payoff proof: write the same rows z-ordered and scattered,
+    // read back each FILE's min/max on both dimensions (what a parquet
+    // footer exposes to scan pruning), and count files whose bounding
+    // box intersects a small 2-D query box — intersecting files must be
+    // read, the rest are pruned without touching data
+    val rnd = new scala.util.Random(13)
+    val df = Seq.fill(4000)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+      .zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      .toDF("id", "x", "y")
+    val base = java.nio.file.Files.createTempDirectory("graft_zprune")
+    val zDir = s"$base/z"; val sDir = s"$base/s"
+    graft.ops.Layout.zorderBy(df, col("x"), col("y"), 8, 16)
+      .write.parquet(zDir)
+    df.repartition(16).write.parquet(sDir) // round-robin scatter
+    // query box: x ∈ [32,63], y ∈ [96,127] — 1/64 of the 256×256 domain
+    def intersecting(dir: String): (Long, Long) = {
+      val boxes = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("lx"), max("x").as("hx"),
+          min("y").as("ly"), max("y").as("hy"))
+      val total = boxes.count()
+      val hit = boxes.where(col("hx") >= 32 && col("lx") <= 63 &&
+        col("hy") >= 96 && col("ly") <= 127).count()
+      (hit, total)
+    }
+    val (zHit, zTotal) = intersecting(zDir)
+    val (sHit, sTotal) = intersecting(sDir)
+    assert(sHit == sTotal,
+      s"scattered layout should be unprunable here, pruned ${sTotal - sHit}/$sTotal")
+    assert(zHit * 4 <= zTotal,
+      s"z-order should confine the box to ≤ 1/4 of files: $zHit/$zTotal intersect")
+    // and the pruned-file read still returns exactly the right rows
+    val want = df.where(col("x").between(32, 63) && col("y").between(96, 127))
+      .select("id").as[Long].collect().toSet
+    val got = spark.read.parquet(zDir)
+      .where(col("x").between(32, 63) && col("y").between(96, 127))
+      .select("id").as[Long].collect().toSet
+    assert(got == want)
   }
 
   // ---- chunking ----------------------------------------------------------
