@@ -8,10 +8,16 @@ import org.apache.spark.sql.functions._
   * pairs the Spark implementation with its DuckDB oracle SQL. */
 object SparkEntry {
 
-  private def registries: Seq[QuerySpec] =
-    graft.demo.ReconQueries.all ++ graft.demo.OpsQueries.all ++
+  private def registries: Seq[QuerySpec] = {
+    val all = graft.demo.ReconQueries.all ++ graft.demo.OpsQueries.all ++
       graft.demo.CurationQueries.all ++ graft.demo.ScaleQueries.all ++
       graft.demo.SketchQueries.all
+    // a duplicate name would silently shadow one query in the Maps below
+    // and the loser's oracle would check the winner's output — fail loudly
+    val dups = all.groupBy(_.name).filter(_._2.length > 1).keys
+    require(dups.isEmpty, s"duplicate query names in registries: ${dups.mkString(", ")}")
+    all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Full reference pipeline: zero-effect → exact match → tolerance pass. */

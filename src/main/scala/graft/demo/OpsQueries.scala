@@ -276,6 +276,22 @@ object OpsQueries {
         .select(col("doc_id"), col("lang"), col("source"))
     },
 
+    // incremental NEAR-dup, the fuzzy twin of dedup_incremental: new
+    // batch (doc_id % 3 ≠ 0) vs the seen corpus's persisted MinHash
+    // signatures — band-join candidates (seen-side bucket cap), verify
+    // by slot-agreement on signatures alone, so history text is never
+    // rescanned. The whole path (slots, banding, cap, agreement ratio)
+    // is value-checked
+    QuerySpec("dedup_minhash_incremental",
+      SketchOracleSql.minHashIncrementalSql(k = 64, bands = 8,
+        minAgreement = 0.5d, maxBucket = 100)) { (s, d) =>
+      val all = docs(s, d)
+      Dedup.minHashIncremental(
+        all.where(col("doc_id") % 3 =!= 0), all.where(col("doc_id") % 3 === 0),
+        "text", "doc_id", shingleN = 3, k = 64, bands = 8,
+        minAgreement = 0.5d, maxBucket = 100)
+    },
+
     // pre-join skew audit: the 20 heaviest user_id groups in events with
     // their corpus share — TakeOrderedAndProject top-N, no global sort
     QuerySpec("events_key_skew",
@@ -402,6 +418,18 @@ object OpsQueries {
       LshOracleSql.topkSqlAuto(HMax, LshTargetBucket, k = 5, maxBucket = 4096)) { (s, d) =>
       val e = embs(s, d)
       Similarity.lshTopK(e, "vec_id", "embedding", k = 5, h = autoH(e), maxBucket = 4096)
+    },
+
+    // multi-probe variant: each vector also probes the h buckets one
+    // sign-flip away, recovering the single-plane-split misses that
+    // dominate sign-LSH recall loss — (h+1)× probe volume for ~3×
+    // the recall (see sim_ann_multiprobe_recall). Same capped index
+    QuerySpec("sim_lsh_multiprobe_topk",
+      LshOracleSql.multiProbeTopkSqlAuto(HMax, LshTargetBucket, k = 5, maxBucket = 4096)) {
+      (s, d) =>
+        val e = embs(s, d)
+        Similarity.lshTopKMultiProbe(e, "vec_id", "embedding",
+          k = 5, h = autoH(e), maxBucket = 4096)
     },
 
     // ---- multimodal ------------------------------------------------------
@@ -790,6 +818,32 @@ object LshOracleSql {
   def topkSqlAuto(hMax: Int, targetBucket: Int, k: Int, maxBucket: Int): String =
     idxCteAuto(hMax, targetBucket) + topkBody(k, maxBucket)
 
+  /** Multi-probe body ≡ [[graft.ops.Similarity.lshTopKMultiProbe]]:
+    * each vector probes its own bucket (j = -1) and the h buckets with
+    * one sign bit flipped; the cap applies to the NEIGHBOR's bucket.
+    * Requires the `hh` CTE, so auto-h only. */
+  private def multiProbeTopkBody(k: Int, maxBucket: Int): String =
+    s""",
+       |pj AS (SELECT unnest(range(-1, (SELECT h FROM hh))) AS j),
+       |probe AS (
+       |  SELECT vec_id, embedding,
+       |    CASE WHEN j = -1 THEN bucket
+       |         ELSE xor(bucket, (CAST(1 AS BIGINT) << CAST(j AS INT))) END AS pbucket
+       |  FROM idx CROSS JOIN pj),
+       |scored AS (
+       |  SELECT p.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    list_dot_product(p.embedding, b.embedding) AS score
+       |  FROM probe p JOIN idx b ON p.pbucket = b.bucket AND p.vec_id <> b.vec_id
+       |  JOIN bsz s ON b.bucket = s.bucket WHERE s.n <= $maxBucket)
+       |SELECT query_id, neighbor_id, score, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+
+  /** [[multiProbeTopkBody]] with h auto-derived from the corpus count. */
+  def multiProbeTopkSqlAuto(hMax: Int, targetBucket: Int, k: Int, maxBucket: Int): String =
+    idxCteAuto(hMax, targetBucket) + multiProbeTopkBody(k, maxBucket)
+
   private def nearDupBody(threshold: Double, maxBucket: Int): String =
     s"""
        |SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -920,15 +974,10 @@ object SketchOracleSql {
        |FROM common JOIN sizes s1 ON doc1 = s1.doc JOIN sizes s2 ON doc2 = s2.doc
        |WHERE CAST(n_common AS DOUBLE) / CAST(s1.set_size + s2.set_size - n_common AS DOUBLE) >= $threshold""".stripMargin
 
-  private def minHashCtes(k: Int, bands: Int, maxBucket: Int): String = {
-    require(k % bands == 0)
-    val rows = k / bands
-    val bandBranches = (0 until bands).map { b =>
-      val bandStr = (0 until rows)
-        .map(i => s"CAST(hs[${b * rows + i + 1}] AS VARCHAR)")
-        .mkString(" || ',' || ")
-      s"SELECT doc, $b AS band, CAST(('0x' || substr(md5($bandStr), 1, 15)) AS BIGINT) AS band_hash FROM sig"
-    }.mkString("\nUNION ALL\n")
+  /** tokens → distinct 3-shingles → k md5/mix64 min-slots → signature
+    * list CTE chain (ends at `sig(doc, hs)`), shared by the batch and
+    * incremental mirrors. */
+  private def sigCtes(k: Int): String =
     s"""$tokensCte,
        |d AS (SELECT doc, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
        |                                 FOR i IN range(1, len(t) - 1)]) AS sh FROM tt),
@@ -938,9 +987,25 @@ object SketchOracleSql {
        |  SELECT doc, i AS slot,
        |    min(CAST((${DuckHashSql.mix64("b + i", "sl")} // 16) AS BIGINT)) AS h
        |  FROM bs CROSS JOIN range(0, $k) r(i) GROUP BY doc, i),
-       |sig AS (SELECT doc, list(h ORDER BY slot) AS hs FROM slot GROUP BY doc),
+       |sig AS (SELECT doc, list(h ORDER BY slot) AS hs FROM slot GROUP BY doc)""".stripMargin
+
+  /** The `bands` band-hash branches (md5 of the comma-joined band slots
+    * ≡ SketchHash.Portable.band) over a signature CTE named `src`. */
+  private def bandBranches(src: String, k: Int, bands: Int): String = {
+    val rows = k / bands
+    (0 until bands).map { b =>
+      val bandStr = (0 until rows)
+        .map(i => s"CAST(hs[${b * rows + i + 1}] AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc, $b AS band, CAST(('0x' || substr(md5($bandStr), 1, 15)) AS BIGINT) AS band_hash FROM $src"
+    }.mkString("\nUNION ALL\n")
+  }
+
+  private def minHashCtes(k: Int, bands: Int, maxBucket: Int): String = {
+    require(k % bands == 0)
+    s"""${sigCtes(k)},
        |banded AS (
-       |$bandBranches),
+       |${bandBranches("sig", k, bands)}),
        |bsz AS (SELECT band, band_hash, count(*) AS n FROM banded GROUP BY 1, 2),
        |cands AS (
        |  SELECT DISTINCT a.doc AS doc1, c.doc AS doc2
@@ -953,6 +1018,36 @@ object SketchOracleSql {
        |  FROM cands JOIN sh s1 ON s1.doc = doc1 JOIN sh s2 ON s2.doc = doc2 AND s2.shingle = s1.shingle
        |  GROUP BY 1, 2),
        |sizes AS (SELECT doc, count(*) AS set_size FROM sh GROUP BY 1)""".stripMargin
+  }
+
+  /** ≡ Dedup.minHashIncremental with the `doc_id % 3` seen/new split
+    * used by dedup_incremental: sign everything once, band each side,
+    * candidate = new×seen band-bucket mates (cap on the SEEN side),
+    * verify by slot-agreement ratio on the signatures alone. */
+  def minHashIncrementalSql(k: Int, bands: Int, minAgreement: Double,
+      maxBucket: Int): String = {
+    require(k % bands == 0)
+    s"""WITH ${sigCtes(k)},
+       |sigN AS (SELECT * FROM sig WHERE doc % 3 <> 0),
+       |sigS AS (SELECT * FROM sig WHERE doc % 3 = 0),
+       |bandedN AS (
+       |${bandBranches("sigN", k, bands)}),
+       |bandedS AS (
+       |${bandBranches("sigS", k, bands)}),
+       |bszS AS (SELECT band, band_hash, count(*) AS n FROM bandedS GROUP BY 1, 2),
+       |cands AS (
+       |  SELECT DISTINCT n.doc AS new_doc, s.doc AS seen_doc
+       |  FROM bandedN n
+       |  JOIN bandedS s ON n.band = s.band AND n.band_hash = s.band_hash
+       |  JOIN bszS z ON s.band = z.band AND s.band_hash = z.band_hash
+       |  WHERE z.n <= $maxBucket),
+       |agr AS (
+       |  SELECT c.new_doc, c.seen_doc,
+       |    CAST(len(list_filter(range(1, $k + 1), i -> a.hs[i] = b.hs[i])) AS DOUBLE)
+       |      / $k AS slot_agreement
+       |  FROM cands c JOIN sig a ON a.doc = c.new_doc JOIN sig b ON b.doc = c.seen_doc)
+       |SELECT new_doc, seen_doc, slot_agreement FROM agr
+       |WHERE slot_agreement >= $minAgreement""".stripMargin
   }
 
   /** ≡ Dedup.simHashNearDups(maxHamming, maxBucket) with md5 token

@@ -143,6 +143,54 @@ object SketchQueries {
       TextAnalysis.gopherFilters(docs(s, d), "text", "doc_id")
     },
 
+    // Gopher repetition-filter family: per-doc top/duplicated n-gram
+    // occurrence fractions for bigrams + trigrams, computed per row
+    // with ZERO shuffle (sort the doc's n-grams, read duplicate counts
+    // off adjacent-run lengths) — vs the explode+groupBy(doc,gram)
+    // formulation whose shuffle carries every token position. Exact
+    // integers; fractions are one exact-int division in both engines
+    QuerySpec("text_gopher_repetition", {
+      def gramSql(n: Int, name: String) =
+        raw"""g_$name AS (SELECT doc_id,
+             |  CASE WHEN len(t) < $n THEN []
+             |       ELSE list_sort(list_transform(range(1, len(t) - ${n - 2}),
+             |              i -> ${(0 until n).map(o => s"t[i+$o]").mkString(" || ' ' || ")})) END AS g
+             |  FROM tt),
+             |st_$name AS (SELECT doc_id, len(g) AS m,
+             |  CASE WHEN len(g) = 0 THEN []
+             |       ELSE list_filter(range(1, len(g)+1), i -> i = 1 OR g[i] <> g[i-1]) END AS starts
+             |  FROM g_$name),
+             |runs_$name AS (SELECT doc_id, m,
+             |  CASE WHEN m = 0 THEN []
+             |       ELSE list_transform(range(1, len(starts)+1),
+             |              j -> CASE WHEN j = len(starts) THEN m + 1 - starts[j]
+             |                        ELSE starts[j+1] - starts[j] END) END AS r
+             |  FROM st_$name),
+             |s_$name AS (SELECT doc_id, CAST(m AS BIGINT) AS n_${name}s,
+             |  CAST(CASE WHEN m = 0 THEN 0 ELSE list_max(r) END AS BIGINT) AS top_${name}_count,
+             |  CAST(CASE WHEN m = 0 THEN 0
+             |            ELSE m - len(list_filter(r, x -> x = 1)) END AS BIGINT) AS dup_${name}_count,
+             |  CASE WHEN m = 0 THEN 0.0
+             |       ELSE CAST(list_max(r) AS DOUBLE) / CAST(m AS DOUBLE) END AS top_${name}_frac,
+             |  CASE WHEN m = 0 THEN 0.0
+             |       ELSE CAST(m - len(list_filter(r, x -> x = 1)) AS DOUBLE) / CAST(m AS DOUBLE)
+             |       END AS dup_${name}_frac
+             |  FROM runs_$name)""".stripMargin
+      raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |          ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |${gramSql(2, "bigram")},
+           |${gramSql(3, "trigram")}
+           |SELECT b.doc_id, b.n_bigrams, b.top_bigram_count, b.dup_bigram_count,
+           |  b.top_bigram_frac, b.dup_bigram_frac,
+           |  t.n_trigrams, t.top_trigram_count, t.dup_trigram_count,
+           |  t.top_trigram_frac, t.dup_trigram_frac,
+           |  (b.top_bigram_frac <= 0.20 AND t.top_trigram_frac <= 0.18
+           |   AND b.dup_bigram_frac <= 0.40) AS keep
+           |FROM s_bigram b JOIN s_trigram t USING (doc_id)""".stripMargin
+    }) { (s, d) =>
+      TextAnalysis.repetitionStats(docs(s, d), "text", "doc_id")
+    },
+
     // count-min sketch heavy-hitter estimation: the top-20 true-count
     // tokens probed against a d=4 × w=256 CMS of the whole token stream.
     // The sketch shuffle is bounded by d·w, never by vocabulary size; the
@@ -549,6 +597,46 @@ object SketchQueries {
         "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
       val lsh = Similarity.lshTopK(e, "vec_id", "embedding",
+        k = 5, h = OpsQueries.autoH(e), maxBucket = 4096)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      brute.join(lsh, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+        .withColumn("recall", col("n_hit").cast("double") / col("k").cast("double"))
+    },
+
+    // recall of the MULTI-PROBE LSH (self bucket + h one-bit-flip
+    // probes) against the same brute-force truth: quantifies what the
+    // (h+1)× probe volume buys over sim_ann_recall's single probe.
+    // SimilarityTextSpec pins the floor — the improvement is a tested
+    // property, not a comment
+    QuerySpec("sim_ann_multiprobe_recall", {
+      val lshSql = LshOracleSql.multiProbeTopkSqlAuto(OpsQueries.HMax,
+        OpsQueries.LshTargetBucket, k = 5, maxBucket = 4096)
+      raw"""WITH brute AS (
+           |  WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+           |  scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+           |               list_dot_product(qv, e.embedding) AS score
+           |             FROM q JOIN embeddings e ON e.vec_id <> query_id)
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+           |    FROM scored)
+           |  WHERE rank <= 5),
+           |lsh AS (SELECT query_id, neighbor_id FROM ($lshSql))
+           |SELECT b.query_id, count(*) AS k,
+           |  CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS recall
+           |FROM brute b LEFT JOIN lsh l
+           |  ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+           |GROUP BY 1""".stripMargin
+    }) { (s, d) =>
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      val brute = Similarity.bruteForceTopK(e, e.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = Similarity.lshTopKMultiProbe(e, "vec_id", "embedding",
         k = 5, h = OpsQueries.autoH(e), maxBucket = 4096)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
       brute.join(lsh, Seq("query_id", "neighbor_id"), "left")

@@ -329,6 +329,68 @@ object Dedup {
   }
 
   /**
+   * Incremental near-dup: which docs of a NEW batch near-duplicate an
+   * already-ingested corpus — the daily-crawl shape at 100 TB, where
+   * re-running all-pairs LSH over corpus ∪ batch would rescan petabytes
+   * for a gigabyte of novelty. The seen side participates only through
+   * its MinHash signatures (k longs per doc — the persisted state of a
+   * production run; computed here from `seenDf` for the self-contained
+   * form), so the incremental cost is: sign the batch, band-join
+   * against the seen band table, verify candidates on SIGNATURES.
+   *
+   * Verification is the signature-estimated Jaccard (fraction of equal
+   * slots, an unbiased estimator of the true Jaccard) rather than exact
+   * shingle intersection — deliberately: exact verify would need the
+   * seen docs' shingle sets, i.e. a rescan of history text, exactly
+   * what incremental state exists to avoid. `maxBucket` caps the SEEN
+   * side of each band bucket (hub-boilerplate buckets bound the join
+   * fan-out; a fresh batch doc still probes every non-hub band).
+   *
+   * Returns `(new_doc, seen_doc, slot_agreement)` for pairs with
+   * agreement ≥ `minAgreement`.
+   */
+  def minHashIncremental(newDf: DataFrame, seenDf: DataFrame, textCol: String,
+      idCol: String, shingleN: Int = 3, k: Int = 64, bands: Int = 8,
+      minAgreement: Double = 0.5d, maxBucket: Int = 100,
+      hash: SketchHash = SketchHash.Portable): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sigN = graft.recon.Checkpoints.cut(
+      minHashSignatures(newDf, textCol, idCol, shingleN, k, hash))
+    val sigS = graft.recon.Checkpoints.cut(
+      minHashSignatures(seenDf, textCol, idCol, shingleN, k, hash))
+    def banded(sig: DataFrame): DataFrame = {
+      val bandCols = (0 until bands).map { b =>
+        hash.band((b * rows until (b + 1) * rows).map(i => col(s"h$i"))).as(s"b$b")
+      }
+      sig.select(col("doc"), posexplode(array(bandCols: _*)))
+        .toDF("doc", "band", "band_hash")
+    }
+    val bN = banded(sigN)
+    val bS = banded(sigS)
+    val okBuckets = bS.groupBy("band", "band_hash").agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBucket)
+      .select("band", "band_hash")
+    val cands = bN
+      .join(bS.join(okBuckets, Seq("band", "band_hash"), "left_semi")
+        .select(col("band"), col("band_hash"), col("doc").as("seen_doc")),
+        Seq("band", "band_hash"))
+      .select(col("doc").as("new_doc"), col("seen_doc"))
+      .distinct()
+    val nCols = col("doc").as("new_doc") +: (0 until k).map(i => col(s"h$i").as(s"__n_h$i"))
+    val sCols = col("doc").as("seen_doc") +: (0 until k).map(i => col(s"h$i").as(s"__s_h$i"))
+    val agree = (0 until k)
+      .map(i => when(col(s"__n_h$i") === col(s"__s_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cands
+      .join(sigN.select(nCols: _*), Seq("new_doc"))
+      .join(sigS.select(sCols: _*), Seq("seen_doc"))
+      .withColumn("slot_agreement", agree.cast("double") / lit(k.toDouble))
+      .where(col("slot_agreement") >= minAgreement)
+      .select(col("new_doc"), col("seen_doc"), col("slot_agreement"))
+  }
+
+  /**
    * Full MinHash near-dup pipeline: LSH candidates verified with exact
    * n-gram Jaccard (shingle-set intersection via a join back to the docs).
    */

@@ -228,6 +228,78 @@ object TextAnalysis {
    * `#`/`…` symbol-per-word ratio (markup residue), and presence of ≥ 2
    * distinct common stopwords (a cheap "is this prose" gate).
    */
+  /** Sorted token n-grams of `t` (space-joined); [] when fewer than
+    * `n` tokens. Sorting is the trick that lets duplicate statistics
+    * fall out of adjacent-run lengths with NO per-doc group-by — see
+    * [[repetitionStats]]. */
+  private def sortedGrams(t: Column, n: Int): Column = {
+    require(n >= 2, s"n-gram size must be ≥ 2: $n")
+    val m = size(t) - (n - 1)
+    // guard BEFORE sequence(): Spark's sequence(1, 0) is the descending
+    // [1, 0], not empty
+    when(m <= 0, array().cast("array<string>"))
+      .otherwise(sort_array(transform(sequence(lit(1), m),
+        i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*))))
+  }
+
+  /**
+   * Within-document repetition statistics — the Gopher repetition
+   * filter family (Rae et al. 2021, Table A1; re-derived for token
+   * n-grams, not copied): per doc, for bigrams and trigrams, the
+   * occurrence count of the most frequent n-gram (`top_*`) and the
+   * number of occurrences belonging to n-grams seen more than once
+   * (`dup_*`), as exact integers plus their fractions of all n-gram
+   * occurrences. `keep` rejects loop/boilerplate docs (top-bigram ≤
+   * 0.20, top-trigram ≤ 0.18, dup-bigram ≤ 0.40 — Gopher-inspired
+   * thresholds adapted to count fractions).
+   *
+   * 100 TB shape: everything is per-row array arithmetic — sort the
+   * doc's n-grams, read duplicate counts off adjacent-run lengths — so
+   * the operator needs NO shuffle at all, versus the explode +
+   * groupBy(doc, gram) formulation whose shuffle carries every token
+   * position of the corpus. Work per row is O(len·log len).
+   *
+   * Built as STAGED projections (each intermediate array lands in a
+   * named column and later stages reference the attribute): inlining
+   * the grams/starts/runs trees into one projection re-expands each
+   * reference into a copy of the whole subtree — multiplicatively, to
+   * the point that plan optimization itself hangs. Catalyst's
+   * CollapseProject keeps non-cheap multiply-referenced aliases staged,
+   * so the attribute boundaries survive optimization.
+   */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    def addStats(in: DataFrame, n: Int, name: String): DataFrame = {
+      val (g, m, st, r) = (s"__g_$name", s"__m_$name", s"__st_$name", s"__r_$name")
+      in.withColumn(g, sortedGrams(col("__t"), n))
+        .withColumn(m, size(col(g)))
+        // starts: positions where the sorted gram value changes
+        .withColumn(st, when(col(m) === 0, array().cast("array<int>"))
+          .otherwise(filter(sequence(lit(1), col(m)),
+            i => i === 1 || element_at(col(g), i) =!= element_at(col(g), i - 1))))
+        // run lengths: gap to the next start (last run ends at m+1)
+        .withColumn(r, when(col(m) === 0, array().cast("array<int>"))
+          .otherwise(transform(sequence(lit(1), size(col(st))), j =>
+            when(j === size(col(st)), col(m) + lit(1) - element_at(col(st), j))
+              .otherwise(element_at(col(st), j + 1) - element_at(col(st), j)))))
+        .withColumn(s"n_${name}s", col(m).cast("long"))
+        .withColumn(s"top_${name}_count",
+          when(col(m) === 0, lit(0L)).otherwise(array_max(col(r)).cast("long")))
+        .withColumn(s"dup_${name}_count", when(col(m) === 0, lit(0L))
+          .otherwise((col(m) - size(filter(col(r), x => x === 1))).cast("long")))
+        .withColumn(s"top_${name}_frac", when(col(m) === 0, lit(0.0d))
+          .otherwise(col(s"top_${name}_count").cast("double") / col(m).cast("double")))
+        .withColumn(s"dup_${name}_frac", when(col(m) === 0, lit(0.0d))
+          .otherwise(col(s"dup_${name}_count").cast("double") / col(m).cast("double")))
+        .drop(g, m, st, r)
+    }
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+    addStats(addStats(base, 2, "bigram"), 3, "trigram")
+      .withColumn("keep",
+        col("top_bigram_frac") <= 0.20d && col("top_trigram_frac") <= 0.18d &&
+          col("dup_bigram_frac") <= 0.40d)
+      .drop("__t")
+  }
+
   /**
    * Boolean token gate: TRUE when at least one token of `textCol`
    * satisfies `pred`. Deliberately written as `size(filter(tokens, p))

@@ -55,6 +55,28 @@ class DedupSpec extends SparkSuite {
     assert(pairs == Set((100L, 101L)))
   }
 
+  test("minHashIncremental flags new docs near-duplicating the seen corpus") {
+    val seen = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today ok fine"),
+      (11L, "completely unrelated corpus content about other things here")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog today ok fine"), // exact dup of 10
+      (21L, "the quick brown fox jumps over the lazy cat today ok fine"), // near dup of 10
+      (22L, "nothing in common with anything previously ingested at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minHashIncremental(fresh, seen, "text", "doc_id",
+      shingleN = 3, k = 64, bands = 8, minAgreement = 0.4d, maxBucket = 100)
+      .select("new_doc", "seen_doc", "slot_agreement")
+      .as[(Long, Long, Double)].collect()
+    val pairs = out.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((20L, 10L)), s"exact dup must be flagged: $pairs")
+    // identical content ⇒ identical signatures ⇒ agreement exactly 1.0
+    assert(out.find(r => r._1 == 20L && r._2 == 10L).get._3 == 1.0d)
+    assert(!out.exists(_._1 == 22L), "novel doc must not match anything")
+    out.foreach(r => assert(r._3 >= 0.4d && r._3 <= 1.0d))
+  }
+
   test("simHash near-dups finds near-identical docs within hamming budget") {
     // the 4×16-bit chunk banding GUARANTEES candidates only for hamming ≤ 3
     // (pigeonhole); docs 1/2/5 normalize identically (hamming 0 pairwise),

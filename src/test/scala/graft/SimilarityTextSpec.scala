@@ -99,14 +99,41 @@ class SimilarityTextSpec extends SparkSuite {
     // so current recall is a constant of the code — floors sit just
     // under it and fail on any index-quality regression (a hash change,
     // a banding bug, a capping change) rather than on noise.
-    // Measured at pinning time: lsh 0.32, ivf 1.00.
+    // Measured at pinning time: lsh 0.32, multiprobe 0.80, ivf 1.00.
     def meanRecall(name: String): Double =
       graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
         .agg(avg(col("recall"))).head().getDouble(0)
     val lsh = meanRecall("sim_ann_recall")
+    val mp = meanRecall("sim_ann_multiprobe_recall")
     val ivf = meanRecall("sim_ivf_recall")
     assert(lsh >= 0.3, f"LSH mean recall regressed: $lsh%.3f < 0.3")
+    assert(mp >= 0.7, f"multi-probe LSH mean recall regressed: $mp%.3f < 0.7")
+    assert(mp > lsh, "multi-probe must beat single-probe or it isn't paying for itself")
     assert(ivf >= 0.9, f"IVF mean recall regressed: $ivf%.3f < 0.9")
+  }
+
+  test("repetitionStats counts top and duplicated n-grams via run lengths") {
+    val df = Seq(
+      (1L, "a b a b a b"),                              // heavy repetition
+      (2L, (1 to 40).map(i => s"w$i").mkString(" ")),   // all distinct
+      (3L, "")                                          // blank
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    // bigrams: "a b"×3, "b a"×2 → m=5, top=3, all 5 occurrences duplicated
+    assert(r1.getAs[Long]("n_bigrams") == 5 && r1.getAs[Long]("top_bigram_count") == 3
+      && r1.getAs[Long]("dup_bigram_count") == 5)
+    // trigrams: "a b a"×2, "b a b"×2 → m=4, top=2, dup=4
+    assert(r1.getAs[Long]("n_trigrams") == 4 && r1.getAs[Long]("top_trigram_count") == 2
+      && r1.getAs[Long]("dup_trigram_count") == 4)
+    assert(!r1.getAs[Boolean]("keep"), "looping doc must be rejected")
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("top_bigram_count") == 1 && r2.getAs[Long]("dup_bigram_count") == 0)
+    assert(r2.getAs[Boolean]("keep"), "distinct-token doc must pass")
+    val r3 = out(3L)
+    assert(r3.getAs[Long]("n_bigrams") == 0 && r3.getAs[Double]("top_bigram_frac") == 0.0
+      && r3.getAs[Boolean]("keep"))
   }
 
   test("tokenCount handles blanks and multiple spaces") {
