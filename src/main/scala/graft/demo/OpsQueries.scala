@@ -1050,6 +1050,25 @@ object SketchOracleSql {
        |WHERE slot_agreement >= $minAgreement""".stripMargin
   }
 
+  /** CTE chain ending at `lab(doc_id, label)`: every document labeled by
+    * its MinHash near-dup component (minimum reachable doc id via the
+    * recursive closure); documents in no pair keep their own id. The
+    * building block for leakage-free splits — append a hash-band CASE
+    * over `label`. */
+  def minHashComponentLabelsCte(k: Int, bands: Int, threshold: Double,
+      maxBucket: Int): String =
+    s"""WITH RECURSIVE ${minHashCtes(k, bands, maxBucket)},
+       |pairs AS (
+       |${minHashSelect(threshold)}),
+       |e2 AS (SELECT doc1 AS a, doc2 AS b FROM pairs UNION SELECT doc2, doc1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM e2
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a),
+       |comp AS (SELECT a AS doc, least(a, min(b)) AS label FROM reach GROUP BY a),
+       |lab AS (SELECT d.doc_id, COALESCE(c.label, d.doc_id) AS label
+       |        FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id)""".stripMargin
+
   /** ≡ Dedup.simHashNearDups(maxHamming, maxBucket) with md5 token
     * hashes. A doc with no tokens has signature 0 (the LEFT JOIN +
     * COALESCE — it still chunk-buckets with other blank docs). */

@@ -43,6 +43,34 @@ object ScaleQueries {
       Sampling.hashSplit(docs(s, d), "doc_id", Splits).select(col("doc_id"), col("split"))
     },
 
+    // LEAKAGE-FREE split: hash-split on the near-dup COMPONENT label
+    // instead of the doc id, so a train doc can never have a near-copy
+    // in val/test (the classic eval-leak at corpus scale — per-doc
+    // splitting puts ~half of each dup cluster on each side). Labels
+    // come from the already-mirrored MinHash→components path; singleton
+    // docs keep their own id. One extra label join over text_split
+    QuerySpec("text_split_leakfree", {
+      val edges = Sampling.splitEdges(Splits)
+      val bands = edges.init
+        .map { case (name, e) => s"WHEN h < $e THEN '$name'" }
+        .mkString(" ")
+      SketchOracleSql.minHashComponentLabelsCte(
+        k = 64, bands = 8, threshold = 0.5d, maxBucket = 100) +
+        raw""",
+             |h AS (SELECT doc_id, label, ${md5h60("CAST(label AS VARCHAR)")} AS h FROM lab)
+             |SELECT doc_id, label, CASE $bands ELSE '${edges.last._1}' END AS split FROM h""".stripMargin
+    }) { (s, d) =>
+      val all = docs(s, d)
+      val pairs = Dedup.minHashNearDups(all, "text", "doc_id",
+        shingleN = 3, k = 64, bands = 8, threshold = 0.5d, maxBucket = 100)
+      val comp = Dedup.connectedComponents(pairs)
+      val lab = all.select(col("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("label"))
+      Sampling.hashSplit(lab, "label", Splits)
+        .select(col("doc_id"), col("label"), col("split"))
+    },
+
     // seeded deterministic shuffle → (shard, position): the training-order
     // export addressing, value-checked down to every row's offset
     QuerySpec("text_shards",

@@ -323,6 +323,43 @@ object SketchQueries {
         nBins = 128, qs = Seq(1 -> 4, 2 -> 4, 3 -> 4))
     },
 
+    // the histogram's shard-merge story, completing the trilogy with
+    // text_distinct_hll_merged (max) and text_cms_topk_merged (sum):
+    // one tiny global bounds pass FIXES the bin edges, each doc_id-parity
+    // half bins against them, and the merged per-(lang,bin) count sums
+    // reproduce the whole-corpus histogram — so the quantile estimates
+    // are identical to text_len_hist_quantiles without any shard ever
+    // shipping more than nBins counts per stratum
+    QuerySpec("text_len_hist_merged",
+      raw"""WITH b AS (SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi, count(*) AS n
+           |           FROM documents GROUP BY 1),
+           |bi AS (SELECT d.lang, d.doc_id,
+           |         CASE WHEN b.hi = b.lo THEN 0
+           |              ELSE least(127, ((d.n_chars - b.lo) * 128) // (b.hi - b.lo)) END AS bin
+           |       FROM documents d JOIN b USING (lang)),
+           |c0 AS (SELECT lang, bin, count(*) AS cnt FROM bi WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+           |c1 AS (SELECT lang, bin, count(*) AS cnt FROM bi WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+           |c AS (SELECT lang, bin, CAST(sum(cnt) AS BIGINT) AS cnt FROM
+           |        (SELECT * FROM c0 UNION ALL SELECT * FROM c1) GROUP BY 1, 2),
+           |cu AS (SELECT lang, bin, sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum FROM c),
+           |qs AS (SELECT unnest([1, 2, 3]) AS qn, 4 AS qd),
+           |sel AS (SELECT cu.lang, qs.qn, qs.qd, min(cu.bin) AS bin
+           |        FROM cu CROSS JOIN qs JOIN b ON b.lang = cu.lang
+           |        WHERE cu.cum >= (b.n * qs.qn + qs.qd - 1) // qs.qd
+           |        GROUP BY 1, 2, 3)
+           |SELECT s.lang, CAST(s.qn AS DOUBLE) / s.qd AS q, b.n AS n_rows, s.bin,
+           |  CAST(b.lo * 128 + s.bin * (b.hi - b.lo) AS DOUBLE) / 128 AS est
+           |FROM sel s JOIN b ON b.lang = s.lang""".stripMargin) { (s, d) =>
+      val all = docs(s, d)
+      val bounds = Sketches.histBounds(all, "lang", "n_chars")
+      val half = (par: Int) =>
+        Sketches.histBinCounts(all.where(pmod(col("doc_id"), lit(2)) === par),
+          "lang", "n_chars", nBins = 128, bounds)
+      Sketches.histQuantilesFromCounts(
+        Sketches.histMerge(Seq(half(0), half(1)), "lang"),
+        bounds, "lang", nBins = 128, qs = Seq(1 -> 4, 2 -> 4, 3 -> 4))
+    },
+
     // conversion funnel: per-user first-touch timestamps per stage, then
     // one global count row — min(CASE) aggregates, a single shuffle on
     // user_id, and timestamp comparison for stage ordering

@@ -210,21 +210,55 @@ object Sketches {
    */
   def histQuantiles(df: DataFrame, strataCol: String, valueCol: String,
       nBins: Int, qs: Seq[(Int, Int)]): DataFrame = {
-    require(nBins >= 2, s"nBins too small: $nBins")
-    require(qs.nonEmpty && qs.forall { case (n, d) => n > 0 && n <= d },
-      s"quantiles must be rationals in (0,1]: $qs")
-    import org.apache.spark.sql.expressions.Window
-    val bounds = df.groupBy(col(strataCol)).agg(
+    val bounds = histBounds(df, strataCol, valueCol)
+    histQuantilesFromCounts(
+      histBinCounts(df, strataCol, valueCol, nBins, bounds),
+      bounds, strataCol, nBins, qs)
+  }
+
+  /** Per-stratum `(strata, __lo, __hi, __n)` bounds — the tiny global
+    * pre-pass that FIXES the bin edges. Shard-wise histogram builds must
+    * all bin against the same bounds or their counts don't merge. */
+  def histBounds(df: DataFrame, strataCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(strataCol)).agg(
       min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"),
       count(lit(1)).as("__n"))
-    val binned = df.select(col(strataCol), col(valueCol))
+
+  /** Equi-width bin counts `(strata, bin, cnt)` of `df` against
+    * caller-fixed `bounds` ([[histBounds]] shape, broadcast). */
+  def histBinCounts(df: DataFrame, strataCol: String, valueCol: String,
+      nBins: Int, bounds: DataFrame): DataFrame = {
+    require(nBins >= 2, s"nBins too small: $nBins")
+    df.select(col(strataCol), col(valueCol))
       .join(broadcast(bounds), Seq(strataCol))
       .select(col(strataCol),
         when(col("__hi") === col("__lo"), lit(0L))
           .otherwise(least(lit(nBins - 1L),
             expr(s"(($valueCol - __lo) * $nBins) div (__hi - __lo)")))
           .as("bin"))
-    val counts = binned.groupBy(col(strataCol), col("bin")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(strataCol), col("bin")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge shard-local bin counts by per-(stratum, bin) SUM — linear,
+    * like [[cmsMerge]]: shards binned against the SAME bounds sum to the
+    * whole corpus's histogram cell for cell, ≤ nBins rows per stratum
+    * per shard on the wire (oracle-checked by `text_len_hist_merged`). */
+  def histMerge(counts: Seq[DataFrame], strataCol: String): DataFrame = {
+    require(counts.nonEmpty, "nothing to merge")
+    counts.reduce(_ unionByName _)
+      .groupBy(col(strataCol), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Quantile estimates from a bin-count frame ([[histBinCounts]] /
+    * [[histMerge]] shape) plus its `bounds` — the rank scan of
+    * [[histQuantiles]]'s contract, unchanged. */
+  def histQuantilesFromCounts(counts: DataFrame, bounds: DataFrame,
+      strataCol: String, nBins: Int, qs: Seq[(Int, Int)]): DataFrame = {
+    require(nBins >= 2, s"nBins too small: $nBins")
+    require(qs.nonEmpty && qs.forall { case (n, d) => n > 0 && n <= d },
+      s"quantiles must be rationals in (0,1]: $qs")
+    import org.apache.spark.sql.expressions.Window
     val wCum = Window.partitionBy(col(strataCol)).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = counts.withColumn("cum", sum(col("cnt")).over(wCum))

@@ -77,6 +77,30 @@ class DedupSpec extends SparkSuite {
     out.foreach(r => assert(r._3 >= 0.4d && r._3 <= 1.0d))
   }
 
+  test("component-labeled hash split keeps near-dup clusters on one side") {
+    import graft.ops.Sampling
+    // a 3-doc near-dup chain + unrelated docs: whatever split the chain
+    // lands in, ALL its members land there (the leak per-doc splitting
+    // allows is exactly a train doc with a val near-copy)
+    val base = "the quick brown fox jumps over the lazy dog today ok fine and more"
+    val docs = (Seq(
+      (1L, base), (2L, base + " x"), (3L, base + " y")) ++
+      (10L to 30L).map(i => (i, s"unique content nr $i with words ${i * 7} ${i * 13} etc etc etc etc etc"))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDups(docs, "text", "doc_id",
+      shingleN = 3, k = 64, bands = 8, threshold = 0.5d, maxBucket = 100)
+    val comp = Dedup.connectedComponents(pairs)
+    val lab = docs.select(col("doc_id"))
+      .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("label"))
+    val split = Sampling.hashSplit(lab, "label", Seq("train" -> 0.5d, "val" -> 0.5d))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(Set(split(1L), split(2L), split(3L)).size == 1,
+      s"near-dup chain straddles the split: ${split.view.filterKeys(_ <= 3L).toMap}")
+    // and the split is genuinely two-sided over the unrelated docs
+    assert(split.values.toSet == Set("train", "val"))
+  }
+
   test("simHash near-dups finds near-identical docs within hamming budget") {
     // the 4×16-bit chunk banding GUARANTEES candidates only for hamming ≤ 3
     // (pigeonhole); docs 1/2/5 normalize identically (hamming 0 pairwise),

@@ -67,6 +67,28 @@ class SketchesSpec extends SparkSuite {
     assert(estWhole == estMerged)
   }
 
+  test("histogram bin counts merge by per-(stratum,bin) sum against fixed bounds") {
+    val df = ((1 to 400).map(i => ("a", (i * 7 % 1000).toLong)) ++
+      (1 to 100).map(i => ("b", (i * 13 % 500).toLong))).toDF("g", "v")
+    import graft.ops.Sketches
+    val bounds = Sketches.histBounds(df, "g", "v")
+    def cells(c: org.apache.spark.sql.DataFrame) =
+      c.select("g", "bin", "cnt").as[(String, Long, Long)].collect()
+        .map { case (g, b, n) => (g, b) -> n }.toMap
+    val whole = cells(Sketches.histBinCounts(df, "g", "v", 64, bounds))
+    val halves = Seq(0, 1).map(p =>
+      Sketches.histBinCounts(df.where(col("v") % 2 === p), "g", "v", 64, bounds))
+    assert(cells(Sketches.histMerge(halves, "g")) == whole)
+    // and quantiles from the merged counts equal the one-pass sketch's
+    val q = Seq(1 -> 2)
+    val a = Sketches.histQuantiles(df, "g", "v", 64, q)
+      .select("g", "bin").as[(String, Long)].collect().toMap
+    val b = Sketches.histQuantilesFromCounts(
+      Sketches.histMerge(halves, "g"), bounds, "g", 64, q)
+      .select("g", "bin").as[(String, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("cms sketches merge by per-(r,bucket) sum (count linearity)") {
     // counts are linear: shard-local sketches summed per cell equal the
     // one-pass sketch of the whole stream, cell for cell — so estimates
