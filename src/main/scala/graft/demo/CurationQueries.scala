@@ -103,6 +103,29 @@ object CurationQueries {
 
   val all: Seq[QuerySpec] = Seq(
 
+    // canonical normalization, the stage every curation pipeline runs
+    // first: control chars → spaces, whitespace runs collapsed, edges
+    // trimmed — per-row codegen, no shuffle. Output carries the md5 of
+    // the normalized text (registry rule: no giant strings needed when
+    // a collision-checked digest value-checks the transform) plus
+    // before/after lengths and a changed flag
+    QuerySpec("text_normalize",
+      raw"""WITH n AS (SELECT doc_id, text,
+           |  trim(regexp_replace(regexp_replace(text, '[[:cntrl:]]', ' ', 'g'),
+           |       '\s+', ' ', 'g')) AS norm
+           |  FROM documents)
+           |SELECT doc_id, md5(norm) AS norm_md5,
+           |  CAST(length(text) AS BIGINT) AS n_chars_raw,
+           |  CAST(length(norm) AS BIGINT) AS n_chars_norm,
+           |  norm <> text AS changed
+           |FROM n""".stripMargin) { (s, d) =>
+      val norm = TextAnalysis.normalize(col("text"))
+      docs(s, d).select(col("doc_id"), md5(norm).as("norm_md5"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        length(norm).cast("long").as("n_chars_norm"),
+        (norm =!= col("text")).as("changed"))
+    },
+
     // Gopher-style repetition filters, token granularity (the synthetic
     // docs are single-line, so line-level dup fractions would be
     // degenerate): duplicate-token, top-token and duplicate-bigram

@@ -940,11 +940,13 @@ object DuckHashSql {
  */
 object SketchOracleSql {
 
-  private val tokensCte: String =
+  /** `src` lets pipeline compositions run the whole chain over a prior
+    * CTE (e.g. exact-dedup survivors) instead of the raw table. */
+  private def tokensCte(src: String = "documents"): String =
     raw"""tt AS (
          |  SELECT doc_id AS doc, CASE WHEN length(trim(text)) = 0 THEN []
          |                             ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
-         |  FROM documents)""".stripMargin
+         |  FROM $src)""".stripMargin
 
   /** ≡ Dedup.minHashNearDups(shingleN = 3, k, bands, threshold, maxBucket)
     * with the Portable (md5) kernel. */
@@ -977,8 +979,8 @@ object SketchOracleSql {
   /** tokens → distinct 3-shingles → k md5/mix64 min-slots → signature
     * list CTE chain (ends at `sig(doc, hs)`), shared by the batch and
     * incremental mirrors. */
-  private def sigCtes(k: Int): String =
-    s"""$tokensCte,
+  private def sigCtes(k: Int, src: String = "documents"): String =
+    s"""${tokensCte(src)},
        |d AS (SELECT doc, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
        |                                 FOR i IN range(1, len(t) - 1)]) AS sh FROM tt),
        |sh AS (SELECT doc, unnest(sh) AS shingle FROM d),
@@ -1001,9 +1003,10 @@ object SketchOracleSql {
     }.mkString("\nUNION ALL\n")
   }
 
-  private def minHashCtes(k: Int, bands: Int, maxBucket: Int): String = {
+  private def minHashCtes(k: Int, bands: Int, maxBucket: Int,
+      src: String = "documents"): String = {
     require(k % bands == 0)
-    s"""${sigCtes(k)},
+    s"""${sigCtes(k, src)},
        |banded AS (
        |${bandBranches("sig", k, bands)}),
        |bsz AS (SELECT band, band_hash, count(*) AS n FROM banded GROUP BY 1, 2),
@@ -1056,8 +1059,8 @@ object SketchOracleSql {
     * building block for leakage-free splits — append a hash-band CASE
     * over `label`. */
   def minHashComponentLabelsCte(k: Int, bands: Int, threshold: Double,
-      maxBucket: Int): String =
-    s"""WITH RECURSIVE ${minHashCtes(k, bands, maxBucket)},
+      maxBucket: Int, src: String = "documents", extraCtes: String = ""): String =
+    s"""WITH RECURSIVE ${extraCtes}${minHashCtes(k, bands, maxBucket, src)},
        |pairs AS (
        |${minHashSelect(threshold)}),
        |e2 AS (SELECT doc1 AS a, doc2 AS b FROM pairs UNION SELECT doc2, doc1 FROM pairs),
@@ -1067,7 +1070,7 @@ object SketchOracleSql {
        |  SELECT r.a, e.b FROM reach r JOIN e2 e ON r.b = e.a),
        |comp AS (SELECT a AS doc, least(a, min(b)) AS label FROM reach GROUP BY a),
        |lab AS (SELECT d.doc_id, COALESCE(c.label, d.doc_id) AS label
-       |        FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id)""".stripMargin
+       |        FROM $src d LEFT JOIN comp c ON c.doc = d.doc_id)""".stripMargin
 
   /** ≡ Dedup.simHashNearDups(maxHamming, maxBucket) with md5 token
     * hashes. A doc with no tokens has signature 0 (the LEFT JOIN +
@@ -1135,7 +1138,7 @@ object SketchOracleSql {
        |WHERE s.n > 1 AND s.n <= $maxBucket AND bit_count(xor(a.sig, b.sig)) <= $maxHamming""".stripMargin
 
   private def simHashCtes(maxHamming: Int, maxBucket: Int): String =
-    s"""$tokensCte,
+    s"""${tokensCte()},
        |tok AS (SELECT doc, unnest(t) AS tok FROM tt),
        |th AS (SELECT doc, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h FROM tok),
        |bits AS (

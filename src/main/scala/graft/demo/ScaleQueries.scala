@@ -71,6 +71,53 @@ object ScaleQueries {
         .select(col("doc_id"), col("label"), col("split"))
     },
 
+    // END-TO-END curation pipeline — the stages a real corpus runs, in
+    // order, value-checked as ONE composition (stage interaction is
+    // what the per-stage checks can't see): exact-dedup survivors →
+    // near-dup component labels → leakage-free hash split → seeded
+    // shard/position export for the train side. val/test rows carry
+    // null shard/pos — they aren't exported for training
+    QuerySpec("text_curation_e2e", {
+      val edges = Sampling.splitEdges(Splits)
+      val bands = edges.init
+        .map { case (name, e) => s"WHEN h < $e THEN '$name'" }
+        .mkString(" ")
+      val survCte =
+        raw"""surv AS (SELECT * FROM (
+             |  SELECT d.*, row_number() OVER (
+             |    PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+             |  FROM documents d) WHERE rn = 1),
+             |""".stripMargin
+      SketchOracleSql.minHashComponentLabelsCte(
+        k = 64, bands = 8, threshold = 0.5d, maxBucket = 100,
+        src = "surv", extraCtes = survCte) +
+        raw""",
+             |h AS (SELECT doc_id, ${md5h60("CAST(label AS VARCHAR)")} AS h FROM lab),
+             |sp AS (SELECT doc_id, CASE $bands ELSE '${edges.last._1}' END AS split FROM h),
+             |tr AS (SELECT doc_id FROM sp WHERE split = 'train'),
+             |shh AS (SELECT doc_id,
+             |          ${md5h60(s"'$ShardSeed:' || CAST(doc_id AS VARCHAR)")} AS hh FROM tr),
+             |pos AS (SELECT doc_id, hh % $NShards AS shard,
+             |          row_number() OVER (PARTITION BY hh % $NShards ORDER BY hh, doc_id) AS pos
+             |        FROM shh)
+             |SELECT s.doc_id, s.split, p.shard, p.pos
+             |FROM sp s LEFT JOIN pos p USING (doc_id)""".stripMargin
+    }) { (s, d) =>
+      val surv = Dedup.exactDedup(docs(s, d), "text", "doc_id")
+      val pairs = Dedup.minHashNearDups(surv, "text", "doc_id",
+        shingleN = 3, k = 64, bands = 8, threshold = 0.5d, maxBucket = 100)
+      val comp = Dedup.connectedComponents(pairs)
+      val lab = surv.select(col("doc_id"))
+        .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("label"))
+      val split = Sampling.hashSplit(lab, "label", Splits).select(col("doc_id"), col("split"))
+      val shards = Sharding.shardPositions(
+        split.where(col("split") === "train"), "doc_id", NShards, ShardSeed)
+      split.join(shards.select(col("doc_id"), col("shard"), col("pos")),
+        Seq("doc_id"), "left")
+        .select(col("doc_id"), col("split"), col("shard"), col("pos"))
+    },
+
     // seeded deterministic shuffle → (shard, position): the training-order
     // export addressing, value-checked down to every row's offset
     QuerySpec("text_shards",

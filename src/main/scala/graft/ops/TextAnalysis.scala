@@ -18,6 +18,19 @@ object TextAnalysis {
     when(length(trim(text)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(lower(text)), "\\s+"))
 
+  /**
+   * Canonical text normalization — the first stage of every curation
+   * pipeline: ASCII control characters become spaces, whitespace runs
+   * collapse to single spaces, edges are trimmed. Per-row, codegen'd,
+   * no shuffle; DuckDB mirrors it exactly (`[[:cntrl:]]` in RE2 is the
+   * same ASCII class as Java's `\p{Cntrl}`, and the control pass runs
+   * first so the engines' slightly different `\s` classes see identical
+   * input). Deliberately NOT lowercasing — callers that hash for dedup
+   * normalize case at the hash ([[Dedup.exactGroups]] already does).
+   */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "\\p{Cntrl}", " "), "\\s+", " "))
+
   /** Token count (whitespace segmentation; 0 for blank). */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(split(trim(text), "\\s+")))

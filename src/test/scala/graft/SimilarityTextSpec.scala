@@ -136,6 +136,24 @@ class SimilarityTextSpec extends SparkSuite {
       && r3.getAs[Boolean]("keep"))
   }
 
+  test("normalize collapses whitespace and control chars, and is idempotent") {
+    import graft.ops.TextAnalysis.normalize
+    val df = Seq(
+      (1L, "  a\tb\ncd  e  "),  // tabs, newline, vertical tab, runs
+      (2L, "already clean"),
+      (3L, "")
+    ).toDF("id", "text")
+    val out = df.select(col("id"), normalize(col("text")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "a b c d e")
+    assert(out(2L) == "already clean")
+    assert(out(3L) == "")
+    // idempotent: normalizing normalized text is the identity
+    val twice = df.select(col("id"), normalize(normalize(col("text"))).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(twice == out)
+  }
+
   test("tokenCount handles blanks and multiple spaces") {
     val df = Seq(Tuple1("a  b   c"), Tuple1(""), Tuple1("   "), Tuple1("word")).toDF("text")
     assert(df.select(TextAnalysis.tokenCount(col("text"))).as[Int].collect().toSeq ==
