@@ -87,6 +87,11 @@ object Dedup {
    * AQE broadcasts `seen` on its own when it is genuinely small.
    * Within-batch duplicates are NOT removed here (this is the cross-run
    * filter) — compose with [[exactDedup]] on the survivors for both.
+   *
+   * Runs UNCHANGED on a `readStream` frame: a stream-static left-anti
+   * join, append mode, no streaming state (the static `seen` side is
+   * the state, maintained by whatever batch ingest wrote it) —
+   * spec-asserted equivalent to the batch form on the same files.
    */
   def incrementalDedup(newDf: DataFrame, seen: DataFrame, textCol: String): DataFrame =
     newDf.withColumn("__ch", contentHash(col(textCol)))

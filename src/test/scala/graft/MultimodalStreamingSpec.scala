@@ -234,6 +234,39 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(hopStream.nonEmpty && hopStream == hopBatch)
   }
 
+  test("incrementalDedup runs unchanged as a stream-static anti-join") {
+    import org.apache.spark.sql.{DataFrame, Dataset, Row}
+    import graft.ops.Dedup
+    // the batch operator IS the streaming operator: a stream of new docs
+    // anti-joined against the static seen-hash set — no code fork, the
+    // static side is the state (maintained by the batch ingest)
+    val seen = Dedup.seenContentHashes(
+      Seq((1L, "already ingested content"), (2L, "other known text")).toDF("doc_id", "text"),
+      "text")
+    val fresh = Seq(
+      (10L, "already ingested content"),  // dup of seen 1 → dropped
+      (11L, "genuinely new content"),
+      (12L, "other known text"),          // dup of seen 2 → dropped
+      (13L, "more new content")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup").toFile
+    fresh.write.mode("overwrite").parquet(dir.getAbsolutePath)
+
+    val want = Dedup.incrementalDedup(fresh, seen, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(want == Set(11L, 13L))
+
+    val stream = spark.readStream.schema(fresh.schema).parquet(dir.getAbsolutePath)
+    val buf = new java.util.concurrent.atomic.AtomicReference[Set[Long]](Set.empty)
+    val q = Dedup.incrementalDedup(stream, seen, "text").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        buf.getAndUpdate(s => s ++ b.select("doc_id").as[Long].collect().toSet): Unit
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(buf.get() == want)
+  }
+
   test("tumblingAggStream produces windowed aggregates via readStream") {
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toFile
     eventsDf.write.mode("overwrite").parquet(dir.getAbsolutePath)

@@ -136,6 +136,39 @@ class SimilarityTextSpec extends SparkSuite {
       && r3.getAs[Boolean]("keep"))
   }
 
+  test("property: repetitionStats matches a naive per-doc reference count") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // naive reference: count n-gram multiplicities directly
+    def ref(tokens: Seq[String], n: Int): (Long, Long, Long) = {
+      val grams = tokens.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+      if (grams.isEmpty) (0L, 0L, 0L)
+      else {
+        val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+        (grams.size.toLong, counts.values.max, counts.values.filter(_ > 1).sum)
+      }
+    }
+    val genDoc = Gen.listOfN(30, Gen.oneOf("a", "b", "c", "ab", "x"))
+    val docsGen = Gen.listOfN(8, genDoc)
+    (1 to 5).foreach { i =>
+      val docLists = docsGen(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(fail(s"gen failed for seed $i"))
+      val df = docLists.zipWithIndex
+        .map { case (ts, id) => (id.toLong, ts.mkString(" ")) }.toDF("doc_id", "text")
+      val got = TextAnalysis.repetitionStats(df, "text", "doc_id").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("top_bigram_count"),
+            r.getAs[Long]("dup_bigram_count")),
+           (r.getAs[Long]("n_trigrams"), r.getAs[Long]("top_trigram_count"),
+            r.getAs[Long]("dup_trigram_count")))).toMap
+      docLists.zipWithIndex.foreach { case (ts, id) =>
+        val (g2, g3) = got(id.toLong)
+        assert(g2 == ref(ts, 2), s"seed $i doc $id bigrams: got $g2 want ${ref(ts, 2)}")
+        assert(g3 == ref(ts, 3), s"seed $i doc $id trigrams: got $g3 want ${ref(ts, 3)}")
+      }
+    }
+  }
+
   test("normalize collapses whitespace and control chars, and is idempotent") {
     import graft.ops.TextAnalysis.normalize
     val df = Seq(
