@@ -211,6 +211,54 @@ object CurationQueries {
         k1 = K1, b = B, logIdf = false)
     },
 
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 lexical arm
+    // (top-20 for the term set) and a semantic arm (top-20 by exact
+    // float dot against doc 0's embedding, doc_id ≡ vec_id). RRF needs
+    // no score calibration — each arm contributes 1/(60+rank) — and the
+    // fusion itself only ever sees the two k-row frames
+    QuerySpec("retrieval_hybrid_rrf", {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val perTermSum = Bm25Terms
+        .map(t => s"coalesce(sum(CASE WHEN tk = '$t' THEN s END), 0.0)")
+        .mkString("\n      + ")
+      raw"""WITH $tokensCte,
+           |dl AS (SELECT doc_id, CAST($tokenCountSql AS DOUBLE) AS dl FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS s FROM dl),
+           |tok AS (SELECT doc_id, unnest(t) AS tk FROM tt),
+           |tf AS (SELECT doc_id, tk, CAST(count(*) AS DOUBLE) AS tf
+           |       FROM tok WHERE tk IN ($termList) GROUP BY 1, 2),
+           |dfq AS (SELECT tk, CAST(count(*) AS DOUBLE) AS dfq FROM tf GROUP BY 1),
+           |sc AS (SELECT f.doc_id, f.tk,
+           |    ((st.n - q.dfq + 0.5) / (q.dfq + 0.5)) *
+           |    ((f.tf * ${K1 + 1.0d}) / (f.tf + $K1 * (${1.0d - B} + $B * (d.dl / (st.s / st.n))))) AS s
+           |  FROM tf f JOIN dfq q USING (tk) JOIN dl d USING (doc_id) CROSS JOIN st),
+           |agg AS (SELECT doc_id, $perTermSum AS score FROM sc GROUP BY 1),
+           |lex AS (SELECT doc_id, rank FROM (
+           |          SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM agg)
+           |        WHERE rank <= 20),
+           |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+           |sem0 AS (SELECT e.vec_id AS doc_id, list_dot_product(v, e.embedding) AS score
+           |         FROM qv CROSS JOIN embeddings e WHERE e.vec_id <> 0),
+           |sem AS (SELECT doc_id, rank FROM (
+           |          SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sem0)
+           |        WHERE rank <= 20),
+           |fused AS (SELECT coalesce(l.doc_id, m.doc_id) AS doc_id,
+           |    coalesce(CAST(1 AS DOUBLE) / CAST(60 + l.rank AS DOUBLE), 0.0)
+           |      + coalesce(CAST(1 AS DOUBLE) / CAST(60 + m.rank AS DOUBLE), 0.0) AS rrf_score
+           |  FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.doc_id)
+           |SELECT doc_id, rrf_score, rank FROM (
+           |  SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank FROM fused)
+           |WHERE rank <= 10""".stripMargin
+    }) { (s, d) =>
+      val lex = Retrieval.bm25TopK(docs(s, d), "text", "doc_id", Bm25Terms, k = 20,
+        k1 = K1, b = B, logIdf = false)
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      val sem = Similarity.bruteForceTopK(e, e.where(col("vec_id") === 0),
+          "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Retrieval.rrfFuse(lex.select(col("doc_id"), col("rank")), sem, "doc_id", k = 10)
+    },
+
     // concat-then-chunk sequence packing per language (2048-token budget):
     // bin population + token totals, value-checked. Exact integral div on
     // the running sum — no double floor

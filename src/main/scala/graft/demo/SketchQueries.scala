@@ -801,6 +801,67 @@ object SketchQueries {
           count(lit(1)).as("n_docs"))
     },
 
+    // KMV bottom-k distinct-token estimate per language: unlike HLL the
+    // sketch is a uniform sample of the distinct-hash space, so the same
+    // k rows also support set algebra (see text_kmv_jaccard). Sketch
+    // rows, the k-th hash, and the estimator's single division are all
+    // cross-engine exact; strata smaller than k are exact counts
+    QuerySpec("text_kmv_distinct",
+      raw"""WITH $TokensCte,
+           |hh AS (SELECT DISTINCT lang, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+           |sk AS (SELECT lang, h FROM (
+           |         SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS pos FROM hh)
+           |       WHERE pos <= 48),
+           |agg AS (SELECT lang, count(*) AS n_sketch, max(h) AS hmax FROM sk GROUP BY 1)
+           |SELECT lang, n_sketch,
+           |  CASE WHEN n_sketch = 48 THEN hmax END AS kth_hash,
+           |  CASE WHEN n_sketch = 48 THEN (47 * 1152921504606846976.0) / CAST(hmax AS DOUBLE)
+           |       ELSE CAST(n_sketch AS DOUBLE) END AS est
+           |FROM agg""".stripMargin) { (s, d) =>
+      val toks = docs(s, d)
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      Sketches.kmvEstimate(Sketches.kmvSketch(toks, "lang", col("tok"), k = 48), "lang", k = 48)
+    },
+
+    // the KMV set-algebra payoff: token-set Jaccard between two corpus
+    // halves (doc_id parity — stand-in for two crawls) per language,
+    // estimated from the MERGED bottom-k sketch. Each side ships k
+    // hashes; no distinct-intersection of full corpora ever runs —
+    // "how much does crawl A overlap crawl B" at sketch cost
+    QuerySpec("text_kmv_jaccard",
+      raw"""WITH tt AS (SELECT doc_id, lang, CASE WHEN length(trim(text)) = 0 THEN []
+           |          ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |tok AS (SELECT doc_id, lang, unnest(t) AS tok FROM tt),
+           |hh AS (SELECT doc_id % 2 AS par, lang, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+           |ska AS (SELECT lang, h FROM (
+           |          SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS pos
+           |          FROM (SELECT DISTINCT lang, h FROM hh WHERE par = 0))
+           |        WHERE pos <= 48),
+           |skb AS (SELECT lang, h FROM (
+           |          SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS pos
+           |          FROM (SELECT DISTINCT lang, h FROM hh WHERE par = 1))
+           |        WHERE pos <= 48),
+           |u AS (SELECT lang, h FROM (
+           |        SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS pos
+           |        FROM (SELECT DISTINCT lang, h FROM
+           |               (SELECT * FROM ska UNION ALL SELECT * FROM skb)))
+           |      WHERE pos <= 48)
+           |SELECT u.lang, count(*) AS k_union,
+           |  CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_both,
+           |  CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS jaccard_est
+           |FROM u LEFT JOIN ska a ON u.lang = a.lang AND u.h = a.h
+           |       LEFT JOIN skb b ON u.lang = b.lang AND u.h = b.h
+           |GROUP BY 1""".stripMargin) { (s, d) =>
+      val toks = docs(s, d)
+        .select(col("doc_id"), col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val half = (p: Int) =>
+        Sketches.kmvSketch(toks.where(pmod(col("doc_id"), lit(2)) === p),
+          "lang", col("tok"), k = 48)
+      Sketches.kmvJaccard(half(0), half(1), "lang", k = 48)
+    },
+
     // quality-aware canonicalization: near-dup clusters (simhash pairs →
     // connected components) each elect the member with the highest
     // quality score (tie → lowest id) — detect → cluster → CHOOSE, the

@@ -114,6 +114,40 @@ object Retrieval {
     dfreq.join(capped, Seq("term"))
   }
 
+  /**
+   * Reciprocal-rank fusion (Cormack et al., SIGIR'09 — re-derived) of two
+   * ranked retrieval arms — the standard way to combine a lexical (BM25)
+   * and a semantic (embedding ANN) ranking without score calibration:
+   * `rrf = Σ_arm 1/(kRrf + rank_arm)`, missing-from-an-arm contributes 0.
+   *
+   * Inputs are already top-k frames (`(idCol, …, rank)`), so the fusion
+   * join and final re-rank touch ≤ |a|+|b| ≈ 2k rows — the scale cost
+   * lives entirely in the arms, which keep their own contracts (BM25:
+   * term-filtered shuffle + TakeOrderedAndProject; ANN: broadcast probe
+   * or bucketed LSH). Float discipline: each term is one exact IEEE
+   * division of small integers and the two-term sum has a fixed operand
+   * order, so the fused score is bit-reproducible in any engine.
+   *
+   * Output: `(idCol, rrf_score, rank)`, top `k` by fused score
+   * (ties → lowest id).
+   */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, k: Int,
+      kRrf: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && kRrf >= 1, s"bad k=$k / kRrf=$kRrf")
+    val fa = a.select(col(idCol), col("rank").as("__ra"))
+    val fb = b.select(col(idCol), col("rank").as("__rb"))
+    val term = (r: Column) =>
+      coalesce(lit(1.0d) / (lit(kRrf) + r).cast("double"), lit(0.0d))
+    val fused = fa.join(fb, Seq(idCol), "full_outer")
+      .withColumn("rrf_score", term(col("__ra")) + term(col("__rb")))
+    val top = fused.orderBy(col("rrf_score").desc, col(idCol)).limit(k)
+    // window over ≤ k rows — bounded by construction
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf_score").desc, col(idCol))))
+      .select(col(idCol), col("rrf_score"), col("rank"))
+  }
+
   /** Top-k documents by BM25 for `terms`, with a deterministic dense rank
     * (ties break on the id). The k-selection is orderBy+limit — Spark plans
     * it as TakeOrderedAndProject (distributed heaps), NOT a global sort;

@@ -280,4 +280,115 @@ object Sketches {
         ((col("__lo") * nBins + col("bin") * (col("__hi") - col("__lo")))
           .cast("double") / nBins).as("est"))
   }
+
+  // ---- KMV (k-minimum-values / bottom-k) sketch --------------------------
+
+  /**
+   * Per-stratum bottom-k DISTINCT-hash sketch (Beyer et al., "On synopses
+   * for distinct-value estimation under multiset operations", SIGMOD'07 —
+   * re-derived, not copied). Where HLL answers only "how many distinct",
+   * a KMV sketch is a uniform SAMPLE of the distinct-value space: k small
+   * integers per stratum that support distinct-count estimation AND set
+   * algebra — union (merge), and from a merged sketch, Jaccard /
+   * containment between corpora — without ever materializing an
+   * intersection. That is the 100 TB use: "how much does crawl A overlap
+   * crawl B" as a bottom-k merge of two k-row sketches instead of a
+   * distinct-join of two full corpora.
+   *
+   * Shape: hashes are portable md5-60 ([[Sampling.keyHash]]), so the
+   * sketch is uniform on [0, 2^60) and every row is oracle-reproducible.
+   * The `distinct()` is an aggregate — map-side partial dedup bounds the
+   * shuffle by per-partition distinct hashes, not row count. The
+   * bottom-k itself is two streaming `row_number` passes: first within
+   * `salts` hash-salted subgroups (each of the k global minima is
+   * necessarily within its salt's bottom-k, so correctness is layout- and
+   * salt-independent), then over the ≤ salts·k survivors per stratum —
+   * the single-key window only ever sees a sketch-sized frame, so a
+   * billion-distinct stratum costs the same final pass as a thousand-
+   * distinct one.
+   *
+   * Output: `(strata, pos, h)` with `pos` = 1-based rank of `h` among
+   * the stratum's distinct hashes, `pos ≤ k`.
+   */
+  def kmvSketch(df: DataFrame, strataCol: String, valueCol: Column, k: Int,
+      salts: Int = 64): DataFrame = {
+    require(k >= 2, s"k too small: $k")
+    import org.apache.spark.sql.expressions.Window
+    val hashes = df.select(col(strataCol), Sampling.keyHash(valueCol).as("h")).distinct()
+    val wSalt = Window.partitionBy(col(strataCol), col("__salt")).orderBy(col("h"))
+    val survivors = hashes
+      .withColumn("__salt", pmod(col("h"), lit(salts.toLong)))
+      .withColumn("__rn", row_number().over(wSalt))
+      .where(col("__rn") <= k)
+      .drop("__salt", "__rn")
+    bottomK(survivors, strataCol, k)
+  }
+
+  /** Final bottom-k rank over an already-sketch-sized `(strata, h)` frame
+    * (distinct hashes). Shared by [[kmvSketch]] and [[kmvMerge]]. */
+  private def bottomK(hashes: DataFrame, strataCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("h"))
+    hashes.withColumn("pos", row_number().over(w))
+      .where(col("pos") <= k)
+      .select(col(strataCol), col("pos"), col("h"))
+  }
+
+  /**
+   * Merge shard-local KMV sketches: bottom-k of the distinct union —
+   * EXACTLY the sketch of the unioned corpora (bottom-k is idempotent
+   * and commutes with union), so shards/days build independently and
+   * merge by shipping k hashes each, never rescanning values. The input
+   * is sketch-sized (shards·k rows per stratum), so every step here is
+   * trivially bounded.
+   */
+  def kmvMerge(sketches: Seq[DataFrame], strataCol: String, k: Int): DataFrame = {
+    require(sketches.nonEmpty, "nothing to merge")
+    val u = sketches.map(_.select(col(strataCol), col("h"))).reduce(_ unionByName _)
+    bottomK(u.distinct(), strataCol, k)
+  }
+
+  /**
+   * Distinct-count estimate from a [[kmvSketch]] frame: when the stratum
+   * filled the sketch (`n_sketch = k`), `est = (k-1) · 2^60 / h_k` with
+   * `h_k` the k-th smallest hash (the standard unbiased KMV estimator on
+   * a [0, 2^60) hash space); a stratum with fewer distinct values than k
+   * holds ALL of them, so the count is exact. Integer inputs throughout;
+   * the only float op is the final division (the bigint→double casts
+   * round identically under IEEE-754 in both engines).
+   *
+   * Output: `(strata, n_sketch, kth_hash, est)` — `kth_hash` null on the
+   * exact branch.
+   */
+  def kmvEstimate(sketch: DataFrame, strataCol: String, k: Int): DataFrame = {
+    val num = (k - 1).toDouble * math.pow(2.0, 60) // exact: (k-1) · 2^60
+    sketch.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("__hmax"))
+      .select(col(strataCol), col("n_sketch"),
+        when(col("n_sketch") === k, col("__hmax")).as("kth_hash"),
+        when(col("n_sketch") === k, lit(num) / col("__hmax").cast("double"))
+          .otherwise(col("n_sketch").cast("double")).as("est"))
+  }
+
+  /**
+   * Jaccard estimate between two corpora from their KMV sketches: with
+   * `U` = the merged (union) sketch, `J ≈ |U ∩ A ∩ B| / |U|` — the
+   * fraction of the union's bottom-k sample present in both sides. A
+   * k-row broadcast join per side; exact when both strata are smaller
+   * than k. Output: `(strata, k_union, n_both, jaccard_est)`.
+   */
+  def kmvJaccard(a: DataFrame, b: DataFrame, strataCol: String, k: Int): DataFrame = {
+    val u = kmvMerge(Seq(a, b), strataCol, k)
+    val inA = a.select(col(strataCol), col("h")).withColumn("__in_a", lit(1))
+    val inB = b.select(col(strataCol), col("h")).withColumn("__in_b", lit(1))
+    u.join(broadcast(inA), Seq(strataCol, "h"), "left")
+      .join(broadcast(inB), Seq(strataCol, "h"), "left")
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("k_union"),
+        sum(when(col("__in_a") === 1 && col("__in_b") === 1, 1L).otherwise(0L))
+          .as("n_both"))
+      .select(col(strataCol), col("k_union"), col("n_both"),
+        (col("n_both").cast("double") / col("k_union").cast("double"))
+          .as("jaccard_est"))
+  }
 }

@@ -87,6 +87,23 @@ class CurationOpsSpec extends SparkSuite {
 
   // ---------------------------------------------------------- packing
 
+  test("rrfFuse combines arms, handles one-arm-only ids, ranks deterministically") {
+    // arm A ranks 1,2,3 → ids 10,11,12; arm B ranks 1,2,3 → ids 12,13,10
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("doc_id", "rank")
+    val b = Seq((12L, 1), (13L, 2), (10L, 3)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuse(a, b, "doc_id", k = 4, kRrf = 60)
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("rrf_score"), r.getAs[Int]("rank")))
+    def s(r: Int) = 1.0 / (60 + r)
+    // expected fused scores
+    val want = Map(
+      10L -> (s(1) + s(3)), 11L -> s(2), 12L -> (s(3) + s(1)), 13L -> s(2))
+    got.foreach { case (id, sc, _) => assert(sc == want(id), s"id $id") }
+    // 10 and 12 tie exactly (same term multiset, fixed operand order) →
+    // tie breaks on id; one-arm ids 11/13 tie below them, again by id
+    assert(got.map(_._1).toSeq == Seq(10L, 12L, 11L, 13L))
+    assert(got.map(_._3).toSeq == Seq(1, 2, 3, 4))
+  }
+
   test("packByBudget assigns chunk of first token; oversize docs straddle") {
     val df = Seq((1L, 3L), (2L, 20L), (3L, 4L)).toDF("id", "w")
       .withColumn("g", lit("x"))

@@ -67,6 +67,72 @@ class SketchesSpec extends SparkSuite {
     assert(estWhole == estMerged)
   }
 
+  // ---- KMV bottom-k ------------------------------------------------------
+
+  test("kmvSketch is the bottom-k of distinct hashes, salt- and dup-insensitive") {
+    val vals = (1 to 300).map(i => ("g", s"v$i"))
+    val df = (vals ++ vals).toDF("g", "v") // every value twice
+    val k = 16
+    val got = Sketches.kmvSketch(df, "g", col("v"), k)
+      .orderBy("pos").select("h").as[Long].collect().toSeq
+    // reference: k smallest distinct md5-60 hashes, computed directly
+    val want = vals.map(_._2).distinct
+      .map(v => graft.functions.TextOps.md5Hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+      .distinct.sorted.take(k)
+    assert(got == want)
+    // a different salt count must not change the result
+    val salted = Sketches.kmvSketch(df, "g", col("v"), k, salts = 7)
+      .orderBy("pos").select("h").as[Long].collect().toSeq
+    assert(salted == want)
+  }
+
+  test("kmv merge of shard sketches equals the whole-corpus sketch") {
+    val a = (1 to 400).map(i => ("g", s"v$i")).toDF("g", "v")
+    val b = (200 to 600).map(i => ("g", s"v$i")).toDF("g", "v") // overlapping
+    val k = 24
+    val whole = Sketches.kmvSketch(a.unionByName(b), "g", col("v"), k)
+      .select("pos", "h").as[(Int, Long)].collect().toSet
+    val merged = Sketches.kmvMerge(
+      Seq(Sketches.kmvSketch(a, "g", col("v"), k),
+        Sketches.kmvSketch(b, "g", col("v"), k)), "g", k)
+      .select("pos", "h").as[(Int, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
+  test("kmvEstimate: exact below k, within estimator error above") {
+    val small = (1 to 10).map(i => ("s", s"x$i"))
+    val big = (1 to 2000).map(i => ("b", s"y$i"))
+    val df = (small ++ big).toDF("g", "v")
+    val k = 64
+    val est = Sketches.kmvEstimate(Sketches.kmvSketch(df, "g", col("v"), k), "g", k)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est")).toMap
+    assert(est("s") == 10.0, "stratum smaller than k must be exact")
+    // KMV std error ≈ 1/sqrt(k-2) ≈ 13%; allow 3 sigma
+    assert(math.abs(est("b") - 2000) / 2000 < 0.4, s"estimate ${est("b")} for true 2000")
+  }
+
+  test("kmvJaccard estimates set overlap from merged sketches") {
+    // |A|=600, |B|=600, |A∩B|=300 → J = 300/900 = 1/3
+    val a = (1 to 600).map(i => ("g", s"v$i")).toDF("g", "v")
+    val b = (301 to 900).map(i => ("g", s"v$i")).toDF("g", "v")
+    val k = 96
+    val r = Sketches.kmvJaccard(
+      Sketches.kmvSketch(a, "g", col("v"), k),
+      Sketches.kmvSketch(b, "g", col("v"), k), "g", k).collect().head
+    assert(r.getAs[Long]("k_union") == k)
+    val j = r.getAs[Double]("jaccard_est")
+    assert(math.abs(j - 1.0 / 3.0) < 0.2, s"jaccard estimate $j for true 1/3")
+    // exact when both sides fit in the sketch entirely
+    val aSmall = (1 to 30).map(i => ("g", s"v$i")).toDF("g", "v")
+    val bSmall = (16 to 45).map(i => ("g", s"v$i")).toDF("g", "v")
+    val ex = Sketches.kmvJaccard(
+      Sketches.kmvSketch(aSmall, "g", col("v"), k),
+      Sketches.kmvSketch(bSmall, "g", col("v"), k), "g", k).collect().head
+    assert(ex.getAs[Long]("n_both") == 15L && ex.getAs[Long]("k_union") == 45L)
+    assert(ex.getAs[Double]("jaccard_est") == 15.0 / 45.0)
+  }
+
   test("histogram bin counts merge by per-(stratum,bin) sum against fixed bounds") {
     val df = ((1 to 400).map(i => ("a", (i * 7 % 1000).toLong)) ++
       (1 to 100).map(i => ("b", (i * 13 % 500).toLong))).toDF("g", "v")
