@@ -259,6 +259,56 @@ object CurationQueries {
       Retrieval.rrfFuse(lex.select(col("doc_id"), col("rank")), sem, "doc_id", k = 10)
     },
 
+    // DSIR-style data selection: score every doc by hashed-bigram
+    // affinity to the English subcorpus vs the raw pool, keep the top
+    // 25. The log-ratio is replaced by its exact-integer cross-
+    // multiplied surrogate in DECIMAL(38,0) (log's last ulp is libm-
+    // specific); the distribution tables are ≤ 1024 rows, broadcast
+    QuerySpec("text_dsir_select",
+      raw"""WITH tt AS (SELECT doc_id, lang, CASE WHEN length(trim(text)) = 0 THEN []
+           |          ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |g AS (SELECT doc_id, lang, unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS gram
+           |      FROM tt WHERE len(t) >= 2),
+           |f AS (SELECT doc_id, lang,
+           |        ('0x' || substr(md5(gram), 1, 15))::BIGINT % 1024 AS bucket FROM g),
+           |tc AS (SELECT bucket, count(*) AS tc FROM f WHERE lang = 'en' GROUP BY 1),
+           |rc AS (SELECT bucket, count(*) AS rc FROM f GROUP BY 1),
+           |ts AS (SELECT CAST(sum(tc) AS BIGINT) AS t_total FROM tc),
+           |rs AS (SELECT CAST(sum(rc) AS BIGINT) AS r_total FROM rc),
+           |sc AS (SELECT f.doc_id,
+           |         CAST(coalesce(tc.tc, 0) + 1 AS DECIMAL(38,0)) * CAST(rs.r_total + 1024 AS DECIMAL(38,0))
+           |         - CAST(rc.rc + 1 AS DECIMAL(38,0)) * CAST(ts.t_total + 1024 AS DECIMAL(38,0)) AS term
+           |       FROM f LEFT JOIN tc USING (bucket) JOIN rc USING (bucket)
+           |       CROSS JOIN ts CROSS JOIN rs),
+           |agg AS (SELECT doc_id, count(*) AS n_feats,
+           |          CAST(sum(term) AS DECIMAL(38,0)) AS score FROM sc GROUP BY 1)
+           |SELECT doc_id, n_feats, CAST(score AS DOUBLE) AS score, rank FROM (
+           |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM agg)
+           |WHERE rank <= 25""".stripMargin) { (s, d) =>
+      val dd = docs(s, d)
+      Selection.selectByAffinity(dd, dd.where(col("lang") === "en"),
+        "text", "doc_id", k = 25, nBuckets = 1024)
+    },
+
+    // BPE vocabulary induction, merge step 1: corpus → word-frequency
+    // table (the only data-sized pass), then corpus-weighted adjacent
+    // character-pair counts over vocab rows and the top-20 merge
+    // candidates (ties → pair lexicographic). The training loop is a
+    // driver loop over this same aggregation on re-segmented vocabs
+    QuerySpec("vocab_bpe_merges",
+      raw"""WITH w AS (SELECT CASE WHEN length(trim(text)) = 0 THEN []
+           |          ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |wc AS (SELECT word, count(*) AS freq FROM (SELECT unnest(t) AS word FROM w) GROUP BY 1),
+           |p AS (SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, freq
+           |      FROM (SELECT word, freq, unnest(range(1, length(word))) AS i
+           |            FROM wc WHERE length(word) >= 2)),
+           |agg AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS weight FROM p GROUP BY 1, 2)
+           |SELECT a, b, weight, rank FROM (
+           |  SELECT *, row_number() OVER (ORDER BY weight DESC, a, b) AS rank FROM agg)
+           |WHERE rank <= 20""".stripMargin) { (s, d) =>
+      Vocab.topMerges(Vocab.pairCounts(Vocab.wordCounts(docs(s, d), "text")), k = 20)
+    },
+
     // concat-then-chunk sequence packing per language (2048-token budget):
     // bin population + token totals, value-checked. Exact integral div on
     // the running sum — no double floor

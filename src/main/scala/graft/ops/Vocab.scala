@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed vocabulary induction — the BPE merge-step (Sennrich et
+ * al., "Neural machine translation of rare words with subword units",
+ * ACL'16 — re-derived, not copied) as a Spark aggregation.
+ *
+ * The classic trick that makes BPE tractable on a 100 TB corpus: the
+ * corpus collapses to its WORD-FREQUENCY table first (one hash
+ * aggregation with map-side combine — vocabulary-sized, not
+ * corpus-sized), and every pair-counting pass after that runs over
+ * vocab rows weighted by frequency. A merge iteration therefore costs
+ * O(vocab · word-length) no matter how many tokens the corpus has;
+ * only the initial word count ever sees the data.
+ *
+ * The full BPE training loop (re-segment after each chosen merge) is a
+ * DRIVER loop re-invoking [[pairCounts]] on the re-segmented vocab —
+ * the same shape as the k-means trainer in `Similarity.kmeansTrain`:
+ * each iteration is one bounded distributed pass over the vocab-sized
+ * frame, the loop control is driver-side. This module ships the
+ * corpus-heavy steps ([[wordCounts]], [[pairCounts]], [[topMerges]]);
+ * re-segmentation is corpus-independent by construction.
+ */
+object Vocab {
+
+  /** `(word, freq)` — the corpus-to-vocabulary collapse. The ONLY pass
+    * over the data; everything downstream is vocab-sized. */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /**
+   * `(a, b, weight)` — corpus-weighted adjacent symbol-pair counts over
+   * a `(word, freq)` vocab frame, symbols = single characters (BPE
+   * iteration 1; later iterations feed a re-segmented vocab back through
+   * the same aggregation). One row per pair OCCURRENCE before the
+   * aggregate — a pair appearing twice in a word counts twice, exactly
+   * the quantity BPE maximizes. Narrow explode over vocab rows, one
+   * bounded shuffle on the (a, b) pair.
+   */
+  def pairCounts(vocab: DataFrame): DataFrame = {
+    val w = col("word")
+    val pairs = when(length(w) < 2, array().cast("array<struct<a:string,b:string>>"))
+      .otherwise(transform(sequence(lit(1), length(w) - 1),
+        i => struct(w.substr(i, lit(1)).as("a"), w.substr(i + 1, lit(1)).as("b"))))
+    vocab.select(col("freq"), explode(pairs).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("weight"))
+  }
+
+  /** Top-`k` merge candidates by corpus weight (ties → pair
+    * lexicographic, the deterministic analogue of "first seen").
+    * orderBy+limit plans as TakeOrderedAndProject — distributed heaps,
+    * no global sort; the rank stamps the k survivors only. */
+  def topMerges(pairs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"bad k=$k")
+    val top = pairs.orderBy(col("weight").desc, col("a"), col("b")).limit(k)
+    // window over ≤ k rows — bounded by construction
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("weight").desc, col("a"), col("b"))))
+      .select(col("a"), col("b"), col("weight"), col("rank"))
+  }
+}

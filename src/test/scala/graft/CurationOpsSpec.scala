@@ -104,6 +104,62 @@ class CurationOpsSpec extends SparkSuite {
     assert(got.map(_._3).toSeq == Seq(1, 2, 3, 4))
   }
 
+  test("selectByAffinity scores match a naive reference and rank target-like docs first") {
+    import graft.ops.Selection
+    val target = Seq((100L, "alpha beta gamma"), (101L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta gamma"), // target-like
+      (2L, "zeta eta theta"),   // junk
+      (3L, "alpha beta"),       // partially target-like
+      (4L, "single")            // no bigrams → never selected
+    ).toDF("doc_id", "text")
+    val nB = 64
+    val got = Selection.selectByAffinity(raw, target, "text", "doc_id", k = 4, nBuckets = nB)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_feats"),
+        r.getAs[Double]("score"), r.getAs[Int]("rank")))
+
+    // naive reference: same hash, plain BigInt arithmetic
+    def grams(s: String) =
+      s.toLowerCase.split("\\s+").toSeq.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq
+    def bucket(g: String) = BigInt(graft.functions.TextOps.md5Hash60(
+      org.apache.spark.unsafe.types.UTF8String.fromString(g))) % nB
+    val tDocs = Seq("alpha beta gamma", "alpha beta delta")
+    val rDocs = Seq("alpha beta gamma", "zeta eta theta", "alpha beta", "single")
+    val tCnt = tDocs.flatMap(grams).groupBy(bucket).view.mapValues(_.size).toMap
+    val rCnt = rDocs.flatMap(grams).groupBy(bucket).view.mapValues(_.size).toMap
+    val (tT, rT) = (BigInt(tCnt.values.sum), BigInt(rCnt.values.sum))
+    def score(s: String): BigInt = grams(s).map { g =>
+      val b = bucket(g)
+      BigInt(tCnt.getOrElse(b, 0) + 1) * (rT + nB) - BigInt(rCnt(b) + 1) * (tT + nB)
+    }.sum
+    val want = Map(1L -> "alpha beta gamma", 2L -> "zeta eta theta", 3L -> "alpha beta")
+      .view.mapValues(s => score(s).toDouble).toMap
+
+    assert(got.length == 3, "the bigram-less doc must be absent")
+    got.foreach { case (id, _, sc, _) => assert(sc == want(id), s"doc $id") }
+    // target-like outranks junk; ranks are 1..3
+    val byRank = got.sortBy(_._4).map(_._1).toSeq
+    assert(byRank.head == 1L && byRank.last == 2L, s"order was $byRank")
+  }
+
+  test("BPE pairCounts weights by word frequency and counts occurrences") {
+    import graft.ops.Vocab
+    // "aaab" ×2, "ab" ×1, "x" ×3 (no pairs)
+    val docs = Seq((1L, "aaab aaab ab x x"), (2L, "x")).toDF("doc_id", "text")
+    val vocab = Vocab.wordCounts(docs, "text")
+    assert(vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("aaab" -> 2L, "ab" -> 1L, "x" -> 3L))
+    val pairs = Vocab.pairCounts(vocab).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // "aaab": (a,a)×2 + (a,b)×1 per occurrence, ×freq 2; "ab": (a,b)×1
+    assert(pairs == Map(("a", "a") -> 4L, ("a", "b") -> 3L))
+    val top = Vocab.topMerges(Vocab.pairCounts(vocab), k = 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(top == Seq(("a", "a", 4L, 1), ("a", "b", 3L, 2)))
+  }
+
   test("packByBudget assigns chunk of first token; oversize docs straddle") {
     val df = Seq((1L, 3L), (2L, 20L), (3L, 4L)).toDF("id", "w")
       .withColumn("g", lit("x"))
