@@ -327,4 +327,95 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
+
+  // ---- product quantization (PQ) ----------------------------------------
+
+  /**
+   * Per-subspace PQ codebook (Jégou et al., "Product quantization for
+   * nearest neighbor search", TPAMI'11 — re-derived, not copied): the
+   * vector space splits into `m` contiguous subspaces of `subDim` dims;
+   * each gets its own `nCentroids`-entry codebook, here the deterministic
+   * every-`modulus`-th sample sliced per subspace (the same no-RNG
+   * convention as [[ivfTopK]]; a k-means-per-subspace refinement slots in
+   * exactly like [[kmeansCentroids]] does for IVF). Output: `(s, j, cs)`
+   * — subspace, code, subvector; m·nCentroids rows, broadcast-sized by
+   * construction.
+   */
+  def pqCodebook(df: DataFrame, idCol: String, vecCol: String, m: Int, subDim: Int,
+      nCentroids: Int, modulus: Long): DataFrame = {
+    require(m >= 1 && subDim >= 1 && nCentroids >= 1, s"bad m=$m subDim=$subDim nC=$nCentroids")
+    centroids(df, idCol, vecCol, nCentroids, modulus)
+      .select((row_number().over(Window.orderBy(col("centroid_id"))) - 1).as("j"), col("cv"))
+      .select(col("j"), explode(transform(sequence(lit(0), lit(m - 1)),
+        s => struct(s.as("s"), slice(col("cv"), s * subDim + 1, lit(subDim)).as("cs"))))
+        .as("p"))
+      .select(col("p.s").as("s"), col("j"), col("p.cs").as("cs"))
+  }
+
+  /** The codebook as ONE broadcastable row: `__cb[s+1][j+1] = cs` —
+    * nested arrays ordered by (s, j) so codes index positionally. */
+  private def codebookArray(codebook: DataFrame): DataFrame =
+    broadcast(codebook
+      .groupBy(col("s"))
+      .agg(array_sort(collect_list(struct(col("j"), col("cs")))).as("__js"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("s"),
+        col("__js")))).as("__ss"))
+      .select(transform(col("__ss"), e =>
+        transform(e.getField("__js"), je => je.getField("cs"))).as("__cb")))
+
+  /**
+   * PQ-encode a corpus: `(idCol, codes)` with `codes[s]` = the 0-based
+   * index of the subspace-`s` codebook entry maximizing the float dot
+   * against the vector's `s`-slice (dot metric, consistent with every
+   * scorer here; ties → lowest code). Per-row argmax against the
+   * broadcast codebook — narrow, no shuffle, whole corpus in one pass.
+   * At rest the encoding is `m` small ints per vector versus `m·subDim`
+   * floats — the ~16–32× compression that keeps a 100 TB embedding
+   * store scannable, which is the entire point of PQ.
+   */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String, codebook: DataFrame,
+      m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol), col(vecCol))
+      .join(codebookArray(codebook))
+      .select(col(idCol), transform(sequence(lit(0), lit(m - 1)), s => {
+        val entries = element_at(col("__cb"), s + 1)
+        val best = array_max(transform(sequence(lit(1), size(entries)), jj =>
+          struct(
+            vec_dot(slice(col(vecCol), s * subDim + 1, lit(subDim)),
+              element_at(entries, jj)).as("sim"),
+            (-jj).as("neg_j"))))
+        (-best.getField("neg_j")) - 1 // back to 0-based code, ties → lowest
+      }).as("codes"))
+
+  /** Decode `(idCol, codes)` back to `(idCol, recon)` — concatenation of
+    * the coded subvectors via the broadcast codebook; per-row, narrow. */
+  def pqReconstruct(encoded: DataFrame, idCol: String, codebook: DataFrame): DataFrame =
+    encoded.join(codebookArray(codebook))
+      .select(col(idCol),
+        flatten(zip_with(col("codes"), col("__cb"),
+          (c, js) => element_at(js, c + 1))).as("recon"))
+
+  /**
+   * PQ ANN top-k with asymmetric scoring: the corpus is stored as codes;
+   * each candidate is scored as `float_dot(query, reconstruction)` where
+   * the reconstruction concatenates the coded centroid subvectors —
+   * mathematically the classic per-subspace lookup-table sum, expressed
+   * through the ONE float-dot kernel both engines already agree on bit
+   * for bit. The codebook rides along broadcast; queries broadcast like
+   * [[bruteForceTopK]]; the scan stays one narrow pass + per-query top-k
+   * (no corpus shuffle anywhere).
+   */
+  def pqTopK(df: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Int, subDim: Int, nCentroids: Int, modulus: Long): DataFrame = {
+    val cb = pqCodebook(df, idCol, vecCol, m, subDim, nCentroids, modulus)
+    val recon = pqReconstruct(pqEncode(df, idCol, vecCol, cb, m, subDim), idCol, cb)
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val scored = q.join(recon, col("query_id") =!= col(idCol))
+      .withColumn("score", vec_dot(col("qv"), col("recon")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"), col("rank"))
+  }
 }
