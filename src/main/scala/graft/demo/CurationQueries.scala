@@ -309,6 +309,39 @@ object CurationQueries {
       Vocab.topMerges(Vocab.pairCounts(Vocab.wordCounts(docs(s, d), "text")), k = 20)
     },
 
+    // corpus data card: per-(lang, source) + per-lang + whole-corpus
+    // composition stats in ONE grouping-sets pass (docs, chars, tokens,
+    // exact-ratio mean doc length) — the release-notes table every
+    // curated dataset ships with, at one-scan cost. grouping() columns
+    // disambiguate subtotal rows from real 'null' strata
+    QuerySpec("text_data_card",
+      raw"""WITH base AS (
+           |  SELECT lang, source, n_chars,
+           |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_toks
+           |  FROM documents)
+           |SELECT lang, source,
+           |  CAST(grouping(lang) AS INTEGER) AS g_lang,
+           |  CAST(grouping(source) AS INTEGER) AS g_source,
+           |  count(*) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           |  CAST(sum(n_toks) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_doc_tokens
+           |FROM base GROUP BY ROLLUP (lang, source)""".stripMargin) { (s, d) =>
+      docs(s, d)
+        .select(col("lang"), col("source"), col("n_chars"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_toks"))
+        .rollup(col("lang"), col("source"))
+        .agg(
+          grouping(col("lang")).as("g_lang"),
+          grouping(col("source")).as("g_source"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_toks")).as("total_tokens"),
+          (sum(col("n_toks")).cast("double") / count(lit(1)).cast("double"))
+            .as("mean_doc_tokens"))
+    },
+
     // concat-then-chunk sequence packing per language (2048-token budget):
     // bin population + token totals, value-checked. Exact integral div on
     // the running sum — no double floor

@@ -32,6 +32,36 @@ object OpsQueries {
   private[demo] def autoH(corpus: DataFrame): Int =
     Similarity.recommendedH(corpus.count(), LshTargetBucket)
 
+  /** ≡ Similarity.pqTopK(k=5, m=8, subDim=8, nCentroids=16, modulus=5) on
+    * embeddings with every-100th query — the full codebook→encode→
+    * reconstruct→score→rank mirror, shared by `sim_pq_topk` and the
+    * recall harness. */
+  private[demo] val PqTopkSql: String =
+    raw"""WITH samp AS (SELECT vec_id, embedding FROM embeddings
+         |              WHERE vec_id % 5 = 0 ORDER BY vec_id LIMIT 16),
+         |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS cv FROM samp),
+         |ss AS (SELECT unnest(range(0, 8)) AS s),
+         |sub AS (SELECT ss.s, cb.j, cb.cv[ss.s*8+1 : ss.s*8+8] AS cs FROM cb CROSS JOIN ss),
+         |sims AS (SELECT e.vec_id, u.s, u.j,
+         |           list_dot_product(e.embedding[u.s*8+1 : u.s*8+8], u.cs) AS sim
+         |         FROM embeddings e CROSS JOIN sub u),
+         |codes AS (SELECT vec_id, s, j AS code FROM (
+         |            SELECT vec_id, s, j,
+         |              row_number() OVER (PARTITION BY vec_id, s ORDER BY sim DESC, j) AS rn
+         |            FROM sims)
+         |          WHERE rn = 1),
+         |recon AS (SELECT c.vec_id, flatten(list(u.cs ORDER BY c.s)) AS rv
+         |          FROM codes c JOIN sub u ON u.s = c.s AND u.j = c.code
+         |          GROUP BY c.vec_id),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |scored AS (SELECT query_id, r.vec_id AS neighbor_id,
+         |             list_dot_product(qv, r.rv) AS score
+         |           FROM q JOIN recon r ON r.vec_id <> query_id)
+         |SELECT query_id, neighbor_id, score, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin
+
   /** events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
     * read nanos as long (legacy conf) and truncate to a micros timestamp —
     * same ms values the DuckDB oracle sees via epoch_ms. */
@@ -438,31 +468,7 @@ object OpsQueries {
     // reconstruction) — the per-subspace lookup-table sum routed through
     // the one float kernel both engines already match bit for bit. The
     // whole encode→decode→score→top-k path is value-checked
-    QuerySpec("sim_pq_topk",
-      raw"""WITH samp AS (SELECT vec_id, embedding FROM embeddings
-           |              WHERE vec_id % 5 = 0 ORDER BY vec_id LIMIT 16),
-           |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS cv FROM samp),
-           |ss AS (SELECT unnest(range(0, 8)) AS s),
-           |sub AS (SELECT ss.s, cb.j, cb.cv[ss.s*8+1 : ss.s*8+8] AS cs FROM cb CROSS JOIN ss),
-           |sims AS (SELECT e.vec_id, u.s, u.j,
-           |           list_dot_product(e.embedding[u.s*8+1 : u.s*8+8], u.cs) AS sim
-           |         FROM embeddings e CROSS JOIN sub u),
-           |codes AS (SELECT vec_id, s, j AS code FROM (
-           |            SELECT vec_id, s, j,
-           |              row_number() OVER (PARTITION BY vec_id, s ORDER BY sim DESC, j) AS rn
-           |            FROM sims)
-           |          WHERE rn = 1),
-           |recon AS (SELECT c.vec_id, flatten(list(u.cs ORDER BY c.s)) AS rv
-           |          FROM codes c JOIN sub u ON u.s = c.s AND u.j = c.code
-           |          GROUP BY c.vec_id),
-           |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
-           |scored AS (SELECT query_id, r.vec_id AS neighbor_id,
-           |             list_dot_product(qv, r.rv) AS score
-           |           FROM q JOIN recon r ON r.vec_id <> query_id)
-           |SELECT query_id, neighbor_id, score, rank FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
-           |  FROM scored)
-           |WHERE rank <= 5""".stripMargin) { (s, d) =>
+    QuerySpec("sim_pq_topk", PqTopkSql) { (s, d) =>
       val e = embs(s, d)
       Similarity.pqTopK(e, e.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
         k = 5, m = 8, subDim = 8, nCentroids = 16, modulus = 5L)

@@ -742,6 +742,42 @@ object SketchQueries {
         .withColumn("recall", col("n_hit").cast("double") / col("k").cast("double"))
     },
 
+    // recall of the PQ index against the same brute-force truth — the
+    // third leg of the ANN recall family (LSH, IVF, PQ): what the
+    // 16-32× at-rest compression costs in top-5 agreement, measured in
+    // exact integers per query
+    QuerySpec("sim_pq_recall",
+      raw"""WITH brute AS (
+           |  WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+           |  scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+           |               list_dot_product(qv, e.embedding) AS score
+           |             FROM q JOIN embeddings e ON e.vec_id <> query_id)
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+           |    FROM scored)
+           |  WHERE rank <= 5),
+           |pq AS (SELECT query_id, neighbor_id FROM (${OpsQueries.PqTopkSql}))
+           |SELECT b.query_id, count(*) AS k,
+           |  CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS recall
+           |FROM brute b LEFT JOIN pq p
+           |  ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+           |GROUP BY 1""".stripMargin) { (s, d) =>
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      val queries = e.where(col("vec_id") % 100 === 0)
+      val brute = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val pq = Similarity.pqTopK(e, queries, "vec_id", "embedding",
+        k = 5, m = 8, subDim = 8, nCentroids = 16, modulus = 5L)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      brute.join(pq, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+        .withColumn("recall", col("n_hit").cast("double") / col("k").cast("double"))
+    },
+
     // language-ID quality audit: confusion matrix of the declared lang
     // against the stopword predictor — the check that tells you how far
     // to trust metadata labels before using them as sampling strata.
