@@ -33,20 +33,32 @@ object Selection {
 
   /** `(idCol, bucket)` hashed-bigram occurrence stream of a corpus —
     * one row per bigram occurrence (multiplicities preserved; docs with
-    * fewer than 2 tokens contribute nothing). Narrow: explode + hash,
-    * no shuffle. */
+    * fewer than 2 tokens contribute nothing). The token array is
+    * MATERIALIZED behind a repartition barrier before the shingle
+    * lambda touches it — higher-order-function lambdas run interpreted
+    * and are not CSE'd, so an inlined tokenizer would re-split the text
+    * on every `element_at` access (~2× per bigram; measured 5× slower
+    * end-to-end). Same discipline as `TextAnalysis.repetitionMetrics`. */
   def hashedBigrams(df: DataFrame, textCol: String, idCol: String,
-      nBuckets: Int): DataFrame =
-    df.select(col(idCol),
-        explode(Dedup.shinglesOfTokens(TextAnalysis.tokens(col(textCol)), 2)).as("__g"))
+      nBuckets: Int): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .repartition(par)
+      .select(col(idCol), explode(Dedup.shinglesOfTokens(col("__toks"), 2)).as("__g"))
       .select(col(idCol), pmod(Sampling.keyHash(col("__g")), lit(nBuckets.toLong)).as("bucket"))
+  }
 
   /** `(bucket, cnt)` feature distribution of a corpus — ≤ nBuckets rows,
-    * one hash aggregation with map-side combine. */
-  def bucketCounts(df: DataFrame, textCol: String, nBuckets: Int): DataFrame =
-    df.select(explode(Dedup.shinglesOfTokens(TextAnalysis.tokens(col(textCol)), 2)).as("__g"))
+    * one hash aggregation with map-side combine. Same materialize-
+    * before-lambda barrier as [[hashedBigrams]]. */
+  def bucketCounts(df: DataFrame, textCol: String, nBuckets: Int): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.select(TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .repartition(par)
+      .select(explode(Dedup.shinglesOfTokens(col("__toks"), 2)).as("__g"))
       .select(pmod(Sampling.keyHash(col("__g")), lit(nBuckets.toLong)).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
 
   /**
    * Top-`k` raw documents by target-affinity score (ties → lowest id).
