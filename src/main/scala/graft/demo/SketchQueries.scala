@@ -898,6 +898,48 @@ object SketchQueries {
       Sketches.kmvJaccard(half(0), half(1), "lang", k = 48)
     },
 
+    // DIRECTIONAL overlap from the same KMV sketches: what fraction of
+    // the odd half's ("new crawl") distinct tokens the even half ("seen
+    // corpus") already covers — the contamination direction Jaccard
+    // can't answer (a tiny corpus fully inside a huge one has ~0
+    // Jaccard, containment 1). Same k-row frames, exact counts
+    QuerySpec("text_kmv_containment",
+      raw"""WITH tt AS (SELECT doc_id, lang, CASE WHEN length(trim(text)) = 0 THEN []
+           |          ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |tok AS (SELECT doc_id, lang, unnest(t) AS tok FROM tt),
+           |hh AS (SELECT doc_id % 2 AS par, lang, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+           |ska AS (SELECT lang, h FROM (
+           |          SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS pos
+           |          FROM (SELECT DISTINCT lang, h FROM hh WHERE par = 1))
+           |        WHERE pos <= 48),
+           |skb AS (SELECT lang, h FROM (
+           |          SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS pos
+           |          FROM (SELECT DISTINCT lang, h FROM hh WHERE par = 0))
+           |        WHERE pos <= 48),
+           |u AS (SELECT lang, h FROM (
+           |        SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS pos
+           |        FROM (SELECT DISTINCT lang, h FROM
+           |               (SELECT * FROM ska UNION ALL SELECT * FROM skb)))
+           |      WHERE pos <= 48)
+           |SELECT u.lang,
+           |  CAST(sum(CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_a_sample,
+           |  CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_both,
+           |  CASE WHEN sum(CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END) > 0 THEN
+           |    CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / CAST(sum(CASE WHEN a.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) END
+           |    AS containment_est
+           |FROM u LEFT JOIN ska a ON u.lang = a.lang AND u.h = a.h
+           |       LEFT JOIN skb b ON u.lang = b.lang AND u.h = b.h
+           |GROUP BY 1""".stripMargin) { (s, d) =>
+      val toks = docs(s, d)
+        .select(col("doc_id"), col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val half = (p: Int) =>
+        Sketches.kmvSketch(toks.where(pmod(col("doc_id"), lit(2)) === p),
+          "lang", col("tok"), k = 48)
+      Sketches.kmvContainment(half(1), half(0), "lang", k = 48)
+    },
+
     // quality-aware canonicalization: near-dup clusters (simhash pairs →
     // connected components) each elect the member with the highest
     // quality score (tie → lowest id) — detect → cluster → CHOOSE, the

@@ -397,6 +397,25 @@ object Similarity {
           (c, js) => element_at(js, c + 1))).as("recon"))
 
   /**
+   * Per-subspace TRAINED PQ codebook: Lloyd's k-means run independently
+   * on each `subDim`-dim slice of the corpus (the refinement Jégou et
+   * al. prescribe over sampled codebooks). Each subspace reuses
+   * [[kmeansCentroids]] — broadcast-argmax assignment, (cluster, dim)
+   * mean shuffle — so the cost is `m · iters` bounded passes driven by
+   * a driver loop, the same shape as the IVF trainer. Deterministic:
+   * seeded from the same every-`modulus`-th sample.
+   */
+  def pqCodebookTrained(df: DataFrame, idCol: String, vecCol: String, m: Int,
+      subDim: Int, nCentroids: Int, iters: Int, modulus: Long): DataFrame = {
+    require(m >= 1 && subDim >= 1, s"bad m=$m subDim=$subDim")
+    (0 until m).map { s =>
+      val sub = df.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as("__sub"))
+      kmeansCentroids(sub, idCol, "__sub", nCentroids, iters, modulus)
+        .select(lit(s).as("s"), col("centroid_id").as("j"), col("cv").as("cs"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
    * PQ ANN top-k with asymmetric scoring: the corpus is stored as codes;
    * each candidate is scored as `float_dot(query, reconstruction)` where
    * the reconstruction concatenates the coded centroid subvectors —
@@ -407,9 +426,17 @@ object Similarity {
    * (no corpus shuffle anywhere).
    */
   def pqTopK(df: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, m: Int, subDim: Int, nCentroids: Int, modulus: Long): DataFrame = {
-    val cb = pqCodebook(df, idCol, vecCol, m, subDim, nCentroids, modulus)
-    val recon = pqReconstruct(pqEncode(df, idCol, vecCol, cb, m, subDim), idCol, cb)
+      k: Int, m: Int, subDim: Int, nCentroids: Int, modulus: Long): DataFrame =
+    pqTopKWith(df, queries, idCol, vecCol, k,
+      pqCodebook(df, idCol, vecCol, m, subDim, nCentroids, modulus), m, subDim)
+
+  /** [[pqTopK]] against an EXPLICIT codebook (`(s, j, cs)` shape) — the
+    * probe arm for a trained codebook ([[pqCodebookTrained]]); the
+    * sampled-codebook [[pqTopK]] delegates here. */
+  def pqTopKWith(df: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, codebook: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val recon = pqReconstruct(pqEncode(df, idCol, vecCol, codebook, m, subDim),
+      idCol, codebook)
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val scored = q.join(recon, col("query_id") =!= col(idCol))
       .withColumn("score", vec_dot(col("qv"), col("recon")))

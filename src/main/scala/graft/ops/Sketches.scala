@@ -391,4 +391,32 @@ object Sketches {
         (col("n_both").cast("double") / col("k_union").cast("double"))
           .as("jaccard_est"))
   }
+
+  /**
+   * DIRECTIONAL overlap from the same sketches: what fraction of A's
+   * distinct values also appear in B — `C(A,B) ≈ |U ∩ A ∩ B| / |U ∩ A|`
+   * with `U` the merged bottom-k (within U, A's members are a uniform
+   * sample of A, so the in-B fraction estimates the containment). This
+   * is the contamination question Jaccard can't answer: a tiny corpus
+   * fully contained in a huge one has near-zero Jaccard but containment
+   * 1. Same k-row frames, exact integer counts, one division. Output:
+   * `(strata, n_a_sample, n_both, containment_est)`; strata where the
+   * union sketch caught none of A report a 0-denominator as null.
+   */
+  def kmvContainment(a: DataFrame, b: DataFrame, strataCol: String, k: Int): DataFrame = {
+    val u = kmvMerge(Seq(a, b), strataCol, k)
+    val inA = a.select(col(strataCol), col("h")).withColumn("__in_a", lit(1))
+    val inB = b.select(col(strataCol), col("h")).withColumn("__in_b", lit(1))
+    u.join(broadcast(inA), Seq(strataCol, "h"), "left")
+      .join(broadcast(inB), Seq(strataCol, "h"), "left")
+      .groupBy(col(strataCol))
+      .agg(
+        sum(when(col("__in_a") === 1, 1L).otherwise(0L)).as("n_a_sample"),
+        sum(when(col("__in_a") === 1 && col("__in_b") === 1, 1L).otherwise(0L))
+          .as("n_both"))
+      .select(col(strataCol), col("n_a_sample"), col("n_both"),
+        when(col("n_a_sample") > 0,
+          col("n_both").cast("double") / col("n_a_sample").cast("double"))
+          .as("containment_est"))
+  }
 }

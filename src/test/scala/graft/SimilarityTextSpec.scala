@@ -183,6 +183,52 @@ class SimilarityTextSpec extends SparkSuite {
     assert(frac >= 0.8, s"only $frac of pq neighbors share the query's cluster")
   }
 
+  test("trained PQ codebook beats the sampled one when the sample misses clusters") {
+    import graft.ops.Similarity
+    val dim = 16
+    val rnd = new scala.util.Random(11)
+    // clusters in CONTIGUOUS id blocks (25 ids each): the every-5th
+    // sample's first 8 picks land in only 2 of the 8 clusters, so the
+    // sampled codebook is blind to most of the space — the case
+    // training exists for
+    val centers = Array.fill(8)(Array.fill(dim)((rnd.nextFloat() - 0.5f) * 2f))
+    val vecs = (0L until 200L).map { i =>
+      val c = centers((i / 25).toInt)
+      (i, c.map(v => v + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val (m, subDim, nC, modulus) = (4, 4, 8, 5L)
+    // codebook quality = reconstruction error (what k-means minimizes;
+    // retrieval metrics saturate on this fixture because even a
+    // cluster-blind codebook keeps BETWEEN-cluster separation — it's
+    // the distortion that training drives down)
+    val orig = vecs.toMap
+    def meanSqErr(cb: org.apache.spark.sql.DataFrame): Double = {
+      val rec = Similarity.pqReconstruct(
+          Similarity.pqEncode(df, "vec_id", "embedding", cb, m, subDim), "vec_id", cb)
+        .select("vec_id", "recon").as[(Long, Seq[Float])].collect()
+      val errs = rec.map { case (id, rv) =>
+        orig(id).zip(rv).map { case (a, b) => val d = a - b; d.toDouble * d }.sum
+      }
+      errs.sum / errs.length
+    }
+    val sampled = meanSqErr(
+      Similarity.pqCodebook(df, "vec_id", "embedding", m, subDim, nC, modulus))
+    val trained = meanSqErr(
+      Similarity.pqCodebookTrained(df, "vec_id", "embedding", m, subDim, nC,
+        iters = 3, modulus = modulus))
+    assert(trained < sampled,
+      s"training must cut reconstruction error (sampled=$sampled trained=$trained)")
+    // and retrieval stays sane with the trained codebook
+    val queries = df.where(col("vec_id") % 40 === 0)
+    val got = Similarity.pqTopKWith(df, queries, "vec_id", "embedding",
+        k = 5, Similarity.pqCodebookTrained(df, "vec_id", "embedding", m, subDim, nC,
+          iters = 3, modulus = modulus), m, subDim)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val frac = got.count { case (q, n) => q / 25 == n / 25 }.toDouble / got.length
+    assert(frac >= 0.8, s"trained-codebook neighbors off-cluster (frac=$frac)")
+  }
+
   test("property: repetitionStats matches a naive per-doc reference count") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

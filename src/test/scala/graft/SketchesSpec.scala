@@ -133,6 +133,25 @@ class SketchesSpec extends SparkSuite {
     assert(ex.getAs[Double]("jaccard_est") == 15.0 / 45.0)
   }
 
+  test("kmvContainment: 1 for a contained corpus, 0 for disjoint, sane between") {
+    val k = 64
+    def sk(lo: Int, hi: Int) = Sketches.kmvSketch(
+      (lo to hi).map(i => ("g", s"v$i")).toDF("g", "v"), "g", col("v"), k)
+    // A = 100..150 fully inside B = 1..1000 (Jaccard tiny, containment 1)
+    val contained = Sketches.kmvContainment(sk(100, 150), sk(1, 1000), "g", k)
+      .collect().head
+    assert(contained.getAs[Double]("containment_est") == 1.0)
+    // disjoint
+    val disjoint = Sketches.kmvContainment(sk(1, 300), sk(1000, 1300), "g", k)
+      .collect().head
+    assert(disjoint.getAs[Double]("containment_est") == 0.0)
+    // half of A in B: |A|=200, |A∩B|=100 → C = 0.5
+    val half = Sketches.kmvContainment(sk(1, 200), sk(101, 900), "g", k)
+      .collect().head
+    val c = half.getAs[Double]("containment_est")
+    assert(math.abs(c - 0.5) < 0.3, s"containment $c for true 0.5")
+  }
+
   test("histogram bin counts merge by per-(stratum,bin) sum against fixed bounds") {
     val df = ((1 to 400).map(i => ("a", (i * 7 % 1000).toLong)) ++
       (1 to 100).map(i => ("b", (i * 13 % 500).toLong))).toDF("g", "v")
