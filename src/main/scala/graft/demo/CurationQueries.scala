@@ -309,6 +309,32 @@ object CurationQueries {
       Vocab.topMerges(Vocab.pairCounts(Vocab.wordCounts(docs(s, d), "text")), k = 20)
     },
 
+    // the APPLY side of BPE: per-doc subtoken accounting under a fixed
+    // merge list (the corpus's top pairs) — the "what will this corpus
+    // cost under my learned vocab" estimator. Each merge is two greedy
+    // regexp passes (two passes ≡ sequential greedy merge; the
+    // adjacency argument is spec-checked in Vocab's segment spec)
+    QuerySpec("vocab_bpe_apply", {
+      val merges = Seq(("e", "r"), ("i", "n"), ("s", "t"))
+      val base = raw"' ' || array_to_string(string_split(w, ''), ' ') || ' '"
+      val seg = merges.foldLeft(base) { case (c, (a, b)) =>
+        s"regexp_replace(regexp_replace($c, ' $a $b ', ' $a$b ', 'g'), ' $a $b ', ' $a$b ', 'g')"
+      }
+      raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |          ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |w AS (SELECT doc_id, unnest(t) AS w FROM tt),
+           |seg AS (SELECT doc_id, CAST(length(w) AS BIGINT) AS c,
+           |          CAST(len(string_split(trim($seg), ' ')) AS BIGINT) AS n
+           |        FROM w)
+           |SELECT doc_id, count(*) AS n_words,
+           |  CAST(sum(c) AS BIGINT) AS n_chars,
+           |  CAST(sum(n) AS BIGINT) AS n_subtokens
+           |FROM seg GROUP BY 1""".stripMargin
+    }) { (s, d) =>
+      Vocab.subtokenStats(docs(s, d), "text", "doc_id",
+        Seq(("e", "r"), ("i", "n"), ("s", "t")))
+    },
+
     // corpus data card: per-(lang, source) + per-lang + whole-corpus
     // composition stats in ONE grouping-sets pass (docs, chars, tokens,
     // exact-ratio mean doc length) — the release-notes table every

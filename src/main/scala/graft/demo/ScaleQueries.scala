@@ -129,6 +129,38 @@ object ScaleQueries {
       Sharding.shardPositions(docs(s, d), "doc_id", NShards, ShardSeed)
     },
 
+    // curriculum export: shard membership stays the unbiased seeded
+    // hash, but within-shard order is quality DESC (easy/clean examples
+    // first — the curriculum schedule), ties → hash, then id. Every
+    // row's (shard, pos) address is value-checked
+    QuerySpec("text_curriculum_shards",
+      raw"""WITH f AS (
+           |  SELECT doc_id,
+           |    CAST(length(text) AS DOUBLE) AS n,
+           |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+           |    CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) AS puncts,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+           |  FROM documents),
+           |q AS (SELECT doc_id,
+           |    greatest(0.0, least(1.0,
+           |      0.5 * (CASE WHEN n = 0 THEN 0.0 ELSE alpha / n END)
+           |      + 0.3 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+           |      + 0.2 * (1.0 - (CASE WHEN n = 0 THEN 0.0 ELSE digits / n END)
+           |                   - (CASE WHEN n = 0 THEN 0.0 ELSE puncts / n END)))) AS quality_score
+           |  FROM f),
+           |h AS (SELECT doc_id, quality_score,
+           |    ${md5h60(s"'$ShardSeed:' || CAST(doc_id AS VARCHAR)")} AS h FROM q)
+           |SELECT doc_id, h % $NShards AS shard, quality_score,
+           |  row_number() OVER (PARTITION BY h % $NShards
+           |                     ORDER BY quality_score DESC, h, doc_id) AS pos
+           |FROM h""".stripMargin) { (s, d) =>
+      val scored = TextAnalysis.qualityScore(docs(s, d), "text")
+        .select(col("doc_id"), col("quality_score"))
+      Sharding.curriculumPositions(scored, "doc_id", "quality_score", NShards, ShardSeed)
+    },
+
     // benchmark-contamination audit: per-doc distinct word 5-grams vs a
     // benchmark slice of the corpus (every 97th doc plays the benchmark —
     // those docs hit at fraction 1.0, genuine n-gram collisions below)

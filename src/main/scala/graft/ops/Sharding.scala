@@ -57,6 +57,25 @@ object Sharding {
   }
 
   /**
+   * Curriculum variant of [[shardPositions]]: shard membership stays the
+   * seeded hash (each shard remains an unbiased corpus sample — loaders
+   * can still consume shards independently), but the WITHIN-shard order
+   * is by `scoreCol` DESCENDING (highest-quality/easiest examples first
+   * — curriculum learning's schedule), ties → hash then key so the
+   * permutation is total and reproducible. Same cost shape: one shuffle
+   * on the shard id, a shard-partitioned window, never a global sort.
+   * Output: `(key, shard, scoreCol, pos)`.
+   */
+  def curriculumPositions(df: DataFrame, keyCol: String, scoreCol: String,
+      nShards: Int, seed: Long): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col(scoreCol).desc, col("__order"), col(keyCol))
+    assignShards(df, keyCol, nShards, seed)
+      .select(col(keyCol), col("shard"), col(scoreCol),
+        row_number().over(w).cast("long").as("pos"))
+  }
+
+  /**
    * Export the shuffled corpus: one directory per shard
    * (`shard=<i>/part-*`), rows inside each shard file in permutation
    * order. Hash `repartition(N, shard)` — not `repartitionByRange`, whose

@@ -51,6 +51,61 @@ object Vocab {
       .agg(sum(col("freq")).as("weight"))
   }
 
+  /**
+   * The APPLY side of BPE: the space-delimited symbol string of `word`
+   * after applying `merges` in order, each merging every occurrence of
+   * the adjacent pair. A merge is two `regexp_replace` passes over the
+   * symbol string — one pass alone under-merges when consecutive
+   * occurrences share a boundary space (the regex scan resumes AFTER
+   * the consumed trailing space, so in `a b a b` it merges pair 1 and
+   * skips pair 2); a skipped occurrence always sits between two merged
+   * neighbors (skips are never consecutive), so pass two catches
+   * exactly the survivors and the result equals the full merge.
+   *
+   * Requires `a != b`: with distinct symbols every pair occurrence is
+   * token-disjoint, so "merge all occurrences" is well-defined and the
+   * two-pass result is exact (spec-checked against a reference
+   * implementation on adjacency-adversarial words). A self-merge
+   * (`a a` over a run) must pick which overlapping pairs win — that
+   * needs stateful left-to-right machinery, not a regex, and is
+   * rejected loudly rather than silently mis-segmented. Merge symbols
+   * are restricted to `[A-Za-z0-9]` so they are regex- and
+   * engine-neutral literals. Pure per-row projection, codegen'd when
+   * used at the top level (keep it OUT of higher-order-function lambdas
+   * — they run interpreted).
+   */
+  def segment(word: org.apache.spark.sql.Column,
+      merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    merges.foreach { case (a, b) =>
+      require((a + b).matches("[A-Za-z0-9]+"), s"merge symbols must be [A-Za-z0-9]+: ($a,$b)")
+      require(a != b,
+        s"self-merge ($a,$b) is ambiguous over runs; regex passes cannot express it")
+    }
+    val base = concat(lit(" "), array_join(split(word, ""), " "), lit(" "))
+    val out = merges.foldLeft(base) { case (c, (a, b)) =>
+      val once = regexp_replace(c, s" $a $b ", s" $a$b ")
+      regexp_replace(once, s" $a $b ", s" $a$b ")
+    }
+    trim(out)
+  }
+
+  /**
+   * Per-document subtoken accounting under a FIXED merge list — the
+   * "how many tokens will this corpus cost under my learned vocab"
+   * estimator. Output: `(idCol, n_words, n_chars, n_subtokens)` (docs
+   * with no words drop out, like every tokenizing aggregate here). One
+   * narrow explode + one per-doc aggregation; the merge regexes run in
+   * whole-stage codegen at the top level of the projection.
+   */
+  def subtokenStats(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    df.select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("__w"))
+      .select(col(idCol), length(col("__w")).cast("long").as("__c"),
+        size(split(segment(col("__w"), merges), " ")).cast("long").as("__n"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__c")).as("n_chars"),
+        sum(col("__n")).as("n_subtokens"))
+
   /** Top-`k` merge candidates by corpus weight (ties → pair
     * lexicographic, the deterministic analogue of "first seen").
     * orderBy+limit plans as TakeOrderedAndProject — distributed heaps,

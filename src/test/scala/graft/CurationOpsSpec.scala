@@ -160,6 +160,51 @@ class CurationOpsSpec extends SparkSuite {
     assert(top == Seq(("a", "a", 4L, 1), ("a", "b", 3L, 2)))
   }
 
+  test("BPE segment merges every pair occurrence, incl. boundary-adversarial words") {
+    import graft.ops.Vocab
+    // reference: merge all (token-disjoint, since a != b) occurrences,
+    // one pair type at a time
+    def ref(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      var syms = word.map(_.toString).toList
+      merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var rest = syms
+        while (rest.nonEmpty) rest match {
+          case x :: y :: tail if x == a && y == b => out += (a + b); rest = tail
+          case x :: tail => out += x; rest = tail
+          case Nil =>
+        }
+        syms = out.toList
+      }
+      syms
+    }
+    val merges = Seq(("e", "r"), ("er", "s"))
+    // adversarial: long alternations (boundary-space sharing), merged-
+    // symbol reuse in a later merge, non-matching neighbors
+    val words = Seq("erer", "ererer", "erererer", "ererererer", "erserss",
+      "er", "e", "re", "xeryz", "ersers", "serserse")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+    val got = df.select(col("id"), Vocab.segment(col("w"), merges).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      assert(got(i.toLong) == ref(w, merges).mkString(" "),
+        s"'$w': got '${got(i.toLong)}' want '${ref(w, merges).mkString(" ")}'")
+    }
+    // self-merges are rejected loudly, not silently mis-segmented
+    intercept[IllegalArgumentException] {
+      Vocab.segment(col("w"), Seq(("a", "a")))
+    }
+    // subtokenStats: counts roll up per doc
+    val docs = Seq((1L, "erer stst x"), (2L, "")).toDF("doc_id", "text")
+    val st = Vocab.subtokenStats(docs, "text", "doc_id",
+        Seq(("e", "r"), ("s", "t"))).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("n_subtokens")))).toMap
+    // "erer"→[er,er]=2, "stst"→[st,st]=2, "x"→1 ⇒ 5 subtokens, 9 chars, 3 words
+    assert(st(1L) == ((3L, 9L, 5L)))
+    assert(!st.contains(2L), "empty doc drops out")
+  }
+
   test("packByBudget assigns chunk of first token; oversize docs straddle") {
     val df = Seq((1L, 3L), (2L, 20L), (3L, 4L)).toDF("id", "w")
       .withColumn("g", lit("x"))

@@ -48,6 +48,26 @@ class ScaleOpsSpec extends SparkSuite {
     assert(p.toSet != other.toSet)
   }
 
+  test("curriculumPositions keeps hash shards but orders each shard by score desc") {
+    val df = (0L until 300L).map(i => (i, (i % 97).toDouble / 97.0)).toDF("id", "score")
+    val cur = Sharding.curriculumPositions(df, "id", "score", nShards = 4, seed = 7L)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(cur.length == 300)
+    // shard membership identical to the plain seeded sharding
+    val plain = Sharding.shardPositions(df.select("id"), "id", 4, 7L)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    cur.foreach { case (id, shard, _, _) => assert(shard == plain(id)) }
+    // within each shard: dense positions and non-increasing scores
+    cur.groupBy(_._2).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_._4)
+      assert(byPos.map(_._4).toSeq == (1L to rows.length).toSeq)
+      byPos.map(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(a >= b, "scores must not increase with pos")
+        case _ =>
+      }
+    }
+  }
+
   test("writeShards lays out one pure shard per directory in permutation order") {
     val df = (0L until 200L).toDF("id")
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toFile
