@@ -323,6 +323,62 @@ object SketchQueries {
         nBins = 128, qs = Seq(1 -> 4, 2 -> 4, 3 -> 4))
     },
 
+    // the sketch APPLIED to a curation decision: per-lang keep gate at
+    // the 25th-percentile quality threshold, where the threshold comes
+    // from the bounded histogram sketch (≤ 64 counts per stratum on the
+    // wire) instead of a per-stratum exact sort — the way a 100 TB
+    // pipeline picks data-dependent thresholds. Quality rides as exact
+    // milli-units (the cents discipline), one broadcast threshold join
+    QuerySpec("text_quality_gate_sketch",
+      raw"""WITH f AS (
+           |  SELECT doc_id, lang,
+           |    CAST(length(text) AS DOUBLE) AS n,
+           |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+           |    CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) AS puncts,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+           |  FROM documents),
+           |qq AS (SELECT doc_id, lang,
+           |    CAST(floor(1000 * greatest(0.0, least(1.0,
+           |      0.5 * (CASE WHEN n = 0 THEN 0.0 ELSE alpha / n END)
+           |      + 0.3 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+           |      + 0.2 * (1.0 - (CASE WHEN n = 0 THEN 0.0 ELSE digits / n END)
+           |                   - (CASE WHEN n = 0 THEN 0.0 ELSE puncts / n END)))) + 0.5)
+           |      AS BIGINT) AS qm
+           |  FROM f),
+           |b AS (SELECT lang, min(qm) AS lo, max(qm) AS hi, count(*) AS n FROM qq GROUP BY 1),
+           |bi AS (SELECT q.lang,
+           |         CASE WHEN b.hi = b.lo THEN 0
+           |              ELSE least(63, ((q.qm - b.lo) * 64) // (b.hi - b.lo)) END AS bin
+           |       FROM qq q JOIN b USING (lang)),
+           |c AS (SELECT lang, bin, count(*) AS cnt FROM bi GROUP BY 1, 2),
+           |cu AS (SELECT lang, bin, sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum FROM c),
+           |sel AS (SELECT cu.lang, min(cu.bin) AS bin
+           |        FROM cu JOIN b ON b.lang = cu.lang
+           |        WHERE cu.cum >= (b.n * 1 + 4 - 1) // 4
+           |        GROUP BY 1),
+           |th AS (SELECT s.lang,
+           |         CAST(b.lo * 64 + s.bin * (b.hi - b.lo) AS DOUBLE) / 64 AS est
+           |       FROM sel s JOIN b ON b.lang = s.lang)
+           |SELECT q.lang, count(*) AS n_docs,
+           |  CAST(sum(CASE WHEN CAST(q.qm AS DOUBLE) >= t.est THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_kept,
+           |  min(t.est) AS threshold
+           |FROM qq q JOIN th t ON q.lang = t.lang GROUP BY 1""".stripMargin) { (s, d) =>
+      val qm = TextAnalysis.qualityScore(docs(s, d), "text")
+        .select(col("doc_id"), col("lang"),
+          floor(lit(1000.0d) * col("quality_score") + 0.5d).cast("long").as("qm"))
+      val th = Sketches.histQuantiles(qm, "lang", "qm", nBins = 64, qs = Seq(1 -> 4))
+        .select(col("lang"), col("est"))
+      qm.join(broadcast(th), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("qm").cast("double") >= col("est"), 1L).otherwise(0L))
+            .as("n_kept"),
+          min(col("est")).as("threshold"))
+    },
+
     // the histogram's shard-merge story, completing the trilogy with
     // text_distinct_hll_merged (max) and text_cms_topk_merged (sum):
     // one tiny global bounds pass FIXES the bin edges, each doc_id-parity
