@@ -79,6 +79,12 @@ object Selection {
 
     val tCounts = bucketCounts(target, textCol, nBuckets)
       .withColumnRenamed("cnt", "__tc")
+    // an empty target (no docs, or none with ≥ 2 tokens) would make the
+    // target total NULL and every affinity score NULL — the top-k would
+    // then "select" arbitrary null-scored docs. Fail loudly instead; the
+    // probe is one tiny job over the bounded bucket frame.
+    require(tCounts.head(1).nonEmpty,
+      "selectByAffinity: target corpus has no bigram features")
     val rCounts = bucketCounts(raw, textCol, nBuckets)
       .withColumnRenamed("cnt", "__rc")
     val tTotal = tCounts.agg(sum(col("__tc")).as("__tt"))

@@ -133,6 +133,31 @@ class SketchesSpec extends SparkSuite {
     assert(ex.getAs[Double]("jaccard_est") == 15.0 / 45.0)
   }
 
+  test("property: kmv merge is split-invariant — any shard partition gives the whole-corpus sketch") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val k = 16
+    val universe = (1 to 400).map(i => s"v$i")
+    val gen = for {
+      n <- Gen.choose(50, 400)
+      vals <- Gen.pick(n, universe)
+      nShards <- Gen.choose(2, 5)
+      assign <- Gen.listOfN(vals.size, Gen.choose(0, nShards - 1))
+    } yield (vals.toSeq, nShards, assign)
+    (1 to 5).foreach { i =>
+      val (vals, nShards, assign) = gen(Gen.Parameters.default, Seed(100L + i))
+        .getOrElse(fail(s"gen failed for seed $i"))
+      val whole = Sketches.kmvSketch(vals.map(("g", _)).toDF("g", "v"), "g", col("v"), k)
+        .select("pos", "h").as[(Int, Long)].collect().toSet
+      val shards = vals.zip(assign).groupBy(_._2).values.toSeq
+        .map(rows => Sketches.kmvSketch(rows.map(r => ("g", r._1)).toDF("g", "v"),
+          "g", col("v"), k))
+      val merged = Sketches.kmvMerge(shards, "g", k)
+        .select("pos", "h").as[(Int, Long)].collect().toSet
+      assert(merged == whole, s"seed $i: shard split changed the sketch")
+    }
+  }
+
   test("kmvContainment: 1 for a contained corpus, 0 for disjoint, sane between") {
     val k = 64
     def sk(lo: Int, hi: Int) = Sketches.kmvSketch(
