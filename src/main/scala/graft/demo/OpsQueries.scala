@@ -246,6 +246,27 @@ object OpsQueries {
         .select(col("doc_id"), col("source"))
     },
 
+    // temperature-flattened mixture (α = 1/2, the T5 multilingual
+    // recipe): proportions come from the stratum counts themselves —
+    // smallest lang keeps all, every other keeps sqrt(n_min/n_s). α is
+    // fixed at 1/2 because sqrt is correctly rounded in every IEEE
+    // engine; pow's last ulp is libm-specific and would flip membership
+    // at threshold boundaries. Keep set value-checked row for row
+    QuerySpec("text_sample_temperature",
+      raw"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+           |w AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS w FROM c),
+           |s AS (SELECT min(CAST(n AS DOUBLE) / w) AS cc FROM w),
+           |t AS (SELECT lang,
+           |        CAST(floor(w * s.cc / CAST(n AS DOUBLE) * 1152921504606846976.0) AS BIGINT)
+           |          AS thr
+           |      FROM w CROSS JOIN s)
+           |SELECT d.doc_id, d.lang FROM documents d JOIN t USING (lang)
+           |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT < t.thr""".stripMargin) {
+      (s, d) =>
+        Sampling.temperatureResample(docs(s, d), "doc_id", "lang")
+          .select(col("doc_id"), col("lang"))
+    },
+
     // deterministic stratified sampling: keep/drop is a pure function of
     // (doc_id, lang) — reproducible on any layout, value-checked exactly
     // unigram corpus-familiarity (cheap perplexity proxy): exact BIGINT

@@ -140,4 +140,35 @@ object Sampling {
       .where(keyHash(col(keyCol)) < col("__thr"))
       .drop("__thr")
   }
+
+  /**
+   * Temperature-flattened mixture (the T5 multilingual recipe): target
+   * proportions are computed IN-PLAN from the stratum counts,
+   * `w_s ∝ n_s^α` with α fixed at 1/2 — flattening the natural
+   * distribution toward balance without anyone supplying weights. With
+   * the same no-upsampling scale as [[mixtureResample]] (`C = min
+   * n_s/w_s`) this reduces to: the smallest stratum keeps everything,
+   * every other stratum keeps `sqrt(n_min / n_s)` of its rows, so the
+   * output mixture is proportional to `sqrt(n_s)` exactly.
+   *
+   * α is FIXED at 1/2 deliberately: `sqrt` is correctly rounded in
+   * every IEEE-754 engine, so the thresholds — and therefore the kept
+   * set — are bit-reproducible against the oracle; a general `pow(n,α)`
+   * is libm-specific in its last ulp, which at a threshold boundary
+   * flips membership of real rows. Other temperatures belong to
+   * [[mixtureResample]] with driver-computed weights. Same cost shape:
+   * tiny count aggregate + one-row scale, broadcast onto the per-row
+   * 60-bit hash gate; two passes over the corpus.
+   */
+  def temperatureResample(df: DataFrame, keyCol: String, strataCol: String): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", sqrt(col("__n").cast("double")))
+    val scale = counts.agg(min(col("__n").cast("double") / col("__w")).as("__c"))
+    val thresholds = counts.crossJoin(broadcast(scale)).select(col(strataCol),
+      floor(col("__w") * col("__c") / col("__n").cast("double")
+        * lit((1L << 60).toDouble)).cast("long").as("__thr"))
+    df.join(broadcast(thresholds), strataCol)
+      .where(keyHash(col(keyCol)) < col("__thr"))
+      .drop("__thr")
+  }
 }

@@ -96,6 +96,24 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("temperatureResample flattens toward sqrt proportions; smallest stratum intact") {
+    // 900 a / 400 b / 100 c → kept ≈ sqrt(n·100): 300 / 200 / 100
+    val df = ((1 to 900).map(i => (s"a$i", "a")) ++ (1 to 400).map(i => (s"b$i", "b")) ++
+      (1 to 100).map(i => (s"c$i", "c"))).toDF("id", "g")
+    val kept = Sampling.temperatureResample(df, "id", "g")
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(kept("c") == 100L, "smallest stratum must keep everything")
+    // hash-gate sampling noise: allow ±20% around the sqrt targets
+    assert(math.abs(kept("a") - 300L) <= 60, s"a kept ${kept("a")}, want ~300")
+    assert(math.abs(kept("b") - 200L) <= 40, s"b kept ${kept("b")}, want ~200")
+    // deterministic: same input → identical keep set
+    val again = Sampling.temperatureResample(df, "id", "g")
+      .select("id").as[String].collect().toSet
+    val first = Sampling.temperatureResample(df, "id", "g")
+      .select("id").as[String].collect().toSet
+    assert(again == first)
+  }
+
   test("mixtureResample hits target proportions, keeps the binding stratum whole, drops weight-0") {
     // 600 en / 200 de / 100 fr / 100 es; target 50/25/25 en/de/fr → fr is
     // binding (100/0.25 = 400, vs 800 for de and 1200 for en), so the
