@@ -199,7 +199,47 @@ class CurationOpsSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Vocab.segment(col("w"), Seq(("a", "a")))
     }
-    // subtokenStats: counts roll up per doc
+    // the native kernel agrees with segment on the shared (a != b) domain
+    val exact = df.select(col("id"),
+        concat_ws(" ", Vocab.segmentExact(col("w"), merges)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(exact == got, "native and regex segmentation must agree for distinct pairs")
+  }
+
+  test("BPE segmentExact handles self-merges with canonical greedy semantics") {
+    import graft.ops.Vocab
+    def ref(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      var syms = word.map(_.toString).toList
+      merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var rest = syms
+        while (rest.nonEmpty) rest match {
+          case x :: y :: tail if x == a && y == b => out += (a + b); rest = tail
+          case x :: tail => out += x; rest = tail
+          case Nil =>
+        }
+        syms = out.toList
+      }
+      syms
+    }
+    // the run-length cases the regex form cannot express: greedy pairs
+    // runs left-to-right (aaaa → [aa,aa], aaaaa → [aa,aa,a]), and a
+    // second-round self-merge over merged symbols (aa,aa → aaaa)
+    val merges = Seq(("a", "a"), ("aa", "aa"), ("e", "r"))
+    val words = Seq("aaaa", "aaaaa", "aaaaaaaa", "aaaaaaa", "xaaay",
+      "eraaaa", "aaaer", "a", "ra")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+    val got = df.select(col("id"),
+        concat_ws(" ", Vocab.segmentExact(col("w"), merges)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      assert(got(i.toLong) == ref(w, merges).mkString(" "),
+        s"'$w': got '${got(i.toLong)}' want '${ref(w, merges).mkString(" ")}'")
+    }
+  }
+
+  test("BPE subtokenStats rolls per-word counts up per doc; empty docs drop out") {
+    import graft.ops.Vocab
     val docs = Seq((1L, "erer stst x"), (2L, "")).toDF("doc_id", "text")
     val st = Vocab.subtokenStats(docs, "text", "doc_id",
         Seq(("e", "r"), ("s", "t"))).collect()
