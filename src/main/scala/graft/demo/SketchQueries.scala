@@ -416,6 +416,33 @@ object SketchQueries {
         bounds, "lang", nBins = 128, qs = Seq(1 -> 4, 2 -> 4, 3 -> 4))
     },
 
+    // time-bounded funnel: signup → first click within 24h → first
+    // purchase within 24h of that click. Anchored conditional mins
+    // (aggregate + user_id equi-join), never a per-user pair expansion
+    // — the global-first-touch funnel below can't express the deadline
+    QuerySpec("events_funnel_windowed",
+      raw"""WITH a AS (SELECT user_id,
+           |    min(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) AS t_signup
+           |  FROM events GROUP BY 1),
+           |c AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t_click
+           |      FROM events e JOIN a ON e.user_id = a.user_id
+           |      WHERE e.event_type = 'click' AND epoch_ms(e.ts) > a.t_signup
+           |        AND epoch_ms(e.ts) <= a.t_signup + 86400000
+           |      GROUP BY 1),
+           |p AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t_purchase
+           |      FROM events e JOIN c ON e.user_id = c.user_id
+           |      WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > c.t_click
+           |        AND epoch_ms(e.ts) <= c.t_click + 86400000
+           |      GROUP BY 1)
+           |SELECT count(*) AS n_users,
+           |  CAST(sum(CASE WHEN a.t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signed_up,
+           |  CAST(sum(CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_in_window,
+           |  CAST(sum(CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+           |FROM a LEFT JOIN c ON a.user_id = c.user_id
+           |       LEFT JOIN p ON a.user_id = p.user_id""".stripMargin) { (s, d) =>
+      graft.streaming.EventPipeline.funnelWindowed(events(s, d), windowMs = 86400000L)
+    },
+
     // conversion funnel: per-user first-touch timestamps per stage, then
     // one global count row — min(CASE) aggregates, a single shuffle on
     // user_id, and timestamp comparison for stage ordering

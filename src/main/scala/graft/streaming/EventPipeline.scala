@@ -204,6 +204,44 @@ object EventPipeline {
   }
 
   /**
+   * TIME-BOUNDED conversion funnel: per user, the FIRST signup, then the
+   * first click strictly after it and within `windowMs`, then the first
+   * purchase strictly after that click and within `windowMs` — the
+   * "converted within a day" product question, which [[funnelStages]]'s
+   * global first-touch comparison can't answer (a click three weeks
+   * after signup still counted there).
+   *
+   * Shape: two anchored passes — aggregate the anchor time per user,
+   * equi-join it back on user_id, and take the CONDITIONAL min over
+   * events inside the window. Every step is a keyed aggregate or an
+   * equi-join on user_id: a hot user costs a scan of their events,
+   * never a per-user pair expansion. Timestamps ride as unix millis
+   * (≡ DuckDB `epoch_ms`). Output: one row of global stage counts.
+   */
+  def funnelWindowed(events: DataFrame, windowMs: Long): DataFrame = {
+    require(windowMs > 0, s"windowMs must be positive: $windowMs")
+    val ms = unix_millis(col("ts").cast("timestamp"))
+    val anchors = events.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", ms)).as("t_signup"))
+    val clicks = events.join(anchors, "user_id")
+      .where(col("event_type") === "click" &&
+        ms > col("t_signup") && ms <= col("t_signup") + windowMs)
+      .groupBy(col("user_id")).agg(min(ms).as("t_click"))
+    val purchases = events.join(clicks, "user_id")
+      .where(col("event_type") === "purchase" &&
+        ms > col("t_click") && ms <= col("t_click") + windowMs)
+      .groupBy(col("user_id")).agg(min(ms).as("t_purchase"))
+    anchors
+      .join(clicks, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("t_signup").isNotNull, 1L).otherwise(0L)).as("n_signed_up"),
+        sum(when(col("t_click").isNotNull, 1L).otherwise(0L)).as("n_clicked_in_window"),
+        sum(when(col("t_purchase").isNotNull, 1L).otherwise(0L)).as("n_converted"))
+  }
+
+  /**
    * Stateful streaming funnel: per-user first-touch times via
    * `mapGroupsWithState` (update mode). The state is three min-folds —
    * commutative and idempotent — so any arrival order and any batch

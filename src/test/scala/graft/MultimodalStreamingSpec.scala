@@ -196,6 +196,32 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(batch == Map(1L -> 3, 2L -> 1, 3L -> 0))
   }
 
+  test("funnelWindowed enforces the deadline at every stage") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: full conversion inside the windows
+      (1L, ts("2024-01-01 00:00:00"), 1L, "signup", 0.0),
+      (2L, ts("2024-01-01 00:30:00"), 1L, "click", 0.0),
+      (3L, ts("2024-01-01 00:50:00"), 1L, "purchase", 0.0),
+      // user 2: click arrives AFTER the 1h window → stalls at signup
+      (4L, ts("2024-01-01 00:00:00"), 2L, "signup", 0.0),
+      (5L, ts("2024-01-01 02:00:00"), 2L, "click", 0.0),
+      // user 3: click BEFORE signup doesn't count; the later one does,
+      // but its purchase misses the click's window
+      (6L, ts("2024-01-01 00:10:00"), 3L, "click", 0.0),
+      (7L, ts("2024-01-01 00:20:00"), 3L, "signup", 0.0),
+      (8L, ts("2024-01-01 00:40:00"), 3L, "click", 0.0),
+      (9L, ts("2024-01-01 03:00:00"), 3L, "purchase", 0.0),
+      // user 4: never signs up
+      (10L, ts("2024-01-01 00:00:00"), 4L, "view", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventPipeline.funnelWindowed(ev, windowMs = 3600000L).collect().head
+    assert(r.getAs[Long]("n_users") == 4L)
+    assert(r.getAs[Long]("n_signed_up") == 3L)
+    assert(r.getAs[Long]("n_clicked_in_window") == 2L, "users 1 and 3")
+    assert(r.getAs[Long]("n_converted") == 1L, "only user 1 converts in time")
+  }
+
   test("hopping/tumbling readStream twins equal their batch forms on the same files") {
     import org.apache.spark.sql.{DataFrame, Dataset, Row}
     val dir = java.nio.file.Files.createTempDirectory("graft_stream3").toFile
