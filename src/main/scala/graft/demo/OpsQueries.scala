@@ -423,6 +423,21 @@ object OpsQueries {
         threshold = 0.4d, h = autoH(e), maxBucket = 4096, cosine = true)
     },
 
+    // incremental embedding near-dup: the odd-id batch probed against
+    // the even-id seen corpus's persisted LSH index — history vectors
+    // touched only in buckets the batch hits, cap on the seen bucket
+    // size. The embedding twin of dedup_minhash_incremental
+    QuerySpec("dedup_embed_incremental",
+      LshOracleSql.incrementalCosineSql(h = 4, threshold = 0.4d, maxBucket = 4096)) {
+      (s, d) =>
+        val e = embs(s, d)
+        val seenIdx = Similarity.lshIndex(
+          e.where(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding", h = 4)
+        Dedup.embeddingIncrementalNearDups(
+          e.where(pmod(col("vec_id"), lit(2)) === 1), seenIdx,
+          "vec_id", "embedding", threshold = 0.4d, h = 4, cosine = true)
+    },
+
     // near-dup clustering: connected components over the SimHash pair
     // graph (iterative min-label propagation; oracle = recursive-CTE
     // transitive closure) — the survivor-selection step of dedup
@@ -953,6 +968,22 @@ object LshOracleSql {
   /** [[nearDupCosineSql]] with h auto-derived from the corpus count. */
   def nearDupCosineSqlAuto(hMax: Int, targetBucket: Int, threshold: Double, maxBucket: Int): String =
     idxCteAuto(hMax, targetBucket) + nearDupCosineBody(threshold, maxBucket)
+
+  /** ≡ Dedup.embeddingIncrementalNearDups(cosine = true) with the seen
+    * corpus = even vec_ids and the new batch = odd vec_ids: probe the
+    * batch's buckets against the seen index only, cap on the SEEN
+    * bucket size. */
+  def incrementalCosineSql(h: Int, threshold: Double, maxBucket: Int): String =
+    idxCte(h) +
+      s""",
+         |seenb AS (SELECT bucket, count(*) AS n FROM idx WHERE vec_id % 2 = 0 GROUP BY 1),
+         |scored AS (
+         |  SELECT p.vec_id AS new_id, s.vec_id AS seen_id,
+         |    ${cosExpr("p.embedding", "s.embedding")} AS score
+         |  FROM idx p JOIN idx s ON p.bucket = s.bucket
+         |  JOIN seenb sb ON s.bucket = sb.bucket
+         |  WHERE p.vec_id % 2 = 1 AND s.vec_id % 2 = 0 AND sb.n <= $maxBucket)
+         |SELECT new_id, seen_id, score FROM scored WHERE score >= $threshold""".stripMargin
 }
 
 /**

@@ -595,6 +595,39 @@ object Dedup {
   }
 
   /**
+   * INCREMENTAL embedding near-dup: a NEW batch of vectors against the
+   * SEEN corpus's persisted LSH index (`(bucket, id, vec)` — the
+   * [[Similarity.lshIndex]] shape at rest). The batch is bucketed with
+   * the same deterministic hyperplanes (seeded per (plane, dim) — no RNG
+   * state to persist) and joined on the bucket key, so history
+   * embeddings are touched only in buckets the batch actually probes;
+   * the seen-side bucket cap bounds the fan-out exactly like
+   * [[Similarity.lshCandidates]]. The embedding twin of
+   * [[incrementalDedup]]: daily vector ingest never rescans or re-hashes
+   * history. Within-batch pairs are NOT emitted — compose with
+   * [[embeddingNearDupsLsh]] on the batch for both, the same split as
+   * incrementalDedup vs exactDedup. Output: `(new_id, seen_id, score)`.
+   */
+  def embeddingIncrementalNearDups(newDf: DataFrame, seenIndex: DataFrame,
+      idCol: String, vecCol: String, threshold: Double, h: Int,
+      maxBucket: Int = 4096, cosine: Boolean = false): DataFrame = {
+    import graft.functions.VectorFunctions.{vec_cosine, vec_dot}
+    val okBuckets = seenIndex.groupBy(col("bucket")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBucket)
+      .select(col("bucket"))
+    val seen = seenIndex.join(okBuckets, Seq("bucket"), "left_semi")
+      .select(col("bucket"), col(idCol).as("seen_id"), col(vecCol).as("__sv"))
+    val probe = Similarity.lshIndex(newDf, idCol, vecCol, h)
+      .select(col("bucket"), col(idCol).as("new_id"), col(vecCol).as("__nv"))
+    val scoreCol =
+      if (cosine) vec_cosine(col("__nv"), col("__sv")) else vec_dot(col("__nv"), col("__sv"))
+    probe.join(seen, "bucket")
+      .withColumn("score", scoreCol)
+      .where(col("score") >= threshold)
+      .select(col("new_id"), col("seen_id"), col("score"))
+  }
+
+  /**
    * Embedding near-dup pairs, exact form: all-pairs self join (a
    * CartesianProduct — O(N²) scored pairs) + the codegen'd float kernel.
    * This is the VERIFICATION kernel for small candidate sets and tests;

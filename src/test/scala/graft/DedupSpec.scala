@@ -130,6 +130,34 @@ class DedupSpec extends SparkSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("embeddingIncrementalNearDups equals the cross-batch slice of the full run") {
+    import graft.ops.Similarity
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(5)(Array.fill(8)((rnd.nextFloat() - 0.5f) * 2f))
+    val vecs = (0L until 60L).map { i =>
+      val c = centers((i % 5).toInt)
+      (i, c.map(v => v + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val (h, thr) = (3, 0.9d)
+    val full = graft.ops.Dedup.embeddingNearDupsLsh(df, "vec_id", "embedding",
+        threshold = thr, h = h, maxBucket = 4096, cosine = true)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val seen = df.where(col("vec_id") % 2 === 0)
+    val fresh = df.where(col("vec_id") % 2 === 1)
+    val inc = graft.ops.Dedup.embeddingIncrementalNearDups(fresh,
+        Similarity.lshIndex(seen, "vec_id", "embedding", h),
+        "vec_id", "embedding", threshold = thr, h = h, cosine = true)
+      .select("new_id", "seen_id").as[(Long, Long)].collect().toSet
+    // the incremental run must surface exactly the (odd, even) pairs the
+    // full run finds — unordered in `full`, directed (new, seen) in `inc`
+    val want = full.collect {
+      case (a, b) if a % 2 == 1 && b % 2 == 0 => (a, b)
+      case (a, b) if a % 2 == 0 && b % 2 == 1 => (b, a)
+    }
+    assert(inc == want && inc.nonEmpty, s"inc=${inc.size} want=${want.size}")
+  }
+
   test("connectedComponents labels transitive chains with the min node") {
     // chain 1-2-3, pair 10-11, triangle 30-31-32
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L), (31L, 32L), (30L, 32L))
