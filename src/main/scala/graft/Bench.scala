@@ -82,6 +82,10 @@ object Bench {
     val errs = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.map(r => median(r._2)).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_detail":$detail,"reps":$reps,"errors":$errs,"sf":"$sfDir"}""")
+    // the driver tail-truncates long output: the giant per-query line above
+    // lost its leading total in all of rounds 1-8 ("parsed": null). Print a
+    // compact headline LAST so truncation can never eat it.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_s":$total,"n_queries":${results.size},"reps":$reps,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

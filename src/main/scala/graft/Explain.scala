@@ -19,6 +19,16 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM exactly like Bench does: the first Spark job in a
+    // session pays ~3-4 s of classloading/codegen that would otherwise be
+    // charged to whichever phase runs the first job (BUILD for queries
+    // with in-builder actions like zipWithIndex's partition-size count)
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(200000)
+        .select(col("id"), md5(col("id").cast("string")).as("h"))
+        .groupBy(pmod(xxhash64(col("h")), lit(16))).count().count()
+    }
     // time construction + execution: queries with eager lineage cuts do
     // real work inside the builder fn, so timing count() alone lies
     val t0 = System.nanoTime()

@@ -471,8 +471,8 @@ object CurationQueries {
       val casted = i.schema.fields.foldLeft(back) { (df, f) =>
         df.withColumn(f.name, col(f.name).cast(f.dataType))
       }
-      // materialize before deleting the CSV the frame reads from
-      val out = graft.recon.Checkpoints.cut(casted)
+      // EAGER: the frame's input files are deleted on the next line
+      val out = graft.recon.Checkpoints.cut(casted, eager = true)
       deleteRecursively(tmp)
       out
     },
@@ -511,7 +511,8 @@ object CurationQueries {
       val tmp = runTmpDir(s, "graft_interval_write")
       graft.recon.Sinks.writeRangePartitioned(i, tmp.getAbsolutePath,
         "create_timestamp", numRanges = 5)
-      val out = graft.recon.Checkpoints.cut(s.read.parquet(tmp.getAbsolutePath))
+      // EAGER: the frame's input files are deleted on the next line
+      val out = graft.recon.Checkpoints.cut(s.read.parquet(tmp.getAbsolutePath), eager = true)
       deleteRecursively(tmp)
       out
     },

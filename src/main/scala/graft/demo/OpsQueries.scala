@@ -62,13 +62,31 @@ object OpsQueries {
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin
 
-  /** events.parquet carries TIMESTAMP(NANOS) which vanilla Spark rejects;
-    * read nanos as long (legacy conf) and truncate to a micros timestamp —
-    * same ms values the DuckDB oracle sees via epoch_ms. */
+  /** Schema-adaptive events loader: the driver has regenerated
+    * `events.parquet` with `ts` as TIMESTAMP(NANOS) in some rounds and
+    * `timestamp[us]` in others, so branch on the dtype Spark actually read
+    * instead of assuming one encoding forever:
+    *   - LongType       → nanos read via `spark.sql.legacy.parquet.nanosAsLong`
+    *                      (kept for backward compat); truncate to micros.
+    *   - TIMESTAMP_NTZ  → naive micros; session tz is UTC everywhere in this
+    *                      repo, so a plain cast preserves the wall clock and
+    *                      matches the DuckDB oracle's `epoch_ms`.
+    *   - TimestampType  → already an instant; use directly.
+    * Every downstream query sees a TimestampType `ts`. */
   private[demo] def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = s.read.parquet(s"$d/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case org.apache.spark.sql.types.TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.parquet ts has unsupported type $other (expected long-nanos, " +
+            "timestamp_ntz, or timestamp)")
+    }
   }
 
   val all: Seq[QuerySpec] = Seq(
@@ -333,13 +351,19 @@ object OpsQueries {
     // by slot-agreement on signatures alone, so history text is never
     // rescanned. The whole path (slots, banding, cap, agreement ratio)
     // is value-checked
+    // k=16/bands=4 across the registered minhash family (here,
+    // dedup_minhash, dedup_minhash_survivors): the DuckDB mirror pays k
+    // md5 calls per (doc, shingle), and at k=64 these three oracles alone
+    // cost ~4 min of the driver's correctness-gate budget. Value checks
+    // only need the constants to MATCH; the k=64 production shape stays
+    // spec-covered on fixtures (DedupSpec) and available in the API.
     QuerySpec("dedup_minhash_incremental",
-      SketchOracleSql.minHashIncrementalSql(k = 64, bands = 8,
+      SketchOracleSql.minHashIncrementalSql(k = 16, bands = 4,
         minAgreement = 0.5d, maxBucket = 100)) { (s, d) =>
       val all = docs(s, d)
       Dedup.minHashIncremental(
         all.where(col("doc_id") % 3 =!= 0), all.where(col("doc_id") % 3 === 0),
-        "text", "doc_id", shingleN = 3, k = 64, bands = 8,
+        "text", "doc_id", shingleN = 3, k = 16, bands = 4,
         minAgreement = 0.5d, maxBucket = 100)
     },
 
@@ -387,9 +411,9 @@ object OpsQueries {
     // md5-based MinHash slots + band hashes: the whole
     // signature→banding→bucket-cap→Jaccard-verify path is value-checked
     QuerySpec("dedup_minhash",
-      SketchOracleSql.minHashSql(k = 64, bands = 8, threshold = 0.5d, maxBucket = 100)) { (s, d) =>
+      SketchOracleSql.minHashSql(k = 16, bands = 4, threshold = 0.5d, maxBucket = 100)) { (s, d) =>
       Dedup.minHashNearDups(docs(s, d), "text", "doc_id",
-        shingleN = 3, k = 64, bands = 8, threshold = 0.5d, maxBucket = 100)
+        shingleN = 3, k = 16, bands = 4, threshold = 0.5d, maxBucket = 100)
     },
 
     // md5-token SimHash: signatures, 16-bit chunk banding, bucket cap and
@@ -403,10 +427,10 @@ object OpsQueries {
     // components → canonical survivor per cluster; everything mirrored
     // (signatures, banding, caps, Jaccard verify, recursive closure)
     QuerySpec("dedup_minhash_survivors",
-      SketchOracleSql.minHashSurvivorsSql(k = 64, bands = 8, threshold = 0.5d, maxBucket = 100)) { (s, d) =>
+      SketchOracleSql.minHashSurvivorsSql(k = 16, bands = 4, threshold = 0.5d, maxBucket = 100)) { (s, d) =>
       Dedup.dedupByComponents(docs(s, d), "doc_id",
         Dedup.minHashNearDups(docs(s, d), "text", "doc_id",
-          shingleN = 3, k = 64, bands = 8, threshold = 0.5d, maxBucket = 100))
+          shingleN = 3, k = 16, bands = 4, threshold = 0.5d, maxBucket = 100))
         .select(col("doc_id"))
     },
 
@@ -609,6 +633,67 @@ object OpsQueries {
         "vec_id", "embedding", k = 5, cents, nprobe = 4)
     },
 
+    // IVF-PQ composition (Jégou et al. TPAMI'11 §V): trained IVF centroids
+    // route queries to nprobe cells; candidates score against their
+    // TRAINED-PQ reconstruction. The oracle unrolls BOTH trainers — the
+    // 64-dim Lloyd iterations for routing and the m per-subspace Lloyd
+    // iterations for the codebooks — plus encode/reconstruct/score, so the
+    // whole composed path is value-checked end to end
+    QuerySpec("sim_ivfpq_topk",
+      ivfpqSql(k = 16, modulus = 50, iters = 1, m = 32, subDim = 2,
+        pqC = 32, pqModulus = 5, queryMod = 100, nprobe = 6, topk = 5)) { (s, d) =>
+      val e = embs(s, d)
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        k = 16, iters = 1, modulus = 50)
+      val cb = Similarity.pqCodebookTrained(e, "vec_id", "embedding",
+        m = 32, subDim = 2, nCentroids = 32, iters = 1, modulus = 5)
+      Similarity.ivfpqTopKWith(e, e.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, cents, cb, m = 32, subDim = 2, nprobe = 6)
+    },
+
+    // recall of the composed IVF-PQ index against the brute-force truth —
+    // the shippability gate the untrained flat PQ failed (0.36): routing
+    // misses (nprobe) and quantization error (trained codebooks) are the
+    // two recall losses this measures together. SimilarityTextSpec pins
+    // the floor
+    QuerySpec("sim_ivfpq_recall",
+      raw"""WITH brute AS (
+           |  WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+           |  scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+           |               list_dot_product(qv, e.embedding) AS score
+           |             FROM q JOIN embeddings e ON e.vec_id <> query_id)
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+           |    FROM scored)
+           |  WHERE rank <= 5),
+           |ivfpq AS (SELECT query_id, neighbor_id FROM (
+           |${ivfpqSql(k = 16, modulus = 50, iters = 1, m = 32, subDim = 2,
+                pqC = 32, pqModulus = 5, queryMod = 100, nprobe = 6, topk = 5)}))
+           |SELECT b.query_id, count(*) AS k,
+           |  CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS recall
+           |FROM brute b LEFT JOIN ivfpq p
+           |  ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+           |GROUP BY 1""".stripMargin) { (s, d) =>
+      val e = embs(s, d)
+      val queries = e.where(col("vec_id") % 100 === 0)
+      val brute = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        k = 16, iters = 1, modulus = 50)
+      val cb = Similarity.pqCodebookTrained(e, "vec_id", "embedding",
+        m = 32, subDim = 2, nCentroids = 32, iters = 1, modulus = 5)
+      val ivfpq = Similarity.ivfpqTopKWith(e, queries, "vec_id", "embedding",
+        k = 5, cents, cb, m = 32, subDim = 2, nprobe = 6)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      brute.join(ivfpq, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+        .withColumn("recall", col("n_hit").cast("double") / col("k").cast("double"))
+    },
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs scored only
     // within trained k-means cells — the codebook bounds candidate pairs
     // to Σ(cluster²) instead of N²; the full path (Lloyd training,
@@ -779,6 +864,91 @@ object OpsQueries {
        |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
        |WHERE rank <= $topk""".stripMargin
   }
+
+  /**
+   * DuckDB mirror of [[graft.ops.Similarity.pqCodebookTrained]] +
+   * [[graft.ops.Similarity.pqEncode]]/[[graft.ops.Similarity.pqReconstruct]]
+   * — CTE fragment (no WITH prefix) ending at `pqrecon(vec_id, rv)`.
+   * Per subspace `s`: seed codebook from the every-`pqModulus`-th sample's
+   * slice, `iters` Lloyd iterations on the slice (double AVG → float32,
+   * the same rounding device as [[kmeansCtes]]), final code assignment
+   * (tie → lowest code), reconstruction = the coded centroid subvector;
+   * `pqrecon` concatenates the m subspaces in order via an m-way join.
+   */
+  private def pqTrainedCtes(m: Int, subDim: Int, pqC: Int, iters: Int,
+      pqModulus: Int): String = {
+    // ≡ Similarity.l2Score: argmax(dot(v,c) − ½‖c‖²) = argmin ‖v−c‖²,
+    // float32 dots cast to DOUBLE, double arithmetic — bit-identical to
+    // the Spark kernel path (0.5e0 forces a DOUBLE literal, not DECIMAL)
+    def l2score(v: String, c: String) =
+      s"(CAST(list_dot_product($v, $c) AS DOUBLE) - 0.5e0 * CAST(list_dot_product($c, $c) AS DOUBLE))"
+    // the subspace index rides as DATA (`pss`), not as m unrolled CTE
+    // blocks — the per-subspace form was O(m·iters) CTEs and took DuckDB
+    // minutes to even plan at m=32; this shape is a constant ~10 CTEs
+    val iterCtes = (1 to iters).map { i =>
+      s"""pqa$i AS (
+         |  SELECT s, vec_id, sv, j FROM (
+         |    SELECT t.s, t.vec_id, t.sv, c.j,
+         |      row_number() OVER (PARTITION BY t.s, t.vec_id
+         |        ORDER BY ${l2score("t.sv", "c.cs")} DESC, c.j) AS rn
+         |    FROM psub t JOIN pq${i - 1} c ON c.s = t.s) WHERE rn = 1),
+         |pqm$i AS (
+         |  SELECT a.s, a.j, d.d, CAST(avg(a.sv[d.d]) AS FLOAT) AS m
+         |  FROM pqa$i a CROSS JOIN sdims d GROUP BY 1, 2, 3),
+         |pq$i AS (
+         |  SELECT s, j, list(m ORDER BY d) AS cs FROM pqm$i GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT c.s, c.j, c.cs FROM pq${i - 1} c
+         |  WHERE NOT EXISTS (SELECT 1 FROM pqm$i x WHERE x.s = c.s AND x.j = c.j))""".stripMargin
+    }.mkString(",\n")
+    s"""sdims AS (SELECT unnest(range(1, ${subDim + 1})) AS d),
+       |pss AS (SELECT unnest(range(0, $m)) AS s),
+       |psub AS (
+       |  SELECT e.vec_id, p.s, e.embedding[p.s*$subDim+1 : (p.s+1)*$subDim] AS sv
+       |  FROM embeddings e CROSS JOIN pss p),
+       |pq0 AS (
+       |  SELECT p.s, row_number() OVER (PARTITION BY p.s ORDER BY t.vec_id) - 1 AS j,
+       |    t.embedding[p.s*$subDim+1 : (p.s+1)*$subDim] AS cs
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE vec_id % $pqModulus = 0 ORDER BY vec_id LIMIT $pqC) t
+       |  CROSS JOIN pss p),
+       |$iterCtes,
+       |pqrecon AS (
+       |  SELECT vec_id, flatten(list(cs ORDER BY s)) AS rv FROM (
+       |    SELECT enc.s, enc.vec_id, c.cs FROM (
+       |      SELECT s, vec_id, j AS code FROM (
+       |        SELECT t.s, t.vec_id, c.j,
+       |          row_number() OVER (PARTITION BY t.s, t.vec_id
+       |            ORDER BY ${l2score("t.sv", "c.cs")} DESC, c.j) AS rn
+       |        FROM psub t JOIN pq$iters c ON c.s = t.s) WHERE rn = 1) enc
+       |    JOIN pq$iters c ON c.s = enc.s AND c.j = enc.code)
+       |  GROUP BY vec_id)""".stripMargin
+  }
+
+  /** ≡ [[graft.ops.Similarity.ivfpqTopKWith]] with trained IVF centroids
+    * ([[kmeansCtes]]) and trained PQ codebooks ([[pqTrainedCtes]]):
+    * nprobe-cell routing, asymmetric PQ scoring, per-query top-k. */
+  private def ivfpqSql(k: Int, modulus: Int, iters: Int, m: Int, subDim: Int,
+      pqC: Int, pqModulus: Int, queryMod: Int, nprobe: Int, topk: Int): String =
+    s"""${kmeansCtes(k, modulus, iters)},
+       |${pqTrainedCtes(m, subDim, pqC, iters, pqModulus)},
+       |probes AS (
+       |  SELECT query_id, qv, centroid_id FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_dot_product(q.embedding, c.cv) DESC, c.centroid_id) AS pr
+       |    FROM embeddings q CROSS JOIN c$iters c WHERE q.vec_id % $queryMod = 0)
+       |  WHERE pr <= $nprobe),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    list_dot_product(p.qv, r.rv) AS score
+       |  FROM probes p JOIN af a
+       |    ON p.centroid_id = a.centroid_id AND p.query_id <> a.vec_id
+       |  JOIN pqrecon r ON r.vec_id = a.vec_id)
+       |SELECT query_id, neighbor_id, score, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+       |WHERE rank <= $topk""".stripMargin
 
   /** Within-cluster cosine pair CTE over the trained-codebook assignment —
     * ≡ [[graft.ops.Dedup.semanticNearDups]] with the same (k, modulus,

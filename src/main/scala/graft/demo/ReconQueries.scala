@@ -291,7 +291,7 @@ object ReconQueries {
       // anti-join + band-join chain twice
       ta.join(tb, equi && diff <= lit(rule.tolerance))
         .select(col("_id"), col("ext_id"), diff.as("tolerance_diff"))
-        .transform(Checkpoints.cut)
+        .transform(df => Checkpoints.cut(df))
         .orderBy(col("tolerance_diff"), col("_id"), col("ext_id"))
     },
 

@@ -54,15 +54,21 @@ object ScaleQueries {
       val bands = edges.init
         .map { case (name, e) => s"WHEN h < $e THEN '$name'" }
         .mkString(" ")
+      // k=16/bands=4 (not the 64/8 the standalone dedup_minhash queries
+      // use): this oracle re-derives components in pure SQL, and at 64
+      // hashes it ran ~6 min in DuckDB at sf0.01 — 2 such oracles blew the
+      // driver's correctness-gate budget two rounds running. It's a value
+      // check; the constants only have to MATCH across arms, and 16/4 keeps
+      // the banding shape (4 rows/band) while cutting signature work 4x.
       SketchOracleSql.minHashComponentLabelsCte(
-        k = 64, bands = 8, threshold = 0.5d, maxBucket = 100) +
+        k = 16, bands = 4, threshold = 0.5d, maxBucket = 100) +
         raw""",
              |h AS (SELECT doc_id, label, ${md5h60("CAST(label AS VARCHAR)")} AS h FROM lab)
              |SELECT doc_id, label, CASE $bands ELSE '${edges.last._1}' END AS split FROM h""".stripMargin
     }) { (s, d) =>
       val all = docs(s, d)
       val pairs = Dedup.minHashNearDups(all, "text", "doc_id",
-        shingleN = 3, k = 64, bands = 8, threshold = 0.5d, maxBucket = 100)
+        shingleN = 3, k = 16, bands = 4, threshold = 0.5d, maxBucket = 100)
       val comp = Dedup.connectedComponents(pairs)
       val lab = all.select(col("doc_id"))
         .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
@@ -88,8 +94,9 @@ object ScaleQueries {
              |    PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
              |  FROM documents d) WHERE rn = 1),
              |""".stripMargin
+      // k=16/bands=4 for the same gate-budget reason as text_split_leakfree
       SketchOracleSql.minHashComponentLabelsCte(
-        k = 64, bands = 8, threshold = 0.5d, maxBucket = 100,
+        k = 16, bands = 4, threshold = 0.5d, maxBucket = 100,
         src = "surv", extraCtes = survCte) +
         raw""",
              |h AS (SELECT doc_id, ${md5h60("CAST(label AS VARCHAR)")} AS h FROM lab),
@@ -105,7 +112,7 @@ object ScaleQueries {
     }) { (s, d) =>
       val surv = Dedup.exactDedup(docs(s, d), "text", "doc_id")
       val pairs = Dedup.minHashNearDups(surv, "text", "doc_id",
-        shingleN = 3, k = 64, bands = 8, threshold = 0.5d, maxBucket = 100)
+        shingleN = 3, k = 16, bands = 4, threshold = 0.5d, maxBucket = 100)
       val comp = Dedup.connectedComponents(pairs)
       val lab = surv.select(col("doc_id"))
         .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
@@ -249,6 +256,31 @@ object ScaleQueries {
       (s, d) =>
         Dedup.spanDedupFilter(docs(s, d), "text", "doc_id", n = 6, maxDupFrac = 0.5)
           .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    // MAXIMAL duplicated spans (variable-length exact-substring dedup):
+    // runs of consecutive duplicated 6-gram positions merge into one span
+    // via gaps-and-islands (pos − row_number), so a long duplicated region
+    // is ONE row with its true extent — the measurement fixed n-grams
+    // under-report. Every span's (start, end, gram count, token length)
+    // is value-checked
+    QuerySpec("dedup_substring_spans",
+      raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |                ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |sp AS (SELECT doc_id, unnest(
+           |         CASE WHEN len(t) < 6 THEN []
+           |              ELSE [{'pos': i, 'g': array_to_string(t[i:i+5], ' ')} FOR i IN range(1, len(t) - 4)] END) AS u
+           |       FROM tt),
+           |gh AS (SELECT doc_id, u.pos AS pos, ${md5h60("u.g")} AS gh FROM sp),
+           |dup AS (SELECT gh FROM gh GROUP BY gh HAVING count(*) >= 2),
+           |dp AS (SELECT g.doc_id, g.pos FROM gh g JOIN dup d USING (gh)),
+           |isl AS (SELECT doc_id, pos,
+           |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           |        FROM dp)
+           |SELECT doc_id, min(pos) AS span_start, max(pos) + 5 AS span_end,
+           |  count(*) AS n_grams, max(pos) + 5 - min(pos) + 1 AS span_tokens
+           |FROM isl GROUP BY doc_id, island""".stripMargin) { (s, d) =>
+      Dedup.duplicatedSpans(docs(s, d), "text", "doc_id", n = 6)
     },
 
     // exactly-k-per-group deterministic sample (the reservoir shape, but

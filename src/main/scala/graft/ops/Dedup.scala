@@ -206,6 +206,55 @@ object Dedup {
         col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
   }
 
+  /** POSITIONAL (doc, pos, shingle) table with 1-based token positions —
+    * the input for maximal-span merging, where WHERE an n-gram sits
+    * matters, not just that it occurs. Same explode-the-expression /
+    * repartition-barrier discipline as [[spanTable]]. */
+  def posSpanTable(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc"),
+        posexplode(shinglesOfTokens(col("__toks"), n)).as(Seq("__p0", "shingle")))
+      .select(col("doc"), (col("__p0") + 1).cast("long").as("pos"), col("shingle"))
+
+  /**
+   * MAXIMAL duplicated spans (the variable-length upgrade of
+   * [[duplicatedSpanStats]], Lee et al. 2021's exact-substring shape): a
+   * duplicated region longer than `n` tokens appears as a RUN of
+   * consecutive duplicated n-gram positions, and fixed n-gram accounting
+   * under-reports it as independent grams. Here runs merge: per document,
+   * every maximal run of consecutive positions whose n-gram occurs ≥2
+   * times corpus-wide becomes ONE span — a 2n-token duplicated region is
+   * one (n+1)-gram span, not n+1 separate hits. Output per span:
+   * (idCol, span_start, span_end, n_grams, span_tokens) with 1-based
+   * inclusive token indexes, span_end = last_pos + n − 1.
+   *
+   * Scale shape: positions travel with 60-bit span hashes (never text);
+   * the dup mark is a count≥2 semi join co-partitioned on the hash; the
+   * run merge is gaps-and-islands — one window PARTITIONED BY doc (no
+   * global funnel), islands keyed by pos − row_number.
+   */
+  def duplicatedSpans(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = graft.recon.Checkpoints.cut(
+      posSpanTable(df, textCol, idCol, n)
+        .select(col("doc"), col("pos"), Sampling.keyHash(col("shingle")).as("__gh")))
+    val dup = spans.groupBy(col("__gh"))
+      .agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= 2)
+      .select(col("__gh"))
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    spans.join(dup, Seq("__gh"), "left_semi")
+      .withColumn("__isl", col("pos") - row_number().over(w))
+      .groupBy(col("doc"), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc").as(idCol), col("span_start"), col("span_end"),
+        col("n_grams"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   /**
    * Removal arm of exact-substring (span) dedup: keep documents whose
    * duplicated-span fraction stays at or under `maxDupFrac`. Documents
@@ -357,22 +406,38 @@ object Dedup {
   def minHashIncremental(newDf: DataFrame, seenDf: DataFrame, textCol: String,
       idCol: String, shingleN: Int = 3, k: Int = 64, bands: Int = 8,
       minAgreement: Double = 0.5d, maxBucket: Int = 100,
-      hash: SketchHash = SketchHash.Portable): DataFrame = {
+      hash: SketchHash = SketchHash.Portable): DataFrame =
+    minHashIncrementalOf(
+      graft.recon.Checkpoints.cut(
+        minHashSignatures(newDf, textCol, idCol, shingleN, k, hash)),
+      graft.recon.Checkpoints.cut(
+        minHashSignatures(seenDf, textCol, idCol, shingleN, k, hash)),
+      k, bands, minAgreement, maxBucket, hash)
+
+  /** Banded `(doc, band, band_hash)` table of a signature frame — the
+    * at-rest probe structure of a MinHash index ([[IndexStore]] persists
+    * its per-bucket counts as the stats sidecar). */
+  private[ops] def bandedSignatures(sig: DataFrame, k: Int, bands: Int,
+      hash: SketchHash): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sigN = graft.recon.Checkpoints.cut(
-      minHashSignatures(newDf, textCol, idCol, shingleN, k, hash))
-    val sigS = graft.recon.Checkpoints.cut(
-      minHashSignatures(seenDf, textCol, idCol, shingleN, k, hash))
-    def banded(sig: DataFrame): DataFrame = {
-      val bandCols = (0 until bands).map { b =>
-        hash.band((b * rows until (b + 1) * rows).map(i => col(s"h$i"))).as(s"b$b")
-      }
-      sig.select(col("doc"), posexplode(array(bandCols: _*)))
-        .toDF("doc", "band", "band_hash")
+    val bandCols = (0 until bands).map { b =>
+      hash.band((b * rows until (b + 1) * rows).map(i => col(s"h$i"))).as(s"b$b")
     }
-    val bN = banded(sigN)
-    val bS = banded(sigS)
+    sig.select(col("doc"), posexplode(array(bandCols: _*)))
+      .toDF("doc", "band", "band_hash")
+  }
+
+  /** [[minHashIncremental]] against PRE-BUILT signature frames — the
+    * probe arm for an index loaded from disk ([[IndexStore]]): the seen
+    * corpus participates only through `sigS` (doc + k longs), text is
+    * never rescanned. */
+  def minHashIncrementalOf(sigN: DataFrame, sigS: DataFrame, k: Int, bands: Int,
+      minAgreement: Double, maxBucket: Int,
+      hash: SketchHash = SketchHash.Portable): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val bN = bandedSignatures(sigN, k, bands, hash)
+    val bS = bandedSignatures(sigS, k, bands, hash)
     val okBuckets = bS.groupBy("band", "band_hash").agg(count(lit(1)).as("__n"))
       .where(col("__n") <= maxBucket)
       .select("band", "band_hash")

@@ -1,0 +1,174 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * On-disk lifecycle for the incremental dedup indexes — the piece that
+ * turns [[Dedup.minHashIncremental]] / [[Dedup.embeddingIncrementalNearDups]]
+ * from "twin frames in one session" into a production daily-ingest loop:
+ * build an index once over history, persist it, probe each new batch
+ * against the loaded index (history text/vectors never rescanned), then
+ * merge the accepted batch in.
+ *
+ * Layout (all plain parquet — readable by any engine, splittable,
+ * column-pruned on probe):
+ *
+ *   <dir>/meta/          one row of build parameters. The parameters ARE
+ *                        the index's identity: probing k=64 signatures
+ *                        with k=16 banding silently produces garbage, so
+ *                        every probe/merge re-reads meta and uses ITS
+ *                        values, and [[loadMeta]] fails loudly on an
+ *                        unknown layout version.
+ *   <dir>/signatures/    MinHash: (doc, h0..h{k-1}).
+ *   <dir>/index/         embedding LSH: (vec_id-col, vec-col, bucket).
+ *   <dir>/bucket_stats/  sidecar of per-bucket member counts — lets a
+ *                        probe (or an operator) see hub buckets and
+ *                        overall balance WITHOUT scanning the index
+ *                        itself; refreshed on merge.
+ *
+ * Scale shape: writes are straight columnar dumps of frames the build
+ * already produces (signatures: k longs per doc; stats: one row per
+ * bucket); probes read the signature/index parquet with column pruning
+ * and join on band/bucket keys exactly like the in-memory forms. Merge
+ * appends the new batch's rows and rewrites only the (tiny) stats
+ * sidecar — history signature files are immutable.
+ */
+object IndexStore {
+
+  final case class MinHashMeta(shingleN: Int, k: Int, bands: Int)
+  final case class EmbedLshMeta(h: Int, idCol: String, vecCol: String)
+
+  private val Version = 1L
+
+  private def writeMeta(spark: SparkSession, dir: String,
+      kind: String, fields: Map[String, String]): Unit = {
+    val cols = lit(Version).as("version") +: lit(kind).as("kind") +:
+      fields.toSeq.sortBy(_._1).map { case (k, v) => lit(v).as(k) }
+    spark.range(1).select(cols: _*)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def readMeta(spark: SparkSession, dir: String, kind: String): Map[String, String] = {
+    val row = spark.read.parquet(s"$dir/meta").head()
+    val m = row.schema.fieldNames.map(n => n -> row.getAs[Any](n).toString).toMap
+    require(m.get("version").contains(Version.toString),
+      s"index at $dir has layout version ${m.get("version")}, expected $Version")
+    require(m.get("kind").contains(kind),
+      s"index at $dir is a '${m.getOrElse("kind", "?")}' index, expected '$kind'")
+    m
+  }
+
+  // ---- MinHash text index ------------------------------------------------
+
+  /** Build and persist a MinHash index over `df`. The signatures are the
+    * index; the banded per-bucket counts go to the stats sidecar. */
+  def writeMinHashIndex(df: DataFrame, textCol: String, idCol: String, dir: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 8): Unit = {
+    require(k % bands == 0, "bands must divide k")
+    val spark = df.sparkSession
+    val sig = Dedup.minHashSignatures(df, textCol, idCol, shingleN, k)
+    sig.write.mode("overwrite").parquet(s"$dir/signatures")
+    writeMeta(spark, dir, "minhash", Map(
+      "shingle_n" -> shingleN.toString, "k" -> k.toString, "bands" -> bands.toString))
+    refreshMinHashStats(spark, dir)
+  }
+
+  def loadMinHashMeta(spark: SparkSession, dir: String): MinHashMeta = {
+    val m = readMeta(spark, dir, "minhash")
+    MinHashMeta(m("shingle_n").toInt, m("k").toInt, m("bands").toInt)
+  }
+
+  /** The persisted signature frame (doc, h0..h{k-1}). */
+  def loadMinHashSignatures(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/signatures")
+
+  /** Per-(band, band_hash) member counts, from the sidecar — no index scan. */
+  def loadMinHashStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/bucket_stats")
+
+  /** Probe a NEW batch against the persisted index. All index-shape
+    * parameters come from the index's own meta — the caller cannot
+    * mis-pair them with the stored signatures. */
+  def minHashProbe(newDf: DataFrame, textCol: String, idCol: String, dir: String,
+      minAgreement: Double = 0.5d, maxBucket: Int = 100): DataFrame = {
+    val spark = newDf.sparkSession
+    val meta = loadMinHashMeta(spark, dir)
+    val sigN = graft.recon.Checkpoints.cut(
+      Dedup.minHashSignatures(newDf, textCol, idCol, meta.shingleN, meta.k))
+    Dedup.minHashIncrementalOf(sigN, loadMinHashSignatures(spark, dir),
+      meta.k, meta.bands, minAgreement, maxBucket)
+  }
+
+  /** Merge an accepted batch into the index: append its signatures
+    * (history files untouched) and refresh the stats sidecar. */
+  def mergeIntoMinHashIndex(batch: DataFrame, textCol: String, idCol: String,
+      dir: String): Unit = {
+    val spark = batch.sparkSession
+    val meta = loadMinHashMeta(spark, dir)
+    Dedup.minHashSignatures(batch, textCol, idCol, meta.shingleN, meta.k)
+      .write.mode("append").parquet(s"$dir/signatures")
+    refreshMinHashStats(spark, dir)
+  }
+
+  private def refreshMinHashStats(spark: SparkSession, dir: String): Unit = {
+    val meta = loadMinHashMeta(spark, dir)
+    Dedup.bandedSignatures(loadMinHashSignatures(spark, dir), meta.k, meta.bands,
+        Dedup.SketchHash.Portable)
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$dir/bucket_stats")
+  }
+
+  // ---- embedding sign-LSH index ------------------------------------------
+
+  /** Build and persist a sign-LSH embedding index ([[Similarity.lshIndex]]
+    * shape at rest: id, vector, bucket). The hyperplanes are derived from
+    * (plane, dim) seeds — no RNG state to persist; `h` in meta is the
+    * complete reconstruction recipe. */
+  def writeEmbeddingIndex(df: DataFrame, idCol: String, vecCol: String, dir: String,
+      h: Int): Unit = {
+    val spark = df.sparkSession
+    Similarity.lshIndex(df, idCol, vecCol, h)
+      .write.mode("overwrite").parquet(s"$dir/index")
+    writeMeta(spark, dir, "embed_lsh", Map(
+      "h" -> h.toString, "id_col" -> idCol, "vec_col" -> vecCol))
+    refreshEmbeddingStats(spark, dir)
+  }
+
+  def loadEmbeddingMeta(spark: SparkSession, dir: String): EmbedLshMeta = {
+    val m = readMeta(spark, dir, "embed_lsh")
+    EmbedLshMeta(m("h").toInt, m("id_col"), m("vec_col"))
+  }
+
+  def loadEmbeddingIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/index")
+
+  def loadEmbeddingStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/bucket_stats")
+
+  /** Probe a NEW vector batch against the persisted index; `h` and the
+    * column names come from meta. */
+  def embeddingProbe(newDf: DataFrame, dir: String, threshold: Double,
+      maxBucket: Int = 4096, cosine: Boolean = false): DataFrame = {
+    val spark = newDf.sparkSession
+    val meta = loadEmbeddingMeta(spark, dir)
+    Dedup.embeddingIncrementalNearDups(newDf, loadEmbeddingIndex(spark, dir),
+      meta.idCol, meta.vecCol, threshold, meta.h, maxBucket, cosine)
+  }
+
+  /** Merge an accepted vector batch: append bucketed rows, refresh stats. */
+  def mergeIntoEmbeddingIndex(batch: DataFrame, dir: String): Unit = {
+    val spark = batch.sparkSession
+    val meta = loadEmbeddingMeta(spark, dir)
+    Similarity.lshIndex(batch, meta.idCol, meta.vecCol, meta.h)
+      .write.mode("append").parquet(s"$dir/index")
+    refreshEmbeddingStats(spark, dir)
+  }
+
+  private def refreshEmbeddingStats(spark: SparkSession, dir: String): Unit =
+    loadEmbeddingIndex(spark, dir)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$dir/bucket_stats")
+}

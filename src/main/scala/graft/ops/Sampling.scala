@@ -151,11 +151,17 @@ object Sampling {
    * every other stratum keeps `sqrt(n_min / n_s)` of its rows, so the
    * output mixture is proportional to `sqrt(n_s)` exactly.
    *
-   * α is FIXED at 1/2 deliberately: `sqrt` is correctly rounded in
-   * every IEEE-754 engine, so the thresholds — and therefore the kept
-   * set — are bit-reproducible against the oracle; a general `pow(n,α)`
-   * is libm-specific in its last ulp, which at a threshold boundary
-   * flips membership of real rows. Other temperatures belong to
+   * α is FIXED at 1/2 deliberately: `sqrt` is correctly rounded by
+   * IEEE-754 (a language-level guarantee), while a general `pow(n,α)`
+   * is libm-specific in its last ulp — at a threshold boundary that one
+   * ulp flips membership of real rows. To be precise about what
+   * reproducibility rests on: correctly-rounded `sqrt` alone doesn't
+   * make the THRESHOLD bit-exact — it's that both engines evaluate the
+   * same `floor(w·C/n·2^60)` expression over the same doubles with the
+   * same correctly-rounded `*`, `/`, and `sqrt` in the same order, so
+   * every intermediate (and the floor) is bit-identical. Any mirror
+   * that re-associates the arithmetic loses that guarantee even with a
+   * perfect sqrt. Other temperatures belong to
    * [[mixtureResample]] with driver-computed weights. Same cost shape:
    * tiny count aggregate + one-row scale, broadcast onto the per-row
    * 60-bit hash gate; two passes over the corpus.

@@ -79,16 +79,20 @@ object Selection {
 
     val tCounts = bucketCounts(target, textCol, nBuckets)
       .withColumnRenamed("cnt", "__tc")
-    // an empty target (no docs, or none with ≥ 2 tokens) would make the
-    // target total NULL and every affinity score NULL — the top-k would
-    // then "select" arbitrary null-scored docs. Fail loudly instead; the
-    // probe is one tiny job over the bounded bucket frame.
-    require(tCounts.head(1).nonEmpty,
-      "selectByAffinity: target corpus has no bigram features")
     val rCounts = bucketCounts(raw, textCol, nBuckets)
       .withColumnRenamed("cnt", "__rc")
     val tTotal = tCounts.agg(sum(col("__tc")).as("__tt"))
     val rTotal = rCounts.agg(sum(col("__rc")).as("__rt"))
+
+    // an empty target (no docs, or none with ≥ 2 tokens) would make the
+    // target total NULL and every affinity score NULL — the top-k would
+    // then "select" arbitrary null-scored docs. Fail loudly, but IN-PLAN
+    // (raise_error where the null total would poison the score) — an
+    // earlier eager `head(1)` probe here ran a Spark job at every plan
+    // construction, a BUILD-time cost each caller paid before any action.
+    val ttGuarded = when(col("__tt").isNotNull, col("__tt"))
+      .otherwise(raise_error(
+        lit("selectByAffinity: target corpus has no bigram features")).cast("long"))
 
     val scored = hashedBigrams(raw, textCol, idCol, nBuckets)
       .join(broadcast(tCounts), Seq("bucket"), "left")
@@ -97,7 +101,7 @@ object Selection {
       .crossJoin(broadcast(rTotal))
       .select(col(idCol),
         (dec(coalesce(col("__tc"), lit(0L)) + lit(1L)) * dec(col("__rt") + b) -
-          dec(coalesce(col("__rc"), lit(0L)) + lit(1L)) * dec(col("__tt") + b))
+          dec(coalesce(col("__rc"), lit(0L)) + lit(1L)) * dec(ttGuarded + b))
           .as("__term"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"), sum(col("__term")).cast("decimal(38,0)").as("score"))

@@ -165,6 +165,13 @@ object Sketches {
    */
   def cmsEstimateFromSketch(sketch: DataFrame, probes: DataFrame,
       probeCol: String, d: Int = 4, w: Int = 256): DataFrame = {
+    // (d, w) are part of the sketch's identity: probing with different
+    // values than the build silently misses buckets (left-join nulls →
+    // coalesce(0) → estimates of 0, violating the never-undercount
+    // contract). Validate the shape here like cmsSketch does; matching
+    // the BUILD's values is the caller's contract, stated loudly.
+    require(d >= 1 && w >= 2,
+      s"bad CMS shape: d=$d w=$w (must equal the values the sketch was built with)")
     val pb = (0 until d).map(i =>
       struct(lit(i).as("r"), cmsBucket(col(probeCol), i, w).as("bucket")))
     probes

@@ -44,10 +44,44 @@ object Checkpoints {
       })
     }
 
-  /** Materialize `df` eagerly and cut its lineage, per the session's
-    * checkpoint policy. */
-  def cut(df: DataFrame): DataFrame = {
+  /** Cut `df`'s lineage, per the session's checkpoint policy.
+    *
+    * LAZY (`eager = false`) in both modes: the returned frame's plan is a
+    * `LogicalRDD` either way — the lineage cut and single-materialization
+    * guarantee are identical — but materialization happens on the first
+    * ACTION, not here at plan-construction time. Eager cuts charged query
+    * BUILD with the whole upstream execution (r7 measured 11.7 s BUILD vs
+    * 1.9 s RUN on the flagship multi-pass query) and materialized frames
+    * the caller might never consume. For the reliable mode, lazy is
+    * strictly cheaper: the checkpoint-write job recomputes partitions
+    * regardless, so eager's extra `count()` job bought nothing.
+    *
+    * Pass `eager = true` ONLY when the caller is about to invalidate the
+    * frame's INPUTS (e.g. delete the temp files it reads) — then the data
+    * must be pinned before this call returns. */
+  def cut(df: DataFrame, eager: Boolean = false): DataFrame = {
     val spark = df.sparkSession
+    // Lazy is only real if the subtree is planned WITHOUT AQE: checkpoint()
+    // calls queryExecution.toRdd up front, and an AdaptiveSparkPlanExec
+    // EXECUTES all its intermediate query stages inside execute() — i.e. at
+    // plan-construction time, which is exactly the eager cost this mode
+    // exists to avoid (measured: recon_pass_full BUILD 8.6 s with AQE-lazy
+    // vs 11.7 s eager). Cut subtrees trade AQE's runtime re-planning for
+    // laziness; the enclosing query (and the cluster-level skew/coalesce
+    // handling that matters at 100 TB) still runs under AQE, and a cut is
+    // by definition a boundary we've already chosen to materialize whole.
+    val AqeKey = "spark.sql.adaptive.enabled"
+    def planned[T](body: => T): T =
+      if (eager) body
+      else {
+        val prev = spark.conf.getOption(AqeKey)
+        spark.conf.set(AqeKey, "false")
+        try body
+        finally prev match {
+          case Some(v) => spark.conf.set(AqeKey, v)
+          case None => spark.conf.unset(AqeKey)
+        }
+      }
     spark.conf.getOption(DirConf) match {
       case Some(dir) if dir.nonEmpty =>
         val sc = spark.sparkContext
@@ -60,9 +94,9 @@ object Checkpoints {
           .makeQualified(p).toString
         if (!sc.getCheckpointDir.exists(_.startsWith(qualified))) sc.setCheckpointDir(dir)
         hookCleanup(sc)
-        df.checkpoint(eager = true)
+        planned(df.checkpoint(eager = eager))
       case _ =>
-        df.localCheckpoint(eager = true)
+        planned(df.localCheckpoint(eager = eager))
     }
   }
 }

@@ -67,18 +67,44 @@ object Sources {
   /**
    * Row-provenance index (P9, reference: with_row_index(offset=1) at
    * src/data_extractor.py:98-99). Spark has no implicit row order, so this
-   * is a two-pass zipWithIndex over the *current* partition order: exact,
-   * distributed, no single-partition bottleneck — per-partition offsets are
-   * computed from partition sizes, so it scales to any partition count.
-   * Deterministic as long as the source's partition/row order is (true for
-   * file sources with a fixed file listing).
+   * is the two-pass partition-offset scheme over the *current* partition
+   * order — but expressed IN-PLAN, fully lazily (an earlier rdd.zipWithIndex
+   * form ran its partition-size count job at plan-construction time, a
+   * BUILD-phase action every caller paid even if the frame was never used):
+   *   - `monotonically_increasing_id()` = pid·2³³ + position-in-partition,
+   *     so the local position falls out by subtracting the pid mask;
+   *   - per-partition row counts come from a tiny groupBy(partition id)
+   *     aggregate, cumulative offsets from a window over that aggregate
+   *     (single partition, but bounded by the PARTITION count — ~10⁶ rows
+   *     of 16 bytes even at 100 TB, not a whole-input funnel);
+   *   - offsets broadcast-join back on pid, index = offset + local.
+   * Exact, distributed, deterministic as long as the source's
+   * partition/row order is (true for file sources with a fixed listing).
    */
   def withRowIndex(df: DataFrame, name: String, offset: Long = 1L): DataFrame = {
-    val schema = StructType(df.schema.fields :+ StructField(name, LongType, nullable = false))
-    val rdd = df.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ (idx + offset))
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+    import org.apache.spark.sql.expressions.Window
+    // the counts branch and the stamping branch MUST observe the same
+    // partitioning: a re-executed exchange re-samples its range
+    // boundaries (RangePartitioner seeds from the RDD id), so two
+    // independent executions of a repartitionByRange input would count
+    // one layout and stamp another (caught by the oracle: interleaved
+    // indexes). The lazy lineage cut pins ONE materialization both
+    // branches read; being lazy, it costs nothing at plan construction.
+    val pinned = Checkpoints.cut(df)
+    val base = pinned
+      .withColumn("__rid_pid", spark_partition_id().cast(LongType))
+      .withColumn("__rid_mid", monotonically_increasing_id())
+    val counts = base.groupBy(col("__rid_pid")).agg(count(lit(1)).as("__rid_n"))
+    val w = Window.orderBy(col("__rid_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__rid_off", coalesce(sum(col("__rid_n")).over(w), lit(0L)))
+      .select(col("__rid_pid"), col("__rid_off"))
+    base.join(broadcast(offsets), Seq("__rid_pid"))
+      .withColumn(name,
+        (col("__rid_off") + (col("__rid_mid") - shiftleft(col("__rid_pid"), 33))
+          + lit(offset)).cast(LongType))
+      .select((df.columns.map(col) :+ col(name)).toIndexedSeq: _*)
   }
 
   /**

@@ -54,9 +54,35 @@ object PlanAudit {
           case u if u.children.length == 1 => boundedByLimit(u.children.head)
           case _ => false // leaves and multi-child (join/union) nodes
         }
+        // a window whose input is an aggregate GROUPED ON
+        // spark_partition_id() is bounded by the partition count, not the
+        // row count — the lazy row-index offsets (Sources.withRowIndex)
+        // are exactly this shape. Resolve the grouping attribute through
+        // child Projects to the SparkPartitionID expression.
+        def groupsOnPartitionId(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+          import org.apache.spark.sql.catalyst.expressions.{Attribute, SparkPartitionID}
+          def producesPid(pl: org.apache.spark.sql.execution.SparkPlan,
+              refs: Set[Attribute]): Boolean = pl match {
+            case pr: org.apache.spark.sql.execution.ProjectExec =>
+              pr.projectList.exists(ne => refs.contains(ne.toAttribute) &&
+                ne.exists(_.isInstanceOf[SparkPartitionID])) ||
+                pr.children.exists(producesPid(_, refs))
+            case other => other.children.exists(producesPid(_, refs))
+          }
+          p match {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+              a.groupingExpressions.nonEmpty && a.groupingExpressions.forall { g =>
+                g.exists(_.isInstanceOf[SparkPartitionID]) ||
+                  producesPid(a, g.references.toSet)
+              }
+            case u if u.children.length == 1 => groupsOnPartitionId(u.children.head)
+            case _ => false
+          }
+        }
         val flags = plan.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec
-              if w.partitionSpec.isEmpty && !w.children.exists(boundedByLimit) =>
+              if w.partitionSpec.isEmpty &&
+                !w.children.exists(c => boundedByLimit(c) || groupsOnPartitionId(c)) =>
             "global window over all rows"
           case _: org.apache.spark.sql.execution.joins.CartesianProductExec =>
             "cartesian product"

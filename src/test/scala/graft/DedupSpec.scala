@@ -44,6 +44,39 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("duplicatedSpans merges a 2n-long duplicate into ONE maximal span") {
+    val n = 3
+    // a 6-token (=2n) region shared by docs 1 and 2, embedded at different
+    // offsets, surrounded by unique filler; doc 3 is all-unique
+    val shared = "red green blue cyan magenta yellow"
+    val corpus = Seq(
+      (1L, s"u11 u12 $shared u13 u14"),
+      (2L, s"v21 $shared v22 v23 v24"),
+      (3L, "w31 w32 w33 w34 w35 w36 w37 w38 w39")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(corpus, "text", "doc_id", n)
+      .select("doc_id", "span_start", "span_end", "n_grams", "span_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // 2n tokens = n+1 consecutive duplicated n-gram positions = ONE span
+    // of span_tokens = 2n; doc 1's region starts at token 3, doc 2's at 2
+    assert(spans == Set(
+      (1L, 3L, 8L, 4L, 6L),
+      (2L, 2L, 7L, 4L, 6L)))
+  }
+
+  test("duplicatedSpans keeps disjoint duplicated regions as separate spans") {
+    val n = 3
+    val a = "one two three"          // 3 tokens = exactly one 3-gram
+    val b = "four five six"
+    val corpus = Seq(
+      (1L, s"$a x1 x2 x3 $b"),       // two dup regions split by unique filler
+      (2L, s"y1 $a y2 $b y3")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(corpus, "text", "doc_id", n)
+    assert(spans.where(col("doc_id") === 1L).count() == 2)
+    assert(spans.agg(max(col("span_tokens"))).head().getLong(0) == 3L)
+  }
+
   test("minHash near-dups finds the planted pair and skips unrelated docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val corpus = (1L to 20L).map(i => (i, s"unique$i words body number$i distinct$i tokens$i from$i corpus$i item$i entry$i"))

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, IndexStore}
+import java.nio.file.Files
+
+/** Round-trip lifecycle of the persisted incremental-dedup indexes:
+  * build → write → load → probe must equal the in-memory incremental
+  * run bit-for-bit, merge must fold a batch in without touching history
+  * semantics, and the meta sidecar must refuse mis-typed loads. */
+class IndexStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String = {
+    val d = Files.createTempDirectory("index_store").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+  private def seenDocs = Seq(
+    (10L, base),
+    (11L, "one two three four five six seven eight nine ten"),
+    (12L, "cats dogs birds fish mice horses cows pigs goats sheep")
+  ).toDF("doc_id", "text")
+  private def newDocs = Seq(
+    (20L, base + " lambda"),                                  // near-dup of 10
+    (21L, "totally different fresh words appearing nowhere else at all ok")
+  ).toDF("doc_id", "text")
+
+  test("minhash: probe-from-disk equals the in-memory incremental run") {
+    val dir = tmp()
+    IndexStore.writeMinHashIndex(seenDocs, "text", "doc_id", dir,
+      shingleN = 2, k = 32, bands = 8)
+    val fromDisk = IndexStore.minHashProbe(newDocs, "text", "doc_id", dir,
+      minAgreement = 0.5d, maxBucket = 100)
+    val inMemory = Dedup.minHashIncremental(newDocs, seenDocs, "text", "doc_id",
+      shingleN = 2, k = 32, bands = 8, minAgreement = 0.5d, maxBucket = 100)
+    assert(rowsOf(fromDisk) === rowsOf(inMemory))
+    assert(fromDisk.where(col("new_doc") === 20L && col("seen_doc") === 10L).count() === 1L)
+    // stats sidecar: every doc lands in exactly `bands` buckets
+    val statTotal = IndexStore.loadMinHashStats(spark, dir)
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(statTotal === 8L * 3L)
+  }
+
+  test("minhash: merge appends the batch and refreshes the sidecar") {
+    val dir = tmp()
+    IndexStore.writeMinHashIndex(seenDocs, "text", "doc_id", dir,
+      shingleN = 2, k = 32, bands = 8)
+    IndexStore.mergeIntoMinHashIndex(newDocs, "text", "doc_id", dir)
+    assert(IndexStore.loadMinHashSignatures(spark, dir).count() === 5L)
+    assert(IndexStore.loadMinHashStats(spark, dir)
+      .agg(sum(col("n"))).head().getLong(0) === 8L * 5L)
+    // a probe against the merged index now sees the merged batch too:
+    // doc 20 (now history) is a near-dup of a re-probed copy of itself
+    val reprobe = IndexStore.minHashProbe(
+      Seq((30L, base + " lambda")).toDF("doc_id", "text"), "text", "doc_id", dir,
+      minAgreement = 0.5d, maxBucket = 100)
+    assert(reprobe.where(col("seen_doc") === 20L).count() === 1L)
+  }
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+  private def seenVecs = Seq(
+    (1L, vec(1, 0, 0, 0)), (2L, vec(0, 1, 0, 0)), (3L, vec(0, 0, 1, 0))
+  ).toDF("vec_id", "embedding")
+  private def newVecs = Seq(
+    (10L, vec(0.99, 0.1, 0, 0)),   // near-dup of 1
+    (11L, vec(0, 0, 0, 1))
+  ).toDF("vec_id", "embedding")
+
+  test("embedding LSH: probe-from-disk equals the in-memory incremental run") {
+    val dir = tmp()
+    IndexStore.writeEmbeddingIndex(seenVecs, "vec_id", "embedding", dir, h = 2)
+    val fromDisk = IndexStore.embeddingProbe(newVecs, dir,
+      threshold = 0.5d, maxBucket = 100, cosine = true)
+    val inMemory = Dedup.embeddingIncrementalNearDups(newVecs,
+      graft.ops.Similarity.lshIndex(seenVecs, "vec_id", "embedding", 2),
+      "vec_id", "embedding", threshold = 0.5d, h = 2, maxBucket = 100, cosine = true)
+    assert(rowsOf(fromDisk) === rowsOf(inMemory))
+    // stats sidecar covers every indexed vector exactly once
+    assert(IndexStore.loadEmbeddingStats(spark, dir)
+      .agg(sum(col("n"))).head().getLong(0) === 3L)
+  }
+
+  test("embedding LSH: merge folds the batch in") {
+    val dir = tmp()
+    IndexStore.writeEmbeddingIndex(seenVecs, "vec_id", "embedding", dir, h = 2)
+    IndexStore.mergeIntoEmbeddingIndex(newVecs, dir)
+    assert(IndexStore.loadEmbeddingIndex(spark, dir).count() === 5L)
+    assert(IndexStore.loadEmbeddingStats(spark, dir)
+      .agg(sum(col("n"))).head().getLong(0) === 5L)
+  }
+
+  test("meta sidecar refuses a mis-typed load") {
+    val dir = tmp()
+    IndexStore.writeMinHashIndex(seenDocs, "text", "doc_id", dir,
+      shingleN = 2, k = 32, bands = 8)
+    val ex = intercept[IllegalArgumentException] {
+      IndexStore.loadEmbeddingMeta(spark, dir)
+    }
+    assert(ex.getMessage.contains("expected 'embed_lsh'"))
+  }
+}

@@ -110,6 +110,13 @@ class SimilarityTextSpec extends SparkSuite {
     assert(mp >= 0.7, f"multi-probe LSH mean recall regressed: $mp%.3f < 0.7")
     assert(mp > lsh, "multi-probe must beat single-probe or it isn't paying for itself")
     assert(ivf >= 0.9, f"IVF mean recall regressed: $ivf%.3f < 0.9")
+    // composed IVF-PQ (trained routing + trained L2 codebooks, m=32
+    // subDim=2 C=32 iters=1 nprobe=6): measured 0.76 mean / 0.60 min at
+    // pinning time — the shippability bar the untrained flat PQ failed
+    // (0.36). L2-metric encoding is load-bearing: dot-metric training
+    // measured 0.28.
+    val ivfpq = meanRecall("sim_ivfpq_recall")
+    assert(ivfpq >= 0.6, f"IVF-PQ mean recall regressed: $ivfpq%.3f < 0.6")
   }
 
   test("repetitionStats counts top and duplicated n-grams via run lengths") {

@@ -55,11 +55,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             rows_only += 1
             print(f"  [rows-only] {name}: {len(got)} rows")
             continue
+        import time
+        t0 = time.monotonic()
         try:
             want = con.execute(oracles[name]).fetchdf()
         except Exception as ex:
             failures.append((name, f"oracle SQL error: {ex}"))
             continue
+        oracle_s = time.monotonic() - t0
         g, w = canon(got), canon(want)
         if sorted(g.columns) != sorted(w.columns):
             failures.append((name, f"column mismatch: spark={sorted(g.columns)} oracle={sorted(w.columns)}"))
@@ -76,7 +79,9 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures.append((name, f"value mismatch in {int(neq.sum())}/{len(g)} rows: {detail[:600]}"))
             continue
         passed += 1
-        print(f"  [ok] {name}: {len(g)} rows")
+        # per-oracle wall time: the driver's gate has a budget; any single
+        # oracle over ~30s is a regression risk for the whole artifact
+        print(f"  [ok] {name}: {len(g)} rows (oracle {oracle_s:.1f}s)")
 
     print(f"\n{passed} oracle-matched, {rows_only} rows-only, {len(failures)} failed")
     for name, why in failures:
