@@ -477,6 +477,29 @@ object CurationQueries {
       out
     },
 
+    // the persisted-index LIFECYCLE, value-checked end to end: build the
+    // seen corpus's MinHash index, write it to disk ([[graft.ops.IndexStore]]
+    // layout: meta + signatures + bucket-stats sidecar), then probe the
+    // new batch AGAINST THE LOADED FILES — same oracle as the in-memory
+    // dedup_minhash_incremental, so the round-trip must be value-identical
+    QuerySpec("dedup_index_probe",
+      SketchOracleSql.minHashIncrementalSql(k = 16, bands = 4,
+        minAgreement = 0.5d, maxBucket = 100)) { (s, d) =>
+      val all = docs(s, d)
+      val tmp = runTmpDir(s, "graft_minhash_index")
+      graft.ops.IndexStore.writeMinHashIndex(
+        all.where(col("doc_id") % 3 === 0), "text", "doc_id",
+        tmp.getAbsolutePath, shingleN = 3, k = 16, bands = 4)
+      // EAGER: the index files are deleted on the next line
+      val out = graft.recon.Checkpoints.cut(
+        graft.ops.IndexStore.minHashProbe(
+          all.where(col("doc_id") % 3 =!= 0), "text", "doc_id",
+          tmp.getAbsolutePath, minAgreement = 0.5d, maxBucket = 100),
+        eager = true)
+      deleteRecursively(tmp)
+      out
+    },
+
     // P10 upgraded from spec-only to value-checked: full external prep
     // (row index, key casts, ext_ prefix, exd_ shadow keys) with the
     // ext_/exd_ projection (P11) over it

@@ -137,11 +137,15 @@ class CurationOpsSpec extends SparkSuite {
     val want = Map(1L -> "alpha beta gamma", 2L -> "zeta eta theta", 3L -> "alpha beta")
       .view.mapValues(s => score(s).toDouble).toMap
 
-    // an empty target corpus fails loudly (null scores otherwise)
-    intercept[IllegalArgumentException] {
+    // an empty target corpus fails loudly AT EXECUTION — the guard is an
+    // in-plan raise_error now, so building the frame runs no job and the
+    // error surfaces on the first action (null scores otherwise)
+    val emptyTargetEx = intercept[Exception] {
       Selection.selectByAffinity(raw, raw.where(col("doc_id") < 0),
-        "text", "doc_id", k = 3, nBuckets = nB)
+        "text", "doc_id", k = 3, nBuckets = nB).collect()
     }
+    assert(emptyTargetEx.getMessage.contains("no bigram features"),
+      s"unexpected failure: ${emptyTargetEx.getMessage}")
     assert(got.length == 3, "the bigram-less doc must be absent")
     got.foreach { case (id, _, sc, _) => assert(sc == want(id), s"doc $id") }
     // target-like outranks junk; ranks are 1..3

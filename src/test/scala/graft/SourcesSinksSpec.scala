@@ -43,6 +43,22 @@ class SourcesSinksSpec extends SparkSuite {
       .as[(Long, Long, Long)].head() == ((1L, 1000L, 1000L)))
   }
 
+  test("withRowIndexRanged equals row_number over the order keys") {
+    // regression for the in-plan rewrite's branch-divergence bug: the
+    // counts branch and the stamping branch each re-executed the
+    // repartitionByRange exchange, whose RangePartitioner re-samples
+    // boundaries per execution (seeded from the RDD id) — offsets from
+    // one layout stamped onto another interleaved the indexes. The lazy
+    // cut inside withRowIndex pins ONE layout; this pins the behavior.
+    val df = spark.range(0, 2000).select(
+      pmod(col("id") * 7919, lit(2000)).as("key")) // scrambled, unique keys
+      .repartition(11)
+    val got = Sources.withRowIndexRanged(df, "rn", Seq(col("key")))
+      .select(col("key"), col("rn"))
+    // rn must be exactly 1 + rank of key (keys are 0..1999, unique)
+    assert(got.where(col("rn") =!= col("key") + 1).count() == 0)
+  }
+
   test("normalizeExtendedJson unwraps mongo export wrapper structs") {
     val lines = Seq(
       """{"_id":{"$oid":"662f9a1b8c"},"ts":{"$numberLong":"1714521600000"},"n":{"$numberInt":"7"},"amt":{"$numberDouble":"12.5"},"when":{"$date":{"$numberLong":"1714521600123"}},"name":"a","plain":3}""",
