@@ -799,6 +799,28 @@ object OpsQueries {
     QuerySpec("stream_sessionize",
       streamSessionizeSql) { (s, d) =>
       graft.streaming.EventPipeline.sessionize(events(s, d), gapMs = 600000L)
+    },
+
+    // ENGINE-NATIVE session windows (Catalyst session_window, the same
+    // groupBy that runs under readStream with state-store merge): merge
+    // iff gap STRICTLY under 10 min (an event exactly at a window's end
+    // opens a new session — note `>=` in the oracle's new-session flag,
+    // vs stream_sessionize's `>`), session_end = last event + gap
+    QuerySpec("stream_session_window",
+      raw"""WITH e AS (
+           |  SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+           |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           |  FROM events),
+           |f AS (SELECT *, CASE WHEN prev IS NULL OR ms - prev >= 600000 THEN 1 ELSE 0 END AS ns
+           |      FROM e),
+           |n AS (SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ms, event_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+           |      FROM f)
+           |SELECT user_id, min(ms) AS session_start, max(ms) + 600000 AS session_end,
+           |  count(*) AS n_events,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |FROM n GROUP BY user_id, sid""".stripMargin) { (s, d) =>
+      graft.streaming.EventPipeline.sessionWindowAgg(events(s, d), gapMs = 600000L)
     }
   )
 

@@ -113,6 +113,44 @@ object EventPipeline {
   }
 
   /**
+   * ENGINE-NATIVE session windows: Catalyst's `session_window` operator —
+   * gap-merged event-time sessions with no hand-rolled state, the
+   * Spark-first twin of [[sessionize]]'s lag+cumsum form. Semantics
+   * differ at one boundary, deliberately kept native: two events merge
+   * iff their gap is STRICTLY under `gapMs` (each event opens
+   * `[ts, ts+gap)`; an event landing exactly at a window's end starts a
+   * new session), and `session_end` extends `gapMs` past the last event.
+   * The same `groupBy(session_window(...))` runs unchanged under
+   * `readStream` + watermark ([[sessionWindowStream]]), where Spark
+   * merges session state incrementally per key — the reason to prefer
+   * the native operator at 100 TB: state-store session merge instead of
+   * a whole-corpus window sort.
+   */
+  def sessionWindowAgg(events: DataFrame, gapMs: Long): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMs milliseconds"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start"),
+        unix_millis(col("session_window.end")).as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /** [[sessionWindowAgg]] as a streaming query (watermark + native
+    * session-window state merge). */
+  def sessionWindowStream(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType, gapSec: Int): DataFrame =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSec seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start"),
+        unix_millis(col("session_window.end")).as("session_end"),
+        col("n_events"), col("total_value"))
+
+  /**
    * Streaming exact dedup: watermark + dropDuplicates on the id column —
    * Spark keeps per-key state only within the watermark horizon, so state
    * is bounded while duplicates inside the lateness window are removed.

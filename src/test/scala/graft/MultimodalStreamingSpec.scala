@@ -260,6 +260,33 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(hopStream.nonEmpty && hopStream == hopBatch)
   }
 
+  test("native session_window readStream twin equals its batch form") {
+    import org.apache.spark.sql.{DataFrame, Dataset, Row}
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream4").toFile
+    eventsDf.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val batch = EventPipeline.sessionWindowAgg(eventsDf, gapMs = 600000L)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty)
+    // session windows merge: session_end must extend the gap past the
+    // last event, and gaps >= 10 min split sessions
+    assert(batch.forall { case (_, s, e, _, _) => e >= s + 600000L })
+
+    val buf = new java.util.concurrent.atomic.AtomicReference[Set[(Long, Long, Long, Long, Double)]](Set.empty)
+    val q = EventPipeline.sessionWindowStream(spark, dir.getAbsolutePath, eventsDf.schema,
+        gapSec = 600)
+      .writeStream.outputMode("complete")
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        buf.set(b.select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("total_value"))
+          .as[(Long, Long, Long, Long, Double)].collect().toSet)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(buf.get() == batch)
+  }
+
   test("incrementalDedup runs unchanged as a stream-static anti-join") {
     import org.apache.spark.sql.{DataFrame, Dataset, Row}
     import graft.ops.Dedup
