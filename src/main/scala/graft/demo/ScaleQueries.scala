@@ -283,6 +283,48 @@ object ScaleQueries {
       Dedup.duplicatedSpans(docs(s, d), "text", "doc_id", n = 6)
     },
 
+    // Lee et al.'s true removal arm: CUT duplicated regions out of the
+    // text, keeping the corpus-wide first occurrence — a position is
+    // redundant when its 6-gram occurred earlier in (doc, pos) order;
+    // redundant runs merge to maximal spans; covered tokens go. The
+    // surviving string is value-checked character for character
+    QuerySpec("dedup_substring_cut",
+      raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |                ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |sp AS (SELECT doc_id, unnest(
+           |         CASE WHEN len(t) < 6 THEN []
+           |              ELSE [{'pos': i, 'g': array_to_string(t[i:i+5], ' ')} FOR i IN range(1, len(t) - 4)] END) AS u
+           |       FROM tt),
+           |gh AS (SELECT doc_id, u.pos AS pos, ${md5h60("u.g")} AS gh FROM sp),
+           |occ AS (SELECT doc_id, pos,
+           |          row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS r
+           |        FROM gh),
+           |red AS (SELECT doc_id, pos FROM occ WHERE r > 1),
+           |isl AS (SELECT doc_id, pos,
+           |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           |        FROM red),
+           |runs AS (SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e
+           |         FROM isl GROUP BY doc_id, island),
+           |spd AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans FROM runs GROUP BY doc_id),
+           |tk AS (SELECT doc_id, unnest(
+           |         CASE WHEN len(t) = 0 THEN []
+           |              ELSE [{'tp': i, 'tok': t[i]} FOR i IN range(1, len(t) + 1)] END) AS u
+           |       FROM tt),
+           |kept AS (
+           |  SELECT t.doc_id, t.u.tp AS tp, t.u.tok AS tok
+           |  FROM tk t LEFT JOIN spd d USING (doc_id)
+           |  WHERE d.spans IS NULL
+           |     OR len(list_filter(d.spans, x -> t.u.tp >= x.s AND t.u.tp <= x.e)) = 0),
+           |agg AS (
+           |  SELECT doc_id, array_to_string(list(tok ORDER BY tp), ' ') AS text_cut,
+           |    count(*) AS n_tokens_kept
+           |  FROM kept GROUP BY doc_id)
+           |SELECT d.doc_id, COALESCE(a.text_cut, '') AS text_cut,
+           |  COALESCE(a.n_tokens_kept, 0) AS n_tokens_kept
+           |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin) { (s, d) =>
+      Dedup.cutDuplicatedSpans(docs(s, d), "text", "doc_id", n = 6)
+    },
+
     // exactly-k-per-group deterministic sample (the reservoir shape, but
     // reproducible): each lang keeps its k=10 lowest-keyHash docs — hash
     // order is layout-independent, so the "reservoir" is stable across

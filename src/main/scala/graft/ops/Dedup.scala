@@ -256,6 +256,62 @@ object Dedup {
   }
 
   /**
+   * Lee et al. 2021's ACTUAL removal semantics: cut the duplicated
+   * REGIONS out of the text, keeping the corpus-wide FIRST occurrence —
+   * not drop whole documents ([[spanDedupFilter]]) or merely measure
+   * ([[duplicatedSpans]]). A position is redundant when its n-gram
+   * occurred earlier in (doc, pos) order anywhere in the corpus; runs of
+   * consecutive redundant positions merge into maximal spans
+   * (gaps-and-islands), and every token covered by such a span is
+   * removed. Output: one row per input document —
+   * `(idCol, text_cut, n_tokens_kept)`, empty string when everything
+   * (or nothing) was there.
+   *
+   * Scale shape: the occurrence ranking is one window PARTITIONED BY the
+   * 60-bit gram hash (corpus-wide but per-hash groups are tiny); the
+   * span merge windows per doc; the token cut is a per-doc spans array
+   * (small by construction — spans per doc, not corpus spans) joined
+   * back to the posexploded tokens. No text ever travels on the hash
+   * shuffles.
+   */
+  def cutDuplicatedSpans(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = graft.recon.Checkpoints.cut(
+      posSpanTable(df, textCol, idCol, n)
+        .select(col("doc"), col("pos"), Sampling.keyHash(col("shingle")).as("__gh")))
+    val wOcc = Window.partitionBy(col("__gh")).orderBy(col("doc"), col("pos"))
+    val redundant = grams
+      .withColumn("__occ", row_number().over(wOcc))
+      .where(col("__occ") > 1)
+      .select(col("doc"), col("pos"))
+    val wDoc = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val spansPerDoc = redundant
+      .withColumn("__isl", col("pos") - row_number().over(wDoc))
+      .groupBy(col("doc"), col("__isl"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(n - 1)).as("e"))
+      .groupBy(col("doc"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
+      .withColumnRenamed("doc", idCol)
+    val toks = df.select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__p0", "__tok")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("__tp"), col("__tok"))
+    val kept = toks.join(spansPerDoc, Seq(idCol), "left")
+      .where(col("__spans").isNull ||
+        !exists(col("__spans"), sp =>
+          col("__tp") >= sp.getField("s") && col("__tp") <= sp.getField("e")))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__tp"), col("__tok")))).as("__tt"))
+      .select(col(idCol),
+        concat_ws(" ", transform(col("__tt"), e => e.getField("__tok"))).as("text_cut"),
+        size(col("__tt")).cast("long").as("n_tokens_kept"))
+    // every input doc appears, even fully-cut or token-less ones
+    df.select(col(idCol)).join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_cut"), lit("")).as("text_cut"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"))
+  }
+
+  /**
    * Removal arm of exact-substring (span) dedup: keep documents whose
    * duplicated-span fraction stays at or under `maxDupFrac`. Documents
    * shorter than `n` tokens have no spans, carry no duplication

@@ -77,6 +77,22 @@ class DedupSpec extends SparkSuite {
     assert(spans.agg(max(col("span_tokens"))).head().getLong(0) == 3L)
   }
 
+  test("cutDuplicatedSpans removes the LATER copy of a duplicated region only") {
+    val n = 3
+    val shared = "red green blue cyan magenta yellow"
+    val corpus = Seq(
+      (1L, s"u11 u12 $shared u13 u14"),  // first occurrence — kept whole
+      (2L, s"v21 $shared v22 v23 v24"),  // later copy — region cut
+      (3L, "w31 w32 w33 w34 w35 w36")    // unique — untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutDuplicatedSpans(corpus, "text", "doc_id", n)
+      .select("doc_id", "text_cut", "n_tokens_kept")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((s"u11 u12 $shared u13 u14", 10L)), "first occurrence survives intact")
+    assert(out(2L) == (("v21 v22 v23 v24", 4L)), "the later copy is cut, flanks survive")
+    assert(out(3L) == (("w31 w32 w33 w34 w35 w36", 6L)), "unique text untouched")
+  }
+
   test("minHash near-dups finds the planted pair and skips unrelated docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val corpus = (1L to 20L).map(i => (i, s"unique$i words body number$i distinct$i tokens$i from$i corpus$i item$i entry$i"))
