@@ -500,6 +500,27 @@ object CurationQueries {
       out
     },
 
+    // the embedding twin of dedup_index_probe: sign-LSH index of the
+    // even-id vectors written through the IndexStore layout, odd-id batch
+    // probed AGAINST THE LOADED FILES (h and column names come from the
+    // meta sidecar) — same oracle as the in-memory dedup_embed_incremental
+    QuerySpec("dedup_embed_index_probe",
+      OpsQueries.embedIncrementalOracle) { (s, d) =>
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      val tmp = runTmpDir(s, "graft_embed_index")
+      graft.ops.IndexStore.writeEmbeddingIndex(
+        e.where(pmod(col("vec_id"), lit(2)) === 0), "vec_id", "embedding",
+        tmp.getAbsolutePath, h = 4)
+      // EAGER: the index files are deleted on the next line
+      val out = graft.recon.Checkpoints.cut(
+        graft.ops.IndexStore.embeddingProbe(
+          e.where(pmod(col("vec_id"), lit(2)) === 1), tmp.getAbsolutePath,
+          threshold = 0.4d, cosine = true),
+        eager = true)
+      deleteRecursively(tmp)
+      out
+    },
+
     // P10 upgraded from spec-only to value-checked: full external prep
     // (row index, key casts, ext_ prefix, exd_ shadow keys) with the
     // ext_/exd_ projection (P11) over it

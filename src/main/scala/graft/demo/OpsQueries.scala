@@ -32,6 +32,12 @@ object OpsQueries {
   private[demo] def autoH(corpus: DataFrame): Int =
     Similarity.recommendedH(corpus.count(), LshTargetBucket)
 
+  /** Shared by dedup_embed_incremental (in-memory) and
+    * dedup_embed_index_probe (IndexStore round-trip): the two paths must
+    * stay value-identical, so they share ONE oracle. */
+  private[demo] def embedIncrementalOracle: String =
+    LshOracleSql.incrementalCosineSql(h = 4, threshold = 0.4d, maxBucket = 4096)
+
   /** ≡ Similarity.pqTopK(k=5, m=8, subDim=8, nCentroids=16, modulus=5) on
     * embeddings with every-100th query — the full codebook→encode→
     * reconstruct→score→rank mirror, shared by `sim_pq_topk` and the
@@ -452,7 +458,7 @@ object OpsQueries {
     // touched only in buckets the batch hits, cap on the seen bucket
     // size. The embedding twin of dedup_minhash_incremental
     QuerySpec("dedup_embed_incremental",
-      LshOracleSql.incrementalCosineSql(h = 4, threshold = 0.4d, maxBucket = 4096)) {
+      embedIncrementalOracle) {
       (s, d) =>
         val e = embs(s, d)
         val seenIdx = Similarity.lshIndex(
