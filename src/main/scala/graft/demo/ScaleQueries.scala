@@ -94,9 +94,12 @@ object ScaleQueries {
              |    PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
              |  FROM documents d) WHERE rn = 1),
              |""".stripMargin
-      // k=16/bands=4 for the same gate-budget reason as text_split_leakfree
+      // k=8/bands=2 (one notch below text_split_leakfree's 16/4): this
+      // oracle additionally re-derives exact-dedup survivors and the shard
+      // export, and at 16/4 it was still the one check over the ~30 s
+      // per-oracle budget (36.6 s measured); same 4 rows/band shape
       SketchOracleSql.minHashComponentLabelsCte(
-        k = 16, bands = 4, threshold = 0.5d, maxBucket = 100,
+        k = 8, bands = 2, threshold = 0.5d, maxBucket = 100,
         src = "surv", extraCtes = survCte) +
         raw""",
              |h AS (SELECT doc_id, ${md5h60("CAST(label AS VARCHAR)")} AS h FROM lab),
@@ -112,7 +115,7 @@ object ScaleQueries {
     }) { (s, d) =>
       val surv = Dedup.exactDedup(docs(s, d), "text", "doc_id")
       val pairs = Dedup.minHashNearDups(surv, "text", "doc_id",
-        shingleN = 3, k = 16, bands = 4, threshold = 0.5d, maxBucket = 100)
+        shingleN = 3, k = 8, bands = 2, threshold = 0.5d, maxBucket = 100)
       val comp = Dedup.connectedComponents(pairs)
       val lab = surv.select(col("doc_id"))
         .join(comp.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
