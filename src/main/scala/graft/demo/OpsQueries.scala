@@ -621,6 +621,48 @@ object OpsQueries {
         "vec_id", "embedding", k = 5, nCentroids = 16, modulus = 50, nprobe = 4)
     },
 
+    // hard-negative mining for contrastive training: the IVF top-10
+    // candidates per query, minus anything scoring >= 0.4 (this corpus's
+    // near-dup threshold — those are positives/copies, not negatives),
+    // the next 5 re-ranked. The "close but not a copy" band that makes
+    // embedding training data hard; whole path value-checked
+    QuerySpec("sim_hard_negatives",
+      """WITH cents AS (
+        |  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+        |  WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, embedding, centroid_id FROM (
+        |    SELECT e.vec_id, e.embedding, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.embedding, c.cv) DESC, c.centroid_id) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, qv, centroid_id FROM (
+        |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_dot_product(q.embedding, c.cv) DESC, c.centroid_id) AS pr
+        |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 100 = 0) WHERE pr <= 4),
+        |scored AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    list_dot_product(p.qv, a.embedding) AS score
+        |  FROM probes p JOIN assigned a
+        |    ON p.centroid_id = a.centroid_id AND p.query_id <> a.vec_id),
+        |cand AS (SELECT query_id, neighbor_id, score FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+        |  WHERE rank <= 10)
+        |SELECT query_id, neighbor_id, score, neg_rank FROM (
+        |  SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, neighbor_id) AS neg_rank
+        |  FROM cand WHERE score < 0.4)
+        |WHERE neg_rank <= 5""".stripMargin) { (s, d) =>
+      val e = embs(s, d)
+      val cand = Similarity.ivfTopK(e, e.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 10, nCentroids = 16, modulus = 50, nprobe = 4)
+      Similarity.hardNegatives(cand, k = 5, dupThreshold = 0.4d)
+    },
+
     // IVF ANN with a TRAINED codebook: 2 Lloyd iterations of spherical
     // k-means ([[graft.ops.Similarity.kmeansCentroids]]) feed the same
     // probe arm as sim_ivf_topk. The oracle unrolls both assignment+mean

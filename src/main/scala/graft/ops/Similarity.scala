@@ -328,6 +328,24 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /**
+   * Hard-negative mining for contrastive training: from a ranked
+   * neighbor frame (`(query_id, neighbor_id, score, rank)` — any of the
+   * top-k searchers here), drop candidates scoring at or above
+   * `dupThreshold` (those are duplicates/positives, not negatives) and
+   * re-rank the survivors — the "close but not a copy" band that makes
+   * embedding training data hard. Pure window re-rank over the already-
+   * bounded candidate frame; the search cost and its scale story belong
+   * to the searcher that produced the input.
+   */
+  def hardNegatives(ranked: DataFrame, k: Int, dupThreshold: Double): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    ranked.where(col("score") < dupThreshold)
+      .withColumn("neg_rank", row_number().over(w))
+      .where(col("neg_rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("neg_rank"))
+  }
+
   // ---- product quantization (PQ) ----------------------------------------
 
   /**

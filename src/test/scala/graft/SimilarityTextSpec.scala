@@ -119,6 +119,21 @@ class SimilarityTextSpec extends SparkSuite {
     assert(ivfpq >= 0.6, f"IVF-PQ mean recall regressed: $ivfpq%.3f < 0.6")
   }
 
+  test("hardNegatives drops duplicate-scored candidates and re-ranks the rest") {
+    import spark.implicits._
+    val ranked = Seq(
+      (1L, 10L, 0.99, 1),  // near-copy — excluded as a positive
+      (1L, 11L, 0.35, 2),  // hardest true negative → neg_rank 1
+      (1L, 12L, 0.30, 3),
+      (1L, 13L, 0.10, 4),
+      (2L, 20L, 0.20, 1)   // no dups for this query — passes through
+    ).toDF("query_id", "neighbor_id", "score", "rank")
+    val out = graft.ops.Similarity.hardNegatives(ranked, k = 2, dupThreshold = 0.4d)
+      .select("query_id", "neighbor_id", "neg_rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(out == Set((1L, 11L, 1), (1L, 12L, 2), (2L, 20L, 1)))
+  }
+
   test("repetitionStats counts top and duplicated n-grams via run lengths") {
     val df = Seq(
       (1L, "a b a b a b"),                              // heavy repetition
