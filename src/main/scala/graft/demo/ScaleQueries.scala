@@ -128,6 +128,57 @@ object ScaleQueries {
         .select(col("doc_id"), col("split"), col("shard"), col("pos"))
     },
 
+    // QUALITY card — the stratified companion of text_data_card's
+    // composition rollup: per (lang, source), quality mass and corpus
+    // share. Means and shares are divisions of EXACT integers (quality in
+    // floor-rounded milli-units, the SketchQueries device), so every
+    // double is one correctly-rounded op away from ints and hash-checks
+    QuerySpec("text_quality_card",
+      raw"""WITH f AS (
+           |  SELECT doc_id, lang, source,
+           |    CAST(length(text) AS DOUBLE) AS n,
+           |    length(text) AS n_chars,
+           |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+           |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+           |    CAST(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS DOUBLE) AS puncts,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+           |  FROM documents),
+           |q AS (SELECT *, greatest(0.0, least(1.0,
+           |      0.5 * (CASE WHEN n = 0 THEN 0.0 ELSE alpha / n END)
+           |      + 0.3 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+           |      + 0.2 * (1.0 - (CASE WHEN n = 0 THEN 0.0 ELSE digits / n END)
+           |                   - (CASE WHEN n = 0 THEN 0.0 ELSE puncts / n END)))) AS quality_score
+           |  FROM f),
+           |t AS (SELECT count(*) AS total FROM documents)
+           |SELECT lang, source,
+           |  count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           |  CAST(sum(CAST(floor(1000.0 * quality_score + 0.5) AS BIGINT)) AS BIGINT) AS sum_quality_milli,
+           |  CAST(sum(CAST(floor(1000.0 * quality_score + 0.5) AS BIGINT)) AS DOUBLE)
+           |    / (1000.0 * CAST(count(*) AS DOUBLE)) AS mean_quality,
+           |  CAST(count(*) AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE) AS doc_share
+           |FROM q GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val q = TextAnalysis.qualityScore(docs(s, d), "text")
+        .select(col("lang"), col("source"),
+          col("n_tokens").cast("long").as("__tok"),
+          length(col("text")).cast("long").as("__chars"),
+          floor(lit(1000.0d) * col("quality_score") + lit(0.5d)).cast("long").as("__qm"))
+      val total = docs(s, d).agg(count(lit(1)).as("__total"))
+      q.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__tok")).as("total_tokens"),
+          sum(col("__chars")).as("total_chars"),
+          sum(col("__qm")).as("sum_quality_milli"))
+        .crossJoin(broadcast(total))
+        .select(col("lang"), col("source"), col("n_docs"),
+          col("total_tokens"), col("total_chars"), col("sum_quality_milli"),
+          (col("sum_quality_milli").cast("double")
+            / (lit(1000.0d) * col("n_docs").cast("double"))).as("mean_quality"),
+          (col("n_docs").cast("double") / col("__total").cast("double")).as("doc_share"))
+    },
+
     // seeded deterministic shuffle → (shard, position): the training-order
     // export addressing, value-checked down to every row's offset
     QuerySpec("text_shards",
