@@ -70,4 +70,29 @@ class EventsLoaderSpec extends SparkSuite {
     assert(df.schema("ts").dataType === TimestampType)
     assert(df.limit(1).count() === 1L)
   }
+
+  test("driver testdata schema contract holds (documents, embeddings, events)") {
+    // round 8 proved the driver regenerates testdata with changed
+    // physical types between rounds (events.ts nanos → micros). The
+    // events loader is adaptive now; for the OTHER load-bearing dtypes —
+    // the float32 embedding arrays every vector kernel and every DuckDB
+    // list_dot_product bit-identity argument depends on, and the id/text
+    // columns — fail HERE, loudly and specifically, instead of via
+    // dozens of mysterious registry breakages.
+    def field(table: String, name: String) =
+      spark.read.parquet(s"$sf/$table.parquet").schema(name).dataType
+    assert(field("embeddings", "embedding") === ArrayType(FloatType, containsNull = true)
+      || field("embeddings", "embedding") === ArrayType(FloatType, containsNull = false),
+      s"embeddings.embedding drifted to ${field("embeddings", "embedding")} — " +
+        "the float32 kernel/oracle bit-identity contract no longer holds")
+    assert(field("embeddings", "vec_id") === LongType)
+    assert(field("documents", "doc_id") === LongType)
+    assert(field("documents", "text") === StringType)
+    assert(field("documents", "lang") === StringType)
+    assert(field("documents", "source") === StringType)
+    assert(field("events", "event_id") === LongType)
+    assert(field("events", "user_id") === LongType)
+    assert(field("events", "event_type") === StringType)
+    assert(field("events", "value") === DoubleType)
+  }
 }
