@@ -316,6 +316,32 @@ object OpsQueries {
       TextAnalysis.unigramFamiliarity(docs(s, d), "text", "doc_id")
     },
 
+    // bigram familiarity: rare word PAIRS mark unusual text even when
+    // every word is common — same exact-integer design as
+    // text_familiarity, one order up (repeats kept on both sides)
+    QuerySpec("text_bigram_familiarity",
+      raw"""WITH tt AS (
+           |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |    ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+           |  FROM documents),
+           |bb AS (SELECT doc_id, unnest(
+           |         CASE WHEN len(t) < 2 THEN []
+           |              ELSE [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))] END) AS b
+           |       FROM tt),
+           |freq AS (SELECT b, count(*) AS n FROM bb GROUP BY 1),
+           |per AS (SELECT doc_id, count(*) AS n_bigrams,
+           |          CAST(sum(n) AS BIGINT) AS sum_freq
+           |        FROM bb JOIN freq USING (b) GROUP BY 1)
+           |SELECT d.doc_id,
+           |  COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           |  COALESCE(p.sum_freq, 0) AS sum_freq,
+           |  CASE WHEN COALESCE(p.n_bigrams, 0) = 0 THEN 0.0
+           |       ELSE CAST(p.sum_freq AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
+           |  END AS familiarity
+           |FROM documents d LEFT JOIN per p USING (doc_id)""".stripMargin) { (s, d) =>
+      TextAnalysis.bigramFamiliarity(docs(s, d), "text", "doc_id")
+    },
+
     QuerySpec("text_sample_stratified", {
       val (tEn, tZh, tDef) = (Sampling.threshold(0.5), Sampling.threshold(0.2),
         Sampling.threshold(0.1))
@@ -371,6 +397,21 @@ object OpsQueries {
         all.where(col("doc_id") % 3 =!= 0), all.where(col("doc_id") % 3 === 0),
         "text", "doc_id", shingleN = 3, k = 16, bands = 4,
         minAgreement = 0.5d, maxBucket = 100)
+    },
+
+    // stratified duplication dashboard: per (lang, source), how many
+    // docs have an exact copy ANYWHERE in the corpus (cross-source
+    // copies count — a mirror shows up in both strata); rate = exact
+    // integer division
+    QuerySpec("dedup_rate_by_source",
+      """WITH h AS (SELECT doc_id, lang, source, md5(lower(trim(text))) AS ch FROM documents),
+        |d AS (SELECT ch, count(*) AS c FROM h GROUP BY 1)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN d.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  CAST(sum(CASE WHEN d.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_rate
+        |FROM h JOIN d USING (ch) GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      Dedup.dupRateByStrata(docs(s, d), "text", Seq("lang", "source"))
     },
 
     // pre-join skew audit: the 20 heaviest user_id groups in events with

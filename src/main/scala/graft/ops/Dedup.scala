@@ -79,6 +79,28 @@ object Dedup {
     df.select(contentHash(col(textCol)).as("content_hash")).distinct()
 
   /**
+   * Stratified exact-duplication rate — the dedup dashboard number: per
+   * stratum, how many documents have at least one exact copy anywhere in
+   * the corpus (cross-stratum copies count — that's the interesting
+   * case: a mirror site shows up as a high dup rate in BOTH sources).
+   * One hash aggregate + a semi-style mark join; the rate is a division
+   * of exact integers. Output: strata cols + (n_docs, n_dup_docs,
+   * dup_rate).
+   */
+  def dupRateByStrata(df: DataFrame, textCol: String, strata: Seq[String]): DataFrame = {
+    val marked = df.withColumn("__ch", contentHash(col(textCol)))
+    val dup = marked.groupBy(col("__ch")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= 2)
+      .select(col("__ch"), lit(1L).as("__dup"))
+    marked.join(dup, Seq("__ch"), "left")
+      .groupBy(strata.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup_docs"))
+      .withColumn("dup_rate",
+        col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+  }
+
+  /**
    * Incremental exact dedup: keep only new-batch rows whose content no
    * prior run ingested — the every-few-hours corpus update path, where
    * re-deduping the whole corpus per batch would be quadratic over the

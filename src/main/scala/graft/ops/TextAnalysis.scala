@@ -200,6 +200,31 @@ object TextAnalysis {
           .as("familiarity"))
   }
 
+  /**
+   * Bigram corpus-familiarity — one order up from [[unigramFamiliarity]]
+   * and a sharper perplexity proxy: rare word PAIRS mark unusual text
+   * even when every word is common. Same exact-arithmetic design (BIGINT
+   * frequency sums, one double division, no log whose last ulp could
+   * differ across engines) and the same two-shuffle cost shape; repeats
+   * kept — a doc re-using its own common bigram is more familiar.
+   * Output: (idCol, n_bigrams, sum_freq, familiarity).
+   */
+  def bigramFamiliarity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val bi = df.select(col(idCol), explode(Dedup.wordShingles(col(textCol), 2)).as("__b"))
+    val freq = bi.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+    val perDoc = bi.join(freq, "__b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__n")).as("sum_freq"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_freq"), lit(0L)).as("sum_freq"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0L, lit(0.0d))
+          .otherwise(col("sum_freq").cast("double") / col("n_bigrams").cast("double"))
+          .as("familiarity"))
+  }
+
   /** Email pattern (RE2-portable: no lookarounds, mirrors in DuckDB). */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
