@@ -81,7 +81,19 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.map(r => median(r._2)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_detail":$detail,"reps":$reps,"errors":$errs,"sf":"$sfDir"}""")
+    // "total_detail", not "total": a consumer that sums or collects metric
+    // lines must not double-count the headline below
+    val detailLine = s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"queries_detail":$detail,"reps":$reps,"errors":$errs,"sf":"$sfDir"}"""
+    println(detailLine)
+    // the driver tail-truncates long stdout (it kept only ~22 of 140
+    // medians in rounds 1-9), so the full per-query detail also goes to a
+    // committed file where a regression in any query stays diffable
+    try {
+      val p = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+      java.nio.file.Files.write(p, (detailLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_DETAIL.json: ${e.getMessage}")
+    }
     // the driver tail-truncates long output: the giant per-query line above
     // lost its leading total in all of rounds 1-8 ("parsed": null). Print a
     // compact headline LAST so truncation can never eat it.

@@ -78,9 +78,20 @@ object OpsQueries {
     *                      repo, so a plain cast preserves the wall clock and
     *                      matches the DuckDB oracle's `epoch_ms`.
     *   - TimestampType  → already an instant; use directly.
-    * Every downstream query sees a TimestampType `ts`. */
+    * Every downstream query sees a TimestampType `ts`.
+    *
+    * Conf contract: reading long-nanos files requires
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (a session conf — parquet
+    * has no per-read option for it). The session builders that own this
+    * repo's entry points (Verify/Bench/PlanAudit/specs) all set it at build
+    * time, so this fill-in is a no-op there; it only flips the conf on a
+    * session that left it at the default, and then exactly once — repeat
+    * calls see "true" and never touch shared session state again (the
+    * round-9 version set it unconditionally on every construction, a
+    * concurrent-planning hazard). */
   private[demo] def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$d/events.parquet")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
@@ -463,6 +474,32 @@ object OpsQueries {
         shingleN = 3, k = 16, bands = 4, threshold = 0.5d, maxBucket = 100)
     },
 
+    // the PRODUCTION sketch shape (k=64/bands=8 — what a 100 TB deployment
+    // would actually run; the family above registers k=16/4 for oracle
+    // budget) cross-engine value-checked over a deterministic ~25% slice.
+    // The slice keys on the hash of the first-8-token PREFIX, not doc_id:
+    // near-dup pairs share their prefix (their edits land later in the
+    // doc), so pairs are kept or dropped WHOLE and pair density survives
+    // the 4x shrink — a doc_id slice would split nearly every pair across
+    // the cut, and a full-content hash splits non-exact near-dups too.
+    // The DuckDB mirror pays its 64 mix64 ops per (doc, shingle) on 1/4 of
+    // the corpus — under the 30 s per-oracle gate budget
+    QuerySpec("dedup_minhash_k64",
+      SketchOracleSql.minHashSql(k = 64, bands = 8, threshold = 0.5d, maxBucket = 100,
+        src = "slice",
+        extraCtes =
+          raw"""slice AS (SELECT * FROM documents
+               |  WHERE ('0x' || substr(md5(array_to_string(
+               |    (string_split_regex(trim(lower(text)), '\s+'))[1:8], ' ')), 1, 15))::BIGINT % 4 = 0),
+               |""".stripMargin)) { (s, d) =>
+      val prefix = array_join(
+        slice(split(trim(lower(col("text"))), "\\s+"), 1, 8), " ")
+      Dedup.minHashNearDups(
+        docs(s, d).where(pmod(Sampling.keyHash(prefix), lit(4L)) === 0L),
+        "text", "doc_id",
+        shingleN = 3, k = 64, bands = 8, threshold = 0.5d, maxBucket = 100)
+    },
+
     // md5-token SimHash: signatures, 16-bit chunk banding, bucket cap and
     // the Hamming verify are all mirrored (HUGEINT mod-2^64 sign fixup)
     QuerySpec("dedup_simhash",
@@ -783,6 +820,72 @@ object OpsQueries {
         .withColumn("recall", col("n_hit").cast("double") / col("k").cast("double"))
     },
 
+    // the recall/cost CURVE of the composed IVF-PQ index — (nprobe,
+    // mean_recall) for nprobe ∈ {2, 6, 12} against the brute-force truth,
+    // the knob a 100 TB operator actually turns (+1 nprobe ≈ +1/16 of the
+    // corpus scanned per query). ONE route-encode-score pass at nprobe=12
+    // serves all three arms (rank-≤-2 candidates ⊂ rank-≤-6 ⊂ rank-≤-12 —
+    // filter on the kept probe rank), in BOTH engines. mean_recall is the
+    // micro average hits/truth; every query contributes exactly topk truth
+    // rows, so micro ≡ macro, and the double is one division of two exact
+    // ints. SimilarityTextSpec pins monotone recall + the 0.6 floor at
+    // nprobe=6. queryMod=200 (half the usual query load): three arms of
+    // top-k would otherwise triple the bench/oracle cost of the pair above
+    QuerySpec("sim_ivfpq_recall_curve",
+      raw"""${ivfpqCandCtes(k = 16, modulus = 50, iters = 1, m = 32, subDim = 2,
+              pqC = 32, pqModulus = 5, queryMod = 200, nprobeMax = 12)},
+           |brute AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY list_dot_product(q.embedding, e.embedding) DESC, e.vec_id) AS rank
+           |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+           |    WHERE q.vec_id % 200 = 0)
+           |  WHERE rank <= 5),
+           |ranked AS (
+           |  SELECT ar.nprobe, c.query_id, c.neighbor_id,
+           |    row_number() OVER (PARTITION BY ar.nprobe, c.query_id
+           |      ORDER BY c.score DESC, c.neighbor_id) AS rank
+           |  FROM (VALUES (2), (6), (12)) ar(nprobe) JOIN cand c ON c.pr <= ar.nprobe),
+           |topk AS (SELECT nprobe, query_id, neighbor_id FROM ranked WHERE rank <= 5)
+           |SELECT ar.nprobe, count(*) AS n_truth,
+           |  CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS mean_recall
+           |FROM (VALUES (2), (6), (12)) ar(nprobe)
+           |JOIN brute b ON true
+           |LEFT JOIN topk t ON t.nprobe = ar.nprobe
+           |  AND t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+           |GROUP BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = embs(s, d)
+      val queries = e.where(col("vec_id") % 200 === 0)
+      val brute = graft.recon.Checkpoints.cut(
+        Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id")))
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        k = 16, iters = 1, modulus = 50)
+      val cb = Similarity.pqCodebookTrained(e, "vec_id", "embedding",
+        m = 32, subDim = 2, nCentroids = 32, iters = 1, modulus = 5)
+      // one scored candidate stream at nprobe=12, cut so the three arms
+      // below share its materialization instead of re-training/rescoring
+      val cand = graft.recon.Checkpoints.cut(
+        Similarity.ivfpqCandidatesWith(e, queries, "vec_id", "embedding",
+          cents, cb, m = 32, subDim = 2, nprobeMax = 12))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+      Seq(2, 6, 12).map { np =>
+        val topk = cand.where(col("pr") <= np)
+          .withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+        brute.join(topk, Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+          .select(lit(np).as("nprobe"), col("n_truth"), col("n_hit"),
+            (col("n_hit").cast("double") / col("n_truth").cast("double"))
+              .as("mean_recall"))
+      }.reduce(_ unionByName _)
+    },
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs scored only
     // within trained k-means cells — the codebook bounds candidate pairs
     // to Σ(cluster²) instead of N²; the full path (Lloyd training,
@@ -1041,25 +1144,34 @@ object OpsQueries {
     * nprobe-cell routing, asymmetric PQ scoring, per-query top-k. */
   private def ivfpqSql(k: Int, modulus: Int, iters: Int, m: Int, subDim: Int,
       pqC: Int, pqModulus: Int, queryMod: Int, nprobe: Int, topk: Int): String =
+    s"""${ivfpqCandCtes(k, modulus, iters, m, subDim, pqC, pqModulus, queryMod, nprobe)}
+       |SELECT query_id, neighbor_id, score, rank FROM (
+       |  SELECT query_id, neighbor_id, score, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, neighbor_id) AS rank FROM cand)
+       |WHERE rank <= $topk""".stripMargin
+
+  /** ≡ [[graft.ops.Similarity.ivfpqCandidatesWith]]: the candidate stream
+    * with its probe rank kept (`cand(query_id, pr, neighbor_id, score)`),
+    * so one trained-route-encode-score chain serves every nprobe ≤
+    * `nprobeMax` by filtering `pr` — shared by [[ivfpqSql]] and the
+    * recall-curve mirror. Starts with WITH. */
+  private def ivfpqCandCtes(k: Int, modulus: Int, iters: Int, m: Int, subDim: Int,
+      pqC: Int, pqModulus: Int, queryMod: Int, nprobeMax: Int): String =
     s"""${kmeansCtes(k, modulus, iters)},
        |${pqTrainedCtes(m, subDim, pqC, iters, pqModulus)},
        |probes AS (
-       |  SELECT query_id, qv, centroid_id FROM (
+       |  SELECT query_id, qv, centroid_id, pr FROM (
        |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY list_dot_product(q.embedding, c.cv) DESC, c.centroid_id) AS pr
        |    FROM embeddings q CROSS JOIN c$iters c WHERE q.vec_id % $queryMod = 0)
-       |  WHERE pr <= $nprobe),
-       |scored AS (
-       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |  WHERE pr <= $nprobeMax),
+       |cand AS (
+       |  SELECT p.query_id, p.pr, a.vec_id AS neighbor_id,
        |    list_dot_product(p.qv, r.rv) AS score
        |  FROM probes p JOIN af a
        |    ON p.centroid_id = a.centroid_id AND p.query_id <> a.vec_id
-       |  JOIN pqrecon r ON r.vec_id = a.vec_id)
-       |SELECT query_id, neighbor_id, score, rank FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id
-       |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
-       |WHERE rank <= $topk""".stripMargin
+       |  JOIN pqrecon r ON r.vec_id = a.vec_id)""".stripMargin
 
   /** Within-cluster cosine pair CTE over the trained-codebook assignment —
     * ≡ [[graft.ops.Dedup.semanticNearDups]] with the same (k, modulus,
@@ -1324,9 +1436,12 @@ object SketchOracleSql {
          |  FROM $src)""".stripMargin
 
   /** ≡ Dedup.minHashNearDups(shingleN = 3, k, bands, threshold, maxBucket)
-    * with the Portable (md5) kernel. */
-  def minHashSql(k: Int, bands: Int, threshold: Double, maxBucket: Int): String =
-    s"WITH ${minHashCtes(k, bands, maxBucket)}\n${minHashSelect(threshold)}"
+    * with the Portable (md5) kernel. `src`/`extraCtes` let a caller run the
+    * chain over a prior CTE (e.g. a deterministic slice) instead of the
+    * whole documents table. */
+  def minHashSql(k: Int, bands: Int, threshold: Double, maxBucket: Int,
+      src: String = "documents", extraCtes: String = ""): String =
+    s"WITH ${extraCtes}${minHashCtes(k, bands, maxBucket, src)}\n${minHashSelect(threshold)}"
 
   /** ≡ Dedup.dedupByComponents over minHashNearDups pairs: survivors =
     * documents minus non-canonical members of each transitive near-dup

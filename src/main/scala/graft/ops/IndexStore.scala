@@ -33,13 +33,51 @@ import org.apache.spark.sql.functions._
  * and join on band/bucket keys exactly like the in-memory forms. Merge
  * appends the new batch's rows and rewrites only the (tiny) stats
  * sidecar — history signature files are immutable.
+ *
+ * Concurrency contract: SINGLE WRITER, and no probe concurrent with a
+ * merge. Plain parquet has no commit protocol — a merge appends
+ * signature files and then replaces the stats sidecar, so a probe racing
+ * a merge can see a partially-appended index, and a crash between the
+ * two steps leaves a stale (never corrupt — the replace below is
+ * write-to-temp-then-rename, so readers see the old or the new sidecar,
+ * not a half-written one) stats sidecar that the next merge refresh
+ * heals. A deployment needing concurrent writers should front this with
+ * a table format that has a log (Delta/Iceberg) — the layout maps 1:1.
  */
 object IndexStore {
 
-  final case class MinHashMeta(shingleN: Int, k: Int, bands: Int)
+  final case class MinHashMeta(shingleN: Int, k: Int, bands: Int,
+      hash: Dedup.SketchHash)
   final case class EmbedLshMeta(h: Int, idCol: String, vecCol: String)
 
   private val Version = 1L
+
+  private def hashName(h: Dedup.SketchHash): String = h match {
+    case Dedup.SketchHash.Portable => "portable"
+    case Dedup.SketchHash.Fast     => "fast"
+  }
+
+  private def hashFor(name: String): Dedup.SketchHash = name match {
+    case "portable" => Dedup.SketchHash.Portable
+    case "fast"     => Dedup.SketchHash.Fast
+    case other => throw new IllegalArgumentException(
+      s"index meta names unknown sketch hash '$other' (known: portable, fast)")
+  }
+
+  /** Replace `<dir>/<name>` with `df`, via temp-dir + rename: a reader can
+    * observe the old sidecar or the new one, never a half-written mix of
+    * files (the in-place "overwrite" this replaces deleted-then-wrote in
+    * the live directory). The delete+rename pair itself is still two FS
+    * calls — see the single-writer contract above. */
+  private def replaceDir(df: DataFrame, dir: String, name: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(dir, name)
+    val tmp = new Path(dir, s"_tmp_$name")
+    val fs = dst.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    require(fs.rename(tmp, dst), s"rename $tmp -> $dst failed")
+  }
 
   private def writeMeta(spark: SparkSession, dir: String,
       kind: String, fields: Map[String, String]): Unit = {
@@ -62,21 +100,30 @@ object IndexStore {
   // ---- MinHash text index ------------------------------------------------
 
   /** Build and persist a MinHash index over `df`. The signatures are the
-    * index; the banded per-bucket counts go to the stats sidecar. */
+    * index; the banded per-bucket counts go to the stats sidecar. The
+    * sketch-hash algorithm is part of the index identity (probing Portable
+    * signatures with Fast banding is silent garbage), so it is persisted
+    * in meta alongside shingle_n/k/bands and every probe/refresh reads it
+    * from there. */
   def writeMinHashIndex(df: DataFrame, textCol: String, idCol: String, dir: String,
-      shingleN: Int = 3, k: Int = 64, bands: Int = 8): Unit = {
+      shingleN: Int = 3, k: Int = 64, bands: Int = 8,
+      hash: Dedup.SketchHash = Dedup.SketchHash.Portable): Unit = {
     require(k % bands == 0, "bands must divide k")
     val spark = df.sparkSession
-    val sig = Dedup.minHashSignatures(df, textCol, idCol, shingleN, k)
+    val sig = Dedup.minHashSignatures(df, textCol, idCol, shingleN, k, hash)
     sig.write.mode("overwrite").parquet(s"$dir/signatures")
     writeMeta(spark, dir, "minhash", Map(
-      "shingle_n" -> shingleN.toString, "k" -> k.toString, "bands" -> bands.toString))
+      "shingle_n" -> shingleN.toString, "k" -> k.toString, "bands" -> bands.toString,
+      "hash" -> hashName(hash)))
     refreshMinHashStats(spark, dir)
   }
 
   def loadMinHashMeta(spark: SparkSession, dir: String): MinHashMeta = {
     val m = readMeta(spark, dir, "minhash")
-    MinHashMeta(m("shingle_n").toInt, m("k").toInt, m("bands").toInt)
+    // indexes written before the hash field existed were all Portable
+    // (the only algorithm the old probe used), so that is the safe default
+    MinHashMeta(m("shingle_n").toInt, m("k").toInt, m("bands").toInt,
+      hashFor(m.getOrElse("hash", "portable")))
   }
 
   /** The persisted signature frame (doc, h0..h{k-1}). */
@@ -95,9 +142,9 @@ object IndexStore {
     val spark = newDf.sparkSession
     val meta = loadMinHashMeta(spark, dir)
     val sigN = graft.recon.Checkpoints.cut(
-      Dedup.minHashSignatures(newDf, textCol, idCol, meta.shingleN, meta.k))
+      Dedup.minHashSignatures(newDf, textCol, idCol, meta.shingleN, meta.k, meta.hash))
     Dedup.minHashIncrementalOf(sigN, loadMinHashSignatures(spark, dir),
-      meta.k, meta.bands, minAgreement, maxBucket)
+      meta.k, meta.bands, minAgreement, maxBucket, meta.hash)
   }
 
   /** Merge an accepted batch into the index: append its signatures
@@ -106,18 +153,19 @@ object IndexStore {
       dir: String): Unit = {
     val spark = batch.sparkSession
     val meta = loadMinHashMeta(spark, dir)
-    Dedup.minHashSignatures(batch, textCol, idCol, meta.shingleN, meta.k)
+    Dedup.minHashSignatures(batch, textCol, idCol, meta.shingleN, meta.k, meta.hash)
       .write.mode("append").parquet(s"$dir/signatures")
     refreshMinHashStats(spark, dir)
   }
 
   private def refreshMinHashStats(spark: SparkSession, dir: String): Unit = {
     val meta = loadMinHashMeta(spark, dir)
-    Dedup.bandedSignatures(loadMinHashSignatures(spark, dir), meta.k, meta.bands,
-        Dedup.SketchHash.Portable)
-      .groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$dir/bucket_stats")
+    replaceDir(
+      Dedup.bandedSignatures(loadMinHashSignatures(spark, dir), meta.k, meta.bands,
+          meta.hash)
+        .groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("n")),
+      dir, "bucket_stats")
   }
 
   // ---- embedding sign-LSH index ------------------------------------------
@@ -167,8 +215,9 @@ object IndexStore {
   }
 
   private def refreshEmbeddingStats(spark: SparkSession, dir: String): Unit =
-    loadEmbeddingIndex(spark, dir)
-      .groupBy(col("bucket"))
-      .agg(count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(s"$dir/bucket_stats")
+    replaceDir(
+      loadEmbeddingIndex(spark, dir)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n")),
+      dir, "bucket_stats")
 }

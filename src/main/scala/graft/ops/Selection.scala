@@ -90,6 +90,12 @@ object Selection {
     // (raise_error where the null total would poison the score) — an
     // earlier eager `head(1)` probe here ran a Spark job at every plan
     // construction, a BUILD-time cost each caller paid before any action.
+    // Semantics note: being in-plan, the guard fires only when at least one
+    // scored row is evaluated — empty raw + empty target returns an EMPTY
+    // frame rather than raising (the eager probe raised). That is the
+    // intended contract: "select from nothing" is vacuously satisfiable and
+    // the error exists to stop NULL scores from ranking real documents, a
+    // hazard that cannot arise without rows to rank.
     val ttGuarded = when(col("__tt").isNotNull, col("__tt"))
       .otherwise(raise_error(
         lit("selectByAffinity: target corpus has no bigram features")).cast("long"))

@@ -530,6 +530,28 @@ object Similarity {
   def ivfpqTopKWith(df: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, ivfCents: DataFrame, pqCodebook: DataFrame, m: Int, subDim: Int,
       nprobe: Int): DataFrame = {
+    val cands = ivfpqCandidatesWith(df, queries, idCol, vecCol, ivfCents, pqCodebook,
+      m, subDim, nprobe)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /**
+   * The IVF-PQ candidate stream BEFORE the per-query top-k:
+   * `(query_id, pr, neighbor_id, score)` where `pr` is the probe rank of
+   * the cell the candidate came from (1 = the query's nearest cell). This
+   * is the reusable core of [[ivfpqTopKWith]] — because candidates at
+   * probe rank ≤ a are a strict subset of rank ≤ b for a < b, ONE scoring
+   * pass at `nprobeMax` serves every smaller nprobe by filtering on `pr`,
+   * which is how `sim_ivfpq_recall_curve` sweeps the recall/cost knob
+   * without re-routing and re-scoring per arm (the knob a 100 TB operator
+   * tunes: each +1 of nprobe scans ~1/k more of the corpus).
+   */
+  def ivfpqCandidatesWith(df: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, ivfCents: DataFrame, pqCodebook: DataFrame, m: Int, subDim: Int,
+      nprobeMax: Int): DataFrame = {
     val cells = ivfIndexWith(df, idCol, vecCol, ivfCents)
       .select(col(idCol), col("centroid_id"))
     // L2 encoder: codes must minimize reconstruction error (see [[l2Score]])
@@ -539,17 +561,14 @@ object Similarity {
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .join(broadcast(ivfCents))
       .withColumn("__sim", vec_dot(col("qv"), col("cv")))
-      .withColumn("__pr", row_number().over(
+      .withColumn("pr", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("__sim").desc, col("centroid_id"))))
-      .where(col("__pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("centroid_id"))
-    val scored = probes.join(cands, Seq("centroid_id"))
+      .where(col("pr") <= nprobeMax)
+      .select(col("query_id"), col("pr"), col("qv"), col("centroid_id"))
+    probes.join(cands, Seq("centroid_id"))
       .where(col("query_id") =!= col(idCol))
       .withColumn("score", vec_dot(col("qv"), col("recon")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"), col("rank"))
+      .select(col("query_id"), col("pr"), col(idCol).as("neighbor_id"), col("score"))
   }
 
   /** [[pqTopK]] against an EXPLICIT codebook (`(s, j, cs)` shape) — the

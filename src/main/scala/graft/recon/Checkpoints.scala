@@ -70,6 +70,17 @@ object Checkpoints {
     // laziness; the enclosing query (and the cluster-level skew/coalesce
     // handling that matters at 100 TB) still runs under AQE, and a cut is
     // by definition a boundary we've already chosen to materialize whole.
+    // CONCURRENCY: this set/restore mutates the shared session RuntimeConfig
+    // and assumes the driver plans one query at a time on this session (true
+    // for every entry point in this repo — Verify, Bench, PlanAudit and the
+    // specs are all sequential). A host application planning concurrently on
+    // the SAME session (streaming microbatch thread, parallel query builders)
+    // could have an unrelated query planned with AQE off, or its own conf
+    // change clobbered by the restore; such callers should give each thread
+    // its own `spark.newSession()` (separate SQLConf, shared context) and
+    // build the frame there. Scoping the override per-plan instead would
+    // need internal APIs (planning reads `sessionState.conf` directly, so
+    // `SQLConf.withExistingConf`'s thread-local does not cover it).
     val AqeKey = "spark.sql.adaptive.enabled"
     def planned[T](body: => T): T =
       if (eager) body

@@ -92,6 +92,22 @@ class IndexStoreSpec extends SparkSuite {
       .agg(sum(col("n"))).head().getLong(0) === 5L)
   }
 
+  test("minhash: the sketch-hash algorithm round-trips through meta") {
+    val dir = tmp()
+    IndexStore.writeMinHashIndex(seenDocs, "text", "doc_id", dir,
+      shingleN = 2, k = 32, bands = 8, hash = Dedup.SketchHash.Fast)
+    // probe must pick Fast up from meta, not assume Portable — a
+    // Portable-probe of Fast signatures would bucket nothing together
+    assert(IndexStore.loadMinHashMeta(spark, dir).hash === Dedup.SketchHash.Fast)
+    val fromDisk = IndexStore.minHashProbe(newDocs, "text", "doc_id", dir,
+      minAgreement = 0.5d, maxBucket = 100)
+    val inMemory = Dedup.minHashIncremental(newDocs, seenDocs, "text", "doc_id",
+      shingleN = 2, k = 32, bands = 8, minAgreement = 0.5d, maxBucket = 100,
+      hash = Dedup.SketchHash.Fast)
+    assert(rowsOf(fromDisk) === rowsOf(inMemory))
+    assert(fromDisk.where(col("new_doc") === 20L && col("seen_doc") === 10L).count() === 1L)
+  }
+
   test("meta sidecar refuses a mis-typed load") {
     val dir = tmp()
     IndexStore.writeMinHashIndex(seenDocs, "text", "doc_id", dir,

@@ -119,6 +119,26 @@ class SimilarityTextSpec extends SparkSuite {
     assert(ivfpq >= 0.6, f"IVF-PQ mean recall regressed: $ivfpq%.3f < 0.6")
   }
 
+  test("IVF-PQ recall-vs-nprobe curve is monotone with the floor at nprobe=6") {
+    // the recall/cost knob a 100 TB operator turns: more probed cells can
+    // only ADD candidates (rank-<=-a candidates are a subset of rank-<=-b
+    // for a < b), so mean recall must be nondecreasing in nprobe; the 0.6
+    // shippability floor from the single-point harness must hold at the
+    // same nprobe=6 here (same index, same truth, half the query load).
+    // Deterministic inputs — a failure is a code regression, not noise.
+    val curve = graft.SparkEntry.queries("sim_ivfpq_recall_curve")(
+        spark, "/root/testdata/sf0.001")
+      .select("nprobe", "mean_recall").as[(Int, Double)].collect()
+      .sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(2, 6, 12), s"unexpected arms: ${curve.mkString(",")}")
+    curve.sliding(2).foreach { case Array((npA, rA), (npB, rB)) =>
+      assert(rB >= rA,
+        f"recall must be nondecreasing in nprobe: $rA%.3f@$npA > $rB%.3f@$npB")
+    }
+    val at6 = curve.find(_._1 == 6).get._2
+    assert(at6 >= 0.6, f"IVF-PQ recall floor at nprobe=6 regressed: $at6%.3f < 0.6")
+  }
+
   test("hardNegatives drops duplicate-scored candidates and re-ranks the rest") {
     import spark.implicits._
     val ranked = Seq(
