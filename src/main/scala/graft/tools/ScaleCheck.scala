@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Scale-GROWTH guard: measures the flagship composite queries at two
+ * scale factors and asserts (a) runtime grows sub-quadratically — the
+ * sf0.01 → sf0.1 ratio must stay under `SPARK_GRAFT_SCALE_MAX_RATIO`
+ * (default 15× for 10× data; linear is ~10×, quadratic would be ~100×) —
+ * and (b) the [[PlanAudit.flagsOf]] red-flag set is IDENTICAL at both
+ * scales, because the worst scale bugs are plans that only go bad above
+ * the correctness SF (a broadcast that flips to cartesian, a window that
+ * loses its partitioning under different stats).
+ *
+ * This converts the "designed for 100×" claim into a measured trend.
+ * Run ad hoc:
+ *
+ *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.ScaleCheck"
+ *
+ * Prints one line per query (small/big medians, ratio, flag status) and
+ * a final `SCALECHECK failed=N` line; exits nonzero on failure so it can
+ * gate a pipeline.
+ */
+object ScaleCheck {
+
+  /** The five compositions that exercise the most machinery end-to-end:
+    * multi-pass reconciliation, the full curation pipeline, the
+    * leakage-free split (MinHash → components → hash split), the trained
+    * IVF-PQ index, and substring-span removal. */
+  private val Flagships = Seq(
+    "recon_pass_full", "text_curation_e2e", "text_split_leakfree",
+    "sim_ivfpq_topk", "dedup_substring_cut")
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  def main(args: Array[String]): Unit = {
+    val smallDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_SMALL", "/root/testdata/sf0.01")
+    val bigDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_BIG", "/root/testdata/sf0.1")
+    val maxRatio = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_RATIO", "15.0").toDouble
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt.max(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warm JIT/codegen outside any timed window, like Bench
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(200000)
+        .select(col("id"), md5(col("id").cast("string")).as("h"))
+        .groupBy(pmod(xxhash64(col("h")), lit(16))).count().count()
+    }
+
+    val queries = graft.SparkEntry.queries
+    val unknown = Flagships.filterNot(queries.contains)
+    require(unknown.isEmpty, s"flagships not in the registry: ${unknown.mkString(", ")}")
+
+    def run(name: String, dir: String): (Double, Seq[String]) = {
+      val fn = queries(name)
+      // plan flags with AQE off (PlanAudit contract: AdaptiveSparkPlanExec
+      // hides its subtree from collect); restore before timing so the
+      // timed runs see the production conf
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val flags =
+        try PlanAudit.flagsOf(fn(spark, dir).queryExecution.executedPlan)
+        finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        secs
+      }
+      (median(times), flags)
+    }
+
+    var failed = 0
+    Flagships.foreach { name =>
+      val (tS, fS) = run(name, smallDir)
+      val (tB, fB) = run(name, bigDir)
+      // floor the denominator: a 0.1 s small-SF run is mostly fixed cost
+      // (job setup, codegen), and dividing by it reads fixed cost as
+      // super-linear growth
+      val ratio = tB / math.max(tS, 0.3)
+      val flagsMatch = fS == fB
+      val ratioOk = ratio <= maxRatio
+      if (!flagsMatch || !ratioOk) failed += 1
+      val verdict = if (flagsMatch && ratioOk) "ok  " else "FAIL"
+      val flagNote =
+        if (flagsMatch && fS.isEmpty) "flags=none@both"
+        else if (flagsMatch) s"flags=same(${fS.mkString(";")})"
+        else s"flags DIVERGE small=[${fS.mkString(";")}] big=[${fB.mkString(";")}]"
+      println(f"$verdict $name%-22s small=$tS%6.2fs big=$tB%6.2fs ratio=$ratio%5.2fx (max $maxRatio%.1f) $flagNote")
+    }
+    println(s"SCALECHECK failed=$failed reps=$reps small=$smallDir big=$bigDir")
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+}

@@ -287,6 +287,72 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(buf.get() == batch)
   }
 
+  test("session_window stream: late-within-watermark merges, beyond-watermark drops (counted)") {
+    import org.apache.spark.sql.{Dataset, Row}
+    // the semantics that only exist in STREAMING: the 10-minute watermark
+    // (sessionWindowStream's contract) decides whether an out-of-order
+    // event still merges into its session or is discarded. Three
+    // checkpointed runs of the same query simulate a live pipeline where
+    // the watermark advances between arrivals (one AvailableNow run = the
+    // files that had arrived by then; session state + watermark persist in
+    // the checkpoint across runs, exactly like a restarted production job).
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_late_src").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_late_ckpt").toFile
+    def write(rows: (Long, String, Long, String, Double)*): Unit =
+      rows.map { case (id, t, u, ty, v) => (id, java.sql.Timestamp.valueOf(t), u, ty, v) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(srcDir.getAbsolutePath)
+
+    val emitted = new java.util.concurrent.atomic.AtomicReference[
+      Set[(Long, Long, Long, Long, Double)]](Set.empty)
+    var dropped = 0L
+    def run(): Unit = {
+      val q = EventPipeline.sessionWindowStream(spark, srcDir.getAbsolutePath,
+          eventsDf.schema, gapSec = 10)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          emitted.getAndUpdate(s => s ++ b.select(col("user_id"), col("session_start"),
+            col("session_end"), col("n_events"), col("total_value"))
+            .as[(Long, Long, Long, Long, Double)].collect().toSet): Unit
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      dropped += q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    }
+
+    // run 1: user 1 opens a session (12:00:00, 12:00:05, gap 10 s); the
+    // 12:05 anchor puts the watermark at 11:55 — nothing finalizes yet
+    write((1L, "2026-01-01 12:00:00", 1L, "click", 1.0),
+      (2L, "2026-01-01 12:00:05", 1L, "click", 2.0),
+      (90L, "2026-01-01 12:05:00", 99L, "anchor", 0.0))
+    run()
+    // run 2: the 12:00:07 event arrives AFTER the 12:05 anchor (out of
+    // order) but its event time is over the 11:55 watermark → it must
+    // merge into the open session; the 12:30 anchor then advances the
+    // watermark to 12:20, finalizing user 1's session
+    write((3L, "2026-01-01 12:00:07", 1L, "click", 4.0),
+      (91L, "2026-01-01 12:30:00", 99L, "anchor", 0.0))
+    run()
+    // run 3: the 12:00:08 event is BEYOND the 12:20 watermark → dropped
+    // (and counted); the 12:50 anchor advances the watermark far enough
+    // that a wrongly-kept row would have surfaced as a second session
+    write((4L, "2026-01-01 12:00:08", 1L, "late", 8.0),
+      (92L, "2026-01-01 12:50:00", 99L, "anchor", 0.0))
+    run()
+
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 12:00:00").getTime
+    // exactly ONE user-1 session: start at the first event, end one gap
+    // past the LATE event (12:00:07 + 10 s) — proof the late-within row
+    // merged; 1+2+4 sums the late value in; no second session from the
+    // beyond-watermark row
+    assert(emitted.get().filter(_._1 == 1L) ==
+      Set((1L, t0, t0 + 17000L, 3L, 7.0)),
+      s"user-1 sessions: ${emitted.get().filter(_._1 == 1L)}")
+    assert(dropped >= 1L,
+      s"the beyond-watermark event must be dropped AND counted (dropped=$dropped)")
+  }
+
   test("incrementalDedup runs unchanged as a stream-static anti-join") {
     import org.apache.spark.sql.{DataFrame, Dataset, Row}
     import graft.ops.Dedup
