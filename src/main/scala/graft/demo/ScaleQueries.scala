@@ -379,6 +379,69 @@ object ScaleQueries {
       Dedup.cutDuplicatedSpans(docs(s, d), "text", "doc_id", n = 6)
     },
 
+    // the BPE-TOKEN arm of substring cutting: Lee et al. 2021 ran their
+    // exact-substring dedup over BPE token streams (~50 tokens), not
+    // whitespace words — here every word segments under a fixed 3-merge
+    // BPE list (the vocab_bpe_apply device), the per-word subtokens
+    // flatten in word order, and the SAME first-occurrence-survives cut
+    // runs over 24-subtoken grams (≈ the 6-word window of
+    // dedup_substring_cut, since these merges leave ~4 subtokens/word).
+    // The surviving subtoken stream is value-checked character for
+    // character
+    QuerySpec("dedup_substring_cut_bpe", {
+      val merges = Seq(("e", "r"), ("i", "n"), ("s", "t"))
+      val base = raw"' ' || array_to_string(string_split(u.w, ''), ' ') || ' '"
+      val segExpr = merges.foldLeft(base) { case (c, (a, b)) =>
+        s"regexp_replace(regexp_replace($c, ' $a $b ', ' $a$b ', 'g'), ' $a $b ', ' $a$b ', 'g')"
+      }
+      raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |                ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |wrd AS (SELECT doc_id, unnest(
+           |          CASE WHEN len(t) = 0 THEN []
+           |               ELSE [{'wi': i, 'w': t[i]} FOR i IN range(1, len(t) + 1)] END) AS u
+           |        FROM tt),
+           |sg AS (SELECT doc_id, u.wi AS wi, string_split(trim($segExpr), ' ') AS subs
+           |       FROM wrd),
+           |sub AS (SELECT doc_id, wi, unnest(
+           |          [{'si': j, 's': subs[j]} FOR j IN range(1, len(subs) + 1)]) AS v
+           |        FROM sg),
+           |t2 AS (SELECT doc_id, list(v.s ORDER BY wi, v.si) AS t FROM sub GROUP BY doc_id),
+           |sp AS (SELECT doc_id, unnest(
+           |         CASE WHEN len(t) < 24 THEN []
+           |              ELSE [{'pos': i, 'g': array_to_string(t[i:i+23], ' ')} FOR i IN range(1, len(t) - 22)] END) AS u
+           |       FROM t2),
+           |gh AS (SELECT doc_id, u.pos AS pos, ${md5h60("u.g")} AS gh FROM sp),
+           |occ AS (SELECT doc_id, pos,
+           |          row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS r
+           |        FROM gh),
+           |red AS (SELECT doc_id, pos FROM occ WHERE r > 1),
+           |isl AS (SELECT doc_id, pos,
+           |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+           |        FROM red),
+           |runs AS (SELECT doc_id, min(pos) AS s, max(pos) + 23 AS e
+           |         FROM isl GROUP BY doc_id, island),
+           |spd AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans FROM runs GROUP BY doc_id),
+           |tk AS (SELECT doc_id, unnest(
+           |         CASE WHEN len(t) = 0 THEN []
+           |              ELSE [{'tp': i, 'tok': t[i]} FOR i IN range(1, len(t) + 1)] END) AS u
+           |       FROM t2),
+           |kept AS (
+           |  SELECT t.doc_id, t.u.tp AS tp, t.u.tok AS tok
+           |  FROM tk t LEFT JOIN spd d USING (doc_id)
+           |  WHERE d.spans IS NULL
+           |     OR len(list_filter(d.spans, x -> t.u.tp >= x.s AND t.u.tp <= x.e)) = 0),
+           |agg AS (
+           |  SELECT doc_id, array_to_string(list(tok ORDER BY tp), ' ') AS text_cut,
+           |    count(*) AS n_tokens_kept
+           |  FROM kept GROUP BY doc_id)
+           |SELECT d.doc_id, COALESCE(a.text_cut, '') AS text_cut,
+           |  COALESCE(a.n_tokens_kept, 0) AS n_tokens_kept
+           |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
+    }) { (s, d) =>
+      Dedup.cutDuplicatedSpansBpe(docs(s, d), "text", "doc_id",
+        merges = Seq(("e", "r"), ("i", "n"), ("s", "t")), n = 24)
+    },
+
     // exactly-k-per-group deterministic sample (the reservoir shape, but
     // reproducible): each lang keeps its k=10 lowest-keyHash docs — hash
     // order is layout-independent, so the "reservoir" is stable across

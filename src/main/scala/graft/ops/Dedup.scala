@@ -233,11 +233,30 @@ object Dedup {
     * matters, not just that it occurs. Same explode-the-expression /
     * repartition-barrier discipline as [[spanTable]]. */
   def posSpanTable(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    posSpanTableOf(df, TextAnalysis.tokens(col(textCol)), idCol, n)
+
+  /** [[posSpanTable]] over an ARBITRARY token expression (array<string>) —
+    * the hook that lets the span machinery run on any tokenization
+    * (whitespace words, BPE subtokens, characters) without forking the
+    * downstream dup-mark/island logic. */
+  def posSpanTableOf(df: DataFrame, toks: Column, idCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc"), toks.as("__toks"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc"),
         posexplode(shinglesOfTokens(col("__toks"), n)).as(Seq("__p0", "shingle")))
       .select(col("doc"), (col("__p0") + 1).cast("long").as("pos"), col("shingle"))
+
+  /** The whole document re-expressed as a BPE SUBTOKEN stream under a
+    * fixed merge list: each whitespace word segments through
+    * [[graft.ops.Vocab.segment]] (greedy two-pass regex merges), and the
+    * per-word subtoken lists flatten in word order. Lee et al. 2021 ran
+    * exact-substring dedup over token streams of roughly this shape
+    * (~50 BPE tokens), not whitespace words — this is the expression that
+    * feeds their semantics. Pure column expression: stays inside
+    * whole-stage codegen, no UDF. */
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    flatten(transform(TextAnalysis.tokens(text),
+      w => split(Vocab.segment(w, merges), " ")))
 
   /**
    * MAXIMAL duplicated spans (the variable-length upgrade of
@@ -296,10 +315,25 @@ object Dedup {
    * back to the posexploded tokens. No text ever travels on the hash
    * shuffles.
    */
-  def cutDuplicatedSpans(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+  def cutDuplicatedSpans(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    cutDuplicatedSpansOf(df, TextAnalysis.tokens(col(textCol)), idCol, n)
+
+  /** [[cutDuplicatedSpans]] over BPE SUBTOKEN streams — the tokenization
+    * Lee et al. 2021 actually used (they cut at ~50 BPE tokens, not ~n
+    * words; a subtoken window of the same text span is finer-grained, so
+    * pick `n` ≈ 4× the word-level n for comparable span lengths). The
+    * output `text_cut` is the surviving SUBTOKEN stream space-joined —
+    * the unit the training pipeline consumes downstream of this cut. */
+  def cutDuplicatedSpansBpe(df: DataFrame, textCol: String, idCol: String,
+      merges: Seq[(String, String)], n: Int): DataFrame =
+    cutDuplicatedSpansOf(df, bpeTokens(col(textCol), merges), idCol, n)
+
+  /** The tokenization-generic core of [[cutDuplicatedSpans]]: `toks` is
+    * any array<string> expression over the row. */
+  def cutDuplicatedSpansOf(df: DataFrame, toks: Column, idCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val grams = graft.recon.Checkpoints.cut(
-      posSpanTable(df, textCol, idCol, n)
+      posSpanTableOf(df, toks, idCol, n)
         .select(col("doc"), col("pos"), Sampling.keyHash(col("shingle")).as("__gh")))
     val wOcc = Window.partitionBy(col("__gh")).orderBy(col("doc"), col("pos"))
     val redundant = grams
@@ -314,10 +348,10 @@ object Dedup {
       .groupBy(col("doc"))
       .agg(collect_list(struct(col("s"), col("e"))).as("__spans"))
       .withColumnRenamed("doc", idCol)
-    val toks = df.select(col(idCol),
-        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("__p0", "__tok")))
+    val tokTable = df.select(col(idCol),
+        posexplode(toks).as(Seq("__p0", "__tok")))
       .select(col(idCol), (col("__p0") + 1).cast("long").as("__tp"), col("__tok"))
-    val kept = toks.join(spansPerDoc, Seq(idCol), "left")
+    val kept = tokTable.join(spansPerDoc, Seq(idCol), "left")
       .where(col("__spans").isNull ||
         !exists(col("__spans"), sp =>
           col("__tp") >= sp.getField("s") && col("__tp") <= sp.getField("e")))

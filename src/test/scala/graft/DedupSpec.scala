@@ -93,6 +93,32 @@ class DedupSpec extends SparkSuite {
     assert(out(3L) == (("w31 w32 w33 w34 w35 w36", 6L)), "unique text untouched")
   }
 
+  test("cutDuplicatedSpansBpe cuts duplicated SUBTOKEN runs, later copy only") {
+    // merges applied in order: er, in, st (two-pass greedy each) —
+    //   winter  → [w, in, t, er]
+    //   stern   → [st, er, n]
+    //   western → [w, e, st, er, n]
+    // so the shared phrase is a 12-subtoken region; with n=6 the
+    // duplicated gram positions in doc 2 are 4..10 → one island covering
+    // subtoken positions 4..15, exactly the shared region
+    val merges = Seq(("e", "r"), ("i", "n"), ("s", "t"))
+    val shared = "winter stern western"
+    val corpus = Seq(
+      (1L, s"u11 u12 $shared u13"),  // first occurrence — kept whole
+      (2L, s"v21 $shared v22"),      // later copy — subtoken region cut
+      (3L, "w31 w32 w33 w34 w35 w36")
+    ).toDF("doc_id", "text")
+    val out = Dedup.cutDuplicatedSpansBpe(corpus, "text", "doc_id", merges, n = 6)
+      .select("doc_id", "text_cut", "n_tokens_kept")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) ==
+      (("u 1 1 u 1 2 w in t er st er n w e st er n u 1 3", 21L)),
+      "first occurrence survives as its intact subtoken stream")
+    assert(out(2L) == (("v 2 1 v 2 2", 6L)),
+      "the later copy loses exactly the shared subtokens; flanks survive")
+    assert(out(3L)._2 == 18L, "unique text untouched (all 18 subtokens kept)")
+  }
+
   test("minHash near-dups finds the planted pair and skips unrelated docs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
     val corpus = (1L to 20L).map(i => (i, s"unique$i words body number$i distinct$i tokens$i from$i corpus$i item$i entry$i"))
