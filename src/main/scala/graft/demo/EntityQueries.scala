@@ -1,0 +1,83 @@
+package graft.demo
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+
+/**
+ * Round-10 entity-resolution and event-history queries: fuzzy identifier
+ * matching, slowly-changing-dimension intervals, and behavior-transition
+ * statistics. Same contract as [[OpsQueries]]: every entry pairs the
+ * Spark implementation with its exact DuckDB mirror — all arithmetic is
+ * integer/decimal-exact so both engines compute identical bits.
+ */
+object EntityQueries {
+
+  private def customer(s: SparkSession, d: String) =
+    s.read.parquet(s"$d/customer.parquet")
+  private def events(s: SparkSession, d: String) = OpsQueries.events(s, d)
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // fuzzy entity matching at join scale: every customer-name pair
+    // within edit distance 1, found by deletion-neighborhood blocking
+    // (ops/Fuzzy.scala) instead of an O(n²) cartesian levenshtein scan.
+    // TPC-H names are zero-padded digit strings, so single-digit
+    // substitutions give a dense planted answer set. The oracle mirrors
+    // the same blocking scheme — a cross-join levenshtein filter would
+    // take DuckDB quadratic time too
+    QuerySpec("recon_fuzzy_names",
+      raw"""WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+           |v AS (SELECT id, s, unnest(list_append(
+           |        [substr(s, 1, i-1) || substr(s, i+1, length(s))
+           |         FOR i IN range(1, length(s)+1)], s)) AS v
+           |      FROM c),
+           |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           |                a.s AS s_a, b.s AS s_b
+           |         FROM v a JOIN v b ON a.v = b.v AND a.id < b.id)
+           |SELECT id_a, id_b, s_a, s_b,
+           |  CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
+           |FROM cand WHERE levenshtein(s_a, s_b) <= 1""".stripMargin) { (s, d) =>
+      graft.ops.Fuzzy.pairsWithin1(customer(s, d), "c_name", "c_custkey")
+    },
+
+    // SCD-2 dimension build from the raw event log: consecutive
+    // same-type events per user collapse into half-open validity
+    // intervals (gaps-and-islands over a per-user window; ops/History).
+    // valid_to of the last run is NULL — the entity's current state
+    QuerySpec("events_scd2",
+      raw"""WITH o AS (SELECT user_id, event_type, ts, event_id,
+           |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           |      FROM events),
+           |m AS (SELECT user_id, event_type, ts,
+           |        CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+           |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+           |      FROM o),
+           |g AS (SELECT user_id, version, min(event_type) AS state,
+           |        min(ts) AS valid_from, count(*) AS n_events
+           |      FROM m GROUP BY 1, 2)
+           |SELECT user_id, state, valid_from,
+           |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+           |  n_events, version
+           |FROM g""".stripMargin) { (s, d) =>
+      graft.ops.History.scd2(events(s, d), "user_id", "event_type", "ts", "event_id")
+    },
+
+    // row-normalized Markov transition matrix of user behavior, exact to
+    // the milli-unit: integer `div`, never float division, so both
+    // engines emit identical probabilities. The normalizing window is
+    // bounded by the event-type alphabet
+    QuerySpec("events_transitions",
+      raw"""WITH o AS (SELECT event_type AS to_type,
+           |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+           |      FROM events),
+           |c AS (SELECT from_type, to_type, count(*) AS n
+           |      FROM o WHERE from_type IS NOT NULL GROUP BY 1, 2)
+           |SELECT from_type, to_type, n,
+           |  CAST((n * 1000) // CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+           |       AS BIGINT) AS p_milli
+           |FROM c""".stripMargin) { (s, d) =>
+      graft.ops.History.transitionCounts(events(s, d), "user_id", "event_type", "ts", "event_id")
+    })
+}

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-history reshaping: collapse an append-only event stream into
+ * versioned entity state (the warehouse "slowly changing dimension
+ * type 2" build) and first-order behavior statistics (Markov transition
+ * counts). Both are pure window/aggregate plans partitioned by the
+ * entity key — per-entity history is rarely more than a few thousand
+ * events, so the windows stay bounded and the shuffles partition on the
+ * natural key at any corpus size.
+ */
+object History {
+
+  /**
+   * SCD-2 intervals from an event log: per `entityCol`, consecutive
+   * events carrying the same `stateCol` value collapse into one
+   * validity interval. Output per (entity, version):
+   * `(entityCol, state, valid_from, valid_to, n_events, version)` —
+   * `valid_from` = first event ts of the run, `valid_to` = the NEXT
+   * run's `valid_from` (null for the entity's current state), intervals
+   * are half-open `[from, to)` and tile each entity's timeline exactly.
+   *
+   * Ordering must be total for the run-detection to be deterministic:
+   * `tieCol` breaks equal-timestamp events (an event id; uniqueness is
+   * the caller's contract). Gaps-and-islands via one running sum of
+   * change flags — the same per-entity-window discipline as
+   * [[Dedup.maximalSpans]], no global window anywhere.
+   */
+  def scd2(events: DataFrame, entityCol: String, stateCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val byTime = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val change = when(lag(col(stateCol), 1).over(byTime).isNull ||
+      lag(col(stateCol), 1).over(byTime) =!= col(stateCol), 1L).otherwise(0L)
+    val versioned = events.select(col(entityCol), col(stateCol), col(tsCol), col(tieCol))
+      .withColumn("version",
+        sum(change).over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = versioned
+      .groupBy(col(entityCol), col("version"))
+      .agg(min(col(stateCol)).as("state"), // constant within the run
+        min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val byVersion = Window.partitionBy(col(entityCol)).orderBy(col("version"))
+    runs.withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+      .select(col(entityCol), col("state"), col("valid_from"),
+        col("valid_to"), col("n_events"), col("version"))
+  }
+
+  /**
+   * First-order transition counts: for each entity's time-ordered event
+   * sequence, count (previous state → state) adjacencies across the
+   * whole log, plus the exact-integer milli-probability
+   * `p_milli = n·1000 div Σn(from_type)` — the row-normalized Markov
+   * matrix in a form both engines compute bit-identically (no float
+   * division). The final window partitions by `from_type`, bounded by
+   * the state-alphabet size, not the data.
+   */
+  def transitionCounts(events: DataFrame, entityCol: String, stateCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val byTime = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val adj = events
+      .select(col(entityCol), col(stateCol), col(tsCol), col(tieCol))
+      .withColumn("to_type", col(stateCol))
+      .withColumn("from_type", lag(col(stateCol), 1).over(byTime))
+      .where(col("from_type").isNotNull)
+    val counts = adj.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val byFrom = Window.partitionBy(col("from_type"))
+    counts.withColumn("__tot", sum(col("n")).over(byFrom))
+      // `div`, not `/`: long division through doubles could land one ulp
+      // under an integer and floor() it down a full unit
+      .withColumn("p_milli", expr("(n * 1000) div __tot"))
+      .select(col("from_type"), col("to_type"), col("n"), col("p_milli"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.History
+import java.sql.Timestamp
+
+class HistorySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 00:$min%02d:00")
+
+  private def log = Seq(
+    // user 1: A A B A — three runs (the second A is a NEW run, not a
+    // merge with the first: SCD-2 tracks time order, not distinct states)
+    (1L, 1L, "A", ts(1)),
+    (2L, 1L, "A", ts(2)),
+    (3L, 1L, "B", ts(3)),
+    (4L, 1L, "A", ts(4)),
+    // user 2: single state, one open-ended interval
+    (5L, 2L, "B", ts(1)),
+    (6L, 2L, "B", ts(5))
+  ).toDF("event_id", "user_id", "event_type", "ts")
+
+  test("scd2 collapses consecutive runs into tiling half-open intervals") {
+    val out = History.scd2(log, "user_id", "event_type", "ts", "event_id")
+      .as[(Long, String, Timestamp, Option[Timestamp], Long, Long)]
+      .collect().toSet
+    assert(out == Set(
+      (1L, "A", ts(1), Some(ts(3)), 2L, 1L),
+      (1L, "B", ts(3), Some(ts(4)), 1L, 2L),
+      (1L, "A", ts(4), None, 1L, 3L),
+      (2L, "B", ts(1), None, 2L, 1L)))
+  }
+
+  test("scd2 breaks timestamp ties by the tie column") {
+    val tied = Seq(
+      (2L, 1L, "B", ts(1)), // same ts, higher id — ordered SECOND
+      (1L, 1L, "A", ts(1))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = History.scd2(tied, "user_id", "event_type", "ts", "event_id")
+      .as[(Long, String, Timestamp, Option[Timestamp], Long, Long)]
+      .collect().toSet
+    assert(out == Set(
+      (1L, "A", ts(1), Some(ts(1)), 1L, 1L),
+      (1L, "B", ts(1), None, 1L, 2L)))
+  }
+
+  test("transitionCounts: adjacency counts and exact milli-probabilities") {
+    val out = History.transitionCounts(log, "user_id", "event_type", "ts", "event_id")
+      .as[(String, String, Long, Long)].collect().toSet
+    // user 1: A→A, A→B, B→A; user 2: B→B
+    assert(out == Set(
+      ("A", "A", 1L, 500L),
+      ("A", "B", 1L, 500L),
+      ("B", "A", 1L, 500L),
+      ("B", "B", 1L, 500L)))
+  }
+}
