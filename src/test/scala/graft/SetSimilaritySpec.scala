@@ -1,0 +1,48 @@
+package graft
+
+import graft.ops.{Dedup, SetSimilarity}
+import org.apache.spark.sql.functions._
+
+class SetSimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta iota"),     // near-copy of 1
+    (3L, "alpha beta gamma delta epsilon zeta eta theta"),    // exact copy of 1
+    (4L, "one two three four five six seven eight nine ten"),
+    (5L, "totally different words in this entry right here ok")
+  ).toDF("doc_id", "text")
+
+  /** brute-force truth over collected shingle sets. */
+  private def bruteForce(n: Int, tMilli: Int): Set[(Long, Long)] = {
+    val sets = Dedup.shingleSets(corpus, "text", "doc_id", n)
+      .as[(Long, Seq[String])].collect().toMap.view.mapValues(_.toSet).toMap
+    (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      uni = (sets(a) | sets(b)).size
+      if uni > 0 && 1000L * inter >= tMilli.toLong * uni
+    } yield (a, b)).toSet
+  }
+
+  test("jaccardPrefixJoin returns exactly the brute-force answer (no LSH misses)") {
+    for (t <- Seq(500, 800, 1000)) {
+      val got = SetSimilarity.jaccardPrefixJoin(corpus, "text", "doc_id", 3, t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == bruteForce(3, t), s"mismatch at tMilli=$t")
+    }
+  }
+
+  test("exact copies report jac_milli = 1000 with inter = uni") {
+    val row = SetSimilarity.jaccardPrefixJoin(corpus, "text", "doc_id", 3, 800)
+      .where(col("id_a") === 1 && col("id_b") === 3)
+      .select("inter", "uni", "jac_milli").as[(Long, Long, Long)].collect()
+    assert(row.length == 1 && row.head._1 == row.head._2 && row.head._3 == 1000L)
+  }
+
+  test("documents shorter than the shingle width never pair") {
+    val tiny = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    assert(SetSimilarity.jaccardPrefixJoin(tiny, "text", "doc_id", 3, 500).count() == 0)
+  }
+}
