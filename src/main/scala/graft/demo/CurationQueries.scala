@@ -64,7 +64,7 @@ object CurationQueries {
     * CONCURRENT run under another appId is never deleted mid-query — and
     * enrolls the dir with the single process-wide shutdown hook so
     * abnormal termination of THIS run cleans up too. */
-  private def runTmpDir(s: org.apache.spark.sql.SparkSession, name: String): java.io.File = {
+  private[demo] def runTmpDir(s: org.apache.spark.sql.SparkSession, name: String): java.io.File = {
     val base = new java.io.File(sys.props("java.io.tmpdir"))
     val cutoff = System.currentTimeMillis() - TmpDirs.StaleMs
     Option(base.listFiles()).toSeq.flatten

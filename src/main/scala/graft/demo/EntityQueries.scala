@@ -113,5 +113,21 @@ object EntityQueries {
            |WHERE i.inter * 1000 >= (za.n + zb.n - i.inter) * 800""".stripMargin) { (s, d) =>
       graft.ops.SetSimilarity.jaccardPrefixJoin(docs(s, d), "text", "doc_id",
         shingleN = 3, tMilli = 800)
+    },
+
+    // JSON-Lines round-trip (the recon_csv_roundtrip twin for the LLM
+    // interchange format): documents → jsonl files → read back with the
+    // WRITER's schema (no inference pass), value-identical to the source
+    // table. Eager cut before the temp files are deleted
+    QuerySpec("text_jsonl_roundtrip",
+      "SELECT doc_id, text, lang, source, n_chars FROM documents") { (s, d) =>
+      val src = docs(s, d).select("doc_id", "text", "lang", "source", "n_chars")
+      val tmp = CurationQueries.runTmpDir(s, "graft_jsonl_roundtrip")
+      graft.recon.Sinks.writeJsonl(src, tmp.getAbsolutePath)
+      val back = graft.recon.Sources.readJsonl(s, tmp.getAbsolutePath, src.schema)
+      // EAGER: the frame's input files are deleted on the next line
+      val out = graft.recon.Checkpoints.cut(back, eager = true)
+      CurationQueries.deleteRecursively(tmp)
+      out
     })
 }

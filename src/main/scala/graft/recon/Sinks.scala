@@ -23,6 +23,13 @@ object Sinks {
     out.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
   }
 
+  /** JSON-Lines sink — the interchange format LLM data pipelines speak
+    * (one JSON object per line, so the files stay splittable and a scan
+    * parallelizes per line-block, unlike a single JSON array). Part of
+    * the extension surface, not reference parity. */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
   /** Range-partitioned parquet write (S8's layout, reference interval split
     * at second_conciliate.py:409-417): N range partitions on the timestamp
     * column reproduce the reference's per-interval parallel upsert fan-out. */

@@ -43,6 +43,14 @@ object Sources {
       .option("inferSchema", "false")
       .csv(path)
 
+  /** JSON-Lines scan with an EXPLICIT schema — same no-inference
+    * discipline as [[csvAllString]]: schema inference is a full extra
+    * pass over the data before the real scan, which at the 100 TB tier
+    * doubles the I/O bill. Callers own the schema (usually the writing
+    * table's `df.schema`). */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /**
    * External-side prep (reference: src/data_extractor.py:95-116):
    * row-provenance index, join-key casts, `ext_` prefix, `exd_` shadow keys.

@@ -155,6 +155,22 @@ class SourcesSinksSpec extends SparkSuite {
     spark.sql("DROP TABLE IF EXISTS bk_b")
   }
 
+  test("jsonl round-trips types, unicode, and nulls under the writer's schema") {
+    val out = Files.createTempDirectory("graft_jsonl").toFile.getAbsolutePath
+    val df = Seq(
+      (1L, Some("plain words"), 3.5d),
+      (2L, Some("unicode \u00e9\u00df\u4e2d \"quoted\" \\slash\t tab"), -0.0d),
+      (3L, None: Option[String], 1e300)
+    ).toDF("id", "s", "v")
+    Sinks.writeJsonl(df, out)
+    val back = Sources.readJsonl(spark, out, df.schema)
+    // the JSON source relaxes every field to nullable (it cannot prove
+    // otherwise); names and types must carry through exactly
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)), "explicit schema must carry through")
+    assert(rowsOf(back) == rowsOf(df))
+  }
+
   test("summary sums are decimal-exact") {
     val m = Seq(("a1", 0.1), ("a2", 0.2), ("a3", 0.3)).toDF("_id", "amt")
     val empty = m.limit(0)
