@@ -129,5 +129,40 @@ object EntityQueries {
       val out = graft.recon.Checkpoints.cut(back, eager = true)
       CurationQueries.deleteRecursively(tmp)
       out
+    },
+
+    // content-defined chunk duplication (the storage-dedup angle the
+    // fixed n-gram spans miss): rolling-hash boundaries (w=4 grams,
+    // divisor 8 → ~8-token chunks) re-align after an insertion, so a doc
+    // that copies a region with an extra word up front still shares every
+    // chunk past the first boundary. Per doc: chunks, corpus-duplicated
+    // chunks, exact milli-fraction
+    QuerySpec("dedup_cdc_chunks", {
+      def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+      raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |tk AS (SELECT doc_id AS doc, unnest(CASE WHEN len(t) = 0 THEN []
+           |         ELSE [{'tp': i, 'tok': t[i]} FOR i IN range(1, len(t) + 1)] END) AS u FROM tt),
+           |tok AS (SELECT doc, u.tp AS tp, u.tok AS tok FROM tk),
+           |gr AS (SELECT doc_id AS doc, unnest(CASE WHEN len(t) < 4 THEN []
+           |         ELSE [{'tp': i, 'g': array_to_string(t[i:i+3], ' ')}
+           |               FOR i IN range(1, len(t) - 2)] END) AS u FROM tt),
+           |bd AS (SELECT doc, u.tp AS tp, (${h60("u.g")} % 8 = 0) AS cut FROM gr),
+           |mk AS (SELECT tok.doc, tok.tp, tok.tok,
+           |         CASE WHEN tok.tp = 1 OR COALESCE(bd.cut, false) THEN tok.tp END AS bnd
+           |       FROM tok LEFT JOIN bd ON bd.doc = tok.doc AND bd.tp = tok.tp),
+           |asg AS (SELECT doc, tp, tok,
+           |          max(bnd) OVER (PARTITION BY doc ORDER BY tp ROWS UNBOUNDED PRECEDING) AS chunk_start
+           |        FROM mk),
+           |ch AS (SELECT doc, chunk_start,
+           |         ${h60("array_to_string(list(tok ORDER BY tp), ' ')")} AS chunk_hash
+           |       FROM asg GROUP BY 1, 2),
+           |fq AS (SELECT chunk_hash, count(*) AS n FROM ch GROUP BY 1)
+           |SELECT ch.doc AS doc_id, count(*) AS n_chunks,
+           |  CAST(sum(CASE WHEN fq.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           |  CAST((sum(CASE WHEN fq.n >= 2 THEN 1 ELSE 0 END) * 1000) // count(*) AS BIGINT) AS dup_milli
+           |FROM ch JOIN fq USING (chunk_hash) GROUP BY 1""".stripMargin
+    }) { (s, d) =>
+      graft.ops.Dedup.cdcChunkStats(docs(s, d), "text", "doc_id", w = 4, divisor = 8)
     })
 }

@@ -384,6 +384,68 @@ object Dedup {
   }
 
   /**
+   * CONTENT-DEFINED chunking of every document (the Rabin/rolling-hash
+   * boundary principle of LBFS and storage dedup, re-expressed over word
+   * tokens): a token position starts a new chunk when the w-gram hash
+   * anchored there satisfies `hash % divisor == 0` (plus position 1).
+   * Because boundaries depend only on LOCAL content, inserting or
+   * deleting a region re-aligns chunk boundaries immediately after it —
+   * the property fixed-width blocks lack, and the reason storage systems
+   * chunk this way. Expected chunk length ≈ `divisor` tokens.
+   *
+   * Output: `(doc, chunk_start, chunk_tokens, chunk_hash)` — one row
+   * per chunk, the text already reduced to its 60-bit [[Sampling.keyHash]]
+   * so downstream frequency joins never ship text. Chunk assembly
+   * happens in a per-doc aggregation (the only place chunk text exists);
+   * the boundary-assignment window partitions per doc.
+   */
+  def cdcChunkTable(df: DataFrame, textCol: String, idCol: String,
+      w: Int, divisor: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 1 && divisor >= 1, s"bad w=$w / divisor=$divisor")
+    val tokens = df.select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc"), posexplode(col("__toks")).as(Seq("__p0", "tok")))
+      .select(col("doc"), (col("__p0") + 1).cast("long").as("tp"), col("tok"))
+    val bounds = posSpanTable(df, textCol, idCol, w)
+      .select(col("doc"), col("pos").as("tp"),
+        (pmod(Sampling.keyHash(col("shingle")), lit(divisor.toLong)) === 0).as("__cut"))
+    val marked = tokens.join(bounds, Seq("doc", "tp"), "left")
+      .withColumn("__bnd",
+        when(col("tp") === 1 || coalesce(col("__cut"), lit(false)), col("tp")))
+    val run = Window.partitionBy(col("doc")).orderBy(col("tp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked.withColumn("chunk_start", max(col("__bnd")).over(run))
+      .groupBy(col("doc"), col("chunk_start"))
+      .agg(count(lit(1)).as("chunk_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("tp"), col("tok")))),
+          s => s.getField("tok")), " ").as("__chunk"))
+      .select(col("doc"), col("chunk_start"), col("chunk_tokens"),
+        Sampling.keyHash(col("__chunk")).as("chunk_hash"))
+  }
+
+  /**
+   * Chunk-level duplication profile: per document, how many of its
+   * content-defined chunks occur ≥ 2 times anywhere in the corpus
+   * (multiplicity counts — a chunk repeated within one doc is a dup).
+   * Output: `(idCol, n_chunks, n_dup_chunks, dup_milli)`, exact integer
+   * milli-fraction. Documents with no tokens have no chunks and are
+   * absent. The corpus-frequency join moves only 60-bit hashes.
+   */
+  def cdcChunkStats(df: DataFrame, textCol: String, idCol: String,
+      w: Int, divisor: Int): DataFrame = {
+    val chunks = graft.recon.Checkpoints.cut(
+      cdcChunkTable(df, textCol, idCol, w, divisor))
+    val freq = chunks.groupBy(col("chunk_hash")).agg(count(lit(1)).as("__n"))
+    chunks.join(freq, Seq("chunk_hash"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__n") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_milli", expr("(n_dup_chunks * 1000) div n_chunks"))
+      .withColumnRenamed("doc", idCol)
+  }
+
+  /**
    * Exact n-gram Jaccard near-dup pairs: explode distinct shingles, join
    * on shingle, count common per pair, Jaccard ≥ threshold. `maxDf` drops
    * hub shingles (docfreq > maxDf) before the pair join — the standard cap
