@@ -164,5 +164,23 @@ object EntityQueries {
            |FROM ch JOIN fq USING (chunk_hash) GROUP BY 1""".stripMargin
     }) { (s, d) =>
       graft.ops.Dedup.cdcChunkStats(docs(s, d), "text", "doc_id", w = 4, divisor = 8)
+    },
+
+    // stream-stream join, batch twin: click→purchase attribution pairs
+    // within a 1 h band. The streaming form
+    // (EventPipeline.attributionStream) carries the SAME equi+interval
+    // condition — the interval is what lets Spark evict join state once
+    // the opposite watermark passes; a spec pins the two forms equal
+    QuerySpec("stream_attribution",
+      raw"""WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+           |c AS (SELECT user_id, event_id AS click_id, ms AS click_ms
+           |      FROM e WHERE event_type = 'click'),
+           |p AS (SELECT user_id, event_id AS purchase_id, ms AS purchase_ms
+           |      FROM e WHERE event_type = 'purchase')
+           |SELECT c.user_id, c.click_id, p.purchase_id, c.click_ms, p.purchase_ms
+           |FROM c JOIN p ON c.user_id = p.user_id
+           |  AND p.purchase_ms >= c.click_ms
+           |  AND p.purchase_ms <= c.click_ms + 3600000""".stripMargin) { (s, d) =>
+      graft.streaming.EventPipeline.attribution(events(s, d), windowMs = 3600000L)
     })
 }

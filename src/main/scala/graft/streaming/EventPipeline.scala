@@ -166,6 +166,60 @@ object EventPipeline {
       .dropDuplicatesWithinWatermark(idCols)
 
   /**
+   * Click→purchase attribution pairs: every (click, purchase) of the
+   * same user with the purchase inside `[click, click + windowMs]`.
+   * An equi-join on the user key with a time-band post-filter — the
+   * batch twin of [[attributionStream]], and the shape Spark's
+   * stream-stream join requires (equality key for state partitioning,
+   * interval condition for state EVICTION).
+   */
+  def attribution(events: DataFrame, windowMs: Long): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_millis(col("ts").cast("timestamp")).as("click_ms"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("__pu"), col("event_id").as("purchase_id"),
+        unix_millis(col("ts").cast("timestamp")).as("purchase_ms"))
+    clicks.join(purchases,
+        col("user_id") === col("__pu") &&
+          col("purchase_ms") >= col("click_ms") &&
+          col("purchase_ms") <= col("click_ms") + lit(windowMs))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ms"), col("purchase_ms"))
+  }
+
+  /**
+   * [[attribution]] as a genuine STREAM-STREAM inner join: both sides
+   * watermarked, joined on the user key plus the time band. The interval
+   * condition is what lets Spark BOUND the join state — a buffered click
+   * can only ever match purchases up to `windowSec` later, so once the
+   * purchase watermark passes `click_ts + windowSec` the click's state
+   * row is evicted; without the band (or the watermarks) the state store
+   * would grow with the full history of both streams. Append output:
+   * pairs emit once, when both sides are present and the match is
+   * watermark-final.
+   */
+  def attributionStream(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType, windowSec: Int): DataFrame = {
+    val src = spark.readStream.schema(schema).parquet(sourceDir)
+    val clicks = src.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").cast("timestamp").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = src.where(col("event_type") === "purchase")
+      .select(col("user_id").as("__pu"), col("event_id").as("purchase_id"),
+        col("ts").cast("timestamp").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+        col("user_id") === col("__pu") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        unix_millis(col("click_ts")).as("click_ms"),
+        unix_millis(col("purchase_ts")).as("purchase_ms"))
+  }
+
+  /**
    * Stateful streaming sessionizer: per-user state via
    * flatMapGroupsWithState with a processing-time timeout — a session is
    * emitted when a later event closes it OR when the timeout fires with no

@@ -287,6 +287,41 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(buf.get() == batch)
   }
 
+  test("stream-stream attribution join equals its batch twin (pairs, in-band only)") {
+    import org.apache.spark.sql.{Dataset, Row}
+    // user 1: click@0:00 and click@0:03; purchase@0:04 pairs with BOTH
+    // (band 120 s covers 0:03, 300 s would also cover 0:00 — use 120 s so
+    // the first click is OUT of band and the filter is load-bearing);
+    // user 2 has no purchase
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 1L, "click", 2.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:04:00"), 1L, "purchase", 5.0),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2L, "click", 8.0),
+      (5L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 2L, "view", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batch = EventPipeline.attribution(df, windowMs = 120000L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch == Set((1L, 2L, 3L,
+      java.sql.Timestamp.valueOf("2024-01-01 00:03:00").getTime,
+      java.sql.Timestamp.valueOf("2024-01-01 00:04:00").getTime)),
+      s"batch twin wrong: $batch")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ss_join").toFile
+    df.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val buf = new java.util.concurrent.atomic.AtomicReference[Set[(Long, Long, Long, Long, Long)]](Set.empty)
+    val q = EventPipeline.attributionStream(spark, dir.getAbsolutePath, df.schema,
+        windowSec = 120)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        buf.getAndUpdate(_ ++ b.as[(Long, Long, Long, Long, Long)].collect().toSet)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(buf.get() == batch, s"stream result ${buf.get()} != batch $batch")
+  }
+
   test("session_window stream: late-within-watermark merges, beyond-watermark drops (counted)") {
     import org.apache.spark.sql.{Dataset, Row}
     // the semantics that only exist in STREAMING: the 10-minute watermark
