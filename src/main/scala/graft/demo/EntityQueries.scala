@@ -182,5 +182,34 @@ object EntityQueries {
            |  AND p.purchase_ms >= c.click_ms
            |  AND p.purchase_ms <= c.click_ms + 3600000""".stripMargin) { (s, d) =>
       graft.streaming.EventPipeline.attribution(events(s, d), windowMs = 3600000L)
+    },
+
+    // k-anonymity with a generalization ladder over the TPC-H geography
+    // hierarchy: release nation when the (nation, segment) class has
+    // >= 12 members, else region when the generalized class does, else
+    // suppress. The hierarchy lookup is a broadcast dim join; both class
+    // counts are plain windows on quasi tuples (ops/Privacy.scala)
+    QuerySpec("privacy_k_anon",
+      raw"""WITH c AS (SELECT c_custkey, n.n_name AS geo, r.r_name AS parent,
+           |             c_mktsegment AS cat
+           |           FROM customer JOIN nation n ON c_nationkey = n_nationkey
+           |                         JOIN region r ON n.n_regionkey = r_regionkey),
+           |s1 AS (SELECT *, count(*) OVER (PARTITION BY geo, cat) AS n1 FROM c),
+           |s2 AS (SELECT *, count(CASE WHEN n1 < 12 THEN 1 END)
+           |         OVER (PARTITION BY parent, cat) AS n2 FROM s1)
+           |SELECT c_custkey,
+           |  CASE WHEN n1 >= 12 THEN geo WHEN n2 >= 12 THEN parent END AS quasi_geo,
+           |  CASE WHEN n1 >= 12 OR n2 >= 12 THEN cat END AS quasi_cat,
+           |  CAST(CASE WHEN n1 >= 12 THEN 0 WHEN n2 >= 12 THEN 1 ELSE 2 END AS BIGINT) AS anon_level,
+           |  CAST(CASE WHEN n1 >= 12 THEN n1 WHEN n2 >= 12 THEN n2 END AS BIGINT) AS group_n
+           |FROM s2""".stripMargin) { (s, d) =>
+      val n = broadcast(s.read.parquet(s"$d/nation.parquet"))
+      val r = broadcast(s.read.parquet(s"$d/region.parquet"))
+      val c = customer(s, d)
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("n_name").as("geo"),
+          col("r_name").as("parent"), col("c_mktsegment").as("cat"))
+      graft.ops.Privacy.kAnonymize(c, "c_custkey", "geo", "parent", "cat", k = 12)
     })
 }

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Tabular privacy: k-anonymity with a one-step generalization ladder
+ * (Sweeney 2002's model, re-expressed as window counts). A released row
+ * must be indistinguishable from ≥ k−1 others on its quasi-identifier
+ * tuple; rows whose exact tuple is too rare first GENERALIZE the
+ * hierarchical attribute one level up (e.g. nation → region) and, if
+ * the generalized class is still under k, are SUPPRESSED outright.
+ *
+ * The complement of the text-side PII ops ([[TextAnalysis]] redaction):
+ * those scrub identifiers out of free text, this bounds re-identification
+ * risk in the structured columns a release ships alongside it.
+ *
+ * Scale shape: two window counts, each partitioned by a quasi tuple —
+ * group cardinality is data-bounded the same way any groupBy key is, and
+ * the hierarchy lookup is a broadcast-sized dimension join. No global
+ * window, no collect.
+ */
+object Privacy {
+
+  /**
+   * Anonymize `df` on the quasi-identifier pair (`hierCol` with
+   * `parentCol` as its one-level-up generalization, `flatCol` released
+   * as-is). Output: every input row with
+   *   - `quasi_geo`: `hierCol` when its exact class has ≥ k rows; else
+   *     `parentCol` when the generalized class (among the rows forced to
+   *     generalize) reaches k; else NULL,
+   *   - `quasi_cat`: `flatCol`, NULL when suppressed,
+   *   - `anon_level`: 0 exact / 1 generalized / 2 suppressed,
+   *   - `group_n`: the released equivalence-class size (NULL when
+   *     suppressed — a suppressed row discloses no class).
+   *
+   * The level-1 class is counted among generalizing rows ONLY: level-0
+   * rows release a more specific tuple and are distinguishable from the
+   * generalized ones, so they cannot pad a generalized class.
+   */
+  def kAnonymize(df: DataFrame, idCol: String, hierCol: String,
+      parentCol: String, flatCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k-anonymity needs k >= 2: $k")
+    val exact = Window.partitionBy(col(hierCol), col(flatCol))
+    val n1 = count(lit(1)).over(exact)
+    val staged = df.select(col(idCol), col(hierCol), col(parentCol), col(flatCol))
+      .withColumn("__n1", n1)
+    val gen = Window.partitionBy(col(parentCol), col(flatCol))
+    val n2 = count(when(col("__n1") < k, 1)).over(gen)
+    staged.withColumn("__n2", n2)
+      .select(col(idCol),
+        when(col("__n1") >= k, col(hierCol))
+          .when(col("__n2") >= k, col(parentCol)).as("quasi_geo"),
+        when(col("__n1") >= k || col("__n2") >= k, col(flatCol)).as("quasi_cat"),
+        when(col("__n1") >= k, 0L).when(col("__n2") >= k, 1L).otherwise(2L)
+          .as("anon_level"),
+        when(col("__n1") >= k, col("__n1"))
+          .when(col("__n2") >= k, col("__n2")).as("group_n"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.ops.Privacy
+
+class PrivacySpec extends SparkSuite {
+  import spark.implicits._
+
+  // geo hierarchy: a1, a2, a3 roll up to A; b1 to B
+  private val rows = Seq(
+    (1L, "a1", "A", "x"), (2L, "a1", "A", "x"), (3L, "a1", "A", "x"), // exact class of 3
+    (4L, "a2", "A", "x"), (5L, "a2", "A", "x"),                       // 2 < k → generalize
+    (6L, "a3", "A", "x"),                                             // 1 < k → generalize
+    (7L, "b1", "B", "x"), (8L, "b1", "B", "x")                        // 2 < k, alone in B
+  ).toDF("id", "geo", "parent", "cat")
+
+  test("k-anonymize: exact when big enough, generalized when the ladder saves it, else suppressed") {
+    val out = Privacy.kAnonymize(rows, "id", "geo", "parent", "cat", k = 3)
+      .as[(Long, Option[String], Option[String], Long, Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    // a1 class of 3 releases exactly
+    for (i <- 1L to 3L)
+      assert(out(i) == ((i, Some("a1"), Some("x"), 0L, Some(3L))), out(i).toString)
+    // a2 + a3 rows generalize; their generalized class (A, x) has 3 generalizers
+    for (i <- 4L to 6L)
+      assert(out(i) == ((i, Some("A"), Some("x"), 1L, Some(3L))), out(i).toString)
+    // b1 rows: 2 exact, 2 generalized — below k at both levels → suppressed
+    for (i <- 7L to 8L)
+      assert(out(i) == ((i, None, None, 2L, None)), out(i).toString)
+  }
+
+  test("level-0 rows never pad a generalized class") {
+    // 3 exact rows in (a1, x) release at level 0; the single (a2, x) row's
+    // generalized class counts only itself — suppressed even though the
+    // region holds 4 rows total
+    val small = Seq(
+      (1L, "a1", "A", "x"), (2L, "a1", "A", "x"), (3L, "a1", "A", "x"),
+      (4L, "a2", "A", "x")
+    ).toDF("id", "geo", "parent", "cat")
+    val out = Privacy.kAnonymize(small, "id", "geo", "parent", "cat", k = 3)
+      .as[(Long, Option[String], Option[String], Long, Option[Long])]
+      .collect().map(r => r._1 -> r._4).toMap
+    assert(out(4L) == 2L, "lone generalizer must be suppressed, not saved by level-0 rows")
+  }
+}
