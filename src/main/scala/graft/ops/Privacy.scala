@@ -1,7 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /**
@@ -16,10 +15,11 @@ import org.apache.spark.sql.functions._
  * those scrub identifiers out of free text, this bounds re-identification
  * risk in the structured columns a release ships alongside it.
  *
- * Scale shape: two window counts, each partitioned by a quasi tuple —
- * group cardinality is data-bounded the same way any groupBy key is, and
- * the hierarchy lookup is a broadcast-sized dimension join. No global
- * window, no collect.
+ * Scale shape: class sizes come from grouped counts (map-side partial
+ * aggregation) joined back broadcast — the count tables are
+ * distinct-quasi-tuple sized regardless of row volume — and the
+ * hierarchy lookup is a broadcast-sized dimension join. No windows over
+ * data-sized partitions, no collect.
  */
 object Privacy {
 
@@ -42,13 +42,20 @@ object Privacy {
   def kAnonymize(df: DataFrame, idCol: String, hierCol: String,
       parentCol: String, flatCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k-anonymity needs k >= 2: $k")
-    val exact = Window.partitionBy(col(hierCol), col(flatCol))
-    val n1 = count(lit(1)).over(exact)
-    val staged = df.select(col(idCol), col(hierCol), col(parentCol), col(flatCol))
-      .withColumn("__n1", n1)
-    val gen = Window.partitionBy(col(parentCol), col(flatCol))
-    val n2 = count(when(col("__n1") < k, 1)).over(gen)
-    staged.withColumn("__n2", n2)
+    // class sizes via grouped counts joined back BROADCAST, not window
+    // counts: a quasi-class at the 100 TB tier can hold billions of rows,
+    // and a count-over-window buffers the whole class per partition; the
+    // grouped form partial-aggregates map-side and the count tables are
+    // distinct-quasi-tuple sized — broadcastable by construction
+    val base = df.select(col(idCol), col(hierCol), col(parentCol), col(flatCol))
+    val exactSizes = base.groupBy(col(hierCol), col(flatCol))
+      .agg(count(lit(1)).as("__n1"))
+    val staged = base.join(broadcast(exactSizes), Seq(hierCol, flatCol))
+    val genSizes = staged.where(col("__n1") < k)
+      .groupBy(col(parentCol), col(flatCol))
+      .agg(count(lit(1)).as("__n2"))
+    staged.join(broadcast(genSizes), Seq(parentCol, flatCol), "left")
+      .withColumn("__n2", coalesce(col("__n2"), lit(0L)))
       .select(col(idCol),
         when(col("__n1") >= k, col(hierCol))
           .when(col("__n2") >= k, col(parentCol)).as("quasi_geo"),
