@@ -820,6 +820,29 @@ object OpsQueries {
         .withColumn("recall", col("n_hit").cast("double") / col("k").cast("double"))
     },
 
+    // the IVF-PQ index LIFECYCLE, value-checked at the registry level:
+    // train + encode + persist (ops/IndexStore: meta + ivf_centroids +
+    // pq_codebook + the coded corpus), then answer the top-k FROM THE
+    // FILES — routing, reconstruction and scoring all read the loaded
+    // frames, never the raw embeddings. Training is deterministic, so
+    // this shares sim_ivfpq_topk's oracle and the round-trip must be
+    // value-identical to the in-memory composition
+    QuerySpec("sim_ivfpq_index_probe",
+      ivfpqSql(k = 16, modulus = 50, iters = 1, m = 32, subDim = 2,
+        pqC = 32, pqModulus = 5, queryMod = 100, nprobe = 6, topk = 5)) { (s, d) =>
+      val e = embs(s, d)
+      val tmp = CurationQueries.runTmpDir(s, "graft_ivfpq_index")
+      graft.ops.IndexStore.writeIvfPqIndex(e, "vec_id", "embedding",
+        tmp.getAbsolutePath, kCells = 16, ivfIters = 1, ivfModulus = 50,
+        m = 32, subDim = 2, pqC = 32, pqIters = 1, pqModulus = 5)
+      val probed = graft.ops.IndexStore.ivfPqProbe(
+        e.where(col("vec_id") % 100 === 0), tmp.getAbsolutePath, k = 5, nprobe = 6)
+      // EAGER: the frame's input files are deleted on the next line
+      val out = graft.recon.Checkpoints.cut(probed, eager = true)
+      CurationQueries.deleteRecursively(tmp)
+      out
+    },
+
     // the recall/cost CURVE of the composed IVF-PQ index — (nprobe,
     // mean_recall) for nprobe ∈ {2, 6, 12} against the brute-force truth,
     // the knob a 100 TB operator actually turns (+1 nprobe ≈ +1/16 of the

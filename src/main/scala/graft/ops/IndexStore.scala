@@ -220,4 +220,63 @@ object IndexStore {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n")),
       dir, "bucket_stats")
+
+  // ---- trained IVF-PQ ANN index ------------------------------------------
+
+  final case class IvfPqMeta(m: Int, subDim: Int, idCol: String, vecCol: String)
+
+  /**
+   * Train and persist the full IVF-PQ serving index: IVF routing
+   * centroids, per-subspace PQ codebooks, and the coded corpus
+   * `(id, centroid_id, codes)`. This is THE operational shape of ANN at
+   * the 100 TB tier — training (two k-means passes) and encoding are a
+   * build-time cost paid once; a probe then reads `m` small ints + a
+   * cell id per vector and never the raw embeddings. Centroids and
+   * codebooks are broadcast-sized and written `coalesce(1)`; the coded
+   * corpus writes at full parallelism.
+   */
+  def writeIvfPqIndex(df: DataFrame, idCol: String, vecCol: String, dir: String,
+      kCells: Int, ivfIters: Int, ivfModulus: Long,
+      m: Int, subDim: Int, pqC: Int, pqIters: Int, pqModulus: Long): Unit = {
+    val spark = df.sparkSession
+    val cents = Similarity.kmeansCentroids(df, idCol, vecCol, kCells, ivfIters, ivfModulus)
+    val cb = Similarity.pqCodebookTrained(df, idCol, vecCol, m, subDim, pqC,
+      pqIters, pqModulus)
+    val cells = Similarity.ivfIndexWith(df, idCol, vecCol, cents)
+      .select(col(idCol), col("centroid_id"))
+    Similarity.pqEncodeL2(df, idCol, vecCol, cb, m, subDim)
+      .join(cells, Seq(idCol))
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/ivf_centroids")
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_codebook")
+    writeMeta(spark, dir, "ivfpq", Map(
+      "m" -> m.toString, "sub_dim" -> subDim.toString,
+      "id_col" -> idCol, "vec_col" -> vecCol))
+  }
+
+  def loadIvfPqMeta(spark: SparkSession, dir: String): IvfPqMeta = {
+    val mm = readMeta(spark, dir, "ivfpq")
+    IvfPqMeta(mm("m").toInt, mm("sub_dim").toInt, mm("id_col"), mm("vec_col"))
+  }
+
+  def loadIvfPqCentroids(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/ivf_centroids")
+
+  def loadIvfPqCodebook(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/pq_codebook")
+
+  /** The coded corpus at rest: `(id, centroid_id, codes)`. */
+  def loadIvfPqCodes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/codes")
+
+  /** Top-k probe against the persisted index — routing, reconstruction
+    * and scoring all come from the files; column names from meta, so a
+    * probe cannot pair the wrong columns with the wrong index. */
+  def ivfPqProbe(queries: DataFrame, dir: String, k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val meta = loadIvfPqMeta(spark, dir)
+    Similarity.ivfpqTopKFromIndex(loadIvfPqCodes(spark, dir), queries,
+      meta.idCol, meta.vecCol, k,
+      loadIvfPqCentroids(spark, dir), loadIvfPqCodebook(spark, dir), nprobe)
+  }
 }

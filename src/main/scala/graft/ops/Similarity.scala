@@ -555,9 +555,25 @@ object Similarity {
     val cells = ivfIndexWith(df, idCol, vecCol, ivfCents)
       .select(col(idCol), col("centroid_id"))
     // L2 encoder: codes must minimize reconstruction error (see [[l2Score]])
-    val recon = pqReconstruct(pqEncodeL2(df, idCol, vecCol, pqCodebook, m, subDim),
-      idCol, pqCodebook)
-    val cands = recon.join(cells, Seq(idCol))
+    val coded = pqEncodeL2(df, idCol, vecCol, pqCodebook, m, subDim)
+      .join(cells, Seq(idCol))
+    ivfpqCandidatesFrom(coded, queries, idCol, vecCol, ivfCents, pqCodebook, nprobeMax)
+  }
+
+  /**
+   * The serving arm of IVF-PQ: candidates from an AT-REST coded corpus
+   * `(idCol, centroid_id, codes)` — exactly what [[graft.ops.IndexStore]]
+   * persists — so a probe touches `m` ints + a cell id per vector and
+   * NEVER the raw embeddings. This is the operational point of the
+   * composition: training and encoding are a build-time cost paid once;
+   * every query after that runs against the coded frame.
+   */
+  def ivfpqCandidatesFrom(codedCells: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, ivfCents: DataFrame, pqCodebook: DataFrame,
+      nprobeMax: Int): DataFrame = {
+    val cands = pqReconstruct(codedCells.select(col(idCol), col("codes")),
+        idCol, pqCodebook)
+      .join(codedCells.select(col(idCol), col("centroid_id")), Seq(idCol))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .join(broadcast(ivfCents))
       .withColumn("__sim", vec_dot(col("qv"), col("cv")))
@@ -569,6 +585,19 @@ object Similarity {
       .where(col("query_id") =!= col(idCol))
       .withColumn("score", vec_dot(col("qv"), col("recon")))
       .select(col("query_id"), col("pr"), col(idCol).as("neighbor_id"), col("score"))
+  }
+
+  /** [[ivfpqTopKWith]] against an at-rest coded corpus (see
+    * [[ivfpqCandidatesFrom]]): per-query top-k over the probed cells. */
+  def ivfpqTopKFromIndex(codedCells: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, ivfCents: DataFrame, pqCodebook: DataFrame,
+      nprobe: Int): DataFrame = {
+    val cands = ivfpqCandidatesFrom(codedCells, queries, idCol, vecCol,
+      ivfCents, pqCodebook, nprobe)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
   /** [[pqTopK]] against an EXPLICIT codebook (`(s, j, cs)` shape) — the

@@ -23,13 +23,15 @@ import org.apache.spark.sql.SparkSession
  */
 object ScaleCheck {
 
-  /** The five compositions that exercise the most machinery end-to-end:
+  /** The compositions that exercise the most machinery end-to-end:
     * multi-pass reconciliation, the full curation pipeline, the
     * leakage-free split (MinHash → components → hash split), the trained
-    * IVF-PQ index, and substring-span removal. */
+    * IVF-PQ index, substring-span removal, the exact prefix-filter
+    * similarity join, and content-defined chunk dedup. */
   private val Flagships = Seq(
     "recon_pass_full", "text_curation_e2e", "text_split_leakfree",
-    "sim_ivfpq_topk", "dedup_substring_cut")
+    "sim_ivfpq_topk", "dedup_substring_cut",
+    "dedup_jaccard_prefix", "dedup_cdc_chunks")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -139,6 +139,37 @@ class SimilarityTextSpec extends SparkSuite {
     assert(at6 >= 0.6, f"IVF-PQ recall floor at nprobe=6 regressed: $at6%.3f < 0.6")
   }
 
+  test("persisted IVF-PQ index probe is value-identical to the in-memory composition") {
+    import graft.ops.{IndexStore, Similarity}
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.where(col("vec_id") % 100 === 0)
+    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      k = 8, iters = 1, modulus = 20)
+    val cb = Similarity.pqCodebookTrained(e, "vec_id", "embedding",
+      m = 16, subDim = 4, nCentroids = 16, iters = 1, modulus = 5)
+    val inMem = Similarity.ivfpqTopKWith(e, queries, "vec_id", "embedding",
+      k = 5, cents, cb, m = 16, subDim = 4, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(inMem.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toFile
+    try {
+      IndexStore.writeIvfPqIndex(e, "vec_id", "embedding", dir.getAbsolutePath,
+        kCells = 8, ivfIters = 1, ivfModulus = 20,
+        m = 16, subDim = 4, pqC = 16, pqIters = 1, pqModulus = 5)
+      // the coded corpus at rest really is codes — no raw vectors
+      val codes = IndexStore.loadIvfPqCodes(spark, dir.getAbsolutePath)
+      assert(codes.columns.toSet == Set("vec_id", "centroid_id", "codes"))
+      val probed = IndexStore.ivfPqProbe(queries, dir.getAbsolutePath, k = 5, nprobe = 4)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(probed == inMem, "probe-from-disk must equal the in-memory answer")
+      // meta guards: probing a minhash dir as ivfpq fails loudly
+      intercept[IllegalArgumentException] {
+        IndexStore.loadMinHashMeta(spark, dir.getAbsolutePath)
+      }
+    } finally graft.demo.CurationQueries.deleteRecursively(dir)
+  }
+
   test("hardNegatives drops duplicate-scored candidates and re-ranks the rest") {
     import spark.implicits._
     val ranked = Seq(
