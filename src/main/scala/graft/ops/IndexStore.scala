@@ -279,4 +279,21 @@ object IndexStore {
       meta.idCol, meta.vecCol, k,
       loadIvfPqCentroids(spark, dir), loadIvfPqCodebook(spark, dir), nprobe)
   }
+
+  /** Merge a new vector batch: assign cells and encode with the EXISTING
+    * centroids/codebooks (training is a build-time decision — daily
+    * ingest never retrains; re-train and rebuild when drift warrants it,
+    * the standard IVF-PQ operating posture) and append the coded rows.
+    * History code files are immutable, like the minhash signatures. */
+  def mergeIntoIvfPqIndex(batch: DataFrame, dir: String): Unit = {
+    val spark = batch.sparkSession
+    val meta = loadIvfPqMeta(spark, dir)
+    val cents = loadIvfPqCentroids(spark, dir)
+    val cb = loadIvfPqCodebook(spark, dir)
+    val cells = Similarity.ivfIndexWith(batch, meta.idCol, meta.vecCol, cents)
+      .select(col(meta.idCol), col("centroid_id"))
+    Similarity.pqEncodeL2(batch, meta.idCol, meta.vecCol, cb, meta.m, meta.subDim)
+      .join(cells, Seq(meta.idCol))
+      .write.mode("append").parquet(s"$dir/codes")
+  }
 }

@@ -143,18 +143,21 @@ class SimilarityTextSpec extends SparkSuite {
     import graft.ops.{IndexStore, Similarity}
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // hold out vec_id % 100 == 1 for the merge step below — the index is
+    // built WITHOUT them, then they arrive as a new batch
+    val base = e.where(col("vec_id") % 100 =!= 1)
     val queries = e.where(col("vec_id") % 100 === 0)
-    val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+    val cents = Similarity.kmeansCentroids(base, "vec_id", "embedding",
       k = 8, iters = 1, modulus = 20)
-    val cb = Similarity.pqCodebookTrained(e, "vec_id", "embedding",
+    val cb = Similarity.pqCodebookTrained(base, "vec_id", "embedding",
       m = 16, subDim = 4, nCentroids = 16, iters = 1, modulus = 5)
-    val inMem = Similarity.ivfpqTopKWith(e, queries, "vec_id", "embedding",
+    val inMem = Similarity.ivfpqTopKWith(base, queries, "vec_id", "embedding",
       k = 5, cents, cb, m = 16, subDim = 4, nprobe = 4)
       .as[(Long, Long, Double, Int)].collect().toSet
     assert(inMem.nonEmpty)
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toFile
     try {
-      IndexStore.writeIvfPqIndex(e, "vec_id", "embedding", dir.getAbsolutePath,
+      IndexStore.writeIvfPqIndex(base, "vec_id", "embedding", dir.getAbsolutePath,
         kCells = 8, ivfIters = 1, ivfModulus = 20,
         m = 16, subDim = 4, pqC = 16, pqIters = 1, pqModulus = 5)
       // the coded corpus at rest really is codes — no raw vectors
@@ -167,6 +170,21 @@ class SimilarityTextSpec extends SparkSuite {
       intercept[IllegalArgumentException] {
         IndexStore.loadMinHashMeta(spark, dir.getAbsolutePath)
       }
+      // merge: a held-out batch encoded with the EXISTING codebooks joins
+      // the index, and a later probe can now retrieve it
+      val held = e.where(col("vec_id") % 100 === 1)
+      val before = IndexStore.loadIvfPqCodes(spark, dir.getAbsolutePath).count()
+      IndexStore.mergeIntoIvfPqIndex(held, dir.getAbsolutePath)
+      val after = IndexStore.loadIvfPqCodes(spark, dir.getAbsolutePath)
+      assert(after.count() == before + held.count())
+      // probe every cell with an unbounded k: every merged id must now be
+      // retrievable (deterministic — no reliance on ranking luck)
+      val probe2 = IndexStore.ivfPqProbe(queries.limit(1), dir.getAbsolutePath,
+          k = Int.MaxValue, nprobe = 8)
+        .select("neighbor_id").as[Long].collect().toSet
+      val heldIds = held.select("vec_id").as[Long].collect().toSet
+      assert(heldIds.subsetOf(probe2),
+        "merged vectors must be retrievable from the updated index")
     } finally graft.demo.CurationQueries.deleteRecursively(dir)
   }
 
