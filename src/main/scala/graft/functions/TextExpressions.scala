@@ -122,6 +122,28 @@ case class BpeSegment(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Word n-gram shingles of an array<string> of tokens → array<string>
+  * ([[TextOps.wordShingles]]): tokens i..i+n−1 space-joined, empty below
+  * `n` tokens. Codegen'd — shingling stays inside whole-stage codegen
+  * instead of running as an interpreted higher-order-function lambda
+  * (the re-split hazard the old `transform(sequence(...))` form needed
+  * repartition barriers to contain). Token elements must be non-null
+  * (our tokenizers guarantee it — `split` never yields null elements). */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1: $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires array<string>, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    TextOps.wordShingles(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.wordShingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column-API entry points for the text signature kernels. */
 object TextFunctions {
   import org.apache.spark.sql.GraftInternals.{column, expression}
@@ -139,6 +161,8 @@ object TextFunctions {
     column(HammingDistance64(expression(a), expression(b)))
   def bpe_segment(word: Column, merges: Seq[(String, String)]): Column =
     column(BpeSegment(expression(word), merges))
+  def word_shingles(tokens: Column, n: Int): Column =
+    column(WordShingles(expression(tokens), n))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

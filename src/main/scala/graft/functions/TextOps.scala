@@ -184,4 +184,34 @@ object TextOps {
     while (k < syms.size()) { arr(k) = UTF8String.fromString(syms.get(k)); k += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
+
+  private val SpaceSep = UTF8String.fromString(" ")
+
+  /**
+   * Word n-gram shingles of a token array: element i is tokens
+   * i..i+n−1 joined by one space — byte-identical to
+   * `concat_ws(' ', …)` over the same slice, which is what the DuckDB
+   * oracles mirror with `array_to_string(t[i:i+n-1], ' ')`. Fewer than
+   * `n` tokens → empty array. Tokens must be non-null (the tokenizers
+   * guarantee it). One tight loop over UTF8String concats — the native
+   * replacement for the interpreted `transform(sequence(...))` lambda
+   * that previously forced repartition barriers around every shingle
+   * consumer.
+   */
+  def wordShingles(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) { toks(i) = tokens.getUTF8String(i); i += 1 }
+    val out = new Array[Any](len - n + 1)
+    i = 0
+    while (i < len - n + 1) {
+      val window = new Array[UTF8String](n)
+      System.arraycopy(toks, i, window, 0, n)
+      out(i) = UTF8String.concatWs(SpaceSep, window: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

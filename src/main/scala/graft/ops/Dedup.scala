@@ -139,17 +139,18 @@ object Dedup {
   }
 
   /**
-   * Word n-gram shingles of a token-array column. IMPORTANT: pass a
-   * *materialized* token column (project `TextAnalysis.tokens` first), not
-   * the tokenizer expression inline — Catalyst does not CSE through
-   * higher-order-function lambdas, so an inline tokenizer re-splits the
-   * text for every `element_at` (measured ~40× slowdown on the shingle
-   * explode).
+   * Word n-gram shingles of a token-array column — the native codegen
+   * kernel ([[graft.functions.TextOps.wordShingles]]): one tight loop
+   * inside whole-stage codegen, byte-identical to the
+   * `transform(sequence(...), concat_ws)` composition it replaced
+   * (WordShingleSpec pins the equivalence). The old interpreted
+   * higher-order-function form re-evaluated its inputs per element —
+   * the reason every shingle consumer carries a repartition barrier;
+   * those barriers stay (they also spread single-split inputs across
+   * cores) but no longer guard against a 40× re-split hazard.
    */
   def shinglesOfTokens(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+    graft.functions.TextFunctions.word_shingles(toks, n)
 
   /** Convenience: shingles straight off a text column (tokenizes inline —
     * fine for single-row use; prefer [[shingleTable]]/[[shingleSets]] in
