@@ -17,7 +17,30 @@ object EntityQueries {
     s.read.parquet(s"$d/customer.parquet")
   private def docs(s: SparkSession, d: String) =
     s.read.parquet(s"$d/documents.parquet")
+  private def lineitem(s: SparkSession, d: String) =
+    s.read.parquet(s"$d/lineitem.parquet")
   private def events(s: SparkSession, d: String) = OpsQueries.events(s, d)
+
+  /** Shared oracle CTE: the winnowed fingerprint set at k=5, w=4 (see
+    * [[graft.ops.Winnowing]] — key encoding folds the rightmost-min
+    * tie-break into one window min). */
+  private val winnowFpCte =
+    raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+         |gr AS (SELECT doc_id AS doc, unnest(CASE WHEN len(t) < 5 THEN []
+         |         ELSE [{'pos': i, 'g': array_to_string(t[i:i+4], ' ')}
+         |               FOR i IN range(1, len(t) - 3)] END) AS u FROM tt),
+         |ky AS (SELECT doc, u.pos AS pos,
+         |         (('0x' || substr(md5(u.g), 1, 15))::BIGINT % 1048576) * 1048576
+         |           + (1048575 - u.pos) AS key FROM gr),
+         |wn AS (SELECT doc, pos,
+         |         count(*) OVER (PARTITION BY doc) AS n_grams,
+         |         min(key) OVER (PARTITION BY doc ORDER BY pos
+         |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+         |       FROM ky),
+         |fp AS (SELECT DISTINCT doc, n_grams, mk // 1048576 AS fp_hash,
+         |         1048575 - (mk % 1048576) AS fp_pos
+         |       FROM wn WHERE pos >= 4 OR pos = n_grams)""".stripMargin
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -211,5 +234,149 @@ object EntityQueries {
         .select(col("c_custkey"), col("n_name").as("geo"),
           col("r_name").as("parent"), col("c_mktsegment").as("cat"))
       graft.ops.Privacy.kAnonymize(c, "c_custkey", "geo", "parent", "cat", k = 12)
+    },
+
+    // winnowing fingerprint selection (Schleimer et al. SIGMOD'03, the
+    // MOSS algorithm): per document, the ~2/(w+1)-density set of k-gram
+    // hashes a window-min keeps. The rightmost-min tie-break is folded
+    // into ONE window min by the key encoding h·2^20 + (2^20−1−pos) —
+    // no argmin pass; both engines reproduce every selection bit-for-bit
+    QuerySpec("text_winnow_profile",
+      raw"""$winnowFpCte
+           |SELECT doc AS doc_id, n_grams, count(*) AS n_fp,
+           |  CAST((count(*) * 1000) // n_grams AS BIGINT) AS fp_milli
+           |FROM fp GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      graft.ops.Winnowing.profile(docs(s, d), "text", "doc_id", k = 5, w = 4)
+    },
+
+    // cross-document overlap on winnowed fingerprints — the MOSS
+    // containment check at a 2/(w+1) fraction of the full span-table
+    // cost. Hub fingerprints (selected in > 64 docs) are dropped via
+    // grouped counts BEFORE pairing, the SetSimilarity cap rationale
+    QuerySpec("dedup_winnow_pairs",
+      raw"""$winnowFpCte,
+           |fph AS (SELECT DISTINCT doc, fp_hash FROM fp),
+           |fq AS (SELECT fp_hash, count(*) AS df FROM fph GROUP BY 1),
+           |kp AS (SELECT f.doc, f.fp_hash FROM fph f JOIN fq USING (fp_hash)
+           |       WHERE fq.df <= 64)
+           |SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_shared
+           |FROM kp a JOIN kp b ON a.fp_hash = b.fp_hash AND a.doc < b.doc
+           |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin) { (s, d) =>
+      graft.ops.Winnowing.overlapPairs(docs(s, d), "text", "doc_id",
+        k = 5, w = 4, minShared = 2, maxDf = 64)
+    },
+
+    // water-filling token-budget allocation across sources: serve small
+    // domains in full, share the rest at a common level, remainder
+    // units one each to the largest capped domains — all integer, so
+    // Σ alloc = min(budget, total) EXACTLY in both engines
+    QuerySpec("text_token_budget",
+      raw"""WITH c AS (SELECT source, CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+           |             ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+           |           FROM documents GROUP BY 1),
+           |t AS (SELECT sum(n_tokens) AS tot, count(*) AS s FROM c),
+           |sc AS (SELECT c.*, CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS i,
+           |         sum(n_tokens) OVER (ORDER BY n_tokens, source
+           |           ROWS UNBOUNDED PRECEDING) AS p
+           |       FROM c),
+           |f AS (SELECT sc.*, t.s AS s, (t.tot * 600) // 1000 AS b,
+           |        (n_tokens * (t.s - i + 1) <= (t.tot * 600) // 1000 - (p - n_tokens)) AS is_full
+           |      FROM sc, t),
+           |w AS (SELECT COALESCE(max(CASE WHEN is_full THEN i END), 0) AS istar,
+           |        COALESCE(max(CASE WHEN is_full THEN p END), 0) AS pstar FROM f)
+           |SELECT f.source, f.n_tokens,
+           |  CAST(CASE WHEN f.is_full THEN f.n_tokens
+           |    ELSE (f.b - w.pstar) // (f.s - w.istar)
+           |       + CASE WHEN f.s - f.i + 1 <= (f.b - w.pstar) % (f.s - w.istar)
+           |         THEN 1 ELSE 0 END END AS BIGINT) AS alloc_tokens,
+           |  CAST(CASE WHEN f.is_full THEN 0 ELSE 1 END AS BIGINT) AS capped
+           |FROM f, w""".stripMargin) { (s, d) =>
+      graft.ops.Sampling.tokenBudget(docs(s, d), "source",
+        graft.ops.TextAnalysis.tokenCount(col("text")), budgetMilli = 600)
+    },
+
+    // bounded rolling features per user (lag / 4-event rolling sum /
+    // inter-event gap / sequence index) — the feature block a training
+    // pipeline materializes before modeling. Integer cents, exact
+    QuerySpec("events_rolling",
+      raw"""SELECT user_id, event_id, ts,
+           |  CAST(floor(value * 100) AS BIGINT) AS value_cents,
+           |  lag(CAST(floor(value * 100) AS BIGINT)) OVER w AS prev_cents,
+           |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER (PARTITION BY user_id
+           |    ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents,
+           |  epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms,
+           |  CAST(row_number() OVER w AS BIGINT) AS seq
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) { (s, d) =>
+      graft.ops.History.rollingFeatures(events(s, d), "user_id", "value", "ts", "event_id",
+        window = 4)
+    },
+
+    // winnow-based contamination audit: both corpus and benchmark sides
+    // shrink to winnowed fingerprints (~2/(w+1) of the gram stream)
+    // BEFORE the broadcast join — the cheap arm of text_contamination,
+    // with the winnowing guarantee bounding what can hide (any shared
+    // run >= w+k-1 tokens is detected). Benchmark = every 97th doc,
+    // matching text_contamination's convention
+    QuerySpec("text_winnow_contamination",
+      raw"""$winnowFpCte,
+           |cf AS (SELECT DISTINCT doc, fp_hash FROM fp),
+           |bf AS (SELECT DISTINCT fp_hash FROM cf WHERE doc % 97 = 0)
+           |SELECT c.doc AS doc_id, count(*) AS n_fp,
+           |  CAST(sum(CASE WHEN b.fp_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit_fp,
+           |  CAST((sum(CASE WHEN b.fp_hash IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+           |    // count(*) AS BIGINT) AS hit_milli
+           |FROM cf c LEFT JOIN bf b USING (fp_hash) GROUP BY 1""".stripMargin) { (s, d) =>
+      val corpus = docs(s, d)
+      graft.ops.Winnowing.contaminationStats(corpus,
+        corpus.where(col("doc_id") % 97 === 0), "text", "doc_id", k = 5, w = 4)
+    },
+
+    // collocation mining: top-20 adjacent pairs by PMI lift with a
+    // min-support floor (Church & Hanks). DECIMAL(38,0)/HUGEINT integer
+    // division — n(ab)·N·1000 overflows BIGINT at real corpus scale
+    QuerySpec("text_collocations",
+      raw"""WITH tt AS (SELECT CASE WHEN length(trim(text)) = 0 THEN []
+           |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |un AS (SELECT unnest(t) AS tok FROM tt),
+           |uc AS (SELECT tok, count(*) AS n_tok FROM un GROUP BY 1),
+           |bg AS (SELECT unnest(CASE WHEN len(t) < 2 THEN []
+           |         ELSE [array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))] END) AS bigram
+           |       FROM tt),
+           |bc AS (SELECT bigram, count(*) AS n_ab FROM bg GROUP BY 1 HAVING count(*) >= 5),
+           |t2 AS (SELECT sum(n_tok) AS n_total FROM uc)
+           |SELECT b.bigram, b.n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
+           |  CAST(CAST(b.n_ab AS HUGEINT) * t2.n_total * 1000
+           |    // (CAST(ua.n_tok AS HUGEINT) * ub.n_tok) AS BIGINT) AS lift_milli
+           |FROM bc b JOIN uc ua ON ua.tok = split_part(b.bigram, ' ', 1)
+           |          JOIN uc ub ON ub.tok = split_part(b.bigram, ' ', 2), t2
+           |ORDER BY lift_milli DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
+      graft.ops.TextAnalysis.collocations(docs(s, d), "text", minCount = 5L, topK = 20)
+    },
+
+    // integer PageRank over the part co-order graph (3 damped rounds,
+    // micro-unit ranks, div/floor arithmetic — float PageRank would
+    // diverge between engines on summation order alone). Edges: parts
+    // sharing an order, both directions, distinct
+    QuerySpec("graph_pagerank", {
+      def iter(n: Int) =
+        raw"""i$n AS (SELECT e.dst, sum(r${n - 1}.r // dg.deg) AS s
+             |      FROM e JOIN dg USING (src) JOIN r${n - 1} ON r${n - 1}.node = e.src
+             |      GROUP BY 1),
+             |r$n AS (SELECT dg.src AS node,
+             |        150000 + (850 * COALESCE(i$n.s, 0)) // 1000 AS r
+             |      FROM dg LEFT JOIN i$n ON i$n.dst = dg.src)""".stripMargin
+      raw"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           |            AND a.l_partkey <> b.l_partkey),
+           |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+           |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM dg),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)}
+           |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3""".stripMargin
+    }) { (s, d) =>
+      val edges = graft.ops.Graph.coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey")
+      graft.ops.Graph.pageRank(edges, iters = 3, dampMilli = 850)
     })
 }

@@ -59,6 +59,39 @@ object History {
    * division). The final window partitions by `from_type`, bounded by
    * the state-alphabet size, not the data.
    */
+  /**
+   * Bounded rolling features over each entity's time-ordered event
+   * stream — the lag/rolling-sum/recency feature block a training
+   * pipeline materializes before modeling. All value arithmetic is in
+   * integer cents (`floor(value·100)` — identical IEEE semantics in
+   * both engines) so the rolling sums are exact and order-independent;
+   * float rolling sums would disagree across engines on summation
+   * order alone. Output per event:
+   * `(entityCol, tieCol, tsCol, value_cents, prev_cents, roll_cents,
+   * gap_ms, seq)` where `roll_cents` sums the current + previous
+   * `window−1` events and `gap_ms` is the time since the previous
+   * event (null on each entity's first).
+   *
+   * Scale shape: one shuffle on the entity key; every frame is
+   * ROWS-bounded by `window`, the running index is a per-entity
+   * row_number — no global or data-sized window partitions.
+   */
+  def rollingFeatures(events: DataFrame, entityCol: String, valueCol: String,
+      tsCol: String, tieCol: String, window: Int = 4): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val byTime = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    val frame = byTime.rowsBetween(-(window - 1), Window.currentRow)
+    val ms = unix_millis(col(tsCol).cast("timestamp"))
+    events
+      .select(col(entityCol), col(tieCol), col(tsCol),
+        floor(col(valueCol) * 100).cast("long").as("value_cents"), ms.as("__ms"))
+      .withColumn("prev_cents", lag(col("value_cents"), 1).over(byTime))
+      .withColumn("roll_cents", sum(col("value_cents")).over(frame))
+      .withColumn("gap_ms", col("__ms") - lag(col("__ms"), 1).over(byTime))
+      .withColumn("seq", row_number().over(byTime).cast("long"))
+      .drop("__ms")
+  }
+
   def transitionCounts(events: DataFrame, entityCol: String, stateCol: String,
       tsCol: String, tieCol: String): DataFrame = {
     val byTime = Window.partitionBy(col(entityCol))

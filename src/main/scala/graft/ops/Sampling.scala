@@ -166,6 +166,73 @@ object Sampling {
    * tiny count aggregate + one-row scale, broadcast onto the per-row
    * 60-bit hash gate; two passes over the corpus.
    */
+  /**
+   * Water-filling token-budget allocation: split a token budget of
+   * `budgetMilli/1000` of the corpus total across strata, each stratum
+   * capped at its own token count — the budget-per-domain step of
+   * mixture construction ("fit 60% of total tokens, no domain
+   * over-drawn, surplus spread evenly"). Smaller strata are served in
+   * full; the rest share the remainder at a common level, the classic
+   * water-fill, with the integer remainder units going one each to the
+   * LARGEST capped strata (deterministic tie order). All arithmetic is
+   * integer, so both engines agree bit-for-bit and
+   * `Σ alloc = min(budget, total)` exactly.
+   *
+   * Output: `(strataCol, n_tokens, alloc_tokens, capped)` — one row per
+   * stratum.
+   *
+   * Scale shape: one map-side-combined aggregate over the corpus, then
+   * everything runs on the stratum-sized table. Strata are a
+   * config-scale set (domains, languages, sources): the `limit(100000)`
+   * is the in-plan assertion of that contract — and the bound the plan
+   * audit requires of the ordered scan's global window. The windows run
+   * BEFORE any join so the audit's limit walk sees them; the one-row
+   * totals and the two-value water-line aggregate join back broadcast.
+   */
+  def tokenBudget(df: DataFrame, strataCol: String, tokens: Column,
+      budgetMilli: Int): DataFrame = {
+    require(budgetMilli >= 0 && budgetMilli <= 1000,
+      s"budgetMilli out of [0,1000]: $budgetMilli")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(strataCol)).agg(sum(tokens).as("n_tokens"))
+      .limit(100000)
+    val tot = counts.agg(sum("n_tokens").as("__tot"), count(lit(1)).as("__S"))
+    val asc = Window.orderBy(col("n_tokens"), col(strataCol))
+    // ascending scan: index + prefix sum (window input is the
+    // limit-bounded stratum table — keep it JOIN-FREE above the limit)
+    val scanned = counts
+      .withColumn("__i", row_number().over(asc).cast("long"))
+      .withColumn("__P",
+        sum(col("n_tokens")).over(asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .withColumn("__B", expr(s"(__tot * $budgetMilli) div 1000"))
+      // stratum i is served in full ⟺ nᵢ·kᵢ ≤ B − P_{i−1} with
+      // kᵢ = S − i + 1 — the floor-division test cross-multiplied so
+      // it stays in integers; full is prefix-monotone in ascending n
+      .withColumn("__full",
+        col("n_tokens") * (col("__S") - col("__i") + 1) <=
+          col("__B") - (col("__P") - col("n_tokens")))
+    // the water line: last fully-served index + its prefix mass, a
+    // two-value aggregate joined back broadcast
+    val star = scanned.agg(
+      coalesce(max(when(col("__full"), col("__i"))), lit(0L)).as("__istar"),
+      coalesce(max(when(col("__full"), col("__P"))), lit(0L)).as("__Pstar"))
+    scanned.crossJoin(broadcast(star))
+      .withColumn("__k", col("__S") - col("__istar"))
+      .withColumn("__lvl",
+        when(col("__k") > 0, expr("(__B - __Pstar) div __k")).otherwise(lit(0L)))
+      .withColumn("__rem",
+        when(col("__k") > 0, expr("(__B - __Pstar) % __k")).otherwise(lit(0L)))
+      // capped strata ranked largest-first: j = S − i + 1 ∈ [1, k];
+      // the first __rem of them carry one extra token
+      .withColumn("__j", col("__S") - col("__i") + 1)
+      .withColumn("alloc_tokens",
+        when(col("__full"), col("n_tokens"))
+          .otherwise(col("__lvl") + when(col("__j") <= col("__rem"), 1L).otherwise(0L)))
+      .select(col(strataCol), col("n_tokens"), col("alloc_tokens"),
+        when(col("__full"), 0L).otherwise(1L).as("capped"))
+  }
+
   def temperatureResample(df: DataFrame, keyCol: String, strataCol: String): DataFrame = {
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
       .withColumn("__w", sqrt(col("__n").cast("double")))

@@ -349,6 +349,53 @@ object TextAnalysis {
   def hasTokenMatching(textCol: Column, pred: Column => Column): Column =
     size(filter(tokens(textCol), pred)) > 0
 
+  /**
+   * Collocation mining: the corpus's top-`topK` adjacent word pairs by
+   * PMI-style lift, `lift = N·n(ab) / (n(a)·n(b))` — the association
+   * score that separates genuine collocations ("new york") from pairs
+   * that co-occur only because both words are common. Pairs below
+   * `minCount` occurrences are dropped first (PMI is noise at low
+   * support — the standard Church & Hanks caveat).
+   *
+   * Exactness: lift is reported in milli-units computed with DECIMAL(38,0)
+   * integer division (`div` truncates; DuckDB mirrors with HUGEINT `//`,
+   * identical on non-negative operands) — `n(ab)·N·1000` overflows BIGINT
+   * at real corpus scale (N ~ 10¹³), DECIMAL(38,0) holds it to N ~ 10¹⁷.
+   *
+   * Scale shape: one map-side-combined aggregation for each of the
+   * bigram and unigram count tables, two vocabulary-sized equi-joins
+   * (bigram table joins the unigram counts on each word), a one-row
+   * total broadcast, and a global top-k (TakeOrderedAndProject — only
+   * k rows reach the driver side of the sort). The token stream is
+   * materialized behind the repartition barrier once and feeds both
+   * count tables.
+   */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5L,
+      topK: Int = 20): DataFrame = {
+    val sess = df.sparkSession
+    val toks = df.select(tokens(col(textCol)).as("__toks"))
+      .repartition(sess.sparkContext.defaultParallelism)
+    val uni = toks.select(explode(col("__toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+    val bi = toks.select(explode(Dedup.shinglesOfTokens(col("__toks"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minCount)
+    val tot = uni.agg(sum("n_tok").as("__n_total"))
+    val ua = uni.select(col("tok").as("__w1"), col("n_tok").as("n_a"))
+    val ub = uni.select(col("tok").as("__w2"), col("n_tok").as("n_b"))
+    bi
+      .withColumn("__w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("__w2", substring_index(col("bigram"), " ", -1))
+      .join(ua, "__w1").join(ub, "__w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_milli",
+        expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * __n_total * 1000" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"))
+      .select(col("bigram"), col("n_ab"), col("n_a"), col("n_b"), col("lift_milli"))
+      .orderBy(col("lift_milli").desc, col("bigram"))
+      .limit(topK)
+  }
+
   def gopherFilters(df: DataFrame, textCol: String, idCol: String,
       minWords: Int = 10, maxWords: Int = 1000000): DataFrame = {
     val t = col(textCol)

@@ -18,6 +18,19 @@ final case class SessionState(start: Long, last: Long, n: Long, total: Double)
   * streaming replays of the same events converge to the same state. */
 final case class FunnelState(signup: Long, click: Long, purchase: Long)
 
+/** Watermark-ordered rolling-feature state: events not yet final
+  * (their event time is still over the watermark), the last
+  * `window−1` EMITTED cents (oldest first), the last emitted event
+  * time (`Long.MinValue` = none yet) and the per-user sequence count. */
+final case class RollingState(pending: Seq[Event], tail: Seq[Long],
+    lastMs: Long, seq: Long)
+
+/** One emitted rolling-feature row — the streaming twin of
+  * [[graft.ops.History.rollingFeatures]]'s output (ts as epoch-ms). */
+final case class RollingFeature(user_id: Long, event_id: Long, ms: Long,
+    value_cents: Long, prev_cents: Option[Long], roll_cents: Long,
+    gap_ms: Option[Long], seq: Long)
+
 /** stage: 0 = no signup, 1 = signed up, 2 = clicked after signup,
   * 3 = purchased after that click. */
 final case class FunnelUserStage(user_id: Long, stage: Int)
@@ -236,6 +249,68 @@ object EventPipeline {
    * (`maxOffsetsPerTrigger` or source equivalent) if a hot key can
    * realistically exceed executor heap within a single batch.
    */
+  /**
+   * Streaming twin of [[graft.ops.History.rollingFeatures]]: per-user
+   * lag / bounded rolling sum / gap / sequence features computed online.
+   * Rolling features are ORDER-DEFINED (lag and gap change meaning if a
+   * late event slots in after its successors were emitted), so this is
+   * a watermark-ordered replay: arrivals buffer in state, and an event's
+   * features emit only once the watermark passes its event time — no
+   * earlier event can still arrive (late-beyond-watermark rows are
+   * dropped by the watermark filter upstream, counted in
+   * `numRowsDroppedByWatermark`). Emissions are therefore final
+   * (append-mode correct) and equal the batch form restricted to the
+   * watermark-final prefix — the spec pins that equality through
+   * checkpointed restarts with out-of-order arrivals.
+   *
+   * State per user is the out-of-order horizon's events plus a
+   * `window−1` tail — bounded by the watermark delay × event rate, the
+   * same contract as every watermarked stateful op. An event-time
+   * timeout re-wakes the group when the watermark passes its earliest
+   * held event, so buffered rows flush even if the user goes quiet.
+   */
+  def rollingFeaturesStream(events: Dataset[Event], window: Int,
+      watermarkDelay: String = "10 minutes"): Dataset[RollingFeature] = {
+    import events.sparkSession.implicits._
+    require(window >= 1, s"window must be >= 1, got $window")
+    val tailKeep = math.max(1, window - 1)
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[RollingState]): Iterator[RollingFeature] = {
+      val prior = state.getOption.getOrElse(RollingState(Seq.empty, Seq.empty, Long.MinValue, 0L))
+      // merge state + batch, order by event time (tie: event id) — the
+      // same total order as the batch twin's window
+      val pending = (prior.pending ++ rows).sortBy(e => (e.ts.getTime, e.event_id))
+      val wm = state.getCurrentWatermarkMs()
+      val (ready, hold) = pending.partition(_.ts.getTime <= wm)
+      var tail = prior.tail
+      var lastMs = prior.lastMs
+      var seq = prior.seq
+      val out = ready.map { e =>
+        val c = math.floor(e.value * 100).toLong
+        val ms = e.ts.getTime
+        val prev = tail.lastOption
+        val roll = tail.takeRight(window - 1).sum + c
+        val gap = if (lastMs == Long.MinValue) None else Some(ms - lastMs)
+        seq += 1
+        tail = (tail :+ c).takeRight(tailKeep)
+        lastMs = ms
+        RollingFeature(userId, e.event_id, ms, c, prev, roll, gap, seq)
+      }
+      state.update(RollingState(hold, tail, lastMs, seq))
+      // hold rows are strictly over the watermark, so the timestamp is
+      // legal; when the watermark passes it this group re-fires with no
+      // input rows and the partition above flushes what became final
+      if (hold.nonEmpty) state.setTimeoutTimestamp(hold.head.ts.getTime)
+      out.iterator
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RollingState, RollingFeature](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   def sessionizeStream(events: Dataset[Event], gapMs: Long): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
 

@@ -27,11 +27,15 @@ object ScaleCheck {
     * multi-pass reconciliation, the full curation pipeline, the
     * leakage-free split (MinHash → components → hash split), the trained
     * IVF-PQ index, substring-span removal, the exact prefix-filter
-    * similarity join, and content-defined chunk dedup. */
+    * similarity join, content-defined chunk dedup, the winnowed
+    * fingerprint pair join, and iterated PageRank over the co-order
+    * graph (the edge self-join is the piece most sensitive to basket
+    * skew at scale). */
   private val Flagships = Seq(
     "recon_pass_full", "text_curation_e2e", "text_split_leakfree",
     "sim_ivfpq_topk", "dedup_substring_cut",
-    "dedup_jaccard_prefix", "dedup_cdc_chunks")
+    "dedup_jaccard_prefix", "dedup_cdc_chunks",
+    "dedup_winnow_pairs", "graph_pagerank")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -324,4 +324,24 @@ class CurationOpsSpec extends SparkSuite {
     // every event lands in exactly window/slide = 2 windows
     assert(got.toSeq.map(_._3).sum == 400L)
   }
+
+  // -------------------------------------------------------- collocations
+
+  test("collocations: exact integer lifts, support floor, lift ordering") {
+    val docs = Seq(
+      "new york new york new york", // n(new york)=3, n(york new)=2
+      "the the the the"             // n(the the)=3
+    ).toDF("text")
+    // N=10 tokens; lift_milli = n_ab·N·1000 div (n_a·n_b)
+    val out = TextAnalysis.collocations(docs, "text", minCount = 2L, topK = 10)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("new york", 3L, 3L, 3L, 3333L),
+      ("york new", 2L, 3L, 3L, 2222L),
+      ("the the", 3L, 4L, 4L, 1875L)))
+    // raising the floor drops the 2-occurrence pair
+    val floored = TextAnalysis.collocations(docs, "text", minCount = 3L, topK = 10)
+      .as[(String, Long, Long, Long, Long)].collect().map(_._1).toSet
+    assert(floored == Set("new york", "the the"))
+  }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.Graph
+
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("coOccurrenceEdges: symmetric, distinct, no self-loops") {
+    val baskets = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (2L, 20L) // duplicate line collapses
+    ).toDF("basket", "item")
+    val e = Graph.coOccurrenceEdges(baskets, "basket", "item")
+      .as[(Long, Long)].collect().toSet
+    assert(e == Set((10L, 20L), (20L, 10L), (10L, 30L), (30L, 10L),
+      (20L, 30L), (30L, 20L)))
+  }
+
+  test("pageRank on a symmetric pair is the stationary fixed point") {
+    // two nodes, one symmetric edge: each sends its whole rank across;
+    // 150000 + (850·1000000) div 1000 = 1000000 — exact fixed point
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(e, iters = 3).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("pageRank star graph matches the hand-computed integer sequence") {
+    // center 0 <-> leaves 1,2. Hand-run with div/floor at every step:
+    // r1: c=1850000, leaves=575000; r2: c=1127500, leaves=936250;
+    // r3: c=1741625, leaves=629187
+    val e = Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L)).toDF("src", "dst")
+    val r = Graph.pageRank(e, iters = 3).as[(Long, Long)].collect().toMap
+    assert(r == Map(0L -> 1741625L, 1L -> 629187L, 2L -> 629187L))
+    val r2 = Graph.pageRank(e, iters = 2).as[(Long, Long)].collect().toMap
+    assert(r2 == Map(0L -> 1127500L, 1L -> 936250L, 2L -> 936250L))
+  }
+
+  test("pageRank mass stays within the floor-loss envelope") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val e = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+    val r = Graph.pageRank(e, iters = 3)
+    val n = r.count()
+    val total = r.agg(org.apache.spark.sql.functions.sum("rank_micro"))
+      .as[Long].head()
+    // every node holds at least the undamped base; floor losses only
+    // ever shrink the damped mass below n·10^6
+    assert(total <= n * 1000000L)
+    assert(total >= n * 150000L)
+  }
+}

@@ -44,6 +44,26 @@ class HistorySpec extends SparkSuite {
       (1L, "B", ts(1), None, 1L, 2L)))
   }
 
+  test("rollingFeatures: bounded frames, integer cents, per-entity gaps") {
+    val ev = Seq(
+      (1L, 1L, 1.00, ts(1)),
+      (2L, 1L, 2.00, ts(2)),
+      (3L, 1L, 3.00, ts(3)),
+      (4L, 1L, 4.00, ts(4)),
+      (5L, 1L, 5.00, ts(5)),
+      (6L, 2L, -0.015, ts(1)) // floor(-1.5) = -2: floor, not truncate
+    ).toDF("event_id", "user_id", "value", "ts")
+    val out = History.rollingFeatures(ev, "user_id", "value", "ts", "event_id", window = 4)
+      .select("user_id", "event_id", "value_cents", "prev_cents", "roll_cents", "gap_ms", "seq")
+      .as[(Long, Long, Long, Option[Long], Long, Option[Long], Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // seq 5 frame holds events 2..5 only: 200+300+400+500
+    assert(out((1L, 5L)) == (1L, 5L, 500L, Some(400L), 1400L, Some(60000L), 5L))
+    // first event of each entity: no prev, no gap, frame = itself
+    assert(out((1L, 1L)) == (1L, 1L, 100L, None, 100L, None, 1L))
+    assert(out((2L, 6L)) == (2L, 6L, -2L, None, -2L, None, 1L))
+  }
+
   test("transitionCounts: adjacency counts and exact milli-probabilities") {
     val out = History.transitionCounts(log, "user_id", "event_type", "ts", "event_id")
       .as[(String, String, Long, Long)].collect().toSet

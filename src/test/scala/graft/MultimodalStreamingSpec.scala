@@ -434,4 +434,78 @@ class MultimodalStreamingSpec extends SparkSuite {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     assert(rows == Set((base, "click", 2L), (base, "view", 1L), (base + 1800000L, "view", 1L)))
   }
+
+  test("rollingFeaturesStream: watermark-ordered replay equals the batch twin") {
+    import org.apache.spark.sql.{Dataset, Row}
+    import graft.streaming.RollingFeature
+    // rolling features are ORDER-DEFINED, so the stream must not emit an
+    // event until the watermark proves nothing can still slot in before
+    // it. Three checkpointed runs: out-of-order-but-within-watermark
+    // arrivals reorder correctly; beyond-watermark arrivals drop, counted
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_roll_src").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_roll_ckpt").toFile
+    def write(rows: (Long, String, Long, String, Double)*): Unit =
+      rows.map { case (id, t, u, ty, v) => (id, java.sql.Timestamp.valueOf(t), u, ty, v) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(srcDir.getAbsolutePath)
+
+    val emitted = new java.util.concurrent.atomic.AtomicReference[
+      Set[(Long, Long, Long, Long, Option[Long], Long, Option[Long], Long)]](Set.empty)
+    var dropped = 0L
+    def run(): Unit = {
+      val src = spark.readStream.schema(eventsDf.schema)
+        .parquet(srcDir.getAbsolutePath).as[graft.streaming.Event]
+      val q = EventPipeline.rollingFeaturesStream(src, window = 4)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .foreachBatch { (b: Dataset[RollingFeature], _: Long) =>
+          emitted.getAndUpdate(s => s ++ b.collect().map(f =>
+            (f.user_id, f.event_id, f.ms, f.value_cents, f.prev_cents,
+              f.roll_cents, f.gap_ms, f.seq)).toSet): Unit
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      dropped += q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    }
+
+    // run 1: two in-order user-1 events + a 12:20 anchor → watermark
+    // lands at 12:10; everything is still held (nothing final yet)
+    write((1L, "2026-01-01 12:00:00", 1L, "click", 1.0),
+      (2L, "2026-01-01 12:00:10", 1L, "click", 2.0),
+      (90L, "2026-01-01 12:20:00", 99L, "anchor", 0.5))
+    run()
+    // run 2: e3 arrives OUT OF ORDER (after the 12:20 anchor) but its
+    // 12:12 event time is over the 12:10 watermark → it must slot in as
+    // user 1's third event; e4's 12:00:05 is UNDER the watermark →
+    // dropped and counted. The 12:40 anchor advances the watermark to
+    // 12:30, finalizing e1, e2 (this run) and e3, e90 (next run)
+    write((3L, "2026-01-01 12:12:00", 1L, "click", 4.0),
+      (4L, "2026-01-01 12:00:05", 1L, "late", 8.0),
+      (91L, "2026-01-01 12:40:00", 99L, "anchor", 0.5))
+    run()
+    // run 3: one more anchor so a batch runs at watermark 12:30 — e3
+    // flushes via the event-time timeout, e90 via its pending partition
+    write((92L, "2026-01-01 12:50:00", 99L, "anchor", 0.5))
+    run()
+
+    val finalIds = Set(1L, 2L, 3L, 90L)
+    assert(emitted.get().map(_._2) == finalIds,
+      s"emitted ids ${emitted.get().map(_._2)} != $finalIds")
+    assert(dropped >= 1L, s"beyond-watermark event must be dropped+counted (dropped=$dropped)")
+    // the batch twin over exactly the surviving events must agree row
+    // for row (ts compared as epoch-ms)
+    val survivors = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 12:00:00"), 1L, "click", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2026-01-01 12:00:10"), 1L, "click", 2.0),
+      (3L, java.sql.Timestamp.valueOf("2026-01-01 12:12:00"), 1L, "click", 4.0),
+      (90L, java.sql.Timestamp.valueOf("2026-01-01 12:20:00"), 99L, "anchor", 0.5)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batch = graft.ops.History
+      .rollingFeatures(survivors, "user_id", "value", "ts", "event_id", window = 4)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        col("value_cents"), col("prev_cents"), col("roll_cents"), col("gap_ms"), col("seq"))
+      .as[(Long, Long, Long, Long, Option[Long], Long, Option[Long], Long)]
+      .collect().toSet
+    assert(emitted.get() == batch, s"stream ${emitted.get()} != batch $batch")
+  }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sampling
+
+class TokenBudgetSpec extends SparkSuite {
+  import spark.implicits._
+
+  // one row per (source, token) unit so sum(lit(1)) plays the token count
+  private def corpus(counts: (String, Int)*) =
+    counts.flatMap { case (s, n) => Seq.fill(n)(s) }.toDF("source")
+
+  private def alloc(df: org.apache.spark.sql.DataFrame, budgetMilli: Int) =
+    Sampling.tokenBudget(df, "source", lit(1L), budgetMilli)
+      .select("source", "n_tokens", "alloc_tokens", "capped")
+      .as[(String, Long, Long, Long)].collect().map(t => t._1 -> t).toMap
+
+  test("small sources served in full, the large one takes the remainder") {
+    // totals (10,20,100), budget 500 milli -> B=65: 10 and 20 full,
+    // the 100-source capped at 65-30=35
+    val a = alloc(corpus("a" -> 10, "b" -> 20, "c" -> 100), 500)
+    assert(a("a") == ("a", 10L, 10L, 0L))
+    assert(a("b") == ("b", 20L, 20L, 0L))
+    assert(a("c") == ("c", 100L, 35L, 1L))
+  }
+
+  test("integer remainder units go one each to the largest capped strata") {
+    // totals (5,7,9,9), budget 700 milli -> B=21: 5 full; capped level
+    // floor(16/3)=5 with remainder 1 -> the LAST ascending stratum
+    // (largest n, then largest name) gets the extra unit
+    val a = alloc(corpus("a" -> 5, "b" -> 7, "c" -> 9, "d" -> 9), 700)
+    assert(a("a") == ("a", 5L, 5L, 0L))
+    assert(a("b") == ("b", 7L, 5L, 1L))
+    assert(a("c") == ("c", 9L, 5L, 1L))
+    assert(a("d") == ("d", 9L, 6L, 1L))
+    assert(a.values.map(_._3).sum == 21L)
+  }
+
+  test("budget at or above total serves everything in full") {
+    val a = alloc(corpus("a" -> 3, "b" -> 8), 1000)
+    assert(a("a") == ("a", 3L, 3L, 0L))
+    assert(a("b") == ("b", 8L, 8L, 0L))
+  }
+
+  test("allocation is exact and capped on real documents") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Sampling.tokenBudget(docs, "source",
+      graft.ops.TextAnalysis.tokenCount(col("text")), budgetMilli = 600)
+    val rows = out.select("n_tokens", "alloc_tokens")
+      .as[(Long, Long)].collect()
+    val total = rows.map(_._1).sum
+    val budget = total * 600 / 1000
+    assert(rows.map(_._2).sum == budget)         // Σ alloc = B exactly
+    assert(rows.forall { case (n, al) => al <= n }) // never over-drawn
+  }
+}
