@@ -42,6 +42,32 @@ object EntityQueries {
          |         1048575 - (mk % 1048576) AS fp_pos
          |       FROM wn WHERE pos >= 4 OR pos = n_grams)""".stripMargin
 
+  /** Shared oracle CTE: the water-filling token-budget allocation at
+    * budget = 600 milli over `source` (see [[graft.ops.Sampling
+    * .tokenBudget]]); terminal CTE `al` has
+    * (source, n_tokens, alloc_tokens, capped). */
+  private val tokenBudgetCte =
+    raw"""WITH c AS (SELECT source, CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+         |             ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+         |           FROM documents GROUP BY 1),
+         |t AS (SELECT sum(n_tokens) AS tot, count(*) AS s FROM c),
+         |sc AS (SELECT c.*, CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS i,
+         |         sum(n_tokens) OVER (ORDER BY n_tokens, source
+         |           ROWS UNBOUNDED PRECEDING) AS p
+         |       FROM c),
+         |f AS (SELECT sc.*, t.s AS s, (t.tot * 600) // 1000 AS b,
+         |        (n_tokens * (t.s - i + 1) <= (t.tot * 600) // 1000 - (p - n_tokens)) AS is_full
+         |      FROM sc, t),
+         |w AS (SELECT COALESCE(max(CASE WHEN is_full THEN i END), 0) AS istar,
+         |        COALESCE(max(CASE WHEN is_full THEN p END), 0) AS pstar FROM f),
+         |al AS (SELECT f.source, f.n_tokens,
+         |        CAST(CASE WHEN f.is_full THEN f.n_tokens
+         |          ELSE (f.b - w.pstar) // (f.s - w.istar)
+         |             + CASE WHEN f.s - f.i + 1 <= (f.b - w.pstar) % (f.s - w.istar)
+         |               THEN 1 ELSE 0 END END AS BIGINT) AS alloc_tokens,
+         |        CAST(CASE WHEN f.is_full THEN 0 ELSE 1 END AS BIGINT) AS capped
+         |      FROM f, w)""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // fuzzy entity matching at join scale: every customer-name pair
@@ -271,28 +297,43 @@ object EntityQueries {
     // units one each to the largest capped domains — all integer, so
     // Σ alloc = min(budget, total) EXACTLY in both engines
     QuerySpec("text_token_budget",
-      raw"""WITH c AS (SELECT source, CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
-           |             ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
-           |           FROM documents GROUP BY 1),
-           |t AS (SELECT sum(n_tokens) AS tot, count(*) AS s FROM c),
-           |sc AS (SELECT c.*, CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS i,
-           |         sum(n_tokens) OVER (ORDER BY n_tokens, source
-           |           ROWS UNBOUNDED PRECEDING) AS p
-           |       FROM c),
-           |f AS (SELECT sc.*, t.s AS s, (t.tot * 600) // 1000 AS b,
-           |        (n_tokens * (t.s - i + 1) <= (t.tot * 600) // 1000 - (p - n_tokens)) AS is_full
-           |      FROM sc, t),
-           |w AS (SELECT COALESCE(max(CASE WHEN is_full THEN i END), 0) AS istar,
-           |        COALESCE(max(CASE WHEN is_full THEN p END), 0) AS pstar FROM f)
-           |SELECT f.source, f.n_tokens,
-           |  CAST(CASE WHEN f.is_full THEN f.n_tokens
-           |    ELSE (f.b - w.pstar) // (f.s - w.istar)
-           |       + CASE WHEN f.s - f.i + 1 <= (f.b - w.pstar) % (f.s - w.istar)
-           |         THEN 1 ELSE 0 END END AS BIGINT) AS alloc_tokens,
-           |  CAST(CASE WHEN f.is_full THEN 0 ELSE 1 END AS BIGINT) AS capped
-           |FROM f, w""".stripMargin) { (s, d) =>
+      raw"""$tokenBudgetCte
+           |SELECT source, n_tokens, alloc_tokens, capped FROM al""".stripMargin) { (s, d) =>
       graft.ops.Sampling.tokenBudget(docs(s, d), "source",
         graft.ops.TextAnalysis.tokenCount(col("text")), budgetMilli = 600)
+    },
+
+    // the execution step of the water-fill: downsample each source to
+    // ~its allocation with the deterministic 60-bit hash gate (fully
+    // served strata keep everything; capped strata keep ~alloc/n).
+    // Thresholds are the identical floor(alloc/n·2^60) double
+    // expression in both engines, so the kept SET matches row for row
+    QuerySpec("text_budget_sample",
+      raw"""$tokenBudgetCte,
+           |thr AS (SELECT source,
+           |          CAST(floor(CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+           |            * 1152921504606846976.0) AS BIGINT) AS t
+           |        FROM al)
+           |SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)
+           |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT < thr.t""".stripMargin) { (s, d) =>
+      graft.ops.Sampling.budgetSample(docs(s, d), "source", "doc_id",
+        graft.ops.TextAnalysis.tokenCount(col("text")), budgetMilli = 600)
+        .select(col("doc_id"), col("source"))
+    },
+
+    // per-user temporal split: each user's first 80% of events (by time)
+    // train, the rest eval — the leakage rule for sequence models, where
+    // a random split would let the model peek at each user's future.
+    // Exact-integer cut: rn·1000 <= cnt·800
+    QuerySpec("events_temporal_split",
+      raw"""SELECT user_id, event_id, ts,
+           |  CASE WHEN CAST(row_number() OVER w AS BIGINT) * 1000
+           |         <= count(*) OVER (PARTITION BY user_id) * 800
+           |       THEN 'train' ELSE 'eval' END AS split
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) { (s, d) =>
+      graft.ops.History.temporalSplit(events(s, d), "user_id", "ts", "event_id",
+        trainMilli = 800)
     },
 
     // bounded rolling features per user (lag / 4-event rolling sum /

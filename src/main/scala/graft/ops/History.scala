@@ -92,6 +92,30 @@ object History {
       .drop("__ms")
   }
 
+  /**
+   * Per-entity TEMPORAL split: each entity's first `trainMilli/1000` of
+   * events (by time order) go to 'train', the rest to 'eval' — the
+   * leakage rule for sequence models, where a random split would let
+   * the model peek at each user's future. The cut is exact-integer
+   * (`rn·1000 ≤ cnt·trainMilli` — the floor convention: an entity whose
+   * `cnt·trainMilli < 1000`, e.g. a single-event user at 800 milli,
+   * lands entirely in eval), so both engines agree row-for-row. One
+   * shuffle on the entity key; both windows are entity-partitioned.
+   */
+  def temporalSplit(events: DataFrame, entityCol: String, tsCol: String,
+      tieCol: String, trainMilli: Int = 800): DataFrame = {
+    require(trainMilli >= 0 && trainMilli <= 1000,
+      s"trainMilli out of [0,1000]: $trainMilli")
+    val byTime = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    val byEntity = Window.partitionBy(col(entityCol))
+    events.select(col(entityCol), col(tieCol), col(tsCol))
+      .withColumn("__rn", row_number().over(byTime).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(byEntity))
+      .withColumn("split",
+        when(col("__rn") * 1000 <= col("__cnt") * trainMilli, "train").otherwise("eval"))
+      .select(col(entityCol), col(tieCol), col(tsCol), col("split"))
+  }
+
   def transitionCounts(events: DataFrame, entityCol: String, stateCol: String,
       tsCol: String, tieCol: String): DataFrame = {
     val byTime = Window.partitionBy(col(entityCol))

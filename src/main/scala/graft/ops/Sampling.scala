@@ -233,6 +233,31 @@ object Sampling {
         when(col("__full"), 0L).otherwise(1L).as("capped"))
   }
 
+  /**
+   * Budget-gated sampling: downsample every stratum to (approximately)
+   * its [[tokenBudget]] allocation with the deterministic 60-bit hash
+   * gate — the execution step of the water-fill ("now actually draw
+   * those tokens"). Fully-served strata get threshold 2^60 (kept
+   * whole); capped strata keep ~alloc/n of their rows. Expected token
+   * mass equals the allocation; like every hash gate the realized count
+   * is binomial around it, which is the correct trade at corpus scale —
+   * an EXACT cut would need a per-stratum running sum over data-sized
+   * partitions. Same bit-reproducibility argument as
+   * [[temperatureResample]]: both engines evaluate the identical
+   * `floor(alloc/n · 2^60)` double expression. A zero-token stratum's
+   * 0/0 threshold is NaN → null gate → dropped (nothing to draw).
+   */
+  def budgetSample(df: DataFrame, strataCol: String, keyCol: String, tokens: Column,
+      budgetMilli: Int): DataFrame = {
+    val thr = tokenBudget(df, strataCol, tokens, budgetMilli)
+      .select(col(strataCol),
+        floor(col("alloc_tokens").cast("double") / col("n_tokens").cast("double")
+          * lit((1L << 60).toDouble)).cast("long").as("__thr"))
+    df.join(broadcast(thr), strataCol)
+      .where(keyHash(col(keyCol)) < col("__thr"))
+      .drop("__thr")
+  }
+
   def temperatureResample(df: DataFrame, keyCol: String, strataCol: String): DataFrame = {
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
       .withColumn("__w", sqrt(col("__n").cast("double")))

@@ -64,6 +64,22 @@ class HistorySpec extends SparkSuite {
     assert(out((2L, 6L)) == (2L, 6L, -2L, None, -2L, None, 1L))
   }
 
+  test("temporalSplit: floor cut per entity, ties by the tie column") {
+    val ev = Seq(
+      // user 1: 5 events -> first 4 train (4000 <= 4000), 5th eval
+      (1L, 1L, "a", ts(1)), (2L, 1L, "a", ts(2)), (3L, 1L, "a", ts(3)),
+      (4L, 1L, "a", ts(4)), (5L, 1L, "a", ts(5)),
+      // user 2: 2 events -> earliest train, last eval
+      (6L, 2L, "a", ts(1)), (7L, 2L, "a", ts(2)),
+      // user 3: single event -> floor convention: eval
+      (8L, 3L, "a", ts(1))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = History.temporalSplit(ev, "user_id", "ts", "event_id", trainMilli = 800)
+      .select("event_id", "split").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "train", 2L -> "train", 3L -> "train", 4L -> "train",
+      5L -> "eval", 6L -> "train", 7L -> "eval", 8L -> "eval"))
+  }
+
   test("transitionCounts: adjacency counts and exact milli-probabilities") {
     val out = History.transitionCounts(log, "user_id", "event_type", "ts", "event_id")
       .as[(String, String, Long, Long)].collect().toSet

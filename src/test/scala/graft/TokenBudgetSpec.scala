@@ -42,6 +42,23 @@ class TokenBudgetSpec extends SparkSuite {
     assert(a("b") == ("b", 8L, 8L, 0L))
   }
 
+  test("budgetSample keeps full strata whole and gates capped strata deterministically") {
+    // keyed corpus: (source, key); token weight 1 per row
+    val rows = (1 to 10).map(i => ("small", i.toLong)) ++
+      (1 to 200).map(i => ("big", 100L + i))
+    val df = rows.toDF("source", "key")
+    // budget 500: total 210 -> B=105; small (10) full, big capped at 95
+    val kept = Sampling.budgetSample(df, "source", "key", lit(1L), budgetMilli = 500)
+      .select("source", "key").as[(String, Long)].collect()
+    val (smallKept, bigKept) = kept.partition(_._1 == "small")
+    assert(smallKept.length == 10)                   // threshold 2^60: whole stratum
+    assert(bigKept.length < 200 && bigKept.nonEmpty) // gated subset
+    // deterministic and layout-independent
+    val again = Sampling.budgetSample(df.repartition(7), "source", "key", lit(1L), 500)
+      .select("source", "key").as[(String, Long)].collect()
+    assert(kept.toSet == again.toSet)
+  }
+
   test("allocation is exact and capped on real documents") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = Sampling.tokenBudget(docs, "source",
