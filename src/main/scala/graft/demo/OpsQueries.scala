@@ -555,6 +555,23 @@ object OpsQueries {
         Dedup.simHashNearDups(docs(s, d), "text", "doc_id", maxHamming = 3, maxBucket = 1000))
     },
 
+    // INCREMENTAL clustering: label the seen slice (doc_id % 20 != 0)
+    // first, then fold in the batch slice through contraction-based
+    // label merging (Dedup.incrementalComponents) — no historical edge
+    // is revisited. Shares the full run's oracle: contracting converged
+    // min-label components preserves connectivity and minima, so the
+    // incremental result must be value-identical to recomputing from
+    // scratch — which is exactly what the driver then checks
+    QuerySpec("dedup_components_incremental",
+      SketchOracleSql.simHashComponentsSql(maxHamming = 3, maxBucket = 1000)) { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      val pairs = graft.recon.Checkpoints.cut(
+        Dedup.simHashNearDups(docs(s, d), "text", "doc_id", maxHamming = 3, maxBucket = 1000))
+      val oldPairs = pairs.where(col("doc1") % 20 =!= 0 && col("doc2") % 20 =!= 0)
+      val newPairs = pairs.where(col("doc1") % 20 === 0 || col("doc2") % 20 === 0)
+      Dedup.incrementalComponents(Dedup.connectedComponents(oldPairs), newPairs)
+    },
+
     // scale path: sign-LSH bucket candidates (capped) + exact float dot
     // verify — no cartesian; the bucket assignment is mirrored via the
     // splitmix64 SQL kernel, so the whole path is value-checked. h derived

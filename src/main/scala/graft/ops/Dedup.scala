@@ -777,6 +777,55 @@ object Dedup {
     labels
   }
 
+  /**
+   * INCREMENTAL connected components — extend a converged label frame
+   * with a new batch's pairs without touching the historical edge set,
+   * the cluster-maintenance step of a rolling 100 TB dedup: yesterday's
+   * labels are state, today's crawl contributes only the pairs that
+   * touch it (e.g. [[minHashIncremental]] against a persisted
+   * [[IndexStore]] index plus in-batch candidates).
+   *
+   * Algorithm: contract every seen endpoint to its component label
+   * (labels are super-nodes), drop the pairs that collapse into
+   * self-loops (both ends already in one component), run min-label
+   * propagation on the CONTRACTED graph — whose size is bounded by the
+   * batch's fan-out, not the corpus — then (a) relabel seen nodes whose
+   * old component merged and (b) emit fresh nodes (new docs, and seen
+   * docs this batch connected for the first time) directly.
+   *
+   * EXACTNESS contract: `labelsSeen` must be a CONVERGED min-label
+   * frame (the output of [[connectedComponents]] — label = min member
+   * id). Contraction then preserves both connectivity and the min,
+   * because an old component's label IS its minimum member, so the
+   * result EQUALS a full [[connectedComponents]] run over the union
+   * edge set — the registry query shares the full run's oracle on
+   * exactly this argument, and the spec pins the merge/bridge/isolated
+   * cases.
+   */
+  def incrementalComponents(labelsSeen: DataFrame, newPairs: DataFrame,
+      aCol: String = "doc1", bCol: String = "doc2", maxIter: Int = 25): DataFrame = {
+    import graft.recon.Checkpoints.cut
+    val seen = cut(labelsSeen) // consumed three times below
+    val la = seen.select(col("node").as("__na"), col("component").as("__ca"))
+    val lb = seen.select(col("node").as("__nb"), col("component").as("__cb"))
+    val contracted = newPairs
+      .join(la, col(aCol) === col("__na"), "left")
+      .join(lb, col(bCol) === col("__nb"), "left")
+      .select(coalesce(col("__ca"), col(aCol)).as("__a"),
+        coalesce(col("__cb"), col(bCol)).as("__b"))
+      .where(col("__a") =!= col("__b"))
+    val cc = cut(connectedComponents(contracted, "__a", "__b", maxIter))
+    val merged = cc.select(col("node").as("__oldc"), col("component").as("__newc"))
+    val seenFinal = seen.join(merged, col("component") === col("__oldc"), "left")
+      .select(col("node"), coalesce(col("__newc"), col("component")).as("component"))
+    // fresh nodes: everything the contracted run labeled that is not a
+    // seen node — new docs, plus previously-isolated seen docs (an old
+    // LABEL is always itself a seen node, so the anti-join is exact)
+    val fresh = cc.join(seen.select(col("node").as("__sn")),
+      col("node") === col("__sn"), "left_anti")
+    seenFinal.unionByName(fresh.select("node", "component"))
+  }
+
   /** Keep one document per near-dup cluster: the component-canonical
     * (minimum-id) member survives; documents in no pair pass through. */
   def dedupByComponents(df: DataFrame, idCol: String, pairs: DataFrame,

@@ -243,6 +243,35 @@ class DedupSpec extends SparkSuite {
       30L -> 30L, 31L -> 30L, 32L -> 30L))
   }
 
+  test("incrementalComponents equals a full recompute across merge shapes") {
+    // seen graph: components {1,2,3} (label 1) and {10,11} (label 10);
+    // doc 50 is seen but isolated (no pair, so not in the label frame)
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc1", "doc2")
+    val labels = Dedup.connectedComponents(oldPairs)
+    // batch: 100 BRIDGES the two old components (merge case); 200-201 is
+    // a fresh standalone cluster; 300 connects the previously-isolated
+    // seen doc 50; (2,3) arrives again as a redundant within-component
+    // pair (contracts to a self-loop, must be a no-op)
+    val newPairs = Seq((3L, 100L), (100L, 11L), (200L, 201L), (50L, 300L), (2L, 3L))
+      .toDF("doc1", "doc2")
+    val inc = Dedup.incrementalComponents(labels, newPairs)
+      .as[(Long, Long)].collect().toMap
+    val full = Dedup.connectedComponents(
+      oldPairs.unionByName(newPairs)).as[(Long, Long)].collect().toMap
+    assert(inc == full, s"incremental $inc != full $full")
+    assert(inc(11L) == 1L && inc(100L) == 1L) // the bridge merged 10 into 1
+    assert(inc(201L) == 200L && inc(300L) == 50L)
+  }
+
+  test("incrementalComponents with no effective new edges changes nothing") {
+    val oldPairs = Seq((1L, 2L), (2L, 3L)).toDF("doc1", "doc2")
+    val labels = Dedup.connectedComponents(oldPairs)
+    val redundant = Seq((1L, 3L)).toDF("doc1", "doc2") // same component
+    val inc = Dedup.incrementalComponents(labels, redundant)
+      .as[(Long, Long)].collect().toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("dedupByComponents keeps one canonical doc per cluster") {
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "solo")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc1", "doc2")
