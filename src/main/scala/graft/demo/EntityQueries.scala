@@ -395,6 +395,78 @@ object EntityQueries {
       graft.ops.TextAnalysis.collocations(docs(s, d), "text", minCount = 5L, topK = 20)
     },
 
+    // bucketed co-located join: both sides persisted hash-bucketed on
+    // the join key (Layout.writeBucketed), so the sort-merge join runs
+    // with ZERO exchanges — the pay-the-shuffle-once-at-write-time
+    // layout that a 100 TB fact table lives by. The oracle is the plain
+    // join (bucketing must never change values); the no-Exchange plan
+    // shape is spec-asserted
+    QuerySpec("layout_bucketed_join",
+      raw"""SELECT o_orderstatus, count(*) AS n,
+           |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+           |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |GROUP BY 1""".stripMargin) { (s, d) =>
+      import graft.ops.Layout
+      val li = s.read.parquet(s"$d/lineitem.parquet").select("l_orderkey", "l_quantity")
+      val ord = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      Layout.writeBucketed(li, "graft_bkt_lineitem", Seq("l_orderkey"), buckets = 16)
+      Layout.writeBucketed(ord, "graft_bkt_orders", Seq("l_orderkey"), buckets = 16)
+      Layout.bucketedJoin(s, "graft_bkt_lineitem", "graft_bkt_orders", Seq("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("total_qty"))
+    },
+
+    // data contracts: the whole dbt-style check suite for lineitem in
+    // ONE scan (conditional sums stacked to a long report) plus a
+    // uniqueness aggregate and a referential-integrity anti-join —
+    // never one job per check. Exact violation counts both engines
+    QuerySpec("quality_contracts",
+      raw"""WITH row_checks AS (
+           |  SELECT * FROM (
+           |    SELECT 'quantity_range' AS check_name,
+           |      CAST(sum(CASE WHEN NOT COALESCE(l_quantity >= 1 AND l_quantity <= 50, false)
+           |        THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM lineitem
+           |    UNION ALL
+           |    SELECT 'price_positive',
+           |      CAST(sum(CASE WHEN NOT COALESCE(l_extendedprice > 0, false)
+           |        THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+           |    UNION ALL
+           |    SELECT 'discount_band',
+           |      CAST(sum(CASE WHEN NOT COALESCE(l_discount >= 0 AND l_discount <= 0.1, false)
+           |        THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+           |    UNION ALL
+           |    SELECT 'keys_nonnull',
+           |      CAST(sum(CASE WHEN NOT (l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL)
+           |        THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)),
+           |uniq AS (SELECT 'line_unique' AS check_name,
+           |  CAST(COALESCE(sum(n - 1), 0) AS BIGINT) AS n_violations
+           |  FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)),
+           |ref AS (SELECT 'order_exists' AS check_name,
+           |  CAST(count(*) AS BIGINT) AS n_violations
+           |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+           |    ON l.l_orderkey = o.o_orderkey
+           |  WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL)
+           |SELECT check_name, n_violations,
+           |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS pass
+           |FROM (SELECT * FROM row_checks UNION ALL SELECT * FROM uniq
+           |      UNION ALL SELECT * FROM ref)""".stripMargin) { (s, d) =>
+      import graft.ops.Contracts
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      val ord = s.read.parquet(s"$d/orders.parquet")
+      Contracts.report(li, Seq(
+        Contracts.Check("quantity_range", col("l_quantity") >= 1 && col("l_quantity") <= 50),
+        Contracts.Check("price_positive", col("l_extendedprice") > 0),
+        Contracts.Check("discount_band", col("l_discount") >= 0 && col("l_discount") <= 0.1),
+        Contracts.Check("keys_nonnull",
+          col("l_orderkey").isNotNull && col("l_linenumber").isNotNull)),
+        Seq(
+          Contracts.uniqueCheck(li, "line_unique", Seq("l_orderkey", "l_linenumber")),
+          Contracts.referenceCheck(li, "order_exists", "l_orderkey",
+            broadcast(ord), "o_orderkey")))
+    },
+
     // integer PageRank over the part co-order graph (3 damped rounds,
     // micro-unit ranks, div/floor arithmetic — float PageRank would
     // diverge between engines on summation order alone). Edges: parts

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Data contracts: declarative validation checks over a table, evaluated
+ * as ONE aggregation pass and reported as a machine-readable table —
+ * the dbt-test / Great-Expectations shape, re-expressed as columnar
+ * aggregates so a 100 TB table pays a single scan for its whole check
+ * suite instead of one job per check.
+ *
+ * Each check contributes a violation-count expression; the report row
+ * is `(check_name, n_violations, pass)` with `pass = (n_violations =
+ * 0)` as an exact integer flag. Checks that need a second table
+ * (referential integrity) or a self-grouping (uniqueness) run as their
+ * own aggregate and union into the report — still one scan per
+ * DISTINCT input, never per check.
+ */
+object Contracts {
+
+  /** A named row-level predicate: rows violating `ok` count against the
+    * contract. */
+  final case class Check(name: String, ok: Column)
+
+  /** Row-level checks evaluated in one scan: each check becomes one
+    * conditional-sum aggregate over the same pass. */
+  def rowChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "no checks given")
+    val aggs = checks.map(c =>
+      sum(when(!coalesce(c.ok, lit(false)), 1L).otherwise(0L)).as(c.name))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // one wide row -> long report: stack is a plain projection, no shuffle
+    val stacked = checks.map(c =>
+      s"'${c.name}', coalesce(`${c.name}`, 0L)").mkString(", ")
+    wide.selectExpr(s"stack(${checks.length}, $stacked) as (check_name, n_violations)")
+      .withColumn("pass", (col("n_violations") === 0L).cast("long"))
+  }
+
+  /** Uniqueness contract: no duplicate `keys` tuple. Violations = extra
+    * rows beyond the first of each duplicated tuple (so a clean table
+    * reports 0, a fully-doubled table reports n/2). */
+  def uniqueCheck(df: DataFrame, name: String, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n") - 1L), lit(0L)).as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_violations"),
+        (col("n_violations") === 0L).cast("long").as("pass"))
+
+  /** Referential-integrity contract: every non-null `fkCol` value of
+    * `df` exists as `pkCol` in `dim`. Violations = orphan ROWS. The
+    * check is a left-anti join on the key — broadcast when `dim` is a
+    * dimension, shuffle-partitioned like any equi-join otherwise. */
+  def referenceCheck(df: DataFrame, name: String, fkCol: String,
+      dim: DataFrame, pkCol: String): DataFrame =
+    df.where(col(fkCol).isNotNull)
+      .join(dim.select(col(pkCol).as(fkCol)).distinct(), Seq(fkCol), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit(name).as("check_name"), col("n_violations"),
+        (col("n_violations") === 0L).cast("long").as("pass"))
+
+  /** Assemble a full report: row checks in one scan plus any number of
+    * table-level check frames, unioned into one
+    * `(check_name, n_violations, pass)` table. */
+  def report(df: DataFrame, checks: Seq[Check], extra: Seq[DataFrame] = Seq.empty): DataFrame =
+    extra.foldLeft(rowChecks(df, checks))(_ unionByName _)
+}

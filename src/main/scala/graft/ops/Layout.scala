@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -54,4 +54,39 @@ object Layout {
       .repartitionByRange(nPartitions, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
+
+  /**
+   * Persist `df` BUCKETED (hash-partitioned into `buckets` files, sorted
+   * within each) on `keyCols` — the layout that lets every future
+   * equi-join or aggregation on those keys skip its shuffle entirely.
+   * At 100 TB this is the difference between re-shuffling the fact
+   * table on every join and paying the partitioning ONCE at write time:
+   * two tables bucketed the same way sort-merge-join with zero
+   * exchanges (the spec asserts exactly that plan shape).
+   *
+   * Spark's bucketing rides the table catalog, so this writes through
+   * `saveAsTable` into the session warehouse (managed parquet), not a
+   * bare path — bucket metadata lives in the catalog.
+   */
+  def writeBucketed(df: DataFrame, table: String, keyCols: Seq[String],
+      buckets: Int): Unit = {
+    require(keyCols.nonEmpty, "no bucket keys")
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /**
+   * Shuffle-free equi-join of two tables previously written by
+   * [[writeBucketed]] with the SAME keys and bucket count. The merge
+   * hint pins sort-merge (a broadcast would hide the point being
+   * demonstrated — and at real scale neither side broadcasts anyway);
+   * bucketed scans already satisfy the join's distribution, so the plan
+   * carries no Exchange on either side.
+   */
+  def bucketedJoin(spark: SparkSession, tableA: String, tableB: String,
+      keyCols: Seq[String]): DataFrame =
+    spark.table(tableA).hint("merge").join(spark.table(tableB), keyCols)
 }
