@@ -395,6 +395,49 @@ object EntityQueries {
       graft.ops.TextAnalysis.collocations(docs(s, d), "text", minCount = 5L, topK = 20)
     },
 
+    // session PATH mining: each session's time-ordered event-type
+    // sequence as one string, top-50 journeys by frequency — the
+    // sequence-extraction step of a behavior-model pipeline. Path order
+    // is struct-sorted, never collect_list arrival order
+    QuerySpec("events_session_paths",
+      raw"""WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events),
+           |o AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+           |      FROM e),
+           |m AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR ms - prev > 600000
+           |          THEN 1 ELSE 0 END)
+           |        OVER (PARTITION BY user_id ORDER BY ms, event_id
+           |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+           |      FROM o),
+           |p AS (SELECT user_id, sess,
+           |        string_agg(event_type, '>' ORDER BY ms, event_id) AS path
+           |      FROM m GROUP BY 1, 2)
+           |SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+           |ORDER BY n_sessions DESC, path LIMIT 50""".stripMargin) { (s, d) =>
+      graft.streaming.EventPipeline.pathCounts(events(s, d), gapMs = 600000L, k = 50)
+    },
+
+    // right-to-erasure audit: per fact table, total rows vs rows the
+    // deletion list (every 50th customer) claims — the compliance
+    // evidence BEFORE the destructive anti-join runs. The subject set
+    // rides a broadcast hit-flag join; exact integers
+    QuerySpec("privacy_erasure",
+      raw"""WITH subj AS (SELECT DISTINCT c_custkey FROM customer WHERE c_custkey % 50 = 0)
+           |SELECT 'events' AS table_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN user_id IN (SELECT c_custkey FROM subj)
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_erased
+           |FROM events
+           |UNION ALL
+           |SELECT 'orders', count(*),
+           |  CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM subj)
+           |    THEN 1 ELSE 0 END) AS BIGINT)
+           |FROM orders""".stripMargin) { (s, d) =>
+      val subjects = customer(s, d).where(col("c_custkey") % 50 === 0)
+      graft.ops.Privacy.erasureReport(Seq(
+        ("events", events(s, d), "user_id"),
+        ("orders", s.read.parquet(s"$d/orders.parquet"), "o_custkey")),
+        subjects, "c_custkey")
+    },
+
     // bucketed co-located join: both sides persisted hash-bucketed on
     // the join key (Layout.writeBucketed), so the sort-merge join runs
     // with ZERO exchanges — the pay-the-shuffle-once-at-write-time

@@ -65,4 +65,38 @@ object Privacy {
         when(col("__n1") >= k, col("__n1"))
           .when(col("__n2") >= k, col("__n2")).as("group_n"))
   }
+
+  /**
+   * Right-to-erasure propagation: drop every row of `df` keyed by an
+   * erased subject. One anti-join on the subject key — broadcast when
+   * the deletion list is list-sized (it is, by nature), so the 100 TB
+   * fact table pays a map-side filter, no shuffle.
+   */
+  def erase(df: DataFrame, keyCol: String, subjects: DataFrame,
+      subjectCol: String): DataFrame =
+    df.join(broadcast(subjects.select(col(subjectCol).as(keyCol)).distinct()),
+      Seq(keyCol), "left_anti")
+
+  /**
+   * The audit half of erasure: per fact table, how many rows existed
+   * and how many the deletion list claims — the evidence row a
+   * compliance review wants BEFORE the destructive pass runs. One
+   * conditional aggregate per table (the subject set rides a broadcast
+   * left join as a hit flag), unioned into
+   * `(table_name, n_rows, n_erased)`.
+   */
+  def erasureReport(tables: Seq[(String, DataFrame, String)],
+      subjects: DataFrame, subjectCol: String): DataFrame = {
+    require(tables.nonEmpty, "no tables given")
+    val subj = broadcast(
+      subjects.select(col(subjectCol).as("__subj")).distinct()
+        .withColumn("__hit", lit(1L)))
+    tables.map { case (name, df, keyCol) =>
+      df.select(col(keyCol).as("__subj"))
+        .join(subj, Seq("__subj"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_erased"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("n_erased"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -126,6 +126,47 @@ object EventPipeline {
   }
 
   /**
+   * Per-session behavior PATHS: each session's time-ordered event-type
+   * sequence joined into one string ("signup>click>purchase") — the
+   * journey-analysis view of the event log, and the sequence-extraction
+   * step a behavior-model pipeline exports. Sessionization is the same
+   * gap rule as [[sessionize]]; within a session the path order is made
+   * deterministic by sorting the collected (ms, event_id, type) structs
+   * rather than trusting `collect_list`'s arrival order (which is
+   * partition-layout-dependent). Per-session rows; path strings stay
+   * strings (the registry's no-array-outputs rule). Per-user windows
+   * and a per-session aggregate: one shuffle on user_id.
+   */
+  def sessionPaths(events: DataFrame, gapMs: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ms = unix_millis(col("ts").cast("timestamp"))
+    events
+      .withColumn("__ms", ms)
+      .withColumn("__prev", lag(col("__ms"), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev").isNull || col("__ms") - col("__prev") > gapMs, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("__new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("__ms")).as("session_start"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__ms"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          ">").as("path"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Corpus-level path frequencies: the top `k` session paths by count
+    * (ties broken by path) — the "which journeys dominate" dashboard.
+    * Global top-k via TakeOrderedAndProject; only k rows travel. */
+  def pathCounts(events: DataFrame, gapMs: Long, k: Int = 50): DataFrame =
+    sessionPaths(events, gapMs)
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+
+  /**
    * ENGINE-NATIVE session windows: Catalyst's `session_window` operator —
    * gap-merged event-time sessions with no hand-rolled state, the
    * Spark-first twin of [[sessionize]]'s lag+cumsum form. Semantics

@@ -435,6 +435,31 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(rows == Set((base, "click", 2L), (base, "view", 1L), (base + 1800000L, "view", 1L)))
   }
 
+  test("sessionPaths: gap-split sessions with struct-sorted deterministic paths") {
+    // user 1: 0:00 click, 0:03 view (one session, gap 10 min), then
+    // 0:30 purchase (new session); layout must not affect path order
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 1L, "view", 2.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), 1L, "purchase", 4.0),
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2L, "view", 8.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    def paths(in: org.apache.spark.sql.DataFrame) =
+      EventPipeline.sessionPaths(in, gapMs = 600000L)
+        .select("user_id", "session_seq", "path", "n_events")
+        .as[(Long, Long, String, Long)].collect().toSet
+    val want = Set(
+      (1L, 1L, "click>view", 2L),
+      (1L, 2L, "purchase", 1L),
+      (2L, 1L, "view", 1L))
+    assert(paths(df) == want)
+    assert(paths(df.repartition(5)) == want) // collect_list order irrelevance
+    val top = EventPipeline.pathCounts(df, 600000L, k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(top.head._2 == 1L && top.size == 2) // ties broken by path asc
+    assert(top.map(_._1) == top.map(_._1).sorted)
+  }
+
   test("rollingFeaturesStream: watermark-ordered replay equals the batch twin") {
     import org.apache.spark.sql.{Dataset, Row}
     import graft.streaming.RollingFeature

@@ -41,4 +41,16 @@ class PrivacySpec extends SparkSuite {
       .collect().map(r => r._1 -> r._4).toMap
     assert(out(4L) == 2L, "lone generalizer must be suppressed, not saved by level-0 rows")
   }
+
+  test("erase drops exactly the subjects' rows; erasureReport counts them first") {
+    val facts = Seq((1L, "a"), (2L, "b"), (2L, "c"), (3L, "d")).toDF("uid", "v")
+    val subjects = Seq(2L, 99L).toDF("subject") // 99 hits nothing
+    val kept = Privacy.erase(facts, "uid", subjects, "subject")
+      .select("uid", "v").as[(Long, String)].collect().toSet
+    assert(kept == Set((1L, "a"), (3L, "d")))
+    val report = Privacy.erasureReport(
+      Seq(("facts", facts, "uid")), subjects, "subject")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(report == Seq(("facts", 4L, 2L)))
+  }
 }
