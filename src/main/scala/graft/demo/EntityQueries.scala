@@ -395,6 +395,63 @@ object EntityQueries {
       graft.ops.TextAnalysis.collocations(docs(s, d), "text", minCount = 5L, topK = 20)
     },
 
+    // sketch-quality harness: banding recall measured against EXACT
+    // ground truth — the prefix-filter join (no false negatives) is the
+    // truth set at Jaccard >= 0.8, the registered k=16/bands=4 MinHash
+    // the sketch under test; both pipelines are verified ops, so this
+    // is pure composition. Precision is 1.0 by construction (candidates
+    // are exact-verified); the measured number is what banding MISSES
+    QuerySpec("dedup_sketch_recall", {
+      val exactSql =
+        raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+             |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+             |sh AS (SELECT DISTINCT doc_id AS doc, unnest(CASE WHEN len(t) < 3 THEN []
+             |         ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)] END) AS tok
+             |       FROM tt),
+             |sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
+             |df AS (SELECT tok, count(*) AS df FROM sh GROUP BY 1),
+             |rk AS (SELECT s.doc, s.tok,
+             |         row_number() OVER (PARTITION BY s.doc ORDER BY d.df, s.tok) AS r, z.n
+             |       FROM sh s JOIN df d USING (tok) JOIN sz z USING (doc)),
+             |pf AS (SELECT doc, tok FROM rk WHERE r <= n - ((800 * n + 999) // 1000) + 1),
+             |cand AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+             |         FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc < b.doc),
+             |i AS (SELECT c.id_a, c.id_b, count(*) AS inter
+             |      FROM cand c JOIN sh sa ON sa.doc = c.id_a
+             |                  JOIN sh sb ON sb.doc = c.id_b AND sb.tok = sa.tok
+             |      GROUP BY 1, 2)
+             |SELECT i.id_a, i.id_b
+             |FROM i JOIN sz za ON za.doc = i.id_a JOIN sz zb ON zb.doc = i.id_b
+             |WHERE i.inter * 1000 >= (za.n + zb.n - i.inter) * 800""".stripMargin
+      val mhSql = SketchOracleSql.minHashSql(k = 16, bands = 4, threshold = 0.8d,
+        maxBucket = 100)
+      raw"""WITH ex AS ($exactSql),
+           |mh AS ($mhSql),
+           |nb AS (SELECT count(*) AS n_both FROM ex
+           |       JOIN mh ON ex.id_a = mh.doc1 AND ex.id_b = mh.doc2)
+           |SELECT (SELECT count(*) FROM ex) AS n_exact,
+           |  (SELECT count(*) FROM mh) AS n_lsh,
+           |  nb.n_both,
+           |  CAST(CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 1000
+           |    ELSE (nb.n_both * 1000) // (SELECT count(*) FROM ex) END AS BIGINT) AS recall_milli
+           |FROM nb""".stripMargin
+    }) { (s, d) =>
+      import graft.recon.Checkpoints.cut
+      val dd = docs(s, d)
+      val ex = cut(graft.ops.SetSimilarity
+        .jaccardPrefixJoin(dd, "text", "doc_id", shingleN = 3, tMilli = 800)
+        .select(col("id_a"), col("id_b")))
+      val ls = cut(graft.ops.Dedup
+        .minHashNearDups(dd, "text", "doc_id", shingleN = 3, k = 16, bands = 4,
+          threshold = 0.8d, maxBucket = 100)
+        .select(col("doc1").as("id_a"), col("doc2").as("id_b")))
+      ex.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(ls.agg(count(lit(1)).as("n_lsh")))
+        .crossJoin(ex.join(ls, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_both")))
+        .withColumn("recall_milli",
+          expr("CASE WHEN n_exact = 0 THEN 1000 ELSE (n_both * 1000) div n_exact END"))
+    },
+
     // session PATH mining: each session's time-ordered event-type
     // sequence as one string, top-50 journeys by frequency — the
     // sequence-extraction step of a behavior-model pipeline. Path order

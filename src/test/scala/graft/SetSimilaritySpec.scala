@@ -45,4 +45,17 @@ class SetSimilaritySpec extends SparkSuite {
     val tiny = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
     assert(SetSimilarity.jaccardPrefixJoin(tiny, "text", "doc_id", 3, 500).count() == 0)
   }
+
+  test("MinHash banding pairs are a subset of the exact prefix-filter truth") {
+    // the invariant dedup_sketch_recall reports on: candidates are
+    // exact-verified, so LSH can only MISS pairs, never add them
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = SetSimilarity.jaccardPrefixJoin(docs, "text", "doc_id", 3, 800)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = graft.ops.Dedup.minHashNearDups(docs, "text", "doc_id",
+        shingleN = 3, k = 16, bands = 4, threshold = 0.8d, maxBucket = 100)
+      .select(col("doc1"), col("doc2")).as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"LSH fabricated pairs: ${lsh.diff(exact)}")
+  }
 }
