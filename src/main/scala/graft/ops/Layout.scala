@@ -72,6 +72,16 @@ object Layout {
       buckets: Int): Unit = {
     require(keyCols.nonEmpty, "no bucket keys")
     require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val spark = df.sparkSession
+    // the default in-memory catalog dies with the JVM but the managed
+    // LOCATION under the warehouse dir does not — a later session would
+    // hit LOCATION_ALREADY_EXISTS on a table it has never heard of.
+    // Drop any catalog entry, then clear the orphaned location
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keyCols.head, keyCols.tail: _*)
       .sortBy(keyCols.head, keyCols.tail: _*)
