@@ -545,6 +545,22 @@ object CurationQueries {
       graft.recon.ExprBuilder.selectByPrefix(prepped, "ext_", "exd_")
     },
 
+    // storage-format coverage beyond parquet/CSV/JSONL: the internal frame
+    // round-trips through ORC (the Hive-lineage columnar format; schema
+    // travels in the file, stripe min/max stats serve pushdown like
+    // parquet row groups) and must equal the original scan bit-for-bit
+    QuerySpec("recon_orc_roundtrip",
+      s"${OracleSql.prelude}\nSELECT * FROM internal") { (s, d) =>
+      val i = TpcMapping.internal(s, d)
+      val tmp = runTmpDir(s, "graft_orc_roundtrip")
+      graft.recon.Sinks.writeOrc(i, tmp.getAbsolutePath)
+      // EAGER: the frame's input files are deleted on the next line
+      val out = graft.recon.Checkpoints.cut(
+        graft.recon.Sources.readOrc(s, tmp.getAbsolutePath), eager = true)
+      deleteRecursively(tmp)
+      out
+    },
+
     // S8/§2.8 upgraded from spec-only to value-checked: the interval-
     // partitioned write fan-out (the reference's 5-thread `$merge` split,
     // second_conciliate.py:409-447, as repartitionByRange) round-trips

@@ -567,6 +567,109 @@ object EntityQueries {
             broadcast(ord), "o_orderkey")))
     },
 
+    // per-node triangle counts over the part co-order graph: the
+    // clustering-cohesion companion to graph_pagerank. Degree-ordered
+    // forward orientation (Schank–Wagner; Suri & Vassilvitskii WWW'11)
+    // bounds wedge volume O(m^1.5) under any skew; the oracle mirrors
+    // the orientation and wedge-close joins term for term
+    QuerySpec("graph_triangles",
+      raw"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           |            AND a.l_partkey <> b.l_partkey),
+           |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+           |f AS (SELECT e.src AS a, e.dst AS b FROM e
+           |      JOIN dg da ON da.src = e.src JOIN dg db ON db.src = e.dst
+           |      WHERE da.deg < db.deg OR (da.deg = db.deg AND e.src < e.dst)),
+           |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |      FROM f e1 JOIN f e2 ON e2.a = e1.a AND e1.b <> e2.b
+           |      JOIN f e3 ON e3.a = e1.b AND e3.b = e2.b),
+           |m AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+           |      UNION ALL SELECT z FROM t),
+           |c AS (SELECT node, count(*) AS n FROM m GROUP BY 1)
+           |SELECT dg.src AS node, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_triangles
+           |FROM dg LEFT JOIN c ON c.node = dg.src""".stripMargin) { (s, d) =>
+      val edges = graft.ops.Graph.coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey")
+      graft.ops.Graph.triangleCounts(edges)
+    },
+
+    // small-file compaction planning: per-(source, lang) byte inventories
+    // packed into ~16 KiB output bins by cumulative quota in key order
+    // (order-preserving, so range/z-order layouts survive compaction).
+    // The Spark side computes the prefix sum via the distributed
+    // partition-offset scheme — no whole-inventory single-task window;
+    // the oracle is the plain window form over the same ordering
+    QuerySpec("layout_compaction_plan",
+      raw"""WITH u AS (SELECT source, lang, CAST(sum(n_chars) AS BIGINT) AS bytes
+           |           FROM documents GROUP BY 1, 2)
+           |SELECT source, lang, bytes,
+           |  CAST((sum(bytes) OVER (ORDER BY source, lang
+           |          ROWS UNBOUNDED PRECEDING) - bytes) // 16384 AS BIGINT) AS bin
+           |FROM u""".stripMargin) { (s, d) =>
+      val units = docs(s, d).groupBy(col("source"), col("lang"))
+        .agg(sum(col("n_chars")).cast("long").as("bytes"))
+      graft.ops.Layout.compactionPlan(units,
+        Seq(col("source"), col("lang")), "bytes", targetBytes = 16384L)
+    },
+
+    // deterministic synchronous label propagation (2 rounds) over the
+    // part co-order graph: most-frequent neighbor label, smallest-label
+    // tie-break — run-order-independent, so both engines compute the
+    // same communities bit for bit (async LPA would not be mirrorable)
+    QuerySpec("graph_communities", {
+      def round(n: Int) =
+        raw"""v$n AS (SELECT e.dst, l${n - 1}.label, count(*) AS cnt
+             |      FROM e JOIN l${n - 1} ON l${n - 1}.node = e.src GROUP BY 1, 2),
+             |l$n AS (SELECT dst AS node, label FROM (
+             |        SELECT dst, label, row_number() OVER (PARTITION BY dst
+             |          ORDER BY cnt DESC, label ASC) AS r FROM v$n) WHERE r = 1)""".stripMargin
+      raw"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           |            AND a.l_partkey <> b.l_partkey),
+           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+           |${round(1)},
+           |${round(2)}
+           |SELECT node, CAST(label AS BIGINT) AS label FROM l2""".stripMargin
+    }) { (s, d) =>
+      val edges = graft.ops.Graph.coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey")
+      graft.ops.Graph.labelPropagation(edges, iters = 2)
+    },
+
+    // outlier-ROBUST per-type value telemetry: median and MAD from exact
+    // order statistics, all integer (median doubled / MAD quadrupled in
+    // cents, so no division ever happens — the mean/stddev twin is
+    // events_value_outliers, which one fat-finger order can drag; these
+    // cannot). Windows are all partitioned by event_type
+    QuerySpec("events_robust_stats",
+      raw"""WITH c AS (SELECT event_type,
+           |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+           |r AS (SELECT event_type, cents,
+           |        row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+           |        count(*) OVER (PARTITION BY event_type) AS n FROM c),
+           |m AS (SELECT event_type, max(n) AS n,
+           |        sum(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN cents END)
+           |          * (CASE WHEN max(n) % 2 = 1 THEN 2 ELSE 1 END) AS med_x2
+           |      FROM r GROUP BY 1),
+           |dv AS (SELECT c.event_type, abs(2 * c.cents - m.med_x2) AS dev2
+           |       FROM c JOIN m USING (event_type)),
+           |dr AS (SELECT event_type, dev2,
+           |        row_number() OVER (PARTITION BY event_type ORDER BY dev2) AS rn,
+           |        count(*) OVER (PARTITION BY event_type) AS n FROM dv)
+           |SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+           |  CAST(m.med_x2 AS BIGINT) AS med_x2_cents,
+           |  CAST(x.mad_x4 AS BIGINT) AS mad_x4_cents
+           |FROM m JOIN (
+           |  SELECT event_type,
+           |    sum(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN dev2 END)
+           |      * (CASE WHEN max(n) % 2 = 1 THEN 2 ELSE 1 END) AS mad_x4
+           |  FROM dr GROUP BY 1) x USING (event_type)""".stripMargin) { (s, d) =>
+      val c = events(s, d).select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      graft.ops.RobustStats.medianMad(c, "event_type", "cents")
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          col("med_x2").cast("long").as("med_x2_cents"),
+          col("mad_x4").cast("long").as("mad_x4_cents"))
+    },
+
     // integer PageRank over the part co-order graph (3 damped rounds,
     // micro-unit ranks, div/floor arithmetic — float PageRank would
     // diverge between engines on summation order alone). Edges: parts

@@ -41,6 +41,93 @@ object Graph {
   }
 
   /**
+   * Per-node triangle counts over a symmetric distinct edge list —
+   * the clustering/cohesion signal (tightly-knit co-purchase or
+   * co-citation neighborhoods) curation pipelines use beside PageRank.
+   *
+   * Degree-ordered node-iterator (Schank–Wagner; the MapReduce shape in
+   * Suri & Vassilvitskii WWW'11): orient every undirected edge from its
+   * lower-(degree, id) endpoint to the higher, so a triangle x≺y≺z
+   * exists exactly once as x→y, x→z, y→z. Wedges are built only from a
+   * node's FORWARD neighbors — fan-out per node is forward-degree², and
+   * degree-ordering bounds total wedge volume by O(m^{3/2}) regardless
+   * of skew (a celebrity node's million followers generate no wedges at
+   * the celebrity, because almost all its edges point INTO it). Every
+   * step is an equi-join or aggregate; nothing is collected.
+   *
+   * Output: `(node, n_triangles)` for every node of `edges`, zeros
+   * included.
+   */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val da = deg.select(col("src").as("__ua"), col("__deg").as("__da"))
+    val db = deg.select(col("src").as("__ub"), col("__deg").as("__db"))
+    // forward orientation: (degree, id) lexicographic — a strict total
+    // order, so each undirected edge survives in exactly one direction
+    val f = edges
+      .join(da, col("src") === col("__ua"))
+      .join(db, col("dst") === col("__ub"))
+      .where(col("__da") < col("__db") ||
+        (col("__da") === col("__db") && col("src") < col("dst")))
+      .select(col("src").as("a"), col("dst").as("b"))
+    // wedge at the lowest vertex + closing forward edge: the self-join
+    // emits both (y,z) and (z,y) orders, exactly one of which exists in
+    // f — each triangle matches once
+    val e1 = f.select(col("a"), col("b").as("y"))
+    val e2 = f.select(col("a"), col("b").as("z"))
+    val tri = e1.join(e2, Seq("a")).where(col("y") =!= col("z"))
+      .join(f.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"))
+      .select(col("a").as("x"), col("y"), col("z"))
+    val members = tri.select(col("x").as("node"))
+      .unionAll(tri.select(col("y").as("node")))
+      .unionAll(tri.select(col("z").as("node")))
+    val counts = members.groupBy("node").agg(count(lit(1)).as("__n"))
+    deg.select(col("src").as("node"))
+      .join(counts, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__n"), lit(0L)).as("n_triangles"))
+  }
+
+  /**
+   * Synchronous label propagation (Raghavan et al. 2007) for community
+   * detection — the coarse corpus-clustering signal (topic/provenance
+   * neighborhoods) that sits between connected components (too coarse:
+   * one bridge edge merges communities) and full modularity methods
+   * (not a bounded number of passes).
+   *
+   * Determinism: every node starts labeled with its own id; each round
+   * every node SYNCHRONOUSLY adopts its neighbors' most frequent label,
+   * ties broken by smallest label. No randomness, no asynchronous
+   * update order — the same graph always yields the same labels at the
+   * same `iters` (classic async LPA is run-order dependent; the
+   * synchronous-deterministic variant trades possible oscillation on
+   * bipartite structures for reproducibility, which is why `iters` is
+   * bounded and explicit).
+   *
+   * Scale shape per round: one equi-join of the label vector with the
+   * edge list, one (node, label) count aggregate, one per-node top-1
+   * window PARTITIONED BY the node (bounded by degree, never a global
+   * funnel). `iters` rounds unroll into one declarative plan like
+   * [[pageRank]].
+   */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val votes = edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("__n"))
+      val w = Window.partitionBy(col("dst"))
+        .orderBy(col("__n").desc, col("label").asc)
+      labels = votes.withColumn("__r", row_number().over(w))
+        .where(col("__r") === 1)
+        .select(col("dst").as("node"), col("label"))
+    }
+    labels
+  }
+
+  /**
    * Integer PageRank: `iters` damped rounds over a distinct edge list.
    * Every node starts at 1,000,000 micro-units; per round each node
    * sends `rank div out_degree` along each out-edge and folds to

@@ -89,6 +89,63 @@ object Layout {
   }
 
   /**
+   * Compaction plan: assign ordered planning units (files, hive
+   * partitions, topic segments) to output bins of roughly
+   * `targetBytes` each — the small-file problem's planning step. A
+   * 100 TB table accreting thousands of sub-megabyte files per
+   * ingest hour scans slower every day (per-file open + footer read
+   * dominates); the fix is periodic compaction, and THIS operator
+   * decides which inputs coalesce into which output.
+   *
+   * Bin rule: cumulative-quota packing in `orderCols` order —
+   * `bin = floor(bytes_before_this_unit / targetBytes)`. Deterministic,
+   * order-preserving (so range/z-order layouts survive compaction),
+   * each bin lands within one unit of the target, and it is a pure
+   * prefix-sum — no first-fit-decreasing state that would serialize
+   * planning at scale.
+   *
+   * The prefix sum is distributed via the partition-offset scheme of
+   * [[graft.recon.Sources.withRowIndex]]: range-repartition on the
+   * order keys, per-partition running sums, per-partition TOTALS
+   * (a partition-count-sized aggregate) window-folded into offsets and
+   * broadcast back. No whole-input single-task funnel — the inventory
+   * may itself be huge (a 100 TB table is ~200k files, but a multi-PB
+   * lake's manifest union is not driver-sized).
+   *
+   * Output: the input columns plus `bin` (long). `orderCols` must
+   * totally order the units.
+   */
+  def compactionPlan(units: DataFrame, orderCols: Seq[Column], bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1L, s"targetBytes must be >= 1: $targetBytes")
+    import org.apache.spark.sql.expressions.Window
+    val spark = units.sparkSession
+    val n = spark.sparkContext.defaultParallelism
+    // pin ONE materialization: the totals branch and the stamping branch
+    // must observe the same range partitioning (a re-executed range
+    // exchange re-samples its boundaries — same hazard withRowIndex pins)
+    val pinned = graft.recon.Checkpoints.cut(
+      units.repartitionByRange(n, orderCols: _*).sortWithinPartitions(orderCols: _*))
+      .withColumn("__cp_pid", spark_partition_id().cast("long"))
+    val totals = pinned.groupBy(col("__cp_pid"))
+      .agg(sum(col(bytesCol)).as("__cp_sum"))
+    // window over per-PARTITION totals: bounded by partition count,
+    // not row count (PlanAudit's partition-id-grouped allowed shape)
+    val offW = Window.orderBy(col("__cp_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__cp_off", coalesce(sum(col("__cp_sum")).over(offW), lit(0L)))
+      .select(col("__cp_pid"), col("__cp_off"))
+    val localW = Window.partitionBy(col("__cp_pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pinned.join(broadcast(offsets), Seq("__cp_pid"))
+      .withColumn("__cp_before",
+        col("__cp_off") + coalesce(sum(col(bytesCol)).over(localW), lit(0L)))
+      .withColumn("bin", expr(s"__cp_before div ${targetBytes}L"))
+      .select((units.columns.map(col) :+ col("bin")).toIndexedSeq: _*)
+  }
+
+  /**
    * Shuffle-free equi-join of two tables previously written by
    * [[writeBucketed]] with the SAME keys and bucket count. The merge
    * hint pins sort-merge (a broadcast would hide the point being

@@ -30,6 +30,15 @@ object Sinks {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC sink — the second columnar at-rest format large warehouses keep
+    * beside parquet (Hive-lineage lakes are ORC end to end). Spark's ORC
+    * writer carries the same column statistics (per-stripe min/max) that
+    * make scan-side predicate pushdown work, so a table written here prunes
+    * stripes exactly like a parquet table prunes row groups. Part of the
+    * extension surface, not reference parity. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Range-partitioned parquet write (S8's layout, reference interval split
     * at second_conciliate.py:409-417): N range partitions on the timestamp
     * column reproduce the reference's per-interval parallel upsert fan-out. */

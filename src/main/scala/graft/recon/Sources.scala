@@ -51,6 +51,13 @@ object Sources {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC scan ([[graft.recon.Sinks.writeOrc]]'s read side). ORC files
+    * carry their schema, so unlike CSV/JSONL no explicit schema is needed
+    * — and filters/projections push into the stripe reader the same way
+    * parquet pushes into row groups (`PushedFilters` in `.explain`). */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /**
    * External-side prep (reference: src/data_extractor.py:95-116):
    * row-provenance index, join-key casts, `ext_` prefix, `exd_` shadow keys.

@@ -35,6 +35,55 @@ class GraphSpec extends SparkSuite {
     assert(r2 == Map(0L -> 1127500L, 1L -> 936250L, 2L -> 936250L))
   }
 
+  test("triangleCounts: K4 has four triangles, three per node") {
+    val nodes = Seq(0L, 1L, 2L, 3L)
+    val e = (for (u <- nodes; v <- nodes if u != v) yield (u, v)).toDF("src", "dst")
+    val r = Graph.triangleCounts(e).as[(Long, Long)].collect().toMap
+    assert(r == nodes.map(_ -> 3L).toMap)
+  }
+
+  test("triangleCounts: square is triangle-free; a diagonal adds two") {
+    val square = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    val sym = (square ++ square.map(_.swap)).toDF("src", "dst")
+    val r0 = Graph.triangleCounts(sym).as[(Long, Long)].collect().toMap
+    assert(r0 == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+
+    // diagonal 0-2 splits the square into triangles {0,1,2} and {0,2,3}
+    val withDiag = (square ++ Seq((0L, 2L))).flatMap(e => Seq(e, e.swap))
+      .toDF("src", "dst")
+    val r1 = Graph.triangleCounts(withDiag).as[(Long, Long)].collect().toMap
+    assert(r1 == Map(0L -> 2L, 1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("triangleCounts: star graph (max-skew hub) counts zero everywhere") {
+    // a hub with 50 leaves: degree orientation points every edge INTO the
+    // hub, so no wedges form at it — the skew-safety the orientation buys
+    val e = (1L to 50L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    val r = Graph.triangleCounts(e)
+    assert(r.count() == 51L)
+    assert(r.where($"n_triangles" =!= 0L).count() == 0L)
+  }
+
+  test("labelPropagation: a triangle converges to the min id in 2 rounds") {
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val e = (tri ++ tri.map(_.swap)).toDF("src", "dst")
+    val r = Graph.labelPropagation(e, iters = 2).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("labelPropagation: two bridged cliques, hand-run 2-round labels") {
+    // cliques {1,2,3} and {10,11,12}, bridge 3-10. Synchronous rounds with
+    // most-frequent/min-tie-break, traced by hand:
+    // r1: 1→2, 2→1, 3→1, 10→3, 11→10, 12→10
+    // r2: 1→1, 2→1, 3→1, 10→10, 11→3, 12→3
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = Graph.labelPropagation(e, iters = 2).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 3L, 12L -> 3L))
+  }
+
   test("pageRank mass stays within the floor-loss envelope") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val e = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")

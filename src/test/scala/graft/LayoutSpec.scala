@@ -34,6 +34,42 @@ class LayoutSpec extends SparkSuite {
     assert(got == want && got.size == 2000)
   }
 
+  test("compactionPlan: cumulative-quota bins on hand-sized inventories") {
+    // pre-sums 0,10,20,30 at target 25 -> bins 0,0,0,1
+    val u1 = Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 10L))
+      .toDF("k", "bytes")
+    val got1 = Layout.compactionPlan(u1, Seq(col("k")), "bytes", 25L)
+      .select("k", "bin").as[(String, Long)].collect().toMap
+    assert(got1 == Map("a" -> 0L, "b" -> 0L, "c" -> 0L, "d" -> 1L))
+
+    // an oversized unit occupies its own bin; the next unit moves on
+    val u2 = Seq(("a", 30L), ("b", 10L)).toDF("k", "bytes")
+    val got2 = Layout.compactionPlan(u2, Seq(col("k")), "bytes", 25L)
+      .select("k", "bin").as[(String, Long)].collect().toMap
+    assert(got2 == Map("a" -> 0L, "b" -> 1L))
+  }
+
+  test("compactionPlan distributed prefix sum equals the window oracle") {
+    // 500 units across shuffled input order; the partition-offset scheme
+    // must reproduce the single-window cumulative form exactly
+    val units = scala.util.Random.shuffle((1 to 500).toList)
+      .map(i => (f"u$i%04d", (i % 37) * 100L + 1L)).toDF("k", "bytes")
+    val got = Layout.compactionPlan(units, Seq(col("k")), "bytes", 5000L)
+      .select("k", "bin").as[(String, Long)].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy("k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = units
+      .withColumn("bin", expr("coalesce(sum(bytes) over (order by k rows between unbounded preceding and 1 preceding), 0L) div 5000L"))
+      .select("k", "bin").as[(String, Long)].collect().toMap
+    assert(got == want)
+    // and the plan carries no whole-inventory single-partition window
+    // (pre-adaptive physical plan: AQE wraps executedPlan in a leaf)
+    val flags = graft.tools.PlanAudit.flagsOf(
+      Layout.compactionPlan(units, Seq(col("k")), "bytes", 5000L)
+        .queryExecution.sparkPlan)
+    assert(flags.isEmpty, flags.mkString(", "))
+  }
+
   test("zValue2 interleaves bits and matches its SQL mirror shape") {
     // x=0b101 (5), y=0b011 (3): z = x@even | y@odd = 1?0?1 with y bits
     // 1,1,0 at odd slots -> 0b011011 = 27

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.RobustStats
+
+class RobustStatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("medianX2: odd and even group sizes, exact integers") {
+    val df = Seq(("a", 1L), ("a", 3L), ("a", 5L),
+      ("b", 1L), ("b", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    val m = RobustStats.medianX2(df, "g", "v")
+      .select("g", "n", "med_x2").as[(String, Long, Long)].collect()
+      .map { case (g, n, x) => g -> ((n, x)) }.toMap
+    assert(m("a") == ((3L, 6L)))  // median 3 -> 6
+    assert(m("b") == ((4L, 5L)))  // median 2.5 -> 5, no division
+  }
+
+  test("medianMad matches hand-computed MAD on both parities") {
+    // a: [1,3,5] med=3, devs [2,0,2] MAD=2 -> mad_x4=8
+    // b: [1,2,3,4] med=2.5, devs [1.5,.5,.5,1.5] MAD=1 -> mad_x4=4
+    val df = Seq(("a", 1L), ("a", 3L), ("a", 5L),
+      ("b", 1L), ("b", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    val r = RobustStats.medianMad(df, "g", "v")
+      .select("g", "med_x2", "mad_x4").as[(String, Long, Long)].collect()
+      .map { case (g, m, d) => g -> ((m, d)) }.toMap
+    assert(r("a") == ((6L, 8L)))
+    assert(r("b") == ((5L, 4L)))
+  }
+
+  test("median shrugs off an outlier the mean cannot") {
+    val base = (1L to 99L).map(("g", _))
+    val df = (base :+ (("g", 1000000L))).toDF("g", "v")
+    val r = RobustStats.medianMad(df, "g", "v")
+      .select("med_x2", "mad_x4").as[(Long, Long)].head()
+    // 100 values: middles are 50 and 51 -> med_x2 = 101
+    assert(r._1 == 101L)
+    // devs2 = |2v-101|: odd values 1..97 twice each, then 99, then the
+    // outlier; sorted ranks 50,51 hold 49 and 51 -> mad_x4 = 100 (MAD 25)
+    assert(r._2 == 100L)
+    // windows stay partitioned: no global-funnel flags
+    val flags = graft.tools.PlanAudit.flagsOf(
+      RobustStats.medianMad(df, "g", "v").queryExecution.sparkPlan)
+    assert(flags.isEmpty, flags.mkString(", "))
+  }
+}

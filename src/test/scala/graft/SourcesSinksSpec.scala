@@ -109,6 +109,25 @@ class SourcesSinksSpec extends SparkSuite {
     assert(back.count() == 2 && back.columns.toSeq == Seq("_id", "amt"))
   }
 
+  test("orc round-trips schema, types, unicode, and nulls") {
+    val dir = Files.createTempDirectory("graft_orc").toFile
+    val out = new java.io.File(dir, "orc").getAbsolutePath
+    val df = Seq(
+      (1L, Some("héllo ✓"), Some(1.5), Some(java.sql.Timestamp.valueOf("2024-05-01 12:00:00"))),
+      (2L, None, None, None))
+      .toDF("id", "s", "v", "ts")
+    Sinks.writeOrc(df, out)
+    val back = Sources.readOrc(spark, out)
+    // file scans report every column nullable; names and types must hold
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(rowsOf(back) == rowsOf(df))
+    // and predicates push into the stripe reader, like parquet row groups
+    val pushed = back.where(col("id") === 1L).queryExecution.executedPlan
+      .toString
+    assert(pushed.contains("PushedFilters: [IsNotNull(id), EqualTo(id,1)"), pushed)
+  }
+
   test("writeRangePartitioned produces ts-range-aligned files") {
     val dir = Files.createTempDirectory("graft_sink2").toFile
     val out = new java.io.File(dir, "parts").getAbsolutePath
