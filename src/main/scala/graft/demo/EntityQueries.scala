@@ -611,6 +611,74 @@ object EntityQueries {
         Seq(col("source"), col("lang")), "bytes", targetBytes = 16384L)
     },
 
+    // keyed snapshot diff (the CDC generalization of two-ledger recon):
+    // "today" plants deterministic changes against the documents table —
+    // doc_id%97=0 dropped, lang rewritten on doc_id%53=0, doc_id%101=0
+    // cloned under a shifted id — and the diff must recover EXACTLY the
+    // planted set with per-row changed-column counts
+    QuerySpec("recon_snapshot_diff",
+      raw"""WITH b AS (
+           |  SELECT doc_id, text, lang, source, n_chars FROM documents
+           |  WHERE doc_id % 97 <> 0),
+           |bm AS (
+           |  SELECT doc_id, text,
+           |    CASE WHEN doc_id % 53 = 0 THEN 'xx' ELSE lang END AS lang,
+           |    source, n_chars FROM b
+           |  UNION ALL
+           |  SELECT doc_id + 10000000, text, lang, source, n_chars
+           |  FROM documents WHERE doc_id % 101 = 0),
+           |j AS (
+           |  SELECT a.doc_id AS ak, bm.doc_id AS bk,
+           |    coalesce(a.doc_id, bm.doc_id) AS doc_id,
+           |    (CASE WHEN a.text IS NOT DISTINCT FROM bm.text THEN 0 ELSE 1 END
+           |     + CASE WHEN a.lang IS NOT DISTINCT FROM bm.lang THEN 0 ELSE 1 END
+           |     + CASE WHEN a.source IS NOT DISTINCT FROM bm.source THEN 0 ELSE 1 END
+           |     + CASE WHEN a.n_chars IS NOT DISTINCT FROM bm.n_chars THEN 0 ELSE 1 END
+           |    ) AS nc
+           |  FROM documents a FULL OUTER JOIN bm ON a.doc_id = bm.doc_id)
+           |SELECT doc_id,
+           |  CASE WHEN ak IS NULL THEN 'added'
+           |       WHEN bk IS NULL THEN 'removed'
+           |       ELSE 'changed' END AS change_type,
+           |  CAST(CASE WHEN ak IS NULL OR bk IS NULL THEN 0 ELSE nc END
+           |    AS BIGINT) AS n_cols_changed
+           |FROM j WHERE ak IS NULL OR bk IS NULL OR nc > 0""".stripMargin) { (s, d) =>
+      val before = docs(s, d).select("doc_id", "text", "lang", "source", "n_chars")
+      val after = before.where(col("doc_id") % 97 =!= 0)
+        .withColumn("lang",
+          when(col("doc_id") % 53 === 0, lit("xx")).otherwise(col("lang")))
+        .unionAll(before.where(col("doc_id") % 101 === 0)
+          .withColumn("doc_id", col("doc_id") + 10000000L))
+      graft.ops.SnapshotDiff.diff(before, after, Seq("doc_id"))
+    },
+
+    // local clustering coefficient in exact milli-units over the same
+    // co-order graph: how clique-like each part's neighborhood is —
+    // 1000·2T/(d(d−1)) with integer floor division in both engines
+    QuerySpec("graph_clustering",
+      raw"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           |            AND a.l_partkey <> b.l_partkey),
+           |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+           |f AS (SELECT e.src AS a, e.dst AS b FROM e
+           |      JOIN dg da ON da.src = e.src JOIN dg db ON db.src = e.dst
+           |      WHERE da.deg < db.deg OR (da.deg = db.deg AND e.src < e.dst)),
+           |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |      FROM f e1 JOIN f e2 ON e2.a = e1.a AND e1.b <> e2.b
+           |      JOIN f e3 ON e3.a = e1.b AND e3.b = e2.b),
+           |m AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+           |      UNION ALL SELECT z FROM t),
+           |c AS (SELECT node, count(*) AS n FROM m GROUP BY 1)
+           |SELECT dg.src AS node, CAST(dg.deg AS BIGINT) AS deg,
+           |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_triangles,
+           |  CAST(CASE WHEN dg.deg >= 2
+           |    THEN (2000 * COALESCE(c.n, 0)) // (dg.deg * (dg.deg - 1))
+           |    ELSE 0 END AS BIGINT) AS coeff_milli
+           |FROM dg LEFT JOIN c ON c.node = dg.src""".stripMargin) { (s, d) =>
+      val edges = graft.ops.Graph.coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey")
+      graft.ops.Graph.clusteringCoefficients(edges)
+    },
+
     // deterministic synchronous label propagation (2 rounds) over the
     // part co-order graph: most-frequent neighbor label, smallest-label
     // tie-break — run-order-independent, so both engines compute the

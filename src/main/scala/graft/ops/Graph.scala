@@ -88,6 +88,24 @@ object Graph {
   }
 
   /**
+   * Local clustering coefficient per node, in exact milli-units:
+   * `1000 · 2·triangles / (deg·(deg−1))` via integer floor division
+   * (coefficient 1.0 = 1000; nodes of degree < 2 report 0). The
+   * "how clique-like is this node's neighborhood" signal — high-
+   * coefficient neighborhoods in a near-dup graph are template families,
+   * low-coefficient hubs are boilerplate bridging unrelated docs.
+   * Cost: [[triangleCounts]] plus one degree aggregate and a join.
+   */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    triangleCounts(edges).join(deg, Seq("node"))
+      .select(col("node"), col("deg"), col("n_triangles"),
+        when(col("deg") >= 2,
+          expr("(2000 * n_triangles) div (deg * (deg - 1))"))
+          .otherwise(0L).as("coeff_milli"))
+  }
+
+  /**
    * Synchronous label propagation (Raghavan et al. 2007) for community
    * detection — the coarse corpus-clustering signal (topic/provenance
    * neighborhoods) that sits between connected components (too coarse:

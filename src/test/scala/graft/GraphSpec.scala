@@ -64,6 +64,22 @@ class GraphSpec extends SparkSuite {
     assert(r.where($"n_triangles" =!= 0L).count() == 0L)
   }
 
+  test("clusteringCoefficients: K4 is fully clustered; a chord splits the square") {
+    val nodes = Seq(0L, 1L, 2L, 3L)
+    val k4 = (for (u <- nodes; v <- nodes if u != v) yield (u, v)).toDF("src", "dst")
+    val rk4 = Graph.clusteringCoefficients(k4)
+      .select("node", "coeff_milli").as[(Long, Long)].collect().toMap
+    assert(rk4 == nodes.map(_ -> 1000L).toMap)
+
+    // square + diagonal 0-2: node0 deg3 tri2 -> 4000 div 6 = 666;
+    // node1 deg2 tri1 -> 1000
+    val und = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L))
+    val e = und.flatMap(p => Seq(p, p.swap)).toDF("src", "dst")
+    val r = Graph.clusteringCoefficients(e)
+      .select("node", "coeff_milli").as[(Long, Long)].collect().toMap
+    assert(r == Map(0L -> 666L, 1L -> 1000L, 2L -> 666L, 3L -> 1000L))
+  }
+
   test("labelPropagation: a triangle converges to the min id in 2 rounds") {
     val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L))
     val e = (tri ++ tri.map(_.swap)).toDF("src", "dst")
