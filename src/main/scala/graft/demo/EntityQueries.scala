@@ -611,6 +611,27 @@ object EntityQueries {
         Seq(col("source"), col("lang")), "bytes", targetBytes = 16384L)
     },
 
+    // data-skipping skip-scan: write a range-clustered multi-file copy
+    // of documents, build a per-file min/max manifest (one distributed
+    // pass), then answer a doc_id range query by opening ONLY the files
+    // whose stats envelope overlaps — at 100 TB this is the difference
+    // between ~200k footer opens and a few hundred. Result must equal
+    // the plain filtered scan exactly (the oracle never sees the layout)
+    QuerySpec("layout_skip_scan",
+      raw"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           |FROM documents WHERE doc_id BETWEEN 120 AND 220
+           |GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_skipscan").toString
+      docs(s, d).select("doc_id", "lang", "n_chars")
+        .repartitionByRange(8, col("doc_id"))
+        .write.mode("overwrite").parquet(dir)
+      val m = graft.ops.Manifest.build(s, dir, Seq("doc_id"))
+      graft.ops.Manifest.prunedRead(s, dir, m, "doc_id", lit(120L), lit(220L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("sum_chars"))
+    },
+
     // keyed snapshot diff (the CDC generalization of two-ledger recon):
     // "today" plants deterministic changes against the documents table —
     // doc_id%97=0 dropped, lang rewritten on doc_id%53=0, doc_id%101=0
