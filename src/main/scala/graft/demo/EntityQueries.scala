@@ -611,6 +611,41 @@ object EntityQueries {
         Seq(col("source"), col("lang")), "bytes", targetBytes = 16384L)
     },
 
+    // golden-record survivorship over two simulated customer feeds: the
+    // higher-priority "update" feed rewrites segments for custkey%3=0 but
+    // carries names only for custkey%6=0 — per FIELD the best non-null
+    // contributor wins, with provenance columns naming the winning feed.
+    // One hash aggregation (max_by with null-gated rank); the oracle is
+    // DuckDB's arg_max with a FILTER clause over the same rank key
+    QuerySpec("recon_survivorship",
+      raw"""WITH f AS (
+           |  SELECT c_custkey AS entity, 'base' AS src, 1 AS prio,
+           |    c_name AS name, c_mktsegment AS segment FROM customer
+           |  UNION ALL
+           |  SELECT c_custkey, 'update', 2,
+           |    CASE WHEN c_custkey % 6 = 0 THEN upper(c_name) END,
+           |    'U-' || c_mktsegment
+           |  FROM customer WHERE c_custkey % 3 = 0)
+           |SELECT entity,
+           |  arg_max(name, prio) FILTER (WHERE name IS NOT NULL) AS name,
+           |  arg_max(src, prio) FILTER (WHERE name IS NOT NULL) AS name_src,
+           |  arg_max(segment, prio) FILTER (WHERE segment IS NOT NULL) AS segment,
+           |  arg_max(src, prio) FILTER (WHERE segment IS NOT NULL) AS segment_src,
+           |  CAST(count(*) AS BIGINT) AS n_records
+           |FROM f GROUP BY 1""".stripMargin) { (s, d) =>
+      val c = customer(s, d)
+      val base = c.select(col("c_custkey").as("entity"), lit("base").as("src"),
+        lit(1L).as("prio"), col("c_name").as("name"), col("c_mktsegment").as("segment"))
+      val upd = c.where(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("entity"), lit("update").as("src"),
+          lit(2L).as("prio"),
+          when(col("c_custkey") % 6 === 0, upper(col("c_name"))).as("name"),
+          concat(lit("U-"), col("c_mktsegment")).as("segment"))
+      graft.ops.Survivorship.goldenWithProvenance(base.unionAll(upd), "entity",
+        graft.ops.Survivorship.rankKey(col("prio"), lit(0L), col("prio")),
+        Seq("name", "segment"), "src")
+    },
+
     // data-skipping skip-scan: write a range-clustered multi-file copy
     // of documents, build a per-file min/max manifest (one distributed
     // pass), then answer a doc_id range query by opening ONLY the files
