@@ -611,6 +611,32 @@ object EntityQueries {
         Seq(col("source"), col("lang")), "bytes", targetBytes = 16384L)
     },
 
+    // incremental aggregation maintenance: the rollup state of events
+    // before Jan 20 merged with the state of the later "ingest batch"
+    // must equal a full recompute bit-for-bit — sums run in
+    // DECIMAL(38,9) so the split point cannot change a digit (double
+    // addition would). At 100 TB the left state is a persisted artifact
+    // and only the delta is ever aggregated; the oracle IS the full
+    // recompute the merge exists to avoid
+    QuerySpec("events_incremental_state",
+      raw"""SELECT user_id, event_type,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(value) AS BIGINT) AS n_vals,
+           |  CAST(sum(CAST(value AS DECIMAL(38,9))) AS VARCHAR) AS sum_val,
+           |  min(value) AS min_val, max(value) AS max_val
+           |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val cut = lit("2024-01-20").cast("timestamp")
+      val keys = Seq("user_id", "event_type")
+      graft.ops.IncrementalAgg.merge(keys, Seq(
+          graft.ops.IncrementalAgg.state(ev.where(col("ts") < cut), keys, "value"),
+          graft.ops.IncrementalAgg.state(ev.where(col("ts") >= cut), keys, "value")))
+        // compare-harness projection only: pandas renders a DECIMAL
+        // column through float64 on the DuckDB side, losing the scale;
+        // the fixed-scale string form is identical in both engines
+        .withColumn("sum_val", col("sum_val").cast("string"))
+    },
+
     // golden-record survivorship over two simulated customer feeds: the
     // higher-priority "update" feed rewrites segments for custkey%3=0 but
     // carries names only for custkey%6=0 — per FIELD the best non-null
