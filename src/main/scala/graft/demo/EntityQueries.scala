@@ -262,6 +262,30 @@ object EntityQueries {
       graft.ops.Privacy.kAnonymize(c, "c_custkey", "geo", "parent", "cat", k = 12)
     },
 
+    // distinct l-diversity audit at l=3 over (nation, acctbal-band)
+    // classes with mktsegment as the sensitive attribute: class size,
+    // distinct sensitive values, the homogeneity-attack share of the
+    // top value in exact milli-units, and the 0/1 verdict. Two grouped
+    // counts, no data-sized windows; null sensitive values form their
+    // own group in BOTH engines (the oracle mirrors the grouping rather
+    // than using count(DISTINCT), which would drop nulls)
+    QuerySpec("privacy_l_diversity",
+      raw"""WITH v AS (SELECT c_nationkey,
+           |             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+           |             c_mktsegment AS sv FROM customer),
+           |g AS (SELECT c_nationkey, band, sv, count(*) AS nv
+           |      FROM v GROUP BY 1, 2, 3)
+           |SELECT c_nationkey, band,
+           |  CAST(sum(nv) AS BIGINT) AS group_n,
+           |  CAST(count(*) AS BIGINT) AS n_sensitive,
+           |  CAST((max(nv) * 1000) // sum(nv) AS BIGINT) AS top_share_milli,
+           |  CAST(CASE WHEN count(*) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS diverse
+           |FROM g GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      graft.ops.Privacy.lDiversityAudit(
+        customer(s, d).withColumn("band", floor(col("c_acctbal") / 1000)),
+        Seq("c_nationkey", "band"), "c_mktsegment", l = 3)
+    },
+
     // winnowing fingerprint selection (Schleimer et al. SIGMOD'03, the
     // MOSS algorithm): per document, the ~2/(w+1)-density set of k-gram
     // hashes a window-min keeps. The rightmost-min tie-break is folded

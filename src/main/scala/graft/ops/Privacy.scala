@@ -67,6 +67,48 @@ object Privacy {
   }
 
   /**
+   * Distinct ℓ-diversity audit (Machanavajjhala et al. 2007): a
+   * k-anonymous class is still a disclosure if everyone in it shares
+   * the sensitive value — indistinguishability protects WHO you are,
+   * not WHAT the class reveals. Per quasi-identifier class: size,
+   * distinct sensitive values, the top sensitive value's share in
+   * milli-units (the homogeneity-attack risk number), and a 0/1
+   * `diverse` verdict at threshold `l`.
+   *
+   * Same scale shape as [[kAnonymize]]: two grouped counts (map-side
+   * combine; the inner one is distinct-(quasi, sensitive)-sized), no
+   * windows over data-sized partitions.
+   */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "no quasi-identifier columns")
+    require(l >= 2, s"l-diversity needs l >= 2: $l")
+    val q = quasiCols.map(col)
+    df.groupBy(q :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("__nv"))
+      .groupBy(q: _*)
+      .agg(sum(col("__nv")).as("group_n"),
+        count(lit(1)).as("n_sensitive"),
+        max(col("__nv")).as("__top"))
+      .select(q ++ Seq(
+        col("group_n"),
+        col("n_sensitive"),
+        expr("(__top * 1000) div group_n").as("top_share_milli"),
+        when(col("n_sensitive") >= l, 1L).otherwise(0L).as("diverse")): _*)
+  }
+
+  /** Enforcement half: keep only rows whose class passes
+    * [[lDiversityAudit]] at `l` — the suppression a release applies
+    * after the audit names the failing classes. Broadcast semi-join on
+    * the class tuple (class table is distinct-quasi-sized). */
+  def enforceLDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame =
+    df.join(
+      broadcast(lDiversityAudit(df, quasiCols, sensitiveCol, l)
+        .where(col("diverse") === 1L).select(quasiCols.map(col): _*)),
+      quasiCols, "left_semi")
+
+  /**
    * Right-to-erasure propagation: drop every row of `df` keyed by an
    * erased subject. One anti-join on the subject key — broadcast when
    * the deletion list is list-sized (it is, by nature), so the 100 TB

@@ -42,6 +42,33 @@ class PrivacySpec extends SparkSuite {
     assert(out(4L) == 2L, "lone generalizer must be suppressed, not saved by level-0 rows")
   }
 
+  test("lDiversityAudit flags homogeneous classes; top share is exact milli") {
+    val rows = Seq(
+      // class A: 4 rows, 3 distinct diseases, top share 2/4 = 500
+      ("A", "flu"), ("A", "flu"), ("A", "cold"), ("A", "cancer"),
+      // class B: homogeneous — k-anonymous maybe, but zero diversity
+      ("B", "flu"), ("B", "flu"), ("B", "flu"),
+      // class C: nulls form their own sensitive group
+      ("C", null), ("C", "flu")
+    ).toDF("geo", "disease")
+    val audit = Privacy.lDiversityAudit(rows, Seq("geo"), "disease", l = 2)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(audit("A") == ((4L, 3L, 500L, 1L)))
+    assert(audit("B") == ((3L, 1L, 1000L, 0L)))
+    assert(audit("C") == ((2L, 2L, 500L, 1L)))
+  }
+
+  test("enforceLDiversity keeps exactly the diverse classes' rows") {
+    val rows = Seq(
+      ("A", "flu"), ("A", "cold"),
+      ("B", "flu"), ("B", "flu")
+    ).toDF("geo", "disease")
+    val kept = Privacy.enforceLDiversity(rows, Seq("geo"), "disease", l = 2)
+      .as[(String, String)].collect().toSet
+    assert(kept == Set(("A", "flu"), ("A", "cold")))
+  }
+
   test("erase drops exactly the subjects' rows; erasureReport counts them first") {
     val facts = Seq((1L, "a"), (2L, "b"), (2L, "c"), (3L, "d")).toDF("uid", "v")
     val subjects = Seq(2L, 99L).toDF("subject") // 99 hits nothing
