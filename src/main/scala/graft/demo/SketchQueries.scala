@@ -88,6 +88,35 @@ object SketchQueries {
       Sketches.hllEstimateFromRegisters(Sketches.hllMerge(Seq(half(0), half(1)), "lang"), "lang")
     },
 
+    // sliding-window distinct users per 3-hour window over the event
+    // log: per-HOUR registers built once, fanned out by a generator to
+    // the 3 windows each hour serves, max-merged per window. The naive
+    // form rescans every event 3x; this shuffles only register-sized
+    // frames (hours x 64 rows). Head/tail windows are partial by the
+    // same rule in both engines
+    QuerySpec("events_sliding_distinct",
+      raw"""WITH u AS (SELECT epoch_ms(ts) // 3600000 AS unit,
+           |             CAST(user_id AS VARCHAR) AS v FROM events),
+           |hh AS (SELECT unit, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h FROM u),
+           |rr AS (SELECT unit, h % 64 AS bucket,
+           |         CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho
+           |       FROM hh),
+           |reg AS (SELECT unit, bucket, max(rho) AS rho FROM rr GROUP BY 1, 2),
+           |fan AS (SELECT unit + gg AS window_end, bucket, rho
+           |        FROM reg, (SELECT unnest(range(0, 3)) AS gg)),
+           |mg AS (SELECT window_end, bucket, max(rho) AS rho FROM fan GROUP BY 1, 2),
+           |agg AS (SELECT window_end,
+           |          64 - count(*) AS n_zero_registers,
+           |          CAST(sum(CAST(1 AS BIGINT) << CAST(55 - rho AS INTEGER))
+           |               + (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT) AS s_scaled
+           |        FROM mg GROUP BY 1)
+           |SELECT window_end, n_zero_registers, s_scaled,
+           |  ${Sketches.EstimateNumerator} / CAST(s_scaled AS DOUBLE) AS raw_estimate
+           |FROM agg""".stripMargin) { (s, d) =>
+      Sketches.hllSliding(events(s, d),
+        expr("unix_millis(ts) div 3600000"), col("user_id").cast("string"), width = 3)
+    },
+
     // bloom-pre-filtered semi-join: all events of users who ever had a
     // high-value error. The bloom bit-test drops non-candidate probe rows
     // at the scan before the only shuffle; the exact semi-join removes

@@ -114,6 +114,34 @@ object Sketches {
           lit(M.toDouble) * log(lit(M.toDouble) / col("n_zero_registers").cast("double")))
           .otherwise(col("raw_estimate")))
 
+  /**
+   * Sliding-window distinct estimate: registers are built ONCE per
+   * integer time unit, then each unit's ≤ m register rows are fanned
+   * out (a generator, no join) to the `width` windows that unit serves
+   * — window_end ∈ [unit, unit + width − 1] — and merged per window by
+   * the usual idempotent max. The naive form rescans every event
+   * `width` times; this rescans nothing and shuffles only
+   * register-sized frames (units × m rows), which is what overlapping
+   * windows over a 100 TB event log require. Windows at the head/tail
+   * of the range are emitted with the units that exist (standard
+   * partial-window semantics; filter on `window_end` to trim).
+   * Output: [[hllEstimateFromRegisters]] keyed by `window_end`.
+   */
+  def hllSliding(df: DataFrame, unitCol: Column, valueCol: Column,
+      width: Int): DataFrame = {
+    require(width >= 1, s"window width must be >= 1: $width")
+    val regs = hllRegisters(
+      df.select(unitCol.cast("long").as("unit"), valueCol.as("__v")),
+      "unit", col("__v"))
+    val fanned = regs.select(
+      explode(sequence(col("unit"), col("unit") + (width - 1))).as("window_end"),
+      col("bucket"), col("rho"))
+    hllEstimateFromRegisters(
+      fanned.groupBy(col("window_end"), col("bucket"))
+        .agg(max(col("rho")).as("rho")),
+      "window_end")
+  }
+
   // ---- count-min sketch --------------------------------------------------
 
   /** CMS bucket of a value in hash row `i`: the portable 60-bit md5 key

@@ -67,6 +67,24 @@ class SketchesSpec extends SparkSuite {
     assert(estWhole == estMerged)
   }
 
+  test("hllSliding: each window equals the direct sketch of its unit range") {
+    // units 0..4, distinct value sets per unit with overlap across units
+    val df = (0 to 4).flatMap(u =>
+      (0 until 200).map(i => (u.toLong, s"v${u * 100 + i}"))).toDF("unit", "v")
+    val slid = Sketches.hllSliding(df, col("unit"), col("v"), width = 3)
+      .select("window_end", "s_scaled").as[(Long, Long)].collect().toMap
+    // partial head windows + full windows + partial tail windows
+    assert(slid.keySet == (0L to 6L).toSet)
+    for (end <- 0L to 6L) {
+      // rebuild the window sketch the slow way: one stratum over the
+      // union of the window's rows
+      val windowDirect = Sketches.hllEstimate(
+        df.where(col("unit").between(end - 2, end)).withColumn("unit", lit(0L)),
+        "unit", col("v")).select("s_scaled").as[Long].head()
+      assert(slid(end) == windowDirect, s"window_end=$end")
+    }
+  }
+
   // ---- KMV bottom-k ------------------------------------------------------
 
   test("kmvSketch is the bottom-k of distinct hashes, salt- and dup-insensitive") {
