@@ -635,6 +635,36 @@ object EntityQueries {
         Seq(col("source"), col("lang")), "bytes", targetBytes = 16384L)
     },
 
+    // time-series regularization to a 4-hour grid per user: silent
+    // buckets PRESENT as zero-count filled rows, with the decimal sum
+    // carried forward (LOCF). The grid is generated per entity in-plan
+    // (sequence+explode off a bounds row — no driver loop, no cross
+    // join); the LOCF window is entity-partitioned, never data-global
+    QuerySpec("events_resampled",
+      raw"""WITH b AS (SELECT user_id, epoch_ms(ts) // 14400000 AS bucket,
+           |             CAST(count(*) AS BIGINT) AS n_events,
+           |             sum(CAST(value AS DECIMAL(38,9))) AS sv
+           |           FROM events GROUP BY 1, 2),
+           |bounds AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+           |           FROM b GROUP BY 1),
+           |grid AS (SELECT user_id, unnest(range(mn, mx + 1)) AS bucket FROM bounds),
+           |j AS (SELECT g.user_id, g.bucket,
+           |        COALESCE(b.n_events, 0) AS n_events, b.sv,
+           |        CAST(CASE WHEN b.n_events IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+           |      FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket)
+           |SELECT user_id, bucket, n_events,
+           |  CAST(sv AS VARCHAR) AS sum_val, filled,
+           |  CAST(last_value(sv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+           |         ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS locf_sum
+           |FROM j""".stripMargin) { (s, d) =>
+      graft.ops.Resample.regularize(events(s, d), "user_id", "ts", "value",
+          intervalMs = 14400000L)
+        // compare-harness projection: fixed-scale string form of the
+        // decimals (pandas renders DuckDB decimals via float64)
+        .withColumn("sum_val", col("sum_val").cast("string"))
+        .withColumn("locf_sum", col("locf_sum").cast("string"))
+    },
+
     // incremental aggregation maintenance: the rollup state of events
     // before Jan 20 merged with the state of the later "ingest batch"
     // must equal a full recompute bit-for-bit — sums run in
