@@ -635,6 +635,37 @@ object EntityQueries {
         Seq(col("source"), col("lang")), "bytes", targetBytes = 16384L)
     },
 
+    // offline changepoint per event type: hourly counts (gap-filled so
+    // silent hours weigh in as zeros) scored by the max-|CUSUM|
+    // statistic with n-scaled integer deviations — both engines sum the
+    // same longs. Composes Resample (grid) with Changepoint (statistic)
+    QuerySpec("events_changepoint",
+      raw"""WITH b AS (SELECT event_type, epoch_ms(ts) // 3600000 AS bucket,
+           |             CAST(count(*) AS BIGINT) AS x
+           |           FROM events GROUP BY 1, 2),
+           |bounds AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+           |           FROM b GROUP BY 1),
+           |grid AS (SELECT event_type, unnest(range(mn, mx + 1)) AS bucket FROM bounds),
+           |g AS (SELECT grid.event_type, grid.bucket, COALESCE(b.x, 0) AS x
+           |      FROM grid LEFT JOIN b ON b.event_type = grid.event_type
+           |                           AND b.bucket = grid.bucket),
+           |t AS (SELECT event_type, sum(x) AS tot, count(*) AS nn FROM g GROUP BY 1),
+           |c AS (SELECT g.event_type, g.bucket, t.nn, t.tot,
+           |        sum(g.x * t.nn - t.tot) OVER (PARTITION BY g.event_type
+           |          ORDER BY g.bucket ROWS UNBOUNDED PRECEDING) AS cusum
+           |      FROM g JOIN t USING (event_type)),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+           |        ORDER BY abs(cusum) DESC, bucket) AS rk FROM c)
+           |SELECT event_type, bucket AS cp_bucket,
+           |  CAST(cusum AS BIGINT) AS cusum_scaled,
+           |  CAST(nn AS BIGINT) AS n_points, CAST(tot AS BIGINT) AS total
+           |FROM r WHERE rk = 1""".stripMargin) { (s, d) =>
+      val hourly = graft.ops.Resample.gapFill(
+        graft.ops.Resample.resample(events(s, d), "event_type", "ts", "value",
+          intervalMs = 3600000L), "event_type")
+      graft.ops.Changepoint.maxCusum(hourly, "event_type", "bucket", "n_events")
+    },
+
     // time-series regularization to a 4-hour grid per user: silent
     // buckets PRESENT as zero-count filled rows, with the decimal sum
     // carried forward (LOCF). The grid is generated per entity in-plan
