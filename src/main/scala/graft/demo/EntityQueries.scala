@@ -635,6 +635,106 @@ object EntityQueries {
         Seq(col("source"), col("lang")), "bytes", targetBytes = 16384L)
     },
 
+    // one-pass column profiling: null rates (exact milli) + portable
+    // HLL distinct estimates for four documents columns from ONE
+    // generator + two aggregations — per-column jobs don't scale to
+    // wide tables. Values profile through their canonical string form
+    QuerySpec("quality_column_profile",
+      raw"""WITH st AS (
+           |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+           |  UNION ALL SELECT 'lang', lang FROM documents
+           |  UNION ALL SELECT 'source', source FROM documents
+           |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
+           |n AS (SELECT col_name, count(*) AS n_rows,
+           |        sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null
+           |      FROM st GROUP BY 1),
+           |hh AS (SELECT col_name, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+           |       FROM st WHERE v IS NOT NULL),
+           |rr AS (SELECT col_name, h % 64 AS bucket,
+           |         CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho
+           |       FROM hh),
+           |reg AS (SELECT col_name, bucket, max(rho) AS rho FROM rr GROUP BY 1, 2),
+           |agg AS (SELECT col_name,
+           |          CAST(sum(CAST(1 AS BIGINT) << CAST(55 - rho AS INTEGER))
+           |               + (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT) AS s_scaled
+           |        FROM reg GROUP BY 1)
+           |SELECT n.col_name, CAST(n_rows AS BIGINT) AS n_rows,
+           |  CAST(n_null AS BIGINT) AS n_null,
+           |  CAST((n_null * 1000) // n_rows AS BIGINT) AS null_milli,
+           |  CAST(COALESCE(s_scaled, 0) AS BIGINT) AS s_scaled,
+           |  COALESCE(${graft.ops.Sketches.EstimateNumerator} / CAST(s_scaled AS DOUBLE), 0.0)
+           |    AS raw_estimate
+           |FROM n LEFT JOIN agg USING (col_name)""".stripMargin) { (s, d) =>
+      graft.ops.Drift.profile(docs(s, d), Seq("doc_id", "lang", "source", "n_chars"))
+    },
+
+    // profile drift between yesterday's documents and a mutated today:
+    // source dropped, a flag column added, lang nulled on doc_id%5=0 —
+    // the added/removed/null-rate-shift report is computed from two
+    // profile frames, so the drift step itself is profile-sized
+    QuerySpec("quality_schema_drift",
+      raw"""WITH stb AS (
+           |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+           |  UNION ALL SELECT 'lang', lang FROM documents
+           |  UNION ALL SELECT 'source', source FROM documents
+           |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents),
+           |sta AS (
+           |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+           |  UNION ALL SELECT 'lang', CASE WHEN doc_id % 5 <> 0 THEN lang END FROM documents
+           |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+           |  UNION ALL SELECT 'flag', CAST(doc_id % 2 AS VARCHAR) FROM documents),
+           |nb AS (SELECT col_name, count(*) AS n_rows,
+           |         sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null
+           |       FROM stb GROUP BY 1),
+           |na AS (SELECT col_name, count(*) AS n_rows,
+           |         sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_null
+           |       FROM sta GROUP BY 1),
+           |hb AS (SELECT col_name, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+           |       FROM stb WHERE v IS NOT NULL),
+           |ha AS (SELECT col_name, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h
+           |       FROM sta WHERE v IS NOT NULL),
+           |rb AS (SELECT col_name, h % 64 AS bucket,
+           |         CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho
+           |       FROM hb),
+           |ra AS (SELECT col_name, h % 64 AS bucket,
+           |         CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho
+           |       FROM ha),
+           |gb AS (SELECT col_name, bucket, max(rho) AS rho FROM rb GROUP BY 1, 2),
+           |ga AS (SELECT col_name, bucket, max(rho) AS rho FROM ra GROUP BY 1, 2),
+           |ab AS (SELECT col_name,
+           |         CAST(sum(CAST(1 AS BIGINT) << CAST(55 - rho AS INTEGER))
+           |              + (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT) AS s_scaled
+           |       FROM gb GROUP BY 1),
+           |aa AS (SELECT col_name,
+           |         CAST(sum(CAST(1 AS BIGINT) << CAST(55 - rho AS INTEGER))
+           |              + (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT) AS s_scaled
+           |       FROM ga GROUP BY 1),
+           |pb AS (SELECT nb.col_name, (n_null * 1000) // n_rows AS null_milli,
+           |         COALESCE(s_scaled, 0) AS s_scaled
+           |       FROM nb LEFT JOIN ab USING (col_name)),
+           |pa AS (SELECT na.col_name, (n_null * 1000) // n_rows AS null_milli,
+           |         COALESCE(s_scaled, 0) AS s_scaled
+           |       FROM na LEFT JOIN aa USING (col_name))
+           |SELECT COALESCE(pb.col_name, pa.col_name) AS col_name,
+           |  CASE WHEN pb.col_name IS NULL THEN 'added'
+           |       WHEN pa.col_name IS NULL THEN 'removed'
+           |       ELSE 'common' END AS status,
+           |  CAST(pb.null_milli AS BIGINT) AS null_milli_before,
+           |  CAST(pa.null_milli AS BIGINT) AS null_milli_after,
+           |  CAST(COALESCE(pa.null_milli, 0) - COALESCE(pb.null_milli, 0) AS BIGINT)
+           |    AS null_milli_delta,
+           |  CAST(pb.s_scaled AS BIGINT) AS s_scaled_before,
+           |  CAST(pa.s_scaled AS BIGINT) AS s_scaled_after
+           |FROM pb FULL OUTER JOIN pa ON pb.col_name = pa.col_name""".stripMargin) { (s, d) =>
+      val before = docs(s, d)
+      val after = before.select(col("doc_id"),
+        when(col("doc_id") % 5 =!= 0, col("lang")).as("lang"),
+        col("n_chars"), (col("doc_id") % 2).as("flag"))
+      graft.ops.Drift.drift(
+        graft.ops.Drift.profile(before, Seq("doc_id", "lang", "source", "n_chars")),
+        graft.ops.Drift.profile(after, Seq("doc_id", "lang", "n_chars", "flag")))
+    },
+
     // offline changepoint per event type: hourly counts (gap-filled so
     // silent hours weigh in as zeros) scored by the max-|CUSUM|
     // statistic with n-scaled integer deviations — both engines sum the

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Column profiling and profile drift — the monitoring layer that
+ * catches a 100 TB ingest going quietly wrong: a feed that starts
+ * nulling a column, a cardinality collapse (every `source` suddenly
+ * "unknown"), a column added or dropped upstream.
+ *
+ * [[profile]] long-forms the chosen columns in-plan (one generator —
+ * `(col_name, stringified value)` pairs; no per-column jobs) and runs
+ * ONE aggregation for null counts plus ONE [[Sketches]] HLL register
+ * build for distinct estimates — two shuffles total for any number of
+ * columns, both over map-side-combined register/count-sized frames.
+ * Values are profiled through their canonical string form (the same
+ * canonicalization [[Sampling.keyHash]] uses), which is what makes the
+ * sketch portable and the oracle mirrorable.
+ *
+ * [[drift]] full-outer-joins two profiles on the column name:
+ * added/removed columns surface as status rows, shared columns carry
+ * before/after null rates (exact milli) and distinct-sketch sums —
+ * profile-sized frames, so drift itself costs nothing at any scale.
+ */
+object Drift {
+
+  /** Per-column profile: `(col_name, n_rows, n_null, null_milli,
+    * s_scaled, raw_estimate)` — null rate exact in milli-units,
+    * distinct cardinality as the portable HLL estimate (s_scaled is
+    * the exact integer register sum; see [[Sketches]]). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    val stacked = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("s"))
+      .select(col("s.col_name").as("col_name"), col("s.v").as("v"))
+    val nulls = stacked.groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"))
+      .withColumn("null_milli", expr("(n_null * 1000) div n_rows"))
+    val distincts = Sketches.hllEstimateFromRegisters(
+      Sketches.hllRegisters(stacked.where(col("v").isNotNull), "col_name", col("v")),
+      "col_name")
+    // left join: a column that is ENTIRELY null has no registers — its
+    // distinct estimate is 0 by definition, not missing
+    nulls.join(distincts.select(col("col_name"), col("s_scaled"), col("raw_estimate")),
+        Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_null"), col("null_milli"),
+        coalesce(col("s_scaled"), lit(0L)).as("s_scaled"),
+        coalesce(col("raw_estimate"), lit(0.0)).as("raw_estimate"))
+  }
+
+  /** Drift between two [[profile]] outputs. Status: 'added' (after
+    * only), 'removed' (before only), 'common'. Shared columns carry
+    * exact before/after null rates and the delta; the sketch sums let
+    * a consumer flag cardinality collapse (s_scaled grows as distinct
+    * count shrinks). */
+  def drift(before: DataFrame, after: DataFrame): DataFrame = {
+    val b = before.select(col("col_name"), col("null_milli").as("null_milli_before"),
+      col("s_scaled").as("s_scaled_before"))
+    val a = after.select(col("col_name"), col("null_milli").as("null_milli_after"),
+      col("s_scaled").as("s_scaled_after"))
+    b.join(a, Seq("col_name"), "full_outer")
+      .select(col("col_name"),
+        when(col("null_milli_before").isNull, "added")
+          .when(col("null_milli_after").isNull, "removed")
+          .otherwise("common").as("status"),
+        col("null_milli_before"), col("null_milli_after"),
+        (coalesce(col("null_milli_after"), lit(0L)) -
+          coalesce(col("null_milli_before"), lit(0L))).as("null_milli_delta"),
+        col("s_scaled_before"), col("s_scaled_after"))
+  }
+}
