@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -59,4 +59,65 @@ object IncrementalAgg {
         min(col("min_val")).as("min_val"),
         max(col("max_val")).as("max_val"))
   }
+
+  // ---- streaming maintenance --------------------------------------------
+  //
+  // The foreachBatch form of the same algebra: each micro-batch's state
+  // merges into a persisted parquet state. Structured Streaming's
+  // foreachBatch is AT-LEAST-ONCE — after a failure the last batch can
+  // replay — and a replayed merge would double-count, so the persisted
+  // artifact carries the last applied batch id and [[updateState]] is
+  // an idempotent no-op for already-applied ids. State and batch-id
+  // meta are written into ONE temp directory swapped into place by a
+  // single rename, so a reader (or a recovering writer) never sees a
+  // state/meta mix from two different batches. Same single-writer
+  // contract as [[IndexStore]]: one maintenance stream per state path.
+
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The persisted state and the last applied batch id, if any. */
+  def readState(spark: SparkSession, statePath: String): Option[(DataFrame, Long)] = {
+    val cur = new org.apache.hadoop.fs.Path(statePath, "current")
+    if (!fs(spark, cur).exists(cur)) None
+    else Some((
+      spark.read.parquet(s"$cur/state"),
+      spark.read.parquet(s"$cur/meta").head().getAs[Long]("last_batch_id")))
+  }
+
+  /** Merge one micro-batch into the persisted state. Returns false (and
+    * changes nothing) when `batchId` was already applied — the replay
+    * guard that makes at-least-once delivery exactly-once here. */
+  def updateState(batch: DataFrame, keys: Seq[String], valueCol: String,
+      statePath: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val prev = readState(spark, statePath)
+    if (prev.exists(_._2 >= batchId)) return false
+    val merged = prev match {
+      case Some((old, _)) => merge(keys, Seq(old, state(batch, keys, valueCol)))
+      case None => state(batch, keys, valueCol)
+    }
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val f = fs(spark, root)
+    val tmp = new org.apache.hadoop.fs.Path(root, "_tmp")
+    if (f.exists(tmp)) f.delete(tmp, true)
+    // materialize BEFORE touching the live dir: merged reads the live
+    // state lazily, and writing it into tmp forces the read first
+    merged.write.mode("overwrite").parquet(s"$tmp/state")
+    spark.range(1).select(lit(batchId).as("last_batch_id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    val cur = new org.apache.hadoop.fs.Path(root, "current")
+    if (f.exists(cur)) f.delete(cur, true)
+    require(f.rename(tmp, cur), s"rename $tmp -> $cur failed")
+    true
+  }
+
+  /** Wire a stream into [[updateState]]: returns the configured writer;
+    * the caller picks the trigger and starts it. */
+  def maintain(stream: DataFrame, keys: Seq[String], valueCol: String,
+      statePath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        updateState(batch, keys, valueCol, statePath, batchId); ()
+    }
 }
