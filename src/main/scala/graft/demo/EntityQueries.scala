@@ -635,6 +635,43 @@ object EntityQueries {
         Seq(col("source"), col("lang")), "bytes", targetBytes = 16384L)
     },
 
+    // join-size forecast WITHOUT running the join: |orders ⋈ lineitem|
+    // from the two per-key count frames — count-table join shuffles
+    // keys, not rows, and prices the real join before a cluster
+    // commits to it. The oracle is free to just count; the Spark side
+    // must never touch row pairs
+    QuerySpec("recon_join_forecast",
+      raw"""WITH ca AS (SELECT o_orderkey AS k, count(*) AS fa FROM orders GROUP BY 1),
+           |cb AS (SELECT l_orderkey AS k, count(*) AS fb FROM lineitem GROUP BY 1),
+           |j AS (SELECT fa * fb AS pairs FROM ca JOIN cb USING (k))
+           |SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_left,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_right,
+           |  CAST(count(*) AS BIGINT) AS n_overlap_keys,
+           |  CAST(COALESCE(sum(pairs), 0) AS BIGINT) AS n_output_rows
+           |FROM j""".stripMargin) { (s, d) =>
+      graft.ops.JoinForecast.joinSizeEstimate(
+        s.read.parquet(s"$d/orders.parquet").select(col("o_orderkey").as("k")),
+        lineitem(s, d).select(col("l_orderkey").as("k")), Seq("k"))
+    },
+
+    // the skew companion: which keys dominate a SELF-join of events on
+    // user_id — the salting / AQE-skew-hint candidate list with exact
+    // milli shares of the forecast output. Two-phase top-k (partition-
+    // local prune, then a global window over <= k x partitions rows)
+    QuerySpec("recon_join_skew",
+      raw"""WITH c AS (SELECT user_id, count(*) AS f FROM events GROUP BY 1),
+           |p AS (SELECT user_id, CAST(f * f AS BIGINT) AS n_pairs FROM c),
+           |t AS (SELECT sum(n_pairs) AS tot FROM p),
+           |r AS (SELECT user_id, n_pairs,
+           |        row_number() OVER (ORDER BY n_pairs DESC, user_id) AS rank FROM p)
+           |SELECT user_id, n_pairs,
+           |  CAST((n_pairs * 1000) // t.tot AS BIGINT) AS share_milli,
+           |  CAST(rank AS BIGINT) AS rank
+           |FROM r, t WHERE rank <= 10""".stripMargin) { (s, d) =>
+      val ev = events(s, d).select("user_id")
+      graft.ops.JoinForecast.skewTopK(ev, ev, Seq("user_id"), k = 10)
+    },
+
     // one-pass column profiling: null rates (exact milli) + portable
     // HLL distinct estimates for four documents columns from ONE
     // generator + two aggregations — per-column jobs don't scale to
