@@ -635,6 +635,60 @@ object EntityQueries {
         Seq(col("source"), col("lang")), "bytes", targetBytes = 16384L)
     },
 
+    // anti-entropy digests: a corrupted orders replica (one key dropped
+    // per 97, one priority rewritten per 89) localized to hash buckets
+    // by comparing per-bucket digest sums — bucket-count-sized frames;
+    // only disagreeing buckets would ever be re-read for row repair.
+    // Digests are sums of 60-bit row hashes in DECIMAL(38,0), exact and
+    // commutative in both engines; NULLs are sentineled so (a,NULL) and
+    // (a||'',''-shift) cannot collide
+    QuerySpec("recon_anti_entropy",
+      raw"""WITH a0 AS (SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders),
+           |b0 AS (SELECT o_orderkey, o_orderstatus,
+           |         CASE WHEN o_orderkey % 89 = 0 THEN '9-CORRUPT'
+           |              ELSE o_orderpriority END AS o_orderpriority
+           |       FROM orders WHERE o_orderkey % 97 <> 0),
+           |da AS (SELECT ('0x' || substr(md5(
+           |           COALESCE(CAST(o_orderkey AS VARCHAR), chr(2)) || chr(1)), 1, 15))::BIGINT
+           |           % 64 AS bucket,
+           |         count(*) AS n_rows,
+           |         sum(CAST(('0x' || substr(md5(
+           |           COALESCE(CAST(o_orderkey AS VARCHAR), chr(2)) || chr(1) ||
+           |           COALESCE(o_orderstatus, chr(2)) || chr(1) ||
+           |           COALESCE(o_orderpriority, chr(2)) || chr(1)), 1, 15))::BIGINT
+           |           AS DECIMAL(38,0))) AS digest
+           |       FROM a0 GROUP BY 1),
+           |db AS (SELECT ('0x' || substr(md5(
+           |           COALESCE(CAST(o_orderkey AS VARCHAR), chr(2)) || chr(1)), 1, 15))::BIGINT
+           |           % 64 AS bucket,
+           |         count(*) AS n_rows,
+           |         sum(CAST(('0x' || substr(md5(
+           |           COALESCE(CAST(o_orderkey AS VARCHAR), chr(2)) || chr(1) ||
+           |           COALESCE(o_orderstatus, chr(2)) || chr(1) ||
+           |           COALESCE(o_orderpriority, chr(2)) || chr(1)), 1, 15))::BIGINT
+           |           AS DECIMAL(38,0))) AS digest
+           |       FROM b0 GROUP BY 1)
+           |SELECT COALESCE(da.bucket, db.bucket) AS bucket,
+           |  CAST(da.n_rows AS BIGINT) AS n_a, CAST(db.n_rows AS BIGINT) AS n_b,
+           |  CASE WHEN da.bucket IS NULL THEN 'missing_a'
+           |       WHEN db.bucket IS NULL THEN 'missing_b'
+           |       WHEN da.digest <> db.digest OR da.n_rows <> db.n_rows
+           |         THEN 'mismatch' END AS status
+           |FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+           |WHERE da.bucket IS NULL OR db.bucket IS NULL
+           |   OR da.digest <> db.digest OR da.n_rows <> db.n_rows""".stripMargin) { (s, d) =>
+      val base = s.read.parquet(s"$d/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      val replica = base.where(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 89 === 0, lit("9-CORRUPT"))
+            .otherwise(col("o_orderpriority")))
+      val cols = Seq("o_orderkey", "o_orderstatus", "o_orderpriority")
+      graft.ops.AntiEntropy.diffDigests(
+        graft.ops.AntiEntropy.bucketDigests(base, Seq("o_orderkey"), cols, 64),
+        graft.ops.AntiEntropy.bucketDigests(replica, Seq("o_orderkey"), cols, 64))
+    },
+
     // join-size forecast WITHOUT running the join: |orders ⋈ lineitem|
     // from the two per-key count frames — count-table join shuffles
     // keys, not rows, and prices the real join before a cluster
