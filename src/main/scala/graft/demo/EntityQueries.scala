@@ -635,6 +635,36 @@ object EntityQueries {
         Seq(col("source"), col("lang")), "bytes", targetBytes = 16384L)
     },
 
+    // winsorization with sketch thresholds: per-lang n_chars clipped to
+    // the p05/p95 histogram-bin edges (<= 64 counts per stratum on the
+    // wire — never a per-group exact sort). Decision path is integer
+    // end to end; both engines clip identical rows identically
+    QuerySpec("text_len_winsorized",
+      raw"""WITH b AS (SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi,
+           |             count(*) AS n FROM documents GROUP BY 1),
+           |bi AS (SELECT d.lang, d.n_chars,
+           |         CASE WHEN b.hi = b.lo THEN 0
+           |              ELSE least(63, ((d.n_chars - b.lo) * 64) // (b.hi - b.lo)) END AS bin
+           |       FROM documents d JOIN b USING (lang)),
+           |c AS (SELECT lang, bin, count(*) AS cnt FROM bi GROUP BY 1, 2),
+           |cu AS (SELECT lang, bin,
+           |         sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum FROM c),
+           |blo AS (SELECT cu.lang, min(cu.bin) AS bin FROM cu JOIN b USING (lang)
+           |        WHERE cu.cum >= (b.n * 1 + 20 - 1) // 20 GROUP BY 1),
+           |bhi AS (SELECT cu.lang, min(cu.bin) AS bin FROM cu JOIN b USING (lang)
+           |        WHERE cu.cum >= (b.n * 19 + 20 - 1) // 20 GROUP BY 1),
+           |th AS (SELECT b.lang, b.lo + (blo.bin * (b.hi - b.lo)) // 64 AS elo,
+           |              b.lo + (bhi.bin * (b.hi - b.lo)) // 64 AS ehi
+           |       FROM b JOIN blo USING (lang) JOIN bhi USING (lang))
+           |SELECT d.lang, d.n_chars,
+           |  CAST(greatest(th.elo, least(th.ehi, d.n_chars)) AS BIGINT) AS clipped,
+           |  CAST(CASE WHEN d.n_chars < th.elo THEN -1
+           |            WHEN d.n_chars > th.ehi THEN 1 ELSE 0 END AS BIGINT) AS clip_dir
+           |FROM documents d JOIN th USING (lang)""".stripMargin) { (s, d) =>
+      graft.ops.RobustStats.winsorize(docs(s, d), "lang", "n_chars",
+        nBins = 64, qLo = 1 -> 20, qHi = 19 -> 20)
+    },
+
     // anti-entropy digests: a corrupted orders replica (one key dropped
     // per 97, one priority rewritten per 89) localized to hash buckets
     // by comparing per-bucket digest sums — bucket-count-sized frames;

@@ -59,4 +59,40 @@ object RobustStats {
       .select(col(groupCol), col("med_x2").as("mad_x4"))
     m.join(mad, Seq(groupCol))
   }
+
+  /**
+   * Winsorization with fixed-memory thresholds: clip an integer column
+   * to its per-stratum histogram-quantile EDGES — the tail-taming step
+   * before any mean-based feature leaves a pipeline. Thresholds come
+   * from [[Sketches.histBinCounts]] (≤ nBins counts per stratum on the
+   * wire — the shape that survives a 100 TB column; an exact per-group
+   * sort would shuffle every value), so each threshold is the integer
+   * lower edge of the quantile's bin: `edge = lo + (bin·(hi−lo)) div
+   * nBins`, with bin-width error by construction. The whole decision
+   * path is integer arithmetic.
+   *
+   * Output: `strataCol, valueCol, clipped, clip_dir` (−1 clipped up
+   * from below, 0 untouched, +1 clipped down from above).
+   */
+  def winsorize(df: DataFrame, strataCol: String, valueCol: String,
+      nBins: Int, qLo: (Int, Int), qHi: (Int, Int)): DataFrame = {
+    require(qLo._1 * qHi._2 < qHi._1 * qLo._2, s"qLo must be < qHi: $qLo, $qHi")
+    val bounds = Sketches.histBounds(df, strataCol, valueCol)
+    val counts = Sketches.histBinCounts(df, strataCol, valueCol, nBins, bounds)
+    def edgeOf(q: (Int, Int), as: String) =
+      Sketches.histQuantilesFromCounts(counts, bounds, strataCol, nBins, Seq(q))
+        .select(col(strataCol), col("bin").as(as))
+    val thresholds = bounds
+      .join(edgeOf(qLo, "__blo"), Seq(strataCol))
+      .join(edgeOf(qHi, "__bhi"), Seq(strataCol))
+      .select(col(strataCol),
+        (col("__lo") + expr(s"(__blo * (__hi - __lo)) div $nBins")).as("__elo"),
+        (col("__lo") + expr(s"(__bhi * (__hi - __lo)) div $nBins")).as("__ehi"))
+    df.select(col(strataCol), col(valueCol))
+      .join(broadcast(thresholds), Seq(strataCol))
+      .select(col(strataCol), col(valueCol),
+        greatest(col("__elo"), least(col("__ehi"), col(valueCol))).as("clipped"),
+        when(col(valueCol) < col("__elo"), -1L)
+          .when(col(valueCol) > col("__ehi"), 1L).otherwise(0L).as("clip_dir"))
+  }
 }

@@ -43,4 +43,32 @@ class RobustStatsSpec extends SparkSuite {
       RobustStats.medianMad(df, "g", "v").queryExecution.sparkPlan)
     assert(flags.isEmpty, flags.mkString(", "))
   }
+
+  test("winsorize clips to integer histogram-bin edges, exactly") {
+    import org.apache.spark.sql.functions.col
+    // 0,10,…,90 with 10 bins: p10 edge = 0, p90 edge = (8·90) div 10 = 72
+    val df = (0 to 9).map(i => ("a", i * 10L)).toDF("g", "v")
+    val out = RobustStats.winsorize(df, "g", "v", nBins = 10,
+        qLo = 1 -> 10, qHi = 9 -> 10)
+      .select("v", "clipped", "clip_dir")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = (0 to 7).map(i => (i * 10L, i * 10L, 0L)).toSet ++
+      Set((80L, 72L, 1L), (90L, 72L, 1L))
+    assert(out == want)
+  }
+
+  test("winsorize strata are independent and the clipped column is bounded") {
+    val df = ((1 to 50).map(i => ("x", i.toLong)) ++
+      Seq(("x", 100000L)) ++ (1 to 50).map(i => ("y", i * 1000L))).toDF("g", "v")
+    val out = RobustStats.winsorize(df, "g", "v", nBins = 64,
+        qLo = 1 -> 20, qHi = 19 -> 20)
+    import org.apache.spark.sql.functions.{col, max => smax, min => smin}
+    val (loX, hiX) = out.where(col("g") === "x")
+      .agg(smin("clipped"), smax("clipped")).as[(Long, Long)].head()
+    // the 100000 outlier must be pulled down hard
+    assert(hiX < 100000L && loX >= 1L)
+    // no cross-stratum bleed: y's clip range reflects y's scale
+    val hiY = out.where(col("g") === "y").agg(smax("clipped")).as[Long].head()
+    assert(hiY > 40000L)
+  }
 }
