@@ -115,6 +115,70 @@ object EntityQueries {
       graft.ops.History.scd2(events(s, d), "user_id", "event_type", "ts", "event_id")
     },
 
+    // point-in-time dimension reconstruction: the SCD-2 interval table
+    // filtered to the rows covering one instant — "who was in which
+    // state on Jan 15". Entities born later are absent; open intervals
+    // cover the instant
+    QuerySpec("events_scd2_asof",
+      raw"""WITH o AS (SELECT user_id, event_type, ts, event_id,
+           |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           |      FROM events),
+           |m AS (SELECT user_id, event_type, ts,
+           |        CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+           |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+           |      FROM o),
+           |g AS (SELECT user_id, version, min(event_type) AS state,
+           |        min(ts) AS valid_from, count(*) AS n_events
+           |      FROM m GROUP BY 1, 2),
+           |s AS (SELECT user_id, state, valid_from,
+           |        lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+           |        n_events, version
+           |      FROM g)
+           |SELECT * FROM s
+           |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+           |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')"""
+        .stripMargin) { (s, d) =>
+      graft.ops.History.stateAsOf(
+        graft.ops.History.scd2(events(s, d), "user_id", "event_type", "ts", "event_id"),
+        lit("2024-01-15 00:00:00").cast("timestamp"))
+    },
+
+    // functional-dependency audit (g3 error, Kivinen & Mannila 1995):
+    // does o_custkey determine o_orderpriority (no — measured), does
+    // o_orderkey determine o_orderstatus (yes — key). Two grouped
+    // counts per FD; nothing data-sized survives the first shuffle
+    QuerySpec("quality_fd_audit",
+      raw"""WITH p1 AS (SELECT o_custkey, o_orderpriority, count(*) AS n
+           |            FROM orders GROUP BY 1, 2),
+           |l1 AS (SELECT o_custkey, sum(n) AS rws, max(n) AS modal, count(*) AS nrhs
+           |       FROM p1 GROUP BY 1),
+           |s1 AS (SELECT 'o_custkey->o_orderpriority' AS fd_name,
+           |         CAST(sum(rws) AS BIGINT) AS n_rows,
+           |         CAST(count(*) AS BIGINT) AS n_lhs,
+           |         CAST(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_lhs,
+           |         CAST(sum(rws - modal) AS BIGINT) AS n_violations,
+           |         CAST((sum(rws - modal) * 1000) // sum(rws) AS BIGINT) AS g3_milli
+           |       FROM l1),
+           |p2 AS (SELECT o_orderkey, o_orderstatus, count(*) AS n
+           |       FROM orders GROUP BY 1, 2),
+           |l2 AS (SELECT o_orderkey, sum(n) AS rws, max(n) AS modal, count(*) AS nrhs
+           |       FROM p2 GROUP BY 1),
+           |s2 AS (SELECT 'o_orderkey->o_orderstatus' AS fd_name,
+           |         CAST(sum(rws) AS BIGINT) AS n_rows,
+           |         CAST(count(*) AS BIGINT) AS n_lhs,
+           |         CAST(sum(CASE WHEN nrhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_lhs,
+           |         CAST(sum(rws - modal) AS BIGINT) AS n_violations,
+           |         CAST((sum(rws - modal) * 1000) // sum(rws) AS BIGINT) AS g3_milli
+           |       FROM l2)
+           |SELECT * FROM s1 UNION ALL SELECT * FROM s2""".stripMargin) { (s, d) =>
+      val orders = s.read.parquet(s"$d/orders.parquet")
+      graft.ops.Contracts.fdAudit(orders, "o_custkey->o_orderpriority",
+          Seq("o_custkey"), "o_orderpriority")
+        .unionByName(graft.ops.Contracts.fdAudit(orders, "o_orderkey->o_orderstatus",
+          Seq("o_orderkey"), "o_orderstatus"))
+    },
+
     // row-normalized Markov transition matrix of user behavior, exact to
     // the milli-unit: integer `div`, never float division, so both
     // engines emit identical probabilities. The normalizing window is

@@ -58,6 +58,34 @@ object Contracts {
       .select(lit(name).as("check_name"), col("n_violations"),
         (col("n_violations") === 0L).cast("long").as("pass"))
 
+  /**
+   * Functional-dependency audit: how strongly does the `lhs` tuple
+   * determine `rhs`? Violations count rows outside each lhs value's
+   * MODAL rhs (the minimum row repairs to make the FD hold — the
+   * standard g3 error measure, Kivinen & Mannila 1995). Two grouped
+   * counts, both map-side combinable: (lhs, rhs) pair counts, then a
+   * per-lhs max — nothing data-sized survives the first shuffle. One
+   * summary row: `(fd_name, n_rows, n_lhs, n_violating_lhs,
+   * n_violations, g3_milli)`.
+   */
+  def fdAudit(df: DataFrame, name: String, lhs: Seq[String], rhs: String): DataFrame = {
+    require(lhs.nonEmpty, "no lhs columns")
+    val pairs = df.groupBy((lhs :+ rhs).map(col): _*).agg(count(lit(1)).as("__n"))
+    val perLhs = pairs.groupBy(lhs.map(col): _*)
+      .agg(sum(col("__n")).as("__rows"), max(col("__n")).as("__modal"),
+        count(lit(1)).as("__nrhs"))
+    perLhs.agg(
+        coalesce(sum(col("__rows")), lit(0L)).as("n_rows"),
+        count(lit(1)).as("n_lhs"),
+        coalesce(sum(when(col("__nrhs") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_violating_lhs"),
+        coalesce(sum(col("__rows") - col("__modal")), lit(0L)).as("n_violations"))
+      .select(lit(name).as("fd_name"), col("n_rows"), col("n_lhs"),
+        col("n_violating_lhs"), col("n_violations"),
+        when(col("n_rows") === 0, 0L)
+          .otherwise(expr("(n_violations * 1000) div n_rows")).as("g3_milli"))
+  }
+
   /** Assemble a full report: row checks in one scan plus any number of
     * table-level check frames, unioned into one
     * `(check_name, n_violations, pass)` table. */

@@ -50,6 +50,16 @@ object History {
         col("valid_to"), col("n_events"), col("version"))
   }
 
+  /** Point-in-time reconstruction from an [[scd2]] frame: each entity's
+    * state row whose half-open `[valid_from, valid_to)` interval covers
+    * `at` — "the dimension as the world saw it at T". A pure filter
+    * over the interval table (partition-prunable when the table is
+    * written partitioned on `valid_from` ranges); entities that did
+    * not exist yet at `at` are absent, as they should be. */
+  def stateAsOf(scd2Frame: DataFrame, at: Column): DataFrame =
+    scd2Frame.where(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") > at))
+
   /**
    * First-order transition counts: for each entity's time-ordered event
    * sequence, count (previous state → state) adjacencies across the

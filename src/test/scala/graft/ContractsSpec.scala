@@ -1,0 +1,33 @@
+package graft
+
+import graft.ops.Contracts
+
+class ContractsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("fdAudit: a holding FD reports zero violations") {
+    val df = Seq((1L, "a"), (1L, "a"), (2L, "b")).toDF("k", "v")
+    val r = Contracts.fdAudit(df, "k->v", Seq("k"), "v")
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    assert(r == (("k->v", 3L, 2L, 0L, 0L, 0L)))
+  }
+
+  test("fdAudit: violations count rows outside each lhs's modal rhs (g3)") {
+    // k=1: values a,a,b -> 1 repair; k=2: c,d -> 1 repair (modal ties both 1)
+    val df = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "c"), (2L, "d"))
+      .toDF("k", "v")
+    val r = Contracts.fdAudit(df, "fd", Seq("k"), "v")
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    assert(r == (("fd", 5L, 2L, 2L, 2L, 400L)))
+  }
+
+  test("fdAudit: composite lhs and null rhs as a value") {
+    val df = Seq(
+      (1L, "x", Some("p")), (1L, "x", None), (1L, "y", Some("p"))
+    ).toDF("a", "b", "v")
+    val r = Contracts.fdAudit(df, "ab->v", Seq("a", "b"), "v")
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    // lhs (1,x): {p, NULL} -> 1 violation; lhs (1,y): clean
+    assert(r._4 == 1L && r._5 == 1L)
+  }
+}

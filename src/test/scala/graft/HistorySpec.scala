@@ -31,6 +31,22 @@ class HistorySpec extends SparkSuite {
       (2L, "B", ts(1), None, 2L, 1L)))
   }
 
+  test("stateAsOf reconstructs the dimension at a point in time") {
+    import org.apache.spark.sql.functions.lit
+    val dim = History.scd2(log, "user_id", "event_type", "ts", "event_id")
+    // at 00:03:30 user 1 is in its B run, user 2 in its open B run
+    val at = History.stateAsOf(dim, lit(Timestamp.valueOf("2026-01-01 00:03:30")))
+      .select("user_id", "state").as[(Long, String)].collect().toSet
+    assert(at == Set((1L, "B"), (2L, "B")))
+    // before anyone's first event: nobody exists
+    assert(History.stateAsOf(dim,
+      lit(Timestamp.valueOf("2026-01-01 00:00:30"))).count() == 0L)
+    // open-ended intervals cover arbitrarily late instants
+    val late = History.stateAsOf(dim, lit(Timestamp.valueOf("2030-01-01 00:00:00")))
+      .select("user_id", "state").as[(Long, String)].collect().toSet
+    assert(late == Set((1L, "A"), (2L, "B")))
+  }
+
   test("scd2 breaks timestamp ties by the tie column") {
     val tied = Seq(
       (2L, 1L, "B", ts(1)), // same ts, higher id — ordered SECOND
