@@ -327,6 +327,22 @@ object SketchQueries {
           pmod(day, lit(65536L)), 16).as("zval"))
     },
 
+    // the 3-D generalization over (partkey, suppkey, order-bucket):
+    // bit b of dimension j lands at position 3b+j, so all three filter
+    // dimensions cluster jointly — the layout for a fact table queried
+    // by part AND supplier AND time. Same loop generates both engines'
+    // bit terms
+    QuerySpec("layout_zorder3",
+      s"""SELECT l_orderkey, l_linenumber,
+         |  ${Layout.zValueNSql(Seq("(l_partkey % 2048)", "(l_suppkey % 2048)",
+            "((l_orderkey // 32) % 2048)"), 11)} AS zval
+         |FROM lineitem""".stripMargin) { (s, d) =>
+      s.read.parquet(s"$d/lineitem.parquet").select(col("l_orderkey"), col("l_linenumber"),
+        Layout.zValueN(Seq(pmod(col("l_partkey"), lit(2048L)),
+          pmod(col("l_suppkey"), lit(2048L)),
+          pmod(expr("l_orderkey div 32"), lit(2048L))), 11).as("zval"))
+    },
+
     // fixed-memory histogram quantiles: 128 equi-width bins per lang,
     // quantile = lower edge of the first bin reaching rank ceil(n·q).
     // Integer bin/rank math end to end (the exact-sort percentile twin is

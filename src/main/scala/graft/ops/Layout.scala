@@ -41,6 +41,36 @@ object Layout {
     }.mkString("(", " | ", ")")
 
   /**
+   * N-dimensional Morton interleave — [[zValue2]] generalized: bit `b`
+   * of dimension `j` lands at position `b·N + j`. `dims.size · bits`
+   * must fit a non-negative long (≤ 63). Three or four dimensions is
+   * the practical ceiling anyway: each added dimension halves the
+   * per-dimension selectivity a fixed file count can express — past
+   * that, pick the filter columns that matter and leave the rest to
+   * residual predicates.
+   */
+  def zValueN(dims: Seq[Column], bits: Int): Column = {
+    require(dims.size >= 2, s"need >= 2 dimensions: ${dims.size}")
+    require(bits >= 1 && dims.size * bits <= 63,
+      s"${dims.size} dims x $bits bits exceeds a signed long")
+    val n = dims.size
+    (for {
+      b <- 0 until bits
+      (d, j) <- dims.zipWithIndex
+    } yield shiftleft(shiftright(d, b).bitwiseAND(lit(1L)), b * n + j))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** The DuckDB mirror of [[zValueN]], generated from the same loop. */
+  def zValueNSql(dims: Seq[String], bits: Int): String = {
+    val n = dims.size
+    (for {
+      b <- 0 until bits
+      (d, j) <- dims.zipWithIndex
+    } yield s"((($d >> $b) & 1) << ${b * n + j})").mkString("(", " | ", ")")
+  }
+
+  /**
    * Cluster a frame for 2-D locality: range-partition on the z-value,
    * sort within partitions by it. Writing the result gives files whose
    * footer min/max on BOTH source dimensions are tight — the scan-time

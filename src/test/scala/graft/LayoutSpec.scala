@@ -78,4 +78,40 @@ class LayoutSpec extends SparkSuite {
       .as[Long].head()
     assert(z == 27L)
   }
+
+  test("zValueN at N=2 equals zValue2; N=3 interleaves round-robin") {
+    val df = Seq((5L, 3L, 6L)).toDF("x", "y", "w")
+    val (z2, zn2) = df.select(
+        Layout.zValue2(col("x"), col("y"), 5).as("a"),
+        Layout.zValueN(Seq(col("x"), col("y")), 5).as("b"))
+      .as[(Long, Long)].head()
+    assert(z2 == zn2)
+    // x=101, y=011, w=110: bit b of dim j at position 3b+j →
+    // b0: x1 y1 w0 → 011 ; b1: x0 y1 w1 → 110 ; b2: x1 y0 w1 → 101
+    // z = 101_110_011 (groups b2,b1,b0) = 0b101110011 = 371
+    val z3 = df.select(
+        Layout.zValueN(Seq(col("x"), col("y"), col("w")), 3).as("z"))
+      .as[Long].head()
+    assert(z3 == 371L)
+  }
+
+  test("zValueN SQL mirror renders the same bit terms") {
+    val sql = Layout.zValueNSql(Seq("x", "y", "w"), 2)
+    assert(sql.contains("((x >> 0) & 1) << 0"))
+    assert(sql.contains("((w >> 1) & 1) << 5"))
+  }
+
+  test("zValueN curve has 3-D locality: octant dominates offset") {
+    // any point in the low octant (all dims < 4) sorts before any point
+    // in the high octant (all dims >= 4) at bits=3
+    val lo = for { x <- 0L to 3L; y <- 0L to 3L; w <- 0L to 3L } yield (x, y, w)
+    val hi = for { x <- 4L to 7L; y <- 4L to 7L; w <- 4L to 7L } yield (x, y, w)
+    val zs = (lo ++ hi).toDF("x", "y", "w")
+      .select(Layout.zValueN(Seq(col("x"), col("y"), col("w")), 3).as("z"),
+        (col("x") < 4 && col("y") < 4 && col("w") < 4).as("low"))
+      .as[(Long, Boolean)].collect()
+    val maxLow = zs.filter(_._2).map(_._1).max
+    val minHigh = zs.filterNot(_._2).map(_._1).min
+    assert(maxLow < minHigh)
+  }
 }
