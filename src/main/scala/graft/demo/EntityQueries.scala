@@ -699,6 +699,30 @@ object EntityQueries {
         Seq(col("source"), col("lang")), "bytes", targetBytes = 16384L)
     },
 
+    // association rules over order baskets: part pairs co-ordered more
+    // than popularity predicts. support/confidence exact milli; lift is
+    // the one IEEE double, same literal expression order both engines.
+    // Pairs pruned at minPairCount=3 BEFORE the measure joins
+    QuerySpec("graph_association_rules",
+      raw"""WITH bk AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+           |n AS (SELECT count(DISTINCT b) AS nb FROM bk),
+           |it AS (SELECT i, count(*) AS ni FROM bk GROUP BY 1),
+           |pr AS (SELECT a.i AS ante, c.i AS cons, count(*) AS n_ab
+           |       FROM bk a JOIN bk c ON a.b = c.b AND a.i <> c.i
+           |       GROUP BY 1, 2 HAVING count(*) >= 3)
+           |SELECT pr.ante, pr.cons, CAST(pr.n_ab AS BIGINT) AS n_ab,
+           |  CAST(ia.ni AS BIGINT) AS n_a, CAST(ic.ni AS BIGINT) AS n_b,
+           |  CAST(n.nb AS BIGINT) AS n_baskets,
+           |  CAST((pr.n_ab * 1000) // n.nb AS BIGINT) AS support_milli,
+           |  CAST((pr.n_ab * 1000) // ia.ni AS BIGINT) AS confidence_milli,
+           |  CAST(pr.n_ab AS DOUBLE) * n.nb / ia.ni / ic.ni AS lift
+           |FROM pr JOIN it ia ON ia.i = pr.ante
+           |        JOIN it ic ON ic.i = pr.cons
+           |        CROSS JOIN n""".stripMargin) { (s, d) =>
+      graft.ops.Association.pairRules(lineitem(s, d), "l_orderkey", "l_partkey",
+        minPairCount = 3L)
+    },
+
     // winsorization with sketch thresholds: per-lang n_chars clipped to
     // the p05/p95 histogram-bin edges (<= 64 counts per stratum on the
     // wire — never a per-group exact sort). Decision path is integer
