@@ -699,6 +699,45 @@ object EntityQueries {
         Seq(col("source"), col("lang")), "bytes", targetBytes = 16384L)
     },
 
+    // distribution drift: both snapshots binned against the BEFORE
+    // snapshot's per-lang bounds (after-values outside clamp to edge
+    // bins — the range-moved signal), per-bin counts and exact milli
+    // proportions; planted drift = n_chars+50 on doc_id%3=0
+    QuerySpec("quality_dist_drift",
+      raw"""WITH bnd AS (SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi
+           |             FROM documents GROUP BY 1),
+           |bb AS (SELECT d.lang, CASE WHEN b.hi = b.lo THEN 0
+           |         ELSE greatest(0, least(15, ((d.n_chars - b.lo) * 16) // (b.hi - b.lo)))
+           |         END AS bin
+           |       FROM documents d JOIN bnd b USING (lang)),
+           |cb AS (SELECT lang, bin, count(*) AS n_before FROM bb GROUP BY 1, 2),
+           |aa AS (SELECT lang, CASE WHEN doc_id % 3 = 0 THEN n_chars + 50
+           |                         ELSE n_chars END AS v FROM documents),
+           |ba AS (SELECT a.lang, CASE WHEN b.hi = b.lo THEN 0
+           |         ELSE greatest(0, least(15, ((a.v - b.lo) * 16) // (b.hi - b.lo)))
+           |         END AS bin
+           |       FROM aa a JOIN bnd b USING (lang)),
+           |ca AS (SELECT lang, bin, count(*) AS n_after FROM ba GROUP BY 1, 2),
+           |j AS (SELECT COALESCE(cb.lang, ca.lang) AS lang,
+           |        COALESCE(cb.bin, ca.bin) AS bin,
+           |        COALESCE(n_before, 0) AS n_before, COALESCE(n_after, 0) AS n_after
+           |      FROM cb FULL OUTER JOIN ca ON cb.lang = ca.lang AND cb.bin = ca.bin),
+           |t AS (SELECT lang, bin, n_before, n_after,
+           |        sum(n_before) OVER (PARTITION BY lang) AS tb,
+           |        sum(n_after) OVER (PARTITION BY lang) AS ta FROM j)
+           |SELECT lang, bin, CAST(n_before AS BIGINT) AS n_before,
+           |  CAST(n_after AS BIGINT) AS n_after,
+           |  CAST((n_before * 1000) // tb AS BIGINT) AS p_before_milli,
+           |  CAST((n_after * 1000) // ta AS BIGINT) AS p_after_milli,
+           |  CAST((n_after * 1000) // ta - (n_before * 1000) // tb AS BIGINT) AS delta_milli
+           |FROM t""".stripMargin) { (s, d) =>
+      val before = docs(s, d)
+      val after = before.select(col("lang"),
+        when(col("doc_id") % 3 === 0, col("n_chars") + 50L)
+          .otherwise(col("n_chars")).as("n_chars"))
+      graft.ops.Drift.histDrift(before, after, "lang", "n_chars", nBins = 16)
+    },
+
     // association rules over order baskets: part pairs co-ordered more
     // than popularity predicts. support/confidence exact milli; lift is
     // the one IEEE double, same literal expression order both engines.

@@ -50,6 +50,55 @@ object Drift {
         coalesce(col("raw_estimate"), lit(0.0)).as("raw_estimate"))
   }
 
+  /**
+   * Distribution drift for an integer column: BOTH snapshots are binned
+   * against the BEFORE snapshot's per-stratum [min, max] bounds (fixed
+   * edges — bins only compare when the edges agree; this is the same
+   * contract as [[Sketches.histMerge]]), with after-values outside the
+   * old range CLAMPED into the edge bins — a mass bulge at bin 0 or
+   * nBins−1 is itself the drift signal "the column's range moved".
+   * Output per (stratum, bin): both counts and exact milli proportions
+   * plus the signed milli delta; ≤ nBins rows per stratum regardless of
+   * data volume. Total-variation distance = Σ|delta| / 2 over a
+   * stratum's rows, one aggregate away ([[tvMilli]]).
+   */
+  def histDrift(before: DataFrame, after: DataFrame, strataCol: String,
+      valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins too small: $nBins")
+    val bounds = Sketches.histBounds(before, strataCol, valueCol)
+      .select(col(strataCol), col("__lo"), col("__hi"))
+    def binned(df: DataFrame, as: String) =
+      df.select(col(strataCol), col(valueCol))
+        .join(broadcast(bounds), Seq(strataCol))
+        .select(col(strataCol),
+          when(col("__hi") === col("__lo"), lit(0L))
+            .otherwise(greatest(lit(0L), least(lit(nBins - 1L),
+              expr(s"(($valueCol - __lo) * $nBins) div (__hi - __lo)"))))
+            .as("bin"))
+        .groupBy(col(strataCol), col("bin")).agg(count(lit(1)).as(as))
+    binned(before, "n_before")
+      .join(binned(after, "n_after"), Seq(strataCol, "bin"), "full_outer")
+      .withColumn("n_before", coalesce(col("n_before"), lit(0L)))
+      .withColumn("n_after", coalesce(col("n_after"), lit(0L)))
+      .withColumn("__tb", sum(col("n_before"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))))
+      .withColumn("__ta", sum(col("n_after"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))))
+      .select(col(strataCol), col("bin"), col("n_before"), col("n_after"),
+        expr("(n_before * 1000) div __tb").as("p_before_milli"),
+        expr("(n_after * 1000) div __ta").as("p_after_milli"),
+        (expr("(n_after * 1000) div __ta") -
+          expr("(n_before * 1000) div __tb")).as("delta_milli"))
+  }
+
+  /** Per-stratum total-variation distance in milli from a [[histDrift]]
+    * frame: Σ|delta| / 2 — the single drift-severity number an alert
+    * thresholds on. */
+  def tvMilli(drift: DataFrame, strataCol: String): DataFrame =
+    drift.groupBy(col(strataCol))
+      .agg(sum(abs(col("delta_milli"))).as("__s"))
+      .select(col(strataCol), expr("__s div 2").as("tv_milli"))
+
   /** Drift between two [[profile]] outputs. Status: 'added' (after
     * only), 'removed' (before only), 'common'. Shared columns carry
     * exact before/after null rates and the delta; the sketch sums let

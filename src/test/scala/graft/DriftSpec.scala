@@ -32,6 +32,35 @@ class DriftSpec extends SparkSuite {
     assert(p == ((1000L, 0L, 0.0)))
   }
 
+  test("histDrift: identical snapshots have zero deltas; shifts move mass between bins") {
+    val before = (0 until 100).map(i => ("a", i.toLong)).toDF("g", "v")
+    val same = Drift.histDrift(before, before, "g", "v", nBins = 10)
+    assert(same.where(col("delta_milli") =!= 0L).count() == 0L)
+    assert(Drift.tvMilli(same, "g").select("tv_milli").as[Long].head() == 0L)
+
+    // after: everything shifted up by 30 — bins 0-2 empty, clamp bulge at 9
+    val after = (0 until 100).map(i => ("a", i.toLong + 30L)).toDF("g", "v")
+    val d = Drift.histDrift(before, after, "g", "v", nBins = 10)
+      .select("bin", "n_before", "n_after")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(d(0L) == ((10L, 0L)) && d(2L) == ((10L, 0L)))
+    // bins 9 catches its own 10 plus the 30 clamped overflow values
+    assert(d(9L) == ((10L, 40L)))
+    val tv = Drift.tvMilli(Drift.histDrift(before, after, "g", "v", 10), "g")
+      .select("tv_milli").as[Long].head()
+    assert(tv == 300L, s"30% of mass moved, got $tv")
+  }
+
+  test("histDrift: after-only bins appear with zero before-count (full outer)") {
+    // before occupies bins 0..4 of its own range; after all-clamped to bin 9
+    val before = (0 until 50).map(i => ("a", i.toLong)).toDF("g", "v")
+    val after = Seq(("a", 1000L)).toDF("g", "v")
+    val d = Drift.histDrift(before, after, "g", "v", nBins = 10)
+      .where(col("bin") === 9L).select("n_before", "n_after")
+      .as[(Long, Long)].head()
+    assert(d._2 == 1L)
+  }
+
   test("drift: added/removed/common statuses and exact null-rate deltas") {
     val before = Seq((1L, Some("x"), "k"), (2L, None: Option[String], "k"))
       .toDF("id", "s", "gone")
