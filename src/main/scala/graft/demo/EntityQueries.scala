@@ -699,6 +699,34 @@ object EntityQueries {
         Seq(col("source"), col("lang")), "bytes", targetBytes = 16384L)
     },
 
+    // per-source boilerplate strip (CCNet-style, token-df variant):
+    // tokens in >= 95% of a source's docs are that source's template
+    // residue; the strip is a codegen'd array filter against ONE
+    // broadcast vocabulary array per source — no explode/rebuild
+    // shuffle on the data path
+    QuerySpec("text_strip_boilerplate",
+      raw"""WITH tt AS (SELECT doc_id, source, CASE WHEN length(trim(text)) = 0 THEN []
+           |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+           |            FROM documents),
+           |dtok AS (SELECT DISTINCT source, doc_id, unnest(t) AS token FROM tt),
+           |nd AS (SELECT source, count(DISTINCT doc_id) AS n FROM documents GROUP BY 1),
+           |dfq AS (SELECT d.source, d.token, (count(*) * 1000) // nd.n AS dfm
+           |        FROM dtok d JOIN nd ON nd.source = d.source
+           |        GROUP BY d.source, d.token, nd.n),
+           |bp AS (SELECT source, list(token ORDER BY token) AS bl
+           |       FROM dfq WHERE dfm >= 950 GROUP BY 1)
+           |SELECT tt.doc_id, tt.source,
+           |  CAST(len(tt.t) AS BIGINT) AS n_tokens_before,
+           |  CAST(len(list_filter(tt.t,
+           |    x -> NOT COALESCE(list_contains(bp.bl, x), FALSE))) AS BIGINT)
+           |    AS n_tokens_after,
+           |  COALESCE(array_to_string(list_filter(tt.t,
+           |    x -> NOT COALESCE(list_contains(bp.bl, x), FALSE)), ' '), '') AS stripped_text
+           |FROM tt LEFT JOIN bp USING (source)""".stripMargin) { (s, d) =>
+      graft.ops.TextAnalysis.stripBoilerplate(docs(s, d), "source", "text",
+        "doc_id", dfMilli = 950)
+    },
+
     // distribution drift: both snapshots binned against the BEFORE
     // snapshot's per-lang bounds (after-values outside clamp to edge
     // bins — the range-moved signal), per-bin counts and exact milli

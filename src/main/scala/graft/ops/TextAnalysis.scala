@@ -350,6 +350,57 @@ object TextAnalysis {
     size(filter(tokens(textCol), pred)) > 0
 
   /**
+   * Per-source boilerplate vocabulary: tokens whose DOCUMENT frequency
+   * within a source reaches `dfMilli` (e.g. 600 = appears in ≥ 60% of
+   * the source's docs) — navigation chrome, disclaimers, and template
+   * residue surface exactly this way, and CCNet-style curation strips
+   * them per SOURCE, not globally (a token ubiquitous on one host is
+   * boilerplate there and content elsewhere). One explode + distinct +
+   * two grouped counts; output `(source, token, df_milli)` is
+   * boilerplate-vocabulary-sized.
+   */
+  def boilerplateTokens(df: DataFrame, sourceCol: String, textCol: String,
+      idCol: String, dfMilli: Int): DataFrame = {
+    require(dfMilli >= 1 && dfMilli <= 1000, s"dfMilli out of (0,1000]: $dfMilli")
+    val docTok = df
+      .select(col(sourceCol), col(idCol),
+        explode(tokens(col(textCol))).as("token"))
+      .distinct()
+    val docsPerSource = df.groupBy(col(sourceCol))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+    docTok.groupBy(col(sourceCol), col("token"))
+      .agg(count(lit(1)).as("__df"))
+      .join(broadcast(docsPerSource), Seq(sourceCol))
+      .withColumn("df_milli", expr("(__df * 1000) div __nd"))
+      .where(col("df_milli") >= dfMilli)
+      .select(col(sourceCol), col("token"), col("df_milli"))
+  }
+
+  /**
+   * Strip a source's boilerplate tokens from its documents: the
+   * per-source vocabulary (tiny by construction — only ≥ dfMilli-
+   * frequent tokens survive) is collected into ONE array per source
+   * and broadcast-joined back, so the strip itself is a codegen'd
+   * `filter(tokens, t -> !array_contains(...))` — no per-token
+   * explode/rebuild shuffle on the data path. Output: id, source,
+   * n_tokens_before/after, stripped_text.
+   */
+  def stripBoilerplate(df: DataFrame, sourceCol: String, textCol: String,
+      idCol: String, dfMilli: Int): DataFrame = {
+    val vocab = boilerplateTokens(df, sourceCol, textCol, idCol, dfMilli)
+      .groupBy(col(sourceCol))
+      .agg(sort_array(collect_list(col("token"))).as("__bp"))
+    val kept = filter(tokens(col(textCol)),
+      t => !array_contains(col("__bp"), t))
+    df.join(broadcast(vocab), Seq(sourceCol), "left")
+      .withColumn("__bp", coalesce(col("__bp"), array().cast("array<string>")))
+      .select(col(idCol), col(sourceCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens_before"),
+        size(kept).cast("long").as("n_tokens_after"),
+        array_join(kept, " ").as("stripped_text"))
+  }
+
+  /**
    * Collocation mining: the corpus's top-`topK` adjacent word pairs by
    * PMI-style lift, `lift = N·n(ab) / (n(a)·n(b))` — the association
    * score that separates genuine collocations ("new york") from pairs
