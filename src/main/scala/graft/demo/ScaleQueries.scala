@@ -43,6 +43,35 @@ object ScaleQueries {
       Sampling.hashSplit(docs(s, d), "doc_id", Splits).select(col("doc_id"), col("split"))
     },
 
+    // representativeness audit of the split: per (split, lang) cell,
+    // the lang's milli share within the split vs in the whole corpus
+    // and the signed bias — a hash split is uniform in expectation,
+    // not by construction, and a drifted eval mix measures the wrong
+    // thing. Counts one grouped aggregate; denominators broadcast
+    QuerySpec("text_split_coverage", {
+      val edges = Sampling.splitEdges(Splits)
+      val bands = edges.init
+        .map { case (name, e) => s"WHEN h < $e THEN '$name'" }
+        .mkString(" ")
+      raw"""WITH h AS (SELECT doc_id, lang, ${md5h60("CAST(doc_id AS VARCHAR)")} AS h
+           |           FROM documents),
+           |sp AS (SELECT lang, CASE $bands ELSE '${edges.last._1}' END AS split FROM h),
+           |cell AS (SELECT split, lang, count(*) AS n FROM sp GROUP BY 1, 2),
+           |ps AS (SELECT split, sum(n) AS ns FROM cell GROUP BY 1),
+           |pt AS (SELECT lang, sum(n) AS nt FROM cell GROUP BY 1),
+           |tt AS (SELECT sum(n) AS nn FROM cell)
+           |SELECT cell.split, cell.lang, CAST(cell.n AS BIGINT) AS n,
+           |  CAST((cell.n * 1000) // ps.ns AS BIGINT) AS share_in_split_milli,
+           |  CAST((pt.nt * 1000) // tt.nn AS BIGINT) AS share_global_milli,
+           |  CAST((cell.n * 1000) // ps.ns - (pt.nt * 1000) // tt.nn AS BIGINT)
+           |    AS bias_milli
+           |FROM cell JOIN ps USING (split) JOIN pt USING (lang) CROSS JOIN tt"""
+        .stripMargin
+    }) { (s, d) =>
+      Sampling.splitCoverage(
+        Sampling.hashSplit(docs(s, d), "doc_id", Splits), "split", "lang")
+    },
+
     // LEAKAGE-FREE split: hash-split on the near-dup COMPONENT label
     // instead of the doc id, so a train doc can never have a near-copy
     // in val/test (the classic eval-leak at corpus scale — per-doc

@@ -94,6 +94,32 @@ object Sampling {
   }
 
   /**
+   * Representativeness audit of a split assignment: per (split,
+   * stratum) cell — count, the stratum's exact milli share WITHIN the
+   * split, its milli share in the whole corpus, and the signed bias
+   * between them. A hash split is uniform in expectation, not by
+   * construction: a small stratum can land lopsided, and an eval set
+   * whose language mix drifted from the corpus mix measures the wrong
+   * thing. One grouped count; the three denominators are group-sized
+   * frames riding broadcast joins.
+   */
+  def splitCoverage(df: DataFrame, splitCol: String, strataCol: String): DataFrame = {
+    val cell = df.groupBy(col(splitCol), col(strataCol))
+      .agg(count(lit(1)).as("n"))
+    val perSplit = cell.groupBy(col(splitCol)).agg(sum(col("n")).as("__ns"))
+    val perStratum = cell.groupBy(col(strataCol)).agg(sum(col("n")).as("__nt"))
+    val total = cell.agg(sum(col("n")).as("__N"))
+    cell.join(broadcast(perSplit), Seq(splitCol))
+      .join(broadcast(perStratum), Seq(strataCol))
+      .crossJoin(broadcast(total))
+      .select(col(splitCol), col(strataCol), col("n"),
+        expr("(n * 1000) div __ns").as("share_in_split_milli"),
+        expr("(__nt * 1000) div __N").as("share_global_milli"),
+        (expr("(n * 1000) div __ns") - expr("(__nt * 1000) div __N"))
+          .as("bias_milli"))
+  }
+
+  /**
    * Per-row weighted deterministic sample (importance / quality-weighted
    * subsampling — "keep high-quality docs with probability ∝ score"): a
    * row survives iff its 60-bit key hash falls below floor(weight × 2^60),

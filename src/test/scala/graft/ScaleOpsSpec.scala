@@ -197,4 +197,19 @@ class ScaleOpsSpec extends SparkSuite {
       assert(overlap >= 2, s"q=$q overlap=$overlap")
     }
   }
+
+  test("splitCoverage: cell shares and bias are exact milli and reconcile") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("train", "en"), ("train", "en"), ("train", "fr"),
+      ("test", "en"), ("test", "fr"), ("test", "fr")
+    ).toDF("split", "lang")
+    val out = graft.ops.Sampling.splitCoverage(df, "split", "lang")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // global: en 3/6 = 500, fr 3/6 = 500
+    assert(out(("train", "en")) == ((2L, 666L, 500L, 166L)))
+    assert(out(("train", "fr")) == ((1L, 333L, 500L, -167L)))
+    assert(out(("test", "fr")) == ((2L, 666L, 500L, 166L)))
+  }
 }
