@@ -35,7 +35,12 @@ object ScaleCheck {
     "recon_pass_full", "text_curation_e2e", "text_split_leakfree",
     "sim_ivfpq_topk", "dedup_substring_cut",
     "dedup_jaccard_prefix", "dedup_cdc_chunks",
-    "dedup_winnow_pairs", "graph_pagerank")
+    "dedup_winnow_pairs", "graph_pagerank",
+    // round-10 additions: basket self-join (association rules), digest
+    // compare (anti-entropy), grid generation (resample), and the
+    // token-df strip — the new shapes most worth a growth trend
+    "graph_association_rules", "recon_anti_entropy",
+    "events_resampled", "text_strip_boilerplate")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
