@@ -144,6 +144,39 @@ object EntityQueries {
         lit("2024-01-15 00:00:00").cast("timestamp"))
     },
 
+    // point-in-time fact enrichment: each event joined to the SCD-2
+    // state valid 1ms BEFORE it — run-opening events see the previous
+    // run, each entity's first event sees null. Equi key carries the
+    // shuffle; containment only filters within an entity's intervals
+    QuerySpec("events_enriched_asof",
+      raw"""WITH o AS (SELECT user_id, event_type, ts, event_id,
+           |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           |      FROM events),
+           |m AS (SELECT user_id, event_type, ts,
+           |        CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+           |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+           |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+           |      FROM o),
+           |g AS (SELECT user_id, version, min(event_type) AS state,
+           |        min(ts) AS valid_from FROM m GROUP BY 1, 2),
+           |sc AS (SELECT user_id, version, state, valid_from,
+           |        lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to
+           |      FROM g)
+           |SELECT e.event_id, e.user_id, e.event_type,
+           |  sc.state AS asof_state, sc.version AS asof_version
+           |FROM events e LEFT JOIN sc ON sc.user_id = e.user_id
+           |  AND e.ts - INTERVAL 1 MILLISECOND >= sc.valid_from
+           |  AND (sc.valid_to IS NULL OR e.ts - INTERVAL 1 MILLISECOND < sc.valid_to)"""
+        .stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val dim = graft.ops.History.scd2(ev, "user_id", "event_type", "ts", "event_id")
+      graft.ops.History.enrichAsOf(
+          ev.select("event_id", "user_id", "event_type", "ts")
+            .withColumn("probe", col("ts") - expr("INTERVAL 1 MILLISECOND")),
+          dim, "user_id", "probe")
+        .select("event_id", "user_id", "event_type", "asof_state", "asof_version")
+    },
+
     // functional-dependency audit (g3 error, Kivinen & Mannila 1995):
     // does o_custkey determine o_orderpriority (no — measured), does
     // o_orderkey determine o_orderstatus (yes — key). Two grouped

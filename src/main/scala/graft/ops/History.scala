@@ -50,6 +50,28 @@ object History {
         col("valid_to"), col("n_events"), col("version"))
   }
 
+  /** Enrich a fact frame with the [[scd2]] dimension state valid at
+    * each fact's own probe instant (`probeCol`, a timestamp column of
+    * `facts` — shift it for "state just BEFORE this event" semantics):
+    * an equi-join on the entity plus interval containment in the join
+    * condition. Intervals tile, so at most one dimension row matches
+    * per fact; facts probing before the entity's first interval keep
+    * null state (left join). The equi key carries the shuffle; the
+    * containment band only filters within the entity's few intervals.
+    * Output: all fact columns + `asof_state`, `asof_version`. */
+  def enrichAsOf(facts: DataFrame, dim: DataFrame, entityCol: String,
+      probeCol: String): DataFrame = {
+    val d = dim.select(col(entityCol).as("__de"), col("state"),
+      col("valid_from"), col("valid_to"), col("version"))
+    facts.join(d,
+        facts(entityCol) === d("__de") &&
+          facts(probeCol) >= d("valid_from") &&
+          (d("valid_to").isNull || facts(probeCol) < d("valid_to")),
+        "left")
+      .select(facts.columns.map(facts(_)) :+
+        d("state").as("asof_state") :+ d("version").as("asof_version"): _*)
+  }
+
   /** Point-in-time reconstruction from an [[scd2]] frame: each entity's
     * state row whose half-open `[valid_from, valid_to)` interval covers
     * `at` — "the dimension as the world saw it at T". A pure filter

@@ -47,6 +47,23 @@ class HistorySpec extends SparkSuite {
     assert(late == Set((1L, "A"), (2L, "B")))
   }
 
+  test("enrichAsOf attaches the state covering each fact's probe instant") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val dim = History.scd2(log, "user_id", "event_type", "ts", "event_id")
+    // probe 1ms before each event: run-opening events see the PREVIOUS
+    // run's state; the entity's very first event sees null
+    val probed = log.withColumn("probe", col("ts") - expr("INTERVAL 1 MILLISECOND"))
+    val out = History.enrichAsOf(probed, dim, "user_id", "probe")
+      .select("event_id", "asof_state").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out(1L).isEmpty)            // user 1's first event
+    assert(out(2L) == Some("A"))       // mid-run
+    assert(out(3L) == Some("A"))       // B-run opener: state before was A
+    assert(out(4L) == Some("B"))
+    assert(out(5L).isEmpty)            // user 2's first event
+    assert(out(6L) == Some("B"))
+  }
+
   test("scd2 breaks timestamp ties by the tie column") {
     val tied = Seq(
       (2L, 1L, "B", ts(1)), // same ts, higher id — ordered SECOND
