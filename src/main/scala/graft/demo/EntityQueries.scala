@@ -261,6 +261,47 @@ object EntityQueries {
         shingleN = 3, tMilli = 800)
     },
 
+    // evidence for the flagged near-dup pairs: exact shared-shingle
+    // counts plus the 5 globally rarest shared shingles per pair — the
+    // audit trail reviewed before a deletion wave. Pairs come from the
+    // exact prefix-filter join; evidence order (df, shingle) is
+    // deterministic in both engines
+    QuerySpec("dedup_explain_pairs",
+      raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |sh AS (SELECT DISTINCT doc_id AS doc, unnest(CASE WHEN len(t) < 3 THEN []
+           |         ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)] END) AS tok
+           |       FROM tt),
+           |sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
+           |dfr AS (SELECT tok, count(*) AS df FROM sh GROUP BY 1),
+           |rk AS (SELECT s.doc, s.tok,
+           |         row_number() OVER (PARTITION BY s.doc ORDER BY d.df, s.tok) AS r, z.n
+           |       FROM sh s JOIN dfr d USING (tok) JOIN sz z USING (doc)),
+           |pf AS (SELECT doc, tok FROM rk WHERE r <= n - ((800 * n + 999) // 1000) + 1),
+           |cand AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+           |         FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc < b.doc),
+           |i AS (SELECT c.id_a, c.id_b, count(*) AS inter
+           |      FROM cand c JOIN sh sa ON sa.doc = c.id_a
+           |                  JOIN sh sb ON sb.doc = c.id_b AND sb.tok = sa.tok
+           |      GROUP BY 1, 2),
+           |pairs AS (SELECT i.id_a, i.id_b
+           |          FROM i JOIN sz za ON za.doc = i.id_a JOIN sz zb ON zb.doc = i.id_b
+           |          WHERE i.inter * 1000 >= (za.n + zb.n - i.inter) * 800),
+           |shared AS (SELECT p.id_a, p.id_b, sa.tok, d.df
+           |           FROM pairs p JOIN sh sa ON sa.doc = p.id_a
+           |                JOIN sh sb ON sb.doc = p.id_b AND sb.tok = sa.tok
+           |                JOIN dfr d ON d.tok = sa.tok),
+           |rr AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+           |         ORDER BY df, tok) AS r FROM shared)
+           |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared,
+           |  list(tok ORDER BY df, tok) FILTER (WHERE r <= 5) AS evidence
+           |FROM rr GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val pairs = graft.ops.SetSimilarity.jaccardPrefixJoin(
+        docs(s, d), "text", "doc_id", shingleN = 3, tMilli = 800)
+      graft.ops.SetSimilarity.explainPairs(docs(s, d), "text", "doc_id",
+        shingleN = 3, pairs, k = 5)
+    },
+
     // JSON-Lines round-trip (the recon_csv_roundtrip twin for the LLM
     // interchange format): documents → jsonl files → read back with the
     // WRITER's schema (no inference pass), value-identical to the source

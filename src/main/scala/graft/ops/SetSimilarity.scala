@@ -74,4 +74,35 @@ object SetSimilarity {
       .withColumn("jac_milli", expr("(inter * 1000) div uni"))
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"), col("jac_milli"))
   }
+
+  /**
+   * Evidence for flagged near-dup pairs — the audit trail a human
+   * reviews before a deletion wave: per pair, the exact shared-shingle
+   * count and the `k` globally RAREST shared shingles (rarest = most
+   * distinctive; a pair "sharing" only hub shingles explains itself
+   * away). The pair frame rides broadcast (candidate-sized by
+   * construction); the rank window partitions per pair, bounded by the
+   * smaller document's shingle count. Evidence order is (df, shingle) —
+   * deterministic in both engines.
+   */
+  def explainPairs(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, pairs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val sh = graft.recon.Checkpoints.cut(
+      Dedup.shingleTable(df, textCol, idCol, shingleN))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val shared = broadcast(pairs.select(col("id_a"), col("id_b")))
+      .join(sh.select(col("doc").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("doc").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .join(dfreq, Seq("shingle"))
+    val w = Window.partitionBy(col("id_a"), col("id_b"))
+      .orderBy(col("__df"), col("shingle"))
+    shared.withColumn("__r", row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        transform(
+          sort_array(collect_list(when(col("__r") <= k,
+            struct(col("__df"), col("shingle"))))),
+          x => x.getField("shingle")).as("evidence"))
+  }
 }

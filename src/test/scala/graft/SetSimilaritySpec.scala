@@ -58,4 +58,21 @@ class SetSimilaritySpec extends SparkSuite {
       .select(col("doc1"), col("doc2")).as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(exact), s"LSH fabricated pairs: ${lsh.diff(exact)}")
   }
+
+  test("explainPairs: exact shared counts and rarest-first evidence") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "red fox jumps over lazy dog tonight"),
+      (2L, "red fox jumps over lazy cat tonight"),
+      (3L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = SetSimilarity.explainPairs(corpus, "text", "doc_id", 3, pairs, k = 2)
+      .as[(Long, Long, Long, Seq[String])].head()
+    // shared 3-shingles of docs 1,2: "red fox jumps", "fox jumps over",
+    // "jumps over lazy" -> n_shared = 3; all df=2, so evidence is the
+    // 2 lexicographically-first of them
+    assert(out._3 == 3L)
+    assert(out._4 == Seq("fox jumps over", "jumps over lazy"))
+  }
 }
