@@ -261,6 +261,22 @@ object EntityQueries {
         shingleN = 3, tMilli = 800)
     },
 
+    // dictionary encoding: dense value-ordered codes for the source
+    // column (strings shuffle as integers downstream). Spark assigns
+    // codes via the ranged two-phase row index — no global window over
+    // the distinct set; the oracle's one-task row_number is fine at
+    // oracle scale and must agree exactly
+    QuerySpec("layout_dict_encode",
+      raw"""WITH dict AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS code
+           |              FROM (SELECT DISTINCT source FROM documents
+           |                    WHERE source IS NOT NULL))
+           |SELECT d.doc_id, d.source, CAST(dict.code AS BIGINT) AS source_code
+           |FROM documents d LEFT JOIN dict USING (source)""".stripMargin) { (s, d) =>
+      val dict = graft.ops.Encode.dictionary(docs(s, d), "source")
+      graft.ops.Encode.dictionaryEncode(docs(s, d), "source", dict)
+        .select(col("doc_id"), col("source"), col("source_code"))
+    },
+
     // evidence for the flagged near-dup pairs: exact shared-shingle
     // counts plus the 5 globally rarest shared shingles per pair — the
     // audit trail reviewed before a deletion wave. Pairs come from the
