@@ -261,6 +261,43 @@ object EntityQueries {
         shingleN = 3, tMilli = 800)
     },
 
+    // CUBE rollup over (event_type, day): every grouping-set combination
+    // plus grouping flags in one operator — Catalyst expands the sets
+    // and the partial aggregation is shared across them, which is the
+    // reason to use CUBE instead of four unioned group-bys at scale
+    QuerySpec("events_cube",
+      raw"""SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+           |  CAST(GROUPING(epoch_ms(ts) // 86400000) AS BIGINT) AS g_day
+           |FROM events
+           |GROUP BY CUBE (event_type, epoch_ms(ts) // 86400000)""".stripMargin) { (s, d) =>
+      events(s, d)
+        .select(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+        .cube(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("event_type")).cast("long").as("g_type"),
+          grouping(col("day")).cast("long").as("g_day"))
+    },
+
+    // PIVOT the event-type alphabet into per-user count columns — the
+    // reshape feeding feature stores. The pivot list is EXPLICIT (an
+    // inferred list is a whole extra distinct pass at 100 TB, and
+    // nondeterministic column order besides); oracle = conditional sums
+    QuerySpec("events_pivot",
+      raw"""SELECT user_id,
+           |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+           |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      events(s, d).groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(coalesce(count(lit(1)), lit(0L)))
+        .na.fill(0L, Seq("click", "error", "purchase", "signup", "view"))
+    },
+
     // dictionary encoding: dense value-ordered codes for the source
     // column (strings shuffle as integers downstream). Spark assigns
     // codes via the ranged two-phase row index — no global window over
