@@ -261,6 +261,26 @@ object EntityQueries {
         shingleN = 3, tMilli = 800)
     },
 
+    // time-to-conversion with right-censoring: per user, first signup ->
+    // first purchase at-or-after it; users who signed up but never
+    // purchased are censored=1 (their deltas are unbounded — downstream
+    // takes medians, never means), users who never signed up are absent
+    QuerySpec("events_time_to_convert",
+      raw"""WITH t0 AS (SELECT user_id, min(ts) AS t_start FROM events
+           |            WHERE event_type = 'signup' GROUP BY 1),
+           |t1 AS (SELECT e.user_id, min(e.ts) AS t_convert
+           |       FROM events e JOIN t0 ON t0.user_id = e.user_id
+           |       WHERE e.event_type = 'purchase' AND e.ts >= t0.t_start
+           |       GROUP BY 1)
+           |SELECT t0.user_id, t0.t_start, t1.t_convert,
+           |  epoch_ms(t1.t_convert) - epoch_ms(t0.t_start) AS delta_ms,
+           |  CAST(CASE WHEN t1.t_convert IS NULL THEN 1 ELSE 0 END AS BIGINT)
+           |    AS censored
+           |FROM t0 LEFT JOIN t1 ON t1.user_id = t0.user_id""".stripMargin) { (s, d) =>
+      graft.ops.History.timeToEvent(events(s, d), "user_id", "ts", "event_type",
+        fromVal = "signup", toVal = "purchase")
+    },
+
     // CUBE rollup over (event_type, day): every grouping-set combination
     // plus grouping flags in one operator — Catalyst expands the sets
     // and the partial aggregation is shared across them, which is the

@@ -50,6 +50,32 @@ object History {
         col("valid_to"), col("n_events"), col("version"))
   }
 
+  /** Time-to-event with right-censoring: per entity, the first
+    * `fromVal` instant, the first `toVal` instant AT OR AFTER it, the
+    * delta in ms, and `censored = 1` when the entity started but never
+    * converted — the row shape survival analysis consumes (medians via
+    * [[RobustStats.medianX2]], never a mean: censored deltas are
+    * unbounded). Entities without a `fromVal` event are absent. One
+    * grouped aggregate: t0 is a conditional min; t1 is the min of a
+    * conditional struct ordered by (ts) gated on type and ts ≥ t0 —
+    * computed in the same pass via a two-stage aggregate on the
+    * entity key only. */
+  def timeToEvent(events: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, fromVal: String, toVal: String): DataFrame = {
+    val t0 = events.where(col(typeCol) === fromVal)
+      .groupBy(col(entityCol)).agg(min(col(tsCol)).as("t_start"))
+    val t1 = events.where(col(typeCol) === toVal)
+      .select(col(entityCol), col(tsCol).as("__t"))
+      .join(t0, Seq(entityCol))
+      .where(col("__t") >= col("t_start"))
+      .groupBy(col(entityCol)).agg(min(col("__t")).as("t_convert"))
+    t0.join(t1, Seq(entityCol), "left")
+      .select(col(entityCol), col("t_start"), col("t_convert"),
+        (unix_millis(col("t_convert")) - unix_millis(col("t_start")))
+          .as("delta_ms"),
+        when(col("t_convert").isNull, 1L).otherwise(0L).as("censored"))
+  }
+
   /** Enrich a fact frame with the [[scd2]] dimension state valid at
     * each fact's own probe instant (`probeCol`, a timestamp column of
     * `facts` — shift it for "state just BEFORE this event" semantics):

@@ -77,6 +77,22 @@ class HistorySpec extends SparkSuite {
       (1L, "B", ts(1), None, 1L, 2L)))
   }
 
+  test("timeToEvent: first-from to first-subsequent-to, censoring, absence") {
+    val ev = Seq(
+      // user 1: view@1, purchase@3 (and an earlier purchase@0 that must
+      // NOT count — conversion is at-or-after the start)
+      (1L, 1L, "purchase", ts(0)), (2L, 1L, "view", ts(1)), (3L, 1L, "purchase", ts(3)),
+      // user 2: view but never purchase -> censored
+      (4L, 2L, "view", ts(2)),
+      // user 3: purchase only, no view -> absent
+      (5L, 3L, "purchase", ts(4))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = History.timeToEvent(ev, "user_id", "ts", "event_type", "view", "purchase")
+      .select("user_id", "delta_ms", "censored")
+      .as[(Long, Option[Long], Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == Map(1L -> ((Some(120000L), 0L)), 2L -> ((None, 1L))))
+  }
+
   test("rollingFeatures: bounded frames, integer cents, per-entity gaps") {
     val ev = Seq(
       (1L, 1L, 1.00, ts(1)),
