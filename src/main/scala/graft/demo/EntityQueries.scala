@@ -261,6 +261,43 @@ object EntityQueries {
         shingleN = 3, tMilli = 800)
     },
 
+    // exact per-lang CDF transform of n_chars: tie-aware max rank over
+    // the stratum window so equal lengths get equal features; both
+    // engines compute the same RANGE-frame count
+    QuerySpec("text_len_cdf",
+      raw"""SELECT lang, n_chars,
+           |  CAST((count(*) OVER (PARTITION BY lang ORDER BY n_chars
+           |          RANGE UNBOUNDED PRECEDING) * 1000)
+           |    // (count(*) OVER (PARTITION BY lang)) AS BIGINT) AS cdf_milli
+           |FROM documents""".stripMargin) { (s, d) =>
+      graft.ops.Ranking.cdfMilli(docs(s, d), "lang", "n_chars")
+    },
+
+    // churn cohorts between the two halves of the month: retained /
+    // churned / new / total user counts from one distinct-user frame
+    // per half, full-outer joined — audience math without rescans
+    QuerySpec("events_churn",
+      raw"""WITH a AS (SELECT DISTINCT user_id FROM events
+           |           WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+           |b AS (SELECT DISTINCT user_id FROM events
+           |      WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+           |SELECT
+           |  CAST(count(CASE WHEN a.user_id IS NOT NULL AND b.user_id IS NOT NULL
+           |        THEN 1 END) AS BIGINT) AS retained,
+           |  CAST(count(CASE WHEN b.user_id IS NULL THEN 1 END) AS BIGINT) AS churned,
+           |  CAST(count(CASE WHEN a.user_id IS NULL THEN 1 END) AS BIGINT) AS new_users
+           |FROM a FULL OUTER JOIN b ON a.user_id = b.user_id""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val a = ev.where(col("ts") < cut).select(col("user_id").as("ua")).distinct()
+      val b = ev.where(col("ts") >= cut).select(col("user_id").as("ub")).distinct()
+      a.join(b, col("ua") === col("ub"), "full_outer")
+        .agg(
+          count(when(col("ua").isNotNull && col("ub").isNotNull, 1)).as("retained"),
+          count(when(col("ub").isNull, 1)).as("churned"),
+          count(when(col("ua").isNull, 1)).as("new_users"))
+    },
+
     // time-to-conversion with right-censoring: per user, first signup ->
     // first purchase at-or-after it; users who signed up but never
     // purchased are censored=1 (their deltas are unbounded — downstream

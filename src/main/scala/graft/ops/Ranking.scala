@@ -33,4 +33,26 @@ object Ranking {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
     df.withColumn(rankCol, row_number().over(w)).where(col(rankCol) <= k)
   }
+
+  /**
+   * Exact per-stratum CDF transform in milli-units — the
+   * distribution-free feature normalization ("this doc is in the 87th
+   * percentile of its language's length"): `cdf_milli = 1000·rank div
+   * n` with `rank` the TIE-AWARE max rank (every row of a tie class
+   * gets the class's upper CDF value, so equal inputs get equal
+   * features — a row_number would split ties by arbitrary order). The
+   * rank window partitions per stratum (bounded by stratum size; for a
+   * single billion-row stratum use [[graft.ops.Sketches.histQuantiles]]
+   * instead).
+   */
+  def cdfMilli(df: DataFrame, strataCol: String, valueCol: String): DataFrame = {
+    val byV = Window.partitionBy(col(strataCol)).orderBy(col(valueCol))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col(strataCol))
+    df.select(col(strataCol), col(valueCol))
+      .withColumn("__rk", count(lit(1)).over(byV))
+      .withColumn("__n", count(lit(1)).over(whole))
+      .select(col(strataCol), col(valueCol),
+        expr("(__rk * 1000) div __n").as("cdf_milli"))
+  }
 }

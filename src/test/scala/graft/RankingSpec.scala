@@ -30,4 +30,17 @@ class RankingSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSeq
     assert(pick == Seq(1L))
   }
+
+  test("cdfMilli: tie-aware upper CDF, strata independent") {
+    val df = Seq(("a", 10L), ("a", 10L), ("a", 20L), ("a", 30L),
+      ("b", 5L)).toDF("g", "v")
+    val out = Ranking.cdfMilli(df, "g", "v")
+      .as[(String, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).toSet).toMap
+    // ties 10,10: both rank 2 of 4 -> 500; 20 -> 750; 30 -> 1000
+    assert(out(("a", 10L)) == Set(500L))
+    assert(out(("a", 20L)) == Set(750L))
+    assert(out(("a", 30L)) == Set(1000L))
+    assert(out(("b", 5L)) == Set(1000L))
+  }
 }
