@@ -261,6 +261,42 @@ object EntityQueries {
         shingleN = 3, tMilli = 800)
     },
 
+    // embedding ingest gate: per label, null / wrong-dim / non-finite /
+    // zero-norm vector counts — one NaN silently empties a top-k, a
+    // zero norm "matches" everything at 0; catch both before any index
+    // build. One columnar pass; a corrupted shadow copy is planted so
+    // every counter is exercised
+    QuerySpec("quality_embedding_audit",
+      raw"""WITH em AS (
+           |  SELECT label, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT label + 100,
+           |    CASE WHEN vec_id % 3 = 0 THEN NULL
+           |         WHEN vec_id % 3 = 1 THEN embedding[1:10]
+           |         ELSE list_transform(embedding, x -> x * 0) END
+           |  FROM embeddings WHERE vec_id % 10 = 0)
+           |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           |  CAST(sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(sum(CASE WHEN embedding IS NOT NULL AND len(embedding) <> 64
+           |        THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+           |  CAST(sum(CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding,
+           |        x -> isnan(x) OR isinf(x))) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nonfinite,
+           |  CAST(sum(CASE WHEN embedding IS NOT NULL AND len(list_filter(embedding,
+           |        x -> x <> 0)) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm
+           |FROM em GROUP BY 1""".stripMargin) { (s, d) =>
+      val em = s.read.parquet(s"$d/embeddings.parquet")
+      val planted = em.where(col("vec_id") % 10 === 0)
+        .select((col("label") + 100).as("label"),
+          when(col("vec_id") % 3 === 0, lit(null).cast("array<float>"))
+            .when(col("vec_id") % 3 === 1, slice(col("embedding"), 1, 10))
+            .otherwise(transform(col("embedding"), x => x * 0.0f))
+            .as("embedding"))
+      graft.ops.Drift.embeddingAudit(
+        em.select("label", "embedding").unionAll(planted),
+        "label", "embedding", expectedDim = 64)
+    },
+
     // exact per-lang CDF transform of n_chars: tie-aware max rank over
     // the stratum window so equal lengths get equal features; both
     // engines compute the same RANGE-frame count

@@ -51,6 +51,30 @@ object Drift {
   }
 
   /**
+   * Vector-column ingest gate: per stratum, the counts that catch a
+   * broken embedding feed BEFORE it poisons an index build — null
+   * vectors, wrong dimensionality, non-finite elements (NaN/±Inf: one
+   * NaN makes every dot product NaN and silently empties a top-k), and
+   * zero-norm vectors (cosine is undefined; they "match" everything at
+   * 0). One columnar pass — `exists`/`size` per row, one grouped
+   * aggregate, nothing data-sized after it.
+   */
+  def embeddingAudit(df: DataFrame, strataCol: String, vecCol: String,
+      expectedDim: Int): DataFrame = {
+    require(expectedDim >= 1, s"expectedDim must be >= 1: $expectedDim")
+    val v = col(vecCol)
+    val nonFinite = exists(v, x => isnan(x) || abs(x) > lit(Float.MaxValue))
+    val zeroNorm = !exists(v, x => x =!= 0.0f)
+    df.groupBy(col(strataCol)).agg(
+      count(lit(1)).as("n_vecs"),
+      sum(when(v.isNull, 1L).otherwise(0L)).as("n_null"),
+      sum(when(v.isNotNull && size(v) =!= expectedDim, 1L).otherwise(0L))
+        .as("n_wrong_dim"),
+      sum(when(v.isNotNull && nonFinite, 1L).otherwise(0L)).as("n_nonfinite"),
+      sum(when(v.isNotNull && zeroNorm, 1L).otherwise(0L)).as("n_zero_norm"))
+  }
+
+  /**
    * Distribution drift for an integer column: BOTH snapshots are binned
    * against the BEFORE snapshot's per-stratum [min, max] bounds (fixed
    * edges — bins only compare when the edges agree; this is the same

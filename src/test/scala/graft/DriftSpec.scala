@@ -32,6 +32,20 @@ class DriftSpec extends SparkSuite {
     assert(p == ((1000L, 0L, 0.0)))
   }
 
+  test("embeddingAudit flags null / wrong-dim / non-finite / zero-norm vectors") {
+    val rows = Seq(
+      ("a", Some(Array(1.0f, 2.0f))),
+      ("a", None),
+      ("a", Some(Array(1.0f))),                         // wrong dim
+      ("a", Some(Array(Float.NaN, 1.0f))),              // NaN
+      ("a", Some(Array(Float.PositiveInfinity, 0.0f))), // Inf
+      ("a", Some(Array(0.0f, 0.0f)))                    // zero norm
+    ).toDF("g", "emb")
+    val r = graft.ops.Drift.embeddingAudit(rows, "g", "emb", expectedDim = 2)
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    assert(r == (("a", 6L, 1L, 1L, 2L, 1L)))
+  }
+
   test("histDrift: identical snapshots have zero deltas; shifts move mass between bins") {
     val before = (0 until 100).map(i => ("a", i.toLong)).toDF("g", "v")
     val same = Drift.histDrift(before, before, "g", "v", nBins = 10)
