@@ -261,6 +261,33 @@ object EntityQueries {
         shingleN = 3, tMilli = 800)
     },
 
+    // characteristic terms per source (c-TF-IDF's job with an exact
+    // integer lift): a token scores 1000*(group share) div (corpus
+    // share); top-3 over-represented terms label each source. Numerator
+    // runs in DECIMAL(38,0) — int64 headroom runs out at corpus scale
+    QuerySpec("text_characteristic_terms",
+      raw"""WITH tt AS (SELECT source, CASE WHEN length(trim(text)) = 0 THEN []
+           |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+           |            FROM documents),
+           |tok AS (SELECT source, unnest(t) AS token FROM tt),
+           |grp AS (SELECT source, token, count(*) AS n FROM tok GROUP BY 1, 2
+           |        HAVING count(*) >= 10),
+           |gt AS (SELECT source, count(*) AS g FROM tok GROUP BY 1),
+           |cn AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+           |ct AS (SELECT count(*) AS a FROM tok),
+           |sc AS (SELECT grp.source, grp.token, grp.n,
+           |         CAST((CAST(grp.n AS HUGEINT) * ct.a * 1000) //
+           |           (CAST(gt.g AS HUGEINT) * cn.c) AS BIGINT) AS lift_milli
+           |       FROM grp JOIN gt USING (source) JOIN cn USING (token) CROSS JOIN ct),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY source
+           |         ORDER BY lift_milli DESC, n DESC, token) AS rank FROM sc)
+           |SELECT source, token, CAST(n AS BIGINT) AS n, lift_milli,
+           |  CAST(rank AS BIGINT) AS rank
+           |FROM rk WHERE rank <= 3""".stripMargin) { (s, d) =>
+      graft.ops.TextAnalysis.characteristicTerms(docs(s, d), "source", "text",
+        k = 3, minCount = 10L)
+    },
+
     // embedding ingest gate: per label, null / wrong-dim / non-finite /
     // zero-norm vector counts — one NaN silently empties a top-k, a
     // zero norm "matches" everything at 0; catch both before any index

@@ -350,6 +350,41 @@ object TextAnalysis {
     size(filter(tokens(textCol), pred)) > 0
 
   /**
+   * Characteristic terms per group — the "what is this cluster about"
+   * labels (c-TF-IDF's job, with the idf replaced by an exact integer
+   * LIFT so both engines agree bit-for-bit): a token's score in a group
+   * is `1000·(share of the group's tokens) div (share of the corpus's
+   * tokens)` — >1000 means over-represented. Top `k` per group by
+   * (lift desc, count desc, token). `minCount` floors noise (a token
+   * seen twice in a tiny group is not a label). Two grouped counts and
+   * a per-group top-k window over the group's qualifying vocabulary.
+   */
+  def characteristicTerms(df: DataFrame, groupCol: String, textCol: String,
+      k: Int, minCount: Long = 5L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val tok = df.select(col(groupCol), explode(tokens(col(textCol))).as("token"))
+    val grp = tok.groupBy(col(groupCol), col("token")).agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+    val grpTotals = tok.groupBy(col(groupCol)).agg(count(lit(1)).as("__gt"))
+    val corpus = tok.groupBy(col("token")).agg(count(lit(1)).as("__cn"))
+    val corpusTotal = tok.agg(count(lit(1)).as("__ct"))
+    val scored = grp
+      .join(broadcast(grpTotals), Seq(groupCol))
+      .join(corpus, Seq("token"))
+      .crossJoin(broadcast(corpusTotal))
+      // lift = (n/gt) / (cn/ct) = n·ct / (gt·cn), floored milli; the
+      // numerator n·ct·1000 needs headroom beyond int64 at corpus
+      // scale — integral `div` over DECIMAL(38,0), exact in both engines
+      .withColumn("lift_milli",
+        expr("CAST((CAST(n AS DECIMAL(38,0)) * __ct * 1000) div " +
+          "(CAST(__gt AS DECIMAL(38,0)) * __cn) AS BIGINT)"))
+    Ranking.topKPerGroup(scored, Seq(groupCol),
+        Seq(col("lift_milli").desc, col("n").desc, col("token")), k)
+      .select(col(groupCol), col("token"), col("n"), col("lift_milli"),
+        col("rank"))
+  }
+
+  /**
    * Per-source boilerplate vocabulary: tokens whose DOCUMENT frequency
    * within a source reaches `dfMilli` (e.g. 600 = appears in ≥ 60% of
    * the source's docs) — navigation chrome, disclaimers, and template

@@ -32,6 +32,22 @@ class BoilerplateSpec extends SparkSuite {
     assert(out(5L) == ((5L, 3L, 3L, "different words here")))
   }
 
+  test("characteristicTerms ranks by exact lift; minCount floors noise") {
+    // corpus: 10 tokens total; group g1 has 5: "cat" 3/5 in-group vs
+    // 3/10 corpus -> lift 2000; "dog" 2/5 vs 7/10 -> lift 714
+    val d = Seq(
+      (1L, "g1", "cat cat cat dog dog"),
+      (2L, "g2", "dog dog dog dog dog")
+    ).toDF("doc_id", "grp", "text")
+    val out = TextAnalysis.characteristicTerms(d, "grp", "text", k = 2, minCount = 2L)
+      .select("grp", "token", "n", "lift_milli", "rank")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("g1", "cat", 3L, 2000L, 1L),
+      ("g1", "dog", 2L, 571L, 2L),
+      ("g2", "dog", 5L, 1428L, 1L)))
+  }
+
   test("a source with no boilerplate and blank docs pass through") {
     val d = Seq((1L, "s", "a b"), (2L, "s", "c d"), (3L, "s", " "))
       .toDF("doc_id", "source", "text")
