@@ -555,6 +555,22 @@ object OpsQueries {
         Dedup.simHashNearDups(docs(s, d), "text", "doc_id", maxHamming = 3, maxBucket = 1000))
     },
 
+    // weak supervision: lang seeds on 1/7 of docs propagate to every
+    // member of their near-dup component by majority vote (count desc,
+    // label asc) — a small annotation budget inherited corpus-wide.
+    // Unseeded components stay null; isolated seeds label themselves
+    QuerySpec("dedup_label_propagation",
+      SketchOracleSql.simHashLabelPropagationSql(maxHamming = 3, maxBucket = 1000,
+        seedMod = 7)) { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      val dd = docs(s, d)
+      graft.ops.Graph.propagateLabels(
+        Dedup.connectedComponents(
+          Dedup.simHashNearDups(dd, "text", "doc_id", maxHamming = 3, maxBucket = 1000)),
+        dd.select("doc_id"), "doc_id",
+        dd.where(col("doc_id") % 7 === 0).select(col("doc_id"), col("lang")), "lang")
+    },
+
     // INCREMENTAL clustering: label the seen slice (doc_id % 20 != 0)
     // first, then fold in the batch slice through contraction-based
     // label merging (Dedup.incrementalComponents) — no historical edge
@@ -1621,6 +1637,32 @@ object SketchOracleSql {
        |  UNION
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
        |SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a""".stripMargin
+
+  /** ≡ Graph.propagateLabels over the simhash component graph with
+    * lang seeds on doc_id % `seedMod` = 0: majority vote per component
+    * (count desc, label asc), singletons label themselves iff seeded. */
+  def simHashLabelPropagationSql(maxHamming: Int, maxBucket: Int, seedMod: Int): String =
+    s"""WITH RECURSIVE ${simHashCtes(maxHamming, maxBucket)},
+       |pairs AS (
+       |${simHashSelect(maxHamming, maxBucket)}),
+       |edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs UNION SELECT doc2, doc1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |lbls AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+       |comp AS (SELECT d.doc_id AS node, COALESCE(l.component, d.doc_id) AS component
+       |         FROM documents d LEFT JOIN lbls l ON l.node = d.doc_id),
+       |seeds AS (SELECT doc_id AS node, lang AS lbl FROM documents
+       |          WHERE doc_id % $seedMod = 0),
+       |votes AS (SELECT c.component, s.lbl, count(*) AS v
+       |          FROM comp c JOIN seeds s ON s.node = c.node GROUP BY 1, 2),
+       |win AS (SELECT component, lbl AS label, v AS n_votes,
+       |          row_number() OVER (PARTITION BY component ORDER BY v DESC, lbl) AS rk
+       |        FROM votes)
+       |SELECT c.node, c.component, w.label,
+       |  CAST(COALESCE(w.n_votes, 0) AS BIGINT) AS n_votes
+       |FROM comp c LEFT JOIN win w ON w.component = c.component AND w.rk = 1""".stripMargin
 
   /** [[graft.ops.Dedup.canonicalByQuality]] over the simhash pair set:
     * the components CTE chain plus the text_quality score formula and a

@@ -41,6 +41,39 @@ object Graph {
   }
 
   /**
+   * Weak supervision by connectivity: propagate seed labels to every
+   * node of each connected component by majority vote — the "label 1%
+   * of the near-dup clusters, inherit everywhere" step that turns a
+   * small annotation budget into corpus-scale labels. `components` is
+   * [[Dedup.connectedComponents]] output `(node, component)` over the
+   * graph's nodes; `allNodes` lists EVERY entity (nodes outside the
+   * graph form singleton components — labeled only if they are seeds
+   * themselves). The vote is (count desc, label asc) — deterministic;
+   * components with no seed report null label and 0 votes. The vote
+   * window partitions per component over its distinct labels, never
+   * data-sized frames.
+   */
+  def propagateLabels(components: DataFrame, allNodes: DataFrame,
+      nodeCol: String, seeds: DataFrame, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = allNodes.select(col(nodeCol).as("node"))
+      .join(components, Seq("node"), "left")
+      .withColumn("component", coalesce(col("component"), col("node")))
+    val votes = comp
+      .join(seeds.select(col(nodeCol).as("node"), col(labelCol).as("__lbl")),
+        Seq("node"))
+      .groupBy(col("component"), col("__lbl")).agg(count(lit(1)).as("__v"))
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("__v").desc, col("__lbl"))
+    val winner = votes.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col("component"), col("__lbl").as("label"), col("__v").as("n_votes"))
+    comp.join(winner, Seq("component"), "left")
+      .select(col("node"), col("component"), col("label"),
+        coalesce(col("n_votes"), lit(0L)).as("n_votes"))
+  }
+
+  /**
    * Per-node triangle counts over a symmetric distinct edge list —
    * the clustering/cohesion signal (tightly-knit co-purchase or
    * co-citation neighborhoods) curation pipelines use beside PageRank.

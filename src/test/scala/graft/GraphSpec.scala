@@ -64,6 +64,35 @@ class GraphSpec extends SparkSuite {
     assert(r.where($"n_triangles" =!= 0L).count() == 0L)
   }
 
+  test("propagateLabels: majority vote per component, singleton and unseeded behavior") {
+    import graft.ops.{Dedup, Graph}
+    // component {1,2,3} seeded x,x,y -> x wins; {4,5} unseeded -> null;
+    // 6 is outside the graph and a seed -> labels itself; 7 isolated
+    // and unseeded -> null
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc1", "doc2")
+    val comps = Dedup.connectedComponents(pairs)
+    val allNodes = (1L to 7L).toDF("id")
+    val seeds = Seq((1L, "x"), (2L, "x"), (3L, "y"), (6L, "z")).toDF("id", "lbl")
+    val out = Graph.propagateLabels(comps, allNodes, "id", seeds, "lbl")
+      .as[(Long, Long, Option[String], Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(out(1L) == ((Some("x"), 2L)) && out(2L) == ((Some("x"), 2L))
+      && out(3L) == ((Some("x"), 2L)))
+    assert(out(4L) == ((None, 0L)) && out(5L) == ((None, 0L)))
+    assert(out(6L) == ((Some("z"), 1L)))
+    assert(out(7L) == ((None, 0L)))
+  }
+
+  test("propagateLabels: vote ties break on the smaller label") {
+    import graft.ops.{Dedup, Graph}
+    val pairs = Seq((1L, 2L)).toDF("doc1", "doc2")
+    val out = Graph.propagateLabels(Dedup.connectedComponents(pairs),
+        Seq(1L, 2L).toDF("id"),
+        "id", Seq((1L, "b"), (2L, "a")).toDF("id", "lbl"), "lbl")
+      .select("label").distinct().as[String].collect().toSeq
+    assert(out == Seq("a"))
+  }
+
   test("clusteringCoefficients: K4 is fully clustered; a chord splits the square") {
     val nodes = Seq(0L, 1L, 2L, 3L)
     val k4 = (for (u <- nodes; v <- nodes if u != v) yield (u, v)).toDF("src", "dst")
