@@ -261,6 +261,35 @@ object EntityQueries {
         shingleN = 3, tMilli = 800)
     },
 
+    // Pearson correlation from exact integer moments: value-cents vs
+    // hour-of-day per event type. The five sums are DECIMAL/HUGEINT
+    // exact; the coefficient is ONE fixed double expression whose only
+    // libm call is the correctly-rounded sqrt — engine-identical bits,
+    // where a float corr() would drift on summation order alone
+    QuerySpec("events_value_hour_corr",
+      raw"""WITH p AS (SELECT event_type,
+           |    CAST(floor(value * 100) AS HUGEINT) AS x,
+           |    CAST((epoch_ms(ts) // 3600000) % 24 AS HUGEINT) AS y
+           |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+           |m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           |        sum(x * y) AS sxy, sum(x * x) AS sx2, sum(y * y) AS sy2
+           |      FROM p GROUP BY 1)
+           |SELECT event_type, CAST(n AS BIGINT) AS n,
+           |  CAST(sx AS VARCHAR) AS sum_x, CAST(sy AS VARCHAR) AS sum_y,
+           |  CAST(sxy AS VARCHAR) AS sum_xy, CAST(sx2 AS VARCHAR) AS sum_x2,
+           |  CAST(sy2 AS VARCHAR) AS sum_y2,
+           |  CAST(n * sxy - sx * sy AS DOUBLE) /
+           |    (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) *
+           |     sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))) AS corr
+           |FROM m""".stripMargin) { (s, d) =>
+      graft.ops.RobustStats.corrExact(
+        events(s, d).where(col("value").isNotNull && col("ts").isNotNull)
+          .select(col("event_type"),
+            floor(col("value") * 100).as("x"),
+            expr("(unix_millis(ts) div 3600000) % 24").as("y")),
+        "event_type", "x", "y")
+    },
+
     // characteristic terms per source (c-TF-IDF's job with an exact
     // integer lift): a token scores 1000*(group share) div (corpus
     // share); top-3 over-represented terms label each source. Numerator

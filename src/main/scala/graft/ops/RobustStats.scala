@@ -61,6 +61,40 @@ object RobustStats {
   }
 
   /**
+   * Pearson correlation from EXACT integer moments: the five sums run
+   * in DECIMAL(38,0) (associative — a float `corr()` differs across
+   * engines on summation order alone), and the final coefficient is
+   * one fixed-shape double expression over those exact integers.
+   * Division and multiplication are IEEE-deterministic, and `sqrt` is
+   * CORRECTLY ROUNDED by IEEE-754 (unlike ln/pow, which are
+   * libm-specific — see [[Sketches]] on why hllCorrected is not
+   * oracle-checked), so both engines produce the same bits. Inputs
+   * must already be integral (cents/milli — the caller's scaling).
+   * Null-complete rows only: pairs with either side null are excluded
+   * from every moment (the standard pairwise-complete contract).
+   */
+  def corrExact(df: DataFrame, strataCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val y = col(yCol).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("sum_x"), sum(y).as("sum_y"),
+        sum(x * y).as("sum_xy"), sum(x * x).as("sum_x2"), sum(y * y).as("sum_y2"))
+      .select(col(strataCol), col("n"),
+        col("sum_x").cast("string").as("sum_x"),
+        col("sum_y").cast("string").as("sum_y"),
+        col("sum_xy").cast("string").as("sum_xy"),
+        col("sum_x2").cast("string").as("sum_x2"),
+        col("sum_y2").cast("string").as("sum_y2"),
+        // one fixed expression shape, doubles only at the very end
+        ((col("n") * col("sum_xy") - col("sum_x") * col("sum_y")).cast("double") /
+          (sqrt((col("n") * col("sum_x2") - col("sum_x") * col("sum_x")).cast("double")) *
+            sqrt((col("n") * col("sum_y2") - col("sum_y") * col("sum_y")).cast("double"))))
+          .as("corr"))
+  }
+
+  /**
    * Winsorization with fixed-memory thresholds: clip an integer column
    * to its per-stratum histogram-quantile EDGES — the tail-taming step
    * before any mean-based feature leaves a pipeline. Thresholds come

@@ -44,6 +44,32 @@ class RobustStatsSpec extends SparkSuite {
     assert(flags.isEmpty, flags.mkString(", "))
   }
 
+  test("corrExact: perfect correlation, anti-correlation, exact moments") {
+    val df = Seq(
+      ("up", 1L, 10L), ("up", 2L, 20L), ("up", 3L, 30L),
+      ("down", 1L, 30L), ("down", 2L, 20L), ("down", 3L, 10L)
+    ).toDF("g", "x", "y")
+    val out = RobustStats.corrExact(df, "g", "x", "y")
+      .select("g", "n", "sum_xy", "corr")
+      .as[(String, Long, String, Double)].collect().map(r => r._1 -> r).toMap
+    // the formula is deterministic, not algebraically simplified: the
+    // double rounding of sqrt(a)*sqrt(b) leaves 1.0000000000000002 —
+    // the same bits in both engines, which is the contract
+    assert((out("up")._1, out("up")._2, out("up")._3) == (("up", 3L, "140")))
+    assert(math.abs(out("up")._4 - 1.0) < 1e-12)
+    assert(math.abs(out("down")._4 + 1.0) < 1e-12)
+  }
+
+  test("corrExact excludes pairs with either side null from every moment") {
+    val df = Seq(
+      ("g", Some(1L), Some(2L)), ("g", None, Some(9L)), ("g", Some(9L), None),
+      ("g", Some(2L), Some(4L))
+    ).toDF("g", "x", "y")
+    val r = RobustStats.corrExact(df, "g", "x", "y")
+      .select("n", "sum_x", "sum_y").as[(Long, String, String)].head()
+    assert(r == ((2L, "3", "6")))
+  }
+
   test("winsorize clips to integer histogram-bin edges, exactly") {
     import org.apache.spark.sql.functions.col
     // 0,10,…,90 with 10 bins: p10 edge = 0, p90 edge = (8·90) div 10 = 72
