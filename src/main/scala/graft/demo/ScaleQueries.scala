@@ -43,6 +43,20 @@ object ScaleQueries {
       Sampling.hashSplit(docs(s, d), "doc_id", Splits).select(col("doc_id"), col("split"))
     },
 
+    // balanced eval sample: exactly 20 docs per lang by key-hash order
+    // (every run the same 20; tiny strata ride whole) — the
+    // equal-allocation set a proportional sample can't give
+    QuerySpec("text_balanced_sample",
+      raw"""WITH h AS (SELECT doc_id, lang,
+           |             ${md5h60("CAST(doc_id AS VARCHAR)")} AS hh FROM documents),
+           |r AS (SELECT doc_id, lang,
+           |        row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rk
+           |      FROM h)
+           |SELECT doc_id, lang FROM r WHERE rk <= 20""".stripMargin) { (s, d) =>
+      Sampling.balancedSample(docs(s, d).select("doc_id", "lang"), "lang", "doc_id",
+        n = 20)
+    },
+
     // representativeness audit of the split: per (split, lang) cell,
     // the lang's milli share within the split vs in the whole corpus
     // and the signed bias — a hash split is uniform in expectation,

@@ -94,6 +94,26 @@ object Sampling {
   }
 
   /**
+   * Balanced deterministic sample: exactly `n` rows per stratum (all of
+   * a stratum when it is smaller), chosen by key-hash order — the
+   * equal-allocation eval set ("100 docs per language, every run the
+   * same 100") that a fraction-based sample cannot give: tiny strata
+   * vanish from proportional samples, and RNG samples differ run to
+   * run. Hash order is layout-independent and growth-stable UNTIL new
+   * keys hash below a stratum's current cutoff — unlike
+   * [[deterministicSample]]'s fixed threshold, membership here can
+   * shift as a stratum grows (the price of an exact count). One
+   * stratum-partitioned rank window.
+   */
+  def balancedSample(df: DataFrame, strataCol: String, keyCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    Ranking.topKPerGroup(df, Seq(strataCol),
+        Seq(keyHash(col(keyCol)), col(keyCol)), n, rankCol = "__bs_rank")
+      .drop("__bs_rank")
+  }
+
+  /**
    * Representativeness audit of a split assignment: per (split,
    * stratum) cell — count, the stratum's exact milli share WITHIN the
    * split, its milli share in the whole corpus, and the signed bias

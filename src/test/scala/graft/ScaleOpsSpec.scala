@@ -212,4 +212,17 @@ class ScaleOpsSpec extends SparkSuite {
     assert(out(("train", "fr")) == ((1L, 333L, 500L, -167L)))
     assert(out(("test", "fr")) == ((2L, 666L, 500L, 166L)))
   }
+
+  test("balancedSample: exactly n per stratum, deterministic, small strata whole") {
+    import org.apache.spark.sql.functions.col
+    val df = ((1 to 100).map(i => ("big", i.toLong)) ++
+      (1 to 3).map(i => ("tiny", 1000L + i))).toDF("g", "id")
+    val once = graft.ops.Sampling.balancedSample(df, "g", "id", n = 10)
+      .as[(String, Long)].collect().toSet
+    assert(once.count(_._1 == "big") == 10)
+    assert(once.count(_._1 == "tiny") == 3)
+    val again = graft.ops.Sampling.balancedSample(df.repartition(7), "g", "id", n = 10)
+      .as[(String, Long)].collect().toSet
+    assert(once == again)
+  }
 }
