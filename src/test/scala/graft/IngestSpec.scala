@@ -37,6 +37,35 @@ class IngestSpec extends SparkSuite {
     assert(e.getMessage.contains("re-commit"))
   }
 
+  test("ledger-driven ingest composes with shard-wise HLL sketch maintenance") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Sketches
+    val data = Files.createTempDirectory("graft_ingest3").toString
+    val ledger = s"$data/../${new java.io.File(data).getName}_ledger"
+    (1 to 300).map(i => ("g", s"v${i % 120}")).toDF("g", "v")
+      .coalesce(1).write.parquet(s"$data/p1")
+    val b0 = Ingest.newFiles(spark, data, ledger)
+    // batch-0 registers become the persisted sketch
+    var regs = Sketches.hllRegisters(Ingest.readBatch(spark, data, b0), "g", col("v"))
+      .collect().toSeq
+    Ingest.commit(spark, ledger, b0, 0L)
+
+    (200 to 500).map(i => ("g", s"v$i")).toDF("g", "v")
+      .coalesce(1).write.parquet(s"$data/p2")
+    val b1 = Ingest.newFiles(spark, data, ledger)
+    // merge ONLY the new batch's registers — history is never re-read
+    val merged = Sketches.hllMerge(Seq(
+      spark.createDataFrame(spark.sparkContext.parallelize(regs),
+        Sketches.hllRegisters(Ingest.readBatch(spark, data, b1), "g", col("v")).schema),
+      Sketches.hllRegisters(Ingest.readBatch(spark, data, b1), "g", col("v"))), "g")
+    Ingest.commit(spark, ledger, b1, 1L)
+
+    val whole = Sketches.hllRegisters(
+      spark.read.option("recursiveFileLookup", "true").parquet(data), "g", col("v"))
+    assert(rowsOf(merged) == rowsOf(whole),
+      "incremental register maintenance must equal the whole-corpus sketch")
+  }
+
   test("ledger-driven ingest composes with the incremental rollup state") {
     val data = Files.createTempDirectory("graft_ingest2").toString
     val ledger = s"$data/../${new java.io.File(data).getName}_ledger"
