@@ -335,6 +335,37 @@ object CurationQueries {
         Seq(("e", "r"), ("i", "n"), ("s", "t")))
     },
 
+    // tokenizer fertility per lang (subtokens per word, exact milli):
+    // THE number that decides if a vocabulary suits a corpus slice —
+    // high-fertility languages pay more sequence length per word and
+    // starve in a token-budgeted mix. Same merges as vocab_bpe_apply
+    QuerySpec("vocab_bpe_fertility", {
+      val merges = Seq(("e", "r"), ("i", "n"), ("s", "t"))
+      val base = raw"' ' || array_to_string(string_split(w, ''), ' ') || ' '"
+      val seg = merges.foldLeft(base) { case (c, (a, b)) =>
+        s"regexp_replace(regexp_replace($c, ' $a $b ', ' $a$b ', 'g'), ' $a $b ', ' $a$b ', 'g')"
+      }
+      raw"""WITH tt AS (SELECT doc_id, lang, CASE WHEN length(trim(text)) = 0 THEN []
+           |          ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |w AS (SELECT doc_id, lang, unnest(t) AS w FROM tt),
+           |seg AS (SELECT lang,
+           |          CAST(len(string_split(trim($seg), ' ')) AS BIGINT) AS n
+           |        FROM w)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+           |  CAST(sum(n) AS BIGINT) AS n_subtokens,
+           |  CAST((sum(n) * 1000) // count(*) AS BIGINT) AS fertility_milli
+           |FROM seg GROUP BY 1""".stripMargin
+    }) { (s, d) =>
+      val stats = Vocab.subtokenStats(docs(s, d), "text", "doc_id",
+        Seq(("e", "r"), ("i", "n"), ("s", "t")))
+      stats.join(docs(s, d).select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_subtokens")).as("n_subtokens"))
+        .select(col("lang"), col("n_words"), col("n_subtokens"),
+          expr("(n_subtokens * 1000) div n_words").as("fertility_milli"))
+    },
+
     // corpus data card: per-(lang, source) + per-lang + whole-corpus
     // composition stats in ONE grouping-sets pass (docs, chars, tokens,
     // exact-ratio mean doc length) — the release-notes table every
