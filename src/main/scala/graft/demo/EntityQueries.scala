@@ -496,7 +496,7 @@ object EntityQueries {
            |rr AS (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
            |         ORDER BY df, tok) AS r FROM shared)
            |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared,
-           |  list(tok ORDER BY df, tok) FILTER (WHERE r <= 5) AS evidence
+           |  array_to_string(list(tok ORDER BY df, tok) FILTER (WHERE r <= 5), '|') AS evidence
            |FROM rr GROUP BY 1, 2""".stripMargin) { (s, d) =>
       val pairs = graft.ops.SetSimilarity.jaccardPrefixJoin(
         docs(s, d), "text", "doc_id", shingleN = 3, tMilli = 800)
@@ -1006,21 +1006,29 @@ object EntityQueries {
     // distribution drift: both snapshots binned against the BEFORE
     // snapshot's per-lang bounds (after-values outside clamp to edge
     // bins — the range-moved signal), per-bin counts and exact milli
-    // proportions; planted drift = n_chars+50 on doc_id%3=0
+    // proportions; planted drift = n_chars+50 on doc_id%3=0 PLUS a
+    // stratum rename de→xx, so the added ('xx', after-only, binned
+    // against its own bounds) and removed ('de', proportions coalesced
+    // to 0) status paths are cross-engine value-checked too
     QuerySpec("quality_dist_drift",
-      raw"""WITH bnd AS (SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi
-           |             FROM documents GROUP BY 1),
+      raw"""WITH bef AS (SELECT lang, n_chars FROM documents),
+           |aft AS (SELECT CASE WHEN lang = 'de' THEN 'xx' ELSE lang END AS lang,
+           |               CASE WHEN doc_id % 3 = 0 THEN n_chars + 50
+           |                    ELSE n_chars END AS v FROM documents),
+           |bndb AS (SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi FROM bef GROUP BY 1),
+           |bnda AS (SELECT lang, min(v) AS lo, max(v) AS hi FROM aft GROUP BY 1),
+           |bnd AS (SELECT COALESCE(b.lang, a.lang) AS lang,
+           |          COALESCE(b.lo, a.lo) AS lo, COALESCE(b.hi, a.hi) AS hi
+           |        FROM bndb b FULL OUTER JOIN bnda a ON b.lang = a.lang),
            |bb AS (SELECT d.lang, CASE WHEN b.hi = b.lo THEN 0
            |         ELSE greatest(0, least(15, ((d.n_chars - b.lo) * 16) // (b.hi - b.lo)))
            |         END AS bin
-           |       FROM documents d JOIN bnd b USING (lang)),
+           |       FROM bef d JOIN bnd b USING (lang)),
            |cb AS (SELECT lang, bin, count(*) AS n_before FROM bb GROUP BY 1, 2),
-           |aa AS (SELECT lang, CASE WHEN doc_id % 3 = 0 THEN n_chars + 50
-           |                         ELSE n_chars END AS v FROM documents),
            |ba AS (SELECT a.lang, CASE WHEN b.hi = b.lo THEN 0
            |         ELSE greatest(0, least(15, ((a.v - b.lo) * 16) // (b.hi - b.lo)))
            |         END AS bin
-           |       FROM aa a JOIN bnd b USING (lang)),
+           |       FROM aft a JOIN bnd b USING (lang)),
            |ca AS (SELECT lang, bin, count(*) AS n_after FROM ba GROUP BY 1, 2),
            |j AS (SELECT COALESCE(cb.lang, ca.lang) AS lang,
            |        COALESCE(cb.bin, ca.bin) AS bin,
@@ -1031,12 +1039,16 @@ object EntityQueries {
            |        sum(n_after) OVER (PARTITION BY lang) AS ta FROM j)
            |SELECT lang, bin, CAST(n_before AS BIGINT) AS n_before,
            |  CAST(n_after AS BIGINT) AS n_after,
-           |  CAST((n_before * 1000) // tb AS BIGINT) AS p_before_milli,
-           |  CAST((n_after * 1000) // ta AS BIGINT) AS p_after_milli,
-           |  CAST((n_after * 1000) // ta - (n_before * 1000) // tb AS BIGINT) AS delta_milli
+           |  CASE WHEN tb = 0 THEN 'added' WHEN ta = 0 THEN 'removed'
+           |       ELSE 'common' END AS status,
+           |  CAST(COALESCE((n_before * 1000) // NULLIF(tb, 0), 0) AS BIGINT) AS p_before_milli,
+           |  CAST(COALESCE((n_after * 1000) // NULLIF(ta, 0), 0) AS BIGINT) AS p_after_milli,
+           |  CAST(COALESCE((n_after * 1000) // NULLIF(ta, 0), 0)
+           |     - COALESCE((n_before * 1000) // NULLIF(tb, 0), 0) AS BIGINT) AS delta_milli
            |FROM t""".stripMargin) { (s, d) =>
       val before = docs(s, d)
-      val after = before.select(col("lang"),
+      val after = before.select(
+        when(col("lang") === "de", "xx").otherwise(col("lang")).as("lang"),
         when(col("doc_id") % 3 === 0, col("n_chars") + 50L)
           .otherwise(col("n_chars")).as("n_chars"))
       graft.ops.Drift.histDrift(before, after, "lang", "n_chars", nBins = 16)
@@ -1103,31 +1115,27 @@ object EntityQueries {
     // Digests are sums of 60-bit row hashes in DECIMAL(38,0), exact and
     // commutative in both engines; NULLs are sentineled so (a,NULL) and
     // (a||'',''-shift) cannot collide
-    QuerySpec("recon_anti_entropy",
+    QuerySpec("recon_anti_entropy", {
+      // mirror of AntiEntropy.field: N for NULL, else V<charlen>:<value>
+      // (length-prefixed — injective even when values contain a
+      // would-be separator)
+      def enc(e: String) =
+        s"(CASE WHEN $e IS NULL THEN 'N' ELSE 'V' || CAST(length($e) AS VARCHAR) || ':' || $e END)"
+      val keyCanon = enc("CAST(o_orderkey AS VARCHAR)")
+      val rowCanon = s"${enc("CAST(o_orderkey AS VARCHAR)")} || ${enc("o_orderstatus")} || ${enc("o_orderpriority")}"
+      def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
       raw"""WITH a0 AS (SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders),
            |b0 AS (SELECT o_orderkey, o_orderstatus,
            |         CASE WHEN o_orderkey % 89 = 0 THEN '9-CORRUPT'
            |              ELSE o_orderpriority END AS o_orderpriority
            |       FROM orders WHERE o_orderkey % 97 <> 0),
-           |da AS (SELECT ('0x' || substr(md5(
-           |           COALESCE(CAST(o_orderkey AS VARCHAR), chr(2)) || chr(1)), 1, 15))::BIGINT
-           |           % 64 AS bucket,
+           |da AS (SELECT ${h60(keyCanon)} % 64 AS bucket,
            |         count(*) AS n_rows,
-           |         sum(CAST(('0x' || substr(md5(
-           |           COALESCE(CAST(o_orderkey AS VARCHAR), chr(2)) || chr(1) ||
-           |           COALESCE(o_orderstatus, chr(2)) || chr(1) ||
-           |           COALESCE(o_orderpriority, chr(2)) || chr(1)), 1, 15))::BIGINT
-           |           AS DECIMAL(38,0))) AS digest
+           |         sum(CAST(${h60(rowCanon)} AS DECIMAL(38,0))) AS digest
            |       FROM a0 GROUP BY 1),
-           |db AS (SELECT ('0x' || substr(md5(
-           |           COALESCE(CAST(o_orderkey AS VARCHAR), chr(2)) || chr(1)), 1, 15))::BIGINT
-           |           % 64 AS bucket,
+           |db AS (SELECT ${h60(keyCanon)} % 64 AS bucket,
            |         count(*) AS n_rows,
-           |         sum(CAST(('0x' || substr(md5(
-           |           COALESCE(CAST(o_orderkey AS VARCHAR), chr(2)) || chr(1) ||
-           |           COALESCE(o_orderstatus, chr(2)) || chr(1) ||
-           |           COALESCE(o_orderpriority, chr(2)) || chr(1)), 1, 15))::BIGINT
-           |           AS DECIMAL(38,0))) AS digest
+           |         sum(CAST(${h60(rowCanon)} AS DECIMAL(38,0))) AS digest
            |       FROM b0 GROUP BY 1)
            |SELECT COALESCE(da.bucket, db.bucket) AS bucket,
            |  CAST(da.n_rows AS BIGINT) AS n_a, CAST(db.n_rows AS BIGINT) AS n_b,
@@ -1137,7 +1145,8 @@ object EntityQueries {
            |         THEN 'mismatch' END AS status
            |FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
            |WHERE da.bucket IS NULL OR db.bucket IS NULL
-           |   OR da.digest <> db.digest OR da.n_rows <> db.n_rows""".stripMargin) { (s, d) =>
+           |   OR da.digest <> db.digest OR da.n_rows <> db.n_rows""".stripMargin
+    }) { (s, d) =>
       val base = s.read.parquet(s"$d/orders.parquet")
         .select("o_orderkey", "o_orderstatus", "o_orderpriority")
       val replica = base.where(col("o_orderkey") % 97 =!= 0)
@@ -1581,5 +1590,106 @@ object EntityQueries {
     }) { (s, d) =>
       val edges = graft.ops.Graph.coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey")
       graft.ops.Graph.pageRank(edges, iters = 3, dampMilli = 850)
+    },
+
+    // time-RANGE rolling window: each event's count + exact cent-sum of
+    // the same user's events in the trailing 24 h — the "last-N-days
+    // activity" feature the ROWS-frame rollingFeatures can't express
+    // (a burst is N rows deep here, `window` rows there). Tied
+    // timestamps are frame peers in both engines
+    QuerySpec("events_rolling_window",
+      raw"""SELECT user_id, epoch_ms(ts) AS ts_ms,
+           |  CAST(floor(value * 100) AS BIGINT) AS value_cents,
+           |  CAST(count(*) OVER w AS BIGINT) AS n_window,
+           |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_window_cents
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+           |  RANGE BETWEEN 86399999 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+      graft.ops.History.rollingTimeWindow(events(s, d), "user_id", "value",
+        "ts", windowMs = 86400000L)
+    },
+
+    // per-file Bloom skip-scan: point lookups on a column the write
+    // layout does NOT cluster (range layout on n_chars, probes on
+    // doc_id — min/max envelopes would prune nothing). Bloom pruning
+    // has no false negatives, so pruned-read ≡ full-table IN filter;
+    // the absent probe key prunes to nothing instead of scanning
+    QuerySpec("layout_bloom_skip",
+      "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id IN (42, 137, 233, 424242424242)") { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_bloomskip").toString
+      docs(s, d).select("doc_id", "lang", "n_chars")
+        .repartitionByRange(8, col("n_chars"))
+        .write.mode("overwrite").parquet(dir)
+      val m = graft.ops.Manifest.bloomManifest(s, dir, "doc_id",
+        mBits = 4096, nHashes = 4)
+      graft.ops.Manifest.bloomPrunedRead(s, dir, m, "doc_id",
+        Seq(42L, 137L, 233L, 424242424242L), mBits = 4096, nHashes = 4)
+    },
+
+    // mixture-plan epochs: the training run says "en 50%, zh 20%, ..."
+    // over a 1M-token budget; per language: available tokens (n_chars
+    // as the proxy), target tokens, exact milli repetition factor, and
+    // the status ladder — 'pt' is weighted but absent (unavailable),
+    // 'es' present but unweighted
+    QuerySpec("text_mix_epochs",
+      raw"""WITH av AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+           |            FROM documents GROUP BY 1),
+           |w(lang, weight_milli) AS (VALUES ('en', 500), ('zh', 200),
+           |  ('de', 150), ('fr', 100), ('pt', 50)),
+           |j AS (SELECT COALESCE(av.lang, w.lang) AS lang,
+           |        COALESCE(av.n_tokens, 0) AS n_tokens,
+           |        COALESCE(w.weight_milli, 0) AS weight_milli
+           |      FROM av FULL OUTER JOIN w ON av.lang = w.lang)
+           |SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(weight_milli AS BIGINT) AS weight_milli,
+           |  CAST((1000000 * weight_milli) // 1000 AS BIGINT) AS target_tokens,
+           |  CAST(CASE WHEN n_tokens > 0
+           |       THEN (((1000000 * weight_milli) // 1000) * 1000) // n_tokens
+           |       END AS BIGINT) AS epochs_milli,
+           |  CASE WHEN (1000000 * weight_milli) // 1000 = 0 THEN 'unweighted'
+           |       WHEN n_tokens = 0 THEN 'unavailable'
+           |       WHEN (((1000000 * weight_milli) // 1000) * 1000) // n_tokens > 1000
+           |         THEN 'repeats'
+           |       ELSE 'ok' END AS status
+           |FROM j""".stripMargin) { (s, d) =>
+      graft.ops.Sampling.mixEpochs(docs(s, d), "lang", col("n_chars"),
+        Seq("en" -> 500L, "zh" -> 200L, "de" -> 150L, "fr" -> 100L, "pt" -> 50L),
+        budgetTokens = 1000000L)
+    },
+
+    // incremental join maintenance: the DELTA of orders ⋈ lineitem
+    // under insert batches (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) — never re-joins the
+    // two base tables; the batch sides broadcast. Oracle mirrors the
+    // three-way union; the delta ∪ old ≡ full-recompute identity is
+    // spec-pinned
+    QuerySpec("recon_incremental_join",
+      raw"""WITH a AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus
+           |           FROM orders WHERE o_orderkey % 10 <> 0),
+           |da AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus
+           |       FROM orders WHERE o_orderkey % 10 = 0),
+           |b AS (SELECT l_orderkey AS k, CAST(l_linenumber AS BIGINT) AS linenumber,
+           |        CAST(l_quantity AS BIGINT) AS qty
+           |      FROM lineitem WHERE l_orderkey % 7 <> 0),
+           |db AS (SELECT l_orderkey AS k, CAST(l_linenumber AS BIGINT) AS linenumber,
+           |        CAST(l_quantity AS BIGINT) AS qty
+           |      FROM lineitem WHERE l_orderkey % 7 = 0)
+           |SELECT da.k, da.o_custkey, da.o_orderstatus, b.linenumber, b.qty
+           |  FROM da JOIN b ON da.k = b.k
+           |UNION ALL
+           |SELECT a.k, a.o_custkey, a.o_orderstatus, db.linenumber, db.qty
+           |  FROM a JOIN db ON a.k = db.k
+           |UNION ALL
+           |SELECT da.k, da.o_custkey, da.o_orderstatus, db.linenumber, db.qty
+           |  FROM da JOIN db ON da.k = db.k""".stripMargin) { (s, d) =>
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey").as("k"), col("o_custkey"), col("o_orderstatus"))
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey").as("k"),
+          col("l_linenumber").cast("long").as("linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+      graft.ops.IncrementalJoin.joinDelta(
+        orders.where(col("k") % 10 =!= 0), orders.where(col("k") % 10 === 0),
+        li.where(col("k") % 7 =!= 0), li.where(col("k") % 7 === 0),
+        Seq("k"))
     })
 }

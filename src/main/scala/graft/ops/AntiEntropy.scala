@@ -15,9 +15,12 @@ import org.apache.spark.sql.types.DecimalType
  * row-level work only inside the buckets that disagree — then hand
  * exactly those rows to [[SnapshotDiff]] for the field-level verdict.
  *
- * Digest algebra: each row's canonical string (null-sentineled, so
- * (a, NULL) ≠ (a ++ NULL-less shift) — `concat_ws` alone would
- * conflate them) hashes to 60 bits; a bucket's digest is the SUM of
+ * Digest algebra: each row's canonical string (every field
+ * length-prefixed and null-marked, so the encoding is injective even
+ * when values contain the would-be separator — `concat_ws` alone
+ * would conflate (a, NULL) with a NULL-less shift, and a sentinel
+ * character appearing IN a value would alias two different rows)
+ * hashes to 60 bits; a bucket's digest is the SUM of
  * row hashes in DECIMAL(38,0) — commutative (partition-order-free),
  * map-side combinable, and exact: 10^18 rows × 2^60 ≈ 10^36 < 10^38,
  * no wraparound divergence between engines. Count rides alongside so
@@ -26,12 +29,19 @@ import org.apache.spark.sql.types.DecimalType
  */
 object AntiEntropy {
 
-  /** Canonical row string: every column stringified with a NUL-ish
-    * sentinel for NULL and a 0x01 separator — injective for fixed
-    * schemas (no separator/sentinel ambiguity). */
-  private def canonical(cols: Seq[String]): Column =
-    concat(cols.flatMap(c =>
-      Seq(coalesce(col(c).cast("string"), lit("\u0002")), lit("\u0001"))): _*)
+  /** Canonical row string, injective for a fixed column list: each
+    * field encodes as `N` when NULL, else `V<charlen>:<value>` — the
+    * length prefix makes every field self-delimiting, so no character
+    * a VALUE can contain (including any would-be separator) lets two
+    * different rows serialize identically. Mirror this encoding
+    * character-for-character in any oracle SQL. */
+  private def field(c: String): Column = {
+    val v = col(c).cast("string")
+    when(v.isNull, lit("N"))
+      .otherwise(concat(lit("V"), length(v).cast("string"), lit(":"), v))
+  }
+
+  private def canonical(cols: Seq[String]): Column = concat(cols.map(field): _*)
 
   /** Per-bucket digest of `df`: `(bucket, n_rows, digest)` with
     * `bucket = keyHash(keys) % nBuckets`. `cols` is the full compared

@@ -27,6 +27,15 @@ object Contracts {
     * conditional-sum aggregate over the same pass. */
   def rowChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "no checks given")
+    // names are interpolated into a selectExpr below — reject anything
+    // that could break out of the string/backtick quoting at the call
+    // site instead of as a parse error deep inside Catalyst
+    checks.foreach { c =>
+      require(c.name.matches("[A-Za-z0-9_ .-]+"),
+        s"check name must match [A-Za-z0-9_ .-]+: '${c.name}'")
+    }
+    require(checks.map(_.name).distinct.size == checks.size,
+      s"duplicate check names: ${checks.map(_.name)}")
     val aggs = checks.map(c =>
       sum(when(!coalesce(c.ok, lit(false)), 1L).otherwise(0L)).as(c.name))
     val wide = df.agg(aggs.head, aggs.tail: _*)

@@ -82,15 +82,29 @@ object Drift {
    * old range CLAMPED into the edge bins — a mass bulge at bin 0 or
    * nBins−1 is itself the drift signal "the column's range moved".
    * Output per (stratum, bin): both counts and exact milli proportions
-   * plus the signed milli delta; ≤ nBins rows per stratum regardless of
-   * data volume. Total-variation distance = Σ|delta| / 2 over a
-   * stratum's rows, one aggregate away ([[tvMilli]]).
+   * plus the signed milli delta and a per-stratum `status` ('common',
+   * 'added' — stratum in after only, binned against its OWN bounds;
+   * 'removed' — stratum vanished from after, proportions coalesced to
+   * 0); ≤ nBins rows per stratum regardless of data volume. A drift
+   * monitor exists exactly to catch appearing/vanishing strata, so
+   * neither side is ever silently dropped or nulled. Total-variation
+   * distance is one aggregate away ([[tvMilli]]; added/removed strata
+   * report the max drift 1000, not null).
    */
   def histDrift(before: DataFrame, after: DataFrame, strataCol: String,
       valueCol: String, nBins: Int): DataFrame = {
     require(nBins >= 2, s"nBins too small: $nBins")
-    val bounds = Sketches.histBounds(before, strataCol, valueCol)
-      .select(col(strataCol), col("__lo"), col("__hi"))
+    val bb = Sketches.histBounds(before, strataCol, valueCol)
+      .select(col(strataCol), col("__lo").as("__lo_b"), col("__hi").as("__hi_b"))
+    val ba = Sketches.histBounds(after, strataCol, valueCol)
+      .select(col(strataCol), col("__lo").as("__lo_a"), col("__hi").as("__hi_a"))
+    // BEFORE's edges stay authoritative for every stratum before knew;
+    // an after-only stratum falls back to its own edges (presence, not
+    // bin shape, is its signal)
+    val bounds = bb.join(ba, Seq(strataCol), "full_outer")
+      .select(col(strataCol),
+        coalesce(col("__lo_b"), col("__lo_a")).as("__lo"),
+        coalesce(col("__hi_b"), col("__hi_a")).as("__hi"))
     def binned(df: DataFrame, as: String) =
       df.select(col(strataCol), col(valueCol))
         .join(broadcast(bounds), Seq(strataCol))
@@ -109,19 +123,32 @@ object Drift {
       .withColumn("__ta", sum(col("n_after"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))))
       .select(col(strataCol), col("bin"), col("n_before"), col("n_after"),
-        expr("(n_before * 1000) div __tb").as("p_before_milli"),
-        expr("(n_after * 1000) div __ta").as("p_after_milli"),
-        (expr("(n_after * 1000) div __ta") -
-          expr("(n_before * 1000) div __tb")).as("delta_milli"))
+        when(col("__tb") === 0L, "added")
+          .when(col("__ta") === 0L, "removed")
+          .otherwise("common").as("status"),
+        // ANSI-safe: an absent side has total 0; its proportion is 0
+        when(col("__tb") === 0L, lit(0L))
+          .otherwise(expr("(n_before * 1000) div __tb")).as("p_before_milli"),
+        when(col("__ta") === 0L, lit(0L))
+          .otherwise(expr("(n_after * 1000) div __ta")).as("p_after_milli"),
+        (when(col("__ta") === 0L, lit(0L))
+            .otherwise(expr("(n_after * 1000) div __ta")) -
+          when(col("__tb") === 0L, lit(0L))
+            .otherwise(expr("(n_before * 1000) div __tb"))).as("delta_milli"))
   }
 
   /** Per-stratum total-variation distance in milli from a [[histDrift]]
     * frame: Σ|delta| / 2 — the single drift-severity number an alert
-    * thresholds on. */
+    * thresholds on. An added or removed stratum is max drift by
+    * definition (its before/after distributions have disjoint support):
+    * tv_milli = 1000, never null. */
   def tvMilli(drift: DataFrame, strataCol: String): DataFrame =
     drift.groupBy(col(strataCol))
-      .agg(sum(abs(col("delta_milli"))).as("__s"))
-      .select(col(strataCol), expr("__s div 2").as("tv_milli"))
+      .agg(sum(abs(col("delta_milli"))).as("__s"),
+        max(when(col("status") =!= "common", 1L).otherwise(0L)).as("__off"))
+      .select(col(strataCol),
+        when(col("__off") === 1L, lit(1000L))
+          .otherwise(expr("__s div 2")).as("tv_milli"))
 
   /** Drift between two [[profile]] outputs. Status: 'added' (after
     * only), 'removed' (before only), 'common'. Shared columns carry

@@ -151,6 +151,32 @@ object History {
   }
 
   /**
+   * Time-RANGE rolling aggregates per entity: for each event, the
+   * count and exact cent-sum of that entity's events in
+   * `(t − windowMs, t]`. [[rollingFeatures]] bounds the frame by event
+   * COUNT; this bounds it by TIME, which is what "last-7-days
+   * activity" features actually mean — a burst of 50 events in an hour
+   * is 50 rows deep here and only `window` rows deep there. The frame
+   * is a `rangeBetween` over epoch milliseconds, so timestamp ties are
+   * peers and all see the full tied set — deterministic with no tie
+   * column needed. One shuffle on the entity key; frame size is
+   * bounded by the entity's event density inside the window, never
+   * data-sized.
+   */
+  def rollingTimeWindow(events: DataFrame, entityCol: String,
+      valueCol: String, tsCol: String, windowMs: Long): DataFrame = {
+    require(windowMs >= 1, s"windowMs must be >= 1, got $windowMs")
+    val w = Window.partitionBy(col(entityCol)).orderBy(col("ts_ms"))
+      .rangeBetween(-(windowMs - 1), Window.currentRow)
+    events
+      .select(col(entityCol),
+        unix_millis(col(tsCol).cast("timestamp")).as("ts_ms"),
+        floor(col(valueCol) * 100).cast("long").as("value_cents"))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_window_cents", sum(col("value_cents")).over(w))
+  }
+
+  /**
    * Per-entity TEMPORAL split: each entity's first `trainMilli/1000` of
    * events (by time order) go to 'train', the rest to 'eval' — the
    * leakage rule for sequence models, where a random split would let

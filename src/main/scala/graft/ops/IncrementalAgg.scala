@@ -68,21 +68,34 @@ object IncrementalAgg {
   // replay — and a replayed merge would double-count, so the persisted
   // artifact carries the last applied batch id and [[updateState]] is
   // an idempotent no-op for already-applied ids. State and batch-id
-  // meta are written into ONE temp directory swapped into place by a
-  // single rename, so a reader (or a recovering writer) never sees a
-  // state/meta mix from two different batches. Same single-writer
-  // contract as [[IndexStore]]: one maintenance stream per state path.
+  // meta are written into ONE temp directory, then swapped in by a
+  // RECOVERABLE two-rename sequence (current -> previous, _tmp ->
+  // current, delete previous): at every crash point either `current`
+  // or `previous` holds one complete state/meta pair, and [[readState]]
+  // falls back to `previous` when `current` is missing — accumulated
+  // history is never silently discarded. Recovering from `previous`
+  // (the PRE-batch state) is correct because the interrupted batch's
+  // foreachBatch never committed, so the stream replays it and the
+  // merge re-applies. Same single-writer contract as [[IndexStore]]:
+  // one maintenance stream per state path.
 
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The persisted state and the last applied batch id, if any. */
+  /** The persisted state and the last applied batch id, if any. Falls
+    * back to `previous` when `current` is missing (a crash between the
+    * swap's two renames) — see the recovery note above. */
   def readState(spark: SparkSession, statePath: String): Option[(DataFrame, Long)] = {
     val cur = new org.apache.hadoop.fs.Path(statePath, "current")
-    if (!fs(spark, cur).exists(cur)) None
-    else Some((
-      spark.read.parquet(s"$cur/state"),
-      spark.read.parquet(s"$cur/meta").head().getAs[Long]("last_batch_id")))
+    val prev = new org.apache.hadoop.fs.Path(statePath, "previous")
+    val f = fs(spark, cur)
+    val dir = if (f.exists(cur)) Some(cur)
+              else if (f.exists(prev)) Some(prev)
+              else None
+    dir.map { d =>
+      (spark.read.parquet(s"$d/state"),
+        spark.read.parquet(s"$d/meta").head().getAs[Long]("last_batch_id"))
+    }
   }
 
   /** Merge one micro-batch into the persisted state. Returns false (and
@@ -107,8 +120,17 @@ object IncrementalAgg {
     spark.range(1).select(lit(batchId).as("last_batch_id"))
       .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
     val cur = new org.apache.hadoop.fs.Path(root, "current")
-    if (f.exists(cur)) f.delete(cur, true)
+    val prevDir = new org.apache.hadoop.fs.Path(root, "previous")
+    // stale `previous` from a crash after the swap completed (window:
+    // tmp->current done, previous not yet deleted). Only safe to drop
+    // while `current` exists; in the recovery case (current missing,
+    // previous live) `merged` above was already materialized into tmp,
+    // so previous is only deleted at the very end, after the new
+    // current is in place
+    if (f.exists(cur) && f.exists(prevDir)) f.delete(prevDir, true)
+    if (f.exists(cur)) require(f.rename(cur, prevDir), s"rename $cur -> $prevDir failed")
     require(f.rename(tmp, cur), s"rename $tmp -> $cur failed")
+    if (f.exists(prevDir)) f.delete(prevDir, true)
     true
   }
 

@@ -50,6 +50,86 @@ object Manifest {
   def overlapping(manifest: DataFrame, statCol: String, lo: Column, hi: Column): DataFrame =
     manifest.where(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
 
+  // ---- per-file Bloom filters: the POINT-lookup skipping layer ---------
+  //
+  // Min/max envelopes only prune when the write layout clusters the
+  // stat column; a point lookup on a column the layout ignores finds
+  // every file's [min, max] covering the key and prunes nothing. A
+  // per-file Bloom filter prunes on CONTENT, layout-free: k positions
+  // per key in an mBits-bit filter, a file survives a probe only if
+  // every probed bit is set — no false negatives by construction, so
+  // pruned-read ≡ full-scan filter exactly; false positives only cost
+  // an extra file open. Filters are stored packed, 62 bits per word
+  // (`(file_path, word_idx, word)` rows — 62, not 64, keeps every
+  // shift below the sign bit so the same arithmetic runs in ANSI SQL
+  // engines): mBits=4096 is 67 longs per file, ~13 MB manifest for a
+  // 200k-file table. Hashing is the md5-based [[Sampling.keyHash]]
+  // double-hash (h1 + i·h2 mod m, all in [0, m)) — deterministic and
+  // oracle-mirrorable, unlike xxhash64.
+
+  private def bloomPositions(key: Column, mBits: Int, nHashes: Int): Seq[Column] = {
+    val h1 = Sampling.keyHash(key) % mBits
+    val h2 = Sampling.keyHash(concat(lit("#"), key.cast("string"))) % mBits
+    (0 until nHashes).map(i => (h1 + lit(i.toLong) * h2) % mBits)
+  }
+
+  private def wordsOf(df: DataFrame, grouping: Column, groupAs: String,
+      key: Column, mBits: Int, nHashes: Int): DataFrame =
+    df.select(grouping.as(groupAs),
+        explode(array(bloomPositions(key, mBits, nHashes): _*)).as("__pos"))
+      .where(col("__pos").isNotNull) // null keys set no bits, match no probe
+      .select(col(groupAs), expr("__pos div 62").as("word_idx"),
+        expr("shiftleft(1L, cast(__pos % 62 as int))").as("__bit"))
+      .groupBy(col(groupAs), col("word_idx"))
+      .agg(expr("bit_or(__bit)").as("word"))
+
+  /** One distributed pass: each file's packed Bloom filter over
+    * `keyCol`. Output: `(file_path, word_idx, word)`, ≤ ⌈mBits/62⌉
+    * rows per file. */
+  def bloomManifest(spark: SparkSession, path: String, keyCol: String,
+      mBits: Int = 4096, nHashes: Int = 4): DataFrame = {
+    require(mBits >= 62, s"mBits too small: $mBits")
+    require(nHashes >= 1 && nHashes <= 16, s"nHashes out of range: $nHashes")
+    wordsOf(spark.read.parquet(path), col("_metadata.file_path"), "file_path",
+      col(keyCol), mBits, nHashes)
+  }
+
+  /** Files that MAY contain each probe key: `(<probeCol>, file_path)`.
+    * A file qualifies iff every word the probe needs is present with
+    * all its bits set (a missing word row is an unset bit — the
+    * count-equality form needs no key×file grid). Guaranteed to
+    * include every file that truly contains the key. */
+  def bloomMayContain(manifest: DataFrame, probes: DataFrame, probeCol: String,
+      mBits: Int, nHashes: Int): DataFrame = {
+    val need = wordsOf(probes, col(probeCol), probeCol, col(probeCol), mBits, nHashes)
+      .withColumnRenamed("word", "__mask")
+    val needCounts = need.groupBy(col(probeCol)).agg(count(lit(1)).as("__nw"))
+    need.join(manifest, Seq("word_idx"))
+      .where((col("word").bitwiseAND(col("__mask"))) === col("__mask"))
+      .groupBy(col(probeCol), col("file_path")).agg(count(lit(1)).as("__ok"))
+      .join(broadcast(needCounts), Seq(probeCol))
+      .where(col("__ok") === col("__nw"))
+      .select(col(probeCol), col("file_path"))
+  }
+
+  /** Bloom skip-scan point lookup: read ONLY the files whose filter
+    * might contain one of `keys`, then apply the exact IN predicate
+    * (no false negatives ⇒ result ≡ full-table filter). */
+  def bloomPrunedRead(spark: SparkSession, path: String, manifest: DataFrame,
+      keyCol: String, keys: Seq[Any], mBits: Int = 4096,
+      nHashes: Int = 4): DataFrame = {
+    require(keys.nonEmpty, "no probe keys")
+    import spark.implicits._
+    // probe on the key's STRING form — the same canonicalization the
+    // build hashed through keyHash's internal cast
+    val probes = keys.map(_.toString).toDF("__probe")
+    val files = bloomMayContain(manifest, probes, "__probe", mBits, nHashes)
+      .select(col("file_path")).distinct().collect().map(_.getString(0)).sorted
+    if (files.isEmpty) spark.read.parquet(path).where(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*)
+      .where(col(keyCol).cast("string").isin(keys.map(_.toString): _*))
+  }
+
   /** Skip-scan: read ONLY the files whose stats envelope overlaps
     * [lo, hi], then apply the exact residual predicate (file overlap is
     * necessary, not sufficient). Result ≡ reading the whole table with

@@ -280,6 +280,47 @@ object Sampling {
   }
 
   /**
+   * Mixture-plan epochs: given explicit per-stratum TARGET weights
+   * (milli, the "data mix" a training run specifies) and a total token
+   * budget, compute what each stratum must contribute and how many
+   * times it repeats. [[tokenBudget]] derives an allocation from the
+   * corpus (water-fill); this takes the allocation as INPUT — the two
+   * halves of "plan the mix, then check it's drawable". Per stratum:
+   * `n_tokens` available, `target_tokens = budget·weight div 1000`,
+   * `epochs_milli = target·1000 div available` (> 1000 ⇒ the source
+   * repeats — the Muennighoff-style data-constrained signal), and a
+   * status: 'ok' (≤ 1 epoch), 'repeats', 'unavailable' (weighted but
+   * absent — target > 0 with nothing to draw; epochs_milli null), or
+   * 'unweighted' (present but target 0). All integer arithmetic.
+   *
+   * Scale shape: one map-side-combined aggregate over the corpus; the
+   * weight table is a literal broadcast. Nothing downstream is
+   * data-sized.
+   */
+  def mixEpochs(df: DataFrame, strataCol: String, tokens: Column,
+      weightsMilli: Seq[(String, Long)], budgetTokens: Long): DataFrame = {
+    require(weightsMilli.nonEmpty, "no mixture weights")
+    require(weightsMilli.forall(_._2 >= 0), s"negative weight: $weightsMilli")
+    require(budgetTokens >= 0, s"negative budget: $budgetTokens")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = broadcast(weightsMilli.toDF(strataCol, "weight_milli"))
+    val avail = df.groupBy(col(strataCol)).agg(sum(tokens).as("n_tokens"))
+    avail.join(w, Seq(strataCol), "full_outer")
+      .select(col(strataCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("weight_milli"), lit(0L)).as("weight_milli"))
+      .withColumn("target_tokens", expr(s"($budgetTokens * weight_milli) div 1000"))
+      .withColumn("epochs_milli",
+        when(col("n_tokens") > 0, expr("(target_tokens * 1000) div n_tokens")))
+      .withColumn("status",
+        when(col("target_tokens") === 0L, "unweighted")
+          .when(col("n_tokens") === 0L, "unavailable")
+          .when(col("epochs_milli") > 1000L, "repeats")
+          .otherwise("ok"))
+  }
+
+  /**
    * Budget-gated sampling: downsample every stratum to (approximately)
    * its [[tokenBudget]] allocation with the deterministic 60-bit hash
    * gate — the execution step of the water-fill ("now actually draw

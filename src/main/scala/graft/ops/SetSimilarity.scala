@@ -100,9 +100,11 @@ object SetSimilarity {
     shared.withColumn("__r", row_number().over(w))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"),
-        transform(
+        // '|'-joined string, not an array: registry outputs must stay
+        // scalar so the cross-engine hash compare can sort them
+        array_join(transform(
           sort_array(collect_list(when(col("__r") <= k,
             struct(col("__df"), col("shingle"))))),
-          x => x.getField("shingle")).as("evidence"))
+          x => x.getField("shingle")), "|").as("evidence"))
   }
 }

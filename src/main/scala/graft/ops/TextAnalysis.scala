@@ -108,8 +108,10 @@ object TextAnalysis {
         size(array_intersect(toks, array(words.map(lit): _*))).as("score"),
         lit(lang).as("lang"))
     }
-    // array_max on struct(score,lang) picks highest score; ties break on the
-    // LARGER lang code, so invert: sort asc and take max of (score, negated rank)
+    // array_max on struct(score, lang) picks the highest score; equal
+    // scores tie-break on the struct's second field, i.e. the
+    // lexicographically LARGEST language code wins ('zh' beats 'en').
+    // Deterministic, and the DuckDB oracle mirrors the same rule.
     val best = array_max(array(scored: _*))
     df.withColumn(outCol,
       when(best.getField("score") <= 0, lit("und"))

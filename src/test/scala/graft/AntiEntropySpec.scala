@@ -41,4 +41,21 @@ class AntiEntropySpec extends SparkSuite {
     val db = AntiEntropy.bucketDigests(b, Seq("id"), Seq("id", "v"), 4)
     assert(AntiEntropy.diffDigests(da, db).count() == 1L)
   }
+
+  test("values containing the would-be separator cannot alias across columns") {
+    // under a plain separator scheme ('a\u0001b', 'c') and
+    // ('a', 'b\u0001c') serialize identically; the length-prefixed
+    // canonical form keeps them apart
+    val a = Seq((1L, "a\u0001b", "c")).toDF("id", "x", "y")
+    val b = Seq((1L, "a", "b\u0001c")).toDF("id", "x", "y")
+    val da = AntiEntropy.bucketDigests(a, Seq("id"), Seq("id", "x", "y"), 4)
+    val db = AntiEntropy.bucketDigests(b, Seq("id"), Seq("id", "x", "y"), 4)
+    assert(AntiEntropy.diffDigests(da, db).count() == 1L)
+    // and a string VALUE equal to the old null sentinel differs from NULL
+    val c = Seq((1L, Some("\u0002"))).toDF("id", "v")
+    val d = Seq((1L, None: Option[String])).toDF("id", "v")
+    val dc = AntiEntropy.bucketDigests(c, Seq("id"), Seq("id", "v"), 4)
+    val dd = AntiEntropy.bucketDigests(d, Seq("id"), Seq("id", "v"), 4)
+    assert(AntiEntropy.diffDigests(dc, dd).count() == 1L)
+  }
 }

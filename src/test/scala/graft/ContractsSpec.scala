@@ -30,4 +30,27 @@ class ContractsSpec extends SparkSuite {
     // lhs (1,x): {p, NULL} -> 1 violation; lhs (1,y): clean
     assert(r._4 == 1L && r._5 == 1L)
   }
+
+  test("rowChecks rejects names that could break the selectExpr quoting") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    for (bad <- Seq("it's", "a`b", "x\nnewline", "")) {
+      val e = intercept[IllegalArgumentException] {
+        graft.ops.Contracts.rowChecks(df,
+          Seq(graft.ops.Contracts.Check(bad, col("a") > 0)))
+      }
+      assert(e.getMessage.contains("check name"), s"name '$bad': ${e.getMessage}")
+    }
+    // duplicates fail loudly too (the wide row would silently keep one)
+    val dup = intercept[IllegalArgumentException] {
+      graft.ops.Contracts.rowChecks(df, Seq(
+        graft.ops.Contracts.Check("c1", col("a") > 0),
+        graft.ops.Contracts.Check("c1", col("b") > 0)))
+    }
+    assert(dup.getMessage.contains("duplicate"))
+    // legal names still work
+    val ok = graft.ops.Contracts.rowChecks(df, Seq(
+      graft.ops.Contracts.Check("a positive.check-1", col("a") > 0)))
+    assert(ok.count() == 1L)
+  }
 }

@@ -75,6 +75,29 @@ class DriftSpec extends SparkSuite {
     assert(d._2 == 1L)
   }
 
+  test("histDrift: added and removed strata surface with status and tv=1000") {
+    val before = ((0 until 40).map(i => ("keep", i.toLong)) ++
+      (0 until 10).map(i => ("gone", i.toLong))).toDF("g", "v")
+    val after = ((0 until 40).map(i => ("keep", i.toLong)) ++
+      (0 until 10).map(i => ("new", i.toLong * 7L))).toDF("g", "v")
+    val d = Drift.histDrift(before, after, "g", "v", nBins = 10)
+    val st = d.select("g", "status").distinct()
+      .as[(String, String)].collect().toMap
+    assert(st == Map("keep" -> "common", "gone" -> "removed", "new" -> "added"))
+    // the vanished stratum's proportions coalesce to 0, never null
+    val goneRows = d.where(col("g") === "gone")
+      .select("n_after", "p_after_milli", "delta_milli")
+      .as[(Long, Long, Long)].collect()
+    assert(goneRows.nonEmpty && goneRows.forall(r => r._1 == 0L && r._2 == 0L))
+    // the appeared stratum is binned against its OWN bounds: 10 distinct
+    // values spread across bins, each with zero before-count
+    val newRows = d.where(col("g") === "new")
+      .select("n_before", "n_after").as[(Long, Long)].collect()
+    assert(newRows.forall(_._1 == 0L) && newRows.map(_._2).sum == 10L)
+    val tv = Drift.tvMilli(d, "g").as[(String, Long)].collect().toMap
+    assert(tv("gone") == 1000L && tv("new") == 1000L && tv("keep") == 0L)
+  }
+
   test("drift: added/removed/common statuses and exact null-rate deltas") {
     val before = Seq((1L, Some("x"), "k"), (2L, None: Option[String], "k"))
       .toDF("id", "s", "gone")

@@ -113,6 +113,44 @@ class HistorySpec extends SparkSuite {
     assert(out((2L, 6L)) == (2L, 6L, -2L, None, -2L, None, 1L))
   }
 
+  test("rollingTimeWindow: frames bound by TIME, not row count; ties are peers") {
+    val ev = Seq(
+      // user 1: a 3-event burst inside one minute, then one event an
+      // hour later — the 10-minute window sees the burst together and
+      // the late event alone
+      (1L, 1.00, Timestamp.valueOf("2026-01-01 00:00:00")),
+      (1L, 2.00, Timestamp.valueOf("2026-01-01 00:00:20")),
+      (1L, 4.00, Timestamp.valueOf("2026-01-01 00:00:40")),
+      (1L, 8.00, Timestamp.valueOf("2026-01-01 01:10:00")),
+      // user 2: two events at the SAME instant — peers, both see both
+      (2L, 1.00, Timestamp.valueOf("2026-01-01 00:00:00")),
+      (2L, 2.00, Timestamp.valueOf("2026-01-01 00:00:00"))
+    ).toDF("user_id", "value", "ts")
+    val out = History.rollingTimeWindow(ev, "user_id", "value", "ts",
+        windowMs = 600000L)
+      .select("user_id", "value_cents", "n_window", "sum_window_cents")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 100L, 1L, 100L),
+      (1L, 200L, 2L, 300L),
+      (1L, 400L, 3L, 700L),
+      (1L, 800L, 1L, 800L), // an hour later: the burst aged out
+      (2L, 100L, 2L, 300L), // tied timestamps are peers both ways
+      (2L, 200L, 2L, 300L)))
+  }
+
+  test("rollingTimeWindow: window boundary is inclusive of exactly windowMs - 1 back") {
+    val ev = Seq(
+      (1L, 1.00, Timestamp.valueOf("2026-01-01 00:00:00")),
+      (1L, 2.00, Timestamp.valueOf("2026-01-01 00:10:00")) // exactly 600000 ms later
+    ).toDF("user_id", "value", "ts")
+    val out = History.rollingTimeWindow(ev, "user_id", "value", "ts", 600000L)
+      .where($"value_cents" === 200L)
+      .select("n_window").as[Long].head()
+    // (t − windowMs, t]: the event exactly windowMs earlier is OUTSIDE
+    assert(out == 1L)
+  }
+
   test("temporalSplit: floor cut per entity, ties by the tie column") {
     val ev = Seq(
       // user 1: 5 events -> first 4 train (4000 <= 4000), 5th eval

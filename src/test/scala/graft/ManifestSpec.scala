@@ -55,6 +55,43 @@ class ManifestSpec extends SparkSuite {
     assert(none.columns.toSeq == Seq("id", "k", "s"))
   }
 
+  test("bloom manifest: no false negatives; absent keys prune; result exact") {
+    // layout on id ranges, probes on k-values scattered across files —
+    // the min/max envelope on a scattered column prunes nothing, the
+    // bloom prunes by content
+    val dir = writeRanged(1000, 4)
+    val m = Manifest.bloomManifest(spark, dir, "s", mBits = 4096, nHashes = 4)
+      .cache()
+    // packed-word manifest stays tiny: <= ceil(4096/62) rows per file
+    val perFile = m.groupBy("file_path").count().agg(max("count")).as[Long].head()
+    assert(perFile <= 67L)
+
+    // present key: its true file ALWAYS survives -> pruned read ≡ full filter
+    val keys = Seq("v5", "v500", "v999", "vNOPE")
+    val pruned = Manifest.bloomPrunedRead(spark, dir, m, "s", keys)
+    val full = spark.read.parquet(dir).where(col("s").isin(keys: _*))
+    assert(rowsOf(pruned.select("id", "k", "s")) == rowsOf(full.select("id", "k", "s")))
+    assert(pruned.count() == 3L)
+
+    // a key absent from the corpus survives (almost surely) no file at
+    // mBits=4096 with ~250 keys/file — the probe prunes ALL files
+    val nonePruned = Manifest.bloomPrunedRead(spark, dir, m, "s", Seq("wABSENT"))
+    assert(nonePruned.count() == 0L)
+    assert(Manifest.bloomMayContain(m,
+      Seq("wABSENT").toDF("__probe"), "__probe", 4096, 4).count() == 0L)
+  }
+
+  test("bloom manifest: null keys set no bits and match no probe") {
+    val dir = Files.createTempDirectory("graft_bloom_null").toString
+    Seq[(Option[String], Long)]((None, 1L), (Some("x"), 2L)).toDF("s", "id")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val m = Manifest.bloomManifest(spark, dir, "s", mBits = 496, nHashes = 3)
+    // probing the literal string "null" must not hit the null row's file
+    // via any accidental bit from the null key
+    val r = Manifest.bloomPrunedRead(spark, dir, m, "s", Seq("x"), 496, 3)
+    assert(rowsOf(r) == Set(Vector("x", 2L)))
+  }
+
   test("all-null stat file is pruned; result still exact for range predicates") {
     val dir = Files.createTempDirectory("graft_manifest").toString
     Seq[(Option[Long], String)]((None, "a"), (None, "b")).toDF("id", "s")

@@ -70,4 +70,31 @@ class TokenBudgetSpec extends SparkSuite {
     assert(rows.map(_._2).sum == budget)         // Σ alloc = B exactly
     assert(rows.forall { case (n, al) => al <= n }) // never over-drawn
   }
+
+  test("mixEpochs: exact targets, repetition factors, and the status ladder") {
+    val df = corpus("en" -> 100, "zh" -> 20, "es" -> 30)
+    val out = Sampling.mixEpochs(df, "source", lit(1L),
+        Seq("en" -> 500L, "zh" -> 400L, "pt" -> 100L), budgetTokens = 100L)
+      .select("source", "n_tokens", "target_tokens", "epochs_milli", "status")
+      .as[(String, Long, Long, Option[Long], String)]
+      .collect().map(r => r._1 -> r).toMap
+    // en: 100 avail, target 50 -> half an epoch
+    assert(out("en") == (("en", 100L, 50L, Some(500L), "ok")))
+    // zh: 20 avail, target 40 -> repeats twice
+    assert(out("zh") == (("zh", 20L, 40L, Some(2000L), "repeats")))
+    // pt: weighted but absent — the loud planning failure
+    assert(out("pt") == (("pt", 0L, 10L, None, "unavailable")))
+    // es: present but unweighted — target 0
+    assert(out("es") == (("es", 30L, 0L, Some(0L), "unweighted")))
+  }
+
+  test("mixEpochs rejects negative weights and budgets") {
+    val df = corpus("en" -> 1)
+    intercept[IllegalArgumentException] {
+      Sampling.mixEpochs(df, "source", lit(1L), Seq("en" -> -1L), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixEpochs(df, "source", lit(1L), Seq("en" -> 1L), -10L)
+    }
+  }
 }
