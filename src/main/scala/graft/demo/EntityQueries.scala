@@ -1691,5 +1691,154 @@ object EntityQueries {
         orders.where(col("k") % 10 =!= 0), orders.where(col("k") % 10 === 0),
         li.where(col("k") % 7 =!= 0), li.where(col("k") % 7 === 0),
         Seq("k"))
+    },
+
+    // bounded-hop BFS from a seed set over the part co-order graph:
+    // min hop distance out to 3, depth final the round a node first
+    // appears (frontier + anti-join — no re-visits), unreached parts
+    // absent. The blast-radius query behind contamination spread
+    QuerySpec("graph_bfs_depth", {
+      def hop(n: Int) =
+        raw"""f$n AS (SELECT DISTINCT e.dst AS node
+             |      FROM e JOIN d${n - 1} ON e.src = d${n - 1}.node
+             |       AND d${n - 1}.depth = ${n - 1}
+             |      WHERE e.dst NOT IN (SELECT node FROM d${n - 1})),
+             |d$n AS (SELECT node, depth FROM d${n - 1}
+             |        UNION ALL SELECT node, $n FROM f$n)""".stripMargin
+      raw"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           |            AND a.l_partkey <> b.l_partkey),
+           |d0 AS (SELECT DISTINCT src AS node, 0 AS depth FROM e WHERE src % 97 = 0),
+           |${hop(1)},
+           |${hop(2)},
+           |${hop(3)}
+           |SELECT node, CAST(depth AS BIGINT) AS depth FROM d3""".stripMargin
+    }) { (s, d) =>
+      val edges = graft.ops.Graph.coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey")
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .where(col("node") % 97 === 0)
+      graft.ops.Graph.bfsDepth(edges, seeds, maxHops = 3)
+    },
+
+    // Matryoshka truncation recall: top-5 over the FIRST 32 of 64
+    // dims vs the full-dim truth — measures what the 2× cheaper
+    // first-stage scan costs on THESE vectors (Kusupati et al. 2022).
+    // Both arms are the already-value-checked brute path
+    QuerySpec("sim_matryoshka_recall",
+      raw"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           |           FROM embeddings WHERE vec_id % 100 = 0),
+           |brute AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, e.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY list_dot_product(qv, e.embedding) DESC, e.vec_id) AS rank
+           |    FROM q JOIN embeddings e ON e.vec_id <> query_id)
+           |  WHERE rank <= 5),
+           |mat AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, e.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY list_dot_product(qv[1:32], e.embedding[1:32]) DESC, e.vec_id) AS rank
+           |    FROM q JOIN embeddings e ON e.vec_id <> query_id)
+           |  WHERE rank <= 5)
+           |SELECT b.query_id, count(*) AS k,
+           |  CAST(sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  CAST(sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS recall
+           |FROM brute b LEFT JOIN mat m
+           |  ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id
+           |GROUP BY 1""".stripMargin) { (s, d) =>
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      val qs = e.where(col("vec_id") % 100 === 0)
+      val brute = graft.ops.Similarity.bruteForceTopK(e, qs,
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val mat = graft.ops.Similarity.matryoshkaTopK(e, qs,
+        "vec_id", "embedding", dims = 32, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      brute.join(mat, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+        .withColumn("recall", col("n_hit").cast("double") / col("k").cast("double"))
+    },
+
+    // t-closeness audit (quasi = market segment, sensitive = acctbal
+    // k$-band, ordered): per class, exact-integer EMD-milli between
+    // the class and global band distributions — the skew l-diversity
+    // can't see. Cross-multiplied CDF diffs, floored once at the end
+    QuerySpec("privacy_t_closeness",
+      raw"""WITH base AS (SELECT c_mktsegment AS seg,
+           |        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sv
+           |      FROM customer WHERE c_acctbal IS NOT NULL),
+           |r AS (SELECT sv, CAST(row_number() OVER (ORDER BY sv) AS BIGINT) AS rk
+           |      FROM (SELECT DISTINCT sv FROM base)),
+           |wr AS (SELECT seg, rk FROM base JOIN r USING (sv)),
+           |g AS (SELECT rk, count(*) AS nv FROM wr GROUP BY 1),
+           |gc AS (SELECT rk, sum(nv) OVER (ORDER BY rk) AS cumg FROM g),
+           |tot AS (SELECT count(*) AS m FROM r),
+           |gt AS (SELECT max(cumg) AS ng FROM gc),
+           |cl AS (SELECT seg, rk, count(*) AS ncv FROM wr GROUP BY 1, 2),
+           |cls AS (SELECT DISTINCT seg FROM base),
+           |grid AS (SELECT cls.seg, gc.rk, gc.cumg,
+           |           sum(COALESCE(cl.ncv, 0)) OVER (PARTITION BY cls.seg
+           |             ORDER BY gc.rk) AS cumc
+           |         FROM cls CROSS JOIN gc
+           |         LEFT JOIN cl ON cl.seg = cls.seg AND cl.rk = gc.rk),
+           |pc AS (SELECT seg, max(cumc) AS nc FROM grid GROUP BY 1),
+           |agg AS (SELECT g2.seg, max(pc.nc) AS group_n, max(gt.ng) AS ng,
+           |          max(tot.m) AS m,
+           |          sum(abs(g2.cumc * gt.ng - g2.cumg * pc.nc)) AS num
+           |        FROM grid g2 JOIN pc ON pc.seg = g2.seg
+           |        CROSS JOIN gt CROSS JOIN tot
+           |        GROUP BY 1)
+           |SELECT seg, CAST(group_n AS BIGINT) AS group_n,
+           |  CAST(CASE WHEN m <= 1 THEN 0
+           |       ELSE (1000 * num) // ((m - 1) * group_n * ng) END AS BIGINT) AS emd_milli,
+           |  CAST(CASE WHEN (CASE WHEN m <= 1 THEN 0
+           |       ELSE (1000 * num) // ((m - 1) * group_n * ng) END) <= 150
+           |    THEN 1 ELSE 0 END AS BIGINT) AS pass
+           |FROM agg""".stripMargin) { (s, d) =>
+      val c = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("sv"))
+      graft.ops.Privacy.tClosenessAudit(c, Seq("seg"), "sv", tMilli = 150)
+    },
+
+    // clustering-depth audit of two layouts of the SAME table: per
+    // file, how many files a range query stabbing it must also open.
+    // The doc_id//20 ledger scatters n_chars (depth ≈ file count); the
+    // n_chars-ordered ledger tiles it (depth ≈ 1 + tie spill) — the
+    // measurement that justifies a re-layout before a 100 TB rewrite.
+    // Global rank via the ranged two-phase row index, never one task
+    QuerySpec("layout_clustering_depth",
+      raw"""WITH v AS (SELECT doc_id, n_chars AS v FROM documents),
+           |sc AS (SELECT doc_id // 20 AS file_id, min(v) AS lo, max(v) AS hi
+           |       FROM v GROUP BY 1),
+           |rk AS (SELECT v, row_number() OVER (ORDER BY v, doc_id) AS rn FROM v),
+           |cl AS (SELECT (rn - 1) // 20 AS file_id, min(v) AS lo, max(v) AS hi
+           |       FROM rk GROUP BY 1),
+           |so AS (SELECT a.file_id, count(*) AS n_overlaps
+           |       FROM sc a JOIN sc b ON a.lo <= b.hi AND b.lo <= a.hi GROUP BY 1),
+           |co AS (SELECT a.file_id, count(*) AS n_overlaps
+           |       FROM cl a JOIN cl b ON a.lo <= b.hi AND b.lo <= a.hi GROUP BY 1)
+           |SELECT file_id, CAST(n_overlaps AS BIGINT) AS n_overlaps,
+           |  'scattered' AS layout FROM so
+           |UNION ALL
+           |SELECT file_id, CAST(n_overlaps AS BIGINT) AS n_overlaps,
+           |  'clustered' AS layout FROM co""".stripMargin) { (s, d) =>
+      val v = docs(s, d).select(col("doc_id"), col("n_chars").as("v"))
+      val scat = v.select(expr("doc_id div 20").as("file_id"), col("v"))
+        .groupBy("file_id")
+        .agg(min("v").as("min_v"), max("v").as("max_v")).limit(100000)
+      val ranked = graft.recon.Sources.withRowIndexRanged(v, "__rn",
+        Seq(col("v"), col("doc_id")))
+      val clus = ranked.select(expr("(__rn - 1) div 20").as("file_id"), col("v"))
+        .groupBy("file_id")
+        .agg(min("v").as("min_v"), max("v").as("max_v")).limit(100000)
+      graft.ops.Manifest.overlapDepth(scat, "file_id", "v")
+        .withColumn("layout", lit("scattered"))
+        .unionByName(graft.ops.Manifest.overlapDepth(clus, "file_id", "v")
+          .withColumn("layout", lit("clustered")))
     })
 }

@@ -179,6 +179,38 @@ object Graph {
   }
 
   /**
+   * Bounded-hop BFS: minimum hop distance from a SEED set, out to
+   * `maxHops` — "what is within k clicks/copies/co-orders of this
+   * set", the blast-radius query behind contamination spread and
+   * recall-set expansion. Frontier style: each round expands only the
+   * PREVIOUS round's newly-reached nodes and anti-joins everything
+   * already reached, so a node's depth is final the round it first
+   * appears (true min distance, no re-visits). Unreached nodes are
+   * absent from the output — at 100 TB emitting "everything else,
+   * depth ∞" would be the data-sized answer to a frontier-sized
+   * question.
+   *
+   * Scale shape per round: one equi-join frontier×edges + one
+   * anti-join against the reached set, both key-partitioned; `maxHops`
+   * rounds unroll into one declarative plan like [[pageRank]].
+   * Output: `(node, depth)` with depth 0 for the seeds themselves.
+   */
+  def bfsDepth(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    var reached = seeds.select(col("node")).distinct()
+      .withColumn("depth", lit(0L))
+    for (h <- 1 to maxHops) {
+      val next = reached.where(col("depth") === (h - 1L))
+        .join(edges.select(col("src").as("node"), col("dst")), Seq("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached.select("node"), Seq("node"), "left_anti")
+        .withColumn("depth", lit(h.toLong))
+      reached = reached.unionByName(next)
+    }
+    reached
+  }
+
+  /**
    * Integer PageRank: `iters` damped rounds over a distinct edge list.
    * Every node starts at 1,000,000 micro-units; per round each node
    * sends `rank div out_degree` along each out-edge and folds to

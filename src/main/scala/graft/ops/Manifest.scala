@@ -50,6 +50,33 @@ object Manifest {
   def overlapping(manifest: DataFrame, statCol: String, lo: Column, hi: Column): DataFrame =
     manifest.where(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
 
+  /**
+   * Clustering-depth metric over a stats ledger: for each file, how
+   * many files' [min, max] envelopes (same `statCol`) overlap it —
+   * the number a range query stabbing that file must ALSO open.
+   * Perfectly clustered data tiles the key space (depth 1); a random
+   * layout overlaps everywhere (depth ≈ file count) and makes
+   * [[overlapping]]-based pruning worthless. This is the measurement
+   * that tells an operator to re-layout BEFORE paying for a z-order
+   * rewrite of 100 TB. Self-join of the ledger on interval overlap —
+   * manifest-sized × manifest-sized, never data-sized; all-null
+   * envelopes (files with no non-null key) are excluded. Ledger
+   * contract: `(file id col, min_<statCol>, max_<statCol>)` as built
+   * by [[build]].
+   */
+  def overlapDepth(ledger: DataFrame, fileCol: String, statCol: String): DataFrame = {
+    val a = ledger.select(col(fileCol).as("__fa"),
+      col(s"min_$statCol").as("__la"), col(s"max_$statCol").as("__ha"))
+      .where(col("__la").isNotNull)
+    val b = ledger.select(col(s"min_$statCol").as("__lb"),
+      col(s"max_$statCol").as("__hb"))
+      .where(col("__lb").isNotNull)
+    a.join(b, col("__la") <= col("__hb") && col("__lb") <= col("__ha"))
+      .groupBy(col("__fa"))
+      .agg(count(lit(1)).as("n_overlaps"))
+      .select(col("__fa").as(fileCol), col("n_overlaps"))
+  }
+
   // ---- per-file Bloom filters: the POINT-lookup skipping layer ---------
   //
   // Min/max envelopes only prune when the write layout clusters the

@@ -97,6 +97,75 @@ object Privacy {
         when(col("n_sensitive") >= l, 1L).otherwise(0L).as("diverse")): _*)
   }
 
+  /**
+   * t-closeness audit (Li et al., ICDE 2007) for an ORDERED sensitive
+   * attribute: a quasi-identifier class passes iff the Earth Mover's
+   * Distance between its sensitive-value distribution and the GLOBAL
+   * distribution is ≤ t — the refinement l-diversity misses (a class
+   * can be "diverse" yet skewed toward the damaging end of an ordered
+   * attribute). For a 1-D ordered attribute EMD has the closed form
+   * Σᵢ |CDF_class(i) − CDF_global(i)| / (m − 1) over the m distinct
+   * values. All arithmetic is exact integer: the CDF difference is
+   * cross-multiplied (|cumᶜ·n_g − cum_g·n_c|) and `emd_milli` floors
+   * the scaled sum, so both engines agree bit-for-bit. A single-value
+   * domain (m = 1) is distance 0 by convention.
+   *
+   * Range bound (same contract as histQuantiles): the summand is
+   * ≤ n_c·n_g, so the audit stays in BIGINT while
+   * 1000·m·n_c·n_g < 2^63 — shard the audit beyond that.
+   *
+   * Scale shape: the value domain is bounded (limit-asserted at 100k,
+   * like [[Sampling.tokenBudget]]'s stratum table); the per-class CDF
+   * grid is classes × m via a broadcast of the m-row rank spine, its
+   * windows partitioned per class. Nothing data-sized funnels into a
+   * global window.
+   */
+  def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, tMilli: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "no quasi-identifier columns")
+    require(tMilli >= 0 && tMilli <= 1000, s"tMilli out of [0,1000]: $tMilli")
+    import org.apache.spark.sql.expressions.Window
+    val q = quasiCols.map(col)
+    val base = df.select(q :+ col(sensitiveCol).as("__sv"): _*)
+      .where(col("__sv").isNotNull)
+    // the ordered value spine: rank 1..m (domain-bounded by contract)
+    val ranked = base.select(col("__sv")).distinct().limit(100000)
+      .withColumn("__rk", row_number().over(Window.orderBy(col("__sv"))).cast("long"))
+    val withRk = base.join(broadcast(ranked), Seq("__sv"))
+    // global cum counts per rank (m rows)
+    val g = withRk.groupBy(col("__rk")).agg(count(lit(1)).as("__nv")).limit(100000)
+      .withColumn("__cumg", sum(col("__nv")).over(
+        Window.orderBy(col("__rk")).rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("__rk"), col("__cumg"))
+    // class × rank grid: per-rank class counts left-joined onto the
+    // broadcast spine, running sum gives the class CDF at EVERY global
+    // rank (ranks absent from the class carry the last cum forward)
+    val cl = withRk.groupBy(q :+ col("__rk"): _*).agg(count(lit(1)).as("__ncv"))
+    val classes = base.select(q: _*).distinct()
+    val grid = classes.join(broadcast(g))
+      .join(cl, quasiCols :+ "__rk", "left")
+      .withColumn("__cumc", sum(coalesce(col("__ncv"), lit(0L))).over(
+        Window.partitionBy(q: _*).orderBy(col("__rk"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = ranked.agg(count(lit(1)).cast("long").as("__m"))
+    val gTot = g.agg(max(col("__cumg")).as("__ng"))
+    val perClass = grid
+      .withColumn("__nc", max(col("__cumc")).over(Window.partitionBy(q: _*)))
+      .crossJoin(broadcast(gTot)).crossJoin(broadcast(tot))
+      .groupBy(q: _*)
+      .agg(max(col("__nc")).as("group_n"), max(col("__ng")).as("__ngx"),
+        max(col("__m")).as("__mx"),
+        sum(abs(col("__cumc") * col("__ng") - col("__cumg") * col("__nc")))
+          .as("__num"))
+    perClass.select(q ++ Seq(
+      col("group_n"),
+      when(col("__mx") <= 1L, lit(0L))
+        .otherwise(expr("(1000 * __num) div ((__mx - 1) * group_n * __ngx)"))
+        .as("emd_milli")): _*)
+      .withColumn("pass",
+        when(col("emd_milli") <= tMilli, 1L).otherwise(0L))
+  }
+
   /** Enforcement half: keep only rows whose class passes
     * [[lDiversityAudit]] at `l` — the suppression a release applies
     * after the audit names the failing classes. Broadcast semi-join on

@@ -78,6 +78,24 @@ object Similarity {
   }
 
   /**
+   * Matryoshka-truncated top-k (Kusupati et al. 2022): score on only
+   * the FIRST `dims` components of each vector. MRL-trained embeddings
+   * front-load information, so a 2× truncation keeps most of the
+   * ranking at half the memory traffic and half the dot-product cost —
+   * the cheap first stage of a coarse-to-fine cascade (truncated scan
+   * → full-dim re-rank of the survivors). Same broadcast shape as
+   * [[bruteForceTopK]]; pair with the recall harness to measure what
+   * the truncation costs on YOUR vectors before deploying it.
+   */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dims: Int, k: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    def cut(df: DataFrame) =
+      df.select(col(idCol), slice(col(vecCol), 1, dims).as(vecCol))
+    bruteForceTopK(cut(corpus), cut(queries), idCol, vecCol, k)
+  }
+
+  /**
    * h-bit sign-random-projection bucket id for a float-vector column.
    * Native codegen'd kernel ([[graft.functions.VecOps.lshBucketF]]):
    * hyperplane signs derive from a splitmix64 parity of (plane, dim) —

@@ -35,6 +35,29 @@ class GraphSpec extends SparkSuite {
     assert(r2 == Map(0L -> 1127500L, 1L -> 936250L, 2L -> 936250L))
   }
 
+  test("bfsDepth: min hop distance, frontier depths final, unreached absent") {
+    // path 1-2-3-4-5 plus a shortcut 1-4: node 4 is 1 hop via the
+    // shortcut, NOT 3 hops along the path; node 6-7 is a disconnected
+    // island and must be absent
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (6L, 7L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val d = Graph.bfsDepth(e, seeds, maxHops = 3).as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+  }
+
+  test("bfsDepth: maxHops truncates; multiple seeds take the nearer one") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val one = Graph.bfsDepth(e, Seq(1L).toDF("node"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 3L -> 2L)) // 4, 5 beyond maxHops
+    val two = Graph.bfsDepth(e, Seq(1L, 5L).toDF("node"), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    // 3 is 2 hops from both seeds; 4 is 1 hop from seed 5
+    assert(two == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L))
+  }
+
   test("triangleCounts: K4 has four triangles, three per node") {
     val nodes = Seq(0L, 1L, 2L, 3L)
     val e = (for (u <- nodes; v <- nodes if u != v) yield (u, v)).toDF("src", "dst")

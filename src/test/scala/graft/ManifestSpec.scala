@@ -81,6 +81,27 @@ class ManifestSpec extends SparkSuite {
       Seq("wABSENT").toDF("__probe"), "__probe", 4096, 4).count() == 0L)
   }
 
+  test("overlapDepth: tiling ledger has depth 1, scattered ledger stacks up") {
+    val tiled = Seq((0L, 0L, 9L), (1L, 10L, 19L), (2L, 20L, 29L))
+      .toDF("file_id", "min_v", "max_v")
+    val t = Manifest.overlapDepth(tiled, "file_id", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(t == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+
+    val scattered = Seq((0L, 0L, 100L), (1L, 5L, 50L), (2L, 60L, 70L))
+      .toDF("file_id", "min_v", "max_v")
+    val sc = Manifest.overlapDepth(scattered, "file_id", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(sc == Map(0L -> 3L, 1L -> 2L, 2L -> 2L))
+
+    // all-null envelopes (files with no non-null key) are excluded
+    val withNull = Seq((0L, Some(0L), Some(9L)), (1L, None, None))
+      .toDF("file_id", "min_v", "max_v")
+    val n = Manifest.overlapDepth(withNull, "file_id", "v")
+      .as[(Long, Long)].collect().toMap
+    assert(n == Map(0L -> 1L))
+  }
+
   test("bloom manifest: null keys set no bits and match no probe") {
     val dir = Files.createTempDirectory("graft_bloom_null").toString
     Seq[(Option[String], Long)]((None, 1L), (Some("x"), 2L)).toDF("s", "id")

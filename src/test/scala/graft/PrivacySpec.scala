@@ -69,6 +69,37 @@ class PrivacySpec extends SparkSuite {
     assert(kept == Set(("A", "flu"), ("A", "cold")))
   }
 
+  test("tClosenessAudit: exact EMD milli against hand-computed values") {
+    // global: v1 x5, v2 x15 (n=20, CDF(1)=0.25)
+    // class A: 5x v1 + 10x v2 -> CDF_A(1)=1/3, EMD=|1/3-1/4|=83 milli
+    // class B: 5x v2        -> CDF_B(1)=0,   EMD=0.25 = 250 milli
+    val rows = (Seq.fill(5)(("A", 1L)) ++ Seq.fill(10)(("A", 2L)) ++
+      Seq.fill(5)(("B", 2L))).toDF("cls", "sv")
+    val out = Privacy.tClosenessAudit(rows, Seq("cls"), "sv", tMilli = 150)
+      .select("cls", "group_n", "emd_milli", "pass")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("A") == (("A", 15L, 83L, 1L)))
+    assert(out("B") == (("B", 5L, 250L, 0L)))
+  }
+
+  test("tClosenessAudit is ORDER-aware: far skew scores above near skew") {
+    // uniform global over v1<v2<v3; a class concentrated at the far end
+    // (v3) must score above one concentrated in the middle (v2) — the
+    // property an unordered divergence cannot see
+    val rows = (Seq.fill(4)(("C", 1L)) ++ Seq.fill(4)(("B", 2L)) ++
+      Seq.fill(4)(("A", 3L))).toDF("cls", "sv")
+    val out = Privacy.tClosenessAudit(rows, Seq("cls"), "sv", tMilli = 400)
+      .select("cls", "emd_milli").as[(String, Long)].collect().toMap
+    assert(out == Map("A" -> 500L, "B" -> 333L, "C" -> 500L))
+  }
+
+  test("tClosenessAudit: single-value domain is distance 0 by convention") {
+    val rows = Seq(("A", 7L), ("B", 7L)).toDF("cls", "sv")
+    val out = Privacy.tClosenessAudit(rows, Seq("cls"), "sv", tMilli = 0)
+      .select("cls", "emd_milli", "pass").as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("A", 0L, 1L), ("B", 0L, 1L)))
+  }
+
   test("erase drops exactly the subjects' rows; erasureReport counts them first") {
     val facts = Seq((1L, "a"), (2L, "b"), (2L, "c"), (3L, "d")).toDF("uid", "v")
     val subjects = Seq(2L, 99L).toDF("subject") // 99 hits nothing

@@ -174,6 +174,38 @@ class ScaleOpsSpec extends SparkSuite {
     assert(stats(3L)._2 == 5L && stats(3L)._3 == 2L && stats(3L)._4 == 0.4d)
   }
 
+  test("matryoshkaTopK ranks on the prefix dims only; full dims recover the truth") {
+    // vectors whose FIRST 4 dims carry the signal and last 12 are a
+    // constant: truncation to 4 dims must reproduce the full ranking
+    val frontLoaded = (0L until 40L).map { i =>
+      (i, Array.tabulate(16)(j =>
+        if (j < 4) (math.sin((i * 4 + j).toDouble)).toFloat else 0.25f))
+    }.toDF("vec_id", "embedding")
+    val q = frontLoaded.where(col("vec_id") % 10 === 0)
+    val full = Similarity.bruteForceTopK(frontLoaded, q, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val mat = Similarity.matryoshkaTopK(frontLoaded, q, "vec_id", "embedding",
+        dims = 4, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // constant tails shift every dot by the same amount per query —
+    // ranking unchanged, so the truncated top-3 IS the full top-3
+    assert(mat == full)
+
+    // tail-loaded vectors: truncation MUST lose the ranking — the
+    // harness detects embeddings that are not matryoshka-trained
+    val tailLoaded = (0L until 40L).map { i =>
+      (i, Array.tabulate(16)(j =>
+        if (j >= 4) (math.sin((i * 12 + j).toDouble)).toFloat else 0.25f))
+    }.toDF("vec_id", "embedding")
+    val q2 = tailLoaded.where(col("vec_id") % 10 === 0)
+    val full2 = Similarity.bruteForceTopK(tailLoaded, q2, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val mat2 = Similarity.matryoshkaTopK(tailLoaded, q2, "vec_id", "embedding",
+        dims = 4, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(mat2 != full2, "prefix dims carry no signal — ranking cannot survive")
+  }
+
   test("quantizedTopK approximates the float ranking within quantization error") {
     val vecs = (0L until 60L).map { i =>
       (i, Array.tabulate(16)(j => (math.sin((i * 16 + j).toDouble) * 0.5).toFloat))

@@ -68,11 +68,12 @@ class SetSimilaritySpec extends SparkSuite {
     ).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
     val out = SetSimilarity.explainPairs(corpus, "text", "doc_id", 3, pairs, k = 2)
-      .as[(Long, Long, Long, Seq[String])].head()
+      .as[(Long, Long, Long, String)].head()
     // shared 3-shingles of docs 1,2: "red fox jumps", "fox jumps over",
     // "jumps over lazy" -> n_shared = 3; all df=2, so evidence is the
-    // 2 lexicographically-first of them
+    // 2 lexicographically-first of them, '|'-joined (registry outputs
+    // stay scalar for the cross-engine hash compare)
     assert(out._3 == 3L)
-    assert(out._4 == Seq("fox jumps over", "jumps over lazy"))
+    assert(out._4 == "fox jumps over|jumps over lazy")
   }
 }
