@@ -1840,5 +1840,74 @@ object EntityQueries {
         .withColumn("layout", lit("scattered"))
         .unionByName(graft.ops.Manifest.overlapDepth(clus, "file_id", "v")
           .withColumn("layout", lit("clustered")))
+    },
+
+    // per-source quota cap (the Common-Crawl per-domain clip): keep at
+    // most 60 docs per source in deterministic HASH order — unbiased,
+    // unlike first-by-id (crawl-time-correlated) or quality-ranked
+    // text_source_topk (which is a different, intentional bias)
+    QuerySpec("text_source_quota",
+      raw"""WITH r AS (SELECT doc_id, source,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+           |               doc_id) AS keep_rank
+           |  FROM documents)
+           |SELECT doc_id, source, CAST(keep_rank AS BIGINT) AS keep_rank
+           |FROM r WHERE keep_rank <= 60""".stripMargin) { (s, d) =>
+      graft.ops.Sampling.capPerStratum(
+        docs(s, d).select(col("doc_id"), col("source")),
+        "source", "doc_id", cap = 60)
+    },
+
+    // coarse-to-fine ANN cascade: prefix-dim (32 of 64) scan nominates
+    // 20 candidates, full-dim re-rank keeps 5 — recall vs the brute
+    // truth measures what the cheap first stage costs AFTER the
+    // re-rank buys back the near-misses (compare sim_matryoshka_recall,
+    // the nomination stage alone)
+    QuerySpec("sim_cascade_recall",
+      raw"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           |           FROM embeddings WHERE vec_id % 100 = 0),
+           |brute AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, e.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY list_dot_product(qv, e.embedding) DESC, e.vec_id) AS rank
+           |    FROM q JOIN embeddings e ON e.vec_id <> query_id)
+           |  WHERE rank <= 5),
+           |cand AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, e.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY list_dot_product(qv[1:32], e.embedding[1:32]) DESC, e.vec_id) AS rank
+           |    FROM q JOIN embeddings e ON e.vec_id <> query_id)
+           |  WHERE rank <= 20),
+           |casc AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT c.query_id, c.neighbor_id,
+           |      row_number() OVER (PARTITION BY c.query_id
+           |        ORDER BY list_dot_product(q.qv, e.embedding) DESC, c.neighbor_id) AS rank
+           |    FROM cand c JOIN q USING (query_id)
+           |    JOIN embeddings e ON e.vec_id = c.neighbor_id)
+           |  WHERE rank <= 5)
+           |SELECT b.query_id, count(*) AS k,
+           |  CAST(sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  CAST(sum(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS recall
+           |FROM brute b LEFT JOIN casc m
+           |  ON m.query_id = b.query_id AND m.neighbor_id = b.neighbor_id
+           |GROUP BY 1""".stripMargin) { (s, d) =>
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      val qs = e.where(col("vec_id") % 100 === 0)
+      val brute = graft.ops.Similarity.bruteForceTopK(e, qs,
+        "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val casc = graft.ops.Similarity.cascadeTopK(e, qs,
+        "vec_id", "embedding", dims = 32, candidates = 20, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      brute.join(casc, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
+        .withColumn("recall", col("n_hit").cast("double") / col("k").cast("double"))
     })
 }

@@ -280,6 +280,26 @@ object Sampling {
   }
 
   /**
+   * Per-stratum cap: keep at most `cap` rows per stratum, chosen in
+   * deterministic HASH order (not "first by id", which at corpus scale
+   * correlates with crawl time and biases the kept set). The
+   * Common-Crawl-style per-domain quota: small strata pass whole,
+   * over-represented ones are clipped — unlike [[balancedSample]]
+   * (exactly n, drops small strata context) or a fraction gate (caps
+   * nothing). Window is stratum-partitioned; `keep_rank` rides along
+   * so downstream can tighten the cap without re-ranking.
+   */
+  def capPerStratum(df: DataFrame, strataCol: String, keyCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(keyHash(col(keyCol)), col(keyCol))
+    df.withColumn("keep_rank", row_number().over(w).cast("long"))
+      .where(col("keep_rank") <= cap)
+  }
+
+  /**
    * Mixture-plan epochs: given explicit per-stratum TARGET weights
    * (milli, the "data mix" a training run specifies) and a total token
    * budget, compute what each stratum must contribute and how many

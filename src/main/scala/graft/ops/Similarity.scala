@@ -96,6 +96,33 @@ object Similarity {
   }
 
   /**
+   * Coarse-to-fine cascade: a cheap truncated-dim scan
+   * ([[matryoshkaTopK]]) nominates `candidates` per query, then ONLY
+   * those rows are re-scored at full dimension and cut to top-k. The
+   * expensive full-dim dot runs on candidates×queries rows instead of
+   * corpus×queries — at 100 TB that is the difference between a scan
+   * of the coded prefix and a scan of everything. Recall is bounded by
+   * the nomination stage (a true neighbor the prefix ranking drops
+   * below `candidates` is gone); the recall harness measures that cost
+   * per corpus, and raising `candidates` buys it back linearly.
+   */
+  def cascadeTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, dims: Int, candidates: Int, k: Int): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val cand = matryoshkaTopK(corpus, queries, idCol, vecCol, dims, candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = cand.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
+      .withColumn("score", score(col("qv"), col("cv"), cosine = false))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /**
    * h-bit sign-random-projection bucket id for a float-vector column.
    * Native codegen'd kernel ([[graft.functions.VecOps.lshBucketF]]):
    * hyperplane signs derive from a splitmix64 parity of (plane, dim) —

@@ -206,6 +206,31 @@ class ScaleOpsSpec extends SparkSuite {
     assert(mat2 != full2, "prefix dims carry no signal — ranking cannot survive")
   }
 
+  test("cascadeTopK: full-dim re-rank of prefix candidates recovers the exact top-k") {
+    // signal spread across ALL dims: pure truncation reorders near-ties,
+    // but with candidates >> k the cascade's re-rank recovers the truth
+    val vecs = (0L until 40L).map { i =>
+      (i, Array.tabulate(16)(j => (math.sin((i * 16 + j).toDouble) * 0.5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where(col("vec_id") % 10 === 0)
+    val exact = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val casc = Similarity.cascadeTopK(vecs, q, "vec_id", "embedding",
+        dims = 8, candidates = 20, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val trunc = Similarity.matryoshkaTopK(vecs, q, "vec_id", "embedding",
+        dims = 8, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // the cascade can only improve on the nomination stage alone
+    assert(casc.intersect(exact).size >= trunc.intersect(exact).size)
+    // with half the corpus as candidates, the re-rank recovers everything
+    assert(casc == exact)
+    // and the guard rejects a nonsensical configuration
+    intercept[IllegalArgumentException] {
+      Similarity.cascadeTopK(vecs, q, "vec_id", "embedding", 8, candidates = 2, k = 3)
+    }
+  }
+
   test("quantizedTopK approximates the float ranking within quantization error") {
     val vecs = (0L until 60L).map { i =>
       (i, Array.tabulate(16)(j => (math.sin((i * 16 + j).toDouble) * 0.5).toFloat))

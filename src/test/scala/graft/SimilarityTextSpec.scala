@@ -119,6 +119,21 @@ class SimilarityTextSpec extends SparkSuite {
     assert(ivfpq >= 0.6, f"IVF-PQ mean recall regressed: $ivfpq%.3f < 0.6")
   }
 
+  test("cascade re-rank beats raw truncation on the sf0.001 fixture") {
+    // same deterministic-inputs argument as the other recall gates: both
+    // numbers are constants of the code, so the ORDERING is a regression
+    // gate. The full-dim re-rank can only recover truth the nomination
+    // stage nearly found — it must never score below truncation alone
+    def meanRecall(name: String): Double =
+      graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .agg(avg(col("recall"))).head().getDouble(0)
+    val trunc = meanRecall("sim_matryoshka_recall")
+    val casc = meanRecall("sim_cascade_recall")
+    assert(casc >= trunc,
+      f"cascade ($casc%.3f) must not lose to its own nomination stage ($trunc%.3f)")
+    assert(casc >= 0.5, f"cascade mean recall regressed: $casc%.3f < 0.5")
+  }
+
   test("IVF-PQ recall-vs-nprobe curve is monotone with the floor at nprobe=6") {
     // the recall/cost knob a 100 TB operator turns: more probed cells can
     // only ADD candidates (rank-<=-a candidates are a subset of rank-<=-b

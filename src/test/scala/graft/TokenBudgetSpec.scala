@@ -88,6 +88,23 @@ class TokenBudgetSpec extends SparkSuite {
     assert(out("es") == (("es", 30L, 0L, Some(0L), "unweighted")))
   }
 
+  test("capPerStratum: clips only over-cap strata, deterministic hash order") {
+    val df = (1L to 30L).map(i => (if (i <= 25) "big" else "small", i))
+      .toDF("source", "doc_id")
+    val out = Sampling.capPerStratum(df, "source", "doc_id", cap = 10)
+    val counts = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("big" -> 10L, "small" -> 5L)) // small passes whole
+    assert(out.agg(max("keep_rank")).as[Long].head() <= 10L)
+    // deterministic: the same corpus keeps the same rows on every run
+    val again = Sampling.capPerStratum(df, "source", "doc_id", cap = 10)
+    assert(rowsOf(out) == rowsOf(again))
+    // and the kept set is hash-chosen, not the first 10 ids
+    val keptBig = out.where($"source" === "big")
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptBig != (1L to 10L).toSet)
+  }
+
   test("mixEpochs rejects negative weights and budgets") {
     val df = corpus("en" -> 1)
     intercept[IllegalArgumentException] {
