@@ -1842,6 +1842,20 @@ object EntityQueries {
           .withColumn("layout", lit("clustered")))
     },
 
+    // per-user event cap, batch arm (keep the EARLIEST 20 per user —
+    // the ingestion quota against runaway producers); the streaming
+    // twin (userCapStream, watermark-ordered, saturating state) is
+    // spec-pinned equal over surviving events
+    QuerySpec("stream_user_cap",
+      raw"""WITH r AS (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+           |    row_number() OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS keep_rank
+           |  FROM events)
+           |SELECT user_id, event_id, ms, CAST(keep_rank AS BIGINT) AS keep_rank
+           |FROM r WHERE keep_rank <= 20""".stripMargin) { (s, d) =>
+      graft.streaming.EventPipeline.userCap(events(s, d), cap = 20)
+    },
+
     // per-source quota cap (the Common-Crawl per-domain clip): keep at
     // most 60 docs per source in deterministic HASH order — unbiased,
     // unlike first-by-id (crawl-time-correlated) or quality-ranked

@@ -35,6 +35,15 @@ final case class RollingFeature(user_id: Long, event_id: Long, ms: Long,
   * 3 = purchased after that click. */
 final case class FunnelUserStage(user_id: Long, stage: Int)
 
+/** Watermark-ordered per-user cap state: events not yet final plus the
+  * SATURATING emitted counter — once a user hits the cap the pending
+  * buffer is dropped, so a hot key's state is O(1), not O(events). */
+final case class CapState(pending: Seq[Event], n: Long)
+
+/** One event kept by the per-user cap (ts as epoch-ms). */
+final case class CappedEvent(user_id: Long, event_id: Long, ms: Long,
+    keep_rank: Long)
+
 /**
  * Structured-Streaming pipeline over the `events` table. The reference has
  * no streaming surface (SURVEY §2.8) — this is the training-data-pipeline
@@ -349,6 +358,62 @@ object EventPipeline {
     events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[RollingState, RollingFeature](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Batch arm of the per-user event cap: the first `cap` events per
+    * user in (ts, event_id) order — the ingestion-side quota that stops
+    * a runaway producer from dominating a user's training trace (the
+    * event-stream sibling of [[graft.ops.Sampling.capPerStratum]],
+    * which caps by hash; here ORDER is the semantic: keep the
+    * earliest). Window is user-partitioned. */
+  def userCap(events: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("event_id"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"), col("ts"))
+      .withColumn("keep_rank", row_number().over(w).cast("long"))
+      .where(col("keep_rank") <= cap)
+      .select("user_id", "event_id", "ms", "keep_rank")
+  }
+
+  /** Streaming twin of [[userCap]]: same watermark-ordered discipline
+    * as [[rollingFeaturesStream]] (an event is emitted only once the
+    * watermark proves nothing can still slot in before it, so
+    * keep_rank is the TRUE time order, not arrival order). The emitted
+    * counter saturates at `cap` and then drops the pending buffer —
+    * a capped user costs constant state forever after. Spec-pinned
+    * equal to the batch arm over the surviving events. */
+  def userCapStream(events: Dataset[Event], cap: Int,
+      watermarkDelay: String = "10 minutes"): Dataset[CappedEvent] = {
+    import events.sparkSession.implicits._
+    require(cap >= 1, s"cap must be >= 1: $cap")
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[CapState]): Iterator[CappedEvent] = {
+      val prior = state.getOption.getOrElse(CapState(Seq.empty, 0L))
+      if (prior.n >= cap) {
+        // saturated: nothing more can ever be emitted for this user
+        state.update(CapState(Seq.empty, prior.n))
+        return Iterator.empty
+      }
+      val pending = (prior.pending ++ rows).sortBy(e => (e.ts.getTime, e.event_id))
+      val wm = state.getCurrentWatermarkMs()
+      val (ready, hold) = pending.partition(_.ts.getTime <= wm)
+      var n = prior.n
+      val out = ready.flatMap { e =>
+        if (n >= cap) None
+        else { n += 1; Some(CappedEvent(userId, e.event_id, e.ts.getTime, n)) }
+      }
+      val keep = if (n >= cap) Seq.empty else hold
+      state.update(CapState(keep, n))
+      if (keep.nonEmpty) state.setTimeoutTimestamp(keep.head.ts.getTime)
+      out.iterator
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CapState, CappedEvent](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 

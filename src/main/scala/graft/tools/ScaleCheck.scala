@@ -40,7 +40,10 @@ object ScaleCheck {
     // compare (anti-entropy), grid generation (resample), and the
     // token-df strip — the new shapes most worth a growth trend
     "graph_association_rules", "recon_anti_entropy",
-    "events_resampled", "text_strip_boilerplate")
+    "events_resampled", "text_strip_boilerplate",
+    // round-11 additions: data-sized range-frame windows, delta-join
+    // maintenance, and iterated frontier expansion
+    "events_rolling_window", "recon_incremental_join", "graph_bfs_depth")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -533,4 +533,61 @@ class MultimodalStreamingSpec extends SparkSuite {
       .collect().toSet
     assert(emitted.get() == batch, s"stream ${emitted.get()} != batch $batch")
   }
+
+  test("userCapStream: watermark-ordered cap equals the batch twin; state saturates") {
+    import org.apache.spark.sql.Dataset
+    import graft.streaming.CappedEvent
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cap_src").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cap_ckpt").toFile
+    def write(rows: (Long, String, Long)*): Unit =
+      rows.map { case (id, t, u) => (id, java.sql.Timestamp.valueOf(t), u, "e", 1.0) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(srcDir.getAbsolutePath)
+
+    val emitted = new java.util.concurrent.atomic.AtomicReference[
+      Set[(Long, Long, Long, Long)]](Set.empty)
+    def run(): Unit = {
+      val src = spark.readStream.schema(eventsDf.schema)
+        .parquet(srcDir.getAbsolutePath).as[graft.streaming.Event]
+      val q = EventPipeline.userCapStream(src, cap = 2)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .foreachBatch { (b: Dataset[CappedEvent], _: Long) =>
+          emitted.getAndUpdate(s => s ++ b.collect().map(c =>
+            (c.user_id, c.event_id, c.ms, c.keep_rank)).toSet): Unit
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    // run 1: user 1 gets three in-order events; the 12:05 anchor keeps
+    // the watermark back at 11:55, so nothing is final yet
+    write((1L, "2026-01-01 12:00:00", 1L), (2L, "2026-01-01 12:01:00", 1L),
+      (3L, "2026-01-01 12:02:00", 1L), (90L, "2026-01-01 12:05:00", 99L))
+    run()
+    // run 2: e4 arrives OUT OF ORDER but within the 11:55 watermark —
+    // in TIME order it is user 1's second event, so with cap=2 it must
+    // displace e2 from the kept set. The 12:40 anchor then advances the
+    // watermark to 12:30, finalizing user 1 via the event-time timeout
+    write((4L, "2026-01-01 12:00:30", 1L), (91L, "2026-01-01 12:40:00", 99L))
+    run()
+    write((92L, "2026-01-01 12:55:00", 99L))
+    run()
+
+    // kept for user 1: e1 (rank 1), e4 (rank 2) — e2, e3 over the cap
+    val got = emitted.get().filter(_._1 == 1L)
+    assert(got.map(r => (r._2, r._4)) == Set((1L, 1L), (4L, 2L)),
+      s"stream kept $got")
+    // batch twin over user 1's events agrees exactly (the anchors'
+    // own finalization timing is scaffolding, not under test)
+    val user1 = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 12:00:00"), 1L, "e", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2026-01-01 12:01:00"), 1L, "e", 1.0),
+      (3L, java.sql.Timestamp.valueOf("2026-01-01 12:02:00"), 1L, "e", 1.0),
+      (4L, java.sql.Timestamp.valueOf("2026-01-01 12:00:30"), 1L, "e", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batch = EventPipeline.userCap(user1, cap = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == batch, s"stream $got != batch $batch")
+  }
 }
