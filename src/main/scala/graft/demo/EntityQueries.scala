@@ -1842,6 +1842,67 @@ object EntityQueries {
           .withColumn("layout", lit("clustered")))
     },
 
+    // MMR diversification of a 15-candidate retrieval list (λ=0.7,
+    // k=5): each greedy pick trades relevance against max similarity
+    // to what's already picked — the de-redundancy between retrieval
+    // and a context window. Both engines walk the identical greedy
+    // trajectory (fp32 dots cast to double, integer-literal λ blend,
+    // id tie-breaks), so the picked ids and ranks hash-match
+    QuerySpec("retrieval_mmr", {
+      def round(n: Int) = {
+        val selUnion = (1 until n)
+          .map(i => s"SELECT query_id, neighbor_id, cv FROM s$i")
+          .mkString(" UNION ALL ")
+        raw"""sel$n AS ($selUnion),
+             |s$n AS (
+             |  SELECT query_id, neighbor_id, cv, $n AS mmr_rank FROM (
+             |    SELECT c.query_id, c.neighbor_id, c.cv,
+             |      row_number() OVER (PARTITION BY c.query_id
+             |        ORDER BY 700.0 * CAST(c.score AS DOUBLE) - 300.0 * c.mx DESC,
+             |                 c.neighbor_id) AS r
+             |    FROM (
+             |      SELECT c0.query_id, c0.neighbor_id, c0.score, c0.cv,
+             |        max(CAST(list_dot_product(c0.cv, s.cv) AS DOUBLE)) AS mx
+             |      FROM cand c0 JOIN sel$n s ON s.query_id = c0.query_id
+             |      WHERE NOT EXISTS (SELECT 1 FROM sel$n x
+             |        WHERE x.query_id = c0.query_id AND x.neighbor_id = c0.neighbor_id)
+             |      GROUP BY 1, 2, 3, 4) c)
+             |  WHERE r = 1)""".stripMargin
+      }
+      raw"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           |           FROM embeddings WHERE vec_id % 100 = 0),
+           |cand AS (
+           |  SELECT query_id, neighbor_id, s AS score, cv FROM (
+           |    SELECT query_id, e.vec_id AS neighbor_id,
+           |      list_dot_product(qv, e.embedding) AS s, e.embedding AS cv,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY list_dot_product(qv, e.embedding) DESC, e.vec_id) AS rank
+           |    FROM q JOIN embeddings e ON e.vec_id <> query_id)
+           |  WHERE rank <= 15),
+           |s1 AS (SELECT query_id, neighbor_id, cv, 1 AS mmr_rank FROM (
+           |    SELECT query_id, neighbor_id, cv,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY score DESC, neighbor_id) AS r
+           |    FROM cand) WHERE r = 1),
+           |${round(2)},
+           |${round(3)},
+           |${round(4)},
+           |${round(5)}
+           |SELECT query_id, neighbor_id, CAST(mmr_rank AS BIGINT) AS mmr_rank
+           |FROM (SELECT query_id, neighbor_id, mmr_rank FROM s1
+           |  UNION ALL SELECT query_id, neighbor_id, mmr_rank FROM s2
+           |  UNION ALL SELECT query_id, neighbor_id, mmr_rank FROM s3
+           |  UNION ALL SELECT query_id, neighbor_id, mmr_rank FROM s4
+           |  UNION ALL SELECT query_id, neighbor_id, mmr_rank FROM s5)""".stripMargin
+    }) { (s, d) =>
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      val qs = e.where(col("vec_id") % 100 === 0)
+      val cands = graft.ops.Similarity.bruteForceTopK(e, qs,
+        "vec_id", "embedding", k = 15)
+      graft.ops.Retrieval.mmrDiversify(cands, e, "vec_id", "embedding",
+        k = 5, lambdaMilli = 700)
+    },
+
     // per-user event cap, batch arm (keep the EARLIEST 20 per user —
     // the ingestion quota against runaway producers); the streaming
     // twin (userCapStream, watermark-ordered, saturating state) is

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.vec_dot
 
 /**
  * Keyword retrieval over a document corpus: BM25 scoring for a fixed term
@@ -146,6 +147,70 @@ object Retrieval {
     top.withColumn("rank",
         row_number().over(Window.orderBy(col("rrf_score").desc, col(idCol))))
       .select(col(idCol), col("rrf_score"), col("rank"))
+  }
+
+  /**
+   * Maximal-marginal-relevance diversification (Carbonell & Goldstein,
+   * SIGIR 1998): greedily re-rank a per-query candidate list so each
+   * pick trades relevance against similarity to what is ALREADY
+   * picked — the de-redundancy step between retrieval and a context
+   * window (k near-duplicate passages waste the budget k−1 times).
+   *
+   * Selection rule per round:
+   *   argmax over remaining c of
+   *     lambdaMilli·rel(c) − (1000−lambdaMilli)·maxSim(c, selected)
+   * — the λ∈[0,1] convex form scaled by 1000 so both coefficients are
+   * integer literals; rel and sim are the same fp32-accumulated dot
+   * kernel the recall harnesses value-check, and every round breaks
+   * ties on the candidate id, so the greedy trajectory is fully
+   * deterministic. `k` rounds unroll into one declarative plan
+   * (joins over candidate-set-sized frames — candidates per query is
+   * tens, never the corpus; the corpus stays untouched).
+   *
+   * Inputs: `candidates` = (query_id, neighbor_id, score) — e.g.
+   * [[Similarity.bruteForceTopK]] / ivfpq output; `vectors` = (idCol,
+   * vecCol) for the candidate ids (joined once up front). Output:
+   * (query_id, neighbor_id, mmr_rank) for the k picks per query.
+   */
+  def mmrDiversify(candidates: DataFrame, vectors: DataFrame, idCol: String,
+      vecCol: String, k: Int, lambdaMilli: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
+    require(lambdaMilli >= 0 && lambdaMilli <= 1000,
+      s"lambdaMilli out of [0,1000]: $lambdaMilli")
+    val lam = lit(lambdaMilli.toDouble)
+    val oneMinus = lit((1000 - lambdaMilli).toDouble)
+    val cand = candidates
+      .select(col("query_id"), col("neighbor_id"), col("score").cast("double"))
+      .join(vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        Seq("neighbor_id"))
+    val byQ = Window.partitionBy(col("query_id"))
+    // round 1: pure relevance
+    var selected = cand
+      .withColumn("__r", row_number().over(
+        byQ.orderBy(col("score").desc, col("neighbor_id"))))
+      .where(col("__r") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("__cv"),
+        lit(1L).as("mmr_rank"))
+    for (r <- 2 to k) {
+      val sel = selected.select(col("query_id"),
+        col("neighbor_id").as("__sid"), col("__cv").as("__sv"))
+      val remaining = cand.join(
+        selected.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val next = remaining.join(sel, Seq("query_id"))
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(first(col("score")).as("score"), first(col("__cv")).as("__cv"),
+          max(vec_dot(col("__cv"), col("__sv")).cast("double")).as("__maxSim"))
+        .withColumn("__mmr", lam * col("score") - oneMinus * col("__maxSim"))
+        .withColumn("__r", row_number().over(
+          byQ.orderBy(col("__mmr").desc, col("neighbor_id"))))
+        .where(col("__r") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("__cv"),
+          lit(r.toLong).as("mmr_rank"))
+      selected = selected.unionByName(next)
+    }
+    selected.select(col("query_id"), col("neighbor_id"), col("mmr_rank"))
   }
 
   /** Top-k documents by BM25 for `terms`, with a deterministic dense rank

@@ -104,6 +104,50 @@ class CurationOpsSpec extends SparkSuite {
     assert(got.map(_._3).toSeq == Seq(1, 2, 3, 4))
   }
 
+  test("mmrDiversify skips a redundant near-duplicate; λ=1000 is pure relevance") {
+    import org.apache.spark.sql.functions._
+    // candidates for one query: 10 and 11 are IDENTICAL vectors (both
+    // highly relevant), 12 is orthogonal and less relevant
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f)),
+      (11L, Array(1.0f, 0.0f)),
+      (12L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cands = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.89), (1L, 12L, 0.3)
+    ).toDF("query_id", "neighbor_id", "score")
+
+    // λ=0.5: pick 10 (best rel), then 12 beats the duplicate 11
+    // (mmr(11) = 500·0.89 − 500·1.0 < mmr(12) = 500·0.3 − 500·0.0)
+    val picks = Retrieval.mmrDiversify(cands, vecs, "vec_id", "embedding",
+        k = 3, lambdaMilli = 500)
+      .orderBy("mmr_rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(picks == Seq(10L, 12L, 11L))
+
+    // λ=1000: similarity term vanishes — pure relevance order
+    val pure = Retrieval.mmrDiversify(cands, vecs, "vec_id", "embedding",
+        k = 3, lambdaMilli = 1000)
+      .orderBy("mmr_rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(pure == Seq(10L, 11L, 12L))
+  }
+
+  test("mmrDiversify is per-query and deterministic on ties") {
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    // two queries share the candidate pool; candidate scores tie, so
+    // round 1 must break to the LOWER id per query independently
+    val cands = Seq(
+      (1L, 10L, 0.5), (1L, 11L, 0.5),
+      (2L, 10L, 0.5), (2L, 11L, 0.5)
+    ).toDF("query_id", "neighbor_id", "score")
+    val out = Retrieval.mmrDiversify(cands, vecs, "vec_id", "embedding",
+        k = 2, lambdaMilli = 700)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L, 1L), (1L, 11L, 2L), (2L, 10L, 1L), (2L, 11L, 2L)))
+  }
+
   test("selectByAffinity scores match a naive reference and rank target-like docs first") {
     import graft.ops.Selection
     val target = Seq((100L, "alpha beta gamma"), (101L, "alpha beta delta"))
