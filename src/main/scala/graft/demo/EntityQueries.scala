@@ -1842,6 +1842,85 @@ object EntityQueries {
           .withColumn("layout", lit("clustered")))
     },
 
+    // personalized PageRank: all teleport mass restarts at the seed
+    // parts (partkey%97=0) — rank = influence relative to the seeds,
+    // the proximity score behind seed-based curation. Same integer
+    // div/floor iteration as graph_pagerank; unreachable nodes stay 0
+    QuerySpec("graph_ppr", {
+      def iter(n: Int) =
+        raw"""i$n AS (SELECT e.dst, sum(r${n - 1}.r // dg.deg) AS s
+             |      FROM e JOIN dg USING (src) JOIN r${n - 1} ON r${n - 1}.node = e.src
+             |      GROUP BY 1),
+             |r$n AS (SELECT nd.node,
+             |        nd.isSeed * ((150000 * sz.N) // sz.S)
+             |          + (850 * COALESCE(i$n.s, 0)) // 1000 AS r
+             |      FROM nd CROSS JOIN sz LEFT JOIN i$n ON i$n.dst = nd.node)""".stripMargin
+      raw"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           |            AND a.l_partkey <> b.l_partkey),
+           |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+           |sz AS (SELECT (SELECT count(*) FROM dg) AS N,
+           |              (SELECT count(*) FROM dg WHERE src % 97 = 0) AS S),
+           |nd AS (SELECT src AS node,
+           |         CASE WHEN src % 97 = 0 THEN 1 ELSE 0 END AS isSeed FROM dg),
+           |r0 AS (SELECT nd.node,
+           |         CAST(nd.isSeed * ((1000000 * sz.N) // sz.S) AS BIGINT) AS r
+           |       FROM nd CROSS JOIN sz),
+           |${iter(1)},
+           |${iter(2)},
+           |${iter(3)}
+           |SELECT node, CAST(r AS BIGINT) AS rank_micro FROM r3""".stripMargin
+    }) { (s, d) =>
+      val edges = graft.ops.Graph.coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey")
+      val seeds = edges.select(col("src").as("node")).distinct()
+        .where(col("node") % 97 === 0)
+      graft.ops.Graph.personalizedPageRank(edges, seeds, iters = 3, dampMilli = 850)
+    },
+
+    // Benford first-digit audit of extended prices per return flag:
+    // observed vs log-uniform expected milli shares, the fabricated-/
+    // degenerate-numbers screen. Digits a stratum never produces still
+    // emit rows (delta = -benford)
+    QuerySpec("quality_benford",
+      raw"""WITH c AS (SELECT l_returnflag AS flag,
+           |    CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1)
+           |      AS BIGINT) AS digit,
+           |    count(*) AS n
+           |  FROM lineitem WHERE l_extendedprice >= 1 GROUP BY 1, 2),
+           |t AS (SELECT flag, sum(n) AS tot FROM c GROUP BY 1),
+           |b(digit, benford_milli) AS (VALUES (1, 301), (2, 176), (3, 125),
+           |  (4, 97), (5, 79), (6, 67), (7, 58), (8, 51), (9, 46)),
+           |g AS (SELECT t.flag, b.digit, b.benford_milli, COALESCE(c.n, 0) AS n, t.tot
+           |      FROM t CROSS JOIN b
+           |      LEFT JOIN c ON c.flag = t.flag AND c.digit = b.digit)
+           |SELECT flag, CAST(digit AS BIGINT) AS digit, CAST(n AS BIGINT) AS n,
+           |  CAST((n * 1000) // tot AS BIGINT) AS p_milli,
+           |  CAST(benford_milli AS BIGINT) AS benford_milli,
+           |  CAST((n * 1000) // tot - benford_milli AS BIGINT) AS delta_milli
+           |FROM g""".stripMargin) { (s, d) =>
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_returnflag").as("flag"), col("l_extendedprice"))
+      graft.ops.Drift.benfordAudit(li, "flag", "l_extendedprice")
+    },
+
+    // debounce: first event of each (user, type) burst survives
+    // (gaps-and-islands at 60 s) — double-fires and retry storms
+    // collapse to one event, isolated events always pass
+    QuerySpec("events_debounce",
+      raw"""WITH g AS (SELECT event_id, user_id, event_type, ts,
+           |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id, event_type
+           |      ORDER BY ts, event_id) AS gap
+           |  FROM events)
+           |SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms
+           |FROM g WHERE gap IS NULL OR gap > 60000""".stripMargin) { (s, d) =>
+      graft.ops.History.debounceFirst(
+          events(s, d).select(col("event_id"), col("user_id"),
+            col("event_type"), col("ts")),
+          Seq("user_id", "event_type"), "ts", "event_id", gapMs = 60000L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"))
+    },
+
     // MMR diversification of a 15-candidate retrieval list (λ=0.7,
     // k=5): each greedy pick trades relevance against max similarity
     // to what's already picked — the de-redundancy between retrieval

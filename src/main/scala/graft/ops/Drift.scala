@@ -137,6 +137,46 @@ object Drift {
             .otherwise(expr("(n_before * 1000) div __tb"))).as("delta_milli"))
   }
 
+  /** Benford's-law first-digit milli frequencies, d = 1..9:
+    * round(1000·log10(1 + 1/d)). */
+  private val BenfordMilli: Seq[(Long, Long)] = Seq(
+    1L -> 301L, 2L -> 176L, 3L -> 125L, 4L -> 97L, 5L -> 79L,
+    6L -> 67L, 7L -> 58L, 8L -> 51L, 9L -> 46L)
+
+  /**
+   * Benford first-digit audit for a positive numeric column: per
+   * stratum and leading digit, the observed count, exact milli share,
+   * the Benford expectation, and the signed delta — the classic
+   * fabricated-/degenerate-numbers screen (naturally-occurring
+   * magnitudes follow log-uniform leading digits; generated or
+   * truncated feeds don't). Only values ≥ 1 participate (leading digit
+   * of the integer part); digits the stratum never produces still
+   * emit a row (n = 0, delta = −benford), so a stratum stuck on one
+   * digit shows its full miss. Σ|delta|/2 over a stratum's rows is the
+   * TV severity, same algebra as [[tvMilli]]. One aggregate over the
+   * data; the 9-row digit spine joins broadcast.
+   */
+  def benfordAudit(df: DataFrame, strataCol: String, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digits = broadcast(BenfordMilli.toDF("digit", "benford_milli"))
+    val counts = df.where(col(valueCol) >= 1)
+      .select(col(strataCol),
+        substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+          .cast("long").as("digit"))
+      .groupBy(col(strataCol), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val strata = counts.groupBy(col(strataCol)).agg(sum(col("n")).as("__tot"))
+    strata.join(digits)
+      .join(counts, Seq(strataCol, "digit"), "left")
+      .select(col(strataCol), col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        expr("(coalesce(n, 0L) * 1000) div __tot").as("p_milli"),
+        col("benford_milli"),
+        (expr("(coalesce(n, 0L) * 1000) div __tot") - col("benford_milli"))
+          .as("delta_milli"))
+  }
+
   /** Per-stratum total-variation distance in milli from a [[histDrift]]
     * frame: Σ|delta| / 2 — the single drift-severity number an alert
     * thresholds on. An added or removed stratum is max drift by

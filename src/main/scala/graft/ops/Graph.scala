@@ -224,6 +224,64 @@ object Graph {
    * matters; the ranking semantics here follow the common
    * drop-dangling simplification.
    */
+  /**
+   * Personalized PageRank: same integer damped iteration as
+   * [[pageRank]], but ALL teleport mass returns to the seed set
+   * instead of spreading uniformly — rank becomes "influence relative
+   * to these seeds" (the proximity signal behind seed-based curation:
+   * docs/parts/users gravitating around a trusted or contaminated
+   * core). Initial mass sits entirely on the seeds
+   * (`1e6·N div |S|` each, so total mass stays ≈ N·1e6 and ranks are
+   * comparable with [[pageRank]]'s scale); each round every node keeps
+   * `dampMilli` of its inflow and seeds absorb the restart mass.
+   * Non-seed nodes with no path from a seed stay at rank 0 — correct,
+   * not a bug (their true PPR is 0). Same per-round shape as
+   * [[pageRank]]: one edge join + one aggregate, `iters` rounds
+   * unrolled into one plan.
+   */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int = 3,
+      dampMilli: Int = 850): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(dampMilli >= 0 && dampMilli <= 1000, s"dampMilli out of range: $dampMilli")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val withDeg = edges.join(deg, Seq("src"))
+    val seedSet = seeds.select(col("node")).distinct()
+      .join(deg.select(col("src").as("node")), Seq("node"), "left_semi")
+    val sizes = deg.agg(count(lit(1)).as("__N"))
+      .crossJoin(seedSet.agg(count(lit(1)).as("__S")))
+    val teleBase = 1000L - dampMilli
+    // in-plan guard (same discipline as Selection's target probe): an
+    // empty effective seed set would make every rank 0 silently. The
+    // div stays integral — a double detour would lose exactness past
+    // 2^53 at large N
+    def overS(num: String) =
+      when(col("__S") > 0, expr(s"($num) div __S"))
+        .otherwise(raise_error(
+          lit("personalizedPageRank: no seed is a node of the graph")).cast("long"))
+    // per-seed teleport and initial mass, one broadcast row for the sizes
+    val nodes = deg.select(col("src").as("node"))
+      .join(seedSet.withColumn("__isSeed", lit(1L)), Seq("node"), "left")
+      .crossJoin(broadcast(sizes))
+      .select(col("node"),
+        coalesce(col("__isSeed"), lit(0L)).as("__isSeed"),
+        overS(s"$teleBase * 1000 * __N").as("__teleSeed"),
+        overS("1000000 * __N").as("__initSeed"))
+    var ranks = nodes.select(col("node"),
+      (col("__isSeed") * col("__initSeed")).as("rank_micro"))
+    for (_ <- 1 to iters) {
+      val in = withDeg
+        .join(ranks, withDeg("src") === ranks("node"))
+        .select(col("dst"), expr("rank_micro div __deg").as("__c"))
+        .groupBy("dst").agg(sum(col("__c")).as("__in"))
+      ranks = nodes
+        .join(in, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (col("__isSeed") * col("__teleSeed") +
+            expr(s"($dampMilli * coalesce(__in, 0L)) div 1000")).as("rank_micro"))
+    }
+    ranks
+  }
+
   def pageRank(edges: DataFrame, iters: Int = 3, dampMilli: Int = 850): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampMilli >= 0 && dampMilli <= 1000, s"dampMilli out of range: $dampMilli")

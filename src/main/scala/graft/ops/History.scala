@@ -177,6 +177,31 @@ object History {
   }
 
   /**
+   * Debounce: keep only the FIRST event of each burst, where a burst
+   * is a gaps-and-islands chain of events whose inter-arrival gap is
+   * ≤ `gapMs` (the same island rule as sessionization) — the event
+   * hygiene step against double-fires, retry storms, and mechanical
+   * repeats that would otherwise dominate a user's trace. Keyed by
+   * `entityCols` (typically user + event type). A gap strictly larger
+   * than `gapMs` starts a new burst, so isolated events always
+   * survive. One shuffle on the entity key; windows are
+   * entity-partitioned.
+   */
+  def debounceFirst(events: DataFrame, entityCols: Seq[String], tsCol: String,
+      tieCol: String, gapMs: Long): DataFrame = {
+    require(entityCols.nonEmpty, "no entity columns")
+    require(gapMs >= 0, s"gapMs must be >= 0: $gapMs")
+    val byTime = Window.partitionBy(entityCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val ms = unix_millis(col(tsCol).cast("timestamp"))
+    events
+      .withColumn("__ms", ms)
+      .withColumn("__gap", col("__ms") - lag(col("__ms"), 1).over(byTime))
+      .where(col("__gap").isNull || col("__gap") > gapMs)
+      .drop("__ms", "__gap")
+  }
+
+  /**
    * Per-entity TEMPORAL split: each entity's first `trainMilli/1000` of
    * events (by time order) go to 'train', the rest to 'eval' — the
    * leakage rule for sequence models, where a random split would let

@@ -98,6 +98,23 @@ class DriftSpec extends SparkSuite {
     assert(tv("gone") == 1000L && tv("new") == 1000L && tv("keep") == 0L)
   }
 
+  test("benfordAudit: exact shares, absent digits emit, sub-1 values excluded") {
+    // stratum "b": 30 ones, 17 twos, 12 threes (59 values) roughly
+    // Benford-ish; stratum "s": all 9s — maximal miss
+    val rows = (Seq.fill(30)(("b", 1.5)) ++ Seq.fill(17)(("b", 25.0)) ++
+      Seq.fill(12)(("b", 300.0)) ++ Seq.fill(5)(("s", 9.0)) ++
+      Seq(("b", 0.5))).toDF("g", "v") // 0.5 < 1: excluded
+    val out = Drift.benfordAudit(rows, "g", "v")
+      .select("g", "digit", "n", "p_milli", "delta_milli")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out.size == 18) // 2 strata x 9 digits, absent digits included
+    assert(out(("b", 1L)) == ((30L, 30L * 1000 / 59, 30L * 1000 / 59 - 301L)))
+    assert(out(("b", 9L)) == ((0L, 0L, -46L)))
+    assert(out(("s", 9L)) == ((5L, 1000L, 1000L - 46L)))
+    assert(out(("s", 1L)) == ((0L, 0L, -301L)))
+  }
+
   test("drift: added/removed/common statuses and exact null-rate deltas") {
     val before = Seq((1L, Some("x"), "k"), (2L, None: Option[String], "k"))
       .toDF("id", "s", "gone")

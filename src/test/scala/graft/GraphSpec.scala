@@ -35,6 +35,30 @@ class GraphSpec extends SparkSuite {
     assert(r2 == Map(0L -> 1127500L, 1L -> 936250L, 2L -> 936250L))
   }
 
+  test("personalizedPageRank: mass restarts at the seed; far nodes decay; unreachable stay 0") {
+    // directed path 1 -> 2 -> 3 plus back-edges so every node is a
+    // source, and an isolated pair 8 <-> 9 unreachable from the seed
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (8L, 9L), (9L, 8L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r = Graph.personalizedPageRank(e, seeds, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // the unreachable island gets exactly 0 — its true PPR is 0
+    assert(r(8L) == 0L && r(9L) == 0L)
+    // the seed dominates, and mass decays along the path
+    assert(r(1L) > r(2L) && r(2L) > r(3L), s"expected 1 > 2 > 3, got $r")
+    // only the seed receives teleport: node 3 holds ONLY damped inflow
+    assert(r(3L) > 0L)
+  }
+
+  test("personalizedPageRank fails loudly when no seed is in the graph") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val ex = intercept[Exception] {
+      Graph.personalizedPageRank(e, Seq(99L).toDF("node"), iters = 1).collect()
+    }
+    assert(ex.getMessage.contains("no seed"))
+  }
+
   test("bfsDepth: min hop distance, frontier depths final, unreached absent") {
     // path 1-2-3-4-5 plus a shortcut 1-4: node 4 is 1 hop via the
     // shortcut, NOT 3 hops along the path; node 6-7 is a disconnected

@@ -151,6 +151,27 @@ class HistorySpec extends SparkSuite {
     assert(out == 1L)
   }
 
+  test("debounceFirst: burst chains collapse to their first event, per key") {
+    val ev = Seq(
+      // user 1 clicks: burst of three 10 s apart, then 2 min quiet,
+      // then a lone event — keep first of burst + the lone one
+      (1L, 1L, "click", Timestamp.valueOf("2026-01-01 00:00:00")),
+      (2L, 1L, "click", Timestamp.valueOf("2026-01-01 00:00:10")),
+      (3L, 1L, "click", Timestamp.valueOf("2026-01-01 00:00:20")),
+      (4L, 1L, "click", Timestamp.valueOf("2026-01-01 00:02:30")),
+      // same user, different TYPE inside the burst window: its own key
+      (5L, 1L, "view", Timestamp.valueOf("2026-01-01 00:00:05")),
+      // chain semantics: each link <= gap even though first-to-last > gap
+      (6L, 2L, "click", Timestamp.valueOf("2026-01-01 00:00:00")),
+      (7L, 2L, "click", Timestamp.valueOf("2026-01-01 00:00:50")),
+      (8L, 2L, "click", Timestamp.valueOf("2026-01-01 00:01:40"))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val kept = History.debounceFirst(ev, Seq("user_id", "event_type"),
+        "ts", "event_id", gapMs = 60000L)
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L, 6L))
+  }
+
   test("temporalSplit: floor cut per entity, ties by the tie column") {
     val ev = Seq(
       // user 1: 5 events -> first 4 train (4000 <= 4000), 5th eval
