@@ -1842,6 +1842,121 @@ object EntityQueries {
           .withColumn("layout", lit("clustered")))
     },
 
+    // KS drift companion to quality_dist_drift: the sharpest CDF
+    // divergence point per stratum (max |cumulative delta|) — a small
+    // shift applied to EVERY value screams here while TV stays mild.
+    // Same planted scenario: +50 shift on doc_id%3=0, de→xx rename
+    QuerySpec("quality_ks_drift",
+      raw"""WITH bef AS (SELECT lang, n_chars FROM documents),
+           |aft AS (SELECT CASE WHEN lang = 'de' THEN 'xx' ELSE lang END AS lang,
+           |               CASE WHEN doc_id % 3 = 0 THEN n_chars + 50
+           |                    ELSE n_chars END AS v FROM documents),
+           |bndb AS (SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi FROM bef GROUP BY 1),
+           |bnda AS (SELECT lang, min(v) AS lo, max(v) AS hi FROM aft GROUP BY 1),
+           |bnd AS (SELECT COALESCE(b.lang, a.lang) AS lang,
+           |          COALESCE(b.lo, a.lo) AS lo, COALESCE(b.hi, a.hi) AS hi
+           |        FROM bndb b FULL OUTER JOIN bnda a ON b.lang = a.lang),
+           |bb AS (SELECT d.lang, CASE WHEN b.hi = b.lo THEN 0
+           |         ELSE greatest(0, least(15, ((d.n_chars - b.lo) * 16) // (b.hi - b.lo)))
+           |         END AS bin
+           |       FROM bef d JOIN bnd b USING (lang)),
+           |cb AS (SELECT lang, bin, count(*) AS n_before FROM bb GROUP BY 1, 2),
+           |ba AS (SELECT a.lang, CASE WHEN b.hi = b.lo THEN 0
+           |         ELSE greatest(0, least(15, ((a.v - b.lo) * 16) // (b.hi - b.lo)))
+           |         END AS bin
+           |       FROM aft a JOIN bnd b USING (lang)),
+           |ca AS (SELECT lang, bin, count(*) AS n_after FROM ba GROUP BY 1, 2),
+           |j AS (SELECT COALESCE(cb.lang, ca.lang) AS lang,
+           |        COALESCE(cb.bin, ca.bin) AS bin,
+           |        COALESCE(n_before, 0) AS n_before, COALESCE(n_after, 0) AS n_after
+           |      FROM cb FULL OUTER JOIN ca ON cb.lang = ca.lang AND cb.bin = ca.bin),
+           |t AS (SELECT lang, bin, n_before, n_after,
+           |        sum(n_before) OVER (PARTITION BY lang) AS tb,
+           |        sum(n_after) OVER (PARTITION BY lang) AS ta FROM j),
+           |dd AS (SELECT lang, bin,
+           |        CASE WHEN tb = 0 THEN 'added' WHEN ta = 0 THEN 'removed'
+           |             ELSE 'common' END AS status,
+           |        COALESCE((n_after * 1000) // NULLIF(ta, 0), 0)
+           |          - COALESCE((n_before * 1000) // NULLIF(tb, 0), 0) AS delta
+           |      FROM t),
+           |c AS (SELECT lang, status,
+           |        sum(delta) OVER (PARTITION BY lang ORDER BY bin
+           |          ROWS UNBOUNDED PRECEDING) AS cum FROM dd)
+           |SELECT lang,
+           |  CAST(CASE WHEN max(CASE WHEN status <> 'common' THEN 1 ELSE 0 END) = 1
+           |    THEN 1000 ELSE max(abs(cum)) END AS BIGINT) AS ks_milli
+           |FROM c GROUP BY 1""".stripMargin) { (s, d) =>
+      val before = docs(s, d)
+      val after = before.select(
+        when(col("lang") === "de", "xx").otherwise(col("lang")).as("lang"),
+        when(col("doc_id") % 3 === 0, col("n_chars") + 50L)
+          .otherwise(col("n_chars")).as("n_chars"))
+      graft.ops.Drift.ksMilli(
+        graft.ops.Drift.histDrift(before, after, "lang", "n_chars", nBins = 16),
+        "lang")
+    },
+
+    // bounded-round k-core of the part co-order graph (k=8, 3 peels):
+    // the dense co-purchase nucleus; hub-and-spoke stars collapse when
+    // their one-off neighbors peel away
+    QuerySpec("graph_kcore", {
+      def peel(n: Int) =
+        raw"""kp$n AS (SELECT src FROM e${n - 1} GROUP BY 1 HAVING count(*) >= 8),
+             |e$n AS (SELECT e.src, e.dst FROM e${n - 1} e
+             |        JOIN kp$n a ON a.src = e.src
+             |        JOIN kp$n b ON b.src = e.dst)""".stripMargin
+      raw"""WITH e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           |            AND a.l_partkey <> b.l_partkey),
+           |${peel(1)},
+           |${peel(2)},
+           |${peel(3)}
+           |SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+           |FROM e3 GROUP BY 1""".stripMargin
+    }) { (s, d) =>
+      val edges = graft.ops.Graph.coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey")
+      graft.ops.Graph.kCore(edges, k = 8, rounds = 3)
+    },
+
+    // exactly-100 deterministic global sample (smallest key hashes) —
+    // the eval-set contract a binomial fraction gate can't give;
+    // plans as distributed top-n heaps, never a global sort
+    QuerySpec("text_sample_exact_n",
+      raw"""SELECT doc_id, lang FROM (
+           |  SELECT doc_id, lang, row_number() OVER (
+           |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+           |             doc_id) AS rn
+           |  FROM documents)
+           |WHERE rn <= 100""".stripMargin) { (s, d) =>
+      graft.ops.Sampling.exactN(
+        docs(s, d).select(col("doc_id"), col("lang")), "doc_id", n = 100)
+    },
+
+    // value trend per event type: least-squares slope of cents against
+    // the absolute hour index, exact DECIMAL moments, one IEEE division
+    // at the end — "is this metric drifting over time" as a number
+    QuerySpec("events_value_trend",
+      raw"""WITH p AS (SELECT event_type,
+           |    CAST(epoch_ms(ts) // 3600000 AS HUGEINT) AS x,
+           |    CAST(floor(value * 100) AS HUGEINT) AS y
+           |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+           |m AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           |        sum(x * y) AS sxy, sum(x * x) AS sx2
+           |      FROM p GROUP BY 1)
+           |SELECT event_type, CAST(n AS BIGINT) AS n,
+           |  CAST(sx AS VARCHAR) AS sum_x, CAST(sy AS VARCHAR) AS sum_y,
+           |  CAST(sxy AS VARCHAR) AS sum_xy, CAST(sx2 AS VARCHAR) AS sum_x2,
+           |  CAST(n * sxy - sx * sy AS DOUBLE) /
+           |    CAST(n * sx2 - sx * sx AS DOUBLE) AS slope
+           |FROM m""".stripMargin) { (s, d) =>
+      graft.ops.RobustStats.slopeExact(
+        events(s, d).where(col("value").isNotNull && col("ts").isNotNull)
+          .select(col("event_type"),
+            expr("unix_millis(ts) div 3600000").as("x"),
+            floor(col("value") * 100).as("y")),
+        "event_type", "x", "y")
+    },
+
     // personalized PageRank: all teleport mass restarts at the seed
     // parts (partkey%97=0) — rank = influence relative to the seeds,
     // the proximity score behind seed-based curation. Same integer

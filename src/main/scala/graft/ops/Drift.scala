@@ -137,6 +137,27 @@ object Drift {
             .otherwise(expr("(n_before * 1000) div __tb"))).as("delta_milli"))
   }
 
+  /** Per-stratum Kolmogorov–Smirnov distance in milli from a
+    * [[histDrift]] frame: max over bins of the |cumulative delta| —
+    * where [[tvMilli]] totals how much mass moved, KS finds the
+    * sharpest point of divergence between the two CDFs (a small shift
+    * applied to EVERY value scores higher here than on TV). Same
+    * added/removed convention: a stratum on one side only is max
+    * drift, 1000. The cumulative window is stratum-partitioned and
+    * ≤ nBins rows deep. */
+  def ksMilli(drift: DataFrame, strataCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    drift.withColumn("__cum", sum(col("delta_milli")).over(w))
+      .groupBy(col(strataCol))
+      .agg(max(abs(col("__cum"))).as("__ks"),
+        max(when(col("status") =!= "common", 1L).otherwise(0L)).as("__off"))
+      .select(col(strataCol),
+        when(col("__off") === 1L, lit(1000L))
+          .otherwise(col("__ks")).as("ks_milli"))
+  }
+
   /** Benford's-law first-digit milli frequencies, d = 1..9:
     * round(1000·log10(1 + 1/d)). */
   private val BenfordMilli: Seq[(Long, Long)] = Seq(

@@ -179,6 +179,36 @@ object Graph {
   }
 
   /**
+   * Bounded-round k-core peeling: iteratively remove nodes of degree
+   * < k from a SYMMETRIC edge list; survivors after `rounds` passes
+   * approximate the k-core — the dense collaboration/co-occurrence
+   * nucleus where every member has ≥ k neighbors also in the core
+   * (hub-and-spoke inflation collapses: a popular node whose
+   * neighbors are all one-off visitors peels away with them). Like
+   * [[labelPropagation]], the round count is bounded and explicit:
+   * each round is one degree aggregate + two semi-joins, `rounds`
+   * rounds unroll into one plan. A fixpoint inside the budget makes
+   * later rounds no-ops; callers needing certainty compare round
+   * R and R−1 sizes.
+   *
+   * Output: `(node, degree)` of the surviving subgraph (degree within
+   * the core, ≥ k if converged).
+   */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var es = edges
+    for (_ <- 1 to rounds) {
+      val keep = es.groupBy("src").agg(count(lit(1)).as("__deg"))
+        .where(col("__deg") >= k).select(col("src"))
+      es = es.join(keep, Seq("src"), "left_semi")
+        .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi")
+    }
+    es.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .select(col("src").as("node"), col("degree"))
+  }
+
+  /**
    * Bounded-hop BFS: minimum hop distance from a SEED set, out to
    * `maxHops` — "what is within k clicks/copies/co-orders of this
    * set", the blast-radius query behind contamination spread and

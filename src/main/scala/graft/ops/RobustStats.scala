@@ -95,6 +95,37 @@ object RobustStats {
   }
 
   /**
+   * Least-squares trend slope from EXACT integer moments — the same
+   * design as [[corrExact]] (DECIMAL(38,0) sums, one fixed-shape
+   * double expression at the end; only division is floating, and it
+   * is IEEE-deterministic). slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²)
+   * in y-units per x-unit — the "is this metric drifting over time"
+   * number a monitor thresholds on. Same pairwise-complete null
+   * contract; a stratum with zero x-variance yields NaN (guarded —
+   * ANSI mode would otherwise raise on the zero divisor), the
+   * caller's signal that no trend is defined.
+   */
+  def slopeExact(df: DataFrame, strataCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val y = col(yCol).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("sum_x"), sum(y).as("sum_y"),
+        sum(x * y).as("sum_xy"), sum(x * x).as("sum_x2"))
+      .select(col(strataCol), col("n"),
+        col("sum_x").cast("string").as("sum_x"),
+        col("sum_y").cast("string").as("sum_y"),
+        col("sum_xy").cast("string").as("sum_xy"),
+        col("sum_x2").cast("string").as("sum_x2"),
+        {
+          val num = (col("n") * col("sum_xy") - col("sum_x") * col("sum_y")).cast("double")
+          val den = (col("n") * col("sum_x2") - col("sum_x") * col("sum_x")).cast("double")
+          when(den === 0.0d, lit(Double.NaN)).otherwise(num / den).as("slope")
+        })
+  }
+
+  /**
    * Winsorization with fixed-memory thresholds: clip an integer column
    * to its per-stratum histogram-quantile EDGES — the tail-taming step
    * before any mean-based feature leaves a pipeline. Thresholds come

@@ -280,6 +280,20 @@ object Sampling {
   }
 
   /**
+   * Exactly-n global sample, deterministic: the n rows whose key
+   * hashes are globally smallest (ties by key). A fraction gate gives
+   * a binomial count; this gives EXACTLY n — the eval-set / spot-check
+   * contract — while staying a pure function of the keys (same corpus
+   * → same sample on any layout, any engine). Plans as
+   * TakeOrderedAndProject: per-partition n-row heaps merged on the
+   * driver — n rows of driver memory, never a global sort.
+   */
+  def exactN(df: DataFrame, keyCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    df.orderBy(keyHash(col(keyCol)), col(keyCol)).limit(n)
+  }
+
+  /**
    * Per-stratum cap: keep at most `cap` rows per stratum, chosen in
    * deterministic HASH order (not "first by id", which at corpus scale
    * correlates with crawl time and biases the kept set). The

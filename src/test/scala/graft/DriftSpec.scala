@@ -98,6 +98,28 @@ class DriftSpec extends SparkSuite {
     assert(tv("gone") == 1000L && tv("new") == 1000L && tv("keep") == 0L)
   }
 
+  test("ksMilli: a uniform shift scores the sharpest CDF gap; added/removed cap at 1000") {
+    val before = (0 until 100).map(i => ("a", i.toLong)).toDF("g", "v")
+    // +30 shift: TV says 300 (30% of mass moved); KS sees the full
+    // 30-percentile CDF gap at the crossing point — strictly >= TV here
+    val after = (0 until 100).map(i => ("a", i.toLong + 30L)).toDF("g", "v")
+    val d = Drift.histDrift(before, after, "g", "v", nBins = 10)
+    val ks = Drift.ksMilli(d, "g").select("ks_milli").as[Long].head()
+    val tv = Drift.tvMilli(d, "g").select("tv_milli").as[Long].head()
+    assert(ks >= tv, s"KS ($ks) must be >= TV ($tv) for a one-directional shift")
+    assert(ks == 300L, s"30-value shift over 100 values: KS = 300 milli, got $ks")
+    // identical snapshots: 0
+    val same = Drift.ksMilli(Drift.histDrift(before, before, "g", "v", 10), "g")
+      .select("ks_milli").as[Long].head()
+    assert(same == 0L)
+    // vanished stratum: 1000, never null
+    val gone = before.where(lit(false))
+    val k2 = Drift.ksMilli(Drift.histDrift(before, gone.unionByName(
+      Seq(("b", 1L)).toDF("g", "v")), "g", "v", 10), "g")
+      .as[(String, Long)].collect().toMap
+    assert(k2("a") == 1000L && k2("b") == 1000L)
+  }
+
   test("benfordAudit: exact shares, absent digits emit, sub-1 values excluded") {
     // stratum "b": 30 ones, 17 twos, 12 threes (59 values) roughly
     // Benford-ish; stratum "s": all 9s — maximal miss

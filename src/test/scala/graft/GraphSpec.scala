@@ -59,6 +59,24 @@ class GraphSpec extends SparkSuite {
     assert(ex.getMessage.contains("no seed"))
   }
 
+  test("kCore: hub-and-spoke collapses, the clique survives with in-core degrees") {
+    // K4 clique (every node degree 3) + a hub attached to the clique
+    // and to 5 one-off spokes: at k=3 the spokes peel (degree 1), then
+    // the hub peels (its remaining degree is 1), leaving exactly K4
+    val clique = for (u <- 0L to 3L; v <- 0L to 3L if u != v) yield (u, v)
+    val hub = (10L to 14L).flatMap(sp => Seq((99L, sp), (sp, 99L))) ++
+      Seq((99L, 0L), (0L, 99L))
+    val e = (clique ++ hub).toDF("src", "dst")
+    val core = Graph.kCore(e, k = 3, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L),
+      s"expected the K4 clique only, got $core")
+    // one round is NOT enough here: the hub survives round 1 (degree 6)
+    val oneRound = Graph.kCore(e, k = 3, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(oneRound.contains(99L), "hub must still be present after a single peel")
+  }
+
   test("bfsDepth: min hop distance, frontier depths final, unreached absent") {
     // path 1-2-3-4-5 plus a shortcut 1-4: node 4 is 1 hop via the
     // shortcut, NOT 3 hops along the path; node 6-7 is a disconnected

@@ -97,4 +97,24 @@ class RobustStatsSpec extends SparkSuite {
     val hiY = out.where(col("g") === "y").agg(smax("clipped")).as[Long].head()
     assert(hiY > 40000L)
   }
+
+  test("slopeExact: hand-computed slope; zero x-variance yields NaN") {
+    // y = 3x + 1 exactly -> slope 3.0
+    val lin = Seq(("a", 0L, 1L), ("a", 1L, 4L), ("a", 2L, 7L), ("a", 3L, 10L))
+      .toDF("g", "x", "y")
+    val s = graft.ops.RobustStats.slopeExact(lin, "g", "x", "y")
+      .select("slope").as[Double].head()
+    assert(s == 3.0d, s"got $s")
+    // all x equal: 0/0 -> NaN (no trend defined), loud in any consumer
+    val flat = Seq(("a", 5L, 1L), ("a", 5L, 9L)).toDF("g", "x", "y")
+    val s2 = graft.ops.RobustStats.slopeExact(flat, "g", "x", "y")
+      .select("slope").as[Double].head()
+    assert(s2.isNaN, s"expected NaN for zero x-variance, got $s2")
+    // null pairs are excluded from every moment
+    val withNull = Seq(("a", Some(0L), Some(1L)), ("a", Some(1L), Some(4L)),
+      ("a", None, Some(100L)), ("a", Some(9L), None)).toDF("g", "x", "y")
+    val s3 = graft.ops.RobustStats.slopeExact(withNull, "g", "x", "y")
+      .select("n", "slope").as[(Long, Double)].head()
+    assert(s3 == ((2L, 3.0d)))
+  }
 }

@@ -105,6 +105,20 @@ class TokenBudgetSpec extends SparkSuite {
     assert(keptBig != (1L to 10L).toSet)
   }
 
+  test("exactN: exactly n rows, deterministic, and monotone in n (nested samples)") {
+    val df = (1L to 200L).map(i => (i, s"d$i")).toDF("doc_id", "v")
+    val s20 = Sampling.exactN(df, "doc_id", 20)
+    assert(s20.count() == 20L)
+    assert(rowsOf(s20) == rowsOf(Sampling.exactN(df, "doc_id", 20)))
+    // hash order makes samples NESTED: the 20-sample is a subset of the
+    // 50-sample — grow an eval set without resampling history
+    val ids20 = s20.select("doc_id").as[Long].collect().toSet
+    val ids50 = Sampling.exactN(df, "doc_id", 50).select("doc_id").as[Long].collect().toSet
+    assert(ids20.subsetOf(ids50))
+    // and it is not just the first n ids
+    assert(ids20 != (1L to 20L).toSet)
+  }
+
   test("mixEpochs rejects negative weights and budgets") {
     val df = corpus("en" -> 1)
     intercept[IllegalArgumentException] {
