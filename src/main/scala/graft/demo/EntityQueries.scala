@@ -1842,6 +1842,86 @@ object EntityQueries {
           .withColumn("layout", lit("clustered")))
     },
 
+    // forward as-of: for every click, the NEXT purchase at-or-after
+    // per user (earliest ts, smallest event id at ties) and the wait —
+    // the time-to-conversion lookup the backward as-of can't answer.
+    // Clicks with no later purchase keep nulls
+    QuerySpec("events_next_purchase",
+      raw"""WITH c AS (SELECT event_id, user_id, ts FROM events
+           |           WHERE event_type = 'click'),
+           |p AS (SELECT event_id, user_id, ts FROM events
+           |      WHERE event_type = 'purchase'),
+           |nx AS (SELECT c.event_id, c.user_id, epoch_ms(c.ts) AS ms,
+           |        (SELECT min(epoch_ms(p.ts)) FROM p
+           |         WHERE p.user_id = c.user_id AND p.ts >= c.ts) AS next_ms
+           |      FROM c)
+           |SELECT event_id, user_id, ms,
+           |  (SELECT min(p.event_id) FROM p
+           |   WHERE p.user_id = nx.user_id AND epoch_ms(p.ts) = nx.next_ms)
+           |    AS next_event_id,
+           |  CAST(next_ms - ms AS BIGINT) AS wait_ms
+           |FROM nx""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("next_event_id"),
+          unix_millis(col("ts").cast("timestamp")).as("next_ms"))
+      graft.ops.AsOfJoin.asOfForward(clicks, purchases, Seq("user_id"),
+          "ts", "p_ts", Seq("next_event_id", "next_ms"),
+          tiebreak = col("next_event_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts").cast("timestamp")).as("ms"),
+          col("asof_next_event_id").as("next_event_id"),
+          (col("asof_next_ms") - unix_millis(col("ts").cast("timestamp")))
+            .as("wait_ms"))
+    },
+
+    // inter-arrival hygiene per event type: median and MAD of the
+    // per-(user, type) gap, exact order statistics (bursts and dead
+    // streams both surface; a mean would hide bimodality). Pure
+    // composition: lag gaps -> medianMad
+    QuerySpec("events_iat_robust",
+      raw"""WITH g AS (SELECT event_type,
+           |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id, event_type
+           |      ORDER BY ts, event_id) AS gap
+           |  FROM events),
+           |c AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+           |r AS (SELECT event_type, gap,
+           |        row_number() OVER (PARTITION BY event_type ORDER BY gap) AS rn,
+           |        count(*) OVER (PARTITION BY event_type) AS n FROM c),
+           |m AS (SELECT event_type, max(n) AS n,
+           |        sum(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN gap END)
+           |          * (CASE WHEN max(n) % 2 = 1 THEN 2 ELSE 1 END) AS med_x2
+           |      FROM r GROUP BY 1),
+           |dv AS (SELECT c.event_type, abs(2 * c.gap - m.med_x2) AS dev2
+           |       FROM c JOIN m USING (event_type)),
+           |dr AS (SELECT event_type, dev2,
+           |        row_number() OVER (PARTITION BY event_type ORDER BY dev2) AS rn,
+           |        count(*) OVER (PARTITION BY event_type) AS n FROM dv)
+           |SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+           |  CAST(m.med_x2 AS BIGINT) AS med_gap_x2_ms,
+           |  CAST(x.mad_x4 AS BIGINT) AS mad_gap_x4_ms
+           |FROM m JOIN (
+           |  SELECT event_type,
+           |    sum(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN dev2 END)
+           |      * (CASE WHEN max(n) % 2 = 1 THEN 2 ELSE 1 END) AS mad_x4
+           |  FROM dr GROUP BY 1) x USING (event_type)""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val ms = unix_millis(col("ts").cast("timestamp"))
+      val gaps = events(s, d)
+        .withColumn("gap", ms - lag(ms, 1).over(w))
+        .where(col("gap").isNotNull)
+        .select(col("event_type"), col("gap"))
+      graft.ops.RobustStats.medianMad(gaps, "event_type", "gap")
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          col("med_x2").cast("long").as("med_gap_x2_ms"),
+          col("mad_x4").cast("long").as("mad_gap_x4_ms"))
+    },
+
     // KS drift companion to quality_dist_drift: the sharpest CDF
     // divergence point per stratum (max |cumulative delta|) — a small
     // shift applied to EVERY value screams here while TV stays mild.

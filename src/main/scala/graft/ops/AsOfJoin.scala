@@ -54,4 +54,40 @@ object AsOfJoin {
       .select(col("__lrow.*") +:
         valueCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
+
+  /**
+   * Forward as-of: for every left row, the EARLIEST right row with
+   * `rightTs >= leftTs` per key — the "next event" lookup (time to
+   * next purchase, next maintenance slot, next quote). Mirror of
+   * [[asOf]]: sides swap order at equal ts (left first, so a right
+   * row at the same instant is visible — inclusive), the frame looks
+   * FORWARD, and at equal (ts) the SMALLEST `tiebreak` wins. Same
+   * one-shuffle window cost; rows with no following right row get
+   * nulls.
+   */
+  def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, valueCols: Seq[String],
+      tiebreak: Column): DataFrame = {
+    val rv = struct(valueCols.map(col): _*)
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), rv.as("__rv"),
+        lit(1).as("__side"), tiebreak.as("__tb")): _*)
+    val rvType = rTagged.schema("__rv").dataType.asInstanceOf[StructType]
+    val tbType = rTagged.schema("__tb").dataType
+    val lRow = struct(left.columns.map(col).toIndexedSeq: _*)
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"),
+        lit(null).cast(rvType).as("__rv"), lit(0).as("__side"),
+        lit(null).cast(tbType).as("__tb"), lRow.as("__lrow")): _*)
+    val u = rTagged
+      .withColumn("__lrow", lit(null).cast(lTagged.schema("__lrow").dataType))
+      .unionByName(lTagged)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"), col("__tb"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u.withColumn("__asof", first(col("__rv"), ignoreNulls = true).over(w))
+      .where(col("__side") === 0)
+      .select(col("__lrow.*") +:
+        valueCols.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
+  }
 }

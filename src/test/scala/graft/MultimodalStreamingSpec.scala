@@ -66,6 +66,25 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(out(9L) == None)        // no prior view for user 300
   }
 
+  test("asOfForward picks the earliest at-or-after right row; ties to smallest id") {
+    import graft.ops.AsOfJoin
+    val clicks = Seq((1L, 10L, 100L), (2L, 20L, 100L), (3L, 30L, 200L), (9L, 50L, 300L))
+      .toDF("event_id", "ms", "user_id")
+    val purch = Seq(
+      (50L, 10L, 100L, 1.5), (49L, 10L, 100L, 7.5), // simultaneous pair: id 49 wins
+      (51L, 25L, 100L, 2.5), (52L, 25L, 200L, 9.0))
+      .toDF("event_id", "ms", "user_id", "value")
+    val out = AsOfJoin.asOfForward(clicks, purch, Seq("user_id"), "ms", "ms",
+      valueCols = Seq("event_id", "value"), tiebreak = col("event_id"))
+      .select(col("event_id"), col("asof_event_id"), col("asof_value"))
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some(49L), Some(7.5)))) // at-or-after incl. ties -> min id
+    assert(out(2L) == ((Some(51L), Some(2.5)))) // next one forward, not the past 10
+    assert(out(3L) == ((None, None)))           // user 200's purchase was BEFORE
+    assert(out(9L) == ((None, None)))           // user 300 has none
+  }
+
   test("rangeJoin binning finds exactly the within-window pairs, once each") {
     import graft.ops.RangeJoin
     val l = Seq((1L, 100L), (2L, 250L), (3L, 999L)).toDF("lid", "lms")
