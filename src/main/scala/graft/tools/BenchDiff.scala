@@ -20,7 +20,7 @@ object BenchDiff {
   private val Entry =
     """"([A-Za-z0-9_]+)":\{"median":([0-9.eE+-]+)""".r
 
-  private[tools] def medians(json: String): Map[String, Double] = {
+  private[graft] def medians(json: String): Map[String, Double] = {
     // queries_detail is the only section with per-name median objects
     val detail = json.indexOf("\"queries_detail\"") match {
       case -1 => json
