@@ -1842,6 +1842,85 @@ object EntityQueries {
           .withColumn("layout", lit("clustered")))
     },
 
+    // label-based retrieval eval on the embeddings table: for each
+    // query, precision@5 (top-5 sharing the query's label) and
+    // recall@5 against ALL same-label vectors — the eval the recall-
+    // vs-brute harnesses can't give (they measure index fidelity,
+    // this measures whether the EMBEDDING clusters its labels)
+    QuerySpec("sim_label_precision",
+      raw"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+           |           FROM embeddings WHERE vec_id % 100 = 0),
+           |top AS (SELECT query_id, ql, nl FROM (
+           |    SELECT query_id, ql, e.label AS nl,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY list_dot_product(qv, e.embedding) DESC, e.vec_id) AS rank
+           |    FROM q JOIN embeddings e ON e.vec_id <> query_id)
+           |  WHERE rank <= 5),
+           |rel AS (SELECT q.query_id,
+           |         (SELECT count(*) FROM embeddings e WHERE e.label = q.ql) - 1 AS n_rel
+           |       FROM q)
+           |SELECT t.query_id, CAST(count(*) AS BIGINT) AS k,
+           |  CAST(sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
+           |  CAST((sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) * 1000) // count(*)
+           |    AS BIGINT) AS precision_milli,
+           |  CAST((sum(CASE WHEN nl = ql THEN 1 ELSE 0 END) * 1000)
+           |    // NULLIF(max(r.n_rel), 0) AS BIGINT) AS recall_milli
+           |FROM top t JOIN rel r USING (query_id) GROUP BY 1""".stripMargin) { (s, d) =>
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      val qs = e.where(col("vec_id") % 100 === 0)
+      val top = graft.ops.Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
+        .join(qs.select(col("vec_id").as("query_id"), col("label").as("ql")), Seq("query_id"))
+        .join(e.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), Seq("neighbor_id"))
+      val rel = broadcast(qs.select(col("vec_id").as("query_id"), col("label").as("ql"))
+        .join(e.groupBy(col("label").as("ql")).agg(count(lit(1)).as("__lc")), Seq("ql"))
+        .select(col("query_id"), (col("__lc") - 1L).as("n_rel")))
+      top.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(when(col("nl") === col("ql"), 1L).otherwise(0L)).as("n_same_label"))
+        .join(rel, Seq("query_id"))
+        .select(col("query_id"), col("k"), col("n_same_label"),
+          expr("(n_same_label * 1000) div k").as("precision_milli"),
+          expr("(n_same_label * 1000) div nullif(n_rel, 0)").as("recall_milli"))
+    },
+
+    // language-ID confusion matrix: declared lang × predicted lang with
+    // per-declared milli shares — the quality dashboard for the langid
+    // heuristic itself (which declared languages it mistakes for what)
+    QuerySpec("text_langid_confusion",
+      raw"""WITH sc AS (
+           |  SELECT doc_id, lang,
+           |    len(list_intersect(t, ['der','die','das','und','zu','in','ein','eine','ist','nicht'])) AS s_de,
+           |    len(list_intersect(t, ['the','a','of','and','to','in','is','that','it','for'])) AS s_en,
+           |    len(list_intersect(t, ['el','la','de','y','que','en','un','una','los','es'])) AS s_es,
+           |    len(list_intersect(t, ['le','la','de','et','que','en','un','une','les','est'])) AS s_fr,
+           |    len(list_intersect(t, ['的','是','了','在','和','有','我','不','人','这'])) AS s_zh
+           |  FROM (SELECT doc_id, lang, CASE WHEN length(trim(text)) = 0 THEN []
+           |                           ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+           |        FROM documents)),
+           |p AS (SELECT lang AS declared,
+           |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+           |       WHEN s_zh = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'zh'
+           |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+           |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+           |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+           |       ELSE 'de' END AS predicted
+           |  FROM sc),
+           |c AS (SELECT declared, predicted, count(*) AS n FROM p GROUP BY 1, 2),
+           |t AS (SELECT declared, sum(n) AS tot FROM c GROUP BY 1)
+           |SELECT c.declared, c.predicted, CAST(c.n AS BIGINT) AS n,
+           |  CAST((c.n * 1000) // t.tot AS BIGINT) AS share_milli
+           |FROM c JOIN t USING (declared)""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val pred = graft.ops.TextAnalysis.languageId(docs(s, d), "text")
+        .select(col("lang").as("declared"), col("lang_pred").as("predicted"))
+      val c = pred.groupBy(col("declared"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+      c.withColumn("__tot", sum(col("n")).over(
+          Window.partitionBy(col("declared"))))
+        .select(col("declared"), col("predicted"), col("n"),
+          expr("(n * 1000) div __tot").as("share_milli"))
+    },
+
     // forward as-of: for every click, the NEXT purchase at-or-after
     // per user (earliest ts, smallest event id at ties) and the wait —
     // the time-to-conversion lookup the backward as-of can't answer.
