@@ -180,18 +180,24 @@ object Retrieval {
       s"lambdaMilli out of [0,1000]: $lambdaMilli")
     val lam = lit(lambdaMilli.toDouble)
     val oneMinus = lit((1000 - lambdaMilli).toDouble)
-    val cand = candidates
+    // materialize the candidate frame ONCE: every greedy round consumes
+    // it (Catalyst re-runs an un-cut subtree per consumer, which made
+    // the k rounds re-derive the candidate retrieval k times over)
+    val cand = graft.recon.Checkpoints.cut(candidates
       .select(col("query_id"), col("neighbor_id"), col("score").cast("double"))
       .join(vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
-        Seq("neighbor_id"))
+        Seq("neighbor_id")))
     val byQ = Window.partitionBy(col("query_id"))
-    // round 1: pure relevance
-    var selected = cand
+    // round 1: pure relevance. Every round's selected set is lineage-
+    // cut: without it round r re-executes rounds 1..r−1 (each union
+    // consumer re-runs the whole uncut subtree), an O(k²) blowup in
+    // executed stages for what is k tiny frames
+    var selected = graft.recon.Checkpoints.cut(cand
       .withColumn("__r", row_number().over(
         byQ.orderBy(col("score").desc, col("neighbor_id"))))
       .where(col("__r") === 1)
       .select(col("query_id"), col("neighbor_id"), col("__cv"),
-        lit(1L).as("mmr_rank"))
+        lit(1L).as("mmr_rank")))
     for (r <- 2 to k) {
       val sel = selected.select(col("query_id"),
         col("neighbor_id").as("__sid"), col("__cv").as("__sv"))
@@ -208,7 +214,7 @@ object Retrieval {
         .where(col("__r") === 1)
         .select(col("query_id"), col("neighbor_id"), col("__cv"),
           lit(r.toLong).as("mmr_rank"))
-      selected = selected.unionByName(next)
+      selected = graft.recon.Checkpoints.cut(selected.unionByName(next))
     }
     selected.select(col("query_id"), col("neighbor_id"), col("mmr_rank"))
   }
