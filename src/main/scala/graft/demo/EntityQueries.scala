@@ -1842,6 +1842,85 @@ object EntityQueries {
           .withColumn("layout", lit("clustered")))
     },
 
+    // sketch-fidelity harness: per LSH candidate pair, the k=16
+    // slot-agreement ESTIMATE of Jaccard vs the exact value, both in
+    // milli, plus the absolute error — whether the sketch is
+    // trustworthy on THIS corpus, measured instead of assumed
+    QuerySpec("dedup_minhash_fidelity",
+      SketchOracleSql.minHashFidelitySql(k = 16, bands = 4, maxBucket = 100)) { (s, d) =>
+      val sets = graft.recon.Checkpoints.cut(
+        graft.ops.Dedup.shingleSets(docs(s, d), "text", "doc_id", 3))
+      val shingled = sets.select(col("doc"), explode(col("sh")).as("shingle"))
+      val sig = graft.ops.Dedup.minHashSignaturesOf(shingled, 16)
+      val cands = graft.ops.Dedup.minHashCandidatesOf(shingled, 16, 4, 100)
+      val a = sig.select(col("doc").as("doc1") +:
+        (0 until 16).map(i => col(s"h$i").as(s"a_h$i")): _*)
+      val b = sig.select(col("doc").as("doc2") +:
+        (0 until 16).map(i => col(s"h$i").as(s"b_h$i")): _*)
+      val nMatch = (0 until 16)
+        .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      cands.join(a, Seq("doc1")).join(b, Seq("doc2"))
+        .join(sets.select(col("doc").as("doc1"), col("sh").as("sh1")), Seq("doc1"))
+        .join(sets.select(col("doc").as("doc2"), col("sh").as("sh2")), Seq("doc2"))
+        .withColumn("__nm", nMatch)
+        .withColumn("est_milli", expr("(__nm * 1000) div 16"))
+        .withColumn("exact_milli",
+          expr("(size(array_intersect(sh1, sh2)) * 1000) div " +
+            "(size(array_union(sh1, sh2)))"))
+        .select(col("doc1"), col("doc2"), col("est_milli"), col("exact_milli"),
+          abs(col("est_milli") - col("exact_milli")).as("err_milli"))
+    },
+
+    // leakage-safe training matrix: per click anchor, features from the
+    // STRICTLY-BEFORE trailing 7 days (range frame ending at -1 ms) and
+    // the label from the following 24 h — the point-in-time-correct
+    // feature/label construction every supervised pipeline needs; a
+    // careless inclusive frame would leak the anchor into its own
+    // features and the label window into the past
+    QuerySpec("events_training_matrix",
+      raw"""WITH ev AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms,
+           |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+           |f AS (SELECT event_id, user_id, event_type, ms,
+           |    CAST(count(*) OVER w AS BIGINT) AS n_7d,
+           |    CAST(COALESCE(sum(cents) OVER w, 0) AS BIGINT) AS spend_7d_cents
+           |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms
+           |    RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING)),
+           |a AS (SELECT event_id, user_id, ms, n_7d, spend_7d_cents FROM f
+           |      WHERE event_type = 'click'),
+           |l AS (SELECT a.*, (SELECT min(p.ms) FROM ev p
+           |        WHERE p.user_id = a.user_id AND p.event_type = 'purchase'
+           |          AND p.ms >= a.ms) AS next_p
+           |      FROM a)
+           |SELECT event_id, user_id, ms, n_7d, spend_7d_cents,
+           |  CAST(CASE WHEN next_p IS NOT NULL AND next_p - ms <= 86400000
+           |       THEN 1 ELSE 0 END AS BIGINT) AS label
+           |FROM l""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("ms"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+        .rangeBetween(-604800000L, -1L)
+      val anchors = ev
+        .withColumn("n_7d", count(lit(1)).over(w))
+        .withColumn("spend_7d_cents", coalesce(sum(col("cents")).over(w), lit(0L)))
+        .where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ms"),
+          col("n_7d"), col("spend_7d_cents"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ms").as("p_ms"),
+          col("ms").as("next_ms"))
+      graft.ops.AsOfJoin.asOfForward(anchors, purchases, Seq("user_id"),
+          "ms", "p_ms", Seq("next_ms"), tiebreak = col("next_ms"))
+        .select(col("event_id"), col("user_id"), col("ms"),
+          col("n_7d"), col("spend_7d_cents"),
+          when(col("asof_next_ms").isNotNull &&
+            col("asof_next_ms") - col("ms") <= 86400000L, 1L)
+            .otherwise(0L).as("label"))
+    },
+
     // label-based retrieval eval on the embeddings table: for each
     // query, precision@5 (top-5 sharing the query's label) and
     // recall@5 against ALL same-label vectors — the eval the recall-

@@ -1499,6 +1499,27 @@ object SketchOracleSql {
       src: String = "documents", extraCtes: String = ""): String =
     s"WITH ${extraCtes}${minHashCtes(k, bands, maxBucket, src)}\n${minHashSelect(threshold)}"
 
+  /** Sketch-fidelity harness: per LSH candidate pair, the slot-agreement
+    * ESTIMATE of Jaccard next to the exact value (both in milli) and the
+    * absolute error — how trustworthy the k-slot sketch is on THIS
+    * corpus. Zero-overlap candidates (band-hash collisions) keep
+    * exact = 0 via the left join. */
+  def minHashFidelitySql(k: Int, bands: Int, maxBucket: Int): String =
+    s"""WITH ${minHashCtes(k, bands, maxBucket)},
+       |est AS (SELECT c.doc1, c.doc2,
+       |    (len(list_filter(range(1, $k + 1), i -> a.hs[i] = b.hs[i])) * 1000) // $k AS est_milli
+       |  FROM cands c JOIN sig a ON a.doc = c.doc1 JOIN sig b ON b.doc = c.doc2),
+       |ex AS (SELECT e.doc1, e.doc2, e.est_milli,
+       |    (COALESCE(cm.n_common, 0) * 1000)
+       |      // (s1.set_size + s2.set_size - COALESCE(cm.n_common, 0)) AS exact_milli
+       |  FROM est e
+       |  LEFT JOIN common cm ON cm.doc1 = e.doc1 AND cm.doc2 = e.doc2
+       |  JOIN sizes s1 ON s1.doc = e.doc1 JOIN sizes s2 ON s2.doc = e.doc2)
+       |SELECT doc1, doc2, CAST(est_milli AS BIGINT) AS est_milli,
+       |  CAST(exact_milli AS BIGINT) AS exact_milli,
+       |  CAST(abs(est_milli - exact_milli) AS BIGINT) AS err_milli
+       |FROM ex""".stripMargin
+
   /** ≡ Dedup.dedupByComponents over minHashNearDups pairs: survivors =
     * documents minus non-canonical members of each transitive near-dup
     * cluster (recursive-CTE closure over the mirrored pair SQL). */

@@ -176,6 +176,40 @@ class DedupSpec extends SparkSuite {
     assert(split.values.toSet == Set("train", "val"))
   }
 
+  test("minhash fidelity: identical docs estimate 1000 exactly; near-dups bounded error") {
+    val sets = graft.recon.Checkpoints.cut(Dedup.shingleSets(docs, "text", "doc_id", 3))
+    val shingled = sets.select(col("doc"), explode(col("sh")).as("shingle"))
+    val sig = Dedup.minHashSignaturesOf(shingled, 16)
+    // bands=8 (2 rows per band) for candidate RECALL on the near-dup
+    // pair — the registry row runs the production-ish 16/4 shape
+    val cands = Dedup.minHashCandidatesOf(shingled, 16, 8, 100)
+    val a = sig.select(col("doc").as("doc1") +:
+      (0 until 16).map(i => col(s"h$i").as(s"a_h$i")): _*)
+    val b = sig.select(col("doc").as("doc2") +:
+      (0 until 16).map(i => col(s"h$i").as(s"b_h$i")): _*)
+    val nMatch = (0 until 16)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val fid = cands.join(a, Seq("doc1")).join(b, Seq("doc2"))
+      .join(sets.select(col("doc").as("doc1"), col("sh").as("sh1")), Seq("doc1"))
+      .join(sets.select(col("doc").as("doc2"), col("sh").as("sh2")), Seq("doc2"))
+      .withColumn("__nm", nMatch)
+      .select(col("doc1"), col("doc2"),
+        expr("(__nm * 1000) div 16").as("est"),
+        expr("(size(array_intersect(sh1, sh2)) * 1000) div size(array_union(sh1, sh2))")
+          .as("exact"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // identical (after normalize) docs: every slot agrees, both = 1000
+    assert(fid((1L, 2L)) == ((1000L, 1000L)))
+    assert(fid((1L, 5L)) == ((1000L, 1000L)))
+    // the near-dup pair: estimate within sketch noise of the exact value
+    val (est13, exact13) = fid((1L, 3L))
+    assert(exact13 < 1000L && exact13 > 0L)
+    assert(math.abs(est13 - exact13) <= 350L,
+      s"k=16 estimate too far off: est=$est13 exact=$exact13")
+  }
+
   test("simHash near-dups finds near-identical docs within hamming budget") {
     // the 4×16-bit chunk banding GUARANTEES candidates only for hamming ≤ 3
     // (pigeonhole); docs 1/2/5 normalize identically (hamming 0 pairwise),

@@ -151,6 +151,47 @@ class HistorySpec extends SparkSuite {
     assert(out == 1L)
   }
 
+  test("strict-past range frame + forward as-of = leakage-free feature/label rows") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the events_training_matrix construction on a hand-checked fixture
+    val ev = Seq(
+      // user 1: spend 100 at t=0, click anchor at t=10min,
+      // purchase at t=10min+24h EXACTLY (inclusive label edge)
+      (1L, 1L, "purchase", 0L, Some(1.00)),
+      (2L, 1L, "click", 600000L, Some(0.0)),
+      (3L, 1L, "purchase", 600000L + 86400000L, Some(5.0)),
+      // user 2: anchor with an event at the SAME ms — strictly-before
+      // frame must EXCLUDE the simultaneous row (no self/peer leakage)
+      (4L, 2L, "view", 1000L, Some(9.0)),
+      (5L, 2L, "click", 1000L, Some(0.0)),
+      // and user 2's purchase is 24h+1ms later: label 0
+      (6L, 2L, "purchase", 1000L + 86400001L, Some(1.0))
+    ).toDF("event_id", "user_id", "event_type", "ms", "value")
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+      .rangeBetween(-604800000L, -1L)
+    val anchors = ev
+      .withColumn("n_7d", count(lit(1)).over(w))
+      .withColumn("spend_7d_cents", coalesce(sum(col("cents")).over(w), lit(0L)))
+      .where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ms"), col("n_7d"), col("spend_7d_cents"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms").as("p_ms"), col("ms").as("next_ms"))
+    val out = graft.ops.AsOfJoin.asOfForward(anchors, purchases, Seq("user_id"),
+        "ms", "p_ms", Seq("next_ms"), tiebreak = col("next_ms"))
+      .select(col("event_id"), col("n_7d"), col("spend_7d_cents"),
+        when(col("asof_next_ms").isNotNull &&
+          col("asof_next_ms") - col("ms") <= 86400000L, 1L).otherwise(0L).as("label"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // user 1: one prior event (the t=0 purchase, 100 cents); label 1 at
+    // the exact 24h edge
+    assert(out(2L) == ((2L, 1L, 100L, 1L)))
+    // user 2: simultaneous view EXCLUDED from features; purchase 1 ms
+    // past the window -> label 0
+    assert(out(5L) == ((5L, 0L, 0L, 0L)))
+  }
+
   test("debounceFirst: burst chains collapse to their first event, per key") {
     val ev = Seq(
       // user 1 clicks: burst of three 10 s apart, then 2 min quiet,
