@@ -1842,6 +1842,59 @@ object EntityQueries {
           .withColumn("layout", lit("clustered")))
     },
 
+    // embedding drift between two snapshot halves: cosine of the
+    // per-label MEAN embeddings, computed from exact scaled-integer
+    // component sums (cosine is scale-invariant, so the division by n
+    // never happens and the only doubles are the final fixed-shape
+    // num/sqrt expression — same recipe as corrExact). cos ≈ 1 means
+    // the label's centroid is stable across halves; a drop is the
+    // re-embed alarm
+    QuerySpec("quality_embedding_drift",
+      raw"""WITH s AS (SELECT label, vec_id % 2 AS half, i AS dim,
+           |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS HUGEINT) AS q
+           |  FROM embeddings CROSS JOIN range(1, 65) r(i)),
+           |a AS (SELECT label, dim, sum(q) AS sa FROM s WHERE half = 0 GROUP BY 1, 2),
+           |b AS (SELECT label, dim, sum(q) AS sb FROM s WHERE half = 1 GROUP BY 1, 2),
+           |j AS (SELECT a.label, a.sa, b.sb
+           |      FROM a JOIN b ON a.label = b.label AND a.dim = b.dim),
+           |g AS (SELECT label, sum(sa * sb) AS num, sum(sa * sa) AS na2,
+           |        sum(sb * sb) AS nb2 FROM j GROUP BY 1),
+           |n AS (SELECT label,
+           |        sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+           |        sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b
+           |      FROM embeddings GROUP BY 1)
+           |SELECT g.label, CAST(n.n_a AS BIGINT) AS n_a, CAST(n.n_b AS BIGINT) AS n_b,
+           |  CAST(num AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+           |    AS cos_drift
+           |FROM g JOIN n USING (label)""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      val scaled = e.select(col("label"), (col("vec_id") % 2).as("half"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("label"), col("half"), col("dim"),
+          floor(col("x").cast("double") * 1000000d)
+            .cast(DecimalType(38, 0)).as("q"))
+      val sums = scaled.groupBy(col("label"), col("half"), col("dim"))
+        .agg(sum(col("q")).as("sq"))
+      val aH = sums.where(col("half") === 0)
+        .select(col("label"), col("dim"), col("sq").as("sa"))
+      val bH = sums.where(col("half") === 1)
+        .select(col("label"), col("dim"), col("sq").as("sb"))
+      val g = aH.join(bH, Seq("label", "dim"))
+        .groupBy(col("label"))
+        .agg(sum(col("sa") * col("sb")).as("num"),
+          sum(col("sa") * col("sa")).as("na2"),
+          sum(col("sb") * col("sb")).as("nb2"))
+      val n = e.groupBy(col("label"))
+        .agg(sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+      g.join(n, Seq("label"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          (col("num").cast("double") /
+            (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+            .as("cos_drift"))
+    },
+
     // sketch-fidelity harness: per LSH candidate pair, the k=16
     // slot-agreement ESTIMATE of Jaccard vs the exact value, both in
     // milli, plus the absolute error — whether the sketch is

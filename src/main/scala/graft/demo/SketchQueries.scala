@@ -29,6 +29,42 @@ object SketchQueries {
 
   val all: Seq[QuerySpec] = Seq(
 
+    // HLL fidelity harness: the raw estimate NEXT TO the exact distinct
+    // count per language, with the relative error in milli — whether
+    // the 64-register sketch is accurate enough on THIS cardinality
+    // range, measured instead of assumed (the sketch twin of
+    // dedup_minhash_fidelity)
+    QuerySpec("text_hll_fidelity",
+      raw"""WITH $TokensCte,
+           |ex AS (SELECT lang, count(DISTINCT tok) AS exact FROM tok GROUP BY 1),
+           |hh AS (SELECT lang, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+           |rr AS (SELECT lang, h % 64 AS bucket,
+           |         CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho
+           |       FROM hh),
+           |reg AS (SELECT lang, bucket, max(rho) AS rho FROM rr GROUP BY 1, 2),
+           |agg AS (SELECT lang,
+           |          CAST(sum(CAST(1 AS BIGINT) << CAST(55 - rho AS INTEGER))
+           |               + (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT) AS s_scaled
+           |        FROM reg GROUP BY 1),
+           |est AS (SELECT lang,
+           |          ${graft.ops.Sketches.EstimateNumerator} / CAST(s_scaled AS DOUBLE) AS raw_estimate
+           |        FROM agg)
+           |SELECT e.lang, CAST(ex.exact AS BIGINT) AS exact_distinct, e.raw_estimate,
+           |  CAST(floor(abs(e.raw_estimate - CAST(ex.exact AS DOUBLE)) * 1000.0
+           |    / CAST(ex.exact AS DOUBLE)) AS BIGINT) AS err_milli
+           |FROM est e JOIN ex USING (lang)""".stripMargin) { (s, d) =>
+      val toks = docs(s, d)
+        .select(col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      val est = Sketches.hllEstimate(toks, "lang", col("tok"))
+        .select(col("lang"), col("raw_estimate"))
+      val exact = toks.groupBy(col("lang"))
+        .agg(countDistinct(col("tok")).as("exact_distinct"))
+      est.join(exact, Seq("lang"))
+        .select(col("lang"), col("exact_distinct"), col("raw_estimate"),
+          floor(abs(col("raw_estimate") - col("exact_distinct").cast("double")) * 1000.0
+            / col("exact_distinct").cast("double")).cast("long").as("err_milli"))
+    },
+
     // HyperLogLog distinct-token count per language: the fixed-memory
     // alternative to count(DISTINCT) — the shuffle carries at most 64
     // (lang, bucket, rho) rows per stratum regardless of cardinality.

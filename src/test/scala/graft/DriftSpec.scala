@@ -137,6 +137,35 @@ class DriftSpec extends SparkSuite {
     assert(out(("s", 1L)) == ((0L, 0L, -301L)))
   }
 
+  test("mean-embedding cosine from exact scaled sums: identical halves give exactly 1.0") {
+    import org.apache.spark.sql.types.DecimalType
+    // the quality_embedding_drift construction on a fixture: label 7's
+    // halves are identical vector multisets -> cos EXACTLY 1.0 (integer
+    // sums equal, num² = na2·nb2); label 8's halves are orthogonal -> 0
+    val rows = Seq(
+      (0L, 7, Array(0.25f, 0.5f)), (1L, 7, Array(0.25f, 0.5f)),
+      (2L, 7, Array(0.125f, 1.0f)), (3L, 7, Array(0.125f, 1.0f)),
+      (4L, 8, Array(1.0f, 0.0f)), (5L, 8, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val scaled = rows.select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("half"), col("dim"),
+        floor(col("x").cast("double") * 1000000d).cast(DecimalType(38, 0)).as("q"))
+    val sums = scaled.groupBy(col("label"), col("half"), col("dim"))
+      .agg(sum(col("q")).as("sq"))
+    val a = sums.where(col("half") === 0).select(col("label"), col("dim"), col("sq").as("sa"))
+    val b = sums.where(col("half") === 1).select(col("label"), col("dim"), col("sq").as("sb"))
+    val cos = a.join(b, Seq("label", "dim")).groupBy(col("label"))
+      .agg((sum(col("sa") * col("sb")).cast("double") /
+        (sqrt(sum(col("sa") * col("sa")).cast("double")) *
+          sqrt(sum(col("sb") * col("sb")).cast("double")))).as("c"))
+      .as[(Int, Double)].collect().toMap
+    // num = na2 = nb2, but sqrt(x)·sqrt(x) can sit one ulp off x — the
+    // ratio is 1.0 within an ulp, not bit-exactly 1.0
+    assert(math.abs(cos(7) - 1.0d) < 1e-16 * 8, s"identical halves: got ${cos(7)}")
+    assert(cos(8) == 0.0d, s"orthogonal halves must be exactly 0.0, got ${cos(8)}")
+  }
+
   test("drift: added/removed/common statuses and exact null-rate deltas") {
     val before = Seq((1L, Some("x"), "k"), (2L, None: Option[String], "k"))
       .toDF("id", "s", "gone")
