@@ -1842,6 +1842,31 @@ object EntityQueries {
           .withColumn("layout", lit("clustered")))
     },
 
+    // data-completeness calendar: the full day grid from first to last
+    // event with per-day counts — missing days surface as rows, not as
+    // silent absences (planted outage: day%7=3 filtered out upstream).
+    // The grid generates from one bounds row; nothing data-sized joins
+    // against anything but the per-day aggregate
+    QuerySpec("events_missing_days",
+      raw"""WITH ev AS (SELECT epoch_ms(ts) // 86400000 AS day FROM events
+           |            WHERE (epoch_ms(ts) // 86400000) % 7 <> 3),
+           |b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+           |g AS (SELECT unnest(range(lo, hi + 1)) AS day FROM b),
+           |c AS (SELECT day, count(*) AS n FROM ev GROUP BY 1)
+           |SELECT g.day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events,
+           |  CAST(CASE WHEN c.day IS NULL THEN 1 ELSE 0 END AS BIGINT) AS missing
+           |FROM g LEFT JOIN c USING (day)""".stripMargin) { (s, d) =>
+      val ev = events(s, d)
+        .select(expr("unix_millis(ts) div 86400000").as("day"))
+        .where(col("day") % 7 =!= 3)
+      val bounds = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val grid = bounds.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val counts = ev.groupBy(col("day")).agg(count(lit(1)).as("n"))
+      grid.join(counts, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n_events"),
+          when(col("n").isNull, 1L).otherwise(0L).as("missing"))
+    },
+
     // embedding drift between two snapshot halves: cosine of the
     // per-label MEAN embeddings, computed from exact scaled-integer
     // component sums (cosine is scale-invariant, so the division by n
