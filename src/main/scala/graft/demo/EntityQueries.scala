@@ -1842,6 +1842,37 @@ object EntityQueries {
           .withColumn("layout", lit("clustered")))
     },
 
+    // DAU / trailing-WAU / stickiness per day: distinct users that day,
+    // distinct users over the trailing 7 days, and DAU·1000 div WAU.
+    // WAU is computed from the (day, user) DISTINCT pairs fanned out to
+    // the ≤ 7 windows each day serves — the hllSliding register trick
+    // applied to exact distinct at day granularity (pairs × 7, never
+    // events × 7)
+    QuerySpec("events_dau_wau",
+      raw"""WITH du AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id
+           |            FROM events),
+           |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+           |fan AS (SELECT du.day + t.i AS wday, du.user_id
+           |        FROM du CROSS JOIN range(0, 7) t(i)),
+           |wau AS (SELECT wday AS day, count(DISTINCT user_id) AS wau
+           |        FROM fan GROUP BY 1),
+           |j AS (SELECT d.day, d.dau, w.wau FROM dau d JOIN wau w USING (day))
+           |SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           |  CAST((dau * 1000) // wau AS BIGINT) AS stickiness_milli
+           |FROM j""".stripMargin) { (s, d) =>
+      val du = events(s, d)
+        .select(expr("unix_millis(ts) div 86400000").as("day"), col("user_id"))
+        .distinct()
+      val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val fan = du.select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+        col("user_id"))
+      val wau = fan.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau"), col("wau"),
+          expr("(dau * 1000) div wau").as("stickiness_milli"))
+    },
+
     // data-completeness calendar: the full day grid from first to last
     // event with per-day counts — missing days surface as rows, not as
     // silent absences (planted outage: day%7=3 filtered out upstream).
