@@ -1842,6 +1842,57 @@ object EntityQueries {
           .withColumn("layout", lit("clustered")))
     },
 
+    // near-dup cluster-size distribution: how duplication mass is
+    // shaped (many pairs vs a few giant template families decide
+    // whether dedup is a trim or a rewrite). Multi-doc cluster sizes
+    // from the simhash components, plus the singleton row
+    QuerySpec("dedup_component_sizes",
+      SketchOracleSql.simHashComponentSizesSql(maxHamming = 3, maxBucket = 1000)) { (s, d) =>
+      val comps = graft.ops.Dedup.connectedComponents(
+        graft.ops.Dedup.simHashNearDups(docs(s, d), "text", "doc_id",
+          maxHamming = 3, maxBucket = 1000))
+      val sizes = comps.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      val dist = sizes.groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"))
+      val singletons = docs(s, d).agg(count(lit(1)).as("__nd"))
+        .crossJoin(broadcast(comps.agg(count(lit(1)).as("__nc"))))
+        .select(lit(1L).as("cluster_size"), (col("__nd") - col("__nc")).as("n_clusters"))
+      dist.unionByName(singletons)
+    },
+
+    // vocabulary coverage: OOV rate per language against the global
+    // top-500 token vocabulary — the tokenizer-planning number next to
+    // vocab_bpe_fertility (what fraction of each language's token
+    // stream a fixed vocab budget fails to cover). Top-k is a
+    // TakeOrdered heap; the vocab joins back broadcast
+    QuerySpec("vocab_oov_rate",
+      raw"""WITH tt AS (SELECT lang, CASE WHEN length(trim(text)) = 0 THEN []
+           |          ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |tok AS (SELECT lang, unnest(t) AS tok FROM tt),
+           |tc AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+           |v AS (SELECT tok FROM (
+           |    SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS r FROM tc)
+           |  WHERE r <= 500),
+           |m AS (SELECT t.lang, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS is_oov
+           |      FROM tok t LEFT JOIN v ON v.tok = t.tok)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+           |  CAST(sum(is_oov) AS BIGINT) AS n_oov,
+           |  CAST((sum(is_oov) * 1000) // count(*) AS BIGINT) AS oov_milli
+           |FROM m GROUP BY 1""".stripMargin) { (s, d) =>
+      val toks = docs(s, d)
+        .select(col("lang"),
+          explode(graft.ops.TextAnalysis.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(500)
+        .select(col("tok"), lit(1).as("__in"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("lang"), col("n_tokens"), col("n_oov"),
+          expr("(n_oov * 1000) div n_tokens").as("oov_milli"))
+    },
+
     // DAU / trailing-WAU / stickiness per day: distinct users that day,
     // distinct users over the trailing 7 days, and DAU·1000 div WAU.
     // WAU is computed from the (day, user) DISTINCT pairs fanned out to

@@ -1659,6 +1659,29 @@ object SketchOracleSql {
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
        |SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a""".stripMargin
 
+  /** Cluster-size distribution over the simhash near-dup components:
+    * (cluster_size, n_clusters) for every multi-doc cluster, plus the
+    * singleton row (docs in no pair). */
+  def simHashComponentSizesSql(maxHamming: Int, maxBucket: Int): String =
+    s"""WITH RECURSIVE ${simHashCtes(maxHamming, maxBucket)},
+       |pairs AS (
+       |${simHashSelect(maxHamming, maxBucket)}),
+       |edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs UNION SELECT doc2, doc1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+       |cs AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1),
+       |dist AS (SELECT sz, count(*) AS n_clusters FROM cs GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_docs FROM documents),
+       |cl AS (SELECT count(*) AS n_clustered FROM comp)
+       |SELECT CAST(sz AS BIGINT) AS cluster_size,
+       |  CAST(n_clusters AS BIGINT) AS n_clusters FROM dist
+       |UNION ALL
+       |SELECT 1, CAST(t.n_docs - c.n_clustered AS BIGINT)
+       |FROM tot t CROSS JOIN cl c""".stripMargin
+
   /** ≡ Graph.propagateLabels over the simhash component graph with
     * lang seeds on doc_id % `seedMod` = 0: majority vote per component
     * (count desc, label asc), singletons label themselves iff seeded. */
