@@ -1842,6 +1842,64 @@ object EntityQueries {
           .withColumn("layout", lit("clustered")))
     },
 
+    // categorical mix drift: the event-TYPE distribution compared
+    // between the even- and odd-day halves of the stream — the traffic
+    // composition monitor (numeric histDrift can't see categories).
+    // Exact milli shares, signed deltas; types absent from a half keep
+    // 0, not null
+    QuerySpec("quality_mix_drift",
+      raw"""WITH ev AS (SELECT event_type,
+           |        (epoch_ms(ts) // 86400000) % 2 AS half FROM events),
+           |c AS (SELECT event_type, half, count(*) AS n FROM ev GROUP BY 1, 2),
+           |t AS (SELECT half, sum(n) AS tot FROM c GROUP BY 1),
+           |types AS (SELECT DISTINCT event_type FROM ev),
+           |g AS (SELECT ty.event_type,
+           |        COALESCE(a.n, 0) AS n_a, COALESCE(b.n, 0) AS n_b,
+           |        (SELECT tot FROM t WHERE half = 0) AS ta,
+           |        (SELECT tot FROM t WHERE half = 1) AS tb
+           |      FROM types ty
+           |      LEFT JOIN c a ON a.event_type = ty.event_type AND a.half = 0
+           |      LEFT JOIN c b ON b.event_type = ty.event_type AND b.half = 1)
+           |SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           |  CAST((n_a * 1000) // ta AS BIGINT) AS p_a_milli,
+           |  CAST((n_b * 1000) // tb AS BIGINT) AS p_b_milli,
+           |  CAST((n_b * 1000) // tb - (n_a * 1000) // ta AS BIGINT) AS delta_milli
+           |FROM g""".stripMargin) { (s, d) =>
+      val ev = events(s, d).select(col("event_type"),
+        (expr("unix_millis(ts) div 86400000") % 2).as("half"))
+      val c = ev.groupBy(col("event_type"), col("half")).agg(count(lit(1)).as("n"))
+      val tots = ev.groupBy(col("half")).agg(count(lit(1)).as("tot"))
+      val types = ev.select(col("event_type")).distinct()
+      val a = c.where(col("half") === 0).select(col("event_type"), col("n").as("n_a"))
+      val b = c.where(col("half") === 1).select(col("event_type"), col("n").as("n_b"))
+      types.join(a, Seq("event_type"), "left").join(b, Seq("event_type"), "left")
+        .select(col("event_type"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"))
+        .crossJoin(broadcast(tots.where(col("half") === 0).select(col("tot").as("ta"))))
+        .crossJoin(broadcast(tots.where(col("half") === 1).select(col("tot").as("tb"))))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          expr("(n_a * 1000) div ta").as("p_a_milli"),
+          expr("(n_b * 1000) div tb").as("p_b_milli"),
+          (expr("(n_b * 1000) div tb") - expr("(n_a * 1000) div ta")).as("delta_milli"))
+    },
+
+    // degree distribution of the part co-order graph: the shape number
+    // behind every graph-op cost estimate here (bucketed joins, wedge
+    // volume, k-core viability) — (degree, n_nodes)
+    QuerySpec("graph_degree_distribution",
+      raw"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           |            AND a.l_partkey <> b.l_partkey),
+           |dg AS (SELECT src, count(*) AS degree FROM e GROUP BY 1)
+           |SELECT CAST(degree AS BIGINT) AS degree,
+           |  CAST(count(*) AS BIGINT) AS n_nodes
+           |FROM dg GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.ops.Graph.coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey")
+        .groupBy(col("src")).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+    },
+
     // near-dup cluster-size distribution: how duplication mass is
     // shaped (many pairs vs a few giant template families decide
     // whether dedup is a trim or a rewrite). Multi-doc cluster sizes
@@ -2576,5 +2634,196 @@ object EntityQueries {
         .agg(count(lit(1)).as("k"),
           sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_hit"))
         .withColumn("recall", col("n_hit").cast("double") / col("k").cast("double"))
+    },
+
+    // whole-distribution concentration of per-user event volume: exact
+    // Gini + top-decile + max-key shares in milli units — the number
+    // that decides between plain hash partitioning, AQE skew splitting,
+    // and salting BEFORE a 100 TB job runs (events_key_skew lists the
+    // heavy keys; this says how heavy the distribution is overall).
+    // Ranks via the range-partitioned row-index scheme, never a global
+    // window; ties totally ordered by (n, user_id) so both engines rank
+    // identically
+    QuerySpec("events_user_gini",
+      raw"""WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+           |t AS (SELECT count(*) AS nu, sum(n) AS s FROM c),
+           |r AS (SELECT n, row_number() OVER (ORDER BY n, user_id) AS i FROM c),
+           |a AS (SELECT sum(n * i) AS s1, max(n) AS mx,
+           |        sum(CASE WHEN i > (SELECT nu FROM t) - (SELECT nu FROM t) // 10
+           |            THEN n ELSE 0 END) AS topd
+           |      FROM r)
+           |SELECT CAST(t.nu AS BIGINT) AS n_keys, CAST(t.s AS BIGINT) AS total_rows,
+           |  CAST((2 * a.s1 - (t.nu + 1) * t.s) * 1000 // (t.nu * t.s) AS BIGINT) AS gini_milli,
+           |  CAST(a.topd * 1000 // t.s AS BIGINT) AS top_decile_share_milli,
+           |  CAST(a.mx * 1000 // t.s AS BIGINT) AS max_key_share_milli
+           |FROM a, t""".stripMargin) { (s, d) =>
+      graft.ops.Profiling.concentration(events(s, d), Seq("user_id"))
+    },
+
+    // behavior predictability per state: Gini impurity (1 − Σ p²) of the
+    // next-event-type distribution — entropy's exactly-computable cousin
+    // (no logs, so milli units hash-match cross-engine). impurity 0 =
+    // deterministic next step, ~1 = anything can follow; n_branches is
+    // the fan-out the transition model must store
+    QuerySpec("events_transition_impurity",
+      raw"""WITH o AS (SELECT event_type AS to_type,
+           |        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+           |      FROM events),
+           |c AS (SELECT from_type, to_type, count(*) AS n
+           |      FROM o WHERE from_type IS NOT NULL GROUP BY 1, 2),
+           |g AS (SELECT from_type, sum(n) AS nt, sum(n * n) AS ssq, count(*) AS nb
+           |      FROM c GROUP BY 1)
+           |SELECT from_type, CAST(nt AS BIGINT) AS n_total,
+           |  CAST(nb AS BIGINT) AS n_branches,
+           |  CAST(1000 - (ssq * 1000) // (nt * nt) AS BIGINT) AS impurity_milli
+           |FROM g""".stripMargin) { (s, d) =>
+      graft.ops.History.transitionCounts(events(s, d),
+          "user_id", "event_type", "ts", "event_id")
+        .groupBy(col("from_type"))
+        .agg(sum(col("n")).as("nt"),
+          sum(col("n") * col("n")).as("ssq"),
+          count(lit(1)).as("nb"))
+        .select(col("from_type"), col("nt").as("n_total"),
+          col("nb").as("n_branches"),
+          expr("cast(1000 - ssq * 1000 div (nt * nt) as bigint)")
+            .as("impurity_milli"))
+    },
+
+    // what exact dedup actually buys, per source: characters of removed
+    // non-survivor copies over total characters — duplication RATE
+    // (dedup_rate_by_source) counts docs, this weighs them, and the two
+    // disagree exactly when duplication concentrates in long templates.
+    // Survivor = min doc_id per md5 group, cross-source copies charge
+    // their own source
+    QuerySpec("dedup_savings",
+      raw"""WITH h AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS ch,
+           |             md5(text) AS hh FROM documents),
+           |m AS (SELECT hh, min(doc_id) AS keep FROM h GROUP BY 1),
+           |j AS (SELECT h.source, h.ch,
+           |        CASE WHEN h.doc_id = m.keep THEN 0 ELSE h.ch END AS rem
+           |      FROM h JOIN m USING (hh))
+           |SELECT source, CAST(sum(ch) AS BIGINT) AS total_chars,
+           |  CAST(sum(rem) AS BIGINT) AS removed_chars,
+           |  CAST(CASE WHEN sum(ch) = 0 THEN 0
+           |       ELSE sum(rem) * 1000 // sum(ch) END AS BIGINT) AS saved_milli
+           |FROM j GROUP BY 1""".stripMargin) { (s, d) =>
+      val h = docs(s, d).select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("ch"), md5(col("text")).as("hh"))
+      val keep = h.groupBy(col("hh")).agg(min(col("doc_id")).as("keep"))
+      h.join(keep, "hh")
+        .select(col("source"), col("ch"),
+          when(col("doc_id") === col("keep"), lit(0L))
+            .otherwise(col("ch")).as("rem"))
+        .groupBy(col("source"))
+        .agg(sum(col("ch")).as("total_chars"), sum(col("rem")).as("removed_chars"))
+        .select(col("source"), col("total_chars"), col("removed_chars"),
+          expr("cast(case when total_chars = 0 then 0 else removed_chars * 1000 div total_chars end as bigint)")
+            .as("saved_milli"))
+    },
+
+    // interval-overlap join WITHOUT a theta join: user sessions (10-min
+    // gap rule) × globally-busy hours (hourly volume above the hourly
+    // mean), matched through ops/Intervals.overlapJoin's bucket
+    // equi-join — Spark plans the naive inequality condition as a
+    // BroadcastNestedLoopJoin, a 100 TB non-starter. Sessions keep their
+    // half-open end at last-event + 1 ms so a session whose last event
+    // sits exactly on an hour boundary still credits that hour
+    QuerySpec("events_session_overlap",
+      raw"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+           |f AS (SELECT *, CASE WHEN prev IS NULL OR ms - prev > 600000
+           |          THEN 1 ELSE 0 END AS ns
+           |      FROM (SELECT *, lag(ms) OVER (PARTITION BY user_id
+           |              ORDER BY ms, event_id) AS prev FROM e)),
+           |s AS (SELECT user_id, min(ms) AS session_start,
+           |        max(ms) + 1 AS session_end_x
+           |      FROM (SELECT *, SUM(ns) OVER (PARTITION BY user_id
+           |              ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           |            FROM f)
+           |      GROUP BY user_id, sid),
+           |h AS (SELECT epoch_ms(ts) // 3600000 AS h, count(*) AS n
+           |      FROM events GROUP BY 1),
+           |t AS (SELECT count(*) AS nh, sum(n) AS te FROM h),
+           |w AS (SELECT h * 3600000 AS w_start, (h + 1) * 3600000 AS w_end
+           |      FROM h, t WHERE n * nh > te)
+           |SELECT s.user_id, CAST(s.session_start AS BIGINT) AS session_start,
+           |  CAST(count(*) AS BIGINT) AS n_busy,
+           |  CAST(sum(least(s.session_end_x, w.w_end)
+           |    - greatest(s.session_start, w.w_start)) AS BIGINT) AS overlap_ms
+           |FROM s JOIN w ON s.session_start < w.w_end AND w.w_start < s.session_end_x
+           |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val sess = graft.streaming.EventPipeline
+        .sessionize(events(s, d), gapMs = 600000L)
+        .select(col("user_id"), col("session_start"),
+          (col("session_end") + lit(1L)).as("session_end_x"))
+      val hours = events(s, d)
+        .select(expr("unix_millis(ts) div 3600000").as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      val tot = hours.agg(count(lit(1)).as("nh"), sum(col("n")).as("te"))
+      val busy = hours.crossJoin(broadcast(tot))
+        .where(col("n") * col("nh") > col("te"))
+        .select((col("h") * 3600000L).as("w_start"),
+          ((col("h") + 1L) * 3600000L).as("w_end"))
+      graft.ops.Intervals.overlapJoin(sess, busy,
+          "session_start", "session_end_x", "w_start", "w_end",
+          bucketMs = 3600000L)
+        .groupBy(col("user_id"), col("session_start"))
+        .agg(count(lit(1)).as("n_busy"),
+          sum(least(col("session_end_x"), col("w_end"))
+            - greatest(col("session_start"), col("w_start"))).as("overlap_ms"))
+    },
+
+    // exact equi-depth range boundaries — the split points you hand
+    // repartitionByRange (or a sort-merge bucketing layout) so each of
+    // the 32 ranges holds the same row count regardless of value skew.
+    // Total order (cents, orderkey, linenumber) makes boundary ranks
+    // unique; ranks come from the range-partitioned row-index scheme,
+    // never a single-partition global window; the 31-row target frame
+    // broadcasts onto the ranked scan
+    QuerySpec("layout_range_planner",
+      raw"""WITH c AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           |             l_orderkey, l_linenumber FROM lineitem),
+           |r AS (SELECT cents, row_number()
+           |        OVER (ORDER BY cents, l_orderkey, l_linenumber) AS i FROM c),
+           |t AS (SELECT count(*) AS n FROM c),
+           |g AS (SELECT unnest(range(1, 32)) AS split_id)
+           |SELECT CAST(g.split_id AS BIGINT) AS split_id,
+           |  r.cents AS upper_cents, CAST(r.i AS BIGINT) AS rows_below
+           |FROM g, t JOIN r ON r.i = (t.n * g.split_id) // 32""".stripMargin) { (s, d) =>
+      val li = lineitem(s, d).select(
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        col("l_orderkey"), col("l_linenumber"))
+      val ranked = graft.recon.Sources.withRowIndexRanged(
+        li, "i", Seq(col("cents"), col("l_orderkey"), col("l_linenumber")))
+      val n = ranked.agg(count(lit(1)).as("n"))
+      val targets = s.range(1, 32).toDF("split_id").crossJoin(broadcast(n))
+        .select(col("split_id"), expr("(n * split_id) div 32").as("i"))
+      ranked.join(broadcast(targets), "i")
+        .select(col("split_id"), col("cents").as("upper_cents"),
+          col("i").as("rows_below"))
+    },
+
+    // self-join blow-up forecast on l_partkey: Σ n² IS the exact output
+    // cardinality of the part-to-part co-order join every graph query
+    // here starts from — the number a shuffle planner needs BEFORE
+    // launching a 100 TB join (decides broadcast vs salt vs walk away).
+    // One groupBy + one reduce; the Σ n² moment rides DECIMAL(38,0) so
+    // it cannot overflow at any real key cardinality
+    QuerySpec("quality_join_blowup",
+      raw"""WITH c AS (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1)
+           |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(sum(n) AS BIGINT) AS total_rows,
+           |  CAST(sum(n * n) AS BIGINT) AS predicted_pairs,
+           |  CAST(max(n) AS BIGINT) AS max_key_rows,
+           |  CAST(max(n) * max(n) * 1000 // sum(n * n) AS BIGINT) AS top1_share_milli
+           |FROM c""".stripMargin) { (s, d) =>
+      lineitem(s, d).groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("total_rows"),
+          sum((col("n") * col("n")).cast("decimal(38,0)")).as("pp"),
+          max(col("n")).as("mx"))
+        .select(col("n_keys"), col("total_rows"),
+          col("pp").cast("long").as("predicted_pairs"),
+          col("mx").as("max_key_rows"),
+          expr("cast((cast(mx as decimal(38,0)) * mx * 1000) div pp as bigint)")
+            .as("top1_share_milli"))
     })
 }

@@ -34,4 +34,47 @@ object Profiling {
       .orderBy(col("n").desc +: keys.map(col): _*)
       .limit(topN)
   }
+
+  /**
+   * Exact concentration profile of the per-key row distribution, one row:
+   * Gini coefficient, top-decile share, and max single-key share, all in
+   * exact milli units — the "is this workload hot-keyed" dashboard that
+   * complements [[keySkew]]'s top-N listing with whole-distribution
+   * numbers. Gini uses the sorted-rank identity
+   * G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) over ascending (count, key)
+   * order; the key columns complete the total order so ranks (and hence
+   * the exact integer result) are layout-independent and match any other
+   * engine ranking the same way. Ranks come from
+   * [[graft.recon.Sources.withRowIndexRanged]] (range-partitioned
+   * per-partition row_number + partition-count offsets), so no
+   * single-partition window ever touches the per-key frame; the rank
+   * moment goes through DECIMAL(38,0) so Σ i·x_i cannot overflow at any
+   * plausible key cardinality. The two aggregates over the ranked frame
+   * reduce to one row each; `tot` is broadcast.
+   */
+  def concentration(df: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "concentration: need at least one key column")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    val ranked = graft.recon.Sources.withRowIndexRanged(
+      counts, "i", col("n") +: keys.map(col))
+    val tot = ranked.agg(count(lit(1)).as("nu"), sum(col("n")).as("s"))
+    ranked.crossJoin(broadcast(tot))
+      .agg(
+        max(col("nu")).as("nk"), max(col("s")).as("tot_rows"),
+        sum((col("n") * col("i")).cast("decimal(38,0)")).as("s1"),
+        max(col("n")).as("mx"),
+        sum(when(col("i") > col("nu") - expr("nu div 10"), col("n"))
+          .otherwise(lit(0L))).as("topd"))
+      .withColumn("nkd", col("nk").cast("decimal(38,0)"))
+      .withColumn("sd", col("tot_rows").cast("decimal(38,0)"))
+      .select(
+        col("nk").as("n_keys"),
+        col("tot_rows").as("total_rows"),
+        expr("cast((2 * s1 - (nkd + 1) * sd) * 1000 div (nkd * sd) as bigint)")
+          .as("gini_milli"),
+        expr("cast(topd * 1000 div tot_rows as bigint)")
+          .as("top_decile_share_milli"),
+        expr("cast(mx * 1000 div tot_rows as bigint)")
+          .as("max_key_share_milli"))
+  }
 }

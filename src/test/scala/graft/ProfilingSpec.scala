@@ -20,4 +20,31 @@ class ProfilingSpec extends SparkSuite {
       .select("k").as[String].collect().toSeq
     assert(top == Seq("a", "b")) // all tied at 2 → key order decides
   }
+
+  private def concRow(df: org.apache.spark.sql.DataFrame) =
+    Profiling.concentration(df, Seq("k"))
+      .select("n_keys", "total_rows", "gini_milli",
+        "top_decile_share_milli", "max_key_share_milli")
+      .as[(Long, Long, Long, Long, Long)].head()
+
+  test("concentration: uniform distribution has Gini exactly 0") {
+    // 4 keys x 3 rows: G = (2*30 - 5*12)/(4*12) = 0; max share 3/12
+    val df = Seq("a", "b", "c", "d").flatMap(k => Seq.fill(3)(k)).toDF("k")
+    assert(concRow(df) == ((4L, 12L, 0L, 0L, 250L)))
+  }
+
+  test("concentration: hand-computed skew, layout-independent") {
+    // counts (1,1,2,6): S=10, ranks asc -> S1=33, G=(66-50)/40=0.4
+    val df = (Seq("a") ++ Seq("b") ++ Seq.fill(2)("c") ++ Seq.fill(6)("d"))
+      .toDF("k").repartition(7)
+    assert(concRow(df) == ((4L, 10L, 400L, 0L, 600L)))
+  }
+
+  test("concentration: top-decile share counts exactly floor(n/10) keys") {
+    // keys k01..k10 with count i: S=55, S1=sum(i^2)=385,
+    // G=(770-605)/550 -> 300 milli; top decile = the single heaviest
+    // key (10 rows) -> 10000 div 55 = 181 milli, same as max share
+    val df = (1 to 10).flatMap(i => Seq.fill(i)(f"k$i%02d")).toDF("k")
+    assert(concRow(df) == ((10L, 55L, 300L, 181L, 181L)))
+  }
 }
