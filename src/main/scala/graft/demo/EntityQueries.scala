@@ -2825,5 +2825,42 @@ object EntityQueries {
           col("mx").as("max_key_rows"),
           expr("cast((cast(mx as decimal(38,0)) * mx * 1000) div pp as bigint)")
             .as("top1_share_milli"))
+    },
+
+    // top principal direction of the embedding cloud by matrix-free
+    // power iteration (ops/Spectral.scala): C·v = Σ x(x·v), two hash
+    // aggregations per step, never materializing the d×d moment matrix.
+    // Exact DECIMAL(38,0) moments with an adaptive integer renormalizer
+    // make every step bit-identical cross-engine; the ONE double
+    // (Rayleigh/trace energy share) is a fixed-shape expression over
+    // those exact integers. The anisotropy dashboard: a dominant
+    // direction with high explained_share says the embedding space is
+    // collapsing (bad for retrieval) or carries a strong nuisance
+    // component worth projecting out
+    QuerySpec("quality_embedding_pca",
+      raw"""WITH xs AS (SELECT vec_id AS id, CAST(i - 1 AS BIGINT) AS dim,
+           |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS HUGEINT) AS q
+           |  FROM embeddings CROSS JOIN range(1, 65) r(i)),
+           |d0 AS (SELECT id, sum(q) AS dt FROM xs GROUP BY 1),
+           |u1 AS (SELECT dim, sum(q * dt) AS u FROM xs JOIN d0 USING (id) GROUP BY 1),
+           |s1 AS (SELECT max(abs(u)) // 100000000 + 1 AS sc FROM u1),
+           |v1 AS (SELECT dim, CASE WHEN u >= 0 THEN u // sc
+           |         ELSE -((-u) // sc) END AS v FROM u1, s1),
+           |d1 AS (SELECT id, sum(q * v) AS dt FROM xs JOIN v1 USING (dim) GROUP BY 1),
+           |u2 AS (SELECT dim, sum(q * dt) AS u FROM xs JOIN d1 USING (id) GROUP BY 1),
+           |uv AS (SELECT sum(u2.u * v1.v) AS num, sum(v1.v * v1.v) AS den,
+           |         sum(abs(u2.u)) AS sabs
+           |       FROM u2 JOIN v1 USING (dim)),
+           |tr AS (SELECT sum(q * q) AS tr FROM xs)
+           |SELECT u2.dim,
+           |  CAST(CASE WHEN uv.sabs = 0 THEN 0
+           |    WHEN u2.u >= 0 THEN (u2.u * 1000) // uv.sabs
+           |    ELSE -(((-u2.u) * 1000) // uv.sabs) END AS BIGINT) AS loading_milli,
+           |  CAST(uv.num AS DOUBLE) / CAST(NULLIF(uv.den, 0) AS DOUBLE)
+           |    / CAST(NULLIF(tr.tr, 0) AS DOUBLE) AS explained_share
+           |FROM u2, uv, tr""".stripMargin) { (s, d) =>
+      graft.ops.Spectral.topDirection(
+        s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
+        iters = 2)
     })
 }
