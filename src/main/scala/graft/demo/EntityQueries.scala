@@ -68,6 +68,33 @@ object EntityQueries {
          |        CAST(CASE WHEN f.is_full THEN 0 ELSE 1 END AS BIGINT) AS capped
          |      FROM f, w)""".stripMargin
 
+  /** Shared oracle CTE chain: exact 3-shingle Jaccard pairs at
+    * `tMilli` via prefix filtering (mirrors [[graft.ops.SetSimilarity
+    * .jaccardPrefixJoin]]); terminal CTE `pr` has
+    * (id_a, id_b, jac_milli). */
+  private def jaccardPairsCte(tMilli: Int): String =
+    raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+         |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id AS doc, unnest(CASE WHEN len(t) < 3 THEN []
+         |         ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)] END) AS tok
+         |       FROM tt),
+         |sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
+         |dfq AS (SELECT tok, count(*) AS df FROM sh GROUP BY 1),
+         |rk AS (SELECT s.doc, s.tok,
+         |         row_number() OVER (PARTITION BY s.doc ORDER BY d.df, s.tok) AS r, z.n
+         |       FROM sh s JOIN dfq d USING (tok) JOIN sz z USING (doc)),
+         |pf AS (SELECT doc, tok FROM rk WHERE r <= n - (($tMilli * n + 999) // 1000) + 1),
+         |cand AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+         |         FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc < b.doc),
+         |i AS (SELECT c.id_a, c.id_b, count(*) AS inter
+         |      FROM cand c JOIN sh sa ON sa.doc = c.id_a
+         |                  JOIN sh sb ON sb.doc = c.id_b AND sb.tok = sa.tok
+         |      GROUP BY 1, 2),
+         |pr AS (SELECT i.id_a, i.id_b,
+         |         CAST((i.inter * 1000) // (za.n + zb.n - i.inter) AS BIGINT) AS jac_milli
+         |       FROM i JOIN sz za ON za.doc = i.id_a JOIN sz zb ON zb.doc = i.id_b
+         |       WHERE i.inter * 1000 >= (za.n + zb.n - i.inter) * $tMilli)""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // fuzzy entity matching at join scale: every customer-name pair
@@ -2862,5 +2889,105 @@ object EntityQueries {
       graft.ops.Spectral.topDirection(
         s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
         iters = 2)
+    },
+
+    // dedup threshold cost curve: how many pairs and how many distinct
+    // docs a near-dup pass at Jaccard >= t would touch, for t = 0.50 ..
+    // 1.00 in 0.05 steps from ONE prefix-filtered pair pass — the chart
+    // that picks the threshold before a corpus-wide deletion wave. The
+    // 11-row threshold frame broadcasts onto the candidate-sized pair
+    // set; exploding both pair ends makes n_pairs = count div 2 and
+    // n_docs one exact count-distinct in the same aggregate
+    QuerySpec("dedup_cost_curve",
+      jaccardPairsCte(500) + raw""",
+           |ex AS (SELECT jac_milli, unnest([id_a, id_b]) AS doc FROM pr),
+           |th AS (SELECT CAST(unnest(range(10, 21)) * 50 AS BIGINT) AS t_milli)
+           |SELECT th.t_milli, CAST(count(ex.doc) // 2 AS BIGINT) AS n_pairs,
+           |  CAST(count(DISTINCT ex.doc) AS BIGINT) AS n_docs
+           |FROM th LEFT JOIN ex ON ex.jac_milli >= th.t_milli
+           |GROUP BY 1""".stripMargin) { (s, d) =>
+      val pairs = graft.ops.SetSimilarity.jaccardPrefixJoin(
+        docs(s, d), "text", "doc_id", shingleN = 3, tMilli = 500)
+      val ex = pairs.select(col("jac_milli"),
+        explode(array(col("id_a"), col("id_b"))).as("doc"))
+      val th = s.range(10, 21).select((col("id") * 50).as("t_milli"))
+      broadcast(th).join(ex, col("jac_milli") >= col("t_milli"), "left")
+        .groupBy(col("t_milli"))
+        .agg(expr("count(doc) div 2").as("n_pairs"),
+          countDistinct(col("doc")).as("n_docs"))
+    },
+
+    // near-dup cross-contamination matrix: which SOURCES copy from
+    // which — per unordered source pair, the exact-Jaccard near-dup
+    // pair count and its share of all flagged pairs. Off-diagonal mass
+    // means templated content flows between crawls (dedup must run
+    // globally, not per-source); diagonal mass stays fixable per-source
+    QuerySpec("dedup_source_matrix",
+      jaccardPairsCte(800) + raw""",
+           |ds AS (SELECT doc_id, source FROM documents),
+           |px AS (SELECT least(a.source, b.source) AS source_lo,
+           |         greatest(a.source, b.source) AS source_hi
+           |       FROM pr JOIN ds a ON a.doc_id = pr.id_a
+           |               JOIN ds b ON b.doc_id = pr.id_b),
+           |t AS (SELECT count(*) AS tot FROM px)
+           |SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(count(*) * 1000 // t.tot AS BIGINT) AS share_milli
+           |FROM px, t GROUP BY 1, 2, t.tot""".stripMargin) { (s, d) =>
+      val pairs = graft.ops.SetSimilarity.jaccardPrefixJoin(
+        docs(s, d), "text", "doc_id", shingleN = 3, tMilli = 800)
+      val src = docs(s, d).select(col("doc_id"), col("source"))
+      val px = pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+        .select(least(col("sa"), col("sb")).as("source_lo"),
+          greatest(col("sa"), col("sb")).as("source_hi"))
+      val tot = px.agg(count(lit(1)).as("tot"))
+      px.groupBy(col("source_lo"), col("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(tot))
+        .select(col("source_lo"), col("source_hi"), col("n_pairs"),
+          expr("(n_pairs * 1000) div tot").as("share_milli"))
+    },
+
+    // time-decayed user value: per-user spend with week-grain
+    // half-life-one-week decay anchored at the corpus's newest day.
+    // Weights are the exact powers of two 16/8/4/2/1 (floor 1 past four
+    // weeks), so the decayed sum is an exact integer at scale 16 —
+    // recency_milli = 1000 means all spend this week, 62 means all of
+    // it four-plus weeks stale. The recency-weighted-LTV feature every
+    // churn model starts from, with no float in sight
+    QuerySpec("events_decayed_value",
+      raw"""WITH e AS (SELECT user_id,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           |    epoch_ms(ts) // 86400000 AS day FROM events),
+           |m AS (SELECT max(day) AS mxd FROM e),
+           |w AS (SELECT user_id, cents,
+           |    CASE greatest(0, least(4, (mxd - day) // 7))
+           |      WHEN 0 THEN 16 WHEN 1 THEN 8 WHEN 2 THEN 4 WHEN 3 THEN 2
+           |      ELSE 1 END AS w FROM e, m)
+           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(sum(cents) AS BIGINT) AS raw_cents,
+           |  CAST(sum(cents * w) AS BIGINT) AS decayed_cents_x16,
+           |  CAST(CASE WHEN sum(cents) = 0 THEN 0
+           |    ELSE sum(cents * w) * 1000 // (sum(cents) * 16) END AS BIGINT)
+           |    AS recency_milli
+           |FROM w GROUP BY 1""".stripMargin) { (s, d) =>
+      val ev = events(s, d).select(col("user_id"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      val mx = ev.agg(max(col("day")).as("mxd"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("w",
+          expr("""case greatest(0L, least(4L, (mxd - day) div 7))
+                 |  when 0 then 16L when 1 then 8L when 2 then 4L
+                 |  when 3 then 2L else 1L end""".stripMargin))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("raw_cents"),
+          sum(col("cents") * col("w")).as("decayed_cents_x16"))
+        .select(col("user_id"), col("n_events"), col("raw_cents"),
+          col("decayed_cents_x16"),
+          expr("""cast(case when raw_cents = 0 then 0
+                 |  else (decayed_cents_x16 * 1000) div (raw_cents * 16)
+                 |  end as bigint)""".stripMargin).as("recency_milli"))
     })
 }
