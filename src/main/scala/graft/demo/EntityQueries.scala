@@ -2891,6 +2891,69 @@ object EntityQueries {
         iters = 2)
     },
 
+    // second principal direction by exact-integer deflation: power
+    // iteration on T = (v'v)C - v(v'C) — the projector multiplied
+    // through by v'v so no rational eigenvalue ever appears and every
+    // step stays integral (ops/Spectral.secondDirection). cos_to_top is
+    // the orthogonality self-check; explained_share is the energy
+    // fraction along the SECOND axis. Together with
+    // quality_embedding_pca this bounds the spectrum's top-2 mass —
+    // the collapse test for an embedding space
+    QuerySpec("quality_embedding_pca2",
+      raw"""WITH xs AS MATERIALIZED (SELECT vec_id AS id, CAST(i - 1 AS BIGINT) AS dim,
+           |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS HUGEINT) AS q
+           |  FROM embeddings CROSS JOIN range(1, 65) r(i)),
+           |d0 AS MATERIALIZED (SELECT id, sum(q) AS dt FROM xs GROUP BY 1),
+           |u1 AS MATERIALIZED (SELECT dim, sum(q * dt) AS u FROM xs JOIN d0 USING (id) GROUP BY 1),
+           |s1 AS MATERIALIZED (SELECT max(abs(u)) // 100000000 + 1 AS sc FROM u1),
+           |v1 AS MATERIALIZED (SELECT dim, CASE WHEN u >= 0 THEN u // sc
+           |         ELSE -((-u) // sc) END AS v FROM u1, s1),
+           |d1 AS MATERIALIZED (SELECT id, sum(q * v) AS dt FROM xs JOIN v1 USING (dim) GROUP BY 1),
+           |u2 AS MATERIALIZED (SELECT dim, sum(q * dt) AS u FROM xs JOIN d1 USING (id) GROUP BY 1),
+           |sv0 AS MATERIALIZED (SELECT max(abs(u)) // 10000 + 1 AS sc FROM u2),
+           |vs AS MATERIALIZED (SELECT dim, CASE WHEN u >= 0 THEN u // sc
+           |         ELSE -((-u) // sc) END AS v FROM u2, sv0),
+           |vst AS MATERIALIZED (SELECT sum(v * v) AS vv, sum(v) AS sv FROM vs),
+           |w0 AS MATERIALIZED (SELECT dim, vv - v * sv AS tw FROM vs, vst),
+           |s0 AS MATERIALIZED (SELECT max(abs(tw)) // 10000 + 1 AS sc FROM w0),
+           |wa AS MATERIALIZED (SELECT dim, CASE WHEN tw >= 0 THEN tw // sc
+           |         ELSE -((-tw) // sc) END AS w FROM w0, s0),
+           |da AS MATERIALIZED (SELECT id, sum(q * w) AS dt FROM xs JOIN wa USING (dim) GROUP BY 1),
+           |ca AS MATERIALIZED (SELECT dim, sum(q * dt) AS cw FROM xs JOIN da USING (id) GROUP BY 1),
+           |va AS MATERIALIZED (SELECT sum(v * cw) AS vc FROM vs JOIN ca USING (dim)),
+           |ta AS MATERIALIZED (SELECT ca.dim, vst.vv * ca.cw - vs.v * va.vc AS tw
+           |       FROM ca JOIN vs USING (dim), vst, va),
+           |sa AS MATERIALIZED (SELECT max(abs(tw)) // 10000 + 1 AS sc FROM ta),
+           |wb AS MATERIALIZED (SELECT dim, CASE WHEN tw >= 0 THEN tw // sc
+           |         ELSE -((-tw) // sc) END AS w FROM ta, sa),
+           |db AS MATERIALIZED (SELECT id, sum(q * w) AS dt FROM xs JOIN wb USING (dim) GROUP BY 1),
+           |cb AS MATERIALIZED (SELECT dim, sum(q * dt) AS cw FROM xs JOIN db USING (id) GROUP BY 1),
+           |vb AS MATERIALIZED (SELECT sum(v * cw) AS vc FROM vs JOIN cb USING (dim)),
+           |tb AS MATERIALIZED (SELECT cb.dim, vst.vv * cb.cw - vs.v * vb.vc AS tw
+           |       FROM cb JOIN vs USING (dim), vst, vb),
+           |sb AS MATERIALIZED (SELECT max(abs(tw)) // 10000 + 1 AS sc FROM tb),
+           |wc AS MATERIALIZED (SELECT dim, CASE WHEN tw >= 0 THEN tw // sc
+           |         ELSE -((-tw) // sc) END AS w FROM tb, sb),
+           |dfi AS MATERIALIZED (SELECT id, sum(q * w) AS dt FROM xs JOIN wc USING (dim) GROUP BY 1),
+           |cf AS MATERIALIZED (SELECT dim, sum(q * dt) AS cw FROM xs JOIN dfi USING (id) GROUP BY 1),
+           |st AS MATERIALIZED (SELECT sum(w.w * cf.cw) AS num, sum(w.w * w.w) AS den,
+           |         sum(abs(w.w)) AS sabs, sum(vs.v * w.w) AS vw
+           |       FROM wc w JOIN cf USING (dim) JOIN vs USING (dim)),
+           |tr AS MATERIALIZED (SELECT sum(q * q) AS tr FROM xs)
+           |SELECT wc.dim,
+           |  CAST(CASE WHEN st.sabs = 0 THEN 0
+           |    WHEN wc.w >= 0 THEN (wc.w * 1000) // st.sabs
+           |    ELSE -(((-wc.w) * 1000) // st.sabs) END AS BIGINT) AS loading_milli,
+           |  CAST(st.num AS DOUBLE) / CAST(NULLIF(st.den, 0) AS DOUBLE)
+           |    / CAST(NULLIF(tr.tr, 0) AS DOUBLE) AS explained_share,
+           |  CAST(st.vw AS DOUBLE) / (sqrt(CAST(NULLIF(vst.vv, 0) AS DOUBLE))
+           |    * sqrt(CAST(NULLIF(st.den, 0) AS DOUBLE))) AS cos_to_top
+           |FROM wc, st, tr, vst""".stripMargin) { (s, d) =>
+      graft.ops.Spectral.secondDirection(
+        s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
+        itersTop = 2, itersDeflate = 2)
+    },
+
     // dedup threshold cost curve: how many pairs and how many distinct
     // docs a near-dup pass at Jaccard >= t would touch, for t = 0.50 ..
     // 1.00 in 0.05 steps from ONE prefix-filtered pair pass — the chart
