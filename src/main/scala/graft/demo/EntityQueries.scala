@@ -2954,6 +2954,64 @@ object EntityQueries {
         itersTop = 2, itersDeflate = 2)
     },
 
+    // hive-style partition pruning end-to-end: write a day-partitioned
+    // copy (the layout every event lake lands in), read it back with a
+    // one-week day filter, and let Catalyst prune to 7 of ~30 partition
+    // directories BEFORE any file opens — at 100 TB the difference
+    // between listing a week and listing three years. The oracle never
+    // sees the layout; values must equal the plain filtered scan.
+    // PartitionPruneSpec pins the plan-level guarantee (PartitionCount
+    // in the scan = days selected, not days written)
+    QuerySpec("layout_partition_prune",
+      raw"""WITH e AS (SELECT event_type,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           |    epoch_ms(ts) // 86400000 AS day FROM events)
+           |SELECT CAST(day AS BIGINT) AS day, event_type,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM e WHERE day BETWEEN 19730 AND 19736
+           |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_partprune").toString
+      events(s, d).select(col("event_id"), col("event_type"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"),
+          expr("unix_millis(ts) div 86400000").as("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(dir)
+      s.read.parquet(dir)
+        .where(col("day").between(19730, 19736))
+        .groupBy(col("day").cast("long").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+    },
+
+    // binary-content exact dedup over the multimodal payload column:
+    // per media type, unique-asset counts and the bytes a
+    // keep-first-copy pass reclaims — the md5-manifest step that runs
+    // before any expensive perceptual hashing, on payloads Spark never
+    // parses (opaque binary + typed metadata)
+    QuerySpec("mm_dedup",
+      raw"""WITH m AS (SELECT doc_id AS media_id,
+           |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+           |      ELSE 'video' END AS media_type,
+           |    md5(text) AS h, strlen(text) AS n_bytes FROM documents),
+           |k AS (SELECT h, min(media_id) AS keep FROM m GROUP BY 1)
+           |SELECT media_type, CAST(count(*) AS BIGINT) AS n_assets,
+           |  CAST(count(DISTINCT m.h) AS BIGINT) AS n_unique,
+           |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           |  CAST(sum(CASE WHEN m.media_id = k.keep THEN 0 ELSE n_bytes END)
+           |    AS BIGINT) AS removed_bytes
+           |FROM m JOIN k USING (h) GROUP BY 1""".stripMargin) { (s, d) =>
+      val m = graft.ops.Multimodal.syntheticMedia(docs(s, d), "doc_id", "text")
+        .select(col("media_id"), col("media_type"),
+          md5(col("payload")).as("h"), col("n_bytes"))
+      val keep = m.groupBy(col("h")).agg(min(col("media_id")).as("keep"))
+      m.join(keep, "h")
+        .groupBy(col("media_type"))
+        .agg(count(lit(1)).as("n_assets"),
+          countDistinct(col("h")).as("n_unique"),
+          sum(col("n_bytes")).cast("long").as("total_bytes"),
+          sum(when(col("media_id") === col("keep"), lit(0L))
+            .otherwise(col("n_bytes"))).cast("long").as("removed_bytes"))
+    },
+
     // dedup threshold cost curve: how many pairs and how many distinct
     // docs a near-dup pass at Jaccard >= t would touch, for t = 0.50 ..
     // 1.00 in 0.05 steps from ONE prefix-filtered pair pass — the chart
