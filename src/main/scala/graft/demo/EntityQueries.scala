@@ -3012,6 +3012,139 @@ object EntityQueries {
             .otherwise(col("n_bytes"))).cast("long").as("removed_bytes"))
     },
 
+    // measured Bloom false-positive rate vs the uniform-bits model —
+    // the sketch-fidelity harness for the skip-index family: build the
+    // bit set from present doc ids (portable md5 positions, k=4,
+    // m=2^16), probe guaranteed-absent ids, and report the measured FPR
+    // next to bits_set^4*1000 div m^4 (the exact-integer uniform
+    // model). A measured rate far above the model means clustered
+    // hashes — the failure mode that silently turns a skip index into
+    // a full scan
+    QuerySpec("layout_bloom_fpr",
+      raw"""WITH ks AS (SELECT unnest(['0','1','2','3']) AS i),
+           |ids AS (SELECT doc_id FROM documents),
+           |bits AS (SELECT DISTINCT ('0x' || substr(md5(ks.i || ':' ||
+           |      CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 65536 AS pos
+           |    FROM ids CROSS JOIN ks),
+           |pr AS (SELECT doc_id + 10000000 AS pk FROM ids),
+           |pp AS (SELECT pk, ('0x' || substr(md5(ks.i || ':' ||
+           |      CAST(pk AS VARCHAR)), 1, 15))::BIGINT % 65536 AS pos
+           |    FROM pr CROSS JOIN ks),
+           |h AS (SELECT pk, count(*) AS nh FROM pp
+           |      WHERE pos IN (SELECT pos FROM bits) GROUP BY 1),
+           |fp AS (SELECT count(*) AS n_probes,
+           |         sum(CASE WHEN h.nh = 4 THEN 1 ELSE 0 END) AS n_false_pos
+           |       FROM pr LEFT JOIN h USING (pk)),
+           |nb AS (SELECT count(*) AS n_bits_set FROM bits)
+           |SELECT CAST(65536 AS BIGINT) AS m_bits, CAST(4 AS BIGINT) AS k_hashes,
+           |  CAST(nb.n_bits_set AS BIGINT) AS n_bits_set,
+           |  CAST(fp.n_probes AS BIGINT) AS n_probes,
+           |  CAST(fp.n_false_pos AS BIGINT) AS n_false_pos,
+           |  CAST(fp.n_false_pos * 1000 // fp.n_probes AS BIGINT) AS fpr_milli,
+           |  CAST(CAST(nb.n_bits_set AS HUGEINT) * nb.n_bits_set * nb.n_bits_set
+           |    * nb.n_bits_set * 1000
+           |    // (CAST(65536 AS HUGEINT) * 65536 * 65536 * 65536) AS BIGINT)
+           |    AS uniform_model_fpr_milli
+           |FROM fp, nb""".stripMargin) { (s, d) =>
+      val m = 65536L
+      def pos(key: org.apache.spark.sql.Column, i: Int) =
+        conv(substring(md5(concat(lit(i.toString), lit(":"),
+          key.cast("string"))), 1, 15), 16, 10).cast("long") % m
+      def kpos(key: org.apache.spark.sql.Column) =
+        explode(array((0 until 4).map(i => pos(key, i)): _*)).as("pos")
+      val ids = docs(s, d).select(col("doc_id"))
+      val bits = ids.select(kpos(col("doc_id"))).distinct()
+      val probes = ids.select((col("doc_id") + 10000000L).as("pk"))
+      val hits = probes.select(col("pk"), kpos(col("pk")))
+        .join(bits, Seq("pos"), "left_semi")
+        .groupBy(col("pk")).agg(count(lit(1)).as("nh"))
+      val fp = probes.join(hits, Seq("pk"), "left")
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("nh") === 4, 1L).otherwise(0L)).as("n_false_pos"))
+      val nb = bits.agg(count(lit(1)).as("n_bits_set"))
+      fp.crossJoin(broadcast(nb))
+        .select(lit(m).as("m_bits"), lit(4L).as("k_hashes"),
+          col("n_bits_set"), col("n_probes"), col("n_false_pos"),
+          expr("(n_false_pos * 1000) div n_probes").as("fpr_milli"),
+          expr("""cast((cast(n_bits_set as decimal(38,0)) * n_bits_set
+                 |  * n_bits_set * n_bits_set * 1000)
+                 |  div (cast(65536 as decimal(38,0)) * 65536 * 65536 * 65536)
+                 |  as bigint)""".stripMargin).as("uniform_model_fpr_milli"))
+    },
+
+    // schema evolution across parquet versions: week one lands without
+    // event_type, week two adds it; a mergeSchema read over both
+    // version directories must surface one unified schema with NULLs
+    // exactly where the old files have no column — the audit that
+    // catches a writer dropping columns vs a reader misaligning them.
+    // The oracle derives the same numbers from the source table, never
+    // seeing the layout
+    QuerySpec("layout_schema_evolution",
+      raw"""WITH e AS (SELECT event_id, event_type,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           |    CASE WHEN epoch_ms(ts) // 86400000 < 19738 THEN 1 ELSE 2 END AS v
+           |  FROM events)
+           |SELECT CAST(v AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_type,
+           |  CAST(count(DISTINCT CASE WHEN v = 2 THEN event_type END) AS BIGINT)
+           |    AS n_types,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM e GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_schemaevo").toString
+      val base = events(s, d).select(col("event_id"), col("event_type"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      base.where(col("day") < 19738).select("event_id", "cents")
+        .write.mode("overwrite").parquet(dir + "/v=1")
+      base.where(col("day") >= 19738).select("event_id", "event_type", "cents")
+        .write.mode("overwrite").parquet(dir + "/v=2")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy(col("v").cast("long").as("v"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("n_missing_type"),
+          countDistinct(col("event_type")).as("n_types"),
+          sum(col("cents")).as("sum_cents"))
+    },
+
+    // vocabulary coverage curve: how many distinct tokens (ranked by
+    // frequency) cover 50/90/95/99% of all token occurrences — the
+    // vocab-sizing dashboard behind every tokenizer budget decision.
+    // The cumulative mass rides the distributed two-pass prefix-sum
+    // (Sources.withRunningSumRanged), never a single-partition global
+    // window; a token is needed at level p iff the mass BEFORE it
+    // hasn't reached p, so the answer is a count, not a rank lookup
+    QuerySpec("vocab_coverage_curve",
+      raw"""WITH tok AS (SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+           |    ELSE string_split_regex(trim(lower(text)), '\s+') END) AS token
+           |  FROM documents),
+           |c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+           |t AS (SELECT sum(n) AS tot, count(*) AS vocab FROM c),
+           |r AS (SELECT n, sum(n) OVER (ORDER BY n DESC, token
+           |        ROWS UNBOUNDED PRECEDING) AS cum FROM c),
+           |th AS (SELECT CAST(unnest([500, 900, 950, 990]) AS BIGINT) AS p_milli)
+           |SELECT th.p_milli, CAST(count(*) AS BIGINT) AS n_tokens_needed,
+           |  CAST(max(t.vocab) AS BIGINT) AS vocab_size,
+           |  CAST(max(t.tot) AS BIGINT) AS total_tokens
+           |FROM th CROSS JOIN t
+           |JOIN r ON (r.cum - r.n) * 1000 < th.p_milli * t.tot
+           |GROUP BY 1""".stripMargin) { (s, d) =>
+      val counts = docs(s, d)
+        .select(explode(graft.ops.TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("tot"), count(lit(1)).as("vocab"))
+      val cum = graft.recon.Sources.withRunningSumRanged(
+        counts, "cum", col("n"), Seq(col("n").desc, col("token")))
+      val th = s.createDataset(Seq(500L, 900L, 950L, 990L))(
+        org.apache.spark.sql.Encoders.scalaLong).toDF("p_milli")
+      broadcast(th)
+        .join(cum.crossJoin(broadcast(tot)),
+          (col("cum") - col("n")) * 1000 < col("p_milli") * col("tot"))
+        .groupBy(col("p_milli"))
+        .agg(count(lit(1)).as("n_tokens_needed"),
+          max(col("vocab")).as("vocab_size"),
+          max(col("tot")).as("total_tokens"))
+    },
+
     // dedup threshold cost curve: how many pairs and how many distinct
     // docs a near-dup pass at Jaccard >= t would touch, for t = 0.50 ..
     // 1.00 in 0.05 steps from ONE prefix-filtered pair pass — the chart

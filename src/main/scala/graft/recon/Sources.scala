@@ -139,6 +139,44 @@ object Sources {
   }
 
   /**
+   * Distributed running sum of `value` in `order` — ≡ `SUM(value) OVER
+   * (ORDER BY keys ROWS UNBOUNDED PRECEDING)` but with no
+   * single-partition stamping task: range-repartition on the keys, a
+   * per-partition prefix sum (window partitioned by the bounded
+   * `spark_partition_id`), then per-partition totals cumulated into
+   * broadcast offsets — the [[withRowIndex]] two-pass scheme generalized
+   * from counting to summing. Keys should totally order the rows: a tie
+   * straddling a range boundary gets an arbitrary relative order, so its
+   * prefix value (not the total) would differ between engines. The
+   * repartitioned input is lineage-cut so the prefix branch and the
+   * totals branch observe ONE partitioning (a re-executed range exchange
+   * re-samples its boundaries).
+   */
+  def withRunningSumRanged(df: DataFrame, name: String, value: Column,
+      order: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    val pinned = Checkpoints.cut(
+      df.repartitionByRange(n, order: _*).sortWithinPartitions(order: _*))
+    val base = pinned
+      .withColumn("__rs_pid", spark_partition_id().cast(LongType))
+      .withColumn("__rs_val", value)
+    val local = base.withColumn("__rs_loc",
+      sum(col("__rs_val")).over(
+        Window.partitionBy(col("__rs_pid")).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = base.groupBy(col("__rs_pid"))
+      .agg(sum(col("__rs_val")).as("__rs_t"))
+      .withColumn("__rs_off", coalesce(
+        sum(col("__rs_t")).over(Window.orderBy(col("__rs_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__rs_pid"), col("__rs_off"))
+    local.join(broadcast(offsets), Seq("__rs_pid"))
+      .withColumn(name, col("__rs_off") + col("__rs_loc"))
+      .select((df.columns.map(col) :+ col(name)).toIndexedSeq: _*)
+  }
+
+  /**
    * Row index via a global `row_number()` window. CAUTION: with no
    * partition column Spark moves every row through ONE task for the
    * stamping — fine for post-aggregation frames that are already small,
