@@ -3106,6 +3106,44 @@ object EntityQueries {
           sum(col("cents")).as("sum_cents"))
     },
 
+    // Lorenz curve of per-user event volume: users ranked ascending by
+    // activity, split into rank deciles, each decile's exact share and
+    // cumulative share of all events in milli units — the curve whose
+    // sagging bottom half IS the skew the Gini scalar
+    // (events_user_gini) summarizes. Ranks and the cumulative mass both
+    // ride the distributed two-pass schemes, never a global window over
+    // raw rows
+    QuerySpec("events_lorenz_curve",
+      raw"""WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+           |t AS (SELECT count(*) AS nu, sum(n) AS tot FROM c),
+           |r AS (SELECT n, row_number() OVER (ORDER BY n, user_id) AS i FROM c),
+           |d AS (SELECT ((i - 1) * 10) // (SELECT nu FROM t) AS decile, n FROM r),
+           |g AS (SELECT decile, count(*) AS n_users, sum(n) AS n_events
+           |      FROM d GROUP BY 1)
+           |SELECT CAST(decile AS BIGINT) AS decile,
+           |  CAST(n_users AS BIGINT) AS n_users,
+           |  CAST(n_events AS BIGINT) AS n_events,
+           |  CAST(n_events * 1000 // t.tot AS BIGINT) AS share_milli,
+           |  CAST(sum(n_events) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+           |    * 1000 // t.tot AS BIGINT) AS cum_share_milli
+           |FROM g, t""".stripMargin) { (s, d) =>
+      val counts = events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val ranked = graft.recon.Sources.withRowIndexRanged(
+        counts, "i", Seq(col("n"), col("user_id")))
+      val nu = ranked.agg(count(lit(1)).as("nu"), sum(col("n")).as("tot"))
+      val byDec = ranked.crossJoin(broadcast(nu))
+        .select(expr("((i - 1) * 10) div nu").as("decile"), col("n"), col("tot"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"),
+          max(col("tot")).as("tot"))
+      graft.recon.Sources.withRunningSumRanged(byDec, "cum_events",
+          col("n_events"), Seq(col("decile")))
+        .select(col("decile"), col("n_users"), col("n_events"),
+          expr("(n_events * 1000) div tot").as("share_milli"),
+          expr("(cum_events * 1000) div tot").as("cum_share_milli"))
+    },
+
     // vocabulary coverage curve: how many distinct tokens (ranked by
     // frequency) cover 50/90/95/99% of all token occurrences — the
     // vocab-sizing dashboard behind every tokenizer budget decision.

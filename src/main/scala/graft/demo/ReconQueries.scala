@@ -401,6 +401,118 @@ object ReconQueries {
         .map(kp => col(kp.internal) === col(kp.external)).reduce(_ && _)
       m.select(col("_id"), col("ext_id"),
         when(exactCond, lit(1)).otherwise(lit(2)).as("pass"))
+    },
+
+    // THREE-way ledger reconciliation with majority vote — the
+    // extension every 2-way shop eventually needs when a processor
+    // ledger joins the internal and settlement ones. Amounts in exact
+    // cents; per key: 'all_match' (3 equal, suppressed from output),
+    // 'majority' (exactly one agreeing pair wins — including the case
+    // where the MAJORITY disagrees with the internal ledger, k%10=8
+    // here), 'no_quorum' (>=2 present, no pair agrees), 'single'.
+    // One full-outer 3-way join keyed on the code; no value ever
+    // leaves integer cents
+    QuerySpec("recon_three_way",
+      raw"""WITH base AS (SELECT o_orderkey AS k,
+           |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS a
+           |  FROM orders),
+           |la AS (SELECT k, a FROM base),
+           |lb AS (SELECT k, a + CASE WHEN k % 10 IN (7, 8) THEN 5 ELSE 0 END AS b
+           |       FROM base WHERE k % 10 <= 8),
+           |lc AS (SELECT k, a + CASE WHEN k % 10 = 8 THEN 5
+           |         WHEN k % 10 = 9 THEN 10 ELSE 0 END AS c
+           |       FROM base WHERE k % 13 <> 0),
+           |j AS (SELECT COALESCE(la.k, lb.k, lc.k) AS k, la.a, lb.b, lc.c
+           |      FROM la FULL OUTER JOIN lb ON la.k = lb.k
+           |              FULL OUTER JOIN lc ON COALESCE(la.k, lb.k) = lc.k),
+           |v AS (SELECT k, a, b, c,
+           |    (CASE WHEN a IS NULL THEN 0 ELSE 1 END
+           |     + CASE WHEN b IS NULL THEN 0 ELSE 1 END
+           |     + CASE WHEN c IS NULL THEN 0 ELSE 1 END) AS n_present,
+           |    (a IS NOT NULL AND b IS NOT NULL AND a = b) AS ab,
+           |    (a IS NOT NULL AND c IS NOT NULL AND a = c) AS ac,
+           |    (b IS NOT NULL AND c IS NOT NULL AND b = c) AS bc
+           |  FROM j)
+           |SELECT CAST(k AS VARCHAR) AS transaction_code,
+           |  CAST(n_present AS BIGINT) AS n_present,
+           |  CASE WHEN ab AND bc THEN 'all_match'
+           |    WHEN ab OR ac OR bc THEN 'majority'
+           |    WHEN n_present >= 2 THEN 'no_quorum' ELSE 'single' END AS status,
+           |  CAST(CASE WHEN ab OR ac THEN a WHEN bc THEN b END AS BIGINT)
+           |    AS settled_cents,
+           |  a AS a_cents, b AS b_cents, c AS c_cents
+           |FROM v WHERE NOT (ab AND bc)""".stripMargin) { (s, d) =>
+      val base = s.read.parquet(s"$d/orders.parquet").select(
+        col("o_orderkey").as("k"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("a"))
+      val la = base
+      val lb = base.where(col("k") % 10 <= 8)
+        .select(col("k").as("kb"),
+          (col("a") + when(col("k") % 10 === 7 || col("k") % 10 === 8, 5L)
+            .otherwise(0L)).as("b"))
+      val lc = base.where(col("k") % 13 =!= 0)
+        .select(col("k").as("kc"),
+          (col("a") + when(col("k") % 10 === 8, 5L)
+            .when(col("k") % 10 === 9, 10L).otherwise(0L)).as("c"))
+      val j = la.join(lb, col("k") === col("kb"), "full_outer")
+        .join(lc, coalesce(col("k"), col("kb")) === col("kc"), "full_outer")
+        .select(coalesce(col("k"), col("kb"), col("kc")).as("kk"),
+          col("a"), col("b"), col("c"))
+      val v = j.select(col("kk"), col("a"), col("b"), col("c"),
+        (when(col("a").isNull, 0).otherwise(1)
+          + when(col("b").isNull, 0).otherwise(1)
+          + when(col("c").isNull, 0).otherwise(1)).as("n_present"),
+        (col("a").isNotNull && col("b").isNotNull && col("a") === col("b")).as("ab"),
+        (col("a").isNotNull && col("c").isNotNull && col("a") === col("c")).as("ac"),
+        (col("b").isNotNull && col("c").isNotNull && col("b") === col("c")).as("bc"))
+      v.where(!(col("ab") && col("bc")))
+        .select(col("kk").cast("string").as("transaction_code"),
+          col("n_present").cast("long").as("n_present"),
+          when(col("ab") && col("bc"), "all_match")
+            .when(col("ab") || col("ac") || col("bc"), "majority")
+            .when(col("n_present") >= 2, "no_quorum")
+            .otherwise("single").as("status"),
+          when(col("ab") || col("ac"), col("a"))
+            .when(col("bc"), col("b")).as("settled_cents"),
+          col("a").as("a_cents"), col("b").as("b_cents"), col("c").as("c_cents"))
+    },
+
+    // aging report over the unmatched remanents — the ops dashboard a
+    // reconciliation team works from: every external row with no
+    // internal partner, bucketed by days outstanding relative to the
+    // ledger's newest day. Buckets 0-7 / 8-30 / 31-90 / 90+; exact
+    // cent sums via DECIMAL so the money column survives aggregation
+    QuerySpec("recon_aging_buckets",
+      s"""$prelude,
+         |brem AS (SELECT * FROM external e
+         |         WHERE NOT EXISTS (SELECT 1 FROM internal i WHERE ${joinOnAl("i", "e")})),
+         |mx AS (SELECT max(create_timestamp) // 86400000 AS mxd FROM internal),
+         |aged AS (SELECT e.ext_id,
+         |    mx.mxd - e.ext_ts // 86400000 AS age_days,
+         |    CAST(CAST(e.ext_amount AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM brem e, mx)
+         |SELECT CASE WHEN age_days <= 7 THEN '00-07'
+         |    WHEN age_days <= 30 THEN '08-30'
+         |    WHEN age_days <= 90 THEN '31-90' ELSE '90+' END AS age_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_items,
+         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |  CAST(min(age_days) AS BIGINT) AS min_age_days,
+         |  CAST(max(age_days) AS BIGINT) AS max_age_days
+         |FROM aged GROUP BY 1""".stripMargin) { (s, d) =>
+      val a = I(s, d)
+      val b = E(s, d)
+      val brem = recon.notMatchExternal(a, b)
+      val mx = a.agg(expr("max(create_timestamp) div 86400000").as("mxd"))
+      brem.crossJoin(broadcast(mx))
+        .select((col("mxd") - expr("ext_ts div 86400000")).as("age_days"),
+          expr("cast(cast(ext_amount as decimal(18,2)) * 100 as bigint)").as("cents"))
+        .groupBy(when(col("age_days") <= 7, "00-07")
+          .when(col("age_days") <= 30, "08-30")
+          .when(col("age_days") <= 90, "31-90")
+          .otherwise("90+").as("age_bucket"))
+        .agg(count(lit(1)).as("n_items"), sum(col("cents")).as("sum_cents"),
+          min(col("age_days")).as("min_age_days"),
+          max(col("age_days")).as("max_age_days"))
     }
   )
 }
