@@ -3106,6 +3106,122 @@ object EntityQueries {
           sum(col("cents")).as("sum_cents"))
     },
 
+    // Markov stationary distribution of the event-type chain: three
+    // exact power steps of v <- P'v in milli-integers (p_milli from the
+    // transition counts, each step sums then floor-divides by 1000) —
+    // the long-run traffic mix the transition matrix implies, readable
+    // against the observed mix. Tiny frames are lineage-cut so the
+    // transition window runs once, not once per unrolled step
+    QuerySpec("events_markov_stationary",
+      raw"""WITH o AS (SELECT event_type AS to_type,
+           |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           |      AS from_type FROM events),
+           |c AS (SELECT from_type, to_type, count(*) AS n FROM o
+           |      WHERE from_type IS NOT NULL GROUP BY 1, 2),
+           |p AS (SELECT from_type, to_type,
+           |    (n * 1000) // sum(n) OVER (PARTITION BY from_type) AS p_milli
+           |  FROM c),
+           |ty AS (SELECT DISTINCT event_type AS t FROM events),
+           |v0 AS (SELECT t, CAST(1000 AS BIGINT) AS v FROM ty),
+           |i1 AS (SELECT p.to_type AS t, sum(p.p_milli * v0.v) // 1000 AS nv
+           |       FROM p JOIN v0 ON p.from_type = v0.t GROUP BY 1),
+           |v1 AS (SELECT ty.t, COALESCE(i1.nv, 0) AS v FROM ty
+           |       LEFT JOIN i1 ON i1.t = ty.t),
+           |i2 AS (SELECT p.to_type AS t, sum(p.p_milli * v1.v) // 1000 AS nv
+           |       FROM p JOIN v1 ON p.from_type = v1.t GROUP BY 1),
+           |v2 AS (SELECT ty.t, COALESCE(i2.nv, 0) AS v FROM ty
+           |       LEFT JOIN i2 ON i2.t = ty.t),
+           |i3 AS (SELECT p.to_type AS t, sum(p.p_milli * v2.v) // 1000 AS nv
+           |       FROM p JOIN v2 ON p.from_type = v2.t GROUP BY 1),
+           |v3 AS (SELECT ty.t, COALESCE(i3.nv, 0) AS v FROM ty
+           |       LEFT JOIN i3 ON i3.t = ty.t)
+           |SELECT t AS event_type, CAST(v AS BIGINT) AS stationary_milli
+           |FROM v3""".stripMargin) { (s, d) =>
+      import graft.recon.Checkpoints.cut
+      val tc = cut(graft.ops.History.transitionCounts(events(s, d),
+          "user_id", "event_type", "ts", "event_id")
+        .select(col("from_type"), col("to_type"), col("p_milli")))
+      val types = cut(events(s, d).select(col("event_type").as("t")).distinct())
+      var v = types.select(col("t"), lit(1000L).as("v"))
+      for (_ <- 1 to 3) {
+        val step = tc.join(v, col("from_type") === col("t"))
+          .groupBy(col("to_type"))
+          .agg(expr("sum(p_milli * v) div 1000").as("nv"))
+        v = types.join(step, col("t") === col("to_type"), "left")
+          .select(col("t"), coalesce(col("nv"), lit(0L)).as("v"))
+      }
+      v.select(col("t").as("event_type"), col("v").as("stationary_milli"))
+    },
+
+    // nearest-centroid label confusion over the embedding space — the
+    // linear-probe-style eval: centroids from even vec_ids (exact
+    // integer component sums; cosine of sums needs no mean), odd ids
+    // classified by argmax cosine with the (score DESC, label) total
+    // order, confusion counts with exact per-true-label milli shares.
+    // The one double per candidate is the fixed-shape cosine
+    QuerySpec("sim_centroid_confusion",
+      raw"""WITH xs AS MATERIALIZED (SELECT vec_id, label, CAST(i - 1 AS BIGINT) AS dim,
+           |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS HUGEINT) AS q
+           |  FROM embeddings CROSS JOIN range(1, 65) r(i)),
+           |cent AS MATERIALIZED (SELECT label AS cl, dim, sum(q) AS c
+           |  FROM xs WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+           |cn AS (SELECT cl, sum(c * c) AS nc FROM cent GROUP BY 1),
+           |te AS MATERIALIZED (SELECT * FROM xs WHERE vec_id % 2 = 1),
+           |tn AS (SELECT vec_id, sum(q * q) AS nt FROM te GROUP BY 1),
+           |dots AS (SELECT te.vec_id, te.label, cent.cl, sum(te.q * cent.c) AS dot
+           |         FROM te JOIN cent USING (dim) GROUP BY 1, 2, 3),
+           |sc AS (SELECT d.vec_id, d.label, d.cl,
+           |    CASE WHEN tn.nt = 0 OR cn.nc = 0 THEN -2.0
+           |      ELSE CAST(d.dot AS DOUBLE)
+           |        / (sqrt(CAST(tn.nt AS DOUBLE)) * sqrt(CAST(cn.nc AS DOUBLE)))
+           |      END AS score
+           |  FROM dots d JOIN tn USING (vec_id) JOIN cn USING (cl)),
+           |pr AS (SELECT vec_id, label, cl FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY score DESC, cl) AS rn FROM sc) WHERE rn = 1),
+           |tt AS (SELECT label, count(*) AS ntrue FROM pr GROUP BY 1)
+           |SELECT pr.label AS true_label, pr.cl AS pred_label,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST(count(*) * 1000 // tt.ntrue AS BIGINT) AS row_milli
+           |FROM pr JOIN tt USING (label) GROUP BY 1, 2, tt.ntrue""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      import org.apache.spark.sql.expressions.Window
+      val xs = graft.recon.Checkpoints.cut(
+        s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("dim", "__x")))
+          .select(col("vec_id"), col("label"), col("dim").cast("long").as("dim"),
+            floor(col("__x").cast("double") * 1000000d)
+              .cast(DecimalType(38, 0)).as("q")))
+      val cent = graft.recon.Checkpoints.cut(
+        xs.where(col("vec_id") % 2 === 0)
+          .groupBy(col("label").as("cl"), col("dim"))
+          .agg(sum(col("q")).as("c")))
+      val cn = cent.groupBy(col("cl")).agg(sum(col("c") * col("c")).as("nc"))
+      val te = graft.recon.Checkpoints.cut(xs.where(col("vec_id") % 2 === 1))
+      val tn = te.groupBy(col("vec_id")).agg(sum(col("q") * col("q")).as("nt"))
+      val dots = te.join(broadcast(cent), "dim")
+        .groupBy(col("vec_id"), col("label"), col("cl"))
+        .agg(sum(col("q") * col("c")).as("dot"))
+      val sc = dots.join(tn, "vec_id").join(broadcast(cn), "cl")
+        .select(col("vec_id"), col("label"), col("cl"),
+          when(col("nt") === 0 || col("nc") === 0, lit(-2.0d))
+            .otherwise(col("dot").cast("double") /
+              (sqrt(col("nt").cast("double")) * sqrt(col("nc").cast("double"))))
+            .as("score"))
+      val pr = sc.withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"))
+            .orderBy(col("score").desc, col("cl"))))
+        .where(col("rn") === 1)
+      val tt = pr.groupBy(col("label")).agg(count(lit(1)).as("ntrue"))
+      pr.join(broadcast(tt), "label")
+        .groupBy(col("label").as("true_label"), col("cl").as("pred_label"),
+          col("ntrue"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("true_label"), col("pred_label"), col("n"),
+          expr("(n * 1000) div ntrue").as("row_milli"))
+    },
+
     // Lorenz curve of per-user event volume: users ranked ascending by
     // activity, split into rank deciles, each decile's exact share and
     // cumulative share of all events in milli units — the curve whose
