@@ -3106,6 +3106,103 @@ object EntityQueries {
           sum(col("cents")).as("sum_cents"))
     },
 
+    // variance decomposition of document length by language: how much
+    // of the length spread the lang column EXPLAINS (eta-squared), from
+    // exact integer moments — N*Q - S^2 for the total, per-group
+    // Sg^2 div ng (deterministic floor, documented bias < n_groups /
+    // SST) for the between part. The column-importance probe that says
+    // whether stratifying by lang is worth a shuffle
+    QuerySpec("quality_variance_decomposition",
+      raw"""WITH x AS (SELECT lang, CAST(n_chars AS HUGEINT) AS v FROM documents),
+           |g AS (SELECT lang, count(*) AS ng, sum(v) AS sg FROM x GROUP BY 1),
+           |t AS (SELECT count(*) AS n, sum(v) AS s, sum(v * v) AS q FROM x),
+           |b AS (SELECT sum(sg * sg // ng) AS bsum, count(*) AS n_groups FROM g)
+           |SELECT CAST(t.n AS BIGINT) AS n_docs,
+           |  CAST(b.n_groups AS BIGINT) AS n_groups,
+           |  CAST(t.n * b.bsum - t.s * t.s AS BIGINT) AS ss_between_scaled,
+           |  CAST(t.n * t.q - t.s * t.s AS BIGINT) AS ss_total_scaled,
+           |  CAST(CASE WHEN t.n * t.q - t.s * t.s = 0 THEN 0
+           |    ELSE (t.n * b.bsum - t.s * t.s) * 1000 // (t.n * t.q - t.s * t.s)
+           |    END AS BIGINT) AS eta_milli
+           |FROM t, b""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val x = docs(s, d).select(col("lang"),
+        col("n_chars").cast(DecimalType(38, 0)).as("v"))
+      val g = x.groupBy(col("lang"))
+        .agg(count(lit(1)).as("ng"), sum(col("v")).as("sg"))
+      val t = x.agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum(col("v")).as("s"), sum(col("v") * col("v")).as("q"))
+      val b = g.agg(sum(expr("(sg * sg) div ng")).cast(DecimalType(38, 0))
+          .as("bsum"), count(lit(1)).as("n_groups"))
+      t.crossJoin(broadcast(b))
+        .select(col("n").cast("long").as("n_docs"), col("n_groups"),
+          expr("cast(n * bsum - s * s as bigint)").as("ss_between_scaled"),
+          expr("cast(n * q - s * s as bigint)").as("ss_total_scaled"),
+          expr("""cast(case when n * q - s * s = 0 then 0
+                 |  else ((n * bsum - s * s) * 1000) div (n * q - s * s)
+                 |  end as bigint)""".stripMargin).as("eta_milli"))
+    },
+
+    // U-shaped multi-touch attribution: every purchase credits the
+    // clicks of the same user in the preceding 24 h — 1000 milli to a
+    // solo click, else 400/400 to first and last with the middle 200
+    // floor-split (remainder to the earliest middles, so credits sum to
+    // EXACTLY 1000 per multi-touch path). The position-credit math
+    // marketing mix models start from, all integer
+    QuerySpec("events_attribution_credit",
+      raw"""WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms
+           |  FROM events),
+           |pc AS (SELECT p.user_id, p.event_id AS purchase_id,
+           |    c.event_id AS click_id, c.ms AS cms
+           |  FROM e p JOIN e c ON c.user_id = p.user_id
+           |    AND p.event_type = 'purchase' AND c.event_type = 'click'
+           |    AND c.ms < p.ms AND c.ms >= p.ms - 86400000),
+           |rk AS (SELECT *,
+           |    row_number() OVER (PARTITION BY purchase_id ORDER BY cms, click_id) AS i,
+           |    count(*) OVER (PARTITION BY purchase_id) AS np FROM pc),
+           |cr AS (SELECT purchase_id, click_id,
+           |    CASE WHEN np = 1 THEN 1000 WHEN np = 2 THEN 500
+           |      WHEN i = 1 OR i = np THEN 400
+           |      ELSE 200 // (np - 2)
+           |        + CASE WHEN i - 1 <= 200 % (np - 2) THEN 1 ELSE 0 END
+           |    END AS credit_milli,
+           |    CASE WHEN np = 1 THEN 'solo' WHEN i = 1 THEN 'first'
+           |      WHEN i = np THEN 'last' ELSE 'middle' END AS position
+           |  FROM rk)
+           |SELECT position, CAST(count(*) AS BIGINT) AS n_touches,
+           |  CAST(sum(credit_milli) AS BIGINT) AS credit_milli_sum
+           |FROM cr GROUP BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = events(s, d).select(col("user_id"), col("event_id"),
+        col("event_type"), unix_millis(col("ts")).as("ms"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("event_id").as("purchase_id"),
+          col("ms").as("pms"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ms").as("cms"))
+      val pc = p.join(c, col("user_id") === col("pu") &&
+        col("cms") < col("pms") && col("cms") >= col("pms") - 86400000L)
+      val w = Window.partitionBy(col("purchase_id"))
+      val rk = pc
+        .withColumn("i", row_number().over(w.orderBy(col("cms"), col("click_id"))))
+        .withColumn("np", count(lit(1)).over(w))
+      rk.select(
+          when(col("np") === 1, "solo")
+            .when(col("i") === 1, "first")
+            .when(col("i") === col("np"), "last")
+            .otherwise("middle").as("position"),
+          when(col("np") === 1, lit(1000L))
+            .when(col("np") === 2, lit(500L))
+            .when(col("i") === 1 || col("i") === col("np"), lit(400L))
+            .otherwise(expr("200 div (np - 2)")
+              + when(col("i") - 1 <= expr("200 % (np - 2)"), 1L).otherwise(0L))
+            .as("credit_milli"))
+        .groupBy(col("position"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_milli")).as("credit_milli_sum"))
+    },
+
     // Markov stationary distribution of the event-type chain: three
     // exact power steps of v <- P'v in milli-integers (p_milli from the
     // transition counts, each step sums then floor-divides by 1000) —
