@@ -3106,6 +3106,83 @@ object EntityQueries {
           sum(col("cents")).as("sum_cents"))
     },
 
+    // ingestion outage windows at minute grain: collapse the stream to
+    // its DISTINCT minutes (bounded by the time span, not the event
+    // volume — the aggregation that makes the global lag window safe),
+    // then every silence longer than 3 minutes becomes a row with exact
+    // start/end/duration. events_missing_days sees day-size holes; this
+    // is the pager-duty view of the same signal
+    QuerySpec("events_outage_windows",
+      raw"""WITH m AS (SELECT DISTINCT epoch_ms(ts) // 60000 AS mn FROM events),
+           |g AS (SELECT mn, lag(mn) OVER (ORDER BY mn) AS prev FROM m)
+           |SELECT CAST((prev + 1) * 60000 AS BIGINT) AS outage_start_ms,
+           |  CAST(mn * 60000 AS BIGINT) AS outage_end_ms,
+           |  CAST((mn - prev - 1) * 60000 AS BIGINT) AS duration_ms
+           |FROM g WHERE mn - prev > 3""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val m = events(s, d)
+        .select(expr("unix_millis(ts) div 60000").as("mn")).distinct()
+      m.withColumn("prev", lag(col("mn"), 1).over(Window.orderBy(col("mn"))))
+        .where(col("mn") - col("prev") > 3)
+        .select(((col("prev") + 1) * 60000L).as("outage_start_ms"),
+          (col("mn") * 60000L).as("outage_end_ms"),
+          ((col("mn") - col("prev") - 1) * 60000L).as("duration_ms"))
+    },
+
+    // stylometric source similarity: each source's function-word
+    // profile (counts over the corpus's top-30 tokens — overwhelmingly
+    // stopwords, the words that fingerprint STYLE rather than topic),
+    // compared pairwise by fixed-shape cosine over exact integer
+    // counts. Sources that write alike cluster; a crawl masquerading
+    // as two sources shows up as cos ~ 1
+    QuerySpec("text_style_fingerprint",
+      raw"""WITH tok AS (SELECT source, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+           |    ELSE string_split_regex(trim(lower(text)), '\s+') END) AS token
+           |  FROM documents),
+           |c AS (SELECT token, count(*) AS n FROM tok GROUP BY 1),
+           |top AS (SELECT token FROM (SELECT token,
+           |    row_number() OVER (ORDER BY n DESC, token) AS r FROM c) WHERE r <= 30),
+           |f AS (SELECT source, token, count(*) AS c FROM tok
+           |      WHERE token IN (SELECT token FROM top) GROUP BY 1, 2),
+           |nrm AS (SELECT source, sum(c * c) AS n2 FROM f GROUP BY 1),
+           |px AS (SELECT a.source AS source_a, b.source AS source_b,
+           |         sum(a.c * b.c) AS dot
+           |       FROM f a JOIN f b ON a.token = b.token AND a.source < b.source
+           |       GROUP BY 1, 2)
+           |SELECT px.source_a, px.source_b,
+           |  CAST(px.dot AS DOUBLE)
+           |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+           |    AS cos_style
+           |FROM px JOIN nrm na ON na.source = px.source_a
+           |        JOIN nrm nb ON nb.source = px.source_b""".stripMargin) { (s, d) =>
+      val tok = docs(s, d).select(col("source"),
+        explode(graft.ops.TextAnalysis.tokens(col("text"))).as("token"))
+      val counts = tok.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val top = graft.recon.Sources.withRowIndexRanged(
+          counts, "r", Seq(col("n").desc, col("token")))
+        .where(col("r") <= 30).select(col("token"))
+      val f = tok.join(broadcast(top), "token")
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      val nrm = f.groupBy(col("source"))
+        .agg(sum(col("c") * col("c")).as("n2"))
+      val px = f.alias("fa")
+        .join(f.alias("fb"),
+          col("fa.token") === col("fb.token") &&
+            col("fa.source") < col("fb.source"))
+        .select(col("fa.source").as("source_a"),
+          col("fb.source").as("source_b"),
+          (col("fa.c") * col("fb.c")).as("p"))
+        .groupBy(col("source_a"), col("source_b")).agg(sum(col("p")).as("dot"))
+      px.join(broadcast(nrm.select(col("source").as("source_a"),
+          col("n2").as("na"))), "source_a")
+        .join(broadcast(nrm.select(col("source").as("source_b"),
+          col("n2").as("nb"))), "source_b")
+        .select(col("source_a"), col("source_b"),
+          (col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+            .as("cos_style"))
+    },
+
     // variance decomposition of document length by language: how much
     // of the length spread the lang column EXPLAINS (eta-squared), from
     // exact integer moments — N*Q - S^2 for the total, per-group
