@@ -3183,6 +3183,39 @@ object EntityQueries {
             .as("cos_style"))
     },
 
+    // marginal novelty per document: the share of a doc's 3-gram
+    // shingles appearing for the FIRST time in doc_id order — the
+    // each-batch-adds-how-much curve behind every keep-crawling
+    // decision. First occurrence is a min aggregate (no ordered scan);
+    // exact milli shares; docs too short to shingle drop out of both
+    // arms
+    QuerySpec("text_ngram_novelty",
+      raw"""WITH tt AS (SELECT doc_id, source, CASE WHEN length(trim(text)) = 0 THEN []
+           |    ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |sh AS (SELECT DISTINCT doc_id AS doc, source, unnest(CASE WHEN len(t) < 3 THEN []
+           |         ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)] END) AS tok
+           |       FROM tt),
+           |fo AS (SELECT tok, min(doc) AS first_doc FROM sh GROUP BY 1)
+           |SELECT sh.doc AS doc_id, sh.source,
+           |  CAST(count(*) AS BIGINT) AS n_shingles,
+           |  CAST(sum(CASE WHEN fo.first_doc = sh.doc THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_novel,
+           |  CAST(sum(CASE WHEN fo.first_doc = sh.doc THEN 1 ELSE 0 END) * 1000
+           |    // count(*) AS BIGINT) AS novelty_milli
+           |FROM sh JOIN fo USING (tok) GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val sh = graft.recon.Checkpoints.cut(
+        graft.ops.Dedup.shingleTable(
+            docs(s, d).select(col("doc_id"), col("text")), "text", "doc_id", 3)
+          .join(docs(s, d).select(col("doc_id").as("doc"), col("source")), "doc"))
+      val fo = sh.groupBy(col("shingle")).agg(min(col("doc")).as("first_doc"))
+      sh.join(fo, "shingle")
+        .groupBy(col("doc").as("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_milli", expr("(n_novel * 1000) div n_shingles"))
+    },
+
     // variance decomposition of document length by language: how much
     // of the length spread the lang column EXPLAINS (eta-squared), from
     // exact integer moments — N*Q - S^2 for the total, per-group

@@ -477,6 +477,49 @@ object ReconQueries {
           col("a").as("a_cents"), col("b").as("b_cents"), col("c").as("c_cents"))
     },
 
+    // tolerance sensitivity curve: candidate remanent pairs within the
+    // band at widening cent thresholds (1/5/10/25/50) — how much a
+    // looser tolerance would buy BEFORE committing to one (the recon
+    // twin of dedup_cost_curve). Amounts diffed in exact integer
+    // cents; n_internals counts distinct ledger rows coverable at each
+    // threshold, the number the greedy matcher can at best settle
+    QuerySpec("recon_tolerance_curve",
+      s"""$prelude,
+         |arem AS (SELECT * FROM internal i WHERE NOT EXISTS (SELECT 1 FROM external e WHERE ${joinOnAl("i", "e")})),
+         |brem AS (SELECT * FROM external e WHERE NOT EXISTS (SELECT 1 FROM internal i WHERE ${joinOnAl("i", "e")})),
+         |cand AS (SELECT i._id, e.ext_id,
+         |    abs(CAST(CAST(i.approved_transaction_amount AS DECIMAL(18,2)) * 100 AS BIGINT)
+         |      - CAST(CAST(e.ext_amount AS DECIMAL(18,2)) * 100 AS BIGINT)) AS diff_cents
+         |  FROM arem i JOIN brem e
+         |    ON i.transaction_code = e.ext_code AND i.create_timestamp = e.ext_ts
+         |      AND i.bin_code = e.ext_prio),
+         |th AS (SELECT CAST(unnest([1, 5, 10, 25, 50]) AS BIGINT) AS t_cents)
+         |SELECT th.t_cents, CAST(count(cand._id) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT cand._id) AS BIGINT) AS n_internals
+         |FROM th LEFT JOIN cand ON cand.diff_cents <= th.t_cents
+         |GROUP BY 1""".stripMargin) { (s, d) =>
+      val a = I(s, d)
+      val b = E(s, d)
+      val cand = recon.notMatchInternal(a, b)
+        .select(col("_id"), col("transaction_code"), col("create_timestamp"),
+          col("bin_code"),
+          expr("cast(cast(approved_transaction_amount as decimal(18,2)) * 100 as bigint)")
+            .as("ic"))
+        .join(recon.notMatchExternal(a, b)
+            .select(col("ext_code"), col("ext_ts"), col("ext_prio"),
+              expr("cast(cast(ext_amount as decimal(18,2)) * 100 as bigint)").as("ec")),
+          col("transaction_code") === col("ext_code") &&
+            col("create_timestamp") === col("ext_ts") &&
+            col("bin_code") === col("ext_prio"))
+        .select(col("_id"), abs(col("ic") - col("ec")).as("diff_cents"))
+      val th = s.createDataset(Seq(1L, 5L, 10L, 25L, 50L))(
+        org.apache.spark.sql.Encoders.scalaLong).toDF("t_cents")
+      broadcast(th).join(cand, col("diff_cents") <= col("t_cents"), "left")
+        .groupBy(col("t_cents"))
+        .agg(count(col("_id")).as("n_pairs"),
+          countDistinct(col("_id")).as("n_internals"))
+    },
+
     // aging report over the unmatched remanents — the ops dashboard a
     // reconciliation team works from: every external row with no
     // internal partner, bucketed by days outstanding relative to the
