@@ -3183,6 +3183,54 @@ object EntityQueries {
             .as("cos_style"))
     },
 
+    // readability card per source: Flesch reading-ease from exact
+    // integer counts — words (whitespace tokens), sentences
+    // ([.!?]+ runs, floored at 1 per doc), syllable proxy (vowel-group
+    // runs; replacing each [aeiouy]+ run by '#' vs '' differs by
+    // exactly the run count). The whole score stays in milli-integers:
+    // 206835 - 1015*wps - 84600*spw, no float ever. The curation
+    // feature the quality score lacks — length-ratio features can't
+    // see sentence complexity
+    QuerySpec("text_readability",
+      raw"""WITH f AS (SELECT source,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |      ELSE len(string_split_regex(trim(text), '\s+')) END AS w,
+           |    greatest(1, length(regexp_replace(text, '[.!?]+', '#', 'g'))
+           |      - length(regexp_replace(text, '[.!?]+', '', 'g'))) AS sent,
+           |    length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+           |      - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS syl
+           |  FROM documents)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(w) AS BIGINT) AS n_words,
+           |  CAST(sum(sent) AS BIGINT) AS n_sentences,
+           |  CAST(sum(syl) AS BIGINT) AS n_syllables,
+           |  CAST(sum(w) * 1000 // sum(sent) AS BIGINT) AS wps_milli,
+           |  CAST(CASE WHEN sum(w) = 0 THEN 0
+           |    ELSE sum(syl) * 1000 // sum(w) END AS BIGINT) AS spw_milli,
+           |  CAST(206835 - (1015 * (sum(w) * 1000 // sum(sent))) // 1000
+           |    - (84600 * (CASE WHEN sum(w) = 0 THEN 0
+           |        ELSE sum(syl) * 1000 // sum(w) END)) // 1000 AS BIGINT)
+           |    AS flesch_milli
+           |FROM f GROUP BY 1""".stripMargin) { (s, d) =>
+      def runs(c: org.apache.spark.sql.Column, pat: String) =
+        length(regexp_replace(c, pat, "#")) - length(regexp_replace(c, pat, ""))
+      val f = docs(s, d).select(col("source"),
+        size(graft.ops.TextAnalysis.tokens(col("text"))).cast("long").as("w"),
+        greatest(lit(1L), runs(col("text"), "[.!?]+").cast("long")).as("sent"),
+        runs(lower(col("text")), "[aeiouy]+").cast("long").as("syl"))
+      f.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+          sum(col("sent")).as("n_sentences"), sum(col("syl")).as("n_syllables"))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          col("n_sentences"), col("n_syllables"),
+          expr("(n_words * 1000) div n_sentences").as("wps_milli"),
+          expr("case when n_words = 0 then 0 else (n_syllables * 1000) div n_words end")
+            .as("spw_milli"))
+        .withColumn("flesch_milli",
+          lit(206835L) - expr("(1015 * wps_milli) div 1000")
+            - expr("(84600 * spw_milli) div 1000"))
+    },
+
     // marginal novelty per document: the share of a doc's 3-gram
     // shingles appearing for the FIRST time in doc_id order — the
     // each-batch-adds-how-much curve behind every keep-crawling
