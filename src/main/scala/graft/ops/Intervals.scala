@@ -35,6 +35,11 @@ object Intervals {
     require(bucketMs > 0, s"bucketMs must be positive: $bucketMs")
     val dup = a.columns.toSet.intersect(b.columns.toSet)
     require(dup.isEmpty, s"overlapJoin: column names collide: $dup")
+    // the bound column names are interpolated into expression strings —
+    // reject names that would parse as something else (the rowChecks rule)
+    Seq(aStart, aEnd, bStart, bEnd).foreach(n =>
+      require(n.matches("[A-Za-z0-9_]+"),
+        s"overlapJoin: column name must match [A-Za-z0-9_]+: '$n'"))
     def exploded(df: DataFrame, s: String, e: String, bucket: String) =
       df.where(col(e) > col(s)).withColumn(bucket,
         explode(sequence(expr(s"$s div $bucketMs"), expr(s"($e - 1) div $bucketMs"))))

@@ -57,4 +57,13 @@ class IntervalsSpec extends SparkSuite {
         "s", "e", "s2", "e2", 0L)
     }
   }
+
+  test("overlapJoin: rejects bound column names that would not parse as identifiers") {
+    val a = Seq(("x", 1L, 2L)).toDF("id", "s end", "e")
+    val b = Seq(("y", 1L, 2L)).toDF("id2", "s2", "e2")
+    val err = intercept[IllegalArgumentException] {
+      Intervals.overlapJoin(a, b, "s end", "e", "s2", "e2", 10L)
+    }
+    assert(err.getMessage.contains("s end"))
+  }
 }
