@@ -11,7 +11,8 @@ object SparkEntry {
   private def registries: Seq[QuerySpec] = {
     val all = graft.demo.ReconQueries.all ++ graft.demo.OpsQueries.all ++
       graft.demo.CurationQueries.all ++ graft.demo.ScaleQueries.all ++
-      graft.demo.SketchQueries.all ++ graft.demo.EntityQueries.all
+      graft.demo.SketchQueries.all ++ graft.demo.EntityQueries.all ++
+      graft.demo.InferenceQueries.all
     // a duplicate name would silently shadow one query in the Maps below
     // and the loser's oracle would check the winner's output — fail loudly
     val dups = all.groupBy(_.name).filter(_._2.length > 1).keys

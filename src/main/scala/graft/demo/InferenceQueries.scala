@@ -1,0 +1,94 @@
+package graft.demo
+
+import org.apache.spark.sql.functions._
+import graft.QuerySpec
+
+/**
+ * Round-11 statistical-inference queries: uncertainty quantification
+ * (distributed bootstrap) and graph link prediction. Same contract as
+ * [[OpsQueries]]: every entry pairs the Spark implementation with its
+ * exact DuckDB mirror — identical integer arithmetic and identical
+ * hash-derived randomness in both engines.
+ */
+object InferenceQueries {
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // how sure are we about each event type's mean purchase value? 48
+    // deterministic Poisson-bootstrap replicates (Chamandy et al. 2012),
+    // CI = 3rd/46th order statistics of the replicate milli-cent means
+    // (~90% interval). One data pass; the row×48 expansion collapses
+    // map-side to |event_type|·48 partial sums before the shuffle —
+    // the same plan shape at 100 TB. Weights come from md5(event_id:b)
+    // through the Poisson(1) CDF at exact 2^60-scaled thresholds, so
+    // both engines draw the identical "random" weights
+    QuerySpec("events_bootstrap_ci",
+      raw"""WITH r AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+           |             event_id::VARCHAR AS k FROM events),
+           |rep AS (SELECT event_type, cents, bb.b,
+           |          ('0x' || substr(md5(k || ':' || bb.b::VARCHAR), 1, 15))::BIGINT AS h
+           |        FROM r CROSS JOIN (SELECT unnest(range(0, 48)) AS b) bb),
+           |ww AS (SELECT event_type, b, cents,
+           |         CASE WHEN h < 424136118829305329 THEN 0
+           |              WHEN h < 848272237658610659 THEN 1
+           |              WHEN h < 1060340297073263324 THEN 2
+           |              WHEN h < 1131029650211480879 THEN 3
+           |              WHEN h < 1148701988496035267 THEN 4
+           |              WHEN h < 1152236456152946145 THEN 5
+           |              WHEN h < 1152825534095764625 THEN 6
+           |              ELSE 7 END AS w
+           |       FROM rep),
+           |agg AS (SELECT event_type, b, sum(w * cents) AS s, sum(w) AS n
+           |        FROM ww GROUP BY 1, 2),
+           |m AS (SELECT event_type, b,
+           |        CAST(CASE WHEN n > 0 THEN (1000 * s) // n END AS BIGINT) AS mean_mc
+           |      FROM agg),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+           |         ORDER BY mean_mc ASC NULLS FIRST, b) AS rn FROM m),
+           |ci AS (SELECT event_type,
+           |         min(CASE WHEN rn = 3 THEN mean_mc END) AS ci_lo_mc,
+           |         max(CASE WHEN rn = 46 THEN mean_mc END) AS ci_hi_mc
+           |       FROM rk WHERE rn IN (3, 46) GROUP BY 1),
+           |pt AS (SELECT event_type, count(*) AS n_rows,
+           |         CAST((1000 * sum(cents)) // count(*) AS BIGINT) AS mean_mc
+           |       FROM r GROUP BY 1)
+           |SELECT pt.event_type, pt.n_rows, pt.mean_mc, ci.ci_lo_mc, ci.ci_hi_mc
+           |FROM pt JOIN ci USING (event_type)""".stripMargin) { (s, d) =>
+      graft.ops.Bootstrap.meanCi(OpsQueries.events(s, d),
+        col("event_type"), floor(col("value") * 100).cast("long"),
+        col("event_id"), nBoot = 48, loRank = 3, hiRank = 46)
+        .withColumnRenamed("stratum", "event_type")
+    },
+
+    // which parts SHOULD co-occur but never have? Resource-allocation
+    // link prediction (Zhou/Lü/Zhang 2009) over the co-order graph of a
+    // part subpopulation (partkey % 20 — the filter reaches the scan,
+    // and keeping the subpopulation sparse keeps wedge volume ~deg²·|z|
+    // tiny at any scale; the hub-center cap in Graph.linkPrediction is
+    // the skew guard for denser graphs). cn >= 2 keeps the confident
+    // candidates; scores are exact milli integers
+    QuerySpec("graph_link_prediction",
+      raw"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           |            WHERE l_partkey % 20 = 0),
+           |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+           |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+           |       AND a.l_partkey <> b.l_partkey
+           |      GROUP BY 1, 2),
+           |dg AS (SELECT src AS z, count(*) AS deg FROM e GROUP BY 1
+           |       HAVING count(*) <= 1000),
+           |w AS (SELECT za.dst AS a, zb.dst AS b, d.deg
+           |      FROM e za JOIN e zb ON za.src = zb.src AND za.dst < zb.dst
+           |      JOIN dg d ON d.z = za.src),
+           |sc AS (SELECT a, b, count(*) AS cn, sum(1000 // deg) AS ra_milli
+           |       FROM w GROUP BY 1, 2),
+           |pr AS (SELECT sc.* FROM sc LEFT JOIN e ON e.src = sc.a AND e.dst = sc.b
+           |       WHERE e.src IS NULL)
+           |SELECT a AS node_a, b AS node_b, CAST(cn AS BIGINT) AS cn,
+           |  CAST(ra_milli AS BIGINT) AS ra_milli
+           |FROM pr WHERE cn >= 2""".stripMargin) { (s, d) =>
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .where(col("l_partkey") % 20 === 0)
+      val edges = graft.ops.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      graft.ops.Graph.linkPrediction(edges).where(col("cn") >= 2)
+    })
+}

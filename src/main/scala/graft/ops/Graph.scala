@@ -334,4 +334,45 @@ object Graph {
     }
     ranks
   }
+
+  /**
+   * Link prediction by common neighborhood: for every NON-adjacent pair
+   * (a, b) sharing at least one neighbor, the common-neighbor count and
+   * the resource-allocation index (Zhou/Lü/Zhang 2009 — like
+   * Adamic–Adar but with 1/deg(z) instead of 1/log deg(z), which keeps
+   * the score exact-integer in milli-units: `Σ_z 1000 div deg(z)`).
+   * The "which items/docs SHOULD be connected" signal — candidate
+   * generation for recommendation and for near-dup edges the sketch
+   * pass missed.
+   *
+   * Scale: wedges are built at their CENTER z with fan-out deg(z)², so
+   * a hub center is the skew risk. Centers with `deg > maxCenterDeg`
+   * are skipped — at the default cap of 1000 this is LOSSLESS for the
+   * milli-quantized RA score (1000 div deg = 0 beyond it) and only the
+   * reported `cn` count loses those hub-mediated neighbors (documented
+   * semantics: common neighbors via sub-cap centers). Existing edges
+   * are removed by an equi-anti-join, never a filter over a cartesian.
+   *
+   * Output: `(node_a, node_b, cn, ra_milli)` with node_a < node_b, one
+   * row per predicted pair.
+   */
+  def linkPrediction(edges: DataFrame, maxCenterDeg: Long = 1000L): DataFrame = {
+    require(maxCenterDeg >= 1, s"maxCenterDeg must be >= 1: $maxCenterDeg")
+    val deg = edges.groupBy(col("src").as("z")).agg(count(lit(1)).as("__deg"))
+      .where(col("__deg") <= maxCenterDeg)
+    // wedge a–z–b from the symmetric edge list: both (a,b) orders are
+    // generated; keep a < b so each unordered pair aggregates once
+    val wedges = edges.select(col("src").as("z"), col("dst").as("a"))
+      .join(edges.select(col("src").as("z"), col("dst").as("b")), Seq("z"))
+      .where(col("a") < col("b"))
+      .join(deg, Seq("z"))
+    val scored = wedges.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000 div __deg")).as("ra_milli"))
+    scored
+      .join(edges.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+      .select(col("a").as("node_a"), col("b").as("node_b"),
+        col("cn"), col("ra_milli"))
+  }
 }

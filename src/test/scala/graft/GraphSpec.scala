@@ -206,4 +206,28 @@ class GraphSpec extends SparkSuite {
     assert(total <= n * 1000000L)
     assert(total >= n * 150000L)
   }
+
+  test("linkPrediction: wedge scores, adjacency excluded, hub cap") {
+    // square 1-2-3-4-1 (symmetric): diagonals (1,3) and (2,4) are the
+    // predictions, each with cn=2 through two degree-2 centers ->
+    // ra = 2·(1000 div 2) = 1000; adjacent pairs never appear
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val edges = (sq ++ sq.map(_.swap)).toDF("src", "dst")
+    val out = Graph.linkPrediction(edges)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L, 2L, 1000L), (2L, 4L, 2L, 1000L)))
+    // cap below the centers' degree: every wedge is skipped
+    assert(Graph.linkPrediction(edges, maxCenterDeg = 1L).count() == 0L)
+  }
+
+  test("linkPrediction: milli quantization drops high-degree centers' contribution") {
+    // star center 0 with 3 leaves: each leaf pair shares only center 0
+    // (deg 3) -> cn=1, ra = 1000 div 3 = 333
+    val st = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val edges = (st ++ st.map(_.swap)).toDF("src", "dst")
+    val out = Graph.linkPrediction(edges)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 1L, 333L), (1L, 3L, 1L, 333L),
+      (2L, 3L, 1L, 333L)))
+  }
 }
