@@ -90,5 +90,83 @@ object InferenceQueries {
         .where(col("l_partkey") % 20 === 0)
       val edges = graft.ops.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
       graft.ops.Graph.linkPrediction(edges).where(col("cn") >= 2)
+    },
+
+    // tenant-constrained vector search, PRE-filter form: the label
+    // constraint rides the broadcast join itself, so each query gets
+    // its exact top-5 within its slice and off-slice vectors are never
+    // scored. The float dot is the shared bit-exact kernel
+    QuerySpec("sim_filtered_topk",
+      raw"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+           |           FROM embeddings WHERE vec_id % 100 = 0),
+           |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+           |             list_dot_product(qv, e.embedding) AS score
+           |           FROM q JOIN embeddings e
+           |             ON e.label = ql AND e.vec_id <> query_id)
+           |SELECT query_id, neighbor_id, score, rank FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+           |WHERE rank <= 5""".stripMargin) { (s, d) =>
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      graft.ops.Similarity.filteredTopK(e, e.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", "label", k = 5)
+    },
+
+    // what POST-filtering costs at ~10% selectivity: unfiltered top-20
+    // then keep same-label survivors vs the true filtered top-5. With
+    // m=20 and slice fraction ~0.1 a query keeps ~2 survivors — the
+    // measured recall gap IS the argument for predicate-aware indexes
+    // (or m ≥ k/selectivity) at 100 TB
+    QuerySpec("sim_filtered_recall",
+      raw"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+           |           FROM embeddings WHERE vec_id % 100 = 0),
+           |fsc AS (SELECT query_id, e.vec_id AS neighbor_id,
+           |          list_dot_product(qv, e.embedding) AS score
+           |        FROM q JOIN embeddings e
+           |          ON e.label = ql AND e.vec_id <> query_id),
+           |truth AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, neighbor_id) AS r FROM fsc) WHERE r <= 5),
+           |un AS (SELECT query_id, e.vec_id AS neighbor_id,
+           |         list_dot_product(qv, e.embedding) AS score
+           |       FROM q JOIN embeddings e ON e.vec_id <> query_id),
+           |topm AS (SELECT query_id, neighbor_id, score FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, neighbor_id) AS r FROM un) WHERE r <= 20),
+           |pf AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT t.query_id, t.neighbor_id,
+           |      row_number() OVER (PARTITION BY t.query_id
+           |        ORDER BY t.score DESC, t.neighbor_id) AS r2
+           |    FROM topm t JOIN embeddings e ON e.vec_id = t.neighbor_id
+           |    JOIN q ON q.query_id = t.query_id AND e.label = q.ql)
+           |  WHERE r2 <= 5),
+           |nf AS (SELECT query_id, count(*) AS n_found FROM pf GROUP BY 1)
+           |SELECT t.query_id, count(*) AS k,
+           |  CAST(COALESCE(any_value(nf.n_found), 0) AS BIGINT) AS n_found,
+           |  CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           |  CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS recall
+           |FROM truth t
+           |LEFT JOIN pf p ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+           |LEFT JOIN nf ON nf.query_id = t.query_id
+           |GROUP BY 1""".stripMargin) { (s, d) =>
+      import graft.ops.Similarity
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      val qs = e.where(col("vec_id") % 100 === 0)
+      val truth = Similarity.filteredTopK(e, qs, "vec_id", "embedding", "label", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val post = Similarity.postFilterTopK(e, qs, "vec_id", "embedding", "label",
+        m = 20, k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      val nFound = post.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__nf"))
+      truth.join(post, Seq("query_id", "neighbor_id"), "left")
+        .join(nFound, Seq("query_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"),
+          coalesce(first(col("__nf")), lit(0L)).cast("long").as("n_found"),
+          sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .withColumn("recall",
+          col("n_hit").cast("double") / col("k").cast("double"))
     })
 }

@@ -123,6 +123,59 @@ object Similarity {
   }
 
   /**
+   * Filtered (predicate-constrained) exact top-k: each query searches
+   * only corpus rows sharing its `filterCol` value — the tenant / label
+   * / shard constraint of production vector search. PRE-filter form:
+   * the constraint is part of the broadcast-join condition itself, so
+   * every query gets its true k nearest within its slice, and corpus
+   * rows outside any query's slice are never scored. Cost identical to
+   * [[bruteForceTopK]]; recall exact by construction.
+   */
+  def filteredTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, filterCol: String, k: Int, cosine: Boolean = false): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col(filterCol).as("__qf")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col(filterCol).as("__cf"))
+    val scored = q.join(c,
+        col("__qf") === col("__cf") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", score(col("qv"), col("cv"), cosine))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /**
+   * POST-filter top-k: run the UNfiltered top-`m`, then apply the
+   * constraint and re-cut to `k` — the shape you are forced into when
+   * the ANN index cannot see the predicate (one shared index for all
+   * tenants). Cheaper at index time, recall-lossy at query time: a
+   * query whose slice is a fraction s of the corpus keeps ~s·m
+   * survivors, so with m below k/s some of the true filtered top-k are
+   * simply absent. Pair with [[filteredTopK]] as ground truth to
+   * measure whether m covers YOUR selectivity — that measured trade is
+   * the pre-filter-vs-post-filter decision at 100 TB.
+   */
+  def postFilterTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, filterCol: String, m: Int, k: Int,
+      cosine: Boolean = false): DataFrame = {
+    require(m >= k, s"m ($m) must be >= k ($k)")
+    val top = bruteForceTopK(corpus, queries, idCol, vecCol, m, cosine)
+    val qf = broadcast(queries.select(col(idCol).as("query_id"),
+      col(filterCol).as("__qf")))
+    val cf = corpus.select(col(idCol).as("neighbor_id"), col(filterCol).as("__cf"))
+    val kept = top.join(qf, Seq("query_id")).join(cf, Seq("neighbor_id"))
+      .where(col("__qf") === col("__cf"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    kept.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /**
    * h-bit sign-random-projection bucket id for a float-vector column.
    * Native codegen'd kernel ([[graft.functions.VecOps.lshBucketF]]):
    * hyperplane signs derive from a splitmix64 parity of (plane, dim) —

@@ -28,6 +28,30 @@ class SimilarityTextSpec extends SparkSuite {
     assert(top == Set((2L, 1), (3L, 2))) // 3 vs 4 tie at 0.0 -> lower id
   }
 
+  test("filteredTopK searches only the query's slice; postFilterTopK loses what top-m misses") {
+    // label A: 1 (query), 2, 5; label B: 3, 4 — the B vectors dominate the
+    // unfiltered ranking, so a post-filter over top-2 keeps nothing
+    val lv = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), "A"),
+      (2L, Array(0.5f, 0.0f, 0.0f), "A"),
+      (5L, Array(0.4f, 0.0f, 0.0f), "A"),
+      (3L, Array(0.99f, 0.0f, 0.01f), "B"),
+      (4L, Array(0.98f, 0.0f, 0.02f), "B")
+    ).toDF("vec_id", "embedding", "label")
+    val q = lv.where(col("vec_id") === 1)
+    val truth = Similarity.filteredTopK(lv, q, "vec_id", "embedding", "label", k = 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSet
+    assert(truth == Set((2L, 1), (5L, 2)))
+    assert(Similarity.postFilterTopK(lv, q, "vec_id", "embedding", "label",
+      m = 2, k = 2).count() == 0L)
+    val recovered = Similarity.postFilterTopK(lv, q, "vec_id", "embedding", "label",
+      m = 4, k = 2).select("neighbor_id", "rank").as[(Long, Int)].collect().toSet
+    assert(recovered == truth)
+    intercept[IllegalArgumentException] {
+      Similarity.postFilterTopK(lv, q, "vec_id", "embedding", "label", m = 1, k = 2)
+    }
+  }
+
   test("lshTopK returns a subset of brute-force candidates with exact scores") {
     val brute = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
       .select("query_id", "neighbor_id", "score").as[(Long, Long, Float)].collect().toSet
