@@ -259,6 +259,60 @@ object CurationQueries {
       Retrieval.rrfFuse(lex.select(col("doc_id"), col("rank")), sem, "doc_id", k = 10)
     },
 
+    // pseudo-relevance feedback (RM3-lite): seed BM25 -> top-5 feedback
+    // docs -> their 3 most frequent non-seed sub-40%-df terms at weight
+    // 0.5 -> re-score. The whole expansion loop is IN-PLAN (broadcast
+    // term frames, never a collected list), and scores are micro-int
+    // (per-(doc,term) IEEE double floored, then integer-summed — the
+    // order-free form a data-driven term set requires, since the fixed
+    // per-term float sum of text_bm25 needs build-time terms)
+    QuerySpec("retrieval_prf", {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val seedUnnest = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      // micro score over aliases f (tf), q (df), d (dl), st (corpus stats)
+      val microSql =
+        raw"""CAST(floor((((st.n - q.dfq + 0.5) / (q.dfq + 0.5)) *
+             |      ((f.tf * ${K1 + 1.0d}) / (f.tf + $K1 * (${1.0d - B} + $B * (d.dl / (st.s / st.n))))))
+             |      * 1000000.0) AS BIGINT)""".stripMargin
+      raw"""WITH $tokensCte,
+           |dl AS (SELECT doc_id, CAST($tokenCountSql AS DOUBLE) AS dl FROM documents),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(dl) AS s FROM dl),
+           |tok AS (SELECT doc_id, unnest(t) AS tk FROM tt),
+           |tf1 AS (SELECT doc_id, tk, CAST(count(*) AS DOUBLE) AS tf
+           |        FROM tok WHERE tk IN ($termList) GROUP BY 1, 2),
+           |df1 AS (SELECT tk, CAST(count(*) AS DOUBLE) AS dfq FROM tf1 GROUP BY 1),
+           |sc1 AS (SELECT f.doc_id, $microSql AS micro
+           |        FROM tf1 f JOIN df1 q USING (tk) JOIN dl d USING (doc_id) CROSS JOIN st),
+           |s1 AS (SELECT doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+           |       FROM sc1 GROUP BY 1),
+           |fb AS (SELECT doc_id FROM s1 ORDER BY score_micro DESC, doc_id LIMIT 5),
+           |nd AS (SELECT count(*) AS nd FROM documents),
+           |cdf AS (SELECT tk, count(*) AS dfd
+           |        FROM (SELECT DISTINCT doc_id, tk FROM tok) GROUP BY 1),
+           |cand AS (SELECT tok.tk, count(*) AS cnt FROM tok JOIN fb USING (doc_id)
+           |         WHERE tok.tk NOT IN ($termList) GROUP BY 1),
+           |ex AS (SELECT cand.tk AS term, 500 AS w FROM cand JOIN cdf USING (tk)
+           |       CROSS JOIN nd WHERE cdf.dfd * 1000 <= nd.nd * 400
+           |       ORDER BY cand.cnt DESC, cand.tk LIMIT 3),
+           |terms AS (SELECT unnest([$seedUnnest]) AS term, 1000 AS w
+           |          UNION ALL SELECT term, w FROM ex),
+           |tf2 AS (SELECT doc_id, tk, CAST(count(*) AS DOUBLE) AS tf
+           |        FROM tok WHERE tk IN (SELECT term FROM terms) GROUP BY 1, 2),
+           |df2 AS (SELECT tk, CAST(count(*) AS DOUBLE) AS dfq FROM tf2 GROUP BY 1),
+           |sc2 AS (SELECT f.doc_id, f.tk, $microSql AS micro
+           |        FROM tf2 f JOIN df2 q USING (tk) JOIN dl d USING (doc_id) CROSS JOIN st),
+           |s2 AS (SELECT sc2.doc_id,
+           |         CAST(sum((sc2.micro * t.w) // 1000) AS BIGINT) AS score_micro
+           |       FROM sc2 JOIN terms t ON t.term = sc2.tk GROUP BY 1)
+           |SELECT doc_id, score_micro, rank FROM (
+           |  SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank FROM s2)
+           |WHERE rank <= 10""".stripMargin
+    }) { (s, d) =>
+      Retrieval.prfTopK(docs(s, d), "text", "doc_id", Bm25Terms, k = 10,
+        fbDocs = 5, expTerms = 3, betaMilli = 500, maxDfMilli = 400,
+        k1 = K1, b = B)
+    },
+
     // DSIR-style data selection: score every doc by hashed-bigram
     // affinity to the English subcorpus vs the raw pool, keep the top
     // 25. The log-ratio is replaced by its exact-integer cross-

@@ -168,5 +168,43 @@ object InferenceQueries {
           sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hit"))
         .withColumn("recall",
           col("n_hit").cast("double") / col("k").cast("double"))
+    },
+
+    // autocorrelation of the hourly value series at lags 1-3 h — the
+    // "does this metric have memory / seasonality" number behind
+    // forecast and anomaly baselines. Lagged pairs come from an
+    // EQUI-join on t+lag (never an ordered global window), moments are
+    // exact DECIMAL(38,0), and the only floating step is the one
+    // fixed-shape Pearson expression both engines evaluate identically
+    QuerySpec("events_acf",
+      raw"""WITH hr AS (SELECT epoch_ms(ts) // 3600000 AS t,
+           |              sum(CAST(floor(value * 100) AS BIGINT)) AS h
+           |            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           |            GROUP BY 1),
+           |pr AS (SELECT lg.lag, CAST(a.h AS HUGEINT) AS x, CAST(b.h AS HUGEINT) AS y
+           |       FROM (SELECT unnest([1, 2, 3]) AS lag) lg
+           |       CROSS JOIN hr a JOIN hr b ON b.t = a.t + lg.lag),
+           |m AS (SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           |        sum(x * y) AS sxy, sum(x * x) AS sx2, sum(y * y) AS sy2
+           |      FROM pr GROUP BY 1)
+           |SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+           |  CAST(sx AS VARCHAR) AS sum_x, CAST(sy AS VARCHAR) AS sum_y,
+           |  CAST(sxy AS VARCHAR) AS sum_xy, CAST(sx2 AS VARCHAR) AS sum_x2,
+           |  CAST(sy2 AS VARCHAR) AS sum_y2,
+           |  CAST(n * sxy - sx * sy AS DOUBLE) /
+           |    (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) *
+           |     sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))) AS corr
+           |FROM m""".stripMargin) { (s, d) =>
+      val hourly = OpsQueries.events(s, d)
+        .where(col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(expr("unix_millis(ts) div 3600000").as("t"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("h"))
+      val lagged = hourly.select(col("t").as("ta"), col("h").as("x"))
+        .withColumn("lag", explode(array(lit(1L), lit(2L), lit(3L))))
+      val base = hourly.select(col("t").as("tb"), col("h").as("y"))
+      graft.ops.RobustStats.corrExact(
+        lagged.join(base, col("tb") === col("ta") + col("lag"))
+          .select(col("lag"), col("x"), col("y")),
+        "lag", "x", "y")
     })
 }

@@ -233,4 +233,98 @@ object Retrieval {
     top.withColumn("rank",
       row_number().over(Window.orderBy(col("score").desc, col(idCol))))
   }
+
+  /**
+   * Weighted BM25 with a DATA-driven term set, in exact micro-integers.
+   * [[bm25Scores]] needs its terms at plan-build time because its
+   * deterministic float total relies on a fixed per-term summation
+   * order; a term set that comes out of a DataFrame (query expansion,
+   * learned term weights) can't use that trick. This variant makes the
+   * per-term score order-free instead: the (deterministic-IEEE) double
+   * score is floored to micro-units per (doc, term), weighted in milli
+   * (`(micro · w) div 1000`), and integer-summed — associative, so any
+   * shuffle/merge order yields the same bits, and any ANSI engine
+   * reproduces them. Uses the rational idf core (`logIdf = false`
+   * semantics). Output: (idCol, score_micro); docs matching no term are
+   * absent. `terms`: (term, weight_milli) — small, broadcast.
+   */
+  def bm25MicroWeighted(df: DataFrame, textCol: String, idCol: String,
+      terms: DataFrame, k1: Double = 1.2d, b: Double = 0.75d): DataFrame = {
+    val stats = df.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(TextAnalysis.tokenCount(col(textCol)).cast("double")).as("__s"))
+    val tok = df.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("double").as("__dl"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__t"))
+      .join(broadcast(terms.select(col("term").as("__t"),
+        col("weight_milli").cast("long").as("__w"))), Seq("__t"))
+    val tf = tok.groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).cast("double").as("__tf"),
+        min(col("__dl")).as("__dl"), min(col("__w")).as("__w"))
+    val dfreq = tf.groupBy(col("__t")).agg(count(lit(1)).cast("double").as("__df"))
+    val idf = (col("__n") - col("__df") + lit(0.5d)) / (col("__df") + lit(0.5d))
+    val tfPart = (col("__tf") * lit(k1 + 1.0d)) /
+      (col("__tf") + lit(k1) * (lit(1.0d - b) + lit(b) * (col("__dl") / (col("__s") / col("__n")))))
+    tf.join(broadcast(dfreq), Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__micro", floor((idf * tfPart) * lit(1000000.0d)).cast("long"))
+      .withColumn("__c", expr("(__micro * __w) div 1000"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("score_micro"))
+  }
+
+  /**
+   * Pseudo-relevance feedback (RM3-lite): score the seed terms, take
+   * the top `fbDocs` documents as implicit relevance judgments, mine
+   * their most frequent non-seed terms (capped at a corpus document
+   * frequency of `maxDfMilli`/1000 — boilerplate never becomes an
+   * expansion term), and re-score the corpus with seed terms at weight
+   * 1.0 and the `expTerms` expansion terms at `betaMilli`/1000. The
+   * whole loop is IN-PLAN — expansion terms are a broadcast frame, not
+   * a collected list — and every ranking step is an integer order
+   * (micro scores, term counts), so the expanded query is deterministic
+   * end to end. Feedback and expansion frames are ≤ fbDocs/expTerms
+   * rows; the only corpus-scale work is two scoring passes and one
+   * token-df aggregate. Output: top-`k` (idCol, score_micro, rank).
+   */
+  def prfTopK(df: DataFrame, textCol: String, idCol: String,
+      seedTerms: Seq[String], k: Int, fbDocs: Int = 5, expTerms: Int = 3,
+      betaMilli: Int = 500, maxDfMilli: Int = 400,
+      k1: Double = 1.2d, b: Double = 0.75d): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seedTerms.nonEmpty, "prf needs at least one seed term")
+    require(betaMilli >= 0 && maxDfMilli >= 1 && fbDocs >= 1 && expTerms >= 0,
+      s"bad prf params: beta=$betaMilli maxDf=$maxDfMilli fb=$fbDocs exp=$expTerms")
+    val seedsLc = seedTerms.map(_.toLowerCase)
+    require(seedsLc.distinct.size == seedsLc.size, "duplicate seed terms")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val seedDf = seedsLc.map(t => (t, 1000L)).toDF("term", "weight_milli")
+    val fb = bm25MicroWeighted(df, textCol, idCol, seedDf, k1, b)
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(fbDocs)
+      .select(col(idCol))
+    val nDocs = df.agg(count(lit(1)).as("__nd"))
+    val corpusDf = df.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("__dfd"))
+    val expansion = df.join(broadcast(fb), Seq(idCol))
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .where(!col("term").isin(seedsLc: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("__cnt"))
+      .join(corpusDf, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("__dfd") * 1000 <= col("__nd") * maxDfMilli)
+      .orderBy(col("__cnt").desc, col("term"))
+      .limit(expTerms)
+      .select(col("term"), lit(betaMilli.toLong).as("weight_milli"))
+    val top = bm25MicroWeighted(df, textCol, idCol,
+        seedDf.unionByName(expansion), k1, b)
+      .orderBy(col("score_micro").desc, col(idCol))
+      .limit(k)
+    // window over ≤ k rows — bounded by construction
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score_micro").desc, col(idCol))))
+  }
 }

@@ -85,6 +85,53 @@ class CurationOpsSpec extends SparkSuite {
     assert(ranking(true) == ranking(false))
   }
 
+  test("bm25MicroWeighted matches the static scorer's ranking at weight 1000") {
+    val terms = Seq(("apple", 1000L), ("banana", 1000L)).toDF("term", "weight_milli")
+    val micro = Retrieval.bm25MicroWeighted(corpus, "text", "doc_id", terms)
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    val static = Retrieval.bm25TopK(corpus, "text", "doc_id",
+      Seq("apple", "banana"), k = 4, logIdf = false)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(micro == static)
+    // halving a term's weight halves its (floored) contribution
+    val half = Seq(("apple", 500L)).toDF("term", "weight_milli")
+    val full = Seq(("apple", 1000L)).toDF("term", "weight_milli")
+    val h = Retrieval.bm25MicroWeighted(corpus, "text", "doc_id", half)
+      .as[(Long, Long)].collect().toMap
+    val f = Retrieval.bm25MicroWeighted(corpus, "text", "doc_id", full)
+      .as[(Long, Long)].collect().toMap
+    assert(f.keySet == h.keySet)
+    f.foreach { case (id, s) => assert(h(id) == s * 500 / 1000) }
+  }
+
+  test("prfTopK expands from feedback docs and the expansion shifts the ranking") {
+    // seed 'apple' -> feedback docs 2 and 1; their dominant non-seed term
+    // is 'banana' (from doc 1), which is in 2/5 docs (df 40% cap passes at
+    // exactly the boundary only if < -- use a laxer cap), so doc 3
+    // (banana banana) enters the expanded ranking
+    val five = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple apple"),
+      (3L, "banana banana"),
+      (4L, "durian"),
+      (5L, "elderberry fig")
+    ).toDF("doc_id", "text")
+    val seedOnly = Retrieval.bm25TopK(five, "text", "doc_id", Seq("apple"),
+      k = 5, logIdf = false).select("doc_id").as[Long].collect().toSet
+    assert(!seedOnly.contains(3L))
+    val prf = Retrieval.prfTopK(five, "text", "doc_id", Seq("apple"), k = 5,
+      fbDocs = 2, expTerms = 1, betaMilli = 500, maxDfMilli = 500)
+      .select("doc_id", "rank").as[(Long, Int)].collect()
+    assert(prf.map(_._1).contains(3L))
+    assert(prf.map(_._2).toSeq == (1 to prf.length).toSeq)
+    // zero expansion terms degenerate to the seed ranking
+    val none = Retrieval.prfTopK(five, "text", "doc_id", Seq("apple"), k = 5,
+      fbDocs = 2, expTerms = 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(none == seedOnly)
+  }
+
   // ---------------------------------------------------------- packing
 
   test("rrfFuse combines arms, handles one-arm-only ids, ranks deterministically") {
