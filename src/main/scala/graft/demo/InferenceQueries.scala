@@ -206,5 +206,115 @@ object InferenceQueries {
         lagged.join(base, col("tb") === col("ta") + col("lag"))
           .select(col("lag"), col("x"), col("y")),
         "lag", "x", "y")
+    },
+
+    // ε=1 differentially-private marginal release of per-(lang, source)
+    // doc counts: per-cell discrete-Laplace noise drawn from the 60-bit
+    // md5 of salt:cell (sticky noise — re-running the release answers
+    // identically, spending no extra budget), clamped at 0. The true
+    // counts never leave the query; both engines draw identical noise
+    // from the hardcoded 2^60-scaled CDF thresholds
+    QuerySpec("privacy_dp_release",
+      raw"""WITH c AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+           |h AS (SELECT lang, source, n,
+           |        ('0x' || substr(md5('r11:' || lang || ':' || source), 1, 15))::BIGINT AS hh
+           |      FROM c),
+           |k AS (SELECT lang, source, n,
+           |        CASE WHEN hh < 178729391883036 THEN -8
+           |             WHEN hh < 664566250050231 THEN -7
+           |             WHEN hh < 1985207753201749 THEN -6
+           |             WHEN hh < 5575083553127362 THEN -5
+           |             WHEN hh < 15333377706490033 THEN -4
+           |             WHEN hh < 41859171380333926 THEN -3
+           |             WHEN hh < 113963754309397679 THEN -2
+           |             WHEN hh < 309964331834089956 THEN -1
+           |             WHEN hh < 842749140086939325 THEN 0
+           |             WHEN hh < 1038749717611631602 THEN 1
+           |             WHEN hh < 1110854300540695355 THEN 2
+           |             WHEN hh < 1137380094214539248 THEN 3
+           |             WHEN hh < 1147138388367901919 THEN 4
+           |             WHEN hh < 1150728264167827532 THEN 5
+           |             WHEN hh < 1152048905670979050 THEN 6
+           |             WHEN hh < 1152534742529146245 THEN 7
+           |             ELSE 8 END AS noise
+           |      FROM h)
+           |SELECT lang, source, CAST(greatest(0, n + noise) AS BIGINT) AS n_released
+           |FROM k""".stripMargin) { (s, d) =>
+      graft.ops.Privacy.dpNoisedCounts(
+        s.read.parquet(s"$d/documents.parquet"), Seq("lang", "source"), "r11")
+    },
+
+    // is language mix independent of source? Full contingency audit —
+    // zero cells included via the margin cross join — with exact-milli
+    // expected counts and χ² contributions (integer-summable, so the
+    // total is order-free) and Cramér's V as the one fixed-shape double
+    QuerySpec("quality_cramers_v",
+      raw"""WITH cells AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+           |ra AS (SELECT lang, sum(o) AS rt FROM cells GROUP BY 1),
+           |cb AS (SELECT source, sum(o) AS ct FROM cells GROUP BY 1),
+           |tot AS (SELECT sum(o) AS N, count(DISTINCT lang) AS r,
+           |          count(DISTINCT source) AS c FROM cells),
+           |f AS (SELECT ra.lang, cb.source, COALESCE(cells.o, 0) AS n_obs, ra.rt, cb.ct
+           |      FROM ra CROSS JOIN cb
+           |      LEFT JOIN cells ON cells.lang = ra.lang AND cells.source = cb.source),
+           |e AS (SELECT f.lang, f.source, f.n_obs,
+           |        CAST((CAST(f.rt AS HUGEINT) * f.ct * 1000) // t.N AS BIGINT) AS exp_milli,
+           |        CAST(((CAST(f.n_obs AS HUGEINT) * t.N - CAST(f.rt AS HUGEINT) * f.ct)
+           |          * (CAST(f.n_obs AS HUGEINT) * t.N - CAST(f.rt AS HUGEINT) * f.ct)
+           |          * 1000) // (CAST(t.N AS HUGEINT) * f.rt * f.ct) AS BIGINT) AS contrib_milli
+           |      FROM f CROSS JOIN tot t),
+           |x AS (SELECT CAST(sum(contrib_milli) AS BIGINT) AS chi2_milli FROM e)
+           |SELECT e.lang, e.source, CAST(e.n_obs AS BIGINT) AS n_obs,
+           |  e.exp_milli, e.contrib_milli, x.chi2_milli,
+           |  sqrt(CAST(x.chi2_milli AS DOUBLE) / (1000.0 * CAST(t.N AS DOUBLE)
+           |    * CAST(least(t.r - 1, t.c - 1) AS DOUBLE))) AS cramers_v
+           |FROM e CROSS JOIN x CROSS JOIN tot t""".stripMargin) { (s, d) =>
+      graft.ops.Profiling.cramersV(
+        s.read.parquet(s"$d/documents.parquet"), "lang", "source")
+    },
+
+    // does 2-round label propagation find real structure in the
+    // co-order graph? Per-community Newman modularity in exact micro
+    // (floor-quantized terms over DECIMAL(38,0)) — the evaluation
+    // companion to graph_communities: Q ≈ 0 means the "communities"
+    // are no better than random
+    QuerySpec("graph_modularity",
+      raw"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           |            AND a.l_partkey <> b.l_partkey),
+           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+           |v1 AS (SELECT e.dst, l0.label, count(*) AS cnt
+           |       FROM e JOIN l0 ON l0.node = e.src GROUP BY 1, 2),
+           |l1 AS (SELECT dst AS node, label FROM (
+           |       SELECT dst, label, row_number() OVER (PARTITION BY dst
+           |         ORDER BY cnt DESC, label ASC) AS r FROM v1) WHERE r = 1),
+           |v2 AS (SELECT e.dst, l1.label, count(*) AS cnt
+           |       FROM e JOIN l1 ON l1.node = e.src GROUP BY 1, 2),
+           |l2 AS (SELECT dst AS node, label FROM (
+           |       SELECT dst, label, row_number() OVER (PARTITION BY dst
+           |         ORDER BY cnt DESC, label ASC) AS r FROM v2) WHERE r = 1),
+           |tot AS (SELECT count(*) AS e2 FROM e),
+           |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+           |ds AS (SELECT l.label, sum(d.deg) AS dc, count(*) AS n_nodes
+           |       FROM deg d JOIN l2 l USING (node) GROUP BY 1),
+           |ia AS (SELECT la.label, count(*) AS i2
+           |       FROM e JOIN l2 la ON la.node = e.src JOIN l2 lb ON lb.node = e.dst
+           |       WHERE la.label = lb.label GROUP BY 1)
+           |SELECT CAST(ds.label AS BIGINT) AS label,
+           |  CAST(ds.n_nodes AS BIGINT) AS n_nodes,
+           |  CAST(COALESCE(ia.i2, 0) // 2 AS BIGINT) AS intra_edges,
+           |  CAST(ds.dc AS BIGINT) AS deg_sum,
+           |  CAST((CAST(COALESCE(ia.i2, 0) AS HUGEINT) * 1000000) // t.e2
+           |    - (CAST(ds.dc AS HUGEINT) * ds.dc * 1000000)
+           |      // (CAST(t.e2 AS HUGEINT) * t.e2) AS BIGINT) AS q_micro
+           |FROM ds LEFT JOIN ia USING (label) CROSS JOIN tot t""".stripMargin) { (s, d) =>
+      import graft.ops.Graph
+      // no lineage cut: both cut variants measured SLOWER (6.2 s vs
+      // 4.4 s plain at sf0.1) — the re-executed subtrees here are cheap
+      // joins over one big frame, the shape the kcore lesson says to
+      // leave to Spark's own exchange reuse
+      val edges = Graph.coOccurrenceEdges(
+        s.read.parquet(s"$d/lineitem.parquet"), "l_orderkey", "l_partkey")
+      Graph.modularityMicro(edges, Graph.labelPropagation(edges, iters = 2))
     })
 }

@@ -336,6 +336,42 @@ object Graph {
   }
 
   /**
+   * Newman modularity of a node partition, per community in exact
+   * micro-units — the "did community detection find real structure"
+   * score (Q ≈ 0: no better than random; Q ≳ 0.3: strong communities).
+   * For symmetric distinct edges (|edges| = 2m) and a community with
+   * directed-intra-edge count i2 and degree sum d_c:
+   * `q_micro = (10^6·i2) div 2m − (10^6·d_c²) div (2m)²` — each term
+   * floor-quantized over DECIMAL(38,0), so the per-community rows (and
+   * their sum, the partition's Q) are engine-exact integers. Cost: two
+   * equi-joins of the edge list against the (node, label) frame and
+   * bounded per-label aggregates — no wedges, no windows.
+   * Output: `(label, n_nodes, intra_edges, deg_sum, q_micro)`.
+   */
+  def modularityMicro(edges: DataFrame, partition: DataFrame): DataFrame = {
+    val lbl = partition.select(col("node"), col("label"))
+    val tot = edges.agg(count(lit(1)).as("__e2"))
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("__deg"))
+    val dsum = deg.join(lbl, Seq("node"))
+      .groupBy(col("label")).agg(sum(col("__deg")).as("__dc"),
+        count(lit(1)).as("n_nodes"))
+    val intra = edges
+      .join(lbl.select(col("node").as("src"), col("label").as("__la")), Seq("src"))
+      .join(lbl.select(col("node").as("dst"), col("label").as("__lb")), Seq("dst"))
+      .where(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label")).agg(count(lit(1)).as("__i2"))
+    dsum.join(intra, Seq("label"), "left")
+      .withColumn("__i2", coalesce(col("__i2"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("label"), col("n_nodes"),
+        expr("__i2 div 2").as("intra_edges"), col("__dc").as("deg_sum"),
+        expr("""CAST((CAST(__i2 AS DECIMAL(38,0)) * 1000000) div __e2
+               |  - (CAST(__dc AS DECIMAL(38,0)) * __dc * 1000000)
+               |    div (CAST(__e2 AS DECIMAL(38,0)) * __e2) AS BIGINT)""".stripMargin)
+          .as("q_micro"))
+  }
+
+  /**
    * Link prediction by common neighborhood: for every NON-adjacent pair
    * (a, b) sharing at least one neighbor, the common-neighbor count and
    * the resource-allocation index (Zhou/Lü/Zhang 2009 — like

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -209,5 +209,57 @@ object Privacy {
           sum(coalesce(col("__hit"), lit(0L))).as("n_erased"))
         .select(lit(name).as("table_name"), col("n_rows"), col("n_erased"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Discrete-Laplace(ε=1) CDF thresholds scaled by 2^60 for noise
+    * values −8..+7 (a 60-bit hash at or beyond the last is +8). The
+    * two-sided geometric pmf P(k) ∝ α^|k| with α = e^−1, truncated at
+    * ±8 (tail mass ≈ 1.8e−4 folds into the endpoints). Literals are
+    * mirrored verbatim in the DuckDB oracle. */
+  private val DLapCdf60: Seq[Long] = Seq(
+    178729391883036L, 664566250050231L, 1985207753201749L,
+    5575083553127362L, 15333377706490033L, 41859171380333926L,
+    113963754309397679L, 309964331834089956L, 842749140086939325L,
+    1038749717611631602L, 1110854300540695355L, 1137380094214539248L,
+    1147138388367901919L, 1150728264167827532L, 1152048905670979050L,
+    1152534742529146245L)
+
+  /** Deterministic discrete-Laplace(ε=1) draw in −8..+8 from the 60-bit
+    * md5 of `key` — the "sticky noise" form: the same cell always draws
+    * the same noise, so re-running the release answers identically and
+    * spends no additional privacy budget (memoized-release semantics,
+    * cf. RAPPOR's permanent randomized response). */
+  def discreteLaplace1(key: Column): Column = {
+    val h = conv(substring(md5(key), 1, 15), 16, 10).cast("long")
+    DLapCdf60.zipWithIndex.foldRight(lit(8L): Column) { case ((t, i), rest) =>
+      when(h < lit(t), lit(i.toLong - 8L)).otherwise(rest)
+    }
+  }
+
+  /**
+   * ε=1 differentially-private count release over `keys`: exact cell
+   * counts plus per-cell discrete-Laplace noise seeded by
+   * `salt || ':' || key values` (so distinct releases use distinct
+   * salts — ONE release per salt is the budget contract), clamped at 0
+   * (post-processing, DP-safe). The true counts never appear in the
+   * output. Key values must not contain `':'` (the seed separator) —
+   * enforced in-plan. One groupBy of the fact table; the noise is a
+   * per-group scalar expression over |cells| rows.
+   */
+  def dpNoisedCounts(df: DataFrame, keys: Seq[String], salt: String): DataFrame = {
+    require(keys.nonEmpty, "dpNoisedCounts needs at least one key column")
+    require(!salt.contains(":"), s"salt must not contain ':': '$salt'")
+    val sep = lit(":")
+    val seed = keys.map(col).foldLeft(lit(salt): Column)((acc, k) =>
+      concat(acc, sep,
+        when(k.cast("string").contains(":"),
+          raise_error(concat(lit("dpNoisedCounts: key value contains ':': "),
+            k.cast("string"))))
+          .otherwise(k.cast("string"))))
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .select(keys.map(col) :+
+        greatest(lit(0L), col("__n") + discreteLaplace1(seed))
+          .as("n_released"): _*)
   }
 }

@@ -52,6 +52,47 @@ object Profiling {
    * plausible key cardinality. The two aggregates over the ranked frame
    * reduce to one row each; `tot` is broadcast.
    */
+  /**
+   * Contingency audit of two categorical columns: every (a, b) cell —
+   * ZERO cells included, via a join of the two (small) margin frames —
+   * with its observed count, expected count under independence in
+   * exact milli, and its χ² contribution in exact milli
+   * (`(obs·N − rowTot·colTot)² · 1000 div (N·rowTot·colTot)` over
+   * DECIMAL(38,0) — integer-summable, so the total is order-free), plus
+   * the corpus-level χ² total and Cramér's V (the one double, a single
+   * fixed-shape sqrt both engines round identically). V near 0 ⇒ the
+   * columns are independent — e.g. language mix is uniform across
+   * sources; V near 1 ⇒ one column pins the other, the "this source is
+   * single-language" signal a mixture planner needs. Cost: one fact
+   * scan for the cell counts; margins and totals are cell-frame
+   * aggregates (bounded by category cardinalities).
+   */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("__o"))
+    val ra = cells.groupBy(col(aCol)).agg(sum(col("__o")).as("__rt"))
+    val cb = cells.groupBy(col(bCol)).agg(sum(col("__o")).as("__ct"))
+    val tot = cells.agg(sum(col("__o")).as("__N"),
+      count_distinct(col(aCol)).as("__r"), count_distinct(col(bCol)).as("__c"))
+    val full = ra.crossJoin(cb)
+      .join(cells, Seq(aCol, bCol), "left")
+      .withColumn("n_obs", coalesce(col("__o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("exp_milli",
+        expr("CAST((CAST(__rt AS DECIMAL(38,0)) * __ct * 1000) div __N AS BIGINT)"))
+      .withColumn("contrib_milli",
+        expr("""CAST(((CAST(n_obs AS DECIMAL(38,0)) * __N - CAST(__rt AS DECIMAL(38,0)) * __ct)
+               |  * (CAST(n_obs AS DECIMAL(38,0)) * __N - CAST(__rt AS DECIMAL(38,0)) * __ct)
+               |  * 1000) div (CAST(__N AS DECIMAL(38,0)) * __rt * __ct) AS BIGINT)""".stripMargin))
+    val chi2 = full.agg(sum(col("contrib_milli")).as("chi2_milli")).crossJoin(broadcast(tot))
+      .select(col("chi2_milli"),
+        (sqrt(col("chi2_milli").cast("double") /
+          (lit(1000.0d) * col("__N").cast("double") *
+            least(col("__r") - 1, col("__c") - 1).cast("double")))).as("cramers_v"))
+    full.select(col(aCol), col(bCol), col("n_obs"), col("exp_milli"),
+        col("contrib_milli"))
+      .crossJoin(broadcast(chi2))
+  }
+
   def concentration(df: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "concentration: need at least one key column")
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))

@@ -207,6 +207,23 @@ class GraphSpec extends SparkSuite {
     assert(total >= n * 150000L)
   }
 
+  test("modularityMicro: two triangles + bridge at the textbook value; one-block partition scores 0") {
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4: m = 7, Q = 2·(3/7 − 1/4)
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val part = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L), (6L, 20L))
+      .toDF("node", "label")
+    val q = Graph.modularityMicro(edges, part)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // per community: (1e6·6) div 14 − (1e6·7·7) div 196 = 428571 − 250000
+    assert(q == Set((10L, 3L, 3L, 7L, 178571L), (20L, 3L, 3L, 7L, 178571L)))
+    import org.apache.spark.sql.functions.{col, lit}
+    val one = part.select(col("node"), lit(1L).as("label"))
+    val q1 = Graph.modularityMicro(edges, one)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(q1 == Seq((1L, 6L, 7L, 14L, 0L)))
+  }
+
   test("linkPrediction: wedge scores, adjacency excluded, hub cap") {
     // square 1-2-3-4-1 (symmetric): diagonals (1,3) and (2,4) are the
     // predictions, each with cn=2 through two degree-2 centers ->

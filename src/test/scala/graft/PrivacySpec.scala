@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.ops.Privacy
 
 class PrivacySpec extends SparkSuite {
@@ -110,5 +111,43 @@ class PrivacySpec extends SparkSuite {
       Seq(("facts", facts, "uid")), subjects, "subject")
       .as[(String, Long, Long)].collect().toSeq
     assert(report == Seq(("facts", 4L, 2L)))
+  }
+
+  test("discreteLaplace1: bounded, near-zero-mean, deterministic") {
+    val draws = spark.range(4000)
+      .select(Privacy.discreteLaplace1(col("id").cast("string")).as("k"))
+    val (mn, mx, s) = draws.agg(min("k"), max("k"), sum("k"))
+      .as[(Long, Long, Long)].head()
+    assert(mn >= -8L && mx <= 8L)
+    // E[k] = 0; sd per draw ~1.5, so |sum| over 4000 stays well under 300
+    assert(math.abs(s) < 300L)
+    val again = spark.range(4000)
+      .select(Privacy.discreteLaplace1(col("id").cast("string")).as("k"))
+      .agg(sum("k")).as[Long].head()
+    assert(again == s)
+  }
+
+  test("dpNoisedCounts: within the noise bound, clamped at zero, true counts absent") {
+    val rows = (1 to 200).map(i => ("g" + (i % 4), i)) ++ Seq(("tiny", 0))
+    val df = rows.toDF("g", "v").repartition(5)
+    val released = Privacy.dpNoisedCounts(df, Seq("g"), "s1")
+      .as[(String, Long)].collect().toMap
+    val truth = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(released.keySet == truth.keySet)
+    released.foreach { case (g, n) =>
+      assert(n >= 0L && math.abs(n - truth(g)) <= 8L, s"$g: $n vs ${truth(g)}")
+    }
+    // a different salt is a different release (very likely some cell moves)
+    val other = Privacy.dpNoisedCounts(df, Seq("g"), "s2")
+      .as[(String, Long)].collect().toMap
+    assert(released != other || released == truth)
+    // ':' inside a key value poisons the seed -> in-plan raise
+    val bad = Seq(("a:b", 1)).toDF("g", "v")
+    intercept[Exception] {
+      Privacy.dpNoisedCounts(bad, Seq("g"), "s1").collect()
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.dpNoisedCounts(df, Seq("g"), "bad:salt")
+    }
   }
 }

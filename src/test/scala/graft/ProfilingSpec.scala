@@ -47,4 +47,22 @@ class ProfilingSpec extends SparkSuite {
     val df = (1 to 10).flatMap(i => Seq.fill(i)(f"k$i%02d")).toDF("k")
     assert(concRow(df) == ((10L, 55L, 300L, 181L, 181L)))
   }
+
+  test("cramersV: perfect dependence scores 1, independence scores 0, zero cells appear") {
+    // perfect: a determines b, 2x2, balanced
+    val dep = (Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("y", "q")))
+      .toDF("a", "b")
+    val depRows = Profiling.cramersV(dep, "a", "b").collect()
+    assert(depRows.length == 4) // 2x2 including the two zero cells
+    assert(depRows.forall(r => r.getAs[Double]("cramers_v") == 1.0))
+    val zeros = depRows.filter(_.getAs[Long]("n_obs") == 0L)
+    assert(zeros.length == 2 && zeros.forall(_.getAs[Long]("exp_milli") == 5000L))
+    // independence: every (a, b) combination equally likely
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 5 }
+      yield (a, b)).toDF("a", "b")
+    val indRows = Profiling.cramersV(ind, "a", "b").collect()
+    assert(indRows.forall(r => r.getAs[Double]("cramers_v") == 0.0))
+    assert(indRows.forall(r => r.getAs[Long]("contrib_milli") == 0L))
+    assert(indRows.forall(r => r.getAs[Long]("exp_milli") == 5000L))
+  }
 }
