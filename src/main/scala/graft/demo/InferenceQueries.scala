@@ -316,5 +316,107 @@ object InferenceQueries {
       val edges = Graph.coOccurrenceEdges(
         s.read.parquet(s"$d/lineitem.parquet"), "l_orderkey", "l_partkey")
       Graph.modularityMicro(edges, Graph.labelPropagation(edges, iters = 2))
+    },
+
+    // what each successive BPE merge buys: corpus chars-per-subtoken in
+    // exact milli under the first k ∈ 0..3 merges of the learned list.
+    // Monotone nondecreasing by construction (a merge can only shrink
+    // the subtoken count) — the curve is the "is a bigger vocab worth
+    // it" evidence. Four segmentation passes, each a pure columnar
+    // regex pipeline; no shuffle beyond one tiny aggregate per k
+    QuerySpec("vocab_compression_curve", {
+      val merges = Seq(("e", "r"), ("i", "n"), ("s", "t"))
+      val base = raw"' ' || array_to_string(string_split(w, ''), ' ') || ' '"
+      def segAt(k: Int) = merges.take(k).foldLeft(base) { case (c, (a, b)) =>
+        s"regexp_replace(regexp_replace($c, ' $a $b ', ' $a$b ', 'g'), ' $a $b ', ' $a$b ', 'g')"
+      }
+      val arms = (0 to 3).map { k =>
+        raw"""SELECT $k AS k, CAST(sum(length(w)) AS BIGINT) AS n_chars,
+             |  CAST(sum(len(string_split(trim(${segAt(k)}), ' '))) AS BIGINT) AS n_subtokens
+             |FROM w""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |          ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |w AS (SELECT unnest(t) AS w FROM tt),
+           |c AS ($arms)
+           |SELECT k, n_chars, n_subtokens,
+           |  CAST((n_chars * 1000) // n_subtokens AS BIGINT) AS compression_milli
+           |FROM c""".stripMargin
+    }) { (s, d) =>
+      val merges = Seq(("e", "r"), ("i", "n"), ("s", "t"))
+      val dd = s.read.parquet(s"$d/documents.parquet")
+      (0 to 3).map { k =>
+        graft.ops.Vocab.subtokenStats(dd, "text", "doc_id", merges.take(k))
+          .agg(sum(col("n_chars")).as("n_chars"),
+            sum(col("n_subtokens")).as("n_subtokens"))
+          .select(lit(k.toLong).as("k"), col("n_chars"), col("n_subtokens"),
+            expr("(n_chars * 1000) div n_subtokens").as("compression_milli"))
+      }.reduce(_ unionByName _)
+    },
+
+    // forecast backtest without a model registry: per event type, how
+    // well do the naive (t−1 h) and seasonal-naive (t−24 h) forecasts
+    // predict the hourly cent series? MAE/bias exact in cents; sMAPE
+    // per-term-quantized milli (each term an integer div, so the sums
+    // are order-free). The lagged pairs ride equi-joins on t+lag —
+    // the same no-global-window discipline as events_acf
+    QuerySpec("events_forecast_backtest",
+      raw"""WITH hr AS (SELECT event_type, epoch_ms(ts) // 3600000 AS t,
+           |              sum(CAST(floor(value * 100) AS BIGINT)) AS s
+           |            FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+           |            GROUP BY 1, 2),
+           |pr AS (SELECT lg.lag, a.event_type, a.s AS actual, b.s AS fc
+           |       FROM (SELECT unnest([1, 24]) AS lag) lg
+           |       CROSS JOIN hr a JOIN hr b ON b.event_type = a.event_type
+           |        AND a.t = b.t + lg.lag)
+           |SELECT event_type, CAST(lag AS BIGINT) AS lag,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  CAST((1000 * sum(abs(fc - actual))) // count(*) AS BIGINT) AS mae_milli_cents,
+           |  CAST(sum(fc - actual) AS BIGINT) AS bias_cents,
+           |  CAST(sum((2000 * abs(fc - actual)) // (fc + actual)) // count(*) AS BIGINT)
+           |    AS smape_milli
+           |FROM pr GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val hourly = OpsQueries.events(s, d)
+        .where(col("value").isNotNull && col("ts").isNotNull)
+        .groupBy(col("event_type"), expr("unix_millis(ts) div 3600000").as("t"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("s"))
+      val actual = hourly.select(col("event_type"), col("t").as("ta"),
+          col("s").as("actual"))
+        .withColumn("lag", explode(array(lit(1L), lit(24L))))
+      val fc = hourly.select(col("event_type"), col("t").as("tb"),
+        col("s").as("fc"))
+      actual.join(fc, Seq("event_type"))
+        .where(col("ta") === col("tb") + col("lag"))
+        .groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n"),
+          expr("(1000 * sum(abs(fc - actual))) div count(1)").cast("long")
+            .as("mae_milli_cents"),
+          sum(col("fc") - col("actual")).as("bias_cents"),
+          expr("sum((2000 * abs(fc - actual)) div (fc + actual)) div count(1)")
+            .cast("long").as("smape_milli"))
+    },
+
+    // shard planning for the media corpus: per-media byte inventories
+    // packed into ~16 KiB output shards by cumulative quota in id order
+    // (order-preserving). The Spark side rides the distributed
+    // partition-offset prefix sum — no whole-inventory single-task
+    // window; the oracle is the plain window form over the same order
+    QuerySpec("mm_pack_shards",
+      raw"""WITH u AS (SELECT doc_id AS media_id,
+           |             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+           |                  ELSE 'video' END AS media_type,
+           |             strlen(text) AS bytes
+           |           FROM documents)
+           |SELECT media_id, media_type, CAST(bytes AS BIGINT) AS bytes,
+           |  CAST((sum(bytes) OVER (ORDER BY media_id
+           |          ROWS UNBOUNDED PRECEDING) - bytes) // 16384 AS BIGINT) AS shard
+           |FROM u""".stripMargin) { (s, d) =>
+      val units = graft.ops.Multimodal.syntheticMedia(
+          s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")
+        .select(col("media_id"), col("media_type"),
+          col("n_bytes").cast("long").as("bytes"))
+      graft.ops.Layout.compactionPlan(units, Seq(col("media_id")), "bytes",
+          targetBytes = 16384L)
+        .withColumnRenamed("bin", "shard")
     })
 }

@@ -345,6 +345,20 @@ class CurationOpsSpec extends SparkSuite {
     assert(!st.contains(2L), "empty doc drops out")
   }
 
+  test("BPE compression is monotone in the merge-list prefix; zero merges = chars") {
+    import graft.ops.Vocab
+    val docs = Seq((1L, "erin erst rest stern")).toDF("doc_id", "text")
+    val merges = Seq(("e", "r"), ("i", "n"), ("s", "t"))
+    val subtoks = (0 to 3).map { k =>
+      Vocab.subtokenStats(docs, "text", "doc_id", merges.take(k))
+        .agg(sum(col("n_subtokens"))).as[Long].head()
+    }
+    // k=0: every char its own subtoken (17 chars); each merge only shrinks
+    assert(subtoks.head == 17L)
+    assert(subtoks.zip(subtoks.tail).forall { case (a, b) => b <= a })
+    assert(subtoks.last < subtoks.head)
+  }
+
   test("packByBudget assigns chunk of first token; oversize docs straddle") {
     val df = Seq((1L, 3L), (2L, 20L), (3L, 4L)).toDF("id", "w")
       .withColumn("g", lit("x"))
