@@ -418,5 +418,106 @@ object InferenceQueries {
       graft.ops.Layout.compactionPlan(units, Seq(col("media_id")), "bytes",
           targetBytes = 16384L)
         .withColumnRenamed("bin", "shard")
+    },
+
+    // experiment analysis harness: users deterministically hash-split
+    // into arms A/B (60-bit md5 parity — the same gate every sampler
+    // here uses), per-arm view→purchase conversion in exact counts and
+    // milli rates, and the pooled two-proportion z statistic as ONE
+    // fixed-shape double over those exact integers. On a pure hash
+    // split z should hover near 0 — the null calibration an experiment
+    // pipeline must pass before anyone trusts its positives
+    QuerySpec("events_ab_test",
+      raw"""WITH u AS (SELECT user_id,
+           |             CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           |                     > sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           |                  THEN 1 ELSE 0 END AS conv
+           |           FROM events GROUP BY 1),
+           |a AS (SELECT CASE WHEN ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2 = 0
+           |               THEN 'A' ELSE 'B' END AS arm, conv
+           |      FROM u),
+           |g AS (SELECT
+           |        sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS n_a,
+           |        sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS conv_a,
+           |        sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS n_b,
+           |        sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS conv_b
+           |      FROM a)
+           |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+           |  CAST((conv_a * 1000) // n_a AS BIGINT) AS rate_a_milli,
+           |  CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+           |  CAST((conv_b * 1000) // n_b AS BIGINT) AS rate_b_milli,
+           |  CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+           |    (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+           |      - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+           |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+           |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+           |  END AS z
+           |FROM g""".stripMargin) { (s, d) =>
+      val users = OpsQueries.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(when(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+            sum(when(col("event_type") === "error", 1L).otherwise(0L)), 1L)
+          .otherwise(0L).as("conv"))
+        .withColumn("arm",
+          when(conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 2 === 0, "A").otherwise("B"))
+      val g = users.agg(
+        sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "A", col("conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === "B", col("conv")).otherwise(0L)).as("conv_b"))
+      val pool = col("conv_a").cast("double").plus(col("conv_b").cast("double")) /
+        col("n_a").cast("double").plus(col("n_b").cast("double"))
+      g.select(col("n_a"), col("conv_a"),
+        expr("(conv_a * 1000) div n_a").as("rate_a_milli"),
+        col("n_b"), col("conv_b"),
+        expr("(conv_b * 1000) div n_b").as("rate_b_milli"),
+        // z is undefined at pooled p ∈ {0, 1} (and ANSI raises on the
+        // double 0-division DuckDB would turn into inf) — emit NULL
+        when(col("conv_a") + col("conv_b") > 0 &&
+            col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
+          (col("conv_a").cast("double") / col("n_a").cast("double")
+            - col("conv_b").cast("double") / col("n_b").cast("double"))
+            / sqrt(pool * (lit(1.0d) - pool)
+              * (lit(1.0d) / col("n_a").cast("double")
+                + lit(1.0d) / col("n_b").cast("double")))).as("z"))
+    },
+
+    // degree assortativity of the co-order graph: Pearson correlation
+    // of endpoint degrees over every directed edge (Newman 2002) — do
+    // hubs link to hubs (assortative, > 0) or to leaves (dissortative,
+    // < 0)? Exact DECIMAL(38,0) moments via corrExact; two broadcast-
+    // friendly degree joins, no windows
+    QuerySpec("graph_assortativity",
+      raw"""WITH e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+           |      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           |       AND a.l_partkey <> b.l_partkey
+           |      GROUP BY 1, 2),
+           |dg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+           |p AS (SELECT CAST(da.deg AS HUGEINT) AS x, CAST(db.deg AS HUGEINT) AS y
+           |      FROM e JOIN dg da ON da.node = e.src JOIN dg db ON db.node = e.dst),
+           |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           |        sum(x * y) AS sxy, sum(x * x) AS sx2, sum(y * y) AS sy2
+           |      FROM p)
+           |SELECT 'part_coorder' AS graph, CAST(n AS BIGINT) AS n,
+           |  CAST(sx AS VARCHAR) AS sum_x, CAST(sy AS VARCHAR) AS sum_y,
+           |  CAST(sxy AS VARCHAR) AS sum_xy, CAST(sx2 AS VARCHAR) AS sum_x2,
+           |  CAST(sy2 AS VARCHAR) AS sum_y2,
+           |  CAST(n * sxy - sx * sy AS DOUBLE) /
+           |    (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) *
+           |     sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))) AS corr
+           |FROM m""".stripMargin) { (s, d) =>
+      import graft.ops.Graph
+      val edges = Graph.coOccurrenceEdges(
+        s.read.parquet(s"$d/lineitem.parquet"), "l_orderkey", "l_partkey")
+      val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val pairs = edges
+        .join(deg.select(col("node").as("src"), col("deg").as("x")), Seq("src"))
+        .join(deg.select(col("node").as("dst"), col("deg").as("y")), Seq("dst"))
+        .withColumn("graph", lit("part_coorder"))
+      graft.ops.RobustStats.corrExact(pairs.select(col("graph"), col("x"), col("y")),
+        "graph", "x", "y")
     })
 }
