@@ -3652,5 +3652,145 @@ object EntityQueries {
           expr("""cast(case when raw_cents = 0 then 0
                  |  else (decayed_cents_x16 * 1000) div (raw_cents * 16)
                  |  end as bigint)""".stripMargin).as("recency_milli"))
+    },
+
+    // Merkle drill-down over the recon_anti_entropy scenario: 16 coarse
+    // × 16 fine buckets; the coarse level is DERIVED from the fine
+    // digest table (parent digest = sum of child digests — one extra
+    // bucket-sized aggregation, not a second scan), coarse digests are
+    // compared first, and only fine buckets under divergent parents are
+    // exchanged — O(coarse + divergence) rows on the wire where a flat
+    // compare ships every bucket. Output: the divergent fine buckets
+    QuerySpec("recon_merkle_localize", {
+      def enc(e: String) =
+        s"(CASE WHEN $e IS NULL THEN 'N' ELSE 'V' || CAST(length($e) AS VARCHAR) || ':' || $e END)"
+      val keyCanon = enc("CAST(o_orderkey AS VARCHAR)")
+      val rowCanon = s"${enc("CAST(o_orderkey AS VARCHAR)")} || ${enc("o_orderstatus")} || ${enc("o_orderpriority")}"
+      def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+      def fineCte(src: String, name: String) =
+        s"""$name AS (SELECT ${h60(keyCanon)} % 256 AS fine,
+           |         count(*) AS n_rows,
+           |         sum(CAST(${h60(rowCanon)} AS DECIMAL(38,0))) AS digest
+           |       FROM $src GROUP BY 1)""".stripMargin
+      raw"""WITH a0 AS (SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders),
+           |b0 AS (SELECT o_orderkey, o_orderstatus,
+           |         CASE WHEN o_orderkey % 89 = 0 THEN '9-CORRUPT'
+           |              ELSE o_orderpriority END AS o_orderpriority
+           |       FROM orders WHERE o_orderkey % 97 <> 0),
+           |${fineCte("a0", "fa")},
+           |${fineCte("b0", "fb")},
+           |ca AS (SELECT fine // 16 AS coarse, sum(n_rows) AS n_rows,
+           |         sum(digest) AS digest FROM fa GROUP BY 1),
+           |cb AS (SELECT fine // 16 AS coarse, sum(n_rows) AS n_rows,
+           |         sum(digest) AS digest FROM fb GROUP BY 1),
+           |divc AS (SELECT COALESCE(ca.coarse, cb.coarse) AS coarse
+           |         FROM ca FULL OUTER JOIN cb ON ca.coarse = cb.coarse
+           |         WHERE ca.coarse IS NULL OR cb.coarse IS NULL
+           |            OR ca.digest <> cb.digest OR ca.n_rows <> cb.n_rows),
+           |ra AS (SELECT fine // 16 AS coarse, fine, n_rows, digest FROM fa
+           |       WHERE fine // 16 IN (SELECT coarse FROM divc)),
+           |rb AS (SELECT fine // 16 AS coarse, fine, n_rows, digest FROM fb
+           |       WHERE fine // 16 IN (SELECT coarse FROM divc))
+           |SELECT COALESCE(ra.coarse, rb.coarse) AS coarse,
+           |  COALESCE(ra.fine, rb.fine) AS fine,
+           |  CAST(ra.n_rows AS BIGINT) AS n_a, CAST(rb.n_rows AS BIGINT) AS n_b,
+           |  CASE WHEN ra.fine IS NULL THEN 'missing_a'
+           |       WHEN rb.fine IS NULL THEN 'missing_b'
+           |       WHEN ra.digest <> rb.digest OR ra.n_rows <> rb.n_rows
+           |         THEN 'mismatch' END AS status
+           |FROM ra FULL OUTER JOIN rb ON ra.fine = rb.fine
+           |WHERE ra.fine IS NULL OR rb.fine IS NULL
+           |   OR ra.digest <> rb.digest OR ra.n_rows <> rb.n_rows""".stripMargin
+    }) { (s, d) =>
+      val base = s.read.parquet(s"$d/orders.parquet")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      val replica = base.where(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 89 === 0, lit("9-CORRUPT"))
+            .otherwise(col("o_orderpriority")))
+      graft.ops.AntiEntropy.localizeTwoLevel(base, replica, Seq("o_orderkey"),
+        Seq("o_orderkey", "o_orderstatus", "o_orderpriority"),
+        nCoarse = 16, nFine = 16)
+    },
+
+    // LSH banding planner evaluated on the corpus's OWN near-dup
+    // population: for each way of splitting a 16-slot MinHash signature
+    // into (bands × rows), the expected number of the true Jaccard ≥
+    // 0.5 pairs (from the exact prefix-filter join) the banding would
+    // catch — Σ over pairs of the S-curve 1−(1−s^r)^b in exact
+    // fixed-point milli (unrolled floor-multiplies, no pow). ONE pass
+    // over the pair set computes all four configs' sums; the chart
+    // picks the banding before anyone reshards a 100 TB signature table
+    QuerySpec("dedup_lsh_planner", {
+      def curve(r: Int, b: Int) =
+        graft.ops.SetSimilarity.sCurveDetectMilliSql("jac_milli", r, b)
+      jaccardPairsCte(500) + raw""",
+           |agg AS (SELECT count(*) AS np,
+           |          sum(${curve(2, 8)}) AS s1, sum(${curve(4, 4)}) AS s2,
+           |          sum(${curve(8, 2)}) AS s3, sum(${curve(16, 1)}) AS s4
+           |        FROM pr)
+           |SELECT CAST(c.r AS BIGINT) AS rows_per_band,
+           |  CAST(c.b AS BIGINT) AS bands,
+           |  CAST(np AS BIGINT) AS n_pairs,
+           |  CAST(CASE c.i WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3
+           |       ELSE s4 END AS BIGINT) AS detect_sum_milli,
+           |  CAST((CASE c.i WHEN 1 THEN s1 WHEN 2 THEN s2 WHEN 3 THEN s3
+           |       ELSE s4 END) // NULLIF(np, 0) AS BIGINT) AS detect_mean_milli
+           |FROM agg CROSS JOIN (VALUES (1, 2, 8), (2, 4, 4), (3, 8, 2),
+           |  (4, 16, 1)) AS c(i, r, b)""".stripMargin
+    }) { (s, d) =>
+      import graft.ops.SetSimilarity
+      val pairs = SetSimilarity.jaccardPrefixJoin(
+        docs(s, d), "text", "doc_id", shingleN = 3, tMilli = 500)
+      val agg = pairs.agg(count(lit(1)).as("np"),
+        sum(SetSimilarity.sCurveDetectMilli(col("jac_milli"), 2, 8)).as("s1"),
+        sum(SetSimilarity.sCurveDetectMilli(col("jac_milli"), 4, 4)).as("s2"),
+        sum(SetSimilarity.sCurveDetectMilli(col("jac_milli"), 8, 2)).as("s3"),
+        sum(SetSimilarity.sCurveDetectMilli(col("jac_milli"), 16, 1)).as("s4"))
+      agg.selectExpr("np",
+          "stack(4, 2L, 8L, s1, 4L, 4L, s2, 8L, 2L, s3, 16L, 1L, s4) " +
+            "as (rows_per_band, bands, detect_sum_milli)")
+        .select(col("rows_per_band"), col("bands"), col("np").as("n_pairs"),
+          col("detect_sum_milli"),
+          when(col("np") === 0L, lit(null).cast("long"))
+            .otherwise(expr("detect_sum_milli div np")).as("detect_mean_milli"))
+    },
+
+    // quality_join_blowup's SKETCH twin: the same self-join cardinality
+    // F2 = Σ n² estimated from the CMS inner product (AMS sketches;
+    // Cormode & Muthukrishnan 2005 §4.2) — min over hash rows of
+    // Σ_bucket cnt², a guaranteed OVER-estimate that needs only
+    // d·w = 1024 counters where the exact answer needs the full
+    // key-frequency table. At 100 TB the two join sides exchange
+    // kilobytes and the planner decides broadcast/salt/walk-away
+    // without scanning either table at decision time; the exact Σ n²
+    // here prices the estimate's slack (over_milli ≥ 1000 always)
+    QuerySpec("quality_join_size_sketch", {
+      def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+      raw"""WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS v FROM lineitem),
+           |c AS (SELECT v, count(*) AS n FROM k GROUP BY 1),
+           |ex AS (SELECT sum(CAST(n AS HUGEINT) * n) AS f2 FROM c),
+           |sk AS (SELECT t.r AS r,
+           |         ${h60("CAST(t.r AS VARCHAR) || ':' || v")} % 256 AS bucket,
+           |         count(*) AS cnt
+           |       FROM k CROSS JOIN range(0, 4) t(r) GROUP BY 1, 2),
+           |dot AS (SELECT r, sum(CAST(cnt AS HUGEINT) * cnt) AS dot
+           |        FROM sk GROUP BY 1),
+           |est AS (SELECT min(dot) AS est FROM dot)
+           |SELECT CAST(ex.f2 AS BIGINT) AS exact_f2,
+           |  CAST(est.est AS BIGINT) AS est_f2,
+           |  CAST(est.est * 1000 // ex.f2 AS BIGINT) AS over_milli
+           |FROM ex CROSS JOIN est""".stripMargin
+    }) { (s, d) =>
+      import graft.ops.Sketches
+      val keys = lineitem(s, d).select(col("l_partkey").cast("string").as("v"))
+      val exact = keys.groupBy(col("v")).agg(count(lit(1)).as("n"))
+        .agg(sum((col("n") * col("n"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("f2"))
+      val sketch = Sketches.cmsSketch(keys, col("v"), d = 4, w = 256)
+      exact.crossJoin(Sketches.cmsJoinSizeEstimate(sketch, sketch))
+        .select(col("f2").cast("long").as("exact_f2"),
+          col("est").cast("long").as("est_f2"),
+          expr("cast((est * 1000) div f2 as bigint)").as("over_milli"))
     })
 }

@@ -519,5 +519,255 @@ object InferenceQueries {
         .withColumn("graph", lit("part_coorder"))
       graft.ops.RobustStats.corrExact(pairs.select(col("graph"), col("x"), col("y")),
         "graph", "x", "y")
+    },
+
+    // CUPED variance reduction (Deng et al. 2013): pre-period spend as
+    // the covariate for post-period spend, split at the global
+    // mid-timestamp. theta / corr / var_reduction from the five exact
+    // DECIMAL moments; the three doubles are fixed-shape expressions
+    // (division + correctly-rounded sqrt only), so the readout —
+    // "adjusting by history removes corr² of the metric's variance" —
+    // is bit-identical cross-engine. Shuffles: one groupBy(user), one
+    // global five-sum aggregate; the mid-split scalar rides a
+    // broadcast, never a collect
+    QuerySpec("events_cuped",
+      raw"""WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+           |            CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+           |bnd AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+           |u AS (SELECT user_id,
+           |        sum(CASE WHEN us <= mid THEN cents ELSE 0 END) AS x,
+           |        sum(CASE WHEN us > mid THEN cents ELSE 0 END) AS y
+           |      FROM e CROSS JOIN bnd GROUP BY 1),
+           |m AS (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS sx,
+           |        sum(CAST(y AS HUGEINT)) AS sy,
+           |        sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+           |        sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sx2,
+           |        sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS sy2
+           |      FROM u),
+           |c AS (SELECT 'spend' AS metric, CAST(n AS BIGINT) AS n,
+           |        CAST(sx AS VARCHAR) AS sum_x, CAST(sy AS VARCHAR) AS sum_y,
+           |        CAST(sxy AS VARCHAR) AS sum_xy, CAST(sx2 AS VARCHAR) AS sum_x2,
+           |        CAST(sy2 AS VARCHAR) AS sum_y2,
+           |        CAST(n * sxy - sx * sy AS DOUBLE) /
+           |          (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) *
+           |           sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))) AS corr,
+           |        CASE WHEN n * sx2 - sx * sx = 0 THEN CAST('nan' AS DOUBLE)
+           |             ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+           |                  CAST(n * sx2 - sx * sx AS DOUBLE) END AS theta
+           |      FROM m)
+           |SELECT metric, n, sum_x, sum_y, sum_xy, sum_x2, sum_y2, corr, theta,
+           |  CASE WHEN isnan(corr) THEN CAST('nan' AS DOUBLE)
+           |       ELSE corr * corr END AS var_reduction
+           |FROM c""".stripMargin) { (s, d) =>
+      val e = OpsQueries.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val bnd = e.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val u = e.crossJoin(broadcast(bnd))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("us") <= col("mid"), col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("us") > col("mid"), col("cents")).otherwise(0L)).as("y"))
+        .withColumn("metric", lit("spend"))
+      graft.ops.RobustStats.cupedExact(u, "metric", "x", "y")
+    },
+
+    // reliability diagram for a behavioral score: pre-period purchase
+    // propensity (milli rate) as the prediction, any post-period
+    // purchase as the outcome; per score decile the exact mean
+    // prediction, the realized rate, and the gap — the calibration
+    // audit a ranking/propensity pipeline publishes before anyone
+    // thresholds on its scores. Only users OBSERVED in the pre period
+    // are scored (a score can't be computed for the rest); a missing
+    // post period reads as label 0. All arithmetic is integer milli
+    QuerySpec("events_calibration",
+      raw"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+           |bnd AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+           |pre AS (SELECT user_id,
+           |          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+           |          count(*) AS n
+           |        FROM e CROSS JOIN bnd WHERE us <= mid GROUP BY 1),
+           |post AS (SELECT user_id,
+           |           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS label
+           |         FROM e CROSS JOIN bnd WHERE us > mid GROUP BY 1),
+           |sc AS (SELECT pre.user_id, (pre.p * 1000) // pre.n AS score,
+           |         COALESCE(post.label, 0) AS label
+           |       FROM pre LEFT JOIN post USING (user_id)),
+           |g AS (SELECT least(score // 100, 9) AS bin, count(*) AS n_users,
+           |        sum(score) AS sum_score, sum(label) AS n_pos
+           |      FROM sc GROUP BY 1)
+           |SELECT CAST(bin AS BIGINT) AS bin, CAST(n_users AS BIGINT) AS n_users,
+           |  CAST(sum_score // n_users AS BIGINT) AS mean_score_milli,
+           |  CAST((n_pos * 1000) // n_users AS BIGINT) AS actual_milli,
+           |  CAST(abs(sum_score // n_users - (n_pos * 1000) // n_users) AS BIGINT)
+           |    AS gap_milli
+           |FROM g""".stripMargin) { (s, d) =>
+      val e = OpsQueries.events(s, d)
+        .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("us"))
+      val bnd = e.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val withMid = e.crossJoin(broadcast(bnd))
+      val pre = withMid.where(col("us") <= col("mid"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"),
+          count(lit(1)).as("n"))
+      val post = withMid.where(col("us") > col("mid"))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
+      pre.join(post, Seq("user_id"), "left")
+        .select(col("user_id"), expr("(p * 1000) div n").as("score"),
+          coalesce(col("label"), lit(0L)).as("label"))
+        .groupBy(least(expr("score div 100"), lit(9L)).as("bin"))
+        .agg(count(lit(1)).as("n_users"), sum(col("score")).as("sum_score"),
+          sum(col("label")).as("n_pos"))
+        .select(col("bin"), col("n_users"),
+          expr("sum_score div n_users").as("mean_score_milli"),
+          expr("(n_pos * 1000) div n_users").as("actual_milli"),
+          abs(expr("sum_score div n_users") - expr("(n_pos * 1000) div n_users"))
+            .as("gap_milli"))
+    },
+
+    // out-of-orderness audit — the number a watermark is chosen FROM.
+    // The raw stream is time-ordered (event_id follows ts), so the
+    // audit models the ingest path that actually reorders it: a
+    // 4-shard source (shard = user_id % 4) merged in 256-event
+    // batches, each batch drained shard by shard — the Kafka-
+    // partition-merge arrival order. Per event: how far behind the
+    // merged batch's running max event-time it lands; bucketed counts
+    // + max lateness per bucket. 'on_time' is the watermark-safe
+    // mass; the ge_1h tail is what a tight watermark would drop. The
+    // window partitions per batch (bounded at 256 rows), never
+    // globally
+    QuerySpec("events_disorder_profile",
+      raw"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+           |s AS (SELECT ms, event_id, event_id // 256 AS batch,
+           |        user_id % 4 AS shard FROM e),
+           |w AS (SELECT ms,
+           |        max(ms) OVER (PARTITION BY batch ORDER BY shard, event_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+           |      FROM s),
+           |l AS (SELECT CASE WHEN prev_max IS NULL OR prev_max <= ms THEN 0
+           |             ELSE prev_max - ms END AS late_ms FROM w)
+           |SELECT CASE WHEN late_ms = 0 THEN 'on_time'
+           |            WHEN late_ms < 60000 THEN 'lt_1m'
+           |            WHEN late_ms < 600000 THEN 'lt_10m'
+           |            WHEN late_ms < 3600000 THEN 'lt_1h'
+           |            ELSE 'ge_1h' END AS bucket,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(max(late_ms) AS BIGINT) AS max_late_ms
+           |FROM l GROUP BY 1""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("batch")).orderBy(col("shard"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      OpsQueries.events(s, d)
+        .select(expr("unix_millis(ts)").as("ms"), col("event_id"),
+          expr("event_id div 256").as("batch"),
+          (col("user_id") % 4).as("shard"))
+        .withColumn("prev_max", max(col("ms")).over(w))
+        .select(when(col("prev_max").isNull || col("prev_max") <= col("ms"), 0L)
+          .otherwise(col("prev_max") - col("ms")).as("late_ms"))
+        .groupBy(when(col("late_ms") === 0L, "on_time")
+          .when(col("late_ms") < 60000L, "lt_1m")
+          .when(col("late_ms") < 600000L, "lt_10m")
+          .when(col("late_ms") < 3600000L, "lt_1h")
+          .otherwise("ge_1h").as("bucket"))
+        .agg(count(lit(1)).as("n_events"), max(col("late_ms")).as("max_late_ms"))
+    },
+
+    // deterministic negative sampling over the co-order part graph: the
+    // contrastive counterpart of graph_link_prediction's positives —
+    // per node up to 4 hash-drawn non-neighbors (8 attempts), mapped
+    // through the dense value-ordered node dictionary so both engines
+    // draw the identical "random" candidates. |V|·attempts candidate
+    // rows, one anti-join against the edge list — never the |V|²
+    // non-edge set
+    QuerySpec("graph_negative_samples", {
+      def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+      raw"""WITH e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+           |      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           |       AND a.l_partkey <> b.l_partkey
+           |      GROUP BY 1, 2),
+           |nodes AS (SELECT DISTINCT src AS node FROM (SELECT src FROM e
+           |            UNION ALL SELECT dst FROM e)),
+           |dict AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS code
+           |         FROM nodes),
+           |nv AS (SELECT count(*) AS n FROM dict),
+           |cand AS (SELECT d.node AS src, t.attempt,
+           |           ${h60("d.node::VARCHAR || ':' || t.attempt::VARCHAR")} % nv.n AS code
+           |         FROM dict d CROSS JOIN nv
+           |              CROSS JOIN (SELECT unnest(range(0, 8)) AS attempt) t),
+           |neg AS (SELECT c.src, c.attempt, d2.node AS dst
+           |        FROM cand c JOIN dict d2 ON d2.code = c.code
+           |        WHERE d2.node <> c.src
+           |          AND NOT EXISTS (SELECT 1 FROM e
+           |                          WHERE e.src = c.src AND e.dst = d2.node)),
+           |rk AS (SELECT src, attempt, dst,
+           |         row_number() OVER (PARTITION BY src ORDER BY attempt) AS r
+           |       FROM neg)
+           |SELECT src, CAST(attempt AS BIGINT) AS attempt, dst
+           |FROM rk WHERE r <= 4""".stripMargin
+    }) { (s, d) =>
+      val edges = graft.ops.Graph.coOccurrenceEdges(
+        s.read.parquet(s"$d/lineitem.parquet"), "l_orderkey", "l_partkey")
+      graft.ops.Graph.negativeSamples(edges, attempts = 8, k = 4)
+        .withColumn("attempt", col("attempt").cast("long"))
+    },
+
+    // split-conformal calibration of the naive "history repeats"
+    // forecast (prediction for post-period spend = pre-period spend,
+    // per user): hash-parity user split, 90th-percentile |residual|
+    // threshold from the CALIBRATION half via the bounded histogram
+    // sketch (upper bin edge — conservative by construction, the
+    // direction conformal requires), empirical coverage of that
+    // threshold on the TEST half. The distribution-free interval-width
+    // audit published beside any forecast; everything is integer cents
+    // except nothing — there are no doubles at all
+    QuerySpec("events_conformal",
+      raw"""WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+           |            CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+           |bnd AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+           |u AS (SELECT user_id,
+           |        sum(CASE WHEN us <= mid THEN cents ELSE 0 END) AS x,
+           |        sum(CASE WHEN us > mid THEN cents ELSE 0 END) AS y
+           |      FROM e CROSS JOIN bnd GROUP BY 1),
+           |r AS (SELECT abs(y - x) AS r,
+           |        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2
+           |          AS side FROM u),
+           |cal AS (SELECT r FROM r WHERE side = 0),
+           |tst AS (SELECT r FROM r WHERE side = 1),
+           |b AS (SELECT min(r) AS lo, max(r) AS hi, count(*) AS n FROM cal),
+           |bi AS (SELECT CASE WHEN b.hi = b.lo THEN 0
+           |         ELSE least(63, ((cal.r - b.lo) * 64) // (b.hi - b.lo)) END AS bin
+           |       FROM cal CROSS JOIN b),
+           |c AS (SELECT bin, count(*) AS cnt FROM bi GROUP BY 1),
+           |cu AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum FROM c),
+           |q AS (SELECT min(bin) AS q_bin FROM cu CROSS JOIN b
+           |      WHERE cum >= (b.n * 9 + 9) // 10),
+           |thr AS (SELECT b.n AS n_cal, q.q_bin,
+           |          b.lo * 64 + (q.q_bin + 1) * (b.hi - b.lo) AS thr_scaled
+           |        FROM q CROSS JOIN b)
+           |SELECT CAST(n_cal AS BIGINT) AS n_cal,
+           |  CAST(count(*) AS BIGINT) AS n_test,
+           |  CAST(q_bin AS BIGINT) AS q_bin,
+           |  CAST(thr_scaled AS BIGINT) AS thr_scaled,
+           |  CAST(sum(CASE WHEN tst.r * 64 <= thr_scaled THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS covered,
+           |  CAST(sum(CASE WHEN tst.r * 64 <= thr_scaled THEN 1 ELSE 0 END) * 1000
+           |    // count(*) AS BIGINT) AS coverage_milli
+           |FROM tst CROSS JOIN thr
+           |GROUP BY n_cal, q_bin, thr_scaled""".stripMargin) { (s, d) =>
+      import graft.ops.{RobustStats, Sampling}
+      val e = OpsQueries.events(s, d)
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val bnd = e.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val resid = e.crossJoin(broadcast(bnd))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("us") <= col("mid"), col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("us") > col("mid"), col("cents")).otherwise(0L)).as("y"))
+        .select(abs(col("y") - col("x")).as("resid"),
+          (Sampling.keyHash(col("user_id").cast("string")) % 2).as("side"))
+      RobustStats.conformalCoverage(
+        resid.where(col("side") === 0).select("resid"),
+        resid.where(col("side") === 1).select("resid"),
+        "resid", nBins = 64, qn = 9, qd = 10)
     })
 }

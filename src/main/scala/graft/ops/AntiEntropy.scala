@@ -76,6 +76,58 @@ object AntiEntropy {
       .select(col("bucket"), col("n_a"), col("n_b"), col("status"))
   }
 
+  /** Two-level (Merkle) digest drill-down: localize replica divergence
+    * to fine buckets while COMPARING coarse-level digests first, so the
+    * cross-replica exchange is O(nCoarse + divergent·nFine) digest rows
+    * instead of O(nCoarse·nFine) — the log-levels trick that lets two
+    * 100 TB replicas agree they're equal by exchanging kilobytes.
+    *
+    * The Merkle property does the heavy lifting: a parent's digest is
+    * the SUM of its children's digests (sums of 60-bit row hashes in
+    * DECIMAL(38,0) are associative), so the coarse level is derived by
+    * re-aggregating the fine digest table — one extra aggregation over
+    * a bucket-count-sized frame, NOT a second scan of the data. Fine
+    * bucket = keyHash % (nCoarse·nFine); coarse = fine div nFine, so
+    * each coarse bucket owns a contiguous block of nFine children.
+    *
+    * Output: one row per fine bucket under a DIVERGENT coarse bucket
+    * whose own digests disagree — `(coarse, fine, n_a, n_b, status)`
+    * with the [[diffDigests]] status vocabulary. Fine buckets under
+    * agreeing coarse buckets are never compared (that's the savings),
+    * and agreeing fine buckets under divergent parents are filtered
+    * the same way. */
+  def localizeTwoLevel(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+      cols: Seq[String], nCoarse: Int, nFine: Int): DataFrame = {
+    require(nCoarse >= 2 && nFine >= 2, s"need >=2 buckets per level: $nCoarse, $nFine")
+    def fine(df: DataFrame): DataFrame = graft.recon.Checkpoints.cut(
+      df.select(
+          (Sampling.keyHash(canonical(keyCols)) % (nCoarse.toLong * nFine)).as("fine"),
+          Sampling.keyHash(canonical(cols)).cast(DecimalType(38, 0)).as("__h"))
+        .groupBy(col("fine"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("__h")).as("digest"))
+        .withColumn("coarse", expr(s"fine div $nFine")))
+    val fa = fine(a)
+    val fb = fine(b)
+    def coarse(f: DataFrame): DataFrame =
+      f.groupBy(col("coarse").as("bucket"))
+        .agg(sum(col("n_rows")).as("n_rows"), sum(col("digest")).as("digest"))
+    val divergent = diffDigests(coarse(fa), coarse(fb))
+      .select(col("bucket").as("coarse"))
+    def restricted(f: DataFrame, nCol: String, dCol: String): DataFrame =
+      f.join(broadcast(divergent), Seq("coarse"), "left_semi")
+        .select(col("coarse"), col("fine"),
+          col("n_rows").as(nCol), col("digest").as(dCol))
+    restricted(fa, "n_a", "__da")
+      .join(restricted(fb, "n_b", "__db"), Seq("coarse", "fine"), "full_outer")
+      .withColumn("status",
+        when(col("__da").isNull, lit("missing_a"))
+          .when(col("__db").isNull, lit("missing_b"))
+          .when(col("__da") =!= col("__db") || col("n_a") =!= col("n_b"),
+            lit("mismatch")))
+      .where(col("status").isNotNull)
+      .select(col("coarse"), col("fine"), col("n_a"), col("n_b"), col("status"))
+  }
+
   /** The repair plan's row-level stage: rows of `df` falling in the
     * given disagreeing buckets (broadcast membership filter at the
     * scan — only drifted buckets are ever re-read). Feed both sides'

@@ -41,6 +41,45 @@ object Graph {
   }
 
   /**
+   * Deterministic negative sampling for link-prediction training: for
+   * every node, up to `k` non-neighbors drawn by hash — the negative
+   * half of a contrastive edge dataset, reproducible run to run (no
+   * RNG state; the "random" draw is `keyHash(node:attempt) % |V|`
+   * mapped through a dense node dictionary). Scale shape: |V|·attempts
+   * candidate rows (never the |V|² non-edge set), one broadcast-sized
+   * dictionary join keyed by code, one anti-join against the real edge
+   * list on (src, dst), and a per-src window to keep the FIRST `k`
+   * survivors in attempt order — partitioned by src, bounded by
+   * `attempts`. Collisions with a true edge or with the node itself
+   * are dropped (that attempt is simply lost), so callers oversample:
+   * `attempts` ≈ 2k is plenty when the graph is sparse.
+   *
+   * Output: `(src, attempt, dst)` — at most k rows per src node.
+   */
+  def negativeSamples(edges: DataFrame, attempts: Int, k: Int): DataFrame = {
+    require(attempts >= k && k >= 1, s"need attempts >= k >= 1: $attempts, $k")
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val dict = graft.recon.Checkpoints.cut(Encode.dictionary(nodes, "node"))
+    val nNodes = dict.agg(count(lit(1)).as("__nv"))
+    val cands = dict.select(col("node").as("src"))
+      .crossJoin(broadcast(nNodes))
+      .select(col("src"), col("__nv"),
+        explode(sequence(lit(0), lit(attempts - 1))).as("attempt"))
+      .select(col("src"), col("attempt"),
+        (Sampling.keyHash(concat(col("src").cast("string"), lit(":"),
+          col("attempt").cast("string"))) % col("__nv")).as("code"))
+      .join(dict.select(col("code"), col("node").as("dst")), Seq("code"))
+      .where(col("src") =!= col("dst"))
+      .join(edges.select("src", "dst"), Seq("src", "dst"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("attempt"))
+    cands.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= k)
+      .select(col("src"), col("attempt"), col("dst"))
+  }
+
+  /**
    * Weak supervision by connectivity: propagate seed labels to every
    * node of each connected component by majority vote — the "label 1%
    * of the near-dup clusters, inherit everywhere" step that turns a

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -85,6 +85,37 @@ object SetSimilarity {
    * smaller document's shingle count. Evidence order is (df, shingle) —
    * deterministic in both engines.
    */
+  /**
+   * LSH banding S-curve in EXACT fixed-point milli arithmetic:
+   * `P(detect | jaccard = s) = 1 − (1 − s^r)^b` for a signature split
+   * into `b` bands of `r` rows, evaluated as repeated
+   * `acc = (acc·s) div 1000` floor-multiplications (both powers
+   * unrolled at plan-build time — r + b multiplications, one codegen'd
+   * expression, no `pow`, whose cross-engine bit pattern libm would not
+   * guarantee). The ~1‰-per-step floor bias is deterministic and
+   * mirrored exactly by [[sCurveDetectMilliSql]] — this is a PLANNING
+   * number (which banding catches which similarity band), not a
+   * probability estimate to more digits than the model deserves.
+   */
+  def sCurveDetectMilli(estMilli: Column, r: Int, b: Int): Column = {
+    require(r >= 1 && b >= 1, s"need r, b >= 1: $r, $b")
+    // non-negative operands ≤ 10^6 throughout: the double quotient is
+    // exact, so floor(x/1000.0) IS DuckDB's integer `// 1000`
+    def milliDiv(c: Column): Column = floor(c / lit(1000.0d))
+    def powMilli(x: Column, n: Int): Column =
+      (1 until n).foldLeft(x)((acc, _) => milliDiv(acc * x))
+    lit(1000L) - powMilli(lit(1000L) - powMilli(estMilli, r), b)
+  }
+
+  /** The DuckDB mirror of [[sCurveDetectMilli]]: the same unrolled
+    * floor-multiply chains over an SQL expression for the milli
+    * similarity. */
+  def sCurveDetectMilliSql(est: String, r: Int, b: Int): String = {
+    def powMilli(x: String, n: Int): String =
+      (1 until n).foldLeft(x)((acc, _) => s"(($acc * $x) // 1000)")
+    s"(1000 - ${powMilli(s"(1000 - ${powMilli(est, r)})", b)})"
+  }
+
   def explainPairs(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int, pairs: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")

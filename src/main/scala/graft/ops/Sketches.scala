@@ -215,6 +215,39 @@ object Sketches {
       probeCol: String, d: Int = 4, w: Int = 256): DataFrame =
     cmsEstimateFromSketch(cmsSketch(df, valueCol, d, w), probes, probeCol, d, w)
 
+  /**
+   * Equi-join SIZE estimate from two CMS sketches (AMS/CM inner product
+   * — Cormode & Muthukrishnan 2005 §4.2): for each hash row `r`,
+   * `dot_r = Σ_bucket cntA(r,b)·cntB(r,b)`; the estimate is
+   * `min_r dot_r`. Since every pair of equal keys lands in the same
+   * bucket of every row, each `dot_r ≥ |A ⋈ B|` — the estimate is an
+   * UPPER bound that tightens with width, exactly the never-undercount
+   * contract of [[cmsEstimateFromSketch]]. Probing a sketch against
+   * ITSELF estimates the self-join size `F2 = Σ_k cnt(k)²` — the
+   * second frequency moment that prices a join's blowup before anyone
+   * runs it.
+   *
+   * The 100 TB story: the two sides exchange `d·w` counters each —
+   * kilobytes — and the planner reads the output row; no scan of
+   * either table happens at decision time. Both inputs must share
+   * (d, w) and the hash family, i.e. come from [[cmsSketch]] /
+   * [[cmsMerge]] with identical parameters (same caller contract as
+   * [[cmsEstimateFromSketch]]).
+   *
+   * Products ride DECIMAL(38,0): counts at petabyte scale overflow a
+   * BIGINT product long before they overflow the sketch. Output: one
+   * row `(est)`.
+   */
+  def cmsJoinSizeEstimate(a: DataFrame, b: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    a.select(col("r"), col("bucket"), col("cnt").as("__ca"))
+      .join(b.select(col("r"), col("bucket"), col("cnt").as("__cb")),
+        Seq("r", "bucket"))
+      .groupBy(col("r"))
+      .agg(sum(col("__ca").cast(dec) * col("__cb").cast(dec)).as("__dot"))
+      .agg(min(col("__dot")).as("est"))
+  }
+
   // ---- histogram quantiles -----------------------------------------------
 
   /**

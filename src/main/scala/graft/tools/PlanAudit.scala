@@ -92,8 +92,14 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // iteration aid, mirrors Verify's SPARK_GRAFT_VERIFY_ONLY: audit a
+    // comma-separated subset (full audits remain the committed gate)
+    val only = sys.env.get("SPARK_GRAFT_AUDIT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     var flagged = 0
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         val flags = flagsOf(fn(spark, sfDir).queryExecution.executedPlan)
         if (flags.nonEmpty) { flagged += 1; println(s"FLAG  $name: ${flags.mkString(", ")}") }

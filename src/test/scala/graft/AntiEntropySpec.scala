@@ -58,4 +58,40 @@ class AntiEntropySpec extends SparkSuite {
     val dd = AntiEntropy.bucketDigests(d, Seq("id"), Seq("id", "v"), 4)
     assert(AntiEntropy.diffDigests(dc, dd).count() == 1L)
   }
+
+  test("two-level localization: identical replicas exchange zero fine rows") {
+    val out = AntiEntropy.localizeTwoLevel(table, table,
+      Seq("id"), Seq("id", "name", "grade"), 4, 8)
+    assert(out.count() == 0L)
+  }
+
+  test("two-level localization finds exactly the single-level divergent fine buckets") {
+    val cols = Seq("id", "name", "grade")
+    val corrupt = table.where($"id" =!= 13L)
+      .withColumn("grade", when($"id" === 77L, lit("X")).otherwise($"grade"))
+    val out = AntiEntropy.localizeTwoLevel(table, corrupt, Seq("id"), cols, 4, 8)
+      .select($"fine", $"status").as[(Long, String)].collect().toSet
+    // ground truth: a flat diff at the same 32-bucket fine granularity
+    val flat = AntiEntropy.diffDigests(
+        AntiEntropy.bucketDigests(table, Seq("id"), cols, 32),
+        AntiEntropy.bucketDigests(corrupt, Seq("id"), cols, 32))
+      .select($"bucket", $"status").as[(Long, String)].collect().toSet
+    assert(out == flat, s"two-level $out != flat $flat")
+    // 2 drifted rows touch at most 2 fine buckets; statuses are real
+    assert(out.size >= 1 && out.size <= 2)
+    assert(out.map(_._2).forall(Set("mismatch", "missing_a", "missing_b")))
+  }
+
+  test("two-level localization: coarse/fine ids are consistent (coarse = fine div nFine)") {
+    val corrupt = table.withColumn("name",
+      when($"id" === 5L, lit("CHANGED")).otherwise($"name"))
+    val out = AntiEntropy.localizeTwoLevel(table, corrupt,
+      Seq("id"), Seq("id", "name"), 4, 8)
+      .select($"coarse", $"fine").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (c, f) =>
+      assert(c == f / 8, s"coarse $c != fine $f div 8")
+      assert(c >= 0 && c < 4 && f >= 0 && f < 32)
+    }
+  }
 }

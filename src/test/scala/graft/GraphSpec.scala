@@ -247,4 +247,25 @@ class GraphSpec extends SparkSuite {
     assert(out == Set((1L, 2L, 1L, 333L), (1L, 3L, 1L, 333L),
       (2L, 3L, 1L, 333L)))
   }
+
+  test("negativeSamples: no real edges, no self-loops, at most k per node, deterministic") {
+    // path graph 1-2-3-4-5 (symmetric edges)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val neg = Graph.negativeSamples(edges, attempts = 8, k = 2)
+    val rows = neg.as[(Long, Int, Long)].collect()
+    val edgeSet = (und ++ und.map(_.swap)).toSet
+    rows.foreach { case (s, _, d) =>
+      assert(s != d, s"self-loop sampled: $s")
+      assert(!edgeSet.contains((s, d)), s"real edge sampled: ($s,$d)")
+      assert((1L to 5L).contains(d), s"dst $d is not a node")
+    }
+    val perSrc = rows.groupBy(_._1).view.mapValues(_.length)
+    perSrc.foreach { case (s, n) => assert(n <= 2, s"src $s got $n > k") }
+    rows.foreach { case (_, t, _) => assert(t >= 0 && t < 8) }
+    // hash-driven: a second evaluation reproduces the identical set
+    val again = Graph.negativeSamples(edges, attempts = 8, k = 2)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(again == rows.toSet)
+  }
 }

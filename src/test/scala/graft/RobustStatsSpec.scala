@@ -117,4 +117,50 @@ class RobustStatsSpec extends SparkSuite {
       .select("n", "slope").as[(Long, Double)].head()
     assert(s3 == ((2L, 3.0d)))
   }
+
+  test("conformalCoverage: calibration coverage >= q by construction") {
+    import graft.ops.RobustStats
+    // adversarial residuals: heavy tail, ties, a zero
+    val resid = (Seq(0L, 1L, 1L, 2L, 3L, 5L, 8L, 13L, 21L, 1000L) ++
+      (1 to 90).map(_.toLong * 7)).toDF("resid")
+    for ((qn, qd) <- Seq(1 -> 2, 3 -> 4, 9 -> 10)) {
+      val row = RobustStats.conformalCoverage(resid, resid, "resid", 64, qn, qd)
+        .select("n_cal", "n_test", "covered", "coverage_milli")
+        .as[(Long, Long, Long, Long)].head()
+      assert(row._1 == 100L && row._2 == 100L)
+      // threshold selected on this same set must cover >= qn/qd of it
+      assert(row._3 * qd >= 100L * qn,
+        s"calibration coverage ${row._3}/100 < $qn/$qd")
+    }
+  }
+
+  test("conformalCoverage: threshold is the selected bin's upper edge, exactly applied") {
+    import graft.ops.RobustStats
+    // lo=0, hi=64, nBins=64 → bin width exactly 1; residuals 0..64
+    val cal = (0L to 64L).toDF("resid")
+    // q=1/2: rank = ceil(65/2) = 33 → 33rd residual (0-indexed 32) in
+    // bin 32 → threshold upper edge = 33 (scaled: 0·64 + 33·64)
+    val tst = Seq(32L, 33L, 34L).toDF("resid")
+    val row = RobustStats.conformalCoverage(cal, tst, "resid", 64, 1, 2)
+      .select("q_bin", "thr_scaled", "n_test", "covered", "coverage_milli")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(row._1 == 32L)
+    assert(row._2 == 33L * 64)
+    assert(row._4 == 2L, s"33 is covered (<= upper edge), 34 is not: $row")
+    assert(row._5 == 666L)
+  }
+
+  test("conformalCoverage: constant residuals and empty test side") {
+    import graft.ops.RobustStats
+    val const = Seq.fill(5)(7L).toDF("resid")
+    val row = RobustStats.conformalCoverage(const, Seq(7L, 8L).toDF("resid"),
+        "resid", 64, 9, 10)
+      .select("q_bin", "covered", "coverage_milli").as[(Long, Long, Long)].head()
+    // hi == lo → bin 0, thr_scaled = 7·64 exactly: covers 7, not 8
+    assert(row == ((0L, 1L, 500L)))
+    val empty = RobustStats.conformalCoverage(const,
+        Seq.empty[Long].toDF("resid"), "resid", 64, 9, 10)
+      .select("n_test", "coverage_milli").as[(Long, Option[Long])].head()
+    assert(empty == ((0L, None)))
+  }
 }

@@ -76,4 +76,29 @@ class SetSimilaritySpec extends SparkSuite {
     assert(out._3 == 3L)
     assert(out._4 == "fox jumps over|jumps over lazy")
   }
+
+  test("sCurveDetectMilli matches a BigInt reference and is monotone in similarity") {
+    // reference: the same floor-multiply chain in exact integers
+    def powMilli(x: BigInt, n: Int): BigInt =
+      (1 until n).foldLeft(x)((acc, _) => acc * x / 1000)
+    def ref(est: Long, r: Int, b: Int): Long =
+      (BigInt(1000) - powMilli(BigInt(1000) - powMilli(BigInt(est), r), b)).toLong
+    val ests = Seq(0L, 100L, 300L, 500L, 700L, 800L, 900L, 1000L)
+    val configs = Seq((4, 32), (8, 16), (16, 8), (32, 4))
+    val df = ests.toDF("est")
+    for ((r, b) <- configs) {
+      val got = df.select($"est",
+          SetSimilarity.sCurveDetectMilli($"est", r, b).as("p"))
+        .as[(Long, Long)].collect().toMap
+      for (e <- ests) assert(got(e) == ref(e, r, b),
+        s"(r=$r,b=$b,est=$e): got ${got(e)}, ref ${ref(e, r, b)}")
+      // endpoints and monotonicity: the S-curve is a detection CDF
+      assert(got(0L) == 0L && got(1000L) == 1000L)
+      val ordered = ests.map(got)
+      assert(ordered == ordered.sorted, s"not monotone for (r=$r,b=$b): $ordered")
+    }
+    // the SQL generator unrolls the identical chain (spot-check shape)
+    val sql = SetSimilarity.sCurveDetectMilliSql("est", 2, 2)
+    assert(sql == "(1000 - (((1000 - ((est * est) // 1000)) * (1000 - ((est * est) // 1000))) // 1000))")
+  }
 }

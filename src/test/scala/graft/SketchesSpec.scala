@@ -315,6 +315,29 @@ class SketchesSpec extends SparkSuite {
       "most estimates should be exact at this load factor")
   }
 
+  test("cmsJoinSizeEstimate upper-bounds the true join size; exact when collision-free") {
+    // A: key k_i appears i times (i = 1..6) → F2 = Σ i² = 91;
+    // B: each key once → |A ⋈ B| = Σ i = 21
+    val a = (1 to 6).flatMap(i => Seq.fill(i)(s"k$i")).toDF("v")
+    val b = (1 to 6).map(i => s"k$i").toDF("v")
+    // wide sketch: 6 keys in 4×4096 buckets — collisions vanishingly
+    // unlikely, the inner product is the exact join size
+    val wideA = Sketches.cmsSketch(a, col("v"), d = 4, w = 4096)
+    val wideB = Sketches.cmsSketch(b, col("v"), d = 4, w = 4096)
+    assert(Sketches.cmsJoinSizeEstimate(wideA, wideB)
+      .as[java.math.BigDecimal].head().longValueExact() == 21L)
+    // self inner product = F2
+    assert(Sketches.cmsJoinSizeEstimate(wideA, wideA)
+      .as[java.math.BigDecimal].head().longValueExact() == 91L)
+    // narrow sketch: collisions can only ADD — never undercounts
+    val tinyA = Sketches.cmsSketch(a, col("v"), d = 2, w = 2)
+    val tinyB = Sketches.cmsSketch(b, col("v"), d = 2, w = 2)
+    assert(Sketches.cmsJoinSizeEstimate(tinyA, tinyB)
+      .as[java.math.BigDecimal].head().longValueExact() >= 21L)
+    assert(Sketches.cmsJoinSizeEstimate(tinyA, tinyA)
+      .as[java.math.BigDecimal].head().longValueExact() >= 91L)
+  }
+
   test("cmsEstimate of an absent value is 0") {
     val stream = Seq("a", "b", "c").toDF("v")
     val est = Sketches.cmsEstimate(stream, col("v"), Seq("zzz").toDF("v"), "v")
