@@ -3765,6 +3765,44 @@ object EntityQueries {
     // kilobytes and the planner decides broadcast/salt/walk-away
     // without scanning either table at decision time; the exact Σ n²
     // here prices the estimate's slack (over_milli ≥ 1000 always)
+    // the near-dup class symmetric Jaccard structurally MISSES: pairs
+    // where the smaller document is >= 80% contained in the other
+    // (quotes, excerpt pages, header-wrapped copies). Prefix-filter on
+    // the rarest shingles of the would-be-contained side against the
+    // FULL shingle table — the asymmetric score can't prune the
+    // container side, but the prefix is rare-by-construction so the
+    // candidate join stays sparse. jac_milli rides along: rows with
+    // high containment and low Jaccard are exactly the ones a
+    // Jaccard-gated dedup wave would keep
+    QuerySpec("dedup_containment_pairs",
+      raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+           |sh AS (SELECT DISTINCT doc_id AS doc, unnest(CASE WHEN len(t) < 3 THEN []
+           |         ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)] END) AS tok
+           |       FROM tt),
+           |sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
+           |dfq AS (SELECT tok, count(*) AS df FROM sh GROUP BY 1),
+           |rk AS (SELECT s.doc, s.tok,
+           |         row_number() OVER (PARTITION BY s.doc ORDER BY d.df, s.tok) AS r, z.n
+           |       FROM sh s JOIN dfq d USING (tok) JOIN sz z USING (doc)),
+           |pf AS (SELECT doc, tok FROM rk WHERE r <= n - ((800 * n + 999) // 1000) + 1),
+           |cand AS (SELECT DISTINCT least(a.doc, b.doc) AS id_a,
+           |           greatest(a.doc, b.doc) AS id_b
+           |         FROM pf a JOIN sh b ON a.tok = b.tok AND a.doc <> b.doc),
+           |i AS (SELECT c.id_a, c.id_b, count(*) AS inter
+           |      FROM cand c JOIN sh sa ON sa.doc = c.id_a
+           |                  JOIN sh sb ON sb.doc = c.id_b AND sb.tok = sa.tok
+           |      GROUP BY 1, 2)
+           |SELECT i.id_a, i.id_b, i.inter,
+           |  least(za.n, zb.n) AS n_small,
+           |  CAST((i.inter * 1000) // least(za.n, zb.n) AS BIGINT) AS cont_milli,
+           |  CAST((i.inter * 1000) // (za.n + zb.n - i.inter) AS BIGINT) AS jac_milli
+           |FROM i JOIN sz za ON za.doc = i.id_a JOIN sz zb ON zb.doc = i.id_b
+           |WHERE i.inter * 1000 >= least(za.n, zb.n) * 800""".stripMargin) { (s, d) =>
+      graft.ops.SetSimilarity.containmentPrefixJoin(
+        docs(s, d), "text", "doc_id", shingleN = 3, tMilli = 800)
+    },
+
     QuerySpec("quality_join_size_sketch", {
       def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
       raw"""WITH k AS (SELECT CAST(l_partkey AS VARCHAR) AS v FROM lineitem),

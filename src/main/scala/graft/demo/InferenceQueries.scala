@@ -769,5 +769,97 @@ object InferenceQueries {
         resid.where(col("side") === 0).select("resid"),
         resid.where(col("side") === 1).select("resid"),
         "resid", nBins = 64, qn = 9, qd = 10)
+    },
+
+    // per-hour distinct users in HLL registers — the bounded-state
+    // shape whose STREAMING twin (EventPipeline.hllRegistersStream,
+    // spec-pinned register-for-register equal) keeps ≤ 64 small
+    // integers per open window on an unbounded stream. The estimate is
+    // the same exact-integer scaled harmonic sum as text_distinct_hll:
+    // the only double is one literal-by-integer division
+    QuerySpec("events_distinct_hll",
+      raw"""WITH hh AS (SELECT epoch_ms(ts) // 3600000 AS hr,
+           |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           |  FROM events),
+           |rr AS (SELECT hr, h % 64 AS bucket,
+           |         CASE WHEN h // 64 = 0 THEN 55
+           |              ELSE 55 - length(bin(h // 64)) END AS rho
+           |       FROM hh),
+           |reg AS (SELECT hr, bucket, max(rho) AS rho FROM rr GROUP BY 1, 2),
+           |agg AS (SELECT hr,
+           |          64 - count(*) AS n_zero_registers,
+           |          CAST(sum(CAST(1 AS BIGINT) << CAST(55 - rho AS INTEGER))
+           |               + (64 - count(*)) * (CAST(1 AS BIGINT) << 55) AS BIGINT)
+           |            AS s_scaled
+           |        FROM reg GROUP BY 1)
+           |SELECT hr, n_zero_registers, s_scaled,
+           |  ${graft.ops.Sketches.EstimateNumerator} / CAST(s_scaled AS DOUBLE)
+           |    AS raw_estimate
+           |FROM agg""".stripMargin) { (s, d) =>
+      val e = OpsQueries.events(s, d)
+        .select(expr("unix_millis(ts) div 3600000").as("hr"),
+          col("user_id").cast("string").as("u"))
+      graft.ops.Sketches.hllEstimate(e, "hr", col("u"))
+    },
+
+    // the watermark DECISION the disorder profile informs: for a
+    // ladder of candidate lateness bounds, the exact delivered mass
+    // under the same 4-shard/256-event merge model, and the chosen
+    // bound = smallest with >= 999 per mille delivered (falling back
+    // to the largest rung if the tail is heavier than 1 per mille).
+    // One pass computes every rung; the per-batch window is bounded at
+    // 256 rows. This is the number an operator sets
+    // withWatermark(...) from — measured, not guessed
+    QuerySpec("events_watermark_advisor",
+      raw"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+           |s AS (SELECT ms, event_id, event_id // 256 AS batch,
+           |        user_id % 4 AS shard FROM e),
+           |w AS (SELECT ms,
+           |        max(ms) OVER (PARTITION BY batch ORDER BY shard, event_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+           |      FROM s),
+           |l AS (SELECT CASE WHEN prev_max IS NULL OR prev_max <= ms THEN 0
+           |             ELSE prev_max - ms END AS late_ms FROM w),
+           |b AS (SELECT CAST(unnest([0, 1000, 5000, 30000, 60000, 300000,
+           |               600000, 1800000, 3600000]) AS BIGINT) AS bound_ms),
+           |m AS (SELECT b.bound_ms, count(*) AS n_total,
+           |        sum(CASE WHEN late_ms <= bound_ms THEN 1 ELSE 0 END) AS n_delivered
+           |      FROM l CROSS JOIN b GROUP BY 1),
+           |pick AS (SELECT COALESCE(
+           |           min(CASE WHEN n_delivered * 1000 >= n_total * 999
+           |                    THEN bound_ms END),
+           |           max(bound_ms)) AS chosen_bound FROM m)
+           |SELECT m.bound_ms, CAST(m.n_delivered AS BIGINT) AS n_delivered,
+           |  CAST((m.n_delivered * 1000) // m.n_total AS BIGINT) AS delivered_milli,
+           |  CAST(CASE WHEN m.bound_ms = pick.chosen_bound THEN 1 ELSE 0 END
+           |    AS BIGINT) AS chosen
+           |FROM m CROSS JOIN pick""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("batch")).orderBy(col("shard"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val late = OpsQueries.events(s, d)
+        .select(expr("unix_millis(ts)").as("ms"), col("event_id"),
+          expr("event_id div 256").as("batch"),
+          (col("user_id") % 4).as("shard"))
+        .withColumn("prev_max", max(col("ms")).over(w))
+        .select(when(col("prev_max").isNull || col("prev_max") <= col("ms"), 0L)
+          .otherwise(col("prev_max") - col("ms")).as("late_ms"))
+      import s.implicits._
+      val bounds = Seq(0L, 1000L, 5000L, 30000L, 60000L, 300000L,
+        600000L, 1800000L, 3600000L).toDF("bound_ms")
+      val m = late.crossJoin(broadcast(bounds))
+        .groupBy(col("bound_ms"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("late_ms") <= col("bound_ms"), 1L).otherwise(0L))
+            .as("n_delivered"))
+      val pick = m.agg(coalesce(
+          min(when(col("n_delivered") * 1000 >= col("n_total") * 999,
+            col("bound_ms"))),
+          max(col("bound_ms"))).as("chosen_bound"))
+      m.crossJoin(broadcast(pick))
+        .select(col("bound_ms"), col("n_delivered"),
+          expr("(n_delivered * 1000) div n_total").as("delivered_milli"),
+          when(col("bound_ms") === col("chosen_bound"), 1L).otherwise(0L)
+            .as("chosen"))
     })
 }

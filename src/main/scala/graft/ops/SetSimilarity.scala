@@ -86,6 +86,64 @@ object SetSimilarity {
    * deterministic in both engines.
    */
   /**
+   * Asymmetric CONTAINMENT join: pairs where the smaller document's
+   * shingle set is ≥ `tMilli`/1000 contained in the other —
+   * `C = |A∩B| / min(|A|,|B|)`. This is the near-dup class symmetric
+   * Jaccard structurally misses: a paragraph quoted inside a much
+   * longer document has C ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so a
+   * Jaccard-gated dedup wave keeps the copy. Same exact-integer
+   * discipline as [[jaccardPrefixJoin]].
+   *
+   * Candidate generation keeps the prefix-filter guarantee under the
+   * asymmetric score: if `|A∩B| ≥ ⌈t·|A|⌉` then A shares one of its
+   * first `|A| − ⌈t·|A|⌉ + 1` rarest shingles with B (pigeonhole over
+   * the global df order) — but unlike the Jaccard case B cannot be
+   * pruned, so each document's prefix joins the FULL shingle table.
+   * The prefix holds each document's globally RAREST shingles, so the
+   * join's fan-out is bounded by those shingles' document frequency —
+   * candidate-sparse at corpus scale, never all-pairs. The smaller
+   * document of every qualifying pair generates it, and unordered
+   * dedup collapses the double hits.
+   *
+   * Output: `(id_a, id_b, inter, n_small, cont_milli, jac_milli)` with
+   * `id_a < id_b`, `cont_milli ≥ tMilli`; `jac_milli` rides along so
+   * callers can select the containment-only band (quotes/inclusions).
+   */
+  def containmentPrefixJoin(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, tMilli: Int): DataFrame = {
+    require(tMilli >= 1 && tMilli <= 1000, s"tMilli out of (0, 1000]: $tMilli")
+    val sh = graft.recon.Checkpoints.cut(
+      Dedup.shingleTable(df, textCol, idCol, shingleN)) // (doc, shingle), distinct
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(dfreq, Seq("shingle"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("doc")).orderBy(col("df"), col("shingle"))))
+    val prefix = ranked.join(sizes, Seq("doc"))
+      .where(col("r") <= col("n") - expr(s"($tMilli * n + 999) div 1000") + 1)
+      .select(col("doc"), col("shingle"))
+    val cand = prefix.alias("pa")
+      .join(sh.alias("pb"),
+        col("pa.shingle") === col("pb.shingle") && col("pa.doc") =!= col("pb.doc"))
+      .select(least(col("pa.doc"), col("pb.doc")).as("id_a"),
+        greatest(col("pa.doc"), col("pb.doc")).as("id_b"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("doc").as("id_a"), col("shingle")), Seq("id_a"))
+      .join(sh.select(col("doc").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("doc").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("n_small", least(col("n_a"), col("n_b")))
+      .where(col("inter") * lit(1000L) >= col("n_small") * lit(tMilli.toLong))
+      .withColumn("cont_milli", expr("(inter * 1000) div n_small"))
+      .withColumn("jac_milli", expr("(inter * 1000) div (n_a + n_b - inter)"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_small"),
+        col("cont_milli"), col("jac_milli"))
+  }
+
+  /**
    * LSH banding S-curve in EXACT fixed-point milli arithmetic:
    * `P(detect | jaccard = s) = 1 − (1 − s^r)^b` for a signature split
    * into `b` bands of `r` rows, evaluated as repeated

@@ -48,16 +48,25 @@ object Sketches {
     alpha * M * M * math.pow(2.0, 55)
   }
 
-  /** Per-(stratum, bucket) max-rho registers. Only non-empty buckets
-    * appear; [[hllEstimate]] accounts for the missing ones exactly. */
-  def hllRegisters(df: DataFrame, strataCol: String, valueCol: Column): DataFrame = {
+  /** The (bucket, rho) expression pair of one value — the single
+    * definition both the batch register builder and the streaming twin
+    * ([[graft.streaming.EventPipeline.hllRegistersStream]]) aggregate
+    * over, so the two paths cannot drift. */
+  def hllBucketRho(valueCol: Column): (Column, Column) = {
     val h = Sampling.keyHash(valueCol)
     val rest = shiftright(h, P)
     // bitlen via bin(): both engines' bin() render the minimal binary
     // string, so rho needs no log2 (whose float error would be fatal here)
     val rho = when(rest === 0, lit(55))
       .otherwise(lit(55) - length(bin(rest)))
-    df.select(col(strataCol), (h % M).cast("int").as("bucket"), rho.as("rho"))
+    ((h % M).cast("int"), rho)
+  }
+
+  /** Per-(stratum, bucket) max-rho registers. Only non-empty buckets
+    * appear; [[hllEstimate]] accounts for the missing ones exactly. */
+  def hllRegisters(df: DataFrame, strataCol: String, valueCol: Column): DataFrame = {
+    val (bucket, rho) = hllBucketRho(valueCol)
+    df.select(col(strataCol), bucket.as("bucket"), rho.as("rho"))
       .groupBy(col(strataCol), col("bucket"))
       .agg(max(col("rho")).as("rho"))
   }

@@ -112,6 +112,33 @@ object EventPipeline {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
 
   /**
+   * Streaming per-window distinct-user HLL registers — the live twin
+   * of [[graft.ops.Sketches.hllRegisters]] keyed by tumbling window.
+   * Both paths aggregate the SAME (bucket, rho) expressions
+   * ([[graft.ops.Sketches.hllBucketRho]]), and max-rho is exactly the
+   * state a streaming aggregation keeps: ≤ 64 small integers per open
+   * window regardless of how many users the window sees — the
+   * "approx distinct per window on an unbounded stream in bounded
+   * state" shape. Folding registers to an estimate is a deterministic
+   * function of the emitted rows ([[graft.ops.Sketches
+   * .hllEstimateFromRegisters]]) and happens downstream, keeping this
+   * query a single stateful operator.
+   *
+   * Output: `(window_start, bucket, rho)`, one row per non-empty
+   * register per window.
+   */
+  def hllRegistersStream(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType, windowSec: Int): DataFrame = {
+    val (bucket, rho) = graft.ops.Sketches.hllBucketRho(col("user_id").cast("string"))
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", "10 minutes")
+      .select(col("ts"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(window(col("ts"), s"$windowSec seconds"), col("bucket"))
+      .agg(max(col("rho")).as("rho"))
+      .select(col("window.start").as("window_start"), col("bucket"), col("rho"))
+  }
+
+  /**
    * Gap-based sessionization, batch form: a new session starts when the
    * user's inter-event gap exceeds `gapMs`. One shuffle on user_id; the
    * per-user window sort is the standard lag+cumsum sessionizer.

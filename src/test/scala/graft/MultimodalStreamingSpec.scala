@@ -341,6 +341,46 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(buf.get() == batch, s"stream result ${buf.get()} != batch $batch")
   }
 
+  test("hllRegistersStream equals batch hllRegisters register-for-register") {
+    import org.apache.spark.sql.{DataFrame, Dataset, Row}
+    import graft.ops.Sketches
+    // 60 users across 2 tumbling hours (user ids overlap between hours:
+    // per-window distinct, not global), enough to populate many buckets
+    val rows = (0 until 80).map { i =>
+      val hr = i % 2
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 0$hr%d:${(i / 2) % 60}%02d:00"),
+        (i % 60).toLong, "click", 1.0)
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_stream").toFile
+    df.write.mode("overwrite").parquet(dir.getAbsolutePath)
+
+    val buf = new java.util.concurrent.atomic.AtomicReference[Set[(Long, Int, Long)]](Set.empty)
+    val q = EventPipeline.hllRegistersStream(spark, dir.getAbsolutePath,
+        df.schema, windowSec = 3600)
+      .writeStream.outputMode("complete")
+      .foreachBatch { (b: Dataset[Row], _: Long) =>
+        buf.set(b.select(unix_millis(col("window_start")).as("s"),
+          col("bucket"), col("rho")).as[(Long, Int, Long)].collect().toSet)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val batch = Sketches.hllRegisters(
+        df.select((expr("unix_millis(ts) div 3600000") * 3600000L).as("w"),
+          col("user_id").cast("string").as("u")), "w", col("u"))
+      .select(col("w"), col("bucket"), col("rho"))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(buf.get().nonEmpty && buf.get() == batch,
+      s"stream ${buf.get().size} registers != batch ${batch.size}")
+    // distinct users differ per window (40 events/hour over 60 users) —
+    // the register sets must reflect per-window distinct, so the two
+    // windows' register sets must not be identical
+    val byWin = buf.get().groupBy(_._1).map { case (w, s) =>
+      w -> s.map(t => (t._2, t._3)) }
+    assert(byWin.size == 2 && byWin.values.toSeq.distinct.size == 2)
+  }
+
   test("session_window stream: late-within-watermark merges, beyond-watermark drops (counted)") {
     import org.apache.spark.sql.{Dataset, Row}
     // the semantics that only exist in STREAMING: the 10-minute watermark

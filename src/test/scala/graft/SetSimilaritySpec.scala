@@ -77,6 +77,45 @@ class SetSimilaritySpec extends SparkSuite {
     assert(out._4 == "fox jumps over|jumps over lazy")
   }
 
+  test("containmentPrefixJoin finds full-quote inclusion that Jaccard misses") {
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")      // 38 3-shingles
+    val quote = (10 to 19).map(i => s"w$i").mkString(" ")   // 8, all inside big
+    val other = (100 to 120).map(i => s"x$i").mkString(" ")
+    val df = Seq((1L, big), (2L, quote), (3L, other)).toDF("doc_id", "text")
+    val out = SetSimilarity.containmentPrefixJoin(df, "text", "doc_id", 3, 800)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 1, s"expected exactly the quote pair: ${out.toSeq}")
+    assert(out.head == ((1L, 2L, 8L, 8L, 1000L, 8000L / 38L)))
+    // the symmetric gate at the same threshold misses it
+    assert(SetSimilarity.jaccardPrefixJoin(df, "text", "doc_id", 3, 800).count() == 0L)
+  }
+
+  test("containmentPrefixJoin prefix filter loses no pair vs brute force") {
+    // overlapping sliding windows over one vocabulary: dense containment
+    // structure with varying overlap fractions
+    val txts = (0 until 12).map { k =>
+      (k.toLong, (k * 3 until k * 3 + 15).map(i => s"t$i").mkString(" "))
+    }
+    val df = txts.toDF("doc_id", "text")
+    val fast = SetSimilarity.containmentPrefixJoin(df, "text", "doc_id", 3, 300)
+      .select("id_a", "id_b", "cont_milli").as[(Long, Long, Long)].collect().toSet
+    // brute force: all-pairs intersection over the same shingle table
+    val sh = graft.ops.Dedup.shingleTable(df, "text", "doc_id", 3)
+    val sz = sh.groupBy($"doc").agg(count(lit(1)).as("n"))
+    val brute = sh.alias("a").join(sh.alias("b"),
+        $"a.shingle" === $"b.shingle" && $"a.doc" < $"b.doc")
+      .groupBy($"a.doc".as("id_a"), $"b.doc".as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select($"doc".as("id_a"), $"n".as("n_a")), Seq("id_a"))
+      .join(sz.select($"doc".as("id_b"), $"n".as("n_b")), Seq("id_b"))
+      .where($"inter" * 1000 >= least($"n_a", $"n_b") * 300)
+      .select($"id_a", $"id_b",
+        expr("(inter * 1000) div least(n_a, n_b)").as("cont_milli"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture should produce containment pairs")
+    assert(fast == brute, s"prefix filter diverged: fast $fast vs brute $brute")
+  }
+
   test("sCurveDetectMilli matches a BigInt reference and is monotone in similarity") {
     // reference: the same floor-multiply chain in exact integers
     def powMilli(x: BigInt, n: Int): BigInt =
