@@ -2982,6 +2982,37 @@ object EntityQueries {
         .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
     },
 
+    // the partitioned-sink RESTATEMENT lifecycle: write events
+    // partitioned by day, then land a corrected feed for ONE day via
+    // dynamic partition overwrite (a writer OPTION, not a session-conf
+    // mutation) — only that day's partition is replaced; every other
+    // day's files survive untouched, which the read-back per-day
+    // aggregate proves value-for-value. This is how a 100 TB events
+    // lake takes late corrections: rewrite one day, never the table
+    QuerySpec("layout_dynamic_overwrite",
+      raw"""WITH e AS (SELECT epoch_ms(ts) // 86400000 AS day,
+           |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |      + CASE WHEN epoch_ms(ts) // 86400000 = 19732
+           |             THEN 100 ELSE 0 END AS cents
+           |  FROM events)
+           |SELECT CAST(day AS BIGINT) AS day,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(sum(cents) AS BIGINT) AS sum_cents
+           |FROM e GROUP BY 1""".stripMargin) { (s, d) =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_dynover").toString
+      val base = events(s, d).select(col("event_id"), col("event_type"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"),
+        expr("unix_millis(ts) div 86400000").as("day"))
+      base.write.mode("overwrite").partitionBy("day").parquet(dir)
+      base.where(col("day") === 19732L)
+        .withColumn("cents", col("cents") + 100L)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy(col("day").cast("long").as("day"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+    },
+
     // binary-content exact dedup over the multimodal payload column:
     // per media type, unique-asset counts and the bytes a
     // keep-first-copy pass reclaims — the md5-manifest step that runs

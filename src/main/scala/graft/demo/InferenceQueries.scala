@@ -711,6 +711,46 @@ object InferenceQueries {
         .withColumn("attempt", col("attempt").cast("long"))
     },
 
+    // deterministic DeepWalk corpus over the co-order part graph: 2
+    // walks × 3 steps from every node, step s of walk w from `start`
+    // moving to neighbor keyHash("start:w:s:cur") % degree(cur) in the
+    // dst-ordered adjacency ranking — both engines emit the identical
+    // walk table (the reproducibility a 100 TB embedding run needs).
+    // len chained co-partitioned joins against the once-ranked
+    // adjacency; nothing global, nothing collected
+    QuerySpec("graph_random_walks", {
+      def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+      def step(prev: String, name: String, st: Int) = {
+        val hs = h60(s"CAST(s.start AS VARCHAR) || ':' || CAST(s.walk AS VARCHAR)" +
+          s" || ':$st:' || CAST(s.node AS VARCHAR)")
+        s"""$name AS (SELECT s.start, s.walk, nb.dst AS node, $st AS step
+           |  FROM $prev s JOIN dg ON dg.src = s.node
+           |  JOIN nb ON nb.src = s.node AND nb.rnk = $hs % dg.deg)""".stripMargin
+      }
+      raw"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           |       AND a.l_partkey <> b.l_partkey),
+           |nb AS (SELECT src, dst,
+           |         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk
+           |       FROM e),
+           |dg AS (SELECT src, count(*) AS deg FROM nb GROUP BY 1),
+           |nodes AS (SELECT DISTINCT node FROM
+           |            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+           |s0 AS (SELECT node AS start, w.walk, node, 0 AS step FROM nodes
+           |       CROSS JOIN (SELECT unnest(range(0, 2)) AS walk) w),
+           |${step("s0", "s1", 1)},
+           |${step("s1", "s2", 2)},
+           |${step("s2", "s3", 3)}
+           |SELECT start, CAST(walk AS BIGINT) AS walk,
+           |  CAST(step AS BIGINT) AS step, node
+           |FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+           |      UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)""".stripMargin
+    }) { (s, d) =>
+      val edges = graft.ops.Graph.coOccurrenceEdges(
+        s.read.parquet(s"$d/lineitem.parquet"), "l_orderkey", "l_partkey")
+      graft.ops.Graph.randomWalks(edges, nWalks = 2, len = 3)
+    },
+
     // split-conformal calibration of the naive "history repeats"
     // forecast (prediction for post-period spend = pre-period spend,
     // per user): hash-parity user split, 90th-percentile |residual|

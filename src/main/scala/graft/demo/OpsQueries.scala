@@ -616,6 +616,41 @@ object OpsQueries {
         "vec_id", "embedding", k = 5)
     },
 
+    // retrieval-confidence audit: per query the top-1/top-2 score
+    // MARGIN — the distance-ratio test (Lowe 2004 §7.1 applied to
+    // retrieval): a wide margin says the nearest neighbor is
+    // unambiguous, a sliver says the corpus has competing near-ties
+    // and downstream consumers should treat the hit as uncertain. The
+    // margin is a difference of two identically-computed per-row
+    // doubles (index-ordered dot products), so both engines agree
+    // bitwise. Same broadcast query-side shape as sim_topk_brute
+    QuerySpec("sim_topk_margin",
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+        |scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |             list_dot_product(qv, e.embedding) AS score
+        |           FROM q JOIN embeddings e ON e.vec_id <> query_id),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |         ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id,
+        |  max(CASE WHEN rank = 1 THEN neighbor_id END) AS top1_id,
+        |  max(CASE WHEN rank = 2 THEN neighbor_id END) AS top2_id,
+        |  max(CASE WHEN rank = 1 THEN score END) AS s1,
+        |  max(CASE WHEN rank = 2 THEN score END) AS s2,
+        |  max(CASE WHEN rank = 1 THEN score END)
+        |    - max(CASE WHEN rank = 2 THEN score END) AS margin
+        |FROM rk WHERE rank <= 2 GROUP BY 1""".stripMargin) { (s, d) =>
+      val e = embs(s, d)
+      Similarity.bruteForceTopK(e, e.where(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 2)
+        .groupBy(col("query_id"))
+        .agg(max(when(col("rank") === 1, col("neighbor_id"))).as("top1_id"),
+          max(when(col("rank") === 2, col("neighbor_id"))).as("top2_id"),
+          max(when(col("rank") === 1, col("score"))).as("s1"),
+          max(when(col("rank") === 2, col("score"))).as("s2"))
+        .select(col("query_id"), col("top1_id"), col("top2_id"),
+          col("s1"), col("s2"), (col("s1") - col("s2")).as("margin"))
+    },
+
     // sign-random-projection LSH: the splitmix64 hyperplane signs are
     // re-derived in DuckDB (HUGEINT mod-2^64 arithmetic, split multiply,
     // let-bindings via single-element list comprehensions) — the whole

@@ -41,6 +41,63 @@ object Graph {
   }
 
   /**
+   * Deterministic hash-driven random walks — the data-prep stage of
+   * DeepWalk/node2vec-style graph embeddings (Perozzi et al. KDD'14):
+   * `nWalks` walks of `len` steps from every node, where step `s` of
+   * walk `w` from `start` moves to neighbor number
+   * `keyHash("start:w:s:cur") % degree(cur)` in the dst-ordered
+   * adjacency ranking. No RNG state anywhere, so both engines (and any
+   * two cluster runs) emit the identical corpus — the property that
+   * makes a 100 TB walk table reproducible and resumable.
+   *
+   * Scale shape: the adjacency list gets a per-node dense rank once
+   * (window partitioned by src, bounded by degree) and is reused by
+   * every step; each step is one equi-join of the |V|·nWalks frontier
+   * with the ranked adjacency on (node, picked-rank) — `len` chained
+   * co-partitioned joins, no driver-side anything. Walks stop early at
+   * a dead end (inner join) — impossible on symmetric co-occurrence
+   * graphs, where every node has degree ≥ 1.
+   *
+   * Output: `(start, walk, step, node)` — step 0 is the start node;
+   * one row per visited position.
+   */
+  def randomWalks(edges: DataFrame, nWalks: Int, len: Int): DataFrame = {
+    require(nWalks >= 1 && len >= 1, s"need nWalks, len >= 1: $nWalks, $len")
+    val nbr = graft.recon.Checkpoints.cut(
+      edges.select(col("src"), col("dst")).distinct()
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("src")).orderBy(col("dst"))) - 1))
+    val deg = nbr.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("__dsrc"), col("deg"))
+    val nbrR = nbr.select(col("src").as("__nsrc"), col("rank").as("__nrank"),
+      col("dst").as("__ndst"))
+    val starts = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .select(col("node").as("start"),
+        explode(sequence(lit(0), lit(nWalks - 1))).as("walk"))
+    var frontier = starts.select(col("start"), col("walk"),
+      col("start").as("node"), lit(0).as("step"))
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    for (st <- 1 to len) {
+      val pick = Sampling.keyHash(concat(
+        col("start").cast("string"), lit(":"), col("walk").cast("string"),
+        lit(":"), lit(st).cast("string"), lit(":"), col("node").cast("string")))
+      frontier = frontier
+        .join(deg, col("node") === col("__dsrc"))
+        .withColumn("__pick", pick % col("deg"))
+        .join(nbrR, col("node") === col("__nsrc") &&
+          col("__pick") === col("__nrank"))
+        .select(col("start"), col("walk"), col("__ndst").as("node"),
+          lit(st).as("step"))
+      levels += frontier
+    }
+    levels.reduce(_ unionByName _)
+      .select(col("start"), col("walk").cast("long").as("walk"),
+        col("step").cast("long").as("step"), col("node"))
+  }
+
+  /**
    * Deterministic negative sampling for link-prediction training: for
    * every node, up to `k` non-neighbors drawn by hash — the negative
    * half of a contrastive edge dataset, reproducible run to run (no

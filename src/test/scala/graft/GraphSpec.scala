@@ -248,6 +248,32 @@ class GraphSpec extends SparkSuite {
       (2L, 3L, 1L, 333L)))
   }
 
+  test("randomWalks: every transition is an edge, full length, deterministic") {
+    // path graph 1-2-3-4-5 (symmetric)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val edgeSet = (und ++ und.map(_.swap)).toSet
+    val out = Graph.randomWalks(edges, nWalks = 2, len = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    // 5 nodes × 2 walks × 4 positions — no dead ends on a symmetric graph
+    assert(out.length == 40, s"expected 40 positions, got ${out.length}")
+    val byWalk = out.groupBy(t => (t._1, t._2))
+    assert(byWalk.size == 10)
+    byWalk.foreach { case ((start, _), pos) =>
+      val path = pos.sortBy(_._3).map(_._4).toSeq
+      assert(path.length == 4 && path.head == start)
+      path.sliding(2).foreach { case Seq(a, b) =>
+        assert(edgeSet.contains((a, b)), s"non-edge transition $a->$b in $path")
+      }
+    }
+    // endpoints have one neighbor: every walk from 1 visits 2 at step 1
+    assert(byWalk.filter(_._1._1 == 1L).values
+      .forall(_.sortBy(_._3).map(_._4).toSeq(1) == 2L))
+    val again = Graph.randomWalks(edges, nWalks = 2, len = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(again == out.toSet)
+  }
+
   test("negativeSamples: no real edges, no self-loops, at most k per node, deterministic") {
     // path graph 1-2-3-4-5 (symmetric edges)
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
