@@ -3787,6 +3787,127 @@ object EntityQueries {
             .otherwise(expr("detect_sum_milli div np")).as("detect_mean_milli"))
     },
 
+    // behavioral near-duplicate users — the bot/replay-fraud screen: a
+    // user's event stream rendered as a (type@hour-of-day) token
+    // sequence, users paired when their trigram fingerprints overlap
+    // >= 0.9 Jaccard through the same prefix-filter join the document
+    // dedup uses. The scenario plants replay accounts (every 29th user
+    // cloned one week later under a new id — hour-of-day survives a
+    // whole-day shift, ids and days all differ); organic pairs top out
+    // at 15 milli on this corpus, so the screen must recover exactly
+    // the plants. The (type, hour) alphabet is ~120 symbols, keeping
+    // trigram sets discriminative where raw type trigrams (5 symbols)
+    // would saturate
+    QuerySpec("events_behavior_neardup",
+      raw"""WITH ev AS (SELECT user_id, ts, event_id, event_type FROM events
+           |      UNION ALL
+           |      SELECT user_id + 1000, ts + INTERVAL 7 DAY,
+           |        event_id + 10000000, event_type
+           |      FROM events WHERE user_id % 29 = 0),
+           |u AS (SELECT user_id AS doc_id,
+           |        string_agg(event_type || '@' ||
+           |          CAST(epoch_ms(ts) // 3600000 % 24 AS VARCHAR), ' '
+           |          ORDER BY ts, event_id) AS text
+           |      FROM ev GROUP BY 1),
+           |tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM u),
+           |sh AS (SELECT DISTINCT doc_id AS doc, unnest(CASE WHEN len(t) < 3 THEN []
+           |         ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)] END) AS tok
+           |       FROM tt),
+           |sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
+           |dfq AS (SELECT tok, count(*) AS df FROM sh GROUP BY 1),
+           |rk AS (SELECT s.doc, s.tok,
+           |         row_number() OVER (PARTITION BY s.doc ORDER BY d.df, s.tok) AS r, z.n
+           |       FROM sh s JOIN dfq d USING (tok) JOIN sz z USING (doc)),
+           |pf AS (SELECT doc, tok FROM rk WHERE r <= n - ((900 * n + 999) // 1000) + 1),
+           |cand AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+           |         FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc < b.doc),
+           |i AS (SELECT c.id_a, c.id_b, count(*) AS inter
+           |      FROM cand c JOIN sh sa ON sa.doc = c.id_a
+           |                  JOIN sh sb ON sb.doc = c.id_b AND sb.tok = sa.tok
+           |      GROUP BY 1, 2)
+           |SELECT i.id_a, i.id_b, i.inter, za.n + zb.n - i.inter AS uni,
+           |  CAST((i.inter * 1000) // (za.n + zb.n - i.inter) AS BIGINT) AS jac_milli
+           |FROM i JOIN sz za ON za.doc = i.id_a JOIN sz zb ON zb.doc = i.id_b
+           |WHERE i.inter * 1000 >= (za.n + zb.n - i.inter) * 900""".stripMargin) { (s, d) =>
+      val base = events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val clones = base.where(col("user_id") % 29 === 0)
+        .select((col("user_id") + 1000L).as("user_id"),
+          expr("ts + INTERVAL 7 DAYS").as("ts"),
+          (col("event_id") + 10000000L).as("event_id"), col("event_type"))
+      val seqs = base.unionByName(clones)
+        .select(col("user_id"), struct(col("ts"), col("event_id"),
+          concat(col("event_type"), lit("@"),
+            expr("unix_millis(ts) div 3600000 % 24").cast("string")).as("tok"))
+          .as("ev"))
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(array_sort(collect_list(col("ev"))),
+          x => x.getField("tok")), " ").as("text"))
+      graft.ops.SetSimilarity.jaccardPrefixJoin(
+        seqs, "text", "user_id", shingleN = 3, tMilli = 900)
+    },
+
+    // k-anonymity GENERALIZATION ladder (Mondrian-style rung audit,
+    // Sweeney 2002): for each coarsening of the quasi-identifier tuple
+    // (nation, segment, account-balance band), the group count,
+    // smallest group size, and rows living in groups under k = 10;
+    // chosen = first rung that clears k >= 10 everywhere (fallback:
+    // the coarsest). The decision table a release pipeline consults
+    // BEFORE publishing — each rung is one aggregate, the pick rides a
+    // broadcast. Balance bands floor-divide NEGATIVE balances via
+    // floor(x/c) doubles so both engines agree (truncating div would
+    // diverge below zero)
+    QuerySpec("privacy_generalization_ladder",
+      raw"""WITH c AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+           |    CAST(floor(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+           |r0 AS (SELECT count(*) AS k FROM c
+           |       GROUP BY nat, seg, CAST(floor(cents / 100000.0) AS BIGINT)),
+           |r1 AS (SELECT count(*) AS k FROM c
+           |       GROUP BY nat, seg, CAST(floor(cents / 500000.0) AS BIGINT)),
+           |r2 AS (SELECT count(*) AS k FROM c GROUP BY nat, seg),
+           |r3 AS (SELECT count(*) AS k FROM c GROUP BY seg),
+           |m AS (SELECT 0 AS rung, count(*) AS n_groups, min(k) AS k_min,
+           |        sum(CASE WHEN k < 10 THEN k ELSE 0 END) AS n_at_risk FROM r0
+           |      UNION ALL SELECT 1, count(*), min(k),
+           |        sum(CASE WHEN k < 10 THEN k ELSE 0 END) FROM r1
+           |      UNION ALL SELECT 2, count(*), min(k),
+           |        sum(CASE WHEN k < 10 THEN k ELSE 0 END) FROM r2
+           |      UNION ALL SELECT 3, count(*), min(k),
+           |        sum(CASE WHEN k < 10 THEN k ELSE 0 END) FROM r3),
+           |pick AS (SELECT COALESCE(min(CASE WHEN k_min >= 10 THEN rung END), 3)
+           |           AS chosen_rung FROM m)
+           |SELECT CAST(m.rung AS BIGINT) AS rung,
+           |  CAST(m.n_groups AS BIGINT) AS n_groups,
+           |  CAST(m.k_min AS BIGINT) AS k_min,
+           |  CAST(m.n_at_risk AS BIGINT) AS n_at_risk,
+           |  CAST(CASE WHEN m.rung = pick.chosen_rung THEN 1 ELSE 0 END AS BIGINT)
+           |    AS chosen
+           |FROM m CROSS JOIN pick""".stripMargin) { (s, d) =>
+      val c = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") * 100).cast("long").as("cents"))
+      def rung(i: Long, cols: Seq[org.apache.spark.sql.Column]) =
+        c.groupBy(cols: _*).agg(count(lit(1)).as("k"))
+          .agg(count(lit(1)).as("n_groups"), min(col("k")).as("k_min"),
+            sum(when(col("k") < 10, col("k")).otherwise(0L)).as("n_at_risk"))
+          .select(lit(i).as("rung"), col("n_groups"), col("k_min"),
+            col("n_at_risk"))
+      val m = Seq(
+          rung(0L, Seq(col("nat"), col("seg"),
+            floor(col("cents") / lit(100000.0d)).cast("long"))),
+          rung(1L, Seq(col("nat"), col("seg"),
+            floor(col("cents") / lit(500000.0d)).cast("long"))),
+          rung(2L, Seq(col("nat"), col("seg"))),
+          rung(3L, Seq(col("seg"))))
+        .reduce(_ unionByName _)
+      val pick = m.agg(coalesce(
+        min(when(col("k_min") >= 10, col("rung"))), lit(3L)).as("chosen_rung"))
+      m.crossJoin(broadcast(pick))
+        .select(col("rung"), col("n_groups"), col("k_min"), col("n_at_risk"),
+          when(col("rung") === col("chosen_rung"), 1L).otherwise(0L).as("chosen"))
+    },
+
     // quality_join_blowup's SKETCH twin: the same self-join cardinality
     // F2 = Σ n² estimated from the CMS inner product (AMS sketches;
     // Cormode & Muthukrishnan 2005 §4.2) — min over hash rows of
