@@ -3138,11 +3138,13 @@ object EntityQueries {
     },
 
     // ingestion outage windows at minute grain: collapse the stream to
-    // its DISTINCT minutes (bounded by the time span, not the event
-    // volume — the aggregation that makes the global lag window safe),
-    // then every silence longer than 3 minutes becomes a row with exact
-    // start/end/duration. events_missing_days sees day-size holes; this
-    // is the pager-duty view of the same signal
+    // its DISTINCT minutes, then every silence longer than 3 minutes
+    // becomes a row with exact start/end/duration. Adjacency rides the
+    // distributed row index + a shifted self-equi-join — no global lag
+    // window anywhere in the plan (the minute frame is span-bounded
+    // today, but the plan shape should not bet on it).
+    // events_missing_days sees day-size holes; this is the pager-duty
+    // view of the same signal
     QuerySpec("events_outage_windows",
       raw"""WITH m AS (SELECT DISTINCT epoch_ms(ts) // 60000 AS mn FROM events),
            |g AS (SELECT mn, lag(mn) OVER (ORDER BY mn) AS prev FROM m)
@@ -3150,10 +3152,13 @@ object EntityQueries {
            |  CAST(mn * 60000 AS BIGINT) AS outage_end_ms,
            |  CAST((mn - prev - 1) * 60000 AS BIGINT) AS duration_ms
            |FROM g WHERE mn - prev > 3""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val m = events(s, d)
         .select(expr("unix_millis(ts) div 60000").as("mn")).distinct()
-      m.withColumn("prev", lag(col("mn"), 1).over(Window.orderBy(col("mn"))))
+      // pin ONE index assignment for both join sides
+      val idx = graft.recon.Checkpoints.cut(
+        graft.recon.Sources.withRowIndexRanged(m, "__idx", Seq(col("mn"))))
+      val prev = idx.select((col("__idx") + 1).as("__idx"), col("mn").as("prev"))
+      idx.join(prev, Seq("__idx")) // inner: the first minute has no prev, like lag
         .where(col("mn") - col("prev") > 3)
         .select(((col("prev") + 1) * 60000L).as("outage_start_ms"),
           (col("mn") * 60000L).as("outage_end_ms"),

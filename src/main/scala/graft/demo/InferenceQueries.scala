@@ -901,5 +901,282 @@ object InferenceQueries {
           expr("(n_delivered * 1000) div n_total").as("delivered_milli"),
           when(col("bound_ms") === col("chosen_bound"), 1L).otherwise(0L)
             .as("chosen"))
+    },
+
+    // time-weighted average value per user (TWAP): LOCF over continuous
+    // time — each value holds until the user's next event, the last one
+    // until the stream horizon. Durations are exact epoch micros, the
+    // cents×micros numerator runs in DECIMAL(38,0)/HUGEINT, and the
+    // milli-cent quotient is a single exact integer division — the metric
+    // row-means get wrong whenever sampling is event-driven
+    QuerySpec("events_twap",
+      raw"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t,
+           |             CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+           |hz AS (SELECT max(t) AS h FROM e),
+           |d AS (SELECT user_id, cents,
+           |        COALESCE(lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id),
+           |                 hz.h) - t AS dur
+           |      FROM e CROSS JOIN hz),
+           |a AS (SELECT user_id, count(*) AS n_events, sum(dur) AS span_us,
+           |        sum(CAST(cents AS HUGEINT) * dur) AS num FROM d GROUP BY 1)
+           |SELECT user_id, n_events, CAST(span_us AS BIGINT) AS span_us,
+           |  CAST(CASE WHEN span_us > 0 THEN (1000 * num) // span_us END AS BIGINT)
+           |    AS twap_mc
+           |FROM a""".stripMargin) { (s, d) =>
+      graft.ops.Resample.timeWeightedMean(OpsQueries.events(s, d),
+        "user_id", "ts", floor(col("value") * 100).cast("long"), "event_id")
+    },
+
+    // does spending RANK with activity rank? Spearman correlation, exact
+    // under ties: Pearson over 2×tie-averaged ranks, ranks assigned by
+    // the distributed two-pass row index (no global rank window anywhere
+    // in the plan) and min+max-folded per value group — robust to the
+    // heavy value skew that makes the Pearson twin misleading
+    QuerySpec("events_value_spearman",
+      raw"""WITH u AS (SELECT user_id,
+           |             sum(CAST(floor(value * 100) AS BIGINT)) AS x,
+           |             count(*) AS y
+           |           FROM events GROUP BY 1),
+           |rx AS (SELECT user_id, 2 * rank() OVER (ORDER BY x)
+           |         + count(*) OVER (PARTITION BY x) - 1 AS r2x FROM u),
+           |ry AS (SELECT user_id, 2 * rank() OVER (ORDER BY y)
+           |         + count(*) OVER (PARTITION BY y) - 1 AS r2y FROM u),
+           |p AS (SELECT CAST(r2x AS HUGEINT) AS x, CAST(r2y AS HUGEINT) AS y
+           |      FROM rx JOIN ry USING (user_id)),
+           |m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           |        sum(x * y) AS sxy, sum(x * x) AS sx2, sum(y * y) AS sy2
+           |      FROM p)
+           |SELECT 'all' AS grp, CAST(n AS BIGINT) AS n,
+           |  CAST(sx AS VARCHAR) AS sum_x, CAST(sy AS VARCHAR) AS sum_y,
+           |  CAST(sxy AS VARCHAR) AS sum_xy, CAST(sx2 AS VARCHAR) AS sum_x2,
+           |  CAST(sy2 AS VARCHAR) AS sum_y2,
+           |  CAST(n * sxy - sx * sy AS DOUBLE) /
+           |    (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE)) *
+           |     sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))) AS rho
+           |FROM m""".stripMargin) { (s, d) =>
+      val u = OpsQueries.events(s, d).groupBy(col("user_id"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("x"),
+          count(lit(1)).as("y"))
+      graft.ops.RobustStats.spearmanExact(u, "user_id", "x", "y")
+    },
+
+    // run-length layout audit over lineitem's physical order: value runs
+    // per candidate column (the number that decides whether RLE/dict
+    // pages compress and whether a resort pays for itself). Adjacency is
+    // ONE self-equi-join on the distributed row index — no global
+    // window; all four columns ride the same pass
+    QuerySpec("layout_rle_gain",
+      raw"""WITH o AS (SELECT CAST(l_returnflag AS VARCHAR) AS c1,
+           |             CAST(l_linestatus AS VARCHAR) AS c2,
+           |             CAST(l_suppkey AS VARCHAR) AS c3,
+           |             CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS c4,
+           |             row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+           |           FROM lineitem),
+           |w AS (SELECT c1, c2, c3, c4, rn,
+           |        lag(c1) OVER (ORDER BY rn) AS p1, lag(c2) OVER (ORDER BY rn) AS p2,
+           |        lag(c3) OVER (ORDER BY rn) AS p3, lag(c4) OVER (ORDER BY rn) AS p4
+           |      FROM o),
+           |s AS (SELECT count(*) AS n,
+           |        sum(CASE WHEN rn = 1 OR c1 IS DISTINCT FROM p1 THEN 1 ELSE 0 END) AS r1,
+           |        sum(CASE WHEN rn = 1 OR c2 IS DISTINCT FROM p2 THEN 1 ELSE 0 END) AS r2,
+           |        sum(CASE WHEN rn = 1 OR c3 IS DISTINCT FROM p3 THEN 1 ELSE 0 END) AS r3,
+           |        sum(CASE WHEN rn = 1 OR c4 IS DISTINCT FROM p4 THEN 1 ELSE 0 END) AS r4,
+           |        count(DISTINCT c1) AS d1, count(DISTINCT c2) AS d2,
+           |        count(DISTINCT c3) AS d3, count(DISTINCT c4) AS d4
+           |      FROM w)
+           |SELECT * FROM (
+           |  SELECT 'l_returnflag' AS column_name, n AS n_rows, CAST(r1 AS BIGINT) AS n_runs,
+           |    CAST(d1 AS BIGINT) AS n_distinct, CAST((1000 * n) // r1 AS BIGINT) AS avg_run_milli,
+           |    CAST((1000 * r1) // d1 AS BIGINT) AS sorted_gain_milli FROM s
+           |  UNION ALL
+           |  SELECT 'l_linestatus', n, CAST(r2 AS BIGINT), CAST(d2 AS BIGINT),
+           |    CAST((1000 * n) // r2 AS BIGINT), CAST((1000 * r2) // d2 AS BIGINT) FROM s
+           |  UNION ALL
+           |  SELECT 'l_suppkey', n, CAST(r3 AS BIGINT), CAST(d3 AS BIGINT),
+           |    CAST((1000 * n) // r3 AS BIGINT), CAST((1000 * r3) // d3 AS BIGINT) FROM s
+           |  UNION ALL
+           |  SELECT 'l_shipday', n, CAST(r4 AS BIGINT), CAST(d4 AS BIGINT),
+           |    CAST((1000 * n) // r4 AS BIGINT), CAST((1000 * r4) // d4 AS BIGINT) FROM s
+           |)""".stripMargin) { (s, d) =>
+      graft.ops.Layout.rleGain(
+        s.read.parquet(s"$d/lineitem.parquet")
+          .withColumn("l_shipday", to_date(col("l_shipdate"))),
+        Seq(col("l_orderkey"), col("l_linenumber")),
+        Seq("l_returnflag", "l_linestatus", "l_suppkey", "l_shipday"))
+    },
+
+    // WEIGHTED (bag) Jaccard near-dup pairs: occurrence-indexed tokens
+    // (tok#1..tok#c) reduce bag similarity to set similarity, so the
+    // rarest-first prefix filter keeps its no-false-negatives guarantee
+    // while min/max multiplicities decide the score — the similarity
+    // that separates "both mention X" from "both repeat X fifty times"
+    QuerySpec("dedup_weighted_jaccard",
+      raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+           |            FROM documents),
+           |tk AS (SELECT doc_id AS doc, unnest(t) AS w FROM tt),
+           |cn AS (SELECT doc, w, count(*) AS c FROM tk GROUP BY 1, 2),
+           |sh AS (SELECT doc, w || '#' || CAST(unnest(range(1, c + 1)) AS VARCHAR) AS tok
+           |       FROM cn),
+           |sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
+           |df AS (SELECT tok, count(*) AS df FROM sh GROUP BY 1),
+           |rk AS (SELECT s.doc, s.tok,
+           |         row_number() OVER (PARTITION BY s.doc ORDER BY d.df, s.tok) AS r, z.n
+           |       FROM sh s JOIN df d USING (tok) JOIN sz z USING (doc)),
+           |pf AS (SELECT doc, tok FROM rk WHERE r <= n - ((600 * n + 999) // 1000) + 1),
+           |cand AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+           |         FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc < b.doc),
+           |i AS (SELECT c.id_a, c.id_b, count(*) AS inter
+           |      FROM cand c JOIN sh sa ON sa.doc = c.id_a
+           |                  JOIN sh sb ON sb.doc = c.id_b AND sb.tok = sa.tok
+           |      GROUP BY 1, 2)
+           |SELECT i.id_a, i.id_b, i.inter, za.n + zb.n - i.inter AS uni,
+           |  CAST((i.inter * 1000) // (za.n + zb.n - i.inter) AS BIGINT) AS wjac_milli
+           |FROM i JOIN sz za ON za.doc = i.id_a JOIN sz zb ON zb.doc = i.id_b
+           |WHERE i.inter * 1000 >= (za.n + zb.n - i.inter) * 600""".stripMargin) { (s, d) =>
+      graft.ops.SetSimilarity.weightedJaccardJoin(
+        s.read.parquet(s"$d/documents.parquet"), "text", "doc_id",
+        shingleN = 1, tMilli = 600)
+    },
+
+    // lexical-diversity card: type-token ratio + Gini impurity of the
+    // token distribution — the exact-integer entropy stand-in (ln is
+    // libm-specific and would not hash-match cross-engine; impurity
+    // ranks the same degenerate-repetition offenders)
+    QuerySpec("text_token_diversity",
+      raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+           |            FROM documents),
+           |tk AS (SELECT doc_id, unnest(t) AS w FROM tt),
+           |cn AS (SELECT doc_id, w, count(*) AS c FROM tk GROUP BY 1, 2),
+           |a AS (SELECT doc_id, sum(c) AS n, count(*) AS types, sum(c * c) AS s2
+           |      FROM cn GROUP BY 1)
+           |SELECT tt.doc_id,
+           |  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+           |  CAST(COALESCE(a.types, 0) AS BIGINT) AS n_types,
+           |  CAST(CASE WHEN a.n > 0 THEN (1000 * a.types) // a.n END AS BIGINT)
+           |    AS ttr_milli,
+           |  CAST(CASE WHEN a.n > 0 THEN 1000 - (1000 * a.s2) // (a.n * a.n) END
+           |    AS BIGINT) AS gini_milli
+           |FROM tt LEFT JOIN a USING (doc_id)""".stripMargin) { (s, d) =>
+      graft.ops.TextAnalysis.tokenDiversity(
+        s.read.parquet(s"$d/documents.parquet"), "text", "doc_id")
+    },
+
+    // Zipf profile with no ln/pow anywhere: frequency mass per DOUBLING
+    // rank band. Under Zipf-1 the bands carry ~equal mass; a head-heavy
+    // corpus (synthetic, templated) shows up as a falling staircase.
+    // Ranks ride the distributed two-pass row index — the profile runs
+    // unchanged on a 100M-type vocabulary
+    QuerySpec("vocab_zipf_bands",
+      raw"""WITH tt AS (SELECT CASE WHEN length(trim(text)) = 0 THEN []
+           |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+           |            FROM documents),
+           |wc AS (SELECT w, count(*) AS freq
+           |       FROM (SELECT unnest(t) AS w FROM tt) GROUP BY 1),
+           |rk AS (SELECT freq,
+           |         row_number() OVER (ORDER BY freq DESC, w) AS rank FROM wc),
+           |bd AS (SELECT freq, CASE
+           |         WHEN rank < 2 THEN 0 WHEN rank < 4 THEN 1 WHEN rank < 8 THEN 2
+           |         WHEN rank < 16 THEN 3 WHEN rank < 32 THEN 4 WHEN rank < 64 THEN 5
+           |         WHEN rank < 128 THEN 6 WHEN rank < 256 THEN 7 WHEN rank < 512 THEN 8
+           |         WHEN rank < 1024 THEN 9 WHEN rank < 2048 THEN 10
+           |         WHEN rank < 4096 THEN 11 WHEN rank < 8192 THEN 12
+           |         WHEN rank < 16384 THEN 13 WHEN rank < 32768 THEN 14
+           |         WHEN rank < 65536 THEN 15 WHEN rank < 131072 THEN 16
+           |         WHEN rank < 262144 THEN 17 WHEN rank < 524288 THEN 18
+           |         WHEN rank < 1048576 THEN 19 ELSE 20 END AS band FROM rk),
+           |tot AS (SELECT sum(freq) AS total FROM wc)
+           |SELECT band, CAST(1::BIGINT << band AS BIGINT) AS lo_rank,
+           |  count(*) AS n_types, CAST(sum(freq) AS BIGINT) AS mass,
+           |  CAST((1000 * sum(freq)) // tot.total AS BIGINT) AS mass_milli
+           |FROM bd CROSS JOIN tot
+           |GROUP BY band, tot.total""".stripMargin) { (s, d) =>
+      graft.ops.Vocab.zipfBands(
+        s.read.parquet(s"$d/documents.parquet"), "text", maxBand = 20)
+    },
+
+    // retrieval eval against label relevance: rank the corpus per query
+    // with the exact float-dot kernel, report the FIRST same-label rank,
+    // floor-milli reciprocal rank, and hit@5 — per-query rows so a bad
+    // slice is drillable (mean rr_milli = MRR). Queries whose label
+    // never recurs surface with null rank instead of vanishing
+    QuerySpec("retrieval_mrr",
+      raw"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+           |           FROM embeddings WHERE vec_id % 100 = 0),
+           |scored AS (SELECT query_id, q_label, e.label AS c_label,
+           |             row_number() OVER (PARTITION BY query_id
+           |               ORDER BY list_dot_product(qv, e.embedding) DESC, e.vec_id)
+           |               AS rank
+           |           FROM q JOIN embeddings e ON e.vec_id <> query_id),
+           |a AS (SELECT query_id, q_label,
+           |        min(CASE WHEN c_label = q_label THEN rank END) AS first_rel_rank,
+           |        max(CASE WHEN c_label = q_label AND rank <= 5 THEN 1 ELSE 0 END)
+           |          AS hit_at_5
+           |      FROM scored GROUP BY 1, 2)
+           |SELECT query_id, q_label, first_rel_rank, CAST(hit_at_5 AS BIGINT) AS hit_at_5,
+           |  CAST(CASE WHEN first_rel_rank IS NOT NULL THEN 1000 // first_rel_rank END
+           |    AS BIGINT) AS rr_milli
+           |FROM a""".stripMargin) { (s, d) =>
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      graft.ops.Similarity.mrrEval(e, e.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", "label", k = 5)
+    },
+
+    // aspect-ratio bucketing — the image-batch planning step: snap each
+    // (stub-decoded) image to the nearest ladder ratio, count the bucket
+    // populations and the batches they yield at size 32. The ladder is a
+    // 7-row broadcast; exact integer milli ratios in both engines
+    QuerySpec("mm_aspect_buckets",
+      s"""${MultimodalSql.featuresCte},
+         |img AS (SELECT media_id, (1000 * width) // height AS ratio_milli
+         |        FROM f WHERE media_type = 'image'),
+         |lad AS (SELECT * FROM (VALUES ('1:2', 500), ('9:16', 562), ('3:4', 750),
+         |          ('1:1', 1000), ('4:3', 1333), ('16:9', 1778), ('2:1', 2000))
+         |          l(bucket, target_milli)),
+         |asg AS (SELECT media_id, ratio_milli, bucket, target_milli,
+         |          row_number() OVER (PARTITION BY media_id
+         |            ORDER BY abs(ratio_milli - target_milli), target_milli) AS r
+         |        FROM img CROSS JOIN lad)
+         |SELECT bucket, CAST(target_milli AS BIGINT) AS target_milli,
+         |  count(*) AS n_images,
+         |  CAST(min(ratio_milli) AS BIGINT) AS min_ratio_milli,
+         |  CAST(max(ratio_milli) AS BIGINT) AS max_ratio_milli,
+         |  CAST((count(*) + 31) // 32 AS BIGINT) AS n_batches
+         |FROM asg WHERE r = 1 GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      graft.ops.Multimodal.aspectBuckets(
+        graft.ops.Multimodal.decodeFeatures(graft.ops.Multimodal.asMedia(
+          graft.ops.Multimodal.syntheticMedia(
+            s.read.parquet(s"$d/documents.parquet"), "doc_id", "text"))).toDF(),
+        batchSize = 32)
+    },
+
+    // near-duplicate media: banded Hamming join over the 64-bit content
+    // hash (pHash slot) — pairs within 3 bit flips must share one of the
+    // four 16-bit slices exactly (pigeonhole, so the equi-join is
+    // COMPLETE), one popcount per candidate settles it. The stub hash
+    // makes byte-identical payload prefixes land at hamming 0 — the
+    // exact-duplicate media the corpus actually contains
+    QuerySpec("mm_phash_neardup",
+      s"""${MultimodalSql.featuresCte},
+         |ph AS (SELECT media_id, content_hash,
+         |         CAST(content_hash AS HUGEINT) + CASE WHEN content_hash < 0
+         |           THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END AS u
+         |       FROM f),
+         |bd AS (SELECT media_id, content_hash,
+         |         b.band, CAST((u >> (16 * b.band)) % 65536 AS BIGINT) AS bv
+         |       FROM ph CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+         |pr AS (SELECT DISTINCT x.media_id AS media_id_a, y.media_id AS media_id_b,
+         |         x.content_hash AS ha, y.content_hash AS hb
+         |       FROM bd x JOIN bd y ON x.band = y.band AND x.bv = y.bv
+         |         AND x.media_id < y.media_id)
+         |SELECT media_id_a, media_id_b,
+         |  CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM pr WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin) { (s, d) =>
+      graft.ops.Multimodal.phashNearDups(
+        graft.ops.Multimodal.decodeFeatures(graft.ops.Multimodal.asMedia(
+          graft.ops.Multimodal.syntheticMedia(
+            s.read.parquet(s"$d/documents.parquet"), "doc_id", "text"))).toDF(),
+        maxHamming = 3)
     })
 }

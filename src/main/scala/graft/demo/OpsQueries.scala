@@ -1838,16 +1838,21 @@ object MultimodalSql {
        |        FROM b)
        |)""".stripMargin
 
-  val featuresSql: String =
-    s"""$hashCte
-       |SELECT doc_id AS media_id,
-       |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-       |  octet_length(encode(text)) AS n_bytes,
-       |  CASE WHEN doc_id % 3 = 1 THEN 0 ELSE CAST(64 + abs(ch) % 1024 AS INT) END AS width,
-       |  CASE WHEN doc_id % 3 = 1 THEN 0 ELSE CAST(64 + abs(ch >> 10) % 1024 AS INT) END AS height,
-       |  CASE WHEN doc_id % 3 = 0 THEN 0 ELSE abs(ch >> 20) % 600000 END AS duration_ms,
-       |  ch AS content_hash
-       |FROM h""".stripMargin
+  private val featuresBody: String =
+    """SELECT doc_id AS media_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  CASE WHEN doc_id % 3 = 1 THEN 0 ELSE CAST(64 + abs(ch) % 1024 AS INT) END AS width,
+      |  CASE WHEN doc_id % 3 = 1 THEN 0 ELSE CAST(64 + abs(ch >> 10) % 1024 AS INT) END AS height,
+      |  CASE WHEN doc_id % 3 = 0 THEN 0 ELSE abs(ch >> 20) % 600000 END AS duration_ms,
+      |  ch AS content_hash
+      |FROM h""".stripMargin
+
+  val featuresSql: String = s"$hashCte\n$featuresBody"
+
+  /** The stub-decoded feature frame as a reusable CTE `f` — downstream
+    * multimodal oracles (aspect buckets, pHash near-dups) build on it. */
+  val featuresCte: String = s"$hashCte, f AS (\n$featuresBody)"
 
   /** Video rows only; k=4 evenly spaced frame indices, exploded.
     * trunc() before the BIGINT cast: DuckDB rounds on double→int casts

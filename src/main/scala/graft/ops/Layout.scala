@@ -186,4 +186,54 @@ object Layout {
   def bucketedJoin(spark: SparkSession, tableA: String, tableB: String,
       keyCols: Seq[String]): DataFrame =
     spark.table(tableA).hint("merge").join(spark.table(tableB), keyCols)
+
+  /**
+   * Run-length layout audit: for each candidate column, how many VALUE
+   * RUNS the table's physical order produces — the number that decides
+   * whether parquet RLE/dictionary pages compress (a column with
+   * n_rows/10 runs encodes ~10× denser than one that alternates every
+   * row), and whether re-sorting by that column is worth a rewrite.
+   * `avg_run_milli` = 1000·rows/runs (average run length); the floor of
+   * a resort is `n_distinct` runs, so `sorted_gain_milli` =
+   * 1000·runs/n_distinct is the multiple a resort would remove.
+   *
+   * Adjacency without a global window: rows get a distributed index in
+   * the physical order ([[graft.recon.Sources.withRowIndexRanged]]),
+   * and (i, i+1) pairs meet in ONE self-equi-join on the index — all
+   * `cols` are audited in that single pass. Distinct counts share one
+   * aggregate (Catalyst expands it; at extreme widths run one column
+   * per pass instead). The indexed frame is lineage-cut: the join's two
+   * sides must observe the same index assignment.
+   *
+   * Values are compared as strings (uniform null-safe semantics across
+   * types — the oracle mirrors the cast).
+   */
+  def rleGain(df: DataFrame, orderCols: Seq[Column], cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "rleGain: no columns to audit")
+    val proj = cols.map(c => col(c).cast("string").as(c))
+    val idx = graft.recon.Checkpoints.cut(
+      graft.recon.Sources.withRowIndexRanged(
+        df.select((orderCols ++ proj).toIndexedSeq: _*), "__idx", orderCols)
+        .select((col("__idx") +: cols.map(col)).toIndexedSeq: _*))
+    val nxt = idx.select(
+      ((col("__idx") - 1).as("__idx") +: cols.map(c => col(c).as(s"__n_$c"))).toIndexedSeq: _*)
+    val changes = idx.join(nxt, Seq("__idx"))
+      .agg(count(lit(1)).as("__pairs"),
+        cols.map(c => sum(when(col(c) <=> col(s"__n_$c"), 0L).otherwise(1L))
+          .as(s"__chg_$c")): _*)
+    val totals = idx.agg(count(lit(1)).as("n_rows"),
+      cols.map(c => countDistinct(col(c)).as(s"__d_$c")): _*)
+    val wide = changes.crossJoin(totals)
+    val stacked = cols.map { c =>
+      wide.select(lit(c).as("column_name"), col("n_rows"),
+        (col(s"__chg_$c") + 1L).as("n_runs"), col(s"__d_$c").as("n_distinct"))
+    }.reduce(_ union _)
+    stacked.select(col("column_name"), col("n_rows"), col("n_runs"),
+      col("n_distinct"),
+      expr("(1000 * n_rows) div n_runs").as("avg_run_milli"),
+      // an all-null column has 0 distinct values (count distinct skips
+      // nulls in both engines) — report a null gain, not an ANSI raise
+      when(col("n_distinct") > 0,
+        expr("(1000 * n_runs) div n_distinct")).as("sorted_gain_milli"))
+  }
 }

@@ -100,4 +100,76 @@ object Multimodal {
           i => least(col("n_frames") - 1,
             ((i.cast("long") * col("n_frames")) / lit(k.toLong)).cast("long"))))
       .select(col("media_id"), col("n_frames"), col("frame_indices"))
+
+  /** The aspect-ratio ladder image-training pipelines bucket into —
+    * SDXL-style fixed shapes; `ratio_milli = 1000·w div h`. */
+  val AspectLadder: Seq[(String, Long)] = Seq(
+    ("1:2", 500L), ("9:16", 562L), ("3:4", 750L), ("1:1", 1000L),
+    ("4:3", 1333L), ("16:9", 1778L), ("2:1", 2000L))
+
+  /**
+   * Aspect-ratio bucketing — the batch-planning step of every image
+   * training pipeline (resize distorts less within a bucket, and a batch
+   * must share one shape): each image snaps to the NEAREST ladder ratio
+   * (ties to the smaller target), buckets report their population, ratio
+   * range, and batch count at `batchSize`. The ladder is a 7-row
+   * broadcast; the nearest-bucket window partitions per image (bounded
+   * by ladder size) — one aggregate shuffle total, exact integer math
+   * throughout.
+   */
+  def aspectBuckets(features: DataFrame, batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1: $batchSize")
+    val spark = features.sparkSession
+    import spark.implicits._
+    val ladder = AspectLadder.toDF("bucket", "target_milli")
+    val imgs = features.where(col("media_type") === "image")
+      .select(col("media_id"), expr("(1000 * width) div height").as("ratio_milli"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id"))
+      .orderBy(abs(col("ratio_milli") - col("target_milli")), col("target_milli"))
+    imgs.crossJoin(broadcast(ladder))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1)
+      .groupBy(col("bucket"), col("target_milli"))
+      .agg(count(lit(1)).as("n_images"),
+        min(col("ratio_milli")).as("min_ratio_milli"),
+        max(col("ratio_milli")).as("max_ratio_milli"))
+      .withColumn("n_batches",
+        expr(s"(n_images + ${batchSize - 1}) div $batchSize"))
+  }
+
+  /**
+   * Near-duplicate media via banded Hamming join over the 64-bit
+   * content hash (in production a true perceptual hash — pHash/aHash —
+   * lands in `content_hash` via the decoder; the banding math is
+   * identical). A pair within `maxHamming` bit flips must agree exactly
+   * on at least one of the `bands` hash slices (pigeonhole — hence the
+   * `maxHamming < bands` requirement, which keeps the equi-join
+   * COMPLETE: no false negatives), so candidates come from `bands`
+   * equi-joins on 16-bit slices, never an all-pairs XOR scan; one exact
+   * popcount per candidate settles the pair. Crowded slices (a constant
+   * hash region) would fan out — production adds the same `maxBucket`
+   * cap [[Similarity.lshTopK]] uses.
+   */
+  def phashNearDups(features: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = 4
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"banding completeness needs 0 <= maxHamming < $bands: $maxHamming")
+    val banded = features
+      .select(col("media_id"), col("content_hash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bv",
+        expr("shiftrightunsigned(content_hash, band * 16) % 65536"))
+    val pairs = banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_id_a"),
+        col("y.media_id").as("media_id_b"),
+        col("x.content_hash").as("__ha"), col("y.content_hash").as("__hb"))
+      .distinct()
+    pairs
+      .withColumn("hamming", expr("cast(bit_count(__ha ^ __hb) as bigint)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("media_id_a"), col("media_id_b"), col("hamming"))
+  }
 }

@@ -63,4 +63,46 @@ object Resample {
   def regularize(df: DataFrame, entityCol: String, tsCol: String,
       valueCol: String, intervalMs: Long): DataFrame =
     gapFill(resample(df, entityCol, tsCol, valueCol, intervalMs), entityCol)
+
+  /**
+   * Time-weighted mean (TWAP): each observation's value holds until the
+   * entity's NEXT observation (LOCF semantics over continuous time), the
+   * last one until the stream's global max timestamp — so a price that sat
+   * at 100 for six hours and spiked to 500 for one minute averages ~100,
+   * where a row-mean would report 300. The metric that matters whenever
+   * sampling is event-driven rather than clocked.
+   *
+   * Exactness: durations are exact epoch-microsecond differences, the
+   * value must already be integral (caller's cents/milli scaling), and the
+   * duration-weighted numerator runs in DECIMAL(38,0) (cents × micros
+   * exceeds int64 headroom at realistic spans). The result is
+   * `twap_mc = (1000·Σ value·dur) div Σ dur` — milli-units of the input
+   * scale, exact integer in any engine. All inputs are non-negative by
+   * contract (`div` truncation ≡ floor), enforced with a runtime check.
+   *
+   * Scale: one window per entity (lead), one aggregate shuffle; the global
+   * horizon is a 1-row aggregate broadcast in-plan — no driver collect.
+   * Entities with all events at the horizon instant have span 0 and a
+   * null twap (guarded — ANSI would raise on the division).
+   */
+  def timeWeightedMean(df: DataFrame, entityCol: String, tsCol: String,
+      valueInt: Column, tieCol: String): DataFrame = {
+    val t = unix_micros(col(tsCol))
+    val horizon = df.agg(max(unix_micros(col(tsCol))).as("__hz"))
+    val w = Window.partitionBy(col(entityCol)).orderBy(t, col(tieCol))
+    val timed = df
+      .withColumn("__v", when(valueInt < 0,
+        raise_error(lit("timeWeightedMean: negative value"))).otherwise(valueInt))
+      .withColumn("__t", t)
+      .withColumn("__next", lead(col("__t"), 1).over(w))
+      .crossJoin(broadcast(horizon))
+      .withColumn("__dur", coalesce(col("__next"), col("__hz")) - col("__t"))
+    timed.groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__dur")).as("span_us"),
+        sum((col("__v") * col("__dur")).cast(DecimalType(38, 0))).as("__num"))
+      .select(col(entityCol), col("n_events"), col("span_us"),
+        when(col("span_us") > 0,
+          expr("(1000 * __num) div span_us")).cast("long").as("twap_mc"))
+  }
 }

@@ -95,6 +95,42 @@ object RobustStats {
   }
 
   /**
+   * Spearman rank correlation, exact under ties: Pearson over
+   * 2×average-ranks. The tie-averaged rank of a value group is
+   * (min + max)/2 of its row numbers; doubling clears the half-integer,
+   * and Pearson is shift/scale-invariant so the coefficient is
+   * unchanged — every moment stays an exact integer. Row numbers come
+   * from [[graft.recon.Sources.withRowIndexRanged]] (two-pass ranged
+   * scheme — no single-partition rank window, so the rank pass
+   * distributes at any cardinality), and min+max per value group is one
+   * hash aggregate, so no rank window appears anywhere in the plan.
+   * The final coefficient reuses [[corrExact]]'s fixed-shape double
+   * expression (division IEEE-deterministic, sqrt correctly rounded).
+   *
+   * Input is one row per entity with integral x/y; the input subtree is
+   * lineage-cut once because the two rank passes and the join would
+   * otherwise re-execute it ~6×.
+   */
+  def spearmanExact(df: DataFrame, idCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val in = graft.recon.Checkpoints.cut(
+      df.select(col(idCol), col(xCol), col(yCol))
+        .where(col(xCol).isNotNull && col(yCol).isNotNull))
+    def rank2(vCol: String, out: String): DataFrame = {
+      val idx = graft.recon.Sources.withRowIndexRanged(
+        in.select(col(idCol), col(vCol)), "__idx",
+        Seq(col(vCol), col(idCol)))
+      val grp = idx.groupBy(col(vCol))
+        .agg((min(col("__idx")) + max(col("__idx"))).as(out))
+      idx.join(grp, Seq(vCol)).select(col(idCol), col(out))
+    }
+    val ranked = rank2(xCol, "r2x").join(rank2(yCol, "r2y"), Seq(idCol))
+      .withColumn("grp", lit("all"))
+    corrExact(ranked, "grp", "r2x", "r2y")
+      .withColumnRenamed("corr", "rho")
+  }
+
+  /**
    * CUPED adjustment statistics (Deng et al. 2013, "Improving the
    * Sensitivity of Online Controlled Experiments by Utilizing
    * Pre-Experiment Data") from EXACT integer moments — the variance

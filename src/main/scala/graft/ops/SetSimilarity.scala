@@ -44,10 +44,42 @@ object SetSimilarity {
    * cut Catalyst would re-derive the explode per consumer.
    */
   def jaccardPrefixJoin(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int, tMilli: Int): DataFrame =
+    prefixJaccardCore(
+      Dedup.shingleTable(df, textCol, idCol, shingleN), tMilli)
+
+  /**
+   * WEIGHTED (bag) Jaccard self-join: `wJ = Σ_t min(cA,cB) / Σ_t max(cA,cB)`
+   * over token MULTISETS — the similarity that notices when one document
+   * repeats a token 50 times and the other once, which set Jaccard (both
+   * "contain" the token) cannot. The standard reduction makes the prefix
+   * filter's no-false-negatives guarantee carry over verbatim: index each
+   * occurrence (`tok#1, tok#2, …, tok#c`) and the SET Jaccard of the
+   * expanded sets IS the weighted Jaccard of the bags (|∩| = Σ min,
+   * |∪| = Σ max), so the expanded elements run through the exact same
+   * rarest-first prefix pipeline. Expansion size = total token count —
+   * the same volume [[Dedup.spanTable]] already moves.
+   *
+   * Output: `(id_a, id_b, inter, uni, wjac_milli)` with `id_a < id_b`,
+   * `inter = Σ min`, `uni = Σ max`, `wjac_milli ≥ tMilli`.
+   */
+  def weightedJaccardJoin(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int, tMilli: Int): DataFrame = {
+    val occ = Dedup.spanTable(df, textCol, idCol, shingleN) // every occurrence
+      .groupBy(col("doc"), col("shingle")).agg(count(lit(1)).as("__c"))
+      .select(col("doc"), col("shingle"),
+        explode(sequence(lit(1L), col("__c"))).as("__i"))
+      .select(col("doc"), concat_ws("#", col("shingle"), col("__i")).as("shingle"))
+    prefixJaccardCore(occ, tMilli)
+      .withColumnRenamed("jac_milli", "wjac_milli")
+  }
+
+  /** The shared SSJoin pipeline over a pre-built (doc, shingle)
+    * distinct-element table — see [[jaccardPrefixJoin]] for the filter
+    * argument, [[weightedJaccardJoin]] for the bag reduction. */
+  private def prefixJaccardCore(elements: DataFrame, tMilli: Int): DataFrame = {
     require(tMilli >= 1 && tMilli <= 1000, s"tMilli out of (0, 1000]: $tMilli")
-    val sh = graft.recon.Checkpoints.cut(
-      Dedup.shingleTable(df, textCol, idCol, shingleN)) // (doc, shingle), distinct
+    val sh = graft.recon.Checkpoints.cut(elements) // (doc, shingle), distinct
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val ranked = sh.join(dfreq, Seq("shingle"))

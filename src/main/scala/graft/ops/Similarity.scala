@@ -43,6 +43,39 @@ object Similarity {
   }
 
   /**
+   * Label-relevance retrieval eval — MRR and hit@k: rank the corpus per
+   * query with the exact float-dot kernel, find the FIRST same-label
+   * neighbor, report its rank, the floor-milli reciprocal rank, and
+   * whether it landed inside the top `k`. The mean of `rr_milli` over
+   * queries is MRR@∞ (this emits per-query rows so the eval is
+   * drillable); queries whose label never appears elsewhere surface
+   * with null rank rather than vanishing. Brute-force ranking is the
+   * POINT here (exact ground truth for an eval) — production retrieval
+   * uses the ANN paths, this harness grades them.
+   */
+  def mrrEval(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col(labelCol).as("q_label")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col(labelCol).as("c_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", vec_dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(min(when(col("c_label") === col("q_label"), col("rank")))
+          .as("first_rel_rank"),
+        max(when(col("c_label") === col("q_label") && col("rank") <= k, 1L)
+          .otherwise(0L)).as(s"hit_at_$k"))
+      .withColumn("rr_milli",
+        when(col("first_rel_rank").isNotNull,
+          expr("1000 div first_rel_rank")))
+  }
+
+  /**
    * Project a float-vector frame to its int8-quantized form:
    * (idCol, q array<tinyint>, maxabs float). Pure per-row kernel
    * projection — the quantized corpus is 4× smaller at rest, which is

@@ -554,6 +554,36 @@ object TextAnalysis {
           .as("chunk_tokens"))
   }
 
+  /**
+   * Lexical-diversity card per document: type-token ratio and the Gini
+   * IMPURITY of the token distribution (1 − Σ(cᵢ/n)²) — the exact-integer
+   * stand-in for token entropy (ln is libm-specific, so entropy cannot be
+   * value-checked cross-engine; impurity ranks documents the same way).
+   * Low TTR + low impurity = a document hammering a few tokens — the
+   * degenerate-repetition class quality filters drop. One explode + two
+   * hash aggregates; the left join keeps blank documents (0 tokens, null
+   * ratios — a guard, not an ANSI raise).
+   *
+   * Output: (id, n_tokens, n_types, ttr_milli, gini_milli), all exact:
+   * `ttr_milli = 1000·types div n`, `gini_milli = 1000 − (1000·Σc²) div n²`.
+   */
+  def tokenDiversity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ids = df.select(col(idCol))
+    val counts = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("__n"), count(lit(1)).as("__types"),
+        sum(col("__c") * col("__c")).as("__s2"))
+    ids.join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_tokens"),
+        coalesce(col("__types"), lit(0L)).as("n_types"),
+        when(col("__n") > 0, expr("(1000 * __types) div __n")).as("ttr_milli"),
+        when(col("__n") > 0,
+          lit(1000L) - expr("(1000 * __s2) div (__n * __n)")).as("gini_milli"))
+  }
+
   /** Min-window-hash document fingerprint (native expression, codegen'd).
     * `portable = true` (default) slides a CHARACTER window hashed with md5
     * — value-checkable against the DuckDB oracle; `false` slides the

@@ -33,6 +33,39 @@ object Vocab {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
   /**
+   * Zipf profile in EXACT arithmetic: token frequency mass per DOUBLING
+   * rank band (band b holds ranks [2^b, 2^(b+1))). Under a Zipf law with
+   * exponent ~1 every band carries roughly equal mass, so the band table
+   * is a fitted-slope readout with no `ln`/`pow` anywhere (libm-specific
+   * — see [[Sketches]]); the band index is a CASE ladder over integer
+   * rank, exact in any engine. Ranks come from the distributed two-pass
+   * row index over (freq desc, word) — no single-partition rank window,
+   * so the profile scales to a 100M-type web vocabulary unchanged.
+   *
+   * Output: (band, lo_rank, n_types, mass, mass_milli), band capped at
+   * `maxBand` (deeper ranks pool into the last band).
+   */
+  def zipfBands(df: DataFrame, textCol: String, maxBand: Int = 19): DataFrame = {
+    require(maxBand >= 1 && maxBand <= 62, s"maxBand out of range: $maxBand")
+    // cut once: the rank pass and the total pass would otherwise each
+    // re-run the corpus-sized wordCounts aggregation
+    val wc = graft.recon.Checkpoints.cut(wordCounts(df, textCol))
+    val ranked = graft.recon.Sources.withRowIndexRanged(
+      wc, "rank", Seq(col("freq").desc, col("word")))
+    val band = (0 until maxBand).foldRight(lit(maxBand).cast("int")) {
+      (b, rest) => when(col("rank") < (1L << (b + 1)), b).otherwise(rest)
+    }
+    val total = wc.agg(sum(col("freq")).as("__total"))
+    ranked.withColumn("band", band)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_types"), sum(col("freq")).as("mass"))
+      .crossJoin(broadcast(total))
+      .select(col("band"), expr("shiftleft(1L, band)").as("lo_rank"),
+        col("n_types"), col("mass"),
+        expr("(1000 * mass) div __total").as("mass_milli"))
+  }
+
+  /**
    * `(a, b, weight)` — corpus-weighted adjacent symbol-pair counts over
    * a `(word, freq)` vocab frame, symbols = single characters (BPE
    * iteration 1; later iterations feed a re-segmented vocab back through

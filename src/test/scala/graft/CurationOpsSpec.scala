@@ -449,4 +449,37 @@ class CurationOpsSpec extends SparkSuite {
       .as[(String, Long, Long, Long, Long)].collect().map(_._1).toSet
     assert(floored == Set("new york", "the the"))
   }
+
+  // ---------------------------------------------------- token diversity
+
+  test("tokenDiversity: TTR and Gini impurity, hand-computed; blank docs kept") {
+    // doc 1: a a a b -> n=4, types=2, ttr=500; impurity = 1 - (9+1)/16 -> 375
+    // doc 2: x y z   -> n=3, types=3, ttr=1000; 1 - 3/9 -> 667 (floor: 1000-333)
+    // doc 3: blank   -> zeros + null ratios, not dropped, not a raise
+    val df = Seq((1L, "a a a b"), (2L, "x y z"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.tokenDiversity(df, "text", "doc_id")
+      .as[(Long, Long, Long, Option[Long], Option[Long])].collect().toSet
+    assert(out == Set(
+      (1L, 4L, 2L, Some(500L), Some(375L)),
+      (2L, 3L, 3L, Some(1000L), Some(667L)),
+      (3L, 0L, 0L, None, None)))
+  }
+
+  // --------------------------------------------------------- zipf bands
+
+  test("zipfBands: doubling-band masses, hand-computed; bands pool past maxBand") {
+    // freqs: a=8 (rank 1, band 0), b=4 (rank 2, band 1), c=2 d=1 (ranks
+    // 3-4, band 1 at maxBand=1? no: maxBand=2 -> band 1 holds ranks 2-3,
+    // band 2 pools the rest). total=15.
+    val df = Seq.fill(8)("a").map(w => Tuple1(w)) ++
+      Seq.fill(4)(Tuple1("b")) ++ Seq.fill(2)(Tuple1("c")) :+ Tuple1("d")
+    val out = graft.ops.Vocab.zipfBands(
+        df.toDF("text"), "text", maxBand = 2)
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (0, 1L, 1L, 8L, 533L),   // rank 1: a, 8/15
+      (1, 2L, 2L, 6L, 400L),   // ranks 2-3: b, c
+      (2, 4L, 1L, 1L, 66L)))   // rank 4+ pools: d
+  }
 }

@@ -114,4 +114,28 @@ class LayoutSpec extends SparkSuite {
     val minHigh = zs.filterNot(_._2).map(_._1).min
     assert(maxLow < minHigh)
   }
+
+  test("rleGain: hand-counted runs, distinct floors, and milli ratios") {
+    // physical order by idx: a = x,x,y,y,x (3 runs / 2 distinct),
+    //                        b = 1,2,3,4,5 (5 runs / 5 distinct)
+    val df = Seq((1L, "x", 1L), (2L, "x", 2L), (3L, "y", 3L),
+      (4L, "y", 4L), (5L, "x", 5L)).toDF("idx", "a", "b")
+    val out = Layout.rleGain(df, Seq(col("idx")), Seq("a", "b"))
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().toSet
+    assert(out == Set(
+      ("a", 5L, 3L, 2L, 1666L, Some(1500L)),
+      ("b", 5L, 5L, 5L, 1000L, Some(1000L))))
+  }
+
+  test("rleGain: null runs count, all-null columns report a null sorted gain") {
+    // a = x,NULL,NULL,x -> 3 runs, 1 distinct (count distinct skips nulls);
+    // c all-null -> 1 run, 0 distinct -> null gain (not an ANSI raise)
+    val df = Seq((1L, Some("x")), (2L, None), (3L, None), (4L, Some("x")))
+      .toDF("idx", "a").withColumn("c", lit(null).cast("string"))
+    val out = Layout.rleGain(df, Seq(col("idx")), Seq("a", "c"))
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect().toSet
+    assert(out == Set(
+      ("a", 4L, 3L, 1L, 1333L, Some(3000L)),
+      ("c", 4L, 1L, 0L, 4000L, None)))
+  }
 }

@@ -649,4 +649,45 @@ class MultimodalStreamingSpec extends SparkSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == batch, s"stream $got != batch $batch")
   }
+
+  test("aspectBuckets: nearest ladder snap with smaller-target ties; ceil batches") {
+    // widths/heights chosen so ratios land at 900 (-> 1:1, |900-1000|=100 beats
+    // |900-750|=150), exactly 1166 (equidistant 1000 vs 1333 -> tie to 1:1),
+    // and 2500 (-> 2:1)
+    val feats = Seq(
+      (1L, "image", 900, 1000), (2L, "image", 1166, 1000),
+      (3L, "image", 2500, 1000), (4L, "image", 2500, 1000),
+      (5L, "audio", 0, 0) // ignored: not an image
+    ).toDF("media_id", "media_type", "width", "height")
+    val out = Multimodal.aspectBuckets(feats, batchSize = 3)
+      .select("bucket", "n_images", "min_ratio_milli", "max_ratio_milli", "n_batches")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("1:1", 2L, 900L, 1166L, 1L),
+      ("2:1", 2L, 2500L, 2500L, 1L)))
+  }
+
+  test("phashNearDups: hamming counted exactly; beyond-threshold pairs drop") {
+    // 1 and 2 differ in 2 bits (hamming 2, share bands 1-3); 3 is 1's exact
+    // copy (hamming 0); 4 flips one bit in EVERY band (hamming 4 > 3, and
+    // no shared band -> never even a candidate)
+    val h1 = 0x0123456789abcdefL
+    val feats = Seq(
+      (1L, h1), (2L, h1 ^ 0x3L), (3L, h1),
+      (4L, h1 ^ ((1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)))
+    ).toDF("media_id", "content_hash")
+    val out = Multimodal.phashNearDups(feats, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 2L), (2L, 3L, 2L), (1L, 3L, 0L)))
+    intercept[IllegalArgumentException] {
+      Multimodal.phashNearDups(feats, maxHamming = 4)
+    }
+  }
+
+  test("phashNearDups survives sign-boundary hashes (top band of a negative hash)") {
+    val out = Multimodal.phashNearDups(
+      Seq((1L, -1L), (2L, -1L ^ (1L << 63))).toDF("media_id", "content_hash"),
+      maxHamming = 1).as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L, 1L))) // differ only in the sign bit
+  }
 }

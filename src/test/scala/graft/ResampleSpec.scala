@@ -38,6 +38,45 @@ class ResampleSpec extends SparkSuite {
     assert(r == ((2L, "3.000000000")))
   }
 
+  test("timeWeightedMean: LOCF durations weight the mean; last value holds to horizon") {
+    // A: 100c for 10s then 500c for 10s (to horizon) -> twap 300c = 300000 mc.
+    // B: single event AT the horizon -> span 0, null twap.
+    val df = Seq(
+      ("A", Timestamp.valueOf("2024-01-01 00:00:00"), 1.00, 1L),
+      ("A", Timestamp.valueOf("2024-01-01 00:00:10"), 5.00, 2L),
+      ("B", Timestamp.valueOf("2024-01-01 00:00:20"), 2.00, 3L)
+    ).toDF("u", "t", "v", "id")
+    val out = Resample.timeWeightedMean(df, "u", "t",
+        floor($"v" * 100).cast("long"), "id")
+      .as[(String, Long, Long, Option[Long])].collect().toSet
+    assert(out == Set(
+      ("A", 2L, 20000000L, Some(300000L)),
+      ("B", 1L, 0L, None)))
+  }
+
+  test("timeWeightedMean: simultaneous events — the earlier tie gets zero weight") {
+    val df = Seq(
+      ("A", Timestamp.valueOf("2024-01-01 00:00:00"), 9.00, 1L), // 0-duration
+      ("A", Timestamp.valueOf("2024-01-01 00:00:00"), 1.00, 2L),
+      ("A", Timestamp.valueOf("2024-01-01 00:00:05"), 1.00, 3L)
+    ).toDF("u", "t", "v", "id")
+    val out = Resample.timeWeightedMean(df, "u", "t",
+        floor($"v" * 100).cast("long"), "id")
+      .as[(String, Long, Long, Option[Long])].head()
+    assert(out == (("A", 3L, 5000000L, Some(100000L))))
+  }
+
+  test("timeWeightedMean rejects negative values loudly") {
+    val df = Seq(("A", ts(0), -1.0, 1L), ("A", ts(1), 1.0, 2L))
+      .toDF("u", "t", "v", "id")
+    val e = intercept[Exception] {
+      Resample.timeWeightedMean(df, "u", "t",
+        floor($"v" * 100).cast("long"), "id").collect()
+    }
+    assert(e.getMessage.contains("negative value") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative value")))
+  }
+
   test("gapFill of an entity with an all-null leading bucket keeps locf null until data") {
     val df = Seq(
       ("A", ts(0), None: Option[Double]), ("A", ts(2), Some(5.0))

@@ -70,6 +70,36 @@ class RobustStatsSpec extends SparkSuite {
     assert(r == ((2L, "3", "6")))
   }
 
+  test("spearmanExact: monotone nonlinear is exactly 1; reversal is exactly -1") {
+    val df = Seq((1L, 1L, 1L), (2L, 2L, 4L), (3L, 3L, 9L), (4L, 4L, 100L))
+      .toDF("id", "x", "y")
+    // rank-perfect despite the nonlinearity: the fixed expression shape is
+    // num/(sqrt(den)*sqrt(den)), which is 1.0 only up to double rounding —
+    // assert the exact same shape (cross-engine exactness is bit-identity
+    // of this expression, not mathematical unity)
+    val one = 80.0d / (math.sqrt(80.0d) * math.sqrt(80.0d))
+    val up = RobustStats.spearmanExact(df, "id", "x", "y")
+      .select("rho").as[Double].head()
+    assert(up == one && math.abs(up - 1.0d) < 1e-12)
+    val down = RobustStats.spearmanExact(
+      df.withColumn("y", -col("y")), "id", "x", "y")
+      .select("rho").as[Double].head()
+    assert(down == -one)
+  }
+
+  test("spearmanExact: ties take average ranks (hand-computed sqrt(0.9) case)") {
+    // x = (10,10,20,30) -> avg ranks (1.5,1.5,3,4); y = (1,2,3,4).
+    // Pearson over 2x-ranks (3,3,6,8) vs (2,4,6,8) = 72/sqrt(72*80) = sqrt(0.9).
+    val df = Seq((1L, 10L, 1L), (2L, 10L, 2L), (3L, 20L, 3L), (4L, 30L, 4L))
+      .toDF("id", "x", "y")
+    val r = RobustStats.spearmanExact(df, "id", "x", "y")
+      .select("n", "sum_x", "sum_y", "rho")
+      .as[(Long, String, String, Double)].head()
+    assert(r._1 == 4L && r._2 == "20" && r._3 == "20")
+    assert(r._4 == 72.0d / (math.sqrt(72.0d) * math.sqrt(80.0d)))
+    assert(math.abs(r._4 - math.sqrt(0.9d)) < 1e-12)
+  }
+
   test("winsorize clips to integer histogram-bin edges, exactly") {
     import org.apache.spark.sql.functions.col
     // 0,10,…,90 with 10 bins: p10 edge = 0, p90 edge = (8·90) div 10 = 72

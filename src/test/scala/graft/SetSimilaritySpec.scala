@@ -140,4 +140,29 @@ class SetSimilaritySpec extends SparkSuite {
     val sql = SetSimilarity.sCurveDetectMilliSql("est", 2, 2)
     assert(sql == "(1000 - (((1000 - ((est * est) // 1000)) * (1000 - ((est * est) // 1000))) // 1000))")
   }
+
+  test("weightedJaccardJoin: multiplicities decide the score, hand-computed") {
+    // bags: 1 = {a:4, b:1}, 2 = {a:1, b:1}, 3 = {a:4, b:1} (copy of 1).
+    // wJ(1,2) = min/max = (1+1)/(4+1) = 2/5 = 400; wJ(1,3) = 1000;
+    // set Jaccard would call all three pairs identical (both tokens shared)
+    val df = Seq(
+      (1L, "a a a a b"), (2L, "a b"), (3L, "a a a a b")
+    ).toDF("doc_id", "text")
+    val out = SetSimilarity.weightedJaccardJoin(df, "text", "doc_id",
+        shingleN = 1, tMilli = 300)
+      .select("id_a", "id_b", "inter", "uni", "wjac_milli")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 2L, 5L, 400L),
+      (2L, 3L, 2L, 5L, 400L),
+      (1L, 3L, 5L, 5L, 1000L)))
+  }
+
+  test("weightedJaccardJoin threshold prunes with no false negatives vs brute bags") {
+    val out = SetSimilarity.weightedJaccardJoin(
+        Seq((1L, "a a a a b"), (2L, "a b"), (3L, "a a a a b")).toDF("doc_id", "text"),
+        "text", "doc_id", shingleN = 1, tMilli = 500)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L))) // the 400-milli pairs are gone, the copy stays
+  }
 }

@@ -52,6 +52,30 @@ class SimilarityTextSpec extends SparkSuite {
     }
   }
 
+  test("mrrEval: first-relevant rank, floor-milli RR, hit@k; lonely labels keep null") {
+    // query 1 (label A): ranking is 3 (B, 0.99), 4 (B, 0.98), 2 (A, 0.5), 5 (A, 0.4)
+    // -> first A at rank 3, rr = 333, hit@2 = 0, hit@3 = 1.
+    // query 6 (label C, unique): no relevant anywhere -> null rank, null rr.
+    val lv = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), "A"),
+      (2L, Array(0.5f, 0.0f, 0.0f), "A"),
+      (5L, Array(0.4f, 0.0f, 0.0f), "A"),
+      (3L, Array(0.99f, 0.0f, 0.01f), "B"),
+      (4L, Array(0.98f, 0.0f, 0.02f), "B"),
+      (6L, Array(0.0f, -1.0f, 0.0f), "C")
+    ).toDF("vec_id", "embedding", "label")
+    val q = lv.where(col("vec_id") === 1 || col("vec_id") === 6)
+    val rows = Similarity.mrrEval(lv, q, "vec_id", "embedding", "label", k = 2)
+      .select("query_id", "first_rel_rank", "hit_at_2", "rr_milli")
+      .as[(Long, Option[Int], Long, Option[Long])].collect().toSet
+    assert(rows == Set(
+      (1L, Some(3), 0L, Some(333L)),
+      (6L, None, 0L, None)))
+    val at3 = Similarity.mrrEval(lv, q, "vec_id", "embedding", "label", k = 3)
+      .select("query_id", "hit_at_3").as[(Long, Long)].collect().toMap
+    assert(at3 == Map(1L -> 1L, 6L -> 0L))
+  }
+
   test("lshTopK returns a subset of brute-force candidates with exact scores") {
     val brute = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
       .select("query_id", "neighbor_id", "score").as[(Long, Long, Float)].collect().toSet
