@@ -1178,5 +1178,186 @@ object InferenceQueries {
           graft.ops.Multimodal.syntheticMedia(
             s.read.parquet(s"$d/documents.parquet"), "doc_id", "text"))).toDF(),
         maxHamming = 3)
+    },
+
+    // behavioral bot screen: inter-arrival regularity per user — CV² of
+    // the gap distribution (clockwork traffic ≈ 0, human bursts ≳ 1000)
+    // and the repeated-gap fraction, both exact integers from
+    // DECIMAL(38,0) moments. The per-user flag thresholds are policy;
+    // the two scores are the operator
+    QuerySpec("events_bot_score",
+      raw"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+           |g AS (SELECT user_id,
+           |        t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS g
+           |      FROM e),
+           |a AS (SELECT user_id, count(*) AS n_gaps,
+           |        sum(CAST(g AS HUGEINT)) AS sg,
+           |        sum(CAST(g AS HUGEINT) * CAST(g AS HUGEINT)) AS sg2,
+           |        count(DISTINCT g) AS nd
+           |      FROM g WHERE g IS NOT NULL GROUP BY 1)
+           |SELECT user_id, n_gaps,
+           |  CAST(CASE WHEN sg > 0
+           |    THEN (1000 * (n_gaps * sg2 - sg * sg)) // (sg * sg) END AS BIGINT)
+           |    AS cv2_milli,
+           |  CAST(1000 - (1000 * nd) // n_gaps AS BIGINT) AS dup_gap_milli
+           |FROM a""".stripMargin) { (s, d) =>
+      graft.ops.Profiling.arrivalRegularity(OpsQueries.events(s, d),
+        "user_id", "ts", "event_id")
+    },
+
+    // LTV triangle: cohort week × weeks-since-first-event, cumulative
+    // cents and exact per-cohort-member milli-cents — the table every
+    // growth team reads top-left to bottom-right. Cumulation windows
+    // partition per cohort (bounded by the week span)
+    QuerySpec("events_ltv_triangle",
+      raw"""WITH e AS (SELECT user_id, epoch_ms(ts) // 604800000 AS wk,
+           |             CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+           |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+           |sz AS (SELECT cohort_wk, count(*) AS cohort_users FROM c GROUP BY 1),
+           |cell AS (SELECT c.cohort_wk, e.wk - c.cohort_wk AS age_wk,
+           |           count(DISTINCT e.user_id) AS n_active, sum(e.cents) AS cents
+           |         FROM e JOIN c USING (user_id) GROUP BY 1, 2),
+           |cum AS (SELECT cohort_wk, age_wk, n_active, cents,
+           |          sum(cents) OVER (PARTITION BY cohort_wk ORDER BY age_wk) AS cum_cents
+           |        FROM cell)
+           |SELECT m.cohort_wk, m.age_wk, CAST(m.n_active AS BIGINT) AS n_active,
+           |  CAST(m.cents AS BIGINT) AS cents, CAST(m.cum_cents AS BIGINT) AS cum_cents,
+           |  CAST(sz.cohort_users AS BIGINT) AS cohort_users,
+           |  CAST((1000 * m.cum_cents) // sz.cohort_users AS BIGINT) AS cum_per_user_mc
+           |FROM cum m JOIN sz USING (cohort_wk)""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = OpsQueries.events(s, d).select(col("user_id"),
+        expr("unix_millis(ts) div 604800000").as("wk"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      val cohort = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      val sizes = cohort.groupBy(col("cohort_wk")).agg(count(lit(1)).as("cohort_users"))
+      val cells = e.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_wk"))
+        .agg(countDistinct(col("user_id")).as("n_active"), sum(col("cents")).as("cents"))
+      val w = Window.partitionBy(col("cohort_wk")).orderBy(col("age_wk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.withColumn("cum_cents", sum(col("cents")).over(w))
+        .join(broadcast(sizes), Seq("cohort_wk"))
+        .select(col("cohort_wk"), col("age_wk"), col("n_active"), col("cents"),
+          col("cum_cents"), col("cohort_users"),
+          expr("(1000 * cum_cents) div cohort_users").as("cum_per_user_mc"))
+    },
+
+    // peak session concurrency — the capacity number: sessionize (30-min
+    // gap rule), sweep +1/−1 endpoints, max of the running sum. The
+    // running sum is the distributed two-pass ranged scheme; closed
+    // intervals, so a session ending exactly when another starts counts
+    // as overlap. One row: the peak and the first ms it was reached
+    QuerySpec("events_peak_concurrency",
+      raw"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+           |p AS (SELECT user_id, ms, CASE WHEN lag(ms) OVER win IS NULL
+           |          OR ms - lag(ms) OVER win > 1800000 THEN 1 ELSE 0 END AS ns,
+           |        event_id FROM e
+           |      WINDOW win AS (PARTITION BY user_id ORDER BY ms, event_id)),
+           |q AS (SELECT user_id, ms,
+           |        sum(ns) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS seq
+           |      FROM p),
+           |sess AS (SELECT user_id, seq, min(ms) AS t0, max(ms) AS t1
+           |         FROM q GROUP BY 1, 2),
+           |pts AS (SELECT t, sum(plus) AS plus, sum(minus) AS minus FROM (
+           |          SELECT t0 AS t, 1 AS plus, 0 AS minus FROM sess
+           |          UNION ALL SELECT t1, 0, 1 FROM sess) GROUP BY 1),
+           |c AS (SELECT t, minus, sum(plus - minus) OVER (ORDER BY t) AS cum FROM pts),
+           |i AS (SELECT t, cum + minus AS inst FROM c),
+           |pk AS (SELECT max(inst) AS peak FROM i)
+           |SELECT CAST(pk.peak AS BIGINT) AS peak,
+           |  CAST(min(i.t) AS BIGINT) AS peak_at_ms
+           |FROM i CROSS JOIN pk WHERE i.inst = pk.peak GROUP BY pk.peak""".stripMargin) {
+      (s, d) =>
+        val sess = graft.streaming.EventPipeline.sessionize(
+          OpsQueries.events(s, d), gapMs = 1800000L)
+        graft.ops.Intervals.peakConcurrency(
+            sess.select(col("session_start"), col("session_end")),
+            "session_start", "session_end")
+          .withColumnRenamed("peak_at", "peak_at_ms")
+    },
+
+    // A/B power planning from exact moments: the per-arm sample size to
+    // detect a 5% lift of each event type's mean value at alpha 0.05 /
+    // power 0.80, as ONE ceiling integer division over DECIMAL(38,0)
+    // moments — the pre-launch number beside every experiment metric
+    QuerySpec("events_power_mde",
+      raw"""WITH v AS (SELECT event_type,
+           |             CAST(floor(value * 100) AS HUGEINT) AS x FROM events
+           |           WHERE value IS NOT NULL),
+           |m AS (SELECT event_type, count(*) AS n, sum(x) AS s, sum(x * x) AS q
+           |      FROM v GROUP BY 1)
+           |SELECT event_type, CAST(n AS BIGINT) AS n,
+           |  CAST(CASE WHEN n > 0 THEN (1000 * s) // n END AS BIGINT) AS mean_milli,
+           |  CAST(CASE WHEN n > 1 AND s <> 0 THEN
+           |    (15680000 * n * (n * q - s * s) + ((n - 1) * 2500 * s * s) - 1)
+           |      // ((n - 1) * 2500 * s * s) END AS BIGINT) AS n_per_arm
+           |FROM m""".stripMargin) { (s, d) =>
+      graft.ops.RobustStats.powerSampleSize(
+        OpsQueries.events(s, d)
+          .select(col("event_type"), floor(col("value") * 100).cast("long").as("cents")),
+        "event_type", "cents", mdeMilli = 50)
+    },
+
+    // star-schema referential integrity: orphan child keys per FK edge
+    // (null keys excused and counted separately) — the audit that runs
+    // before anyone trusts a join. One anti-join per edge, five edges
+    // in one report
+    QuerySpec("quality_fk_orphans",
+      raw"""WITH edges AS (
+           |  SELECT 'lineitem.l_orderkey->orders' AS edge, count(*) AS n_child,
+           |    sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null_key,
+           |    sum(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+           |             THEN 1 ELSE 0 END) AS n_orphans
+           |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+           |    ON l.l_orderkey = o.o_orderkey
+           |  UNION ALL
+           |  SELECT 'lineitem.l_partkey->part', count(*),
+           |    sum(CASE WHEN l.l_partkey IS NULL THEN 1 ELSE 0 END),
+           |    sum(CASE WHEN l.l_partkey IS NOT NULL AND p.p_partkey IS NULL
+           |             THEN 1 ELSE 0 END)
+           |  FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+           |    ON l.l_partkey = p.p_partkey
+           |  UNION ALL
+           |  SELECT 'lineitem.l_suppkey->supplier', count(*),
+           |    sum(CASE WHEN l.l_suppkey IS NULL THEN 1 ELSE 0 END),
+           |    sum(CASE WHEN l.l_suppkey IS NOT NULL AND su.s_suppkey IS NULL
+           |             THEN 1 ELSE 0 END)
+           |  FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) su
+           |    ON l.l_suppkey = su.s_suppkey
+           |  UNION ALL
+           |  SELECT 'orders.o_custkey->customer', count(*),
+           |    sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END),
+           |    sum(CASE WHEN o.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+           |             THEN 1 ELSE 0 END)
+           |  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+           |    ON o.o_custkey = c.c_custkey
+           |  UNION ALL
+           |  SELECT 'customer.c_nationkey->nation', count(*),
+           |    sum(CASE WHEN c.c_nationkey IS NULL THEN 1 ELSE 0 END),
+           |    sum(CASE WHEN c.c_nationkey IS NOT NULL AND n.n_nationkey IS NULL
+           |             THEN 1 ELSE 0 END)
+           |  FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+           |    ON c.c_nationkey = n.n_nationkey)
+           |SELECT edge, CAST(n_child AS BIGINT) AS n_child,
+           |  CAST(n_null_key AS BIGINT) AS n_null_key,
+           |  CAST(n_orphans AS BIGINT) AS n_orphans,
+           |  CAST(CASE WHEN n_child > 0 THEN (1000 * n_orphans) // n_child END
+           |    AS BIGINT) AS orphan_milli
+           |FROM edges""".stripMargin) { (s, d) =>
+      import graft.ops.Contracts
+      def t(n: String) = s.read.parquet(s"$d/$n.parquet")
+      Seq(
+        Contracts.fkOrphans(t("lineitem"), "l_orderkey", t("orders"), "o_orderkey",
+          "lineitem.l_orderkey->orders"),
+        Contracts.fkOrphans(t("lineitem"), "l_partkey", t("part"), "p_partkey",
+          "lineitem.l_partkey->part"),
+        Contracts.fkOrphans(t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey",
+          "lineitem.l_suppkey->supplier"),
+        Contracts.fkOrphans(t("orders"), "o_custkey", t("customer"), "c_custkey",
+          "orders.o_custkey->customer"),
+        Contracts.fkOrphans(t("customer"), "c_nationkey", t("nation"), "n_nationkey",
+          "customer.c_nationkey->nation")
+      ).reduce(_ union _)
     })
 }

@@ -100,4 +100,32 @@ object Contracts {
     * `(check_name, n_violations, pass)` table. */
   def report(df: DataFrame, checks: Seq[Check], extra: Seq[DataFrame] = Seq.empty): DataFrame =
     extra.foldLeft(rowChecks(df, checks))(_ unionByName _)
+
+  /**
+   * Referential-integrity audit of one FK edge: how many child rows
+   * point at a parent key that does not exist (orphans), how many carry
+   * a null key (excused from the orphan count — nullability is its own
+   * contract). One anti-join on the key (Spark broadcasts the parent
+   * key set when small; at 100 TB both sides hash-shuffle on the key,
+   * which is the right plan); the parent side is deduplicated first so
+   * a parent-side duplicate cannot double-count a child. Union several
+   * edges into the star-schema integrity report.
+   */
+  def fkOrphans(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, edge: String): DataFrame = {
+    val totals = child.agg(count(lit(1)).as("n_child"),
+      // coalesce: sum over an EMPTY child is null, and the report's
+      // contract is zeros-with-null-rate, not a nullable count
+      coalesce(sum(when(col(childKey).isNull, 1L).otherwise(0L)), lit(0L))
+        .as("n_null_key"))
+    val orphans = child.where(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey)).distinct(),
+        col(childKey) === col(parentKey), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    totals.crossJoin(orphans)
+      .select(lit(edge).as("edge"), col("n_child"), col("n_null_key"),
+        col("n_orphans"),
+        when(col("n_child") > 0,
+          expr("(1000 * n_orphans) div n_child")).as("orphan_milli"))
+  }
 }

@@ -51,4 +51,35 @@ object Intervals {
             expr(s"greatest($aStart, $bStart) div $bucketMs"))
       .drop("__bucket_a", "__bucket_b")
   }
+
+  /**
+   * Peak concurrency of CLOSED intervals — the capacity number ("how many
+   * sessions were open at once, and when did it first happen") behind
+   * connection-pool and autoscaler sizing. The classic sweep: +1 at each
+   * start, −1 at each end, max of the running sum. Distributed end to
+   * end: endpoints collapse to one row per distinct instant (an
+   * aggregate), the running sum rides
+   * [[graft.recon.Sources.withRunningSumRanged]] (two-pass ranged scheme,
+   * no single-partition window), and the instant's maximum under
+   * starts-before-ends ordering is `cum + minus` — touching intervals
+   * (one ends exactly when another starts) count as overlapping.
+   *
+   * Output: one row `(peak, peak_at)` — the maximum and the earliest
+   * instant achieving it.
+   */
+  def peakConcurrency(df: DataFrame, startCol: String, endCol: String): DataFrame = {
+    val pts = df.select(col(startCol).as("t"), lit(1L).as("plus"), lit(0L).as("minus"))
+      .union(df.select(col(endCol).as("t"), lit(0L).as("plus"), lit(1L).as("minus")))
+      .groupBy(col("t"))
+      .agg(sum(col("plus")).as("plus"), sum(col("minus")).as("minus"))
+    // cut once: the max pass and the argmin pass share the swept frame
+    val swept = graft.recon.Checkpoints.cut(
+      graft.recon.Sources.withRunningSumRanged(
+          pts, "cum", col("plus") - col("minus"), Seq(col("t")))
+        .select(col("t"), (col("cum") + col("minus")).as("inst")))
+    val peak = swept.agg(max(col("inst")).as("peak"))
+    swept.join(broadcast(peak), col("inst") === col("peak"))
+      .groupBy(col("peak")).agg(min(col("t")).as("peak_at"))
+      .select(col("peak"), col("peak_at"))
+  }
 }

@@ -118,4 +118,41 @@ object Profiling {
         expr("cast(mx * 1000 div tot_rows as bigint)")
           .as("max_key_share_milli"))
   }
+
+  /**
+   * Arrival-regularity screen per entity — the behavioral bot signal:
+   * automated traffic arrives on a clock (inter-arrival CV² ≈ 0, gaps
+   * repeating exactly), humans arrive in bursts (CV² ≳ 1, gaps all
+   * distinct). Two exact integers per entity: the squared coefficient
+   * of variation of inter-arrival micros,
+   * `cv2_milli = 1000·(n·Σg² − (Σg)²) div (Σg)²` (moments in
+   * DECIMAL(38,0) — Σg² overflows int64 at realistic spans), and the
+   * repeated-gap fraction `dup_gap_milli = 1000 − 1000·distinct div n`.
+   * One lag window per entity plus one aggregate; entities with < 2
+   * events (no gaps) or a zero span surface with nulls rather than
+   * dropping or raising.
+   */
+  def arrivalRegularity(df: DataFrame, entityCol: String, tsCol: String,
+      tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(unix_micros(col(tsCol)), col(tieCol))
+    val gaps = df
+      .withColumn("__t", unix_micros(col(tsCol)))
+      .withColumn("__g", col("__t") - lag(col("__t"), 1).over(w))
+      .where(col("__g").isNotNull)
+    // cast BEFORE the square: g² overflows int64 at realistic spans
+    val gd = col("__g").cast(DecimalType(38, 0))
+    gaps.groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(gd).as("__sg"),
+        sum(gd * gd).as("__sg2"),
+        countDistinct(col("__g")).as("__nd"))
+      .select(col(entityCol), col("n_gaps"),
+        when(col("__sg") > 0,
+          expr("(1000 * (n_gaps * __sg2 - __sg * __sg)) div (__sg * __sg)"))
+          .cast("long").as("cv2_milli"),
+        (lit(1000L) - expr("(1000 * __nd) div n_gaps")).as("dup_gap_milli"))
+  }
 }

@@ -95,6 +95,37 @@ object RobustStats {
   }
 
   /**
+   * Two-sample A/B POWER planning from exact moments: the sample size
+   * each arm needs to detect a `mdeMilli`/1000 relative lift of the
+   * stratum mean at α = 0.05 (two-sided), power 0.80 — the number an
+   * experimentation platform prints next to every metric before anyone
+   * launches. Classic normal-approximation formula
+   * `n = 2·σ²·(z_{α/2} + z_β)²/δ²` with (1.96 + 0.84)² = 7.84, fully
+   * cross-multiplied into one ceiling integer division so both engines
+   * agree bit for bit: with S = Σx, Q = Σx², δ = mde·mean,
+   * `n_req = ⌈15_680_000·n·(n·Q − S²) / ((n−1)·mde²·S²)⌉` (numerator in
+   * DECIMAL(38,0) — S² alone exceeds int64 at realistic scale). Strata
+   * with n < 2 or zero mean report null (guarded, not an ANSI raise).
+   * Inputs must already be integral (cents/milli scaling).
+   */
+  def powerSampleSize(df: DataFrame, strataCol: String, valueCol: String,
+      mdeMilli: Int = 50): DataFrame = {
+    require(mdeMilli >= 1 && mdeMilli <= 1000, s"mdeMilli out of (0, 1000]: $mdeMilli")
+    val x = col(valueCol).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    df.where(col(valueCol).isNotNull)
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("__s"), sum(x * x).as("__q"))
+      .select(col(strataCol), col("n"),
+        when(col("n") > 0, expr("(1000 * __s) div n")).cast("long")
+          .as("mean_milli"),
+        when(col("n") > 1 && col("__s") =!= 0, expr(
+          s"""(15680000 * n * (n * __q - __s * __s)
+             |   + ((n - 1) * ${mdeMilli.toLong * mdeMilli} * __s * __s) - 1)
+             | div ((n - 1) * ${mdeMilli.toLong * mdeMilli} * __s * __s)""".stripMargin))
+          .cast("long").as("n_per_arm"))
+  }
+
+  /**
    * Spearman rank correlation, exact under ties: Pearson over
    * 2×average-ranks. The tie-averaged rank of a value group is
    * (min + max)/2 of its row numbers; doubling clears the half-integer,

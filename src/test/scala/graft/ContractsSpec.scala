@@ -53,4 +53,20 @@ class ContractsSpec extends SparkSuite {
       graft.ops.Contracts.Check("a positive.check-1", col("a") > 0)))
     assert(ok.count() == 1L)
   }
+
+  test("fkOrphans: orphans counted, null keys excused, parent dups harmless") {
+    val child = Seq(Some(1L), Some(2L), Some(9L), None, Some(9L))
+      .toDF("fk") // 2 orphans (9, 9), 1 null, 2 resolved
+    val parent = Seq(1L, 1L, 2L).toDF("pk") // dup parent must not double-count
+    val r = Contracts.fkOrphans(child, "fk", parent, "pk", "child.fk->parent")
+      .as[(String, Long, Long, Long, Option[Long])].head()
+    assert(r == (("child.fk->parent", 5L, 1L, 2L, Some(400L))))
+  }
+
+  test("fkOrphans: empty child reports zero with a null rate, not a raise") {
+    val r = Contracts.fkOrphans(Seq.empty[Long].toDF("fk"), "fk",
+        Seq(1L).toDF("pk"), "pk", "e")
+      .as[(String, Long, Long, Long, Option[Long])].head()
+    assert(r == (("e", 0L, 0L, 0L, None)))
+  }
 }

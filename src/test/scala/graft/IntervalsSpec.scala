@@ -66,4 +66,22 @@ class IntervalsSpec extends SparkSuite {
     }
     assert(err.getMessage.contains("s end"))
   }
+
+  test("peakConcurrency: hand-swept maximum and its earliest instant") {
+    // [0,10] [5,20] [15,30]: at t=5 two open; 10 closes before 15 opens
+    // -> peak 2, first reached at t=5
+    val iv = Seq((0L, 10L), (5L, 20L), (15L, 30L)).toDF("s", "e")
+    val out = Intervals.peakConcurrency(iv, "s", "e")
+      .as[(Long, Long)].head()
+    assert(out == ((2L, 5L)))
+  }
+
+  test("peakConcurrency: closed intervals — touching counts as overlap") {
+    // [0,10] and [10,20] touch at 10: starts apply before ends, so both
+    // are open at t=10. A third [10,10] point-interval joins them -> 3
+    val iv = Seq((0L, 10L), (10L, 20L), (10L, 10L)).toDF("s", "e")
+    val out = Intervals.peakConcurrency(iv, "s", "e")
+      .as[(Long, Long)].head()
+    assert(out == ((3L, 10L)))
+  }
 }

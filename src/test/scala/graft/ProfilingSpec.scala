@@ -65,4 +65,26 @@ class ProfilingSpec extends SparkSuite {
     assert(indRows.forall(r => r.getAs[Long]("contrib_milli") == 0L))
     assert(indRows.forall(r => r.getAs[Long]("exp_milli") == 5000L))
   }
+
+  test("arrivalRegularity: clockwork = zero CV² and full gap reuse; bursts score high") {
+    import java.sql.Timestamp
+    def t(sec: Int) = Timestamp.valueOf(f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d")
+    val df = (
+      // bot: every 10s exactly -> gaps (10,10,10)s: cv2 0, dup 1000-333=667
+      Seq(("bot", t(0), 1L), ("bot", t(10), 2L), ("bot", t(20), 3L), ("bot", t(30), 4L)) ++
+      // human: gaps (1, 99)s -> mean 50, var pop 2401 -> cv2 = 960 (milli floor)
+      Seq(("hum", t(0), 5L), ("hum", t(1), 6L), ("hum", t(100), 7L)) ++
+      // singleton: no gaps -> absent from the report
+      Seq(("one", t(0), 8L))
+    ).toDF("u", "ts", "id")
+    val m = graft.ops.Profiling.arrivalRegularity(df, "u", "ts", "id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3)))).toMap
+    assert(m("bot") == ((3L, Some(0L), 667L)))
+    // n*sg2 - sg^2 = 2*(1+9801)e12 - (100e6)^2 ... exact: gaps us = (1e6, 99e6):
+    // n=2, sg=1e8, sg2=1e12+9801e12=9802e12; 2*9802e12-1e16=9604e12;
+    // 1000*9604e12 div 1e16 = 960
+    assert(m("hum") == ((2L, Some(960L), 0L)))
+    assert(!m.contains("one"))
+  }
 }

@@ -70,6 +70,19 @@ class RobustStatsSpec extends SparkSuite {
     assert(r == ((2L, "3", "6")))
   }
 
+  test("powerSampleSize: hand-computed n per arm; degenerate strata report null") {
+    // "a": x=(90,110) -> var 200, mean 100, delta 5 -> n = 2*7.84*200/25
+    // = 125.44 -> ceil 126. "b": one row -> null. "z": sum 0 -> null.
+    val df = Seq(("a", 90L), ("a", 110L), ("b", 7L), ("z", -5L), ("z", 5L))
+      .toDF("g", "x")
+    val m = RobustStats.powerSampleSize(df, "g", "x", mdeMilli = 50)
+      .as[(String, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m("a") == ((2L, Some(100000L), Some(126L))))
+    assert(m("b") == ((1L, Some(7000L), None)))
+    assert(m("z") == ((2L, Some(0L), None)))
+  }
+
   test("spearmanExact: monotone nonlinear is exactly 1; reversal is exactly -1") {
     val df = Seq((1L, 1L, 1L), (2L, 2L, 4L), (3L, 3L, 9L), (4L, 4L, 100L))
       .toDF("id", "x", "y")
