@@ -1359,5 +1359,99 @@ object InferenceQueries {
         Contracts.fkOrphans(t("customer"), "c_nationkey", t("nation"), "n_nationkey",
           "customer.c_nationkey->nation")
       ).reduce(_ union _)
+    },
+
+    // neighbor-set Jaccard link prediction over the same co-order graph
+    // as graph_link_prediction: shared-neighborhood FRACTION (two
+    // low-degree parts sharing most neighbors) vs RA's rare-neighbor
+    // reward — the two scores rank different pairs, which is the point
+    QuerySpec("graph_neighbor_jaccard",
+      raw"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           |            WHERE l_partkey % 20 = 0),
+           |e AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+           |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+           |       AND a.l_partkey <> b.l_partkey
+           |      GROUP BY 1, 2),
+           |dg AS (SELECT src AS z, count(*) AS deg FROM e GROUP BY 1),
+           |w AS (SELECT za.dst AS a, zb.dst AS b
+           |      FROM e za JOIN e zb ON za.src = zb.src AND za.dst < zb.dst
+           |      JOIN dg d ON d.z = za.src AND d.deg <= 1000),
+           |sc AS (SELECT a, b, count(*) AS cn FROM w GROUP BY 1, 2),
+           |pr AS (SELECT sc.* FROM sc LEFT JOIN e ON e.src = sc.a AND e.dst = sc.b
+           |       WHERE e.src IS NULL)
+           |SELECT pr.a AS node_a, pr.b AS node_b, CAST(pr.cn AS BIGINT) AS cn,
+           |  CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+           |  CAST((1000 * pr.cn) // (da.deg + db.deg - pr.cn) AS BIGINT) AS jac_milli
+           |FROM pr JOIN dg da ON da.z = pr.a JOIN dg db ON db.z = pr.b
+           |WHERE pr.cn >= 2""".stripMargin) { (s, d) =>
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .where(col("l_partkey") % 20 === 0)
+      val edges = graft.ops.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      graft.ops.Graph.neighborJaccard(edges).where(col("cn") >= 2)
+    },
+
+    // label-noise audit: exact-duplicate content whose copies disagree
+    // on provenance (same text, different source) — each group is a
+    // mislabel or a leak, surfaced BEFORE a dedup wave arbitrarily
+    // keeps one side. One hash aggregate, conflicts only
+    QuerySpec("quality_label_conflicts",
+      """SELECT md5(lower(trim(text))) AS content_hash, count(*) AS n_copies,
+        |  count(DISTINCT source) AS n_labels, min(doc_id) AS canonical_id,
+        |  min(source) AS label_lo, max(source) AS label_hi
+        |FROM documents GROUP BY 1
+        |HAVING count(DISTINCT source) > 1""".stripMargin) { (s, d) =>
+      graft.ops.Dedup.labelConflicts(
+        s.read.parquet(s"$d/documents.parquet"), "text", "doc_id", "source")
+    },
+
+    // per-document keywords by exact integer lift (in-doc share over
+    // corpus share), top-3, hapax excluded — the document-grain twin of
+    // text_characteristic_terms. Numerators in DECIMAL(38,0)/HUGEINT
+    QuerySpec("text_doc_keywords",
+      raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+           |            FROM documents),
+           |tok AS (SELECT doc_id, unnest(t) AS token FROM tt),
+           |c AS (SELECT doc_id, token, count(*) AS c_doc FROM tok GROUP BY 1, 2),
+           |dl AS (SELECT doc_id, sum(c_doc) AS n_doc FROM c GROUP BY 1),
+           |cc AS (SELECT token, sum(c_doc) AS c_corpus FROM c GROUP BY 1),
+           |tot AS (SELECT sum(c_corpus) AS t FROM cc),
+           |lf AS (SELECT c.doc_id, c.token, c.c_doc,
+           |         CAST((1000 * CAST(c.c_doc AS HUGEINT) * tot.t)
+           |           // (dl.n_doc * cc.c_corpus) AS BIGINT) AS lift_milli
+           |       FROM c JOIN dl USING (doc_id) JOIN cc USING (token)
+           |       CROSS JOIN tot WHERE c.c_doc >= 2),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |         ORDER BY lift_milli DESC, token) AS rank FROM lf)
+           |SELECT doc_id, CAST(rank AS INT) AS rank, token, c_doc, lift_milli
+           |FROM rk WHERE rank <= 3""".stripMargin) { (s, d) =>
+      graft.ops.TextAnalysis.docKeywords(
+        s.read.parquet(s"$d/documents.parquet"), "text", "doc_id", k = 3)
+    },
+
+    // diurnality: chi-squared of each event type's hour-of-day profile
+    // against uniform, exactly (absent hours included as n² terms —
+    // no 24-row grid join), plus the peak hour and its share. Flat
+    // machine traffic ~0; anything human or cron screams
+    QuerySpec("events_diurnality",
+      raw"""WITH h AS (SELECT event_type, (epoch_ms(ts) // 3600000) % 24 AS hour,
+           |             count(*) AS o FROM events GROUP BY 1, 2),
+           |n AS (SELECT event_type, sum(o) AS n FROM h GROUP BY 1),
+           |s AS (SELECT h.event_type, count(*) AS hp,
+           |        sum(CAST(24 * h.o - n.n AS HUGEINT)
+           |            * CAST(24 * h.o - n.n AS HUGEINT)) AS s2
+           |      FROM h JOIN n USING (event_type) GROUP BY 1),
+           |pk AS (SELECT event_type, o AS peak_o, hour AS peak_hour FROM (
+           |         SELECT event_type, o, hour, row_number() OVER (
+           |           PARTITION BY event_type ORDER BY o DESC, hour) AS r FROM h)
+           |       WHERE r = 1)
+           |SELECT n.event_type, CAST(n.n AS BIGINT) AS n,
+           |  CAST((1000 * (s.s2 + (24 - s.hp) * CAST(n.n AS HUGEINT) * n.n))
+           |    // (24 * n.n) AS BIGINT) AS chi2_milli,
+           |  CAST(pk.peak_hour AS BIGINT) AS peak_hour,
+           |  CAST((1000 * pk.peak_o) // n.n AS BIGINT) AS peak_share_milli
+           |FROM n JOIN s USING (event_type) JOIN pk USING (event_type)""".stripMargin) {
+      (s, d) =>
+        graft.ops.Profiling.diurnality(OpsQueries.events(s, d), "event_type", "ts")
     })
 }

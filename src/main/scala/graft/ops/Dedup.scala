@@ -67,6 +67,25 @@ object Dedup {
     df.groupBy(contentHash(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /**
+   * Label-noise audit over exact-duplicate content: groups whose copies
+   * DISAGREE on a label column (identical text tagged `source=web` and
+   * `source=books`, or two languages) — each conflict is either a
+   * mislabel or a provenance leak, and training pipelines want both
+   * surfaced before a dedup wave silently keeps one arbitrary side. One
+   * hash aggregate; only conflicted groups survive. `label_lo`/`label_hi`
+   * bound the disagreement (the full label set is an array — kept out of
+   * the output by the scalar-columns rule).
+   */
+  def labelConflicts(df: DataFrame, textCol: String, idCol: String,
+      labelCol: String): DataFrame =
+    df.groupBy(contentHash(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col(labelCol)).as("n_labels"),
+        min(col(idCol)).as("canonical_id"),
+        min(col(labelCol)).as("label_lo"), max(col(labelCol)).as("label_hi"))
+      .where(col("n_labels") > 1)
+
   /** Exact dedup: keep one row per distinct content (the min-id row). */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
     keepFirstGrouped(df.withColumn("__ch", contentHash(col(textCol))),

@@ -507,4 +507,33 @@ object Graph {
       .select(col("a").as("node_a"), col("b").as("node_b"),
         col("cn"), col("ra_milli"))
   }
+
+  /**
+   * Neighbor-set Jaccard link prediction — the size-normalized
+   * complement of [[linkPrediction]]'s resource-allocation score:
+   * `J(a,b) = |Γa ∩ Γb| / (deg a + deg b − |Γa ∩ Γb|)`, exact milli.
+   * RA rewards RARE shared neighbors; Jaccard rewards shared FRACTION —
+   * two low-degree nodes sharing most of their neighborhoods outrank a
+   * pair that happens to share one rare hub. Same wedge generation and
+   * hub-center cap (wedges through centers above `maxCenterDeg` are
+   * skipped — the skew guard, documented undercount for hub-mediated
+   * pairs); non-edges only.
+   */
+  def neighborJaccard(edges: DataFrame, maxCenterDeg: Long = 1000L): DataFrame = {
+    require(maxCenterDeg >= 1, s"maxCenterDeg must be >= 1: $maxCenterDeg")
+    val degAll = edges.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
+    val degZ = degAll.where(col("deg") <= maxCenterDeg).select(col("n").as("z"))
+    val wedges = edges.select(col("src").as("z"), col("dst").as("a"))
+      .join(edges.select(col("src").as("z"), col("dst").as("b")), Seq("z"))
+      .where(col("a") < col("b"))
+      .join(degZ, Seq("z"))
+    val cn = wedges.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+    cn.join(edges.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti")
+      .join(degAll.select(col("n").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(degAll.select(col("n").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(col("a").as("node_a"), col("b").as("node_b"), col("cn"),
+        col("deg_a"), col("deg_b"),
+        expr("(1000 * cn) div (deg_a + deg_b - cn)").as("jac_milli"))
+  }
 }

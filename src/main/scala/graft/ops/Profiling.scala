@@ -120,6 +120,36 @@ object Profiling {
   }
 
   /**
+   * Diurnality score per stratum: the chi-squared statistic of the
+   * hour-of-day activity profile against uniform, fully cross-multiplied
+   * into exact integers — `chi2_milli = 1000·Σ_h(24·o_h − n)² div (24·n)`
+   * with the sum running over ALL 24 hours (absent hours contribute n²
+   * each — computed as `(24 − hours_present)·n²`, no grid join needed).
+   * A flat service hums near 0; a human-driven or cron-driven stream
+   * scores high, and `peak_hour`/`peak_share_milli` say where. Squares
+   * run in DECIMAL(38,0) — n² alone overflows int64 at corpus scale.
+   */
+  def diurnality(df: DataFrame, strataCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val byHour = df
+      .select(col(strataCol), expr(s"(unix_millis($tsCol) div 3600000) % 24").as("hour"))
+      .groupBy(col(strataCol), col("hour")).agg(count(lit(1)).as("o"))
+    val n = byHour.groupBy(col(strataCol)).agg(sum(col("o")).as("n"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    byHour.join(n, Seq(strataCol))
+      .groupBy(col(strataCol), col("n"))
+      .agg(count(lit(1)).as("__hp"),
+        sum(dec(lit(24L) * col("o") - col("n")) * dec(lit(24L) * col("o") - col("n")))
+          .as("__s"),
+        max(struct(col("o").as("o"), (-col("hour")).as("nh"))).as("__pk"))
+      .select(col(strataCol), col("n"),
+        expr("cast((1000 * (__s + (24 - __hp) * cast(n as decimal(38,0)) * n)) div (24 * n) as bigint)")
+          .as("chi2_milli"),
+        (-col("__pk.nh")).as("peak_hour"),
+        expr("(1000 * __pk.o) div n").as("peak_share_milli"))
+  }
+
+  /**
    * Arrival-regularity screen per entity — the behavioral bot signal:
    * automated traffic arrives on a clock (inter-arrival CV² ≈ 0, gaps
    * repeating exactly), humans arrive in bursts (CV² ≳ 1, gaps all

@@ -584,6 +584,41 @@ object TextAnalysis {
           lit(1000L) - expr("(1000 * __s2) div (__n * __n)")).as("gini_milli"))
   }
 
+  /**
+   * Per-document keyword extraction by exact integer LIFT — the
+   * document-grain twin of the per-group characteristic-terms table:
+   * a token's lift is its in-document share over its corpus share,
+   * `lift_milli = (1000·c_doc·T) div (n_doc·c_corpus)` (T = corpus token
+   * count), top `k` per document by (lift desc, token), tokens occurring
+   * once in the document excluded (hapax noise). Numerator in
+   * DECIMAL(38,0): c_doc·T alone overflows int64 at corpus scale. The
+   * rank window partitions per document (bounded by document length);
+   * corpus totals ride one broadcast row.
+   */
+  def docKeywords(df: DataFrame, textCol: String, idCol: String,
+      k: Int, minDocCount: Long = 2L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    import org.apache.spark.sql.expressions.Window
+    val tok = graft.recon.Checkpoints.cut(
+      df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+        .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("c_doc")))
+    val docLen = tok.groupBy(col(idCol)).agg(sum(col("c_doc")).as("n_doc"))
+    val corpus = tok.groupBy(col("token")).agg(sum(col("c_doc")).as("c_corpus"))
+    val total = corpus.agg(sum(col("c_corpus")).as("t_corpus"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("lift_milli").desc, col("token"))
+    tok.where(col("c_doc") >= minDocCount)
+      .join(docLen, Seq(idCol))
+      .join(corpus, Seq("token"))
+      .crossJoin(broadcast(total))
+      .withColumn("lift_milli", expr(
+        "cast((1000 * cast(c_doc as decimal(38,0)) * t_corpus) div (n_doc * c_corpus) as bigint)"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("c_doc"),
+        col("lift_milli"))
+  }
+
   /** Min-window-hash document fingerprint (native expression, codegen'd).
     * `portable = true` (default) slides a CHARACTER window hashed with md5
     * — value-checkable against the DuckDB oracle; `false` slides the

@@ -466,6 +466,22 @@ class CurationOpsSpec extends SparkSuite {
       (3L, 0L, 0L, None, None)))
   }
 
+  // ------------------------------------------------------- doc keywords
+
+  test("docKeywords: lift ranks the doc-heavy token first; hapax excluded") {
+    // corpus: doc 1 = "x x y z", doc 2 = "y y y z". T = 8.
+    // doc 1 candidates (c_doc >= 2): x (c=2, corpus 2) -> lift
+    // (1000*2*8)//(4*2) = 2000. y in doc 1 is hapax -> excluded.
+    // doc 2: y (c=3, corpus 4) -> (1000*3*8)//(4*4) = 1500.
+    val df = Seq((1L, "x x y z"), (2L, "y y y z")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.docKeywords(df, "text", "doc_id", k = 3)
+      .select("doc_id", "rank", "token", "c_doc", "lift_milli")
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 1, "x", 2L, 2000L),
+      (2L, 1, "y", 3L, 1500L)))
+  }
+
   // --------------------------------------------------------- zipf bands
 
   test("zipfBands: doubling-band masses, hand-computed; bands pool past maxBand") {

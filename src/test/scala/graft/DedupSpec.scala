@@ -413,4 +413,16 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.semanticNearDups(vecs, "vec_id", "embedding", cents,
       threshold = 0.0, maxCluster = 100).count() == 66) // 12 choose 2
   }
+
+  test("labelConflicts surfaces same-content label disagreement only") {
+    val df = Seq(
+      (1L, "same text", "web"), (2L, "Same Text", "books"), // conflict (case-folded)
+      (3L, "same text", "web"),                             // third copy, same label
+      (4L, "other", "web"), (5L, "other", "web")            // copies, no conflict
+    ).toDF("doc_id", "text", "source")
+    val out = graft.ops.Dedup.labelConflicts(df, "text", "doc_id", "source")
+      .select("n_copies", "n_labels", "canonical_id", "label_lo", "label_hi")
+      .as[(Long, Long, Long, String, String)].collect().toSeq
+    assert(out == Seq((3L, 2L, 1L, "books", "web")))
+  }
 }

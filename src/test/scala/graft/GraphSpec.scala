@@ -294,4 +294,29 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Int, Long)].collect().toSet
     assert(again == rows.toSet)
   }
+
+  test("neighborJaccard: hand-computed score on a path + triangle; edges excluded") {
+    // undirected edges (symmetric list): 1-2, 2-3, 1-4, 3-4.
+    // non-edge (1,3): common {2,4}, deg1=2 deg3=2 -> J = 2/(2+2-2) = 1000
+    // non-edge (2,4): common {1,3}, same -> 1000; all edges excluded
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 4L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = graft.ops.Graph.neighborJaccard(edges)
+      .select("node_a", "node_b", "cn", "jac_milli")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 3L, 2L, 1000L), (2L, 4L, 2L, 1000L)))
+  }
+
+  test("neighborJaccard: hub-center cap skips wedges through the hub") {
+    // star: hub 9 connects 1,2,3; with the hub capped out no wedge
+    // survives, so no candidate pairs at all
+    val und = Seq((9L, 1L), (9L, 2L), (9L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    assert(graft.ops.Graph.neighborJaccard(edges, maxCenterDeg = 2L).count() == 0L)
+    // uncapped, the leaf pairs score J = 1/(1+1-1) = 1000
+    val full = graft.ops.Graph.neighborJaccard(edges, maxCenterDeg = 10L)
+      .select("node_a", "node_b", "jac_milli")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full == Set((1L, 2L, 1000L), (1L, 3L, 1000L), (2L, 3L, 1000L)))
+  }
 }

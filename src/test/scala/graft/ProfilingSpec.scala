@@ -66,6 +66,23 @@ class ProfilingSpec extends SparkSuite {
     assert(indRows.forall(r => r.getAs[Long]("exp_milli") == 5000L))
   }
 
+  test("diurnality: uniform profile scores 0; a one-hour spike is hand-computable") {
+    import java.sql.Timestamp
+    def at(day: Int, hour: Int) =
+      Timestamp.valueOf(f"2024-01-${day}%02d $hour%02d:30:00")
+    // "flat": one event in each of 24 hours -> chi2 = 0, peak share 41
+    val flat = (0 until 24).map(h => ("flat", at(1 + h / 24, h % 24)))
+    // "spike": 8 events all at hour 7 -> present h=1: (24*8-8)^2 = 184^2
+    // = 33856; absent 23 hours: 23*64 = 1472 -> (1000*35328)//(24*8) = 184000
+    val spike = (1 to 8).map(i => ("spike", at(i, 7)))
+    val df = (flat ++ spike).toDF("g", "ts")
+    val m = graft.ops.Profiling.diurnality(df, "g", "ts")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(m("flat") == ((24L, 0L, 0L, 41L))) // peak ties -> smallest hour
+    assert(m("spike") == ((8L, 184000L, 7L, 1000L)))
+  }
+
   test("arrivalRegularity: clockwork = zero CV² and full gap reuse; bursts score high") {
     import java.sql.Timestamp
     def t(sec: Int) = Timestamp.valueOf(f"2024-01-01 00:${sec / 60}%02d:${sec % 60}%02d")
