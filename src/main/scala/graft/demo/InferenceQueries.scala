@@ -1429,6 +1429,46 @@ object InferenceQueries {
         s.read.parquet(s"$d/documents.parquet"), "text", "doc_id", k = 3)
     },
 
+    // greedy k-center coreset (farthest-point traversal) over a corpus
+    // slice: diversity-first selection for eval sets and annotation
+    // budgets — random sampling over-represents dense clusters, this
+    // covers the space, and closest_dot per round IS the coverage
+    // radius. Both engines walk the identical greedy trajectory (float
+    // dots cast to double, id tie-breaks); the oracle unrolls the k
+    // rounds as MATERIALIZED CTEs (inlined, the multi-referenced chain
+    // re-evaluates exponentially — the pca2 lesson)
+    QuerySpec("sim_kcenter_coreset", {
+      def round(n: Int) = {
+        val selUnion = (1 until n).map(i => s"SELECT cid, cv FROM s$i")
+          .mkString(" UNION ALL ")
+        raw"""sel$n AS MATERIALIZED ($selUnion),
+             |s$n AS MATERIALIZED (
+             |  SELECT cid, cv, $n AS round, mx AS closest_dot FROM (
+             |    SELECT b.cid, b.cv,
+             |      max(CAST(list_dot_product(b.cv, s.cv) AS DOUBLE)) AS mx
+             |    FROM base b CROSS JOIN sel$n s
+             |    WHERE NOT EXISTS (SELECT 1 FROM sel$n x WHERE x.cid = b.cid)
+             |    GROUP BY 1, 2)
+             |  ORDER BY mx ASC, cid LIMIT 1)""".stripMargin
+      }
+      val rounds = (2 to 6).map(round).mkString(",\n")
+      val unions = (1 to 6).map(i => s"SELECT cid, round, closest_dot FROM s$i")
+        .mkString(" UNION ALL ")
+      raw"""WITH base AS MATERIALIZED (
+           |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           |  WHERE vec_id % 10 = 0),
+           |s1 AS MATERIALIZED (
+           |  SELECT cid, cv, 1 AS round, CAST(NULL AS DOUBLE) AS closest_dot
+           |  FROM base ORDER BY cid LIMIT 1),
+           |$rounds
+           |SELECT cid AS center_id, CAST(round AS BIGINT) AS round, closest_dot
+           |FROM ($unions)""".stripMargin
+    }) { (s, d) =>
+      graft.ops.Similarity.kCenterCoreset(
+        s.read.parquet(s"$d/embeddings.parquet").where(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", k = 6)
+    },
+
     // diurnality: chi-squared of each event type's hour-of-day profile
     // against uniform, exactly (absent hours included as n² terms —
     // no 24-row grid join), plus the peak hour and its share. Flat

@@ -43,6 +43,49 @@ object Similarity {
   }
 
   /**
+   * Greedy k-center CORESET (farthest-point traversal, Gonzalez 1985):
+   * start from the min-id vector, then repeatedly add the point FARTHEST
+   * from the selected set — on (near-)unit vectors "farthest" is the
+   * smallest max-dot to any chosen center. The classic 2-approximation
+   * for k-center, and the diversity-first selection an eval-set or
+   * annotation-budget pipeline wants (a random sample over-represents
+   * dense clusters; this covers the space). `closest_dot` of the round-r
+   * pick is the COVERAGE reading: every corpus point is within that
+   * similarity of some center chosen before round r.
+   *
+   * Scale shape: k passes over the corpus, each scoring candidates
+   * against a ≤k-row broadcast of the chosen centers, argmin via
+   * orderBy+limit(1) (TakeOrderedAndProject — distributed heads, no
+   * global sort). The corpus projection is lineage-cut once and every
+   * round's selected set is cut too — the MMR recipe: un-cut, round r
+   * re-executes rounds 1..r−1.
+   */
+  def kCenterCoreset(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val base = graft.recon.Checkpoints.cut(
+      corpus.select(col(idCol).as("cid"), col(vecCol).as("cv")))
+    var selected = graft.recon.Checkpoints.cut(
+      base.orderBy(col("cid")).limit(1)
+        .select(col("cid"), col("cv"), lit(1L).as("round"),
+          lit(null).cast("double").as("closest_dot")))
+    for (r <- 2 to k) {
+      val sel = broadcast(selected.select(col("cv").as("__sv")))
+      val next = base
+        .join(selected.select(col("cid")), Seq("cid"), "left_anti")
+        .crossJoin(sel)
+        .groupBy(col("cid"))
+        .agg(first(col("cv")).as("cv"),
+          max(vec_dot(col("cv"), col("__sv")).cast("double")).as("closest_dot"))
+        .orderBy(col("closest_dot").asc, col("cid")).limit(1)
+        .select(col("cid"), col("cv"), lit(r.toLong).as("round"),
+          col("closest_dot"))
+      selected = graft.recon.Checkpoints.cut(selected.unionByName(next))
+    }
+    selected.select(col("cid").as("center_id"), col("round"), col("closest_dot"))
+  }
+
+  /**
    * Label-relevance retrieval eval — MRR and hit@k: rank the corpus per
    * query with the exact float-dot kernel, find the FIRST same-label
    * neighbor, report its rank, the floor-milli reciprocal rank, and

@@ -76,6 +76,30 @@ class SimilarityTextSpec extends SparkSuite {
     assert(at3 == Map(1L -> 1L, 6L -> 0L))
   }
 
+  test("kCenterCoreset: farthest-point traversal picks the hand trajectory") {
+    // seed = min id 1 (e1). Farthest from {e1}: ids 3,4 tie at dot 0 -> 3.
+    // From {e1,e2}: id 4 (dot 0) beats id 2 (0.9 to e1). Then id 2 last.
+    val out = Similarity.kCenterCoreset(vecs, "vec_id", "embedding", k = 4)
+      .select("center_id", "round", "closest_dot")
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(out == Set(
+      (1L, 1L, None),
+      (3L, 2L, Some(0.0d)),
+      (4L, 3L, Some(0.0d)),
+      (2L, 4L, Some(0.9d.toFloat.toDouble))))
+  }
+
+  test("kCenterCoreset coverage radius is monotone: closest_dot never decreases") {
+    val many = (vecs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)) ++
+      Seq((5L, Array(0.6f, 0.8f, 0.0f)), (6L, Array(0.0f, 0.6f, 0.8f))))
+      .toSeq.toDF("vec_id", "embedding")
+    val dots = Similarity.kCenterCoreset(many, "vec_id", "embedding", k = 6)
+      .orderBy("round").select("closest_dot")
+      .as[Option[Double]].collect().toSeq.flatten
+    assert(dots.size == 5)
+    assert(dots.zip(dots.tail).forall { case (a, b) => b >= a })
+  }
+
   test("lshTopK returns a subset of brute-force candidates with exact scores") {
     val brute = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 3)
       .select("query_id", "neighbor_id", "score").as[(Long, Long, Float)].collect().toSet
