@@ -1005,16 +1005,21 @@ object InferenceQueries {
         Seq("l_returnflag", "l_linestatus", "l_suppkey", "l_shipday"))
     },
 
-    // WEIGHTED (bag) Jaccard near-dup pairs: occurrence-indexed tokens
-    // (tok#1..tok#c) reduce bag similarity to set similarity, so the
-    // rarest-first prefix filter keeps its no-false-negatives guarantee
-    // while min/max multiplicities decide the score — the similarity
-    // that separates "both mention X" from "both repeat X fifty times"
+    // WEIGHTED (bag) Jaccard near-dup pairs: occurrence-indexed
+    // 3-shingles (sh#1..sh#c) reduce bag similarity to set similarity,
+    // so the rarest-first prefix filter keeps its no-false-negatives
+    // guarantee while min/max multiplicities decide the score — the
+    // similarity that separates "both mention X" from "both repeat X
+    // fifty times". Shingle grain matters at corpus scale: unigram bags
+    // over a small vocabulary make every prefix a hub (measured 99.6 s
+    // at sf0.1 before this 3-gram shape took it to ~1 s)
     QuerySpec("dedup_weighted_jaccard",
       raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
            |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
            |            FROM documents),
-           |tk AS (SELECT doc_id AS doc, unnest(t) AS w FROM tt),
+           |tk AS (SELECT doc_id AS doc, unnest(CASE WHEN len(t) < 3 THEN []
+           |         ELSE [array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)] END)
+           |         AS w FROM tt),
            |cn AS (SELECT doc, w, count(*) AS c FROM tk GROUP BY 1, 2),
            |sh AS (SELECT doc, w || '#' || CAST(unnest(range(1, c + 1)) AS VARCHAR) AS tok
            |       FROM cn),
@@ -1023,7 +1028,7 @@ object InferenceQueries {
            |rk AS (SELECT s.doc, s.tok,
            |         row_number() OVER (PARTITION BY s.doc ORDER BY d.df, s.tok) AS r, z.n
            |       FROM sh s JOIN df d USING (tok) JOIN sz z USING (doc)),
-           |pf AS (SELECT doc, tok FROM rk WHERE r <= n - ((600 * n + 999) // 1000) + 1),
+           |pf AS (SELECT doc, tok FROM rk WHERE r <= n - ((700 * n + 999) // 1000) + 1),
            |cand AS (SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
            |         FROM pf a JOIN pf b ON a.tok = b.tok AND a.doc < b.doc),
            |i AS (SELECT c.id_a, c.id_b, count(*) AS inter
@@ -1033,10 +1038,10 @@ object InferenceQueries {
            |SELECT i.id_a, i.id_b, i.inter, za.n + zb.n - i.inter AS uni,
            |  CAST((i.inter * 1000) // (za.n + zb.n - i.inter) AS BIGINT) AS wjac_milli
            |FROM i JOIN sz za ON za.doc = i.id_a JOIN sz zb ON zb.doc = i.id_b
-           |WHERE i.inter * 1000 >= (za.n + zb.n - i.inter) * 600""".stripMargin) { (s, d) =>
+           |WHERE i.inter * 1000 >= (za.n + zb.n - i.inter) * 700""".stripMargin) { (s, d) =>
       graft.ops.SetSimilarity.weightedJaccardJoin(
         s.read.parquet(s"$d/documents.parquet"), "text", "doc_id",
-        shingleN = 1, tMilli = 600)
+        shingleN = 3, tMilli = 700)
     },
 
     // lexical-diversity card: type-token ratio + Gini impurity of the
@@ -1427,6 +1432,57 @@ object InferenceQueries {
            |FROM rk WHERE rank <= 3""".stripMargin) { (s, d) =>
       graft.ops.TextAnalysis.docKeywords(
         s.read.parquet(s"$d/documents.parquet"), "text", "doc_id", k = 3)
+    },
+
+    // multivariate row-outlier screen: diagonal Mahalanobis over four
+    // lineitem measures (cents/milli scaled), cross-multiplied exact
+    // z² per column, top-20 rows by the milli sum — the row a quality
+    // gate quarantines because EVERYTHING about it is a little off
+    QuerySpec("quality_row_outliers",
+      raw"""WITH v AS (SELECT l_orderkey * 10 + l_linenumber AS rid,
+           |    CAST(CAST(floor(l_quantity * 100) AS BIGINT) AS HUGEINT) AS qty,
+           |    CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS HUGEINT) AS price,
+           |    CAST(CAST(floor(l_discount * 1000) AS BIGINT) AS HUGEINT) AS disc,
+           |    CAST(CAST(floor(l_tax * 1000) AS BIGINT) AS HUGEINT) AS tax
+           |  FROM lineitem),
+           |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+           |        sum(qty) AS s1, sum(qty * qty) AS q1,
+           |        sum(price) AS s2, sum(price * price) AS q2,
+           |        sum(disc) AS s3, sum(disc * disc) AS q3,
+           |        sum(tax) AS s4, sum(tax * tax) AS q4
+           |      FROM v),
+           |z AS (SELECT rid,
+           |        CASE WHEN n * q1 - s1 * s1 > 0 THEN
+           |          (1000 * (n * qty - s1) * (n * qty - s1)) // (n * q1 - s1 * s1)
+           |          ELSE 0 END AS z1,
+           |        CASE WHEN n * q2 - s2 * s2 > 0 THEN
+           |          (1000 * (n * price - s2) * (n * price - s2)) // (n * q2 - s2 * s2)
+           |          ELSE 0 END AS z2,
+           |        CASE WHEN n * q3 - s3 * s3 > 0 THEN
+           |          (1000 * (n * disc - s3) * (n * disc - s3)) // (n * q3 - s3 * s3)
+           |          ELSE 0 END AS z3,
+           |        CASE WHEN n * q4 - s4 * s4 > 0 THEN
+           |          (1000 * (n * tax - s4) * (n * tax - s4)) // (n * q4 - s4 * s4)
+           |          ELSE 0 END AS z4
+           |      FROM v CROSS JOIN m),
+           |t AS (SELECT rid, CAST(z1 + z2 + z3 + z4 AS BIGINT) AS z2_milli,
+           |        CAST(GREATEST(z1, z2, z3, z4) AS BIGINT) AS top_col_z2_milli,
+           |        CASE WHEN z1 >= z2 AND z1 >= z3 AND z1 >= z4 THEN 'centi_qty'
+           |             WHEN z2 >= z3 AND z2 >= z4 THEN 'cents_price'
+           |             WHEN z3 >= z4 THEN 'milli_disc'
+           |             ELSE 'milli_tax' END AS top_col
+           |      FROM z)
+           |SELECT rid, z2_milli, top_col, top_col_z2_milli
+           |FROM t ORDER BY z2_milli DESC, rid LIMIT 20""".stripMargin) { (s, d) =>
+      graft.ops.RobustStats.mahalanobisDiag(
+        s.read.parquet(s"$d/lineitem.parquet")
+          .select((col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+            floor(col("l_quantity") * 100).cast("long").as("centi_qty"),
+            floor(col("l_extendedprice") * 100).cast("long").as("cents_price"),
+            floor(col("l_discount") * 1000).cast("long").as("milli_disc"),
+            floor(col("l_tax") * 1000).cast("long").as("milli_tax")),
+        "rid", Seq("centi_qty", "cents_price", "milli_disc", "milli_tax"),
+        topN = 20)
     },
 
     // greedy k-center coreset (farthest-point traversal) over a corpus

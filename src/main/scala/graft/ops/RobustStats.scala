@@ -95,6 +95,54 @@ object RobustStats {
   }
 
   /**
+   * Multivariate row-outlier screen — diagonal Mahalanobis distance in
+   * EXACT integers: per row, `z²_c = (n·x − S_c)² / (n·Q_c − S_c²)` per
+   * column (the cross-multiplied population z², no mean/σ division
+   * anywhere), summed in milli across columns; top `topN` rows by total.
+   * The multivariate cousin of the per-column z screen: a row that is
+   * mildly unusual in EVERY column outranks one extreme in a single
+   * column. Two passes: one moment aggregate (broadcast back as a 1-row
+   * frame), one scan scoring all columns, then orderBy+limit(topN) —
+   * TakeOrderedAndProject, no global sort. Zero-variance columns
+   * contribute 0 (guarded, not an ANSI raise); inputs must already be
+   * integral (caller's cents/milli scaling), and `n·max|x|` must stay
+   * under ~10¹⁹ so `1000·num²` fits DECIMAL(38,0) — beyond that,
+   * pre-center the columns (ANSI overflow raises loudly, never wraps).
+   * `top_col` names the column contributing most (ties to the lexically
+   * first).
+   */
+  def mahalanobisDiag(df: DataFrame, idCol: String, cols: Seq[String],
+      topN: Int): DataFrame = {
+    require(cols.nonEmpty, "mahalanobisDiag: no columns")
+    require(topN >= 1, s"topN must be >= 1: $topN")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val in = df.select((col(idCol) +: cols.map(c => col(c).cast(dec).as(c)))
+      .toIndexedSeq: _*)
+    val moments = in.agg(count(lit(1)).cast(dec).as("__n"),
+      cols.flatMap(c => Seq(sum(col(c)).as(s"__s_$c"),
+        sum(col(c) * col(c)).as(s"__q_$c"))): _*)
+    val scored = in.crossJoin(broadcast(moments))
+    // `div`, never `/`: decimal `/` rounds at a result scale, the oracle's
+    // `//` floors — and all operands here are non-negative
+    val z2 = cols.map { c =>
+      val den = s"(__n * `__q_$c` - `__s_$c` * `__s_$c`)"
+      val num = s"(__n * `$c` - `__s_$c`)"
+      when(expr(den) > 0,
+        expr(s"cast((1000 * $num * $num) div $den as long)"))
+        .otherwise(0L).as(s"__z2_$c")
+    }
+    val withZ = scored.select((col(idCol) +: z2).toIndexedSeq: _*)
+    val top = cols.map(c => struct(col(s"__z2_$c").as("z"),
+      lit(c).as("c"))).reduce((a, b) => when(b("z") > a("z"), b).otherwise(a))
+    withZ
+      .withColumn("z2_milli", cols.map(c => col(s"__z2_$c")).reduce(_ + _))
+      .withColumn("__top", top)
+      .select(col(idCol), col("z2_milli"), col("__top.c").as("top_col"),
+        col("__top.z").as("top_col_z2_milli"))
+      .orderBy(col("z2_milli").desc, col(idCol)).limit(topN)
+  }
+
+  /**
    * Two-sample A/B POWER planning from exact moments: the sample size
    * each arm needs to detect a `mdeMilli`/1000 relative lift of the
    * stratum mean at α = 0.05 (two-sided), power 0.80 — the number an

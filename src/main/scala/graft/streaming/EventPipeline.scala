@@ -8,6 +8,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+/** Streaming inter-arrival moment state: events not yet final (over the
+  * watermark), the last EMITTED event time in micros (Long.MinValue =
+  * none), the gap count, Σgap (micros, long — per-entity micros fit),
+  * and Σgap² carried as a decimal STRING (gap² overflows int64 at
+  * realistic spans; a string field keeps the product encoder simple and
+  * the arithmetic exact via BigInt at update time). */
+final case class GapState(pending: Seq[Event], lastUs: Long, n: Long,
+    sg: Long, sg2: String)
+
+/** One emitted regularity reading — the streaming twin of
+  * [[graft.ops.Profiling.arrivalRegularity]]'s CV² (the distinct-gap
+  * fraction needs unbounded state and stays batch-only). */
+final case class GapMoments(user_id: Long, n_gaps: Long, cv2_milli: Option[Long])
+
 final case class SessionSummary(user_id: Long, session_start: Long,
     session_end: Long, n_events: Long, total_value: Double)
 
@@ -441,6 +455,63 @@ object EventPipeline {
     events.withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[CapState, CappedEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /**
+   * Streaming arrival-regularity maintenance — the stateful twin of
+   * [[graft.ops.Profiling.arrivalRegularity]]'s CV² score: per user,
+   * the inter-arrival moments (n, Σg, Σg²) update incrementally as
+   * events finalize under the watermark (the same hold-until-watermark
+   * discipline as [[userCapStream]], so out-of-order-but-within-
+   * watermark events land in their true gap positions), and each
+   * finalized event emits the user's current reading. State is O(1)
+   * per user plus the in-flight pending buffer; Σg² rides as an exact
+   * decimal string (int64 overflows — see [[GapState]]), the quotient
+   * is the same cross-multiplied integer expression as the batch op,
+   * so the final emission per user equals the batch score bit for bit
+   * (spec-pinned).
+   */
+  def gapMomentsStream(events: Dataset[Event],
+      watermarkDelay: String = "10 minutes"): Dataset[GapMoments] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[GapState]): Iterator[GapMoments] = {
+      val prior = state.getOption.getOrElse(
+        GapState(Seq.empty, Long.MinValue, 0L, 0L, "0"))
+      val pending = (prior.pending ++ rows)
+        .sortBy(e => (e.ts.getTime, e.event_id))
+      val wm = state.getCurrentWatermarkMs()
+      val (ready, hold) = pending.partition(_.ts.getTime <= wm)
+      var last = prior.lastUs
+      var n = prior.n
+      var sg = prior.sg
+      var sg2 = BigInt(prior.sg2)
+      val out = ready.flatMap { e =>
+        // exact micros ≡ unix_micros: getTime carries whole millis,
+        // getNanos the sub-second remainder
+        val t = e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L
+        val emitted = if (last != Long.MinValue) {
+          val g = t - last
+          n += 1; sg += g; sg2 += BigInt(g) * BigInt(g)
+          val cv2 =
+            if (sg > 0) Some(((BigInt(1000) * (BigInt(n) * sg2 - BigInt(sg) * BigInt(sg)))
+              / (BigInt(sg) * BigInt(sg))).toLong)
+            else None
+          Some(GapMoments(userId, n, cv2))
+        } else None
+        last = t
+        emitted
+      }
+      state.update(GapState(hold, last, n, sg, sg2.toString))
+      if (hold.nonEmpty) state.setTimeoutTimestamp(hold.head.ts.getTime)
+      out.iterator
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, GapMoments](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
 

@@ -650,6 +650,60 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(got == batch, s"stream $got != batch $batch")
   }
 
+  test("gapMomentsStream: out-of-order event lands in its true gap; final CV2 = batch") {
+    import org.apache.spark.sql.Dataset
+    import graft.streaming.GapMoments
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_gap_src").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_gap_ckpt").toFile
+    def write(rows: (Long, String, Long)*): Unit =
+      rows.map { case (id, t, u) => (id, java.sql.Timestamp.valueOf(t), u, "e", 1.0) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(srcDir.getAbsolutePath)
+
+    val emitted = new java.util.concurrent.atomic.AtomicReference[
+      Set[(Long, Long, Option[Long])]](Set.empty)
+    def run(): Unit = {
+      val src = spark.readStream.schema(eventsDf.schema)
+        .parquet(srcDir.getAbsolutePath).as[graft.streaming.Event]
+      val q = EventPipeline.gapMomentsStream(src)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .foreachBatch { (b: Dataset[GapMoments], _: Long) =>
+          emitted.getAndUpdate(s => s ++ b.collect().map(g =>
+            (g.user_id, g.n_gaps, g.cv2_milli)).toSet): Unit
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+
+    // in-order events at 0s/10s/40s; the 12:05 anchor holds the
+    // watermark at 11:55, nothing final yet
+    write((1L, "2026-01-01 12:00:00", 1L), (2L, "2026-01-01 12:00:10", 1L),
+      (3L, "2026-01-01 12:00:40", 1L), (90L, "2026-01-01 12:05:00", 99L))
+    run()
+    // the 12:00:20 event arrives LATE but within watermark: in time
+    // order the gaps are 10/10/20s, so the final reading is
+    // cv2 = 1000*(3*6e14 - 16e14)/16e14 = 125 — arrival order would say
+    // gaps 10/30/-20s and nothing near that
+    write((4L, "2026-01-01 12:00:20", 1L), (91L, "2026-01-01 12:40:00", 99L))
+    run()
+    write((92L, "2026-01-01 12:55:00", 99L))
+    run()
+
+    val finals = emitted.get().filter(_._1 == 1L).maxBy(_._2)
+    assert(finals == ((1L, 3L, Some(125L))), s"stream emitted ${emitted.get()}")
+    // batch twin over the same four events agrees exactly
+    val batch = graft.ops.Profiling.arrivalRegularity(
+      Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 12:00:00")),
+        (2L, java.sql.Timestamp.valueOf("2026-01-01 12:00:10")),
+        (3L, java.sql.Timestamp.valueOf("2026-01-01 12:00:40")),
+        (4L, java.sql.Timestamp.valueOf("2026-01-01 12:00:20")))
+        .toDF("event_id", "ts").withColumn("user_id", lit(1L)),
+      "user_id", "ts", "event_id")
+      .select("n_gaps", "cv2_milli").as[(Long, Option[Long])].head()
+    assert(batch == ((finals._2, finals._3)))
+  }
+
   test("aspectBuckets: nearest ladder snap with smaller-target ties; ceil batches") {
     // widths/heights chosen so ratios land at 900 (-> 1:1, |900-1000|=100 beats
     // |900-750|=150), exactly 1166 (equidistant 1000 vs 1333 -> tie to 1:1),

@@ -70,6 +70,25 @@ class RobustStatsSpec extends SparkSuite {
     assert(r == ((2L, "3", "6")))
   }
 
+  test("mahalanobisDiag: hand-computed z² sum; constant columns contribute zero") {
+    // a = (0,0,0,0,10): n=5, S=10, Q=100, den=400; z²(10) = 1000*1600/400
+    // = 4000, z²(0) = 250. b constant -> zero variance -> 0, never a raise.
+    val df = Seq((1L, 0L, 7L), (2L, 0L, 7L), (3L, 0L, 7L), (4L, 0L, 7L),
+      (5L, 10L, 7L)).toDF("id", "a", "b")
+    val out = RobustStats.mahalanobisDiag(df, "id", Seq("a", "b"), topN = 2)
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(out == Seq((5L, 4000L, "a", 4000L), (1L, 250L, "a", 250L)))
+  }
+
+  test("mahalanobisDiag: mildly-off-everywhere outranks extreme-in-one at equal totals") {
+    // two informative columns; the row unusual in both collects both z²
+    val df = Seq((1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 0L), (4L, 4L, 4L))
+      .toDF("id", "a", "b")
+    val top = RobustStats.mahalanobisDiag(df, "id", Seq("a", "b"), topN = 1)
+      .as[(Long, Long, String, Long)].head()
+    assert(top._1 == 4L && top._3 == "a" && top._2 == 2 * top._4)
+  }
+
   test("powerSampleSize: hand-computed n per arm; degenerate strata report null") {
     // "a": x=(90,110) -> var 200, mean 100, delta 5 -> n = 2*7.84*200/25
     // = 125.44 -> ceil 126. "b": one row -> null. "z": sum 0 -> null.
