@@ -1434,6 +1434,109 @@ object InferenceQueries {
         s.read.parquet(s"$d/documents.parquet"), "text", "doc_id", k = 3)
     },
 
+    // exact percentiles per event type at p50/p90/p99 — the
+    // order-statistic audit beside the sketch-based quantile readers:
+    // value at rank ceil(q·n/1000), one rank window per stratum
+    QuerySpec("events_value_percentiles",
+      raw"""WITH v AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+           |             event_id FROM events),
+           |r AS (SELECT event_type, cents,
+           |        row_number() OVER (PARTITION BY event_type
+           |          ORDER BY cents, event_id) AS r,
+           |        count(*) OVER (PARTITION BY event_type) AS n FROM v),
+           |q AS (SELECT CAST(unnest([500, 900, 990]) AS INT) AS q_milli)
+           |SELECT event_type, q_milli, n, cents AS value
+           |FROM r CROSS JOIN q
+           |WHERE r.r = greatest(1, (q_milli * n + 999) // 1000)""".stripMargin) { (s, d) =>
+      graft.ops.RobustStats.percentilesExact(
+        OpsQueries.events(s, d).select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"), col("event_id")),
+        "event_type", "cents", "event_id", qMillis = Seq(500, 900, 990))
+    },
+
+    // compound-sort-key order advisor: the SAME two columns audited
+    // under both lexicographic orders — the run counts say which order
+    // a rewrite should sort by (leading column always compresses; the
+    // question is what it does to the trailing one). Orders are made
+    // total with the row key so trailing-column runs are well-defined
+    QuerySpec("layout_sort_key_order", {
+      def arm(label: String, o: String) =
+        raw"""SELECT '$label' AS sort_order, x.* FROM (
+             |  SELECT column_name, n AS n_rows, CAST(r AS BIGINT) AS n_runs,
+             |    CAST(d AS BIGINT) AS n_distinct,
+             |    CAST((1000 * n) // r AS BIGINT) AS avg_run_milli,
+             |    CAST((1000 * r) // d AS BIGINT) AS sorted_gain_milli
+             |  FROM (
+             |    SELECT 'l_returnflag' AS column_name, count(*) AS n,
+             |      sum(CASE WHEN rn = 1 OR c1 IS DISTINCT FROM p1 THEN 1 ELSE 0 END) AS r,
+             |      count(DISTINCT c1) AS d FROM w_$label
+             |    UNION ALL
+             |    SELECT 'l_shipday', count(*),
+             |      sum(CASE WHEN rn = 1 OR c2 IS DISTINCT FROM p2 THEN 1 ELSE 0 END),
+             |      count(DISTINCT c2) FROM w_$label)) x""".stripMargin
+      def win(label: String, o: String) =
+        raw"""o_$label AS (SELECT c1, c2,
+             |  row_number() OVER (ORDER BY $o, l_orderkey, l_linenumber) AS rn FROM li),
+             |w_$label AS (SELECT c1, c2, rn, lag(c1) OVER (ORDER BY rn) AS p1,
+             |  lag(c2) OVER (ORDER BY rn) AS p2 FROM o_$label)""".stripMargin
+      raw"""WITH li AS (SELECT CAST(l_returnflag AS VARCHAR) AS c1,
+           |    CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS c2,
+           |    l_orderkey, l_linenumber FROM lineitem),
+           |${win("flag_first", "c1, c2")},
+           |${win("day_first", "c2, c1")}
+           |${arm("flag_first", "c1, c2")}
+           |UNION ALL
+           |${arm("day_first", "c2, c1")}""".stripMargin
+    }) { (s, d) =>
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .withColumn("l_shipday", to_date(col("l_shipdate")).cast("string"))
+      def arm(label: String, order: Seq[String]) =
+        graft.ops.Layout.rleGain(li,
+          order.map(col) ++ Seq(col("l_orderkey"), col("l_linenumber")),
+          Seq("l_returnflag", "l_shipday"))
+          .select(lit(label).as("sort_order"), col("column_name"), col("n_rows"),
+            col("n_runs"), col("n_distinct"), col("avg_run_milli"),
+            col("sorted_gain_milli"))
+      arm("flag_first", Seq("l_returnflag", "l_shipday"))
+        .union(arm("day_first", Seq("l_shipday", "l_returnflag")))
+    },
+
+    // media integrity audit — the multimodal twin of the embedding
+    // audit: empty payloads, modality/container mismatches, undecodable
+    // image dims, stills with durations, audio with pixels. One scan,
+    // stacked check rows; at 100 TB each class routes to quarantine
+    QuerySpec("mm_integrity",
+      s"""${MultimodalSql.featuresCte},
+         |ff AS (SELECT f.*, CASE media_id % 3 WHEN 0 THEN 'png'
+         |         WHEN 1 THEN 'wav' ELSE 'mp4' END AS format FROM f),
+         |a AS (SELECT count(*) AS n_total,
+         |  sum(CASE WHEN n_bytes <= 0 THEN 1 ELSE 0 END) AS v1,
+         |  sum(CASE WHEN NOT ((media_type = 'image' AND format = 'png')
+         |        OR (media_type = 'audio' AND format = 'wav')
+         |        OR (media_type = 'video' AND format = 'mp4'))
+         |      THEN 1 ELSE 0 END) AS v2,
+         |  sum(CASE WHEN media_type = 'image' AND (width < 64 OR width >= 1088
+         |        OR height < 64 OR height >= 1088) THEN 1 ELSE 0 END) AS v3,
+         |  sum(CASE WHEN media_type = 'image' AND duration_ms <> 0
+         |      THEN 1 ELSE 0 END) AS v4,
+         |  sum(CASE WHEN media_type = 'audio' AND (width <> 0 OR height <> 0)
+         |      THEN 1 ELSE 0 END) AS v5
+         |  FROM ff)
+         |SELECT 'empty_payload' AS check_name, CAST(v1 AS BIGINT) AS n_violations,
+         |  n_total FROM a
+         |UNION ALL SELECT 'type_format_mismatch', CAST(v2 AS BIGINT), n_total FROM a
+         |UNION ALL SELECT 'image_bad_dims', CAST(v3 AS BIGINT), n_total FROM a
+         |UNION ALL SELECT 'image_with_duration', CAST(v4 AS BIGINT), n_total FROM a
+         |UNION ALL SELECT 'audio_with_dims', CAST(v5 AS BIGINT), n_total FROM a""".stripMargin) {
+      (s, d) =>
+        val media = graft.ops.Multimodal.syntheticMedia(
+          s.read.parquet(s"$d/documents.parquet"), "doc_id", "text")
+        val features = graft.ops.Multimodal.decodeFeatures(
+          graft.ops.Multimodal.asMedia(media)).toDF()
+          .join(media.select(col("media_id"), col("format")), Seq("media_id"))
+        graft.ops.Multimodal.integrityAudit(features, formatCol = Some("format"))
+    },
+
     // multivariate row-outlier screen: diagonal Mahalanobis over four
     // lineitem measures (cents/milli scaled), cross-multiplied exact
     // z² per column, top-20 rows by the milli sum — the row a quality

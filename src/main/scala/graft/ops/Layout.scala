@@ -211,9 +211,14 @@ object Layout {
   def rleGain(df: DataFrame, orderCols: Seq[Column], cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "rleGain: no columns to audit")
     val proj = cols.map(c => col(c).cast("string").as(c))
+    // alias the order keys: they may BE audited columns (the compound-
+    // sort-key advisor audits its own leading key), and a duplicate
+    // name would make every later reference ambiguous
+    val ord = orderCols.zipWithIndex.map { case (c, i) => c.as(s"__ord_$i") }
+    val ordRefs = orderCols.indices.map(i => col(s"__ord_$i"))
     val idx = graft.recon.Checkpoints.cut(
       graft.recon.Sources.withRowIndexRanged(
-        df.select((orderCols ++ proj).toIndexedSeq: _*), "__idx", orderCols)
+        df.select((ord ++ proj).toIndexedSeq: _*), "__idx", ordRefs)
         .select((col("__idx") +: cols.map(col)).toIndexedSeq: _*))
     val nxt = idx.select(
       ((col("__idx") - 1).as("__idx") +: cols.map(c => col(c).as(s"__n_$c"))).toIndexedSeq: _*)

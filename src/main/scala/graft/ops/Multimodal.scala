@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Typed media row: opaque binary payload + typed metadata — the multimodal
@@ -100,6 +100,41 @@ object Multimodal {
           i => least(col("n_frames") - 1,
             ((i.cast("long") * col("n_frames")) / lit(k.toLong)).cast("long"))))
       .select(col("media_id"), col("n_frames"), col("frame_indices"))
+
+  /**
+   * Media integrity audit — the multimodal twin of the embedding audit:
+   * one scan over the decoded feature frame, stacked into
+   * `(check, n_violations, n_total)` rows. Checks: empty payloads,
+   * modality/container mismatches, image dimensions outside the
+   * decodable range, still images carrying a duration, audio carrying
+   * pixel dimensions. At 100 TB each violation class routes to a
+   * quarantine partition before training ever sees the shard.
+   */
+  def integrityAudit(features: DataFrame, formatCol: Option[String] = None): DataFrame = {
+    val fmtOk = formatCol.map { f =>
+      (col("media_type") === "image" && col(f) === "png") ||
+        (col("media_type") === "audio" && col(f) === "wav") ||
+        (col("media_type") === "video" && col(f) === "mp4")
+    }.getOrElse(lit(true))
+    val checks: Seq[(String, Column)] = Seq(
+      "empty_payload" -> (col("n_bytes") <= 0),
+      "type_format_mismatch" -> !fmtOk,
+      "image_bad_dims" -> (col("media_type") === "image" &&
+        (col("width") < 64 || col("width") >= 1088 ||
+          col("height") < 64 || col("height") >= 1088)),
+      "image_with_duration" -> (col("media_type") === "image" &&
+        col("duration_ms") =!= 0L),
+      "audio_with_dims" -> (col("media_type") === "audio" &&
+        (col("width") =!= 0 || col("height") =!= 0)))
+    val agg = features.agg(count(lit(1)).as("n_total"),
+      checks.map { case (name, cond) =>
+        coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(s"__v_$name")
+      }: _*)
+    checks.map { case (name, _) =>
+      agg.select(lit(name).as("check_name"), col(s"__v_$name").as("n_violations"),
+        col("n_total"))
+    }.reduce(_ union _)
+  }
 
   /** The aspect-ratio ladder image-training pipelines bucket into —
     * SDXL-style fixed shapes; `ratio_milli = 1000·w div h`. */

@@ -95,6 +95,34 @@ object RobustStats {
   }
 
   /**
+   * EXACT percentiles per stratum at arbitrary milli-quantiles — the
+   * order-statistic twin of the sketch-based quantile readers: value at
+   * rank `max(1, ⌈q·n/1000⌉)` (the classic lower exact percentile), one
+   * rank window per stratum (bounded by the stratum, never data-global)
+   * ordered by (value, tie) for determinism. Use this as the exact gate
+   * or the sketch-validation baseline; at extreme stratum sizes the
+   * histogram-sketch readers are the scale path and this is the audit.
+   */
+  def percentilesExact(df: DataFrame, strataCol: String, valueCol: String,
+      tieCol: String, qMillis: Seq[Int]): DataFrame = {
+    require(qMillis.nonEmpty && qMillis.forall(q => q >= 1 && q <= 1000),
+      s"qMillis out of (0, 1000]: $qMillis")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col(valueCol), col(tieCol))
+    val ranked = df
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(strataCol))))
+    import df.sparkSession.implicits._
+    val qs = qMillis.toDF("q_milli")
+    ranked.crossJoin(broadcast(qs))
+      .where(col("__r") === greatest(lit(1L),
+        expr("(q_milli * __n + 999) div 1000")))
+      .select(col(strataCol), col("q_milli"), col("__n").as("n"),
+        col(valueCol).as("value"))
+  }
+
+  /**
    * Multivariate row-outlier screen — diagonal Mahalanobis distance in
    * EXACT integers: per row, `z²_c = (n·x − S_c)² / (n·Q_c − S_c²)` per
    * column (the cross-multiplied population z², no mean/σ division

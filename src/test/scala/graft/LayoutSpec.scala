@@ -127,6 +127,15 @@ class LayoutSpec extends SparkSuite {
       ("b", 5L, 5L, 5L, 1000L, Some(1000L))))
   }
 
+  test("rleGain audits its own sort key (order/audit name overlap is legal)") {
+    // sorted by a itself: a = x,x,y -> 2 runs; b follows a's order via
+    // the idx tiebreak: values (1,2,3) in that order -> 3 runs
+    val df = Seq((1L, "y", 3L), (2L, "x", 1L), (3L, "x", 2L)).toDF("idx", "a", "b")
+    val out = Layout.rleGain(df, Seq(col("a"), col("idx")), Seq("a", "b"))
+      .select("column_name", "n_runs").as[(String, Long)].collect().toSet
+    assert(out == Set(("a", 2L), ("b", 3L)))
+  }
+
   test("rleGain: null runs count, all-null columns report a null sorted gain") {
     // a = x,NULL,NULL,x -> 3 runs, 1 distinct (count distinct skips nulls);
     // c all-null -> 1 run, 0 distinct -> null gain (not an ANSI raise)

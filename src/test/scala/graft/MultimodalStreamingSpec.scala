@@ -721,6 +721,29 @@ class MultimodalStreamingSpec extends SparkSuite {
       ("2:1", 2L, 2500L, 2500L, 1L)))
   }
 
+  test("integrityAudit: each violation class counted; clean classes zero") {
+    val feats = Seq(
+      // clean image / audio / video
+      (1L, "image", 10, 100, 100, 0L, "png"),
+      (2L, "audio", 10, 0, 0, 5L, "wav"),
+      (3L, "video", 10, 100, 100, 5L, "mp4"),
+      (4L, "image", 0, 100, 100, 0L, "png"),   // empty payload
+      (5L, "image", 10, 100, 100, 0L, "mp4"),  // wrong container
+      (6L, "image", 10, 32, 100, 0L, "png"),   // undecodable dims
+      (7L, "image", 10, 100, 100, 9L, "png"),  // still with duration
+      (8L, "audio", 10, 64, 0, 5L, "wav")      // audio with pixels
+    ).toDF("media_id", "media_type", "n_bytes", "width", "height",
+      "duration_ms", "format")
+    val m = Multimodal.integrityAudit(feats, formatCol = Some("format"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m == Map(
+      "empty_payload" -> ((1L, 8L)),
+      "type_format_mismatch" -> ((1L, 8L)),
+      "image_bad_dims" -> ((1L, 8L)),
+      "image_with_duration" -> ((1L, 8L)),
+      "audio_with_dims" -> ((1L, 8L))))
+  }
+
   test("phashNearDups: hamming counted exactly; beyond-threshold pairs drop") {
     // 1 and 2 differ in 2 bits (hamming 2, share bands 1-3); 3 is 1's exact
     // copy (hamming 0); 4 flips one bit in EVERY band (hamming 4 > 3, and

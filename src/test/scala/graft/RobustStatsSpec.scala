@@ -70,6 +70,17 @@ class RobustStatsSpec extends SparkSuite {
     assert(r == ((2L, "3", "6")))
   }
 
+  test("percentilesExact: lower exact percentile at ceil(q·n/1000), tie-deterministic") {
+    // values 10..100 step 10 (n=10): p50 -> rank 5 -> 50; p90 -> rank 9
+    // -> 90; p99 -> rank ceil(9.9)=10 -> 100; p1 -> rank max(1, ceil(0.1))=1
+    val df = (1 to 10).map(i => ("a", i * 10L, i.toLong)).toDF("g", "v", "id")
+    val out = RobustStats.percentilesExact(df, "g", "v", "id",
+        qMillis = Seq(10, 500, 900, 990))
+      .select("q_milli", "n", "value").as[(Int, Long, Long)].collect().toSet
+    assert(out == Set((10, 10L, 10L), (500, 10L, 50L), (900, 10L, 90L),
+      (990, 10L, 100L)))
+  }
+
   test("mahalanobisDiag: hand-computed z² sum; constant columns contribute zero") {
     // a = (0,0,0,0,10): n=5, S=10, Q=100, den=400; z²(10) = 1000*1600/400
     // = 4000, z²(0) = 250. b constant -> zero variance -> 0, never a raise.
