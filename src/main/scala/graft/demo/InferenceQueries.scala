@@ -1628,6 +1628,112 @@ object InferenceQueries {
         "vec_id", "embedding", k = 6)
     },
 
+    // BPE merge stability: the top-20 merges learned independently on
+    // the two doc_id-parity halves, full-outer aligned — merges only one
+    // half finds are the sampling artifacts to distrust before freezing
+    // a tokenizer; rank_delta bounds the agreement for the shared ones
+    QuerySpec("vocab_merge_stability", {
+      def half(m: Int, alias: String) =
+        raw"""w_$alias AS (SELECT CASE WHEN length(trim(text)) = 0 THEN []
+             |    ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+             |  FROM documents WHERE doc_id % 2 = $m),
+             |wc_$alias AS (SELECT word, count(*) AS freq
+             |  FROM (SELECT unnest(t) AS word FROM w_$alias) GROUP BY 1),
+             |p_$alias AS (SELECT substr(word, i, 1) AS a, substr(word, i + 1, 1) AS b, freq
+             |  FROM (SELECT word, freq, unnest(range(1, length(word))) AS i
+             |        FROM wc_$alias WHERE length(word) >= 2)),
+             |m_$alias AS (SELECT a, b, rank FROM (
+             |  SELECT a, b, row_number() OVER (
+             |    ORDER BY CAST(sum(freq) AS BIGINT) DESC, a, b) AS rank
+             |  FROM p_$alias GROUP BY a, b) WHERE rank <= 20)""".stripMargin
+      raw"""WITH ${half(0, "x")},
+           |${half(1, "y")}
+           |SELECT COALESCE(mx.a, my.a) AS a, COALESCE(mx.b, my.b) AS b,
+           |  mx.rank AS rank_a, my.rank AS rank_b,
+           |  CASE WHEN mx.rank IS NOT NULL AND my.rank IS NOT NULL
+           |    THEN abs(mx.rank - my.rank) END AS rank_delta
+           |FROM m_x mx FULL OUTER JOIN m_y my
+           |  ON mx.a = my.a AND mx.b = my.b""".stripMargin
+    }) { (s, d) =>
+      graft.ops.Vocab.mergeStability(
+        s.read.parquet(s"$d/documents.parquet"), "text", "doc_id", k = 20)
+    },
+
+    // composable coresets (merge-and-reduce): a k-center per shard runs
+    // for ALL shards in one lockstep plan (per-group argmin = one window
+    // per round), then the plain k-center reduces the shards·k-row union
+    // — the construction that makes coreset selection embarrassingly
+    // parallel at 100 TB. Both stages' trajectories hash-match the
+    // unrolled MATERIALIZED-CTE oracle
+    QuerySpec("sim_coreset_merge", {
+      def gRound(n: Int) = {
+        val sel = (1 until n).map(i => s"SELECT grp, cid, cv FROM g$i")
+          .mkString(" UNION ALL ")
+        raw"""gsel$n AS MATERIALIZED ($sel),
+             |g$n AS MATERIALIZED (
+             |  SELECT grp, cid, cv, $n AS round FROM (
+             |    SELECT grp, cid, cv, mx, row_number() OVER (
+             |      PARTITION BY grp ORDER BY mx ASC, cid) AS r FROM (
+             |      SELECT b.grp, b.cid, b.cv,
+             |        max(CAST(list_dot_product(b.cv, s.cv) AS DOUBLE)) AS mx
+             |      FROM base b JOIN gsel$n s ON s.grp = b.grp
+             |      WHERE NOT EXISTS (SELECT 1 FROM gsel$n x
+             |        WHERE x.grp = b.grp AND x.cid = b.cid)
+             |      GROUP BY 1, 2, 3))
+             |  WHERE r = 1)""".stripMargin
+      }
+      def sRound(n: Int) = {
+        val sel = (1 until n).map(i => s"SELECT cid, cv FROM s$i")
+          .mkString(" UNION ALL ")
+        raw"""ssel$n AS MATERIALIZED ($sel),
+             |s$n AS MATERIALIZED (
+             |  SELECT cid, cv, $n AS round FROM (
+             |    SELECT c.cid, c.cv,
+             |      max(CAST(list_dot_product(c.cv, s.cv) AS DOUBLE)) AS mx
+             |    FROM cent c CROSS JOIN ssel$n s
+             |    WHERE NOT EXISTS (SELECT 1 FROM ssel$n x WHERE x.cid = c.cid)
+             |    GROUP BY 1, 2)
+             |  ORDER BY mx ASC, cid LIMIT 1)""".stripMargin
+      }
+      val shardUnion = (1 to 3).map(i => s"SELECT grp, cid, round FROM g$i")
+        .mkString(" UNION ALL ")
+      val globalUnion = (1 to 5).map(i => s"SELECT cid, round FROM s$i")
+        .mkString(" UNION ALL ")
+      raw"""WITH base AS MATERIALIZED (
+           |  SELECT (vec_id % 40) // 10 AS grp, vec_id AS cid, embedding AS cv
+           |  FROM embeddings WHERE vec_id % 10 = 0),
+           |g1 AS MATERIALIZED (SELECT grp, cid, cv, 1 AS round FROM (
+           |  SELECT grp, cid, cv, row_number() OVER (
+           |    PARTITION BY grp ORDER BY cid) AS r FROM base) WHERE r = 1),
+           |${(2 to 3).map(gRound).mkString(",\n")},
+           |cent AS MATERIALIZED (
+           |  SELECT cid, cv FROM (SELECT cid, cv FROM g1 UNION ALL
+           |    SELECT cid, cv FROM g2 UNION ALL SELECT cid, cv FROM g3)),
+           |s1 AS MATERIALIZED (SELECT cid, cv, 1 AS round
+           |  FROM cent ORDER BY cid LIMIT 1),
+           |${(2 to 5).map(sRound).mkString(",\n")}
+           |SELECT 'shard' AS stage, CAST(grp AS BIGINT) AS shard,
+           |  cid AS center_id, CAST(round AS BIGINT) AS round FROM ($shardUnion)
+           |UNION ALL
+           |SELECT 'global', CAST(-1 AS BIGINT), cid, CAST(round AS BIGINT)
+           |FROM ($globalUnion)""".stripMargin
+    }) { (s, d) =>
+      import graft.ops.Similarity
+      val sliced = s.read.parquet(s"$d/embeddings.parquet")
+        .where(col("vec_id") % 10 === 0)
+        .select(expr("(vec_id % 40) div 10").as("shard"),
+          col("vec_id"), col("embedding"))
+      val shardC = Similarity.kCenterCoresetBy(sliced, "shard", "vec_id",
+        "embedding", k = 3)
+      val centers = sliced.select(col("vec_id"), col("embedding"))
+        .join(shardC.select(col("center_id").as("vec_id")), Seq("vec_id"))
+      val global = Similarity.kCenterCoreset(centers, "vec_id", "embedding", k = 5)
+      shardC.select(lit("shard").as("stage"), col("grp").as("shard"),
+          col("center_id"), col("round"))
+        .union(global.select(lit("global").as("stage"), lit(-1L).as("shard"),
+          col("center_id"), col("round")))
+    },
+
     // diurnality: chi-squared of each event type's hour-of-day profile
     // against uniform, exactly (absent hours included as n² terms —
     // no 24-row grid join), plus the peak hour and its share. Flat

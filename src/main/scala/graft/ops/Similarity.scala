@@ -86,6 +86,48 @@ object Similarity {
   }
 
   /**
+   * Grouped greedy k-center — every group (shard) runs the
+   * [[kCenterCoreset]] traversal SIMULTANEOUSLY: one plan per round for
+   * all groups (the per-group argmin is a window partitioned by group,
+   * bounded by the group's candidate count), not one plan per group.
+   * This is the composable-coreset scale path: shard the corpus, take a
+   * k-center per shard in parallel, then run the plain k-center over
+   * the union of shard centers — the classic composable-coreset
+   * construction (merge-and-reduce), whose union stage touches only
+   * `shards·k` rows. Groups smaller than `k` simply stop early.
+   */
+  def kCenterCoresetBy(corpus: DataFrame, groupCol: String, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val base = graft.recon.Checkpoints.cut(
+      corpus.select(col(groupCol).as("grp"), col(idCol).as("cid"),
+        col(vecCol).as("cv")))
+    val byGrp = Window.partitionBy(col("grp"))
+    var selected = graft.recon.Checkpoints.cut(base
+      .withColumn("__r", row_number().over(byGrp.orderBy(col("cid"))))
+      .where(col("__r") === 1)
+      .select(col("grp"), col("cid"), col("cv"), lit(1L).as("round"),
+        lit(null).cast("double").as("closest_dot")))
+    for (r <- 2 to k) {
+      val sel = selected.select(col("grp"), col("cv").as("__sv"))
+      val next = base
+        .join(selected.select(col("grp"), col("cid")), Seq("grp", "cid"), "left_anti")
+        .join(sel, Seq("grp"))
+        .groupBy(col("grp"), col("cid"))
+        .agg(first(col("cv")).as("cv"),
+          max(vec_dot(col("cv"), col("__sv")).cast("double")).as("closest_dot"))
+        .withColumn("__r", row_number().over(
+          byGrp.orderBy(col("closest_dot").asc, col("cid"))))
+        .where(col("__r") === 1)
+        .select(col("grp"), col("cid"), col("cv"), lit(r.toLong).as("round"),
+          col("closest_dot"))
+      selected = graft.recon.Checkpoints.cut(selected.unionByName(next))
+    }
+    selected.select(col("grp"), col("cid").as("center_id"), col("round"),
+      col("closest_dot"))
+  }
+
+  /**
    * Label-relevance retrieval eval — MRR and hit@k: rank the corpus per
    * query with the exact float-dot kernel, find the FIRST same-label
    * neighbor, report its rank, the floor-milli reciprocal rank, and

@@ -66,6 +66,27 @@ object Vocab {
   }
 
   /**
+   * BPE merge STABILITY audit: learn the top-k merges independently on
+   * two deterministic corpus halves and align them — the "is my merge
+   * list an artifact of this sample" check run before freezing a
+   * tokenizer. Merges found by both halves carry both ranks and their
+   * absolute rank delta; one-sided merges keep a null opposite rank
+   * (the instability signal itself). Two vocab-sized merge learns plus
+   * one ≤2k-row full-outer join.
+   */
+  def mergeStability(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    def half(m: Long) = topMerges(pairCounts(wordCounts(
+      df.where(pmod(col(idCol), lit(2)) === m), textCol)), k)
+    val ra = half(0L).select(col("a"), col("b"), col("rank").as("rank_a"))
+    val rb = half(1L).select(col("a"), col("b"), col("rank").as("rank_b"))
+    ra.join(rb, Seq("a", "b"), "full_outer")
+      .select(col("a"), col("b"), col("rank_a"), col("rank_b"),
+        when(col("rank_a").isNotNull && col("rank_b").isNotNull,
+          abs(col("rank_a") - col("rank_b"))).as("rank_delta"))
+  }
+
+  /**
    * `(a, b, weight)` — corpus-weighted adjacent symbol-pair counts over
    * a `(word, freq)` vocab frame, symbols = single characters (BPE
    * iteration 1; later iterations feed a re-segmented vocab back through

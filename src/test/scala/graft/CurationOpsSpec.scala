@@ -482,6 +482,30 @@ class CurationOpsSpec extends SparkSuite {
       (2L, 1, "y", 3L, 1500L)))
   }
 
+  // ---------------------------------------------------- merge stability
+
+  test("mergeStability: one-sided merges keep null opposite ranks; deltas exact") {
+    // even half (doc 0): "abab" -> pairs (a,b)x2, (b,a)x1
+    // odd half (doc 1): "ac ac" -> pair (a,c)x2
+    val df = Seq((0L, "abab"), (1L, "ac ac")).toDF("doc_id", "text")
+    val out = graft.ops.Vocab.mergeStability(df, "text", "doc_id", k = 2)
+      .as[(String, String, Option[Int], Option[Int], Option[Int])]
+      .collect().toSet
+    assert(out == Set(
+      ("a", "b", Some(1), None, None),
+      ("b", "a", Some(2), None, None),
+      ("a", "c", None, Some(1), None)))
+  }
+
+  test("mergeStability: identical halves agree rank for rank, delta zero") {
+    val df = Seq((0L, "xy xy zz"), (1L, "xy xy zz")).toDF("doc_id", "text")
+    val out = graft.ops.Vocab.mergeStability(df, "text", "doc_id", k = 2)
+      .as[(String, String, Option[Int], Option[Int], Option[Int])]
+      .collect().toSet
+    assert(out.forall(r => r._3 == r._4 && r._5 == Some(0)))
+    assert(out.size == 2)
+  }
+
   // --------------------------------------------------------- zipf bands
 
   test("zipfBands: doubling-band masses, hand-computed; bands pool past maxBand") {

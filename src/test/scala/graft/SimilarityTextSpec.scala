@@ -89,6 +89,26 @@ class SimilarityTextSpec extends SparkSuite {
       (2L, 4L, Some(0.9d.toFloat.toDouble))))
   }
 
+  test("kCenterCoresetBy runs every shard's traversal; each equals its solo run") {
+    val sharded = Seq(
+      (0L, 1L, Array(1.0f, 0.0f, 0.0f)), (0L, 2L, Array(0.9f, 0.1f, 0.0f)),
+      (0L, 3L, Array(0.0f, 1.0f, 0.0f)),
+      (1L, 4L, Array(0.0f, 0.0f, 1.0f)), (1L, 5L, Array(0.0f, 1.0f, 0.0f)),
+      (1L, 9L, Array(0.5f, 0.5f, 0.0f))
+    ).toDF("shard", "vec_id", "embedding")
+    val grouped = Similarity.kCenterCoresetBy(sharded, "shard", "vec_id",
+        "embedding", k = 2)
+      .select("grp", "center_id", "round").as[(Long, Long, Long)].collect().toSet
+    val solo = (0L to 1L).flatMap { g =>
+      Similarity.kCenterCoreset(sharded.where(col("shard") === g),
+          "vec_id", "embedding", k = 2)
+        .select("center_id", "round").as[(Long, Long)].collect()
+        .map { case (c, r) => (g, c, r) }
+    }.toSet
+    assert(grouped == solo)
+    assert(grouped == Set((0L, 1L, 1L), (0L, 3L, 2L), (1L, 4L, 1L), (1L, 5L, 2L)))
+  }
+
   test("kCenterCoreset coverage radius is monotone: closest_dot never decreases") {
     val many = (vecs.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)) ++
       Seq((5L, Array(0.6f, 0.8f, 0.0f)), (6L, Array(0.0f, 0.6f, 0.8f))))
