@@ -1628,6 +1628,45 @@ object InferenceQueries {
         "vec_id", "embedding", k = 6)
     },
 
+    // effective source count per language (inverse Simpson): 1000 raw
+    // sources with one holding the mass is N_eff ~ 1 — the diversity
+    // number a mixture plan reads instead of the raw key count
+    QuerySpec("text_source_diversity",
+      raw"""WITH c AS (SELECT lang, source, count(*) AS n FROM documents
+           |           GROUP BY 1, 2),
+           |a AS (SELECT lang, sum(n) AS n_rows, count(*) AS n_keys,
+           |        sum(CAST(n AS HUGEINT) * n) AS s2 FROM c GROUP BY 1)
+           |SELECT lang, CAST(n_rows AS BIGINT) AS n_rows,
+           |  CAST(n_keys AS BIGINT) AS n_keys,
+           |  CAST((1000 * CAST(n_rows AS HUGEINT) * n_rows) // s2 AS BIGINT)
+           |    AS neff_milli
+           |FROM a""".stripMargin) { (s, d) =>
+      graft.ops.Profiling.effectiveCount(
+        s.read.parquet(s"$d/documents.parquet"), "lang", "source")
+    },
+
+    // per-user z-score of event value — group-wise feature normalization
+    // with cross-engine bit-exact doubles: integer moments until one
+    // correctly-rounded sqrt and one IEEE division (constant users null)
+    QuerySpec("events_user_zscore",
+      raw"""WITH v AS (SELECT event_id, user_id,
+           |             CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+           |m AS (SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+           |        sum(CAST(cents AS HUGEINT)) AS s,
+           |        sum(CAST(cents AS HUGEINT) * cents) AS q
+           |      FROM v GROUP BY 1)
+           |SELECT v.event_id, v.user_id, v.cents,
+           |  CASE WHEN m.n * m.q - m.s * m.s > 0 THEN
+           |    CAST(m.n * v.cents - m.s AS DOUBLE)
+           |      / sqrt(CAST(m.n * m.q - m.s * m.s AS DOUBLE)) END AS z
+           |FROM v JOIN m USING (user_id)""".stripMargin) { (s, d) =>
+      graft.ops.RobustStats.zscoreExact(
+        OpsQueries.events(s, d).select(col("event_id"), col("user_id"),
+          floor(col("value") * 100).cast("long").as("cents")),
+        "user_id", "cents")
+        .select(col("event_id"), col("user_id"), col("cents"), col("z"))
+    },
+
     // BPE merge stability: the top-20 merges learned independently on
     // the two doc_id-parity halves, full-outer aligned — merges only one
     // half finds are the sampling artifacts to distrust before freezing

@@ -120,6 +120,26 @@ object Profiling {
   }
 
   /**
+   * Effective distinct-key count per stratum — inverse Simpson
+   * diversity, `N_eff = (Σn)²/Σn²`, exact milli: the "how many sources
+   * is this corpus REALLY drawing from" number a mixture plan reads
+   * (1000 raw keys where one holds 95% of the mass is N_eff ≈ 1.1, and
+   * the mixture is a monoculture whatever the key count says). Two hash
+   * aggregates; squares in DECIMAL(38,0).
+   */
+  def effectiveCount(df: DataFrame, strataCol: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val n = col("__n").cast(DecimalType(38, 0))
+    df.groupBy(col(strataCol), col(keyCol)).agg(count(lit(1)).as("__n"))
+      .groupBy(col(strataCol))
+      .agg(sum(col("__n")).as("n_rows"), count(lit(1)).as("n_keys"),
+        sum(n * n).as("__s2"))
+      .select(col(strataCol), col("n_rows"), col("n_keys"),
+        expr("cast((1000 * cast(n_rows as decimal(38,0)) * n_rows) div __s2 as bigint)")
+          .as("neff_milli"))
+  }
+
+  /**
    * Diurnality score per stratum: the chi-squared statistic of the
    * hour-of-day activity profile against uniform, fully cross-multiplied
    * into exact integers — `chi2_milli = 1000·Σ_h(24·o_h − n)² div (24·n)`

@@ -95,6 +95,28 @@ object RobustStats {
   }
 
   /**
+   * Per-stratum z-score feature, cross-engine bit-exact: the identity
+   * `z = (x−μ)/σ_pop = (n·x − S)/√(n·Q − S²)` keeps everything integer
+   * until ONE correctly-rounded sqrt and ONE IEEE division — the only
+   * double ops whose bits both engines guarantee (a naive
+   * `(x − avg(x))/stddev(x)` drifts on summation order alone). The
+   * group-wise feature-normalization step of a training matrix; strata
+   * with zero variance yield null (guarded — ANSI raises on the
+   * division). Inputs must already be integral.
+   */
+  def zscoreExact(df: DataFrame, strataCol: String, valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = col(valueCol).cast(dec)
+    val m = df.groupBy(col(strataCol)).agg(count(lit(1)).cast(dec).as("__zn"),
+      sum(x).as("__zs"), sum(x * x).as("__zq"))
+    df.join(m, Seq(strataCol))
+      .withColumn("z", when(expr("__zn * __zq - __zs * __zs") > 0,
+        expr(s"cast(__zn * $valueCol - __zs as double)") /
+          sqrt(expr("cast(__zn * __zq - __zs * __zs as double)"))))
+      .drop("__zn", "__zs", "__zq")
+  }
+
+  /**
    * EXACT percentiles per stratum at arbitrary milli-quantiles — the
    * order-statistic twin of the sketch-based quantile readers: value at
    * rank `max(1, ⌈q·n/1000⌉)` (the classic lower exact percentile), one

@@ -43,7 +43,12 @@ object ScaleCheck {
     "events_resampled", "text_strip_boilerplate",
     // round-11 additions: data-sized range-frame windows, delta-join
     // maintenance, and iterated frontier expansion
-    "events_rolling_window", "recon_incremental_join", "graph_bfs_depth")
+    "events_rolling_window", "recon_incremental_join", "graph_bfs_depth",
+    // round-11 fifth-sitting additions: the expanded-bag prefix join
+    // (whose unigram shape measured 99.6 s before the 3-gram fix — the
+    // composite most worth a growth trend), the endpoint sweep over the
+    // ranged running sum, and the grouped greedy traversal
+    "dedup_weighted_jaccard", "events_peak_concurrency", "sim_coreset_merge")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

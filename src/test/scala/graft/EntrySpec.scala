@@ -18,8 +18,11 @@ class EntrySpec extends SparkSuite {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val n = fn(spark, sf).count()
+        // the named queries are LEGITIMATELY empty on clean/small data:
+        // near-dup pairs below threshold at sf0.001, and audits whose
+        // whole point is reporting nothing when nothing is wrong
         if (n == 0 && !Set("dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-            "dedup_embed", "recon_dup_probe").contains(name))
+            "dedup_embed", "recon_dup_probe", "quality_label_conflicts").contains(name))
           Some(s"$name returned 0 rows")
         else None
       } catch { case e: Throwable => Some(s"$name threw ${e.getMessage.take(100)}") }

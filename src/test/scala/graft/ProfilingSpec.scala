@@ -66,6 +66,16 @@ class ProfilingSpec extends SparkSuite {
     assert(indRows.forall(r => r.getAs[Long]("exp_milli") == 5000L))
   }
 
+  test("effectiveCount: skewed keys collapse toward 1, uniform keys count fully") {
+    val df = (Seq.fill(9)(("x", "a")) ++ Seq(("x", "b")) ++
+      Seq.fill(5)(("u", "a")) ++ Seq.fill(5)(("u", "b"))).toDF("g", "k")
+    val m = graft.ops.Profiling.effectiveCount(df, "g", "k")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(m("x") == ((10L, 2L, 1219L))) // 100000 // 82
+    assert(m("u") == ((10L, 2L, 2000L))) // exactly 2 effective keys
+  }
+
   test("diurnality: uniform profile scores 0; a one-hour spike is hand-computable") {
     import java.sql.Timestamp
     def at(day: Int, hour: Int) =

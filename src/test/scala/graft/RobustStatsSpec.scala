@@ -70,6 +70,16 @@ class RobustStatsSpec extends SparkSuite {
     assert(r == ((2L, "3", "6")))
   }
 
+  test("zscoreExact: hand values through the integer identity; constant strata null") {
+    // a = (0,0,0,0,10): z = (5x-10)/sqrt(5*100-100) -> 40/20 = 2.0, -10/20 = -0.5
+    val df = Seq(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 0L), ("a", 4L, 0L),
+      ("a", 5L, 10L), ("c", 6L, 7L), ("c", 7L, 7L)).toDF("g", "id", "v")
+    val m = RobustStats.zscoreExact(df, "g", "v")
+      .select("id", "z").as[(Long, Option[Double])].collect().toMap
+    assert(m(5L) == Some(2.0d) && m(1L) == Some(-0.5d))
+    assert(m(6L).isEmpty && m(7L).isEmpty) // zero variance -> null, no raise
+  }
+
   test("percentilesExact: lower exact percentile at ceil(q·n/1000), tie-deterministic") {
     // values 10..100 step 10 (n=10): p50 -> rank 5 -> 50; p90 -> rank 9
     // -> 90; p99 -> rank ceil(9.9)=10 -> 100; p1 -> rank max(1, ceil(0.1))=1
