@@ -1628,6 +1628,70 @@ object InferenceQueries {
         "vec_id", "embedding", k = 6)
     },
 
+    // Theil-Sen robust trend per event type over the day-grain value
+    // series: the median pairwise slope a corrupted day cannot drag
+    // (the robust twin of events_value_trend's OLS). IEEE-double slopes
+    // over integer operands, lower-median selection with (x1,x2) ties
+    QuerySpec("events_theil_sen",
+      raw"""WITH s AS (SELECT event_type, epoch_ms(ts) // 86400000 AS d,
+           |             sum(CAST(floor(value * 100) AS BIGINT)) AS y
+           |           FROM events GROUP BY 1, 2),
+           |p AS (SELECT a.event_type,
+           |        CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope,
+           |        a.d AS x1, b.d AS x2
+           |      FROM s a JOIN s b ON a.event_type = b.event_type AND a.d < b.d),
+           |r AS (SELECT event_type, slope, row_number() OVER (
+           |        PARTITION BY event_type ORDER BY slope, x1, x2) AS r,
+           |        count(*) OVER (PARTITION BY event_type) AS np FROM p)
+           |SELECT event_type, CAST(np AS BIGINT) AS n_pairs, slope AS ts_slope
+           |FROM r WHERE r = (np + 1) // 2""".stripMargin) { (s, d) =>
+      val series = OpsQueries.events(s, d)
+        .groupBy(col("event_type"), expr("unix_millis(ts) div 86400000").as("day"))
+        .agg(sum(floor(col("value") * 100).cast("long")).as("cents"))
+      graft.ops.RobustStats.theilSenSlope(series, "event_type", "day", "cents")
+    },
+
+    // join-key multiplicity histogram for the lineitem->orders join:
+    // which band of keys carries the rows — the "salt THESE" diagnosis
+    // beside the exact blowup and the CMS join-size estimate
+    QuerySpec("quality_key_multiplicity",
+      raw"""WITH f AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+           |o AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+           |b AS (SELECT 'fact' AS side, CASE WHEN c = 1 THEN '1'
+           |          WHEN c <= 10 THEN '2-10' WHEN c <= 100 THEN '11-100'
+           |          ELSE '100+' END AS band, c FROM f
+           |      UNION ALL
+           |      SELECT 'dim', CASE WHEN c = 1 THEN '1' WHEN c <= 10 THEN '2-10'
+           |          WHEN c <= 100 THEN '11-100' ELSE '100+' END, c FROM o)
+           |SELECT side, band, count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows
+           |FROM b GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      graft.ops.Profiling.keyMultiplicity(
+          s.read.parquet(s"$d/lineitem.parquet"), "l_orderkey", "fact")
+        .union(graft.ops.Profiling.keyMultiplicity(
+          s.read.parquet(s"$d/orders.parquet"), "o_orderkey", "dim"))
+    },
+
+    // positional phrase search: every occurrence of the corpus's most
+    // common 3-gram (derived in-plan, broadcast back) — the operator an
+    // inverted index grows positions for. Per containing doc: hit count
+    // and first position
+    QuerySpec("retrieval_phrase_match",
+      raw"""WITH tt AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []
+           |              ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+           |            FROM documents),
+           |g AS (SELECT doc, pos, array_to_string(t[pos + 1:pos + 3], ' ') AS gram
+           |      FROM (SELECT doc_id AS doc, t,
+           |              unnest(range(0, len(t) - 2)) AS pos
+           |            FROM tt WHERE len(t) >= 3)),
+           |top AS (SELECT gram FROM (SELECT gram, count(*) AS c FROM g GROUP BY 1)
+           |        ORDER BY c DESC, gram LIMIT 1)
+           |SELECT g.doc, g.gram AS phrase, count(*) AS n_hits,
+           |  CAST(min(g.pos) AS INT) AS first_pos
+           |FROM g JOIN top USING (gram) GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      graft.ops.Retrieval.topPhraseMatch(
+        s.read.parquet(s"$d/documents.parquet"), "text", "doc_id", n = 3)
+    },
+
     // effective source count per language (inverse Simpson): 1000 raw
     // sources with one holding the mass is N_eff ~ 1 — the diversity
     // number a mixture plan reads instead of the raw key count

@@ -120,6 +120,22 @@ object Profiling {
   }
 
   /**
+   * Join-key multiplicity histogram: keys banded by how many rows they
+   * carry (1, 2–10, 11–100, 100+) — the diagnosis that turns "the join
+   * blew up" into "0.1% of keys carry 40% of the rows, salt those".
+   * Reads beside the Σn² exact blowup and the CMS join-size estimate;
+   * one aggregate per side, label the sides and union.
+   */
+  def keyMultiplicity(df: DataFrame, keyCol: String, side: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("band", when(col("__c") === 1, "1")
+        .when(col("__c") <= 10, "2-10")
+        .when(col("__c") <= 100, "11-100").otherwise("100+"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("__c")).as("n_rows"))
+      .select(lit(side).as("side"), col("band"), col("n_keys"), col("n_rows"))
+
+  /**
    * Effective distinct-key count per stratum — inverse Simpson
    * diversity, `N_eff = (Σn)²/Σn²`, exact milli: the "how many sources
    * is this corpus REALLY drawing from" number a mixture plan reads

@@ -219,6 +219,34 @@ object Retrieval {
     selected.select(col("query_id"), col("neighbor_id"), col("mmr_rank"))
   }
 
+  /**
+   * Positional phrase search: every occurrence of an exact n-token
+   * phrase, per document — the operator an inverted index grows
+   * positions for (term-AND retrieval can say "contains all three
+   * words"; only positions can say "consecutively, in this order").
+   * The phrase here is derived IN-PLAN as the corpus's most common
+   * n-gram (count desc, gram asc — deterministic), broadcast back over
+   * the positional n-gram table; swapping in a literal phrase is the
+   * same join. The positional table is the only corpus-sized frame;
+   * everything downstream is hit-sized.
+   */
+  def topPhraseMatch(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val g = graft.recon.Checkpoints.cut(
+      df.select(col(idCol).as("doc"), TextAnalysis.tokens(col(textCol)).as("__toks"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(col("doc"),
+          posexplode(Dedup.shinglesOfTokens(col("__toks"), n)).as(Seq("pos", "gram"))))
+    val top = g.groupBy(col("gram")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("gram")).limit(1).select(col("gram"))
+    g.join(broadcast(top), Seq("gram"))
+      .groupBy(col("doc"), col("gram"))
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+      .select(col("doc"), col("gram").as("phrase"), col("n_hits"),
+        col("first_pos"))
+  }
+
   /** Top-k documents by BM25 for `terms`, with a deterministic dense rank
     * (ties break on the id). The k-selection is orderBy+limit — Spark plans
     * it as TakeOrderedAndProject (distributed heaps), NOT a global sort;

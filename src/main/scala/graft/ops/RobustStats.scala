@@ -95,6 +95,40 @@ object RobustStats {
   }
 
   /**
+   * Theil–Sen robust trend slope per stratum: the MEDIAN of all
+   * pairwise slopes `(y_j − y_i)/(x_j − x_i)` over the stratum's
+   * series — the slope a single corrupted day cannot drag (OLS breaks
+   * down at one outlier; Theil–Sen tolerates ~29%). Slopes are IEEE
+   * doubles over integer operands (division is deterministic; both
+   * engines emit identical bits), and the median is the LOWER order
+   * statistic at rank `(n+1) div 2` with (x1, x2) tie-breaks — exact
+   * selection, no averaging of middles. The pair join is per-stratum
+   * O(series²): day-grain series keep it trivial; for long series
+   * sample pairs upstream (the estimator stays consistent).
+   * `xCol` values must be distinct within a stratum.
+   */
+  def theilSenSlope(df: DataFrame, strataCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.recon.Checkpoints.cut(
+      df.select(col(strataCol).as("__g"), col(xCol).as("__x"), col(yCol).as("__y")))
+    val pairs = base.alias("a").join(base.alias("b"),
+        col("a.__g") === col("b.__g") && col("a.__x") < col("b.__x"))
+      .select(col("a.__g").as("__g"),
+        ((col("b.__y") - col("a.__y")).cast("double") /
+          (col("b.__x") - col("a.__x")).cast("double")).as("slope"),
+        col("a.__x").as("__x1"), col("b.__x").as("__x2"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("slope"), col("__x1"), col("__x2"))
+    pairs
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__np", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .where(col("__r") === expr("(__np + 1) div 2"))
+      .select(col("__g").as(strataCol), col("__np").as("n_pairs"),
+        col("slope").as("ts_slope"))
+  }
+
+  /**
    * Per-stratum z-score feature, cross-engine bit-exact: the identity
    * `z = (x−μ)/σ_pop = (n·x − S)/√(n·Q − S²)` keeps everything integer
    * until ONE correctly-rounded sqrt and ONE IEEE division — the only

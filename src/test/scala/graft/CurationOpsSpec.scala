@@ -482,6 +482,19 @@ class CurationOpsSpec extends SparkSuite {
       (2L, 1, "y", 3L, 1500L)))
   }
 
+  // ----------------------------------------------------- phrase search
+
+  test("topPhraseMatch: the in-plan top 3-gram, every occurrence positioned") {
+    // "a b c" occurs at doc1 pos 0 and 3, doc2 pos 0 — the corpus top gram
+    val df = Seq((1L, "a b c a b c"), (2L, "a b c x"), (3L, "z z z"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Retrieval.topPhraseMatch(df, "text", "doc_id", n = 3)
+      .as[(Long, String, Long, Int)].collect().toSet
+    assert(out == Set(
+      (1L, "a b c", 2L, 0),
+      (2L, "a b c", 1L, 0)))
+  }
+
   // ---------------------------------------------------- merge stability
 
   test("mergeStability: one-sided merges keep null opposite ranks; deltas exact") {

@@ -66,6 +66,17 @@ class ProfilingSpec extends SparkSuite {
     assert(indRows.forall(r => r.getAs[Long]("exp_milli") == 5000L))
   }
 
+  test("keyMultiplicity bands keys by carried rows at the band edges") {
+    val rows = Seq.fill(1)("a") ++ Seq.fill(10)("b") ++ Seq.fill(11)("c") ++
+      Seq.fill(100)("d") ++ Seq.fill(101)("e")
+    val out = graft.ops.Profiling.keyMultiplicity(rows.toDF("k"), "k", "s")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(out == Map(
+      "1" -> ((1L, 1L)), "2-10" -> ((1L, 10L)),
+      "11-100" -> ((2L, 111L)), "100+" -> ((1L, 101L))))
+  }
+
   test("effectiveCount: skewed keys collapse toward 1, uniform keys count fully") {
     val df = (Seq.fill(9)(("x", "a")) ++ Seq(("x", "b")) ++
       Seq.fill(5)(("u", "a")) ++ Seq.fill(5)(("u", "b"))).toDF("g", "k")

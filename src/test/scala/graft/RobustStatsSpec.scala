@@ -70,6 +70,17 @@ class RobustStatsSpec extends SparkSuite {
     assert(r == ((2L, "3", "6")))
   }
 
+  test("theilSenSlope shrugs off the outlier day OLS would chase") {
+    // y = 10x on days 0..2, day 3 corrupted to 1000. Pairwise slopes:
+    // 10,10,10 then 333.33/495/980 — lower median (rank 3 of 6) = 10.
+    val df = Seq(("a", 0L, 0L), ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 1000L),
+      ("b", 0L, 5L), ("b", 1L, 3L)).toDF("g", "x", "y")
+    val m = RobustStats.theilSenSlope(df, "g", "x", "y")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m("a") == ((6L, 10.0d)))
+    assert(m("b") == ((1L, -2.0d))) // single pair: its slope IS the median
+  }
+
   test("zscoreExact: hand values through the integer identity; constant strata null") {
     // a = (0,0,0,0,10): z = (5x-10)/sqrt(5*100-100) -> 40/20 = 2.0, -10/20 = -0.5
     val df = Seq(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 0L), ("a", 4L, 0L),
