@@ -1628,6 +1628,70 @@ object InferenceQueries {
         "vec_id", "embedding", k = 6)
     },
 
+    // Kaplan-Meier signup->purchase survival at day grain: censored
+    // users (never converted by the stream horizon) reduce the at-risk
+    // set without counting as events — the estimator that keeps
+    // conversion-time curves honest. Fixed-point step products
+    // ((acc*q) div 1000) are deterministic in both engines
+    QuerySpec("events_survival_km",
+      raw"""WITH t0 AS (SELECT user_id, min(ts) AS t_start FROM events
+           |            WHERE event_type = 'signup' GROUP BY 1),
+           |t1 AS (SELECT e.user_id, min(e.ts) AS t_convert
+           |       FROM events e JOIN t0 ON t0.user_id = e.user_id
+           |       WHERE e.event_type = 'purchase' AND e.ts >= t0.t_start
+           |       GROUP BY 1),
+           |hz AS (SELECT max(epoch_ms(ts)) AS h FROM events),
+           |obs AS (SELECT COALESCE(epoch_ms(t1.t_convert) - epoch_ms(t0.t_start),
+           |                        hz.h - epoch_ms(t0.t_start)) AS t_obs,
+           |          CASE WHEN t1.t_convert IS NULL THEN 0 ELSE 1 END AS e
+           |        FROM t0 LEFT JOIN t1 ON t1.user_id = t0.user_id CROSS JOIN hz),
+           |b AS (SELECT t_obs // 86400000 AS w, sum(e) AS d, sum(1 - e) AS c
+           |      FROM obs GROUP BY 1),
+           |tot AS (SELECT sum(d + c) AS n FROM b),
+           |cum AS (SELECT w, d, c, sum(d + c) OVER (ORDER BY w) AS thr FROM b),
+           |ar AS (SELECT w, CAST(tot.n - (thr - d - c) AS BIGINT) AS n_at_risk,
+           |         CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+           |         CAST((1000 * (tot.n - (thr - d - c) - d))
+           |           // (tot.n - (thr - d - c)) AS BIGINT) AS q_milli
+           |       FROM cum CROSS JOIN tot),
+           |arr AS (SELECT list(struct_pack(w := w, q := q_milli) ORDER BY w) AS qs
+           |        FROM ar),
+           |idx AS (SELECT unnest(range(1, len(qs) + 1)) AS i, qs FROM arr),
+           |s AS (SELECT qs[i].w AS w,
+           |        CAST(list_reduce(
+           |          list_prepend(CAST(1000 AS BIGINT), [x.q FOR x IN qs[1:i]]),
+           |          (acc, x) -> (acc * x) // 1000) AS BIGINT) AS s_milli
+           |      FROM idx)
+           |SELECT ar.w, ar.n_at_risk, ar.d, ar.c, ar.q_milli, s.s_milli
+           |FROM ar JOIN s USING (w)""".stripMargin) { (s, d) =>
+      val ev = OpsQueries.events(s, d)
+      val tte = graft.ops.History.timeToEvent(ev, "user_id", "ts", "event_type",
+        fromVal = "signup", toVal = "purchase")
+      val hz = ev.agg(max(unix_millis(col("ts"))).as("__hz"))
+      val obs = tte.crossJoin(broadcast(hz)).select(
+        coalesce(col("delta_ms"),
+          col("__hz") - unix_millis(col("t_start"))).as("t_obs"),
+        (lit(1L) - col("censored")).as("event"))
+      graft.ops.History.survivalKm(obs, "t_obs", "event", bucketMs = 86400000L)
+    },
+
+    // 2-D Hilbert index over (customer, order-day) — the locality
+    // upgrade over layout_zorder's Morton walk: unit grid steps along
+    // the whole curve (spec-proven bijective + Manhattan-adjacent), so
+    // file min/max boxes are tighter for the same file count. Both
+    // engines run the identical per-level reflect/swap steps
+    QuerySpec("layout_hilbert",
+      graft.ops.Layout.hilbert2Sql(Seq("o_orderkey"),
+        "o_custkey % 256", "(epoch_ms(o_orderdate) // 86400000) % 256",
+        bits = 8, table = "orders", outCol = "hval")) { (s, d) =>
+      val day = expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000")
+      graft.ops.Layout.withHilbert2(
+          s.read.parquet(s"$d/orders.parquet"),
+          pmod(col("o_custkey"), lit(256L)), pmod(day, lit(256L)),
+          bits = 8, outCol = "hval")
+        .select(col("o_orderkey"), col("hval"))
+    },
+
     // Theil-Sen robust trend per event type over the day-grain value
     // series: the median pairwise slope a corrupted day cannot drag
     // (the robust twin of events_value_trend's OLS). IEEE-double slopes

@@ -76,6 +76,54 @@ object History {
         when(col("t_convert").isNull, 1L).otherwise(0L).as("censored"))
   }
 
+  /**
+   * Kaplan–Meier survival curve over (time, event) rows — the estimator
+   * that makes censored time-to-convert data honest (dropping censored
+   * users biases conversion time DOWN; treating them as converts biases
+   * it up; KM does neither). Times bucket to `bucketMs` grain; per
+   * bucket: events `d`, censorings `c`, at-risk `n` (arrivals minus
+   * everything dropped in EARLIER buckets, via the distributed ranged
+   * running sum — no global window), the step survival
+   * `q_milli = 1000·(n−d) div n`, and the curve
+   * `s_milli = Π q (fixed-point: (acc·q) div 1000` per step — the
+   * [[SetSimilarity.sCurveDetectMilli]] recipe, deterministic ~1‰ floor
+   * bias per step, identical in both engines). The cumulative product
+   * folds over ONE collected (bucket, q) array — bounded by the bucket
+   * count (a curve with millions of steps is a plotting smell, not an
+   * engine limit), the same bounded-collect contract as
+   * [[Packing.packGlobal]].
+   *
+   * Output: (w, n_at_risk, d, c, q_milli, s_milli), one row per
+   * occupied bucket; `n_at_risk ≥ d + c ≥ 1` so the division is safe.
+   */
+  def survivalKm(df: DataFrame, timeCol: String, eventCol: String,
+      bucketMs: Long): DataFrame = {
+    require(bucketMs >= 1L, s"bucketMs must be >= 1: $bucketMs")
+    val b = df
+      .select(expr(s"$timeCol div ${bucketMs}L").as("w"),
+        col(eventCol).cast("long").as("__e"))
+      .groupBy(col("w"))
+      .agg(sum(col("__e")).as("d"), sum(lit(1L) - col("__e")).as("c"))
+    val cum = graft.recon.Sources.withRunningSumRanged(
+      b, "__thr", col("d") + col("c"), Seq(col("w")))
+    val total = b.agg(sum(col("d") + col("c")).as("__n"))
+    val atRisk = graft.recon.Checkpoints.cut(cum.crossJoin(broadcast(total))
+      .withColumn("n_at_risk", col("__n") - (col("__thr") - col("d") - col("c")))
+      .withColumn("q_milli", expr("(1000 * (n_at_risk - d)) div n_at_risk"))
+      .select(col("w"), col("n_at_risk"), col("d"), col("c"), col("q_milli")))
+    val curve = atRisk
+      .agg(sort_array(collect_list(struct(col("w"), col("q_milli")))).as("__qs"))
+      .select(explode(expr(
+        """arrays_zip(
+          |  transform(__qs, x -> x.w),
+          |  transform(sequence(1, size(__qs)), i ->
+          |    aggregate(slice(__qs, 1, i), 1000L,
+          |      (acc, x) -> (acc * x.q_milli) div 1000)))""".stripMargin))
+        .as("__z"))
+      .select(col("__z.0").as("w"), col("__z.1").as("s_milli"))
+    atRisk.join(curve, Seq("w"))
+  }
+
   /** Enrich a fact frame with the [[scd2]] dimension state valid at
     * each fact's own probe instant (`probeCol`, a timestamp column of
     * `facts` — shift it for "state just BEFORE this event" semantics):

@@ -71,6 +71,70 @@ object Layout {
   }
 
   /**
+   * 2-D HILBERT index — the locality upgrade over [[zValue2]]: a Morton
+   * walk jumps across the plane at every quadrant boundary (the z
+   * shape), a Hilbert walk moves ONE grid step at a time (spec-proven:
+   * bijective + unit Manhattan steps over the full grid), so file
+   * min/max boxes along the curve are tighter for the same file count.
+   * Standard quadrant-recursive construction: per bit level, the
+   * quadrant index contributes `s²·((3·rx) xor ry)` and the coordinates
+   * reflect/swap into the subquadrant frame (reflection within the
+   * CURRENT quadrant, `s−1 − ·`). Each of the `bits` steps is one
+   * projection — named intermediate columns, so the expression tree
+   * stays linear in `bits`, not exponential. x/y must sit in
+   * [0, 2^bits); callers clip/scale first (same contract as zValue2).
+   */
+  def withHilbert2(df: DataFrame, x: Column, y: Column, bits: Int,
+      outCol: String): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    var cur = df.withColumn("__hx", x.cast("long"))
+      .withColumn("__hy", y.cast("long"))
+      .withColumn(outCol, lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      cur = cur
+        .withColumn("__rx", when(col("__hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("__ry", when(col("__hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn(outCol, col(outCol) +
+          lit(s * s) * (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+        .withColumn("__nx", when(col("__ry") === 0,
+          when(col("__rx") === 1, lit(s - 1) - col("__hy")).otherwise(col("__hy")))
+          .otherwise(col("__hx")))
+        .withColumn("__ny", when(col("__ry") === 0,
+          when(col("__rx") === 1, lit(s - 1) - col("__hx")).otherwise(col("__hx")))
+          .otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx")).withColumn("__hy", col("__ny"))
+    }
+    cur.drop("__hx", "__hy", "__rx", "__ry", "__nx", "__ny")
+  }
+
+  /** The DuckDB mirror of [[withHilbert2]]: the same per-level steps as
+    * a generated CTE chain over `table`; `keys` ride through unchanged.
+    * Produces a full `WITH … SELECT keys…, hd AS outCol` statement. */
+  def hilbert2Sql(keys: Seq[String], x: String, y: String, bits: Int,
+      table: String, outCol: String): String = {
+    require(bits >= 1 && bits <= 31, s"bits out of range: $bits")
+    val ks = keys.mkString(", ")
+    val steps = ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, step) =>
+      val s = 1L << i
+      val prev = if (step == 0) "h0" else s"g$step"
+      s"""h${step + 1} AS (SELECT $ks, hx, hy, hd,
+         |  CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |  CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry FROM $prev),
+         |g${step + 1} AS (SELECT $ks,
+         |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END
+         |       ELSE hx END AS hx,
+         |  CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END
+         |       ELSE hy END AS hy,
+         |  hd + ${s * s} * xor(3 * rx, ry) AS hd FROM h${step + 1})""".stripMargin
+    }
+    s"""WITH h0 AS (SELECT $ks, CAST($x AS BIGINT) AS hx,
+       |  CAST($y AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM $table),
+       |${steps.mkString(",\n")}
+       |SELECT $ks, hd AS $outCol FROM g$bits""".stripMargin
+  }
+
+  /**
    * Cluster a frame for 2-D locality: range-partition on the z-value,
    * sort within partitions by it. Writing the result gives files whose
    * footer min/max on BOTH source dimensions are tight — the scan-time

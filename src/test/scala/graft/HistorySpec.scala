@@ -239,4 +239,30 @@ class HistorySpec extends SparkSuite {
       ("B", "A", 1L, 500L),
       ("B", "B", 1L, 500L)))
   }
+
+  test("survivalKm: hand-computed curve; censoring shrinks risk without counting") {
+    // bucket=10ms. w0: event@5 (n=5, q=800, S=800). w1: event@15 +
+    // censor@15 (n=4, q=750, S=600). w2: event@25 + censor@25
+    // (n=2, q=500, S=300).
+    val df = Seq((5L, 1L), (15L, 1L), (15L, 0L), (25L, 0L), (25L, 1L))
+      .toDF("t", "e")
+    val out = graft.ops.History.survivalKm(df, "t", "e", bucketMs = 10L)
+      .select("w", "n_at_risk", "d", "c", "q_milli", "s_milli")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (0L, 5L, 1L, 0L, 800L, 800L),
+      (1L, 4L, 1L, 1L, 750L, 600L),
+      (2L, 2L, 1L, 1L, 500L, 300L)))
+  }
+
+  test("survivalKm without censoring tracks the empirical fraction (floor bias ≤1‰/step)") {
+    // 4 events in distinct buckets: exact S = 750/500/250/0; the
+    // fixed-point product floors each step (q1 = 666 not 666.67), so
+    // the curve reads 750/499/249/0 — the documented deterministic bias
+    val df = Seq((1L, 1L), (11L, 1L), (21L, 1L), (31L, 1L)).toDF("t", "e")
+    val s = graft.ops.History.survivalKm(df, "t", "e", bucketMs = 10L)
+      .orderBy("w").select("s_milli").as[Long].collect().toSeq
+    assert(s == Seq(750L, 499L, 249L, 0L))
+    assert(s.zip(Seq(750L, 500L, 250L, 0L)).forall { case (g, e) => e - g <= 2 })
+  }
 }

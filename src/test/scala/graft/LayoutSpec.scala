@@ -127,6 +127,33 @@ class LayoutSpec extends SparkSuite {
       ("b", 5L, 5L, 5L, 1000L, Some(1000L))))
   }
 
+  test("hilbert2: bijective over the grid and every curve step is one grid step") {
+    val bits = 3
+    val n = 1 << bits // 8x8
+    val grid = (for { x <- 0 until n; y <- 0 until n } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val d2xy = Layout.withHilbert2(grid, col("x"), col("y"), bits, "d")
+      .as[(Long, Long, Long)].collect()
+      .map { case (x, y, d) => d -> ((x, y)) }.toMap
+    assert(d2xy.size == n * n) // bijective
+    assert(d2xy.keys.min == 0L && d2xy.keys.max == (n * n - 1L))
+    val unitSteps = (1 until n * n).forall { d =>
+      val (x1, y1) = d2xy(d - 1L); val (x2, y2) = d2xy(d.toLong)
+      math.abs(x1 - x2) + math.abs(y1 - y2) == 1
+    }
+    assert(unitSteps) // the defining Hilbert property
+    // Morton (z-order) jumps at quadrant boundaries — quantify the edge
+    val mortonAdj = grid
+      .select(col("x"), col("y"), Layout.zValue2(col("x"), col("y"), bits).as("d"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (x, y, d) => d -> ((x, y)) }.toMap
+    val mortonUnit = (1 until n * n).count { d =>
+      val (x1, y1) = mortonAdj(d - 1L); val (x2, y2) = mortonAdj(d.toLong)
+      math.abs(x1 - x2) + math.abs(y1 - y2) == 1
+    }
+    assert(mortonUnit < n * n - 1, s"morton unexpectedly all-adjacent")
+  }
+
   test("rleGain audits its own sort key (order/audit name overlap is legal)") {
     // sorted by a itself: a = x,x,y -> 2 runs; b follows a's order via
     // the idx tiebreak: values (1,2,3) in that order -> 3 runs
