@@ -1628,6 +1628,38 @@ object InferenceQueries {
         "vec_id", "embedding", k = 6)
     },
 
+    // Markov next-event eval under a temporal split (train < Jan 16,
+    // eval after, pairs never straddle): the learned per-state argmax
+    // next type scored on the future — whether yesterday's transition
+    // matrix predicts tomorrow. Exact milli accuracy per from-state
+    QuerySpec("events_markov_eval",
+      raw"""WITH tr AS (SELECT user_id, event_type, ts, event_id FROM events
+           |            WHERE epoch_ms(ts) < 1705363200000),
+           |ev AS (SELECT user_id, event_type, ts, event_id FROM events
+           |       WHERE epoch_ms(ts) >= 1705363200000),
+           |tp AS (SELECT event_type AS to_type, lag(event_type) OVER (
+           |         PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+           |       FROM tr),
+           |pc AS (SELECT from_type, to_type, count(*) AS n FROM tp
+           |       WHERE from_type IS NOT NULL GROUP BY 1, 2),
+           |pr AS (SELECT from_type, to_type AS prediction FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY from_type
+           |           ORDER BY n DESC, to_type) AS r FROM pc) WHERE r = 1),
+           |ep AS (SELECT event_type AS to_type, lag(event_type) OVER (
+           |         PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+           |       FROM ev)
+           |SELECT ep.from_type, max(pr.prediction) AS prediction,
+           |  count(*) AS n_pairs,
+           |  CAST(sum(CASE WHEN ep.to_type = pr.prediction THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_correct,
+           |  CAST((1000 * sum(CASE WHEN ep.to_type = pr.prediction THEN 1 ELSE 0 END))
+           |    // count(*) AS BIGINT) AS acc_milli
+           |FROM ep LEFT JOIN pr ON pr.from_type = ep.from_type
+           |WHERE ep.from_type IS NOT NULL GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.ops.History.markovEval(OpsQueries.events(s, d),
+        "user_id", "event_type", "ts", "event_id", cutMs = 1705363200000L)
+    },
+
     // Kaplan-Meier signup->purchase survival at day grain: censored
     // users (never converted by the stream horizon) reduce the at-risk
     // set without counting as events — the estimator that keeps

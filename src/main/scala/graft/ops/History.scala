@@ -273,6 +273,46 @@ object History {
       .select(col(entityCol), col(tieCol), col(tsCol), col("split"))
   }
 
+  /**
+   * Markov next-state prediction EVAL under a temporal split: learn the
+   * per-state argmax transition on events before `cutMs`, score it on
+   * consecutive pairs strictly after — the "is yesterday's transition
+   * matrix worth anything tomorrow" check that separates a usable
+   * behavior model from a memorized one. Pairs never straddle the
+   * split (both ends must be in their half — the leak-free convention).
+   * Per from-state: the learned prediction, eval pair count, hits, and
+   * exact milli accuracy; eval states unseen in training surface with a
+   * null prediction and zero hits rather than vanishing. Windows
+   * partition per entity (pair building) or per state (argmax, bounded
+   * by the state alphabet).
+   */
+  def markovEval(events: DataFrame, entityCol: String, stateCol: String,
+      tsCol: String, tieCol: String, cutMs: Long): DataFrame = {
+    val ms = unix_millis(col(tsCol).cast("timestamp"))
+    def pairs(df: DataFrame) = {
+      val byTime = Window.partitionBy(col(entityCol))
+        .orderBy(col(tsCol), col(tieCol))
+      df.select(col(entityCol), col(stateCol), col(tsCol), col(tieCol))
+        .withColumn("to_type", col(stateCol))
+        .withColumn("from_type", lag(col(stateCol), 1).over(byTime))
+        .where(col("from_type").isNotNull)
+    }
+    val pred = pairs(events.where(ms < cutMs))
+      .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("__n"))
+      .withColumn("__r", row_number().over(Window.partitionBy(col("from_type"))
+        .orderBy(col("__n").desc, col("to_type"))))
+      .where(col("__r") === 1)
+      .select(col("from_type"), col("to_type").as("prediction"))
+    pairs(events.where(ms >= cutMs))
+      .join(pred, Seq("from_type"), "left")
+      .groupBy(col("from_type"))
+      .agg(max(col("prediction")).as("prediction"),
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("to_type") === col("prediction"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("acc_milli", expr("(1000 * n_correct) div n_pairs"))
+  }
+
   def transitionCounts(events: DataFrame, entityCol: String, stateCol: String,
       tsCol: String, tieCol: String): DataFrame = {
     val byTime = Window.partitionBy(col(entityCol))

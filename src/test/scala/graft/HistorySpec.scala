@@ -240,6 +240,29 @@ class HistorySpec extends SparkSuite {
       ("B", "B", 1L, 500L)))
   }
 
+  test("markovEval: learned argmax scored on the future; unseen states keep null") {
+    import java.sql.Timestamp
+    def t(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // train (before day 3): u1 walks a->b, a->b, a->c  => predict a->b
+    // eval (day 3+): pairs a->b (hit), a->c (miss), z->a (z unseen in train)
+    val df = Seq(
+      (1L, t(1, 1), 1L, "a"), (2L, t(1, 2), 1L, "b"), (3L, t(1, 3), 1L, "a"),
+      (4L, t(1, 4), 1L, "b"), (5L, t(1, 5), 1L, "a"), (6L, t(1, 6), 1L, "c"),
+      (7L, t(3, 1), 2L, "a"), (8L, t(3, 2), 2L, "b"),
+      (9L, t(3, 3), 2L, "a"), (10L, t(3, 4), 2L, "c"),
+      (11L, t(3, 5), 3L, "z"), (12L, t(3, 6), 3L, "a")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val cut = Timestamp.valueOf("2024-01-03 00:00:00").getTime
+    val out = graft.ops.History.markovEval(df, "user_id", "event_type",
+        "ts", "event_id", cutMs = cut)
+      .as[(String, Option[String], Long, Long, Long)].collect().toSet
+    // eval pairs for u2: a->b, b->a, a->c; u3: z->a
+    assert(out == Set(
+      ("a", Some("b"), 2L, 1L, 500L),
+      ("b", Some("a"), 1L, 1L, 1000L),
+      ("z", None, 1L, 0L, 0L)))
+  }
+
   test("survivalKm: hand-computed curve; censoring shrinks risk without counting") {
     // bucket=10ms. w0: event@5 (n=5, q=800, S=800). w1: event@15 +
     // censor@15 (n=4, q=750, S=600). w2: event@25 + censor@25
