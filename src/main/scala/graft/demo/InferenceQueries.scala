@@ -1628,6 +1628,119 @@ object InferenceQueries {
         "vec_id", "embedding", k = 6)
     },
 
+    // log-rank test between the user-parity cohorts' conversion curves:
+    // per day-bucket hypergeometric expectations/variances in exact
+    // milli/micro floors, one summary z via a single correctly-rounded
+    // sqrt — "do these cohorts convert at the same rate",
+    // censoring-honest
+    QuerySpec("events_logrank",
+      raw"""WITH t0 AS (SELECT user_id, min(ts) AS t_start FROM events
+           |            WHERE event_type = 'signup' GROUP BY 1),
+           |t1 AS (SELECT e.user_id, min(e.ts) AS t_convert
+           |       FROM events e JOIN t0 ON t0.user_id = e.user_id
+           |       WHERE e.event_type = 'purchase' AND e.ts >= t0.t_start
+           |       GROUP BY 1),
+           |hz AS (SELECT max(epoch_ms(ts)) AS h FROM events),
+           |obs AS (SELECT t0.user_id % 2 AS g,
+           |          COALESCE(epoch_ms(t1.t_convert) - epoch_ms(t0.t_start),
+           |                   hz.h - epoch_ms(t0.t_start)) AS t_obs,
+           |          CASE WHEN t1.t_convert IS NULL THEN 0 ELSE 1 END AS e
+           |        FROM t0 LEFT JOIN t1 ON t1.user_id = t0.user_id CROSS JOIN hz),
+           |b AS (SELECT t_obs // 86400000 AS w,
+           |        sum(CASE WHEN g = 0 THEN e ELSE 0 END) AS d1,
+           |        sum(CASE WHEN g = 0 THEN 1 - e ELSE 0 END) AS c1,
+           |        sum(CASE WHEN g = 1 THEN e ELSE 0 END) AS d2,
+           |        sum(CASE WHEN g = 1 THEN 1 - e ELSE 0 END) AS c2
+           |      FROM obs GROUP BY 1),
+           |tot AS (SELECT sum(d1 + c1) AS t1, sum(d2 + c2) AS t2 FROM b),
+           |cum AS (SELECT w, d1, c1, d2, c2,
+           |          sum(d1 + c1) OVER (ORDER BY w) AS thr1,
+           |          sum(d2 + c2) OVER (ORDER BY w) AS thr2 FROM b),
+           |pb AS (SELECT d1, d2, d1 + d2 AS d,
+           |         tot.t1 - (thr1 - d1 - c1) AS n1,
+           |         tot.t2 - (thr2 - d2 - c2) AS n2
+           |       FROM cum CROSS JOIN tot),
+           |pe AS (SELECT d1, d2,
+           |         CASE WHEN n1 + n2 > 0
+           |           THEN CAST((1000 * d * n1) // (n1 + n2) AS BIGINT)
+           |           ELSE 0 END AS e1,
+           |         CASE WHEN n1 + n2 > 1 THEN CAST(
+           |             (1000000 * CAST(d AS HUGEINT) * n1 * n2 * (n1 + n2 - d))
+           |             // (CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * (n1 + n2 - 1))
+           |           AS BIGINT) ELSE 0 END AS v
+           |       FROM pb)
+           |SELECT CAST(sum(d1) AS BIGINT) AS o1, CAST(sum(d2) AS BIGINT) AS o2,
+           |  CAST(sum(e1) AS BIGINT) AS e1_milli, CAST(sum(v) AS BIGINT) AS v_micro,
+           |  CASE WHEN sum(v) > 0 THEN
+           |    CAST(1000 * sum(d1) - sum(e1) AS DOUBLE) / sqrt(CAST(sum(v) AS DOUBLE))
+           |  END AS z
+           |FROM pe""".stripMargin) { (s, d) =>
+      val ev = OpsQueries.events(s, d)
+      val tte = graft.ops.History.timeToEvent(ev, "user_id", "ts", "event_type",
+        fromVal = "signup", toVal = "purchase")
+      val hz = ev.agg(max(unix_millis(col("ts"))).as("__hz"))
+      val obs = tte.crossJoin(broadcast(hz)).select(
+        (col("user_id") % 2).as("grp"),
+        coalesce(col("delta_ms"),
+          col("__hz") - unix_millis(col("t_start"))).as("t_obs"),
+        (lit(1L) - col("censored")).as("event"))
+      graft.ops.History.logRank(obs, "t_obs", "event", "grp", bucketMs = 86400000L)
+    },
+
+    // distribution-free median CI per event type: binomial
+    // order-statistic endpoints at ranks (n ± 1.96*sqrt(n))/2 — no
+    // normality assumption, no resampling, one rank window per stratum
+    QuerySpec("events_median_ci",
+      raw"""WITH v AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+           |             event_id FROM events),
+           |r AS (SELECT event_type, cents,
+           |        row_number() OVER (PARTITION BY event_type
+           |          ORDER BY cents, event_id) AS r,
+           |        count(*) OVER (PARTITION BY event_type) AS n FROM v),
+           |k AS (SELECT *, greatest(1, CAST(floor((CAST(n AS DOUBLE)
+           |          - 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT)) AS rlo,
+           |        least(n, CAST(ceil((CAST(n AS DOUBLE)
+           |          + 1.96 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT) + 1) AS rhi
+           |      FROM r)
+           |SELECT event_type, n,
+           |  max(CASE WHEN r = (n + 1) // 2 THEN cents END)
+           |    + max(CASE WHEN r = (n + 2) // 2 THEN cents END) AS median_x2,
+           |  max(CASE WHEN r = rlo THEN cents END) AS ci_lo,
+           |  max(CASE WHEN r = rhi THEN cents END) AS ci_hi
+           |FROM k GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      graft.ops.RobustStats.medianCiExact(
+        OpsQueries.events(s, d).select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"), col("event_id")),
+        "event_type", "cents", "event_id")
+    },
+
+    // 10%-trimmed mean beside the plain mean per event type — the
+    // one-row robustness readout: wild disagreement = tail-driven
+    // stratum. Exact integer band sums
+    QuerySpec("events_trimmed_mean",
+      raw"""WITH v AS (SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+           |             event_id FROM events),
+           |r AS (SELECT event_type, cents,
+           |        row_number() OVER (PARTITION BY event_type
+           |          ORDER BY cents, event_id) AS r,
+           |        count(*) OVER (PARTITION BY event_type) AS n FROM v),
+           |k AS (SELECT *, (100 * n) // 1000 AS kk FROM r)
+           |SELECT event_type, n,
+           |  CAST((1000 * sum(CAST(cents AS HUGEINT))) // count(*) AS BIGINT)
+           |    AS mean_milli,
+           |  CAST(sum(CASE WHEN r > kk AND r <= n - kk THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_kept,
+           |  CAST((1000 * sum(CASE WHEN r > kk AND r <= n - kk
+           |          THEN CAST(cents AS HUGEINT) END))
+           |    // sum(CASE WHEN r > kk AND r <= n - kk THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS trimmed_mean_milli
+           |FROM k GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      graft.ops.RobustStats.trimmedMean(
+        OpsQueries.events(s, d).select(col("event_type"),
+          floor(col("value") * 100).cast("long").as("cents"), col("event_id")),
+        "event_type", "cents", "event_id", trimMilli = 100)
+    },
+
     // Markov next-event eval under a temporal split (train < Jan 16,
     // eval after, pairs never straddle): the learned per-state argmax
     // next type scored on the future — whether yesterday's transition

@@ -124,6 +124,55 @@ object History {
     atRisk.join(curve, Seq("w"))
   }
 
+  /**
+   * Log-rank test between TWO survival cohorts (`groupCol` ∈ {0, 1}) —
+   * "do these cohorts convert at the same rate", censoring-honest: per
+   * bucket, cohort 1's expected events under the null are
+   * `e1 = d·n1/n` (hypergeometric mean) and the variance
+   * `v = d·n1·n2·(n−d) / (n²·(n−1))`; the statistic is
+   * `z = (O1 − E1)/√V`. Everything is exact integer milli/micro floors
+   * until the final fixed-shape division and ONE correctly-rounded sqrt
+   * (z = (1000·O1 − Σe1_milli)/√(Σv_micro) — the units cancel), so both
+   * engines emit identical bits. At-risk counts ride two ranged running
+   * sums over the bucket frame (cut once); one summary row.
+   */
+  def logRank(df: DataFrame, timeCol: String, eventCol: String,
+      groupCol: String, bucketMs: Long): DataFrame = {
+    require(bucketMs >= 1L, s"bucketMs must be >= 1: $bucketMs")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val b = graft.recon.Checkpoints.cut(df
+      .select(expr(s"$timeCol div ${bucketMs}L").as("w"),
+        col(eventCol).cast("long").as("__e"), col(groupCol).cast("long").as("__g"))
+      .groupBy(col("w"))
+      .agg(sum(when(col("__g") === 0, col("__e")).otherwise(0L)).as("d1"),
+        sum(when(col("__g") === 0, lit(1L) - col("__e")).otherwise(0L)).as("c1"),
+        sum(when(col("__g") === 1, col("__e")).otherwise(0L)).as("d2"),
+        sum(when(col("__g") === 1, lit(1L) - col("__e")).otherwise(0L)).as("c2")))
+    val cum1 = graft.recon.Sources.withRunningSumRanged(
+      b, "__thr1", col("d1") + col("c1"), Seq(col("w")))
+    val cum = graft.recon.Sources.withRunningSumRanged(
+      cum1, "__thr2", col("d2") + col("c2"), Seq(col("w")))
+    val tot = b.agg(sum(col("d1") + col("c1")).as("__t1"),
+      sum(col("d2") + col("c2")).as("__t2"))
+    val perBucket = cum.crossJoin(broadcast(tot))
+      .withColumn("n1", col("__t1") - (col("__thr1") - col("d1") - col("c1")))
+      .withColumn("n2", col("__t2") - (col("__thr2") - col("d2") - col("c2")))
+      .withColumn("d", col("d1") + col("d2"))
+      .withColumn("n", (col("n1") + col("n2")).cast(dec))
+      .withColumn("e1_milli",
+        when(col("n") > 0, expr("(1000 * d * n1) div n")).otherwise(0L).cast("long"))
+      .withColumn("v_micro",
+        when(col("n") > 1, expr(
+          """(1000000 * cast(d as decimal(38,0)) * n1 * n2 * (n - d))
+            | div (n * n * (n - 1))""".stripMargin)).otherwise(0L).cast("long"))
+    perBucket.agg(sum(col("d1")).as("o1"), sum(col("d2")).as("o2"),
+        sum(col("e1_milli")).as("e1_milli"), sum(col("v_micro")).as("v_micro"))
+      .withColumn("z",
+        when(col("v_micro") > 0,
+          (lit(1000L) * col("o1") - col("e1_milli")).cast("double") /
+            sqrt(col("v_micro").cast("double"))))
+  }
+
   /** Enrich a fact frame with the [[scd2]] dimension state valid at
     * each fact's own probe instant (`probeCol`, a timestamp column of
     * `facts` — shift it for "state just BEFORE this event" semantics):

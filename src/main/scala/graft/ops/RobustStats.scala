@@ -95,6 +95,68 @@ object RobustStats {
   }
 
   /**
+   * Distribution-free median confidence interval per stratum — the
+   * binomial order-statistic construction: the ~95% CI endpoints are
+   * the values at ranks `⌊(n − 1.96√n)/2⌋` and `⌈(n + 1.96√n)/2⌉ + 1`
+   * (clamped to [1, n]) — no normality assumption, no resampling, one
+   * rank window per stratum. √n is the only libm call (correctly
+   * rounded), and floor/ceil over deterministic doubles pick identical
+   * ranks in both engines. Values must be integral; ties break on
+   * `tieCol`. Output: (stratum, n, median_x2 = lower+upper middle
+   * values summed — the doubled-median convention of [[medianX2]] —
+   * ci_lo, ci_hi).
+   */
+  def medianCiExact(df: DataFrame, strataCol: String, valueCol: String,
+      tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(valueCol), col(tieCol))
+    val ranked = df
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(strataCol))))
+    val rLo = greatest(lit(1L), expr(
+      "cast(floor((cast(__n as double) - 1.96 * sqrt(cast(__n as double))) / 2.0) as long)"))
+    val rHi = least(col("__n"), expr(
+      "cast(ceil((cast(__n as double) + 1.96 * sqrt(cast(__n as double))) / 2.0) as long) + 1L"))
+    val mLo = expr("(__n + 1) div 2")
+    val mHi = expr("(__n + 2) div 2")
+    ranked.groupBy(col(strataCol), col("__n").as("n"))
+      .agg(
+        (max(when(col("__r") === mLo, col(valueCol))) +
+          max(when(col("__r") === mHi, col(valueCol)))).as("median_x2"),
+        max(when(col("__r") === rLo, col(valueCol))).as("ci_lo"),
+        max(when(col("__r") === rHi, col(valueCol))).as("ci_hi"))
+  }
+
+  /**
+   * Per-stratum 10%-trimmed mean beside the plain mean — the robustness
+   * readout in one row: drop the bottom and top `⌊n·trimMilli/1000⌋`
+   * order statistics, exact-integer mean of the kept band
+   * (`(1000·Σkept) div n_kept`). A stratum whose trimmed and plain
+   * means disagree wildly is tail-driven; one rank window per stratum.
+   */
+  def trimmedMean(df: DataFrame, strataCol: String, valueCol: String,
+      tieCol: String, trimMilli: Int = 100): DataFrame = {
+    require(trimMilli >= 0 && trimMilli < 500, s"trimMilli out of [0,500): $trimMilli")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(valueCol), col(tieCol))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ranked = df
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(strataCol))))
+      .withColumn("__k", expr(s"($trimMilli * __n) div 1000"))
+    ranked.groupBy(col(strataCol), col("__n").as("n"))
+      .agg(
+        expr(s"cast((1000 * sum(cast($valueCol as decimal(38,0)))) div count(1) as long)")
+          .as("mean_milli"),
+        sum(when(col("__r") > col("__k") && col("__r") <= col("__n") - col("__k"),
+          col(valueCol).cast(dec))).as("__ts"),
+        sum(when(col("__r") > col("__k") && col("__r") <= col("__n") - col("__k"), 1L)
+          .otherwise(0L)).as("n_kept"))
+      .select(col(strataCol), col("n"), col("mean_milli"), col("n_kept"),
+        expr("cast((1000 * __ts) div n_kept as long)").as("trimmed_mean_milli"))
+  }
+
+  /**
    * Theil–Sen robust trend slope per stratum: the MEDIAN of all
    * pairwise slopes `(y_j − y_i)/(x_j − x_i)` over the stratum's
    * series — the slope a single corrupted day cannot drag (OLS breaks

@@ -240,6 +240,22 @@ class HistorySpec extends SparkSuite {
       ("B", "B", 1L, 500L)))
   }
 
+  test("logRank: identical cohorts score exactly 0; a shifted cohort scores 1.0") {
+    // identical event times in both cohorts -> O1 = E1 -> z = 0
+    val same = Seq((5L, 1L, 0L), (15L, 1L, 0L), (5L, 1L, 1L), (15L, 1L, 1L))
+      .toDF("t", "e", "g")
+    val z0 = graft.ops.History.logRank(same, "t", "e", "g", bucketMs = 10L)
+      .select("o1", "e1_milli", "v_micro", "z")
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(z0 == ((2L, 2000L, 333333L, Some(0.0d))))
+    // cohort 0 converts a bucket earlier: z = 500/sqrt(250000) = 1.0
+    val shifted = Seq((5L, 1L, 0L), (15L, 1L, 1L)).toDF("t", "e", "g")
+    val z1 = graft.ops.History.logRank(shifted, "t", "e", "g", bucketMs = 10L)
+      .select("o1", "o2", "e1_milli", "v_micro", "z")
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(z1 == ((1L, 1L, 500L, 250000L, Some(1.0d))))
+  }
+
   test("markovEval: learned argmax scored on the future; unseen states keep null") {
     import java.sql.Timestamp
     def t(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")

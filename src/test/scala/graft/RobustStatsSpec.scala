@@ -70,6 +70,25 @@ class RobustStatsSpec extends SparkSuite {
     assert(r == ((2L, "3", "6")))
   }
 
+  test("medianCiExact: order-statistic endpoints at the binomial ranks") {
+    // n=9, values 10..90: median_x2 = 100; rlo = floor((9-5.88)/2) = 1
+    // -> ci_lo 10; rhi = ceil((9+5.88)/2)+1 = 9 -> ci_hi 90
+    val df = (1 to 9).map(i => ("a", i * 10L, i.toLong)).toDF("g", "v", "id")
+    val r = RobustStats.medianCiExact(df, "g", "v", "id")
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(r == (("a", 9L, 100L, 10L, 90L)))
+  }
+
+  test("trimmedMean drops exactly the k-tail order statistics per side") {
+    // 1..9 plus outlier 1000 (n=10, k=1): keep ranks 2..9 = values 2..9
+    // -> trimmed 5500 milli; the plain mean is dragged to 104500
+    val df = ((1 to 9).map(i => ("a", i.toLong, i.toLong)) :+ (("a", 1000L, 10L)))
+      .toDF("g", "v", "id")
+    val r = RobustStats.trimmedMean(df, "g", "v", "id", trimMilli = 100)
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(r == (("a", 10L, 104500L, 8L, 5500L)))
+  }
+
   test("theilSenSlope shrugs off the outlier day OLS would chase") {
     // y = 10x on days 0..2, day 3 corrupted to 1000. Pairwise slopes:
     // 10,10,10 then 333.33/495/980 — lower median (rank 3 of 6) = 10.
