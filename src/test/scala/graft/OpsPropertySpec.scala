@@ -73,4 +73,67 @@ class OpsPropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("property: weighted Jaccard via expanded elements equals brute Σmin/Σmax") {
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val doc = Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, word))
+    val corpus = Gen.listOfN(4, doc)
+    forSeeds(corpus, 5) { docs =>
+      val df = docs.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = graft.ops.SetSimilarity
+        .weightedJaccardJoin(df, "text", "doc_id", shingleN = 1, tMilli = 1)
+        .select("id_a", "id_b", "wjac_milli")
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val bags = docs.map(_.groupBy(identity).view.mapValues(_.size.toLong).toMap)
+      for (a <- bags.indices; b <- (a + 1) until bags.size) {
+        val keys = bags(a).keySet ++ bags(b).keySet
+        val mn = keys.toSeq.map(k =>
+          math.min(bags(a).getOrElse(k, 0L), bags(b).getOrElse(k, 0L))).sum
+        val mx = keys.toSeq.map(k =>
+          math.max(bags(a).getOrElse(k, 0L), bags(b).getOrElse(k, 0L))).sum
+        val expect = if (mn * 1000 >= mx) Some(mn * 1000 / mx) else None
+        assert(got.get((a.toLong, b.toLong)) == expect,
+          s"pair ($a,$b): got ${got.get((a.toLong, b.toLong))}, want $expect")
+      }
+    }
+  }
+
+  test("property: TWAP is invariant to splitting a hold interval at the same value") {
+    // inserting an event with the SAME value between two events splits a
+    // duration without changing the weighted mean — LOCF's defining law
+    val vals = Gen.listOfN(4, Gen.chooseNum(1L, 500L))
+    forSeeds(vals, 5) { cs =>
+      def twap(rows: Seq[(Long, Long)]): Long = {
+        import java.sql.Timestamp
+        val df = rows.zipWithIndex
+          .map { case ((sec, cents), i) =>
+            ("u", new Timestamp(1700000000000L + sec * 1000L), cents, i.toLong) }
+          .toDF("u", "ts", "cents", "id")
+        graft.ops.Resample.timeWeightedMean(df, "u", "ts", col("cents"), "id")
+          .select("twap_mc").as[Option[Long]].head().get
+      }
+      val base = Seq((0L, cs(0)), (10L, cs(1)), (30L, cs(2)), (60L, cs(3)),
+        (100L, cs(3))) // anchor extends the horizon past the last change
+      val split = (base :+ ((20L, cs(1)))).sortBy(_._1) // same value as the holder
+      assert(twap(base) == twap(split), s"base $base split $split")
+    }
+  }
+
+  test("property: hilbert2 stays bijective with unit steps at bits = 4") {
+    val bits = 4
+    val n = 1 << bits
+    val grid = (for { x <- 0 until n; y <- 0 until n } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val m = graft.ops.Layout.withHilbert2(grid, col("x"), col("y"), bits, "d")
+      .as[(Long, Long, Long)].collect()
+      .map { case (x, y, d) => d -> ((x, y)) }.toMap
+    assert(m.size == n * n)
+    assert((1 until n * n).forall { d =>
+      val (x1, y1) = m(d - 1L); val (x2, y2) = m(d.toLong)
+      math.abs(x1 - x2) + math.abs(y1 - y2) == 1
+    })
+  }
 }
