@@ -746,9 +746,14 @@ object InferenceQueries {
            |FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1
            |      UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)""".stripMargin
     }) { (s, d) =>
-      val edges = graft.ops.Graph.coOccurrenceEdges(
+      // raw pairs, not coOccurrenceEdges: randomWalks dedups (src, dst)
+      // partition-locally after its own src exchange, so the global
+      // distinct would be a pure extra shuffle of the 1.8M-pair set
+      val edges = graft.ops.Graph.coOccurrencePairs(
         s.read.parquet(s"$d/lineitem.parquet"), "l_orderkey", "l_partkey")
-      graft.ops.Graph.randomWalks(edges, nWalks = 2, len = 3)
+      // co-occurrence graphs are symmetric by construction: the start
+      // set is the adjacency's rank-0 srcs, no union-dedup pass
+      graft.ops.Graph.randomWalks(edges, nWalks = 2, len = 3, symmetric = true)
     },
 
     // split-conformal calibration of the naive "history repeats"
@@ -1185,6 +1190,91 @@ object InferenceQueries {
         maxHamming = 3)
     },
 
+    // REAL media decode — no stub anywhere in this query: genuine PNG
+    // payloads (JDK-encoded) decoded back through javax.imageio, genuine
+    // WAV RIFF headers walked for duration, and a deterministic 1-in-19
+    // truncation whose decode MUST fail into NULL metadata. The oracle
+    // knows the generation formulas, so a decoder that fabricates or
+    // misreads a single dimension hash-mismatches
+    QuerySpec("mm_real_decode",
+      raw"""SELECT doc_id AS media_id,
+           |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
+           |  CASE WHEN doc_id % 19 = 0 THEN NULL
+           |       WHEN doc_id % 2 = 0 THEN CAST(64 + doc_id % 29 AS INT)
+           |       ELSE 0 END AS width,
+           |  CASE WHEN doc_id % 19 = 0 THEN NULL
+           |       WHEN doc_id % 2 = 0 THEN CAST(64 + doc_id % 31 AS INT)
+           |       ELSE 0 END AS height,
+           |  CASE WHEN doc_id % 19 = 0 THEN NULL
+           |       WHEN doc_id % 2 = 0 THEN 0
+           |       ELSE 10 * (1 + doc_id % 25) END AS duration_ms,
+           |  CAST(CASE WHEN doc_id % 19 = 0 THEN 0 ELSE 1 END AS BIGINT) AS decode_ok
+           |FROM documents""".stripMargin) { (s, d) =>
+      graft.ops.Multimodal.decodeRealFeatures(
+        graft.ops.Multimodal.realMedia(
+          s.read.parquet(s"$d/documents.parquet"), "doc_id", corruptMod = 19)).toDF()
+        .select(col("media_id"), col("media_type"), col("width"), col("height"),
+          col("duration_ms"), col("decode_ok").cast("long").as("decode_ok"))
+    },
+
+    // integrity audit over GENUINE bytes: the 1-in-19 truncated payloads
+    // surface through the null_metadata check (decode failure = NULL
+    // metadata, never fake numbers), failed images also fail the
+    // dims/duration checks under their known modality, failed audio the
+    // pixel check — quarantine-exact accounting with zero healthy noise
+    QuerySpec("mm_real_integrity",
+      raw"""WITH m AS (SELECT doc_id % 19 = 0 AS corrupt, doc_id % 2 = 0 AS img
+           |           FROM documents),
+           |a AS (SELECT count(*) AS n_total,
+           |  sum(CASE WHEN corrupt THEN 1 ELSE 0 END) AS v0,
+           |  sum(CASE WHEN corrupt AND img THEN 1 ELSE 0 END) AS v3,
+           |  sum(CASE WHEN corrupt AND NOT img THEN 1 ELSE 0 END) AS v5
+           |  FROM m)
+           |SELECT 'null_metadata' AS check_name, CAST(v0 AS BIGINT) AS n_violations,
+           |  n_total FROM a
+           |UNION ALL SELECT 'empty_payload', CAST(0 AS BIGINT), n_total FROM a
+           |UNION ALL SELECT 'type_format_mismatch', CAST(0 AS BIGINT), n_total FROM a
+           |UNION ALL SELECT 'image_bad_dims', CAST(v3 AS BIGINT), n_total FROM a
+           |UNION ALL SELECT 'image_with_duration', CAST(v3 AS BIGINT), n_total FROM a
+           |UNION ALL SELECT 'audio_with_dims', CAST(v5 AS BIGINT), n_total FROM a""".stripMargin) {
+      (s, d) =>
+        val media = graft.ops.Multimodal.realMedia(
+          s.read.parquet(s"$d/documents.parquet"), "doc_id", corruptMod = 19)
+        val feats = graft.ops.Multimodal.decodeRealFeatures(media).toDF()
+          .join(media.toDF().select(col("media_id"), col("format")), Seq("media_id"))
+        graft.ops.Multimodal.integrityAudit(feats, formatCol = Some("format"))
+    },
+
+    // aspect-ratio bucketing over REAL decoded dimensions: only rows the
+    // decoder actually parsed enter the ladder (decode_ok gate — NULL
+    // dims never reach the ratio math); the oracle re-derives the dims
+    // from the generation formulas, so the bucket populations certify
+    // the decode end-to-end
+    QuerySpec("mm_real_aspect",
+      raw"""WITH img AS (SELECT doc_id AS media_id,
+           |    (1000 * (64 + doc_id % 29)) // (64 + doc_id % 31) AS ratio_milli
+           |  FROM documents WHERE doc_id % 2 = 0 AND doc_id % 19 <> 0),
+           |lad AS (SELECT * FROM (VALUES ('1:2', 500), ('9:16', 562), ('3:4', 750),
+           |          ('1:1', 1000), ('4:3', 1333), ('16:9', 1778), ('2:1', 2000))
+           |          l(bucket, target_milli)),
+           |asg AS (SELECT media_id, ratio_milli, bucket, target_milli,
+           |          row_number() OVER (PARTITION BY media_id
+           |            ORDER BY abs(ratio_milli - target_milli), target_milli) AS r
+           |        FROM img CROSS JOIN lad)
+           |SELECT bucket, CAST(target_milli AS BIGINT) AS target_milli,
+           |  count(*) AS n_images,
+           |  CAST(min(ratio_milli) AS BIGINT) AS min_ratio_milli,
+           |  CAST(max(ratio_milli) AS BIGINT) AS max_ratio_milli,
+           |  CAST((count(*) + 31) // 32 AS BIGINT) AS n_batches
+           |FROM asg WHERE r = 1 GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      graft.ops.Multimodal.aspectBuckets(
+        graft.ops.Multimodal.decodeRealFeatures(
+          graft.ops.Multimodal.realMedia(
+            s.read.parquet(s"$d/documents.parquet"), "doc_id", corruptMod = 19)).toDF()
+          .where(col("decode_ok")),
+        batchSize = 32)
+    },
+
     // behavioral bot screen: inter-arrival regularity per user — CV² of
     // the gap distribution (clockwork traffic ≈ 0, human bursts ≳ 1000)
     // and the repeated-gap fraction, both exact integers from
@@ -1510,20 +1600,24 @@ object InferenceQueries {
          |ff AS (SELECT f.*, CASE media_id % 3 WHEN 0 THEN 'png'
          |         WHEN 1 THEN 'wav' ELSE 'mp4' END AS format FROM f),
          |a AS (SELECT count(*) AS n_total,
-         |  sum(CASE WHEN n_bytes <= 0 THEN 1 ELSE 0 END) AS v1,
-         |  sum(CASE WHEN NOT ((media_type = 'image' AND format = 'png')
+         |  sum(CASE WHEN media_type IS NULL OR n_bytes IS NULL OR width IS NULL
+         |        OR height IS NULL OR duration_ms IS NULL OR format IS NULL
+         |      THEN 1 ELSE 0 END) AS v0,
+         |  sum(CASE WHEN coalesce(n_bytes <= 0, TRUE) THEN 1 ELSE 0 END) AS v1,
+         |  sum(CASE WHEN coalesce(NOT ((media_type = 'image' AND format = 'png')
          |        OR (media_type = 'audio' AND format = 'wav')
-         |        OR (media_type = 'video' AND format = 'mp4'))
+         |        OR (media_type = 'video' AND format = 'mp4')), TRUE)
          |      THEN 1 ELSE 0 END) AS v2,
-         |  sum(CASE WHEN media_type = 'image' AND (width < 64 OR width >= 1088
-         |        OR height < 64 OR height >= 1088) THEN 1 ELSE 0 END) AS v3,
-         |  sum(CASE WHEN media_type = 'image' AND duration_ms <> 0
+         |  sum(CASE WHEN media_type = 'image' AND coalesce(width < 64 OR width >= 1088
+         |        OR height < 64 OR height >= 1088, TRUE) THEN 1 ELSE 0 END) AS v3,
+         |  sum(CASE WHEN media_type = 'image' AND coalesce(duration_ms <> 0, TRUE)
          |      THEN 1 ELSE 0 END) AS v4,
-         |  sum(CASE WHEN media_type = 'audio' AND (width <> 0 OR height <> 0)
+         |  sum(CASE WHEN media_type = 'audio' AND coalesce(width <> 0 OR height <> 0, TRUE)
          |      THEN 1 ELSE 0 END) AS v5
          |  FROM ff)
-         |SELECT 'empty_payload' AS check_name, CAST(v1 AS BIGINT) AS n_violations,
+         |SELECT 'null_metadata' AS check_name, CAST(v0 AS BIGINT) AS n_violations,
          |  n_total FROM a
+         |UNION ALL SELECT 'empty_payload', CAST(v1 AS BIGINT), n_total FROM a
          |UNION ALL SELECT 'type_format_mismatch', CAST(v2 AS BIGINT), n_total FROM a
          |UNION ALL SELECT 'image_bad_dims', CAST(v3 AS BIGINT), n_total FROM a
          |UNION ALL SELECT 'image_with_duration', CAST(v4 AS BIGINT), n_total FROM a

@@ -32,12 +32,26 @@ object Graph {
    * The self-join is an equi-join on the basket key — per-basket fanout
    * is `deg²`, bounded by basket size, never a cartesian.
    */
-  def coOccurrenceEdges(df: DataFrame, basketCol: String, itemCol: String): DataFrame = {
-    val a = df.select(col(basketCol).as("__b"), col(itemCol).as("src")).distinct()
-    val b = df.select(col(basketCol).as("__b"), col(itemCol).as("dst")).distinct()
-    a.join(b, Seq("__b"))
-      .where(col("src") =!= col("dst"))
-      .select("src", "dst").distinct()
+  def coOccurrenceEdges(df: DataFrame, basketCol: String, itemCol: String): DataFrame =
+    coOccurrencePairs(df, basketCol, itemCol).distinct()
+
+  /** [[coOccurrenceEdges]] WITHOUT the final global (src, dst) dedup —
+    * pairs may repeat across baskets. For consumers that re-partition by
+    * src anyway (e.g. [[randomWalks]]'s adjacency build, which dedups
+    * partition-locally after its own src exchange), the global distinct
+    * is a pure extra shuffle of the pair set; skip it. */
+  def coOccurrencePairs(df: DataFrame, basketCol: String, itemCol: String): DataFrame = {
+    // ONE distinct (basket, item) frame self-joined: identical subplans
+    // on both sides, so ReuseExchange materializes the exchange once —
+    // the two-frame form (one aliased src, one dst) planned two distinct
+    // shuffles of the same data. The explicit basket repartition feeds
+    // the dedup partition-locally AND satisfies the self-join's
+    // clustering, so no further exchange before the pair fan-out.
+    val bi = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .repartition(col("__b")).dropDuplicates("__b", "__i")
+    bi.alias("x").join(bi.alias("y"), col("x.__b") === col("y.__b"))
+      .where(col("x.__i") =!= col("y.__i"))
+      .select(col("x.__i").as("src"), col("y.__i").as("dst"))
   }
 
   /**
@@ -50,30 +64,61 @@ object Graph {
    * two cluster runs) emit the identical corpus — the property that
    * makes a 100 TB walk table reproducible and resumable.
    *
-   * Scale shape: the adjacency list gets a per-node dense rank once
-   * (window partitioned by src, bounded by degree) and is reused by
-   * every step; each step is one equi-join of the |V|·nWalks frontier
-   * with the ranked adjacency on (node, picked-rank) — `len` chained
-   * co-partitioned joins, no driver-side anything. Walks stop early at
+   * Scale shape: the adjacency list gets a per-node dense rank and its
+   * node degree once (two window functions over one src partitioning —
+   * one exchange, partitions bounded by degree) and is reused by every
+   * step; each step is ONE equi-join of the |V|·nWalks frontier with
+   * the degree-carrying adjacency on node, the neighbor pick
+   * `hash % deg === rank` riding as the join's residual condition —
+   * `len` chained co-partitioned joins, no driver-side anything, and
+   * half the join count of a separate degree-lookup design (degree is
+   * denormalized onto the adjacency). Walks stop early at
    * a dead end (inner join) — impossible on symmetric co-occurrence
    * graphs, where every node has degree ≥ 1.
    *
    * Output: `(start, walk, step, node)` — step 0 is the start node;
    * one row per visited position.
    */
-  def randomWalks(edges: DataFrame, nWalks: Int, len: Int): DataFrame = {
+  def randomWalks(edges: DataFrame, nWalks: Int, len: Int): DataFrame =
+    randomWalks(edges, nWalks, len, symmetric = false)
+
+  /** As [[randomWalks]]; `symmetric = true` asserts every dst also
+    * appears as a src (true by construction for co-occurrence graphs),
+    * letting the start set come straight from the adjacency's rank-0
+    * rows — one per src, already distinct — instead of a
+    * union-and-dedup shuffle over the full edge set. */
+  def randomWalks(edges: DataFrame, nWalks: Int, len: Int, symmetric: Boolean): DataFrame = {
     require(nWalks >= 1 && len >= 1, s"need nWalks, len >= 1: $nWalks, $len")
-    val nbr = graft.recon.Checkpoints.cut(
-      edges.select(col("src"), col("dst")).distinct()
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("src")).orderBy(col("dst"))) - 1))
-    val deg = nbr.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .select(col("src").as("__dsrc"), col("deg"))
-    val nbrR = nbr.select(col("src").as("__nsrc"), col("rank").as("__nrank"),
-      col("dst").as("__ndst"))
-    val starts = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    // degree is DENORMALIZED onto the ranked adjacency (second window
+    // function over the same src partitioning — one exchange), so each
+    // walk step below is ONE join instead of a degree lookup + a pick
+    // join: the neighbor pick `hash % deg === rank` rides the node
+    // equi-join as its residual condition
+    // ONE exchange builds the whole adjacency: the explicit src
+    // repartition feeds the (src, dst) dedup (HashPartitioning(src)
+    // satisfies the aggregate's ClusteredDistribution — dedup runs
+    // partition-local), the rank window, and the degree window, so a
+    // duplicated OR non-distinct edge input costs no extra shuffle
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val nbrR = graft.recon.Checkpoints.cut(
+      edges.select(col("src"), col("dst"))
+        .repartition(col("src"))
+        .dropDuplicates("src", "dst")
+        .withColumn("rank", row_number().over(w.orderBy(col("dst"))) - 1)
+        .withColumn("deg", count(lit(1)).over(w)))
+      .select(col("src").as("__nsrc"), col("rank").as("__nrank"),
+        col("deg").as("__ndeg"), col("dst").as("__ndst"))
+    // start set from the CUT adjacency, not from `edges`: the edge frame
+    // is often an expensive derivation (a co-occurrence self-join), and
+    // reading it again here would re-execute it — nbrR holds the same
+    // distinct edges already materialized. The src side comes from the
+    // rank-0 rows (exactly one per src — already distinct, |V| rows
+    // instead of |E|), so the dedup shuffle sees |V| + |E| rows, not 2|E|
+    val srcNodes = nbrR.where(col("__nrank") === 0).select(col("__nsrc").as("node"))
+    val nodes =
+      if (symmetric) srcNodes // src set IS the node set — no dedup shuffle
+      else srcNodes.union(nbrR.select(col("__ndst").as("node"))).distinct()
+    val starts = nodes
       .select(col("node").as("start"),
         explode(sequence(lit(0), lit(nWalks - 1))).as("walk"))
     var frontier = starts.select(col("start"), col("walk"),
@@ -83,13 +128,18 @@ object Graph {
       val pick = Sampling.keyHash(concat(
         col("start").cast("string"), lit(":"), col("walk").cast("string"),
         lit(":"), lit(st).cast("string"), lit(":"), col("node").cast("string")))
-      frontier = frontier
-        .join(deg, col("node") === col("__dsrc"))
-        .withColumn("__pick", pick % col("deg"))
+      // cut each level: the union of levels would otherwise RE-EXECUTE
+      // every prefix of the join chain (level k replays joins 1..k —
+      // O(len²) join executions); the cut makes the total linear, and a
+      // level is |V|·nWalks rows — small relative to the adjacency. The
+      // LAST level has exactly one consumer (the union), so its cut
+      // would buy nothing — skip it
+      val next = frontier
         .join(nbrR, col("node") === col("__nsrc") &&
-          col("__pick") === col("__nrank"))
+          pick % col("__ndeg") === col("__nrank"))
         .select(col("start"), col("walk"), col("__ndst").as("node"),
           lit(st).as("step"))
+      frontier = if (st < len) graft.recon.Checkpoints.cut(next) else next
       levels += frontier
     }
     levels.reduce(_ unionByName _)

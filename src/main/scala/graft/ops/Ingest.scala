@@ -13,12 +13,16 @@ import org.apache.spark.sql.functions._
  * file paths were ingested; the next run processes the set difference
  * and appends to the ledger.
  *
- * Listing and the ledger diff are driver-side by design — the same
- * driver budget every table format spends (a directory listing is
- * ~200k paths at 100 TB; the DATA never passes through the driver).
- * Ledger appends are new-file-only parquet writes; re-committing an
- * already-ledgered path is rejected, so a crashed run that re-lists
- * cannot double-ingest. Single-writer contract, like [[IndexStore]].
+ * The directory LISTING is driver-side by design — the same driver
+ * budget every table format spends (~200k paths at 100 TB; the DATA
+ * never passes through the driver). The ledger DIFF is not: a
+ * years-long ledger is millions of paths, so membership runs as an
+ * anti-join/semi-join against the ledger frame — only the NEW batch
+ * (bounded by arrival rate, not history) ever funnels back to the
+ * driver. Ledger appends are new-file-only parquet writes;
+ * re-committing an already-ledgered path is rejected, so a crashed
+ * run that re-lists cannot double-ingest. Single-writer contract,
+ * like [[IndexStore]].
  */
 object Ingest {
 
@@ -33,7 +37,9 @@ object Ingest {
   }
 
   /** Data files under `dataDir` (non-hidden, recursive) not yet in the
-    * ledger, sorted for deterministic batch composition. */
+    * ledger, sorted for deterministic batch composition. The ledger
+    * diff is a distributed anti-join — the full (unbounded-history)
+    * ledger never collects to the driver; only the new batch does. */
   def newFiles(spark: SparkSession, dataDir: String, ledgerPath: String): Seq[String] = {
     val dir = new Path(dataDir)
     val f = fs(spark, dir)
@@ -45,9 +51,10 @@ object Ingest {
       if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
         listed += st.getPath.toString
     }
-    val seen = ledger(spark, ledgerPath).select("file_path")
-      .collect().map(_.getString(0)).toSet
-    listed.filterNot(seen).sorted.toSeq
+    import spark.implicits._
+    listed.toSeq.toDF("file_path")
+      .join(ledger(spark, ledgerPath).select("file_path"), Seq("file_path"), "left_anti")
+      .collect().map(_.getString(0)).sorted.toSeq
   }
 
   /** Read exactly the given files (from [[newFiles]]); empty frame with
@@ -61,15 +68,18 @@ object Ingest {
     else spark.read.parquet(files: _*)
 
   /** Record `files` as ingested under `batchId`. Rejects paths already
-    * ledgered — the guard that makes a re-listed crash recovery safe. */
+    * ledgered — the guard that makes a re-listed crash recovery safe.
+    * The duplicate probe is a semi-join of the (small) batch against
+    * the ledger; the ledger never collects to the driver. */
   def commit(spark: SparkSession, ledgerPath: String, files: Seq[String],
       batchId: Long): Unit = {
     if (files.isEmpty) return
-    val dup = ledger(spark, ledgerPath).select("file_path")
-      .collect().map(_.getString(0)).toSet.intersect(files.toSet)
-    require(dup.isEmpty,
-      s"refusing to re-commit already-ingested files: ${dup.take(3).mkString(", ")}")
     import spark.implicits._
+    val dup = files.toDF("file_path")
+      .join(ledger(spark, ledgerPath).select("file_path"), Seq("file_path"), "left_semi")
+      .limit(3).collect().map(_.getString(0))
+    require(dup.isEmpty,
+      s"refusing to re-commit already-ingested files: ${dup.mkString(", ")}")
     files.toDF("file_path").select(col("file_path"), lit(batchId).as("batch_id"))
       .coalesce(1).write.mode("append").parquet(ledgerPath)
   }

@@ -23,14 +23,32 @@ final case class MediaFeatures(
     duration_ms: Long,
     content_hash: Long)
 
+/** REAL-decode features ([[Multimodal.decodeReal]]): a failed decode
+  * surfaces as NULL metadata + `decode_ok = false` — never fake numbers —
+  * so [[Multimodal.integrityAudit]]'s `null_metadata` check catches it. */
+final case class RealFeatures(
+    media_id: Long,
+    media_type: String,
+    n_bytes: Int,
+    width: Option[Int],
+    height: Option[Int],
+    duration_ms: Option[Long],
+    decode_ok: Boolean)
+
 /**
  * Multimodal-column plumbing: binary payloads with typed metadata, decoded /
- * feature-extracted in partition-batches. The Spark-side contract — schema,
- * partition-preserving batch iteration, deterministic output — is real and
- * tested; the actual image/audio decode is a clearly-marked STUB because no
- * media libraries exist in this container (prompt contract). Swap
- * [[decodeStub]] for a JNI/javacpp decoder in production; nothing else
- * changes.
+ * feature-extracted in partition-batches. TWO decode paths:
+ *
+ *   - [[decodeReal]] — a REAL JDK-only decoder: PNG/JPEG width·height via
+ *     `javax.imageio.ImageIO`, WAV duration via a RIFF chunk walk. No new
+ *     dependencies; failures surface as NULL metadata + `decode_ok=false`,
+ *     which [[integrityAudit]]'s `null_metadata` check counts. Formats the
+ *     JDK cannot decode (mp4 video) stay out of this path.
+ *   - [[decodeFeatures]]/[[decodeStub]] — the deterministic fake decoder
+ *     for opaque/unsupported payloads (video containers need codecs this
+ *     container lacks); it exercises schema, batching, and downstream joins
+ *     with payload-derived dimensions. Swap it for a JNI/javacpp decoder in
+ *     production; nothing else changes.
  *
  * Batch shape: `mapPartitions` over a typed Dataset is the Scala analog of
  * arrow-batched `mapInPandas` — one iterator per partition, no per-row
@@ -86,6 +104,138 @@ object Multimodal {
     df.as[MediaRecord]
   }
 
+  // ---------------------------------------------------------------- real decode
+
+  // ImageIO's default scratch is a TEMP FILE per decode — executor-thread
+  // hostile; in-memory caching is what a 32-thread decode stage wants
+  javax.imageio.ImageIO.setUseCache(false)
+
+  private def b(a: Array[Byte], i: Int): Int = a(i) & 0xff
+
+  private[ops] def isPng(a: Array[Byte]): Boolean =
+    a.length >= 8 && b(a, 0) == 0x89 && b(a, 1) == 'P' && b(a, 2) == 'N' && b(a, 3) == 'G'
+
+  private[ops] def isJpeg(a: Array[Byte]): Boolean =
+    a.length >= 3 && b(a, 0) == 0xff && b(a, 1) == 0xd8 && b(a, 2) == 0xff
+
+  private[ops] def isWav(a: Array[Byte]): Boolean =
+    a.length >= 16 &&
+      a(0) == 'R' && a(1) == 'I' && a(2) == 'F' && a(3) == 'F' &&
+      a(8) == 'W' && a(9) == 'A' && a(10) == 'V' && a(11) == 'E'
+
+  private def leInt(a: Array[Byte], i: Int): Int =
+    b(a, i) | (b(a, i + 1) << 8) | (b(a, i + 2) << 16) | (b(a, i + 3) << 24)
+
+  /** WAV duration in ms from a RIFF chunk walk: `fmt ` gives the byte
+    * rate, `data` gives the payload length; duration = dataLen·1000/rate
+    * (floored). None when either chunk is missing/corrupt. */
+  private[graft] def wavDurationMs(a: Array[Byte]): Option[Long] = {
+    var pos = 12
+    var byteRate = 0
+    var dataLen = -1L
+    while (pos + 8 <= a.length && (byteRate == 0 || dataLen < 0)) {
+      val id = new String(a, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = leInt(a, pos + 4)
+      if (size < 0) return None
+      if (id == "fmt " && pos + 32 <= a.length) byteRate = leInt(a, pos + 16)
+      if (id == "data") dataLen = size.toLong
+      pos += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    if (byteRate > 0 && dataLen >= 0) Some(dataLen * 1000L / byteRate) else None
+  }
+
+  /**
+   * REAL decode of one media record, JDK-only: PNG/JPEG through
+   * `javax.imageio.ImageIO.read` (width·height), WAV through
+   * [[wavDurationMs]]. Anything else — or a payload whose magic matches
+   * but whose body does not parse — returns NULL metadata with
+   * `decode_ok = false`: corruption is DATA, never an exception that
+   * kills a 100 TB stage, and never a silently fabricated dimension.
+   */
+  private[graft] def decodeReal(r: MediaRecord): RealFeatures = {
+    def fail = RealFeatures(r.media_id, r.media_type, r.n_bytes, None, None, None,
+      decode_ok = false)
+    try {
+      if (isPng(r.payload) || isJpeg(r.payload)) {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        if (img == null) fail
+        else RealFeatures(r.media_id, r.media_type, r.n_bytes,
+          Some(img.getWidth), Some(img.getHeight), Some(0L), decode_ok = true)
+      } else if (isWav(r.payload)) {
+        wavDurationMs(r.payload) match {
+          case Some(ms) => RealFeatures(r.media_id, r.media_type, r.n_bytes,
+            Some(0), Some(0), Some(ms), decode_ok = true)
+          case None => fail
+        }
+      } else fail
+    } catch { case scala.util.control.NonFatal(_) => fail }
+  }
+
+  /** Partition-batched REAL decode — same `mapPartitions` shape as
+    * [[decodeFeatures]], genuine bytes in, genuine dimensions out. */
+  def decodeRealFeatures(media: Dataset[MediaRecord]): Dataset[RealFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decodeReal))
+  }
+
+  /** A real PNG payload: `w`×`h` RGB, deterministic solid fill from the
+    * dimensions. JDK encoder, no dependencies. */
+  private[graft] def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = ((w * 31 + h) * 2654435761L & 0xffffffL).toInt
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** A real canonical WAV payload: PCM mono 16-bit at `sampleRate`,
+    * `nSamples` silent samples — 44-byte RIFF header + data. */
+  private[graft] def wavBytes(nSamples: Int, sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.array()
+  }
+
+  /**
+   * GENUINE media rows derived deterministically from an id column —
+   * the real-bytes twin of [[syntheticMedia]]: even ids carry an actual
+   * PNG (width 64+id%29, height 64+id%31 — inside the decodable
+   * 64..1087 band), odd ids an actual WAV (80·(1+id%25) samples at
+   * 8 kHz ⇒ duration 10·(1+id%25) ms). When `corruptMod > 0`, every
+   * id divisible by it ships only the first 8 payload bytes — a
+   * truncated file whose decode MUST fail — so integrity plumbing can
+   * be tested against known-bad rows. Generation is partition-local
+   * `mapPartitions` (encode cost scales with splits, no shuffle).
+   */
+  def realMedia(df: DataFrame, idCol: String, corruptMod: Int = 0): Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => realRecord(id, corruptMod)))
+  }
+
+  private[ops] def realRecord(id: Long, corruptMod: Int): MediaRecord = {
+    val image = id % 2 == 0
+    val whole =
+      if (image) pngBytes(64 + (id % 29).toInt, 64 + (id % 31).toInt)
+      else wavBytes(nSamples = 80 * (1 + (id % 25).toInt))
+    val payload =
+      if (corruptMod > 0 && id % corruptMod == 0) whole.take(8) else whole
+    MediaRecord(id, if (image) "image" else "audio", payload, payload.length,
+      if (image) "png" else "wav")
+  }
+
   /**
    * Deterministic frame sampling for video payloads: `k` evenly-spaced
    * frame indices from the (stub-decoded) duration at the given fps —
@@ -109,6 +259,14 @@ object Multimodal {
    * decodable range, still images carrying a duration, audio carrying
    * pixel dimensions. At 100 TB each violation class routes to a
    * quarantine partition before training ever sees the shard.
+   *
+   * Null-safety: a decode failure leaves metadata columns NULL, and a
+   * three-valued predicate would silently pass such a row through every
+   * check. Missing metadata is surfaced TWICE: an explicit
+   * `null_metadata` check row counts rows with any NULL metadata column,
+   * and each per-class check coalesces to TRUE when its own inputs are
+   * NULL but the modality is known (an image with a NULL width IS a
+   * bad-dims violation, not a pass).
    */
   def integrityAudit(features: DataFrame, formatCol: Option[String] = None): DataFrame = {
     val fmtOk = formatCol.map { f =>
@@ -116,16 +274,23 @@ object Multimodal {
         (col("media_type") === "audio" && col(f) === "wav") ||
         (col("media_type") === "video" && col(f) === "mp4")
     }.getOrElse(lit(true))
+    val metaCols = Seq("media_type", "n_bytes", "width", "height", "duration_ms") ++
+      formatCol.toSeq
+    val anyNull = metaCols.map(c => col(c).isNull).reduce(_ || _)
+    // modality-scoped checks: NULL inputs under a KNOWN modality violate
+    val isImage = col("media_type") === "image"
+    val isAudio = col("media_type") === "audio"
     val checks: Seq[(String, Column)] = Seq(
-      "empty_payload" -> (col("n_bytes") <= 0),
-      "type_format_mismatch" -> !fmtOk,
-      "image_bad_dims" -> (col("media_type") === "image" &&
-        (col("width") < 64 || col("width") >= 1088 ||
-          col("height") < 64 || col("height") >= 1088)),
-      "image_with_duration" -> (col("media_type") === "image" &&
-        col("duration_ms") =!= 0L),
-      "audio_with_dims" -> (col("media_type") === "audio" &&
-        (col("width") =!= 0 || col("height") =!= 0)))
+      "null_metadata" -> anyNull,
+      "empty_payload" -> coalesce(col("n_bytes") <= 0, lit(true)),
+      "type_format_mismatch" -> coalesce(!fmtOk, lit(true)),
+      "image_bad_dims" -> (coalesce(isImage, lit(false)) &&
+        coalesce(col("width") < 64 || col("width") >= 1088 ||
+          col("height") < 64 || col("height") >= 1088, lit(true))),
+      "image_with_duration" -> (coalesce(isImage, lit(false)) &&
+        coalesce(col("duration_ms") =!= 0L, lit(true))),
+      "audio_with_dims" -> (coalesce(isAudio, lit(false)) &&
+        coalesce(col("width") =!= 0 || col("height") =!= 0, lit(true))))
     val agg = features.agg(count(lit(1)).as("n_total"),
       checks.map { case (name, cond) =>
         coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(s"__v_$name")

@@ -114,11 +114,12 @@ object Privacy {
    * ≤ n_c·n_g, so the audit stays in BIGINT while
    * 1000·m·n_c·n_g < 2^63 — shard the audit beyond that.
    *
-   * Scale shape: the value domain is bounded (limit-asserted at 100k,
-   * like [[Sampling.tokenBudget]]'s stratum table); the per-class CDF
-   * grid is classes × m via a broadcast of the m-row rank spine, its
-   * windows partitioned per class. Nothing data-sized funnels into a
-   * global window.
+   * Scale shape: the value domain is bounded by contract (≤ 100k
+   * distinct values, enforced with an in-plan raise_error — an
+   * over-cap domain fails LOUDLY rather than silently dropping values
+   * and under-auditing); the per-class CDF grid is classes × m via a
+   * broadcast of the m-row rank spine, its windows partitioned per
+   * class. Nothing data-sized funnels into a global window.
    */
   def tClosenessAudit(df: DataFrame, quasiCols: Seq[String],
       sensitiveCol: String, tMilli: Int): DataFrame = {
@@ -128,12 +129,21 @@ object Privacy {
     val q = quasiCols.map(col)
     val base = df.select(q :+ col(sensitiveCol).as("__sv"): _*)
       .where(col("__sv").isNotNull)
-    // the ordered value spine: rank 1..m (domain-bounded by contract)
-    val ranked = base.select(col("__sv")).distinct().limit(100000)
-      .withColumn("__rk", row_number().over(Window.orderBy(col("__sv"))).cast("long"))
+    // the ordered value spine: rank 1..m. The domain bound is a loud
+    // in-plan guard — every spine row carries the capped rank, so a
+    // 100k+1-th distinct value raises instead of vanishing from the audit
+    val domainCap = 100000L
+    val ranked = base.select(col("__sv")).distinct()
+      .withColumn("__rk0", row_number().over(Window.orderBy(col("__sv"))).cast("long"))
+      .select(col("__sv"),
+        when(col("__rk0") > domainCap,
+          raise_error(concat(
+            lit(s"tClosenessAudit: sensitive-value domain exceeds $domainCap"),
+            lit(" distinct values — shard the audit"))).cast("long"))
+          .otherwise(col("__rk0")).as("__rk"))
     val withRk = base.join(broadcast(ranked), Seq("__sv"))
     // global cum counts per rank (m rows)
-    val g = withRk.groupBy(col("__rk")).agg(count(lit(1)).as("__nv")).limit(100000)
+    val g = withRk.groupBy(col("__rk")).agg(count(lit(1)).as("__nv"))
       .withColumn("__cumg", sum(col("__nv")).over(
         Window.orderBy(col("__rk")).rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("__rk"), col("__cumg"))
@@ -237,14 +247,32 @@ object Privacy {
   }
 
   /**
-   * ε=1 differentially-private count release over `keys`: exact cell
-   * counts plus per-cell discrete-Laplace noise seeded by
-   * `salt || ':' || key values` (so distinct releases use distinct
-   * salts — ONE release per salt is the budget contract), clamped at 0
-   * (post-processing, DP-safe). The true counts never appear in the
-   * output. Key values must not contain `':'` (the seed separator) —
-   * enforced in-plan. One groupBy of the fact table; the noise is a
-   * per-group scalar expression over |cells| rows.
+   * TRUNCATED (approximate) discrete-Laplace noised count release over
+   * `keys`: exact cell counts plus per-cell noise seeded by
+   * `salt || ':' || key values`, clamped at 0 (post-processing-safe).
+   * The true counts never appear in the output.
+   *
+   * Privacy contract — read before releasing:
+   *   - **The salt is the secret.** The noise is a deterministic
+   *     function of (salt, key); anyone who learns the salt can
+   *     recompute and subtract it exactly. Treat the salt like a key:
+   *     generate it from a CSPRNG, never log or ship it, and use each
+   *     salt for EXACTLY ONE release (two releases under one salt share
+   *     noise; two salts over the same cells average it away — both
+   *     spend budget).
+   *   - **This is NOT pure ε-DP.** The discrete-Laplace(ε=1) draw is
+   *     truncated to ±8 with the tail mass (≈1.8e−4) folded into the
+   *     endpoints, so observing `n_released = c` certifies the true
+   *     count is within ±8 of c — a (ε, δ≈1.8e−4)-style guarantee at
+   *     best, adequate for skew dashboards, NOT for adversarial
+   *     releases. Widen the support before using this against a real
+   *     privacy adversary.
+   *
+   * Key values must not contain `':'` (the seed separator) and must
+   * not be NULL (a null would void the seed and degrade to constant
+   * noise) — both enforced in-plan with raise_error. One groupBy of
+   * the fact table; the noise is a per-group scalar expression over
+   * |cells| rows.
    */
   def dpNoisedCounts(df: DataFrame, keys: Seq[String], salt: String): DataFrame = {
     require(keys.nonEmpty, "dpNoisedCounts needs at least one key column")
@@ -252,9 +280,12 @@ object Privacy {
     val sep = lit(":")
     val seed = keys.map(col).foldLeft(lit(salt): Column)((acc, k) =>
       concat(acc, sep,
-        when(k.cast("string").contains(":"),
-          raise_error(concat(lit("dpNoisedCounts: key value contains ':': "),
-            k.cast("string"))))
+        when(k.isNull,
+          raise_error(lit("dpNoisedCounts: NULL key value — " +
+            "a null seed degrades to constant noise; filter or impute first")))
+          .when(k.cast("string").contains(":"),
+            raise_error(concat(lit("dpNoisedCounts: key value contains ':': "),
+              k.cast("string"))))
           .otherwise(k.cast("string"))))
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__n"))

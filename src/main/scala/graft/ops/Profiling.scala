@@ -66,13 +66,29 @@ object Profiling {
    * single-language" signal a mixture planner needs. Cost: one fact
    * scan for the cell counts; margins and totals are cell-frame
    * aggregates (bounded by category cardinalities).
+   *
+   * Guards: the r·c margins grid is capped at `maxCells` with an
+   * in-plan raise_error (a high-cardinality misuse fails loudly before
+   * the grid streams), and a single-category column (dof 0) reports
+   * `cramers_v` as null rather than Infinity.
    */
-  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+  def cramersV(df: DataFrame, aCol: String, bCol: String,
+      maxCells: Long = 2000000L): DataFrame = {
     val cells = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("__o"))
     val ra = cells.groupBy(col(aCol)).agg(sum(col("__o")).as("__rt"))
     val cb = cells.groupBy(col(bCol)).agg(sum(col("__o")).as("__ct"))
-    val tot = cells.agg(sum(col("__o")).as("__N"),
-      count_distinct(col(aCol)).as("__r"), count_distinct(col(bCol)).as("__c"))
+    // in-plan contingency-size guard: the margins grid is r·c rows, and a
+    // caller passing two high-cardinality columns would materialize it
+    // silently. The broadcast of `tot` builds BEFORE the cross-join
+    // streams, so an over-cap grid fails loudly instead of running.
+    val tot = cells.agg(sum(col("__o")).as("__N0"),
+        count_distinct(col(aCol)).as("__r"), count_distinct(col(bCol)).as("__c"))
+      .select(
+        when(col("__r") * col("__c") > maxCells,
+          raise_error(concat(lit(s"cramersV: contingency grid exceeds $maxCells cells: "),
+            col("__r"), lit(" x "), col("__c"))).cast("long"))
+          .otherwise(col("__N0")).as("__N"),
+        col("__r"), col("__c"))
     val full = ra.crossJoin(cb)
       .join(cells, Seq(aCol, bCol), "left")
       .withColumn("n_obs", coalesce(col("__o"), lit(0L)))
@@ -85,9 +101,12 @@ object Profiling {
                |  * 1000) div (CAST(__N AS DECIMAL(38,0)) * __rt * __ct) AS BIGINT)""".stripMargin))
     val chi2 = full.agg(sum(col("contrib_milli")).as("chi2_milli")).crossJoin(broadcast(tot))
       .select(col("chi2_milli"),
-        (sqrt(col("chi2_milli").cast("double") /
-          (lit(1000.0d) * col("__N").cast("double") *
-            least(col("__r") - 1, col("__c") - 1).cast("double")))).as("cramers_v"))
+        // single-category column => dof 0: V is undefined — guarded null,
+        // never Infinity/NaN (same convention as RobustStats' zero-variance)
+        when(least(col("__r") - 1, col("__c") - 1) === 0, lit(null).cast("double"))
+          .otherwise(sqrt(col("chi2_milli").cast("double") /
+            (lit(1000.0d) * col("__N").cast("double") *
+              least(col("__r") - 1, col("__c") - 1).cast("double")))).as("cramers_v"))
     full.select(col(aCol), col(bCol), col("n_obs"), col("exp_milli"),
         col("contrib_milli"))
       .crossJoin(broadcast(chi2))

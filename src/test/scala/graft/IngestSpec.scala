@@ -37,6 +37,33 @@ class IngestSpec extends SparkSuite {
     assert(e.getMessage.contains("re-commit"))
   }
 
+  test("ledger diff is an anti-join: multi-part-file ledger never funnels whole") {
+    val data = Files.createTempDirectory("graft_ingest4").toString
+    val ledger = s"$data/../${new java.io.File(data).getName}_ledger"
+    // three commits -> three parquet part files -> the ledger read spans
+    // multiple partitions; the diff must still be exact
+    for (i <- 1 to 3) {
+      Seq((s"v$i", i.toDouble)).toDF("k", "v").coalesce(1).write.parquet(s"$data/p$i")
+      val b = Ingest.newFiles(spark, data, ledger)
+      assert(b.size == 1 && b.head.contains(s"p$i"))
+      Ingest.commit(spark, ledger, b, batchId = i.toLong)
+    }
+    assert(spark.read.parquet(ledger).inputFiles.length >= 3,
+      "ledger should span multiple part files for this test")
+    // two files arrive at once: the anti-join returns exactly those, sorted
+    Seq(("x", 9.0)).toDF("k", "v").coalesce(1).write.parquet(s"$data/p9")
+    Seq(("y", 8.0)).toDF("k", "v").coalesce(1).write.parquet(s"$data/p8")
+    val fresh = Ingest.newFiles(spark, data, ledger)
+    assert(fresh.size == 2 && fresh == fresh.sorted)
+    assert(fresh.exists(_.contains("p8")) && fresh.exists(_.contains("p9")))
+    // semi-join dup guard still fires against the multi-part ledger
+    Ingest.commit(spark, ledger, fresh, batchId = 4L)
+    val e = intercept[IllegalArgumentException] {
+      Ingest.commit(spark, ledger, fresh.take(1), batchId = 5L)
+    }
+    assert(e.getMessage.contains("re-commit"))
+  }
+
   test("ledger-driven ingest composes with shard-wise HLL sketch maintenance") {
     import org.apache.spark.sql.functions.col
     import graft.ops.Sketches

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{MediaRecord, Multimodal}
+
+/** The REAL JDK decode path ([[graft.ops.Multimodal.decodeReal]]):
+  * genuine PNG/JPEG/WAV bytes in, genuine dimensions out, corruption as
+  * NULL metadata — no stub anywhere in this suite. */
+class MultimodalDecodeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def rec(id: Long, tpe: String, payload: Array[Byte], fmt: String) =
+    MediaRecord(id, tpe, payload, payload.length, fmt)
+
+  test("decodeReal reads a real generated PNG: exact dims, exact pixels") {
+    val bytes = Multimodal.pngBytes(13, 7)
+    // byte-for-byte deterministic generation (same JDK encoder, same input)
+    assert(bytes.sameElements(Multimodal.pngBytes(13, 7)))
+    val f = Multimodal.decodeReal(rec(1L, "image", bytes, "png"))
+    assert(f.decode_ok && f.width.contains(13) && f.height.contains(7) &&
+      f.duration_ms.contains(0L))
+    // the decoded image carries the exact deterministic fill we wrote
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val expected = 0xff000000 | ((13 * 31 + 7) * 2654435761L & 0xffffffL).toInt
+    assert(img.getRGB(0, 0) == expected && img.getRGB(12, 6) == expected)
+  }
+
+  test("decodeReal reads a real JPEG via its magic, not its claimed format") {
+    val img = new java.awt.image.BufferedImage(
+      21, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val f = Multimodal.decodeReal(rec(2L, "image", bos.toByteArray, "jpg"))
+    assert(f.decode_ok && f.width.contains(21) && f.height.contains(9))
+  }
+
+  test("decodeReal reads a real WAV: floored duration from the RIFF walk") {
+    // 1234 samples, mono 16-bit @8kHz: 2468 bytes / 16000 B/s = 154.25ms -> 154
+    val f = Multimodal.decodeReal(rec(3L, "audio", Multimodal.wavBytes(1234), "wav"))
+    assert(f.decode_ok && f.duration_ms.contains(154L) &&
+      f.width.contains(0) && f.height.contains(0))
+    assert(Multimodal.wavDurationMs(Multimodal.wavBytes(8000)).contains(1000L))
+  }
+
+  test("corruption is data: truncated/garbage payloads yield NULLs, not throws") {
+    // magic intact but body gone -> ImageIO returns null -> fail
+    val cutPng = Multimodal.decodeReal(
+      rec(4L, "image", Multimodal.pngBytes(70, 70).take(8), "png"))
+    assert(!cutPng.decode_ok && cutPng.width.isEmpty && cutPng.height.isEmpty &&
+      cutPng.duration_ms.isEmpty)
+    // RIFF magic gone entirely -> unknown format -> fail
+    val cutWav = Multimodal.decodeReal(
+      rec(5L, "audio", Multimodal.wavBytes(100).take(8), "wav"))
+    assert(!cutWav.decode_ok && cutWav.duration_ms.isEmpty)
+    val garbage = Multimodal.decodeReal(
+      rec(6L, "image", Array.tabulate[Byte](64)(i => (i * 7).toByte), "png"))
+    assert(!garbage.decode_ok)
+  }
+
+  test("realMedia -> decodeRealFeatures end-to-end: formulas hold, corruption flagged") {
+    val ids = spark.range(0, 60).toDF("doc_id")
+    val feats = Multimodal.decodeRealFeatures(
+      Multimodal.realMedia(ids, "doc_id", corruptMod = 19))
+    val rows = feats.collect()
+    assert(rows.length == 60)
+    rows.foreach { f =>
+      val id = f.media_id
+      if (id % 19 == 0) {
+        assert(!f.decode_ok && f.width.isEmpty && f.height.isEmpty && f.duration_ms.isEmpty,
+          s"id $id should be corrupt")
+      } else if (id % 2 == 0) {
+        assert(f.decode_ok && f.media_type == "image" &&
+          f.width.contains(64 + (id % 29).toInt) &&
+          f.height.contains(64 + (id % 31).toInt) && f.duration_ms.contains(0L),
+          s"bad image decode at id $id: $f")
+      } else {
+        assert(f.decode_ok && f.media_type == "audio" &&
+          f.duration_ms.contains(10L * (1 + id % 25)), s"bad wav decode at id $id: $f")
+      }
+    }
+    // integrityAudit over the REAL frame: null_metadata counts exactly the
+    // corrupted rows (0, 19, 38, 57), failed images also fail dims/duration
+    val media = Multimodal.realMedia(ids, "doc_id", corruptMod = 19)
+      .toDF().select(col("media_id"), col("format"))
+    val audit = Multimodal.integrityAudit(feats.toDF().join(media, "media_id"),
+      formatCol = Some("format"))
+      .select("check_name", "n_violations").as[(String, Long)].collect().toMap
+    assert(audit("null_metadata") == 4L)
+    assert(audit("image_bad_dims") == 2L) // corrupt EVEN ids: 0, 38
+    assert(audit("image_with_duration") == 2L)
+    assert(audit("audio_with_dims") == 2L) // corrupt ODD ids: 19, 57
+    assert(audit("empty_payload") == 0L && audit("type_format_mismatch") == 0L)
+  }
+}

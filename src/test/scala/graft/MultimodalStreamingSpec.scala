@@ -737,11 +737,29 @@ class MultimodalStreamingSpec extends SparkSuite {
     val m = Multimodal.integrityAudit(feats, formatCol = Some("format"))
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(m == Map(
+      "null_metadata" -> ((0L, 8L)),
       "empty_payload" -> ((1L, 8L)),
       "type_format_mismatch" -> ((1L, 8L)),
       "image_bad_dims" -> ((1L, 8L)),
       "image_with_duration" -> ((1L, 8L)),
       "audio_with_dims" -> ((1L, 8L))))
+  }
+
+  test("integrityAudit: NULL metadata is surfaced, not passed through 3-valued logic") {
+    val feats = Seq[(Long, String, Integer, Integer, Integer, java.lang.Long, String)](
+      (1L, "image", 10, 100, 100, 0L, "png"),          // clean
+      (2L, "image", 10, null, null, null, "png"),      // decode failure
+      (3L, "audio", 10, null, null, null, "wav")       // decode failure
+    ).toDF("media_id", "media_type", "n_bytes", "width", "height",
+      "duration_ms", "format")
+    val m = Multimodal.integrityAudit(feats, formatCol = Some("format"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("null_metadata") == 2L)
+    // a KNOWN-modality row with unknown dims/duration is a violation of
+    // its modality checks, never a silent pass
+    assert(m("image_bad_dims") == 1L && m("image_with_duration") == 1L)
+    assert(m("audio_with_dims") == 1L)
+    assert(m("empty_payload") == 0L && m("type_format_mismatch") == 0L)
   }
 
   test("phashNearDups: hamming counted exactly; beyond-threshold pairs drop") {

@@ -149,5 +149,23 @@ class PrivacySpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Privacy.dpNoisedCounts(df, Seq("g"), "bad:salt")
     }
+    // NULL key values would degrade to constant noise -> in-plan raise
+    val withNull = Seq(Some("a"), None).toDF("g")
+    intercept[Exception] {
+      Privacy.dpNoisedCounts(withNull, Seq("g"), "s1").collect()
+    }
+  }
+
+  test("tClosenessAudit fails loudly past the 100k domain cap (no silent drop)") {
+    // 100_001 distinct sensitive values in one class: must raise, not
+    // silently audit a truncated domain
+    val wide = spark.range(0, 100001L)
+      .selectExpr("'A' AS cls", "id AS sv")
+    val e = intercept[Exception] {
+      Privacy.tClosenessAudit(wide, Seq("cls"), "sv", tMilli = 100).collect()
+    }
+    val full = { val sw = new java.io.StringWriter
+      e.printStackTrace(new java.io.PrintWriter(sw)); sw.toString }
+    assert(full.contains("domain exceeds"), s"wrong failure: ${e.getMessage}")
   }
 }

@@ -66,6 +66,23 @@ class ProfilingSpec extends SparkSuite {
     assert(indRows.forall(r => r.getAs[Long]("exp_milli") == 5000L))
   }
 
+  test("cramersV: over-cap contingency grid fails loudly; dof-0 V is null") {
+    // 50x40 = 2000 cells > maxCells=1000 -> in-plan raise BEFORE the
+    // grid streams (high-cardinality misuse must not materialize r*c rows)
+    val big = spark.range(0, 2000)
+      .selectExpr("cast(id % 50 as string) a", "cast(id % 40 as string) b")
+    val e = intercept[Exception] {
+      Profiling.cramersV(big, "a", "b", maxCells = 1000).collect()
+    }
+    val full = { val sw = new java.io.StringWriter
+      e.printStackTrace(new java.io.PrintWriter(sw)); sw.toString }
+    assert(full.contains("contingency grid exceeds"), s"wrong failure: ${e.getMessage}")
+    // a single-category column has dof 0: V undefined -> guarded null
+    val single = Seq(("x", "p"), ("x", "q"), ("x", "p")).toDF("a", "b")
+    val rows = Profiling.cramersV(single, "a", "b").collect()
+    assert(rows.nonEmpty && rows.forall(_.isNullAt(rows.head.fieldIndex("cramers_v"))))
+  }
+
   test("keyMultiplicity bands keys by carried rows at the band edges") {
     val rows = Seq.fill(1)("a") ++ Seq.fill(10)("b") ++ Seq.fill(11)("c") ++
       Seq.fill(100)("d") ++ Seq.fill(101)("e")

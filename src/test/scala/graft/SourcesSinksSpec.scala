@@ -4,6 +4,17 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import graft.recon._
 
+/** A non-`file://` Hadoop FileSystem scheme backed by the local disk —
+  * the offline stand-in for `s3a://` (hadoop-aws is not on this
+  * classpath): registered via `fs.graftfs.impl` exactly as S3A is via
+  * `fs.s3a.impl`, so a read through it proves the CSV scan path (S4,
+  * reference: second_conciliate.py:254-279) carries the scheme through
+  * Hadoop's FileSystem SPI with no `file://` assumptions anywhere. */
+class GraftTestFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftfs"
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
+}
+
 class SourcesSinksSpec extends SparkSuite {
   import spark.implicits._
 
@@ -33,6 +44,36 @@ class SourcesSinksSpec extends SparkSuite {
       Seq(("c1", 1L), ("c2", 2L)))
     // shadow copies carry the cast values
     assert(prepped.where(col("exd_amount") === 10.5).count() == 1)
+  }
+
+  test("S4: csvAllString is scheme-agnostic — reads through a registered non-file:// FileSystem") {
+    // the same SPI wiring a production job uses for s3a:// (fs.s3a.impl =
+    // S3AFileSystem + credentials provider); here the scheme is graftfs://
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFileSystem].getName)
+    val dir = Files.createTempDirectory("graft_scheme").toFile
+    val f = new java.io.File(dir, "ext.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("code,amount,name")
+    w.println("c1,10.50,foo")
+    w.println("c2,0042,bar") // leading zeros must survive (all-string read)
+    w.close()
+
+    val viaScheme = Sources.csvAllString(spark, s"graftfs://${f.getAbsolutePath}")
+    assert(viaScheme.schema.fields.forall(_.dataType.typeName == "string"))
+    val viaFile = Sources.csvAllString(spark, f.getAbsolutePath)
+    assert(rowsOf(viaScheme) == rowsOf(viaFile),
+      "scheme read must equal the local read byte-for-byte")
+    assert(viaScheme.where(col("amount") === "0042").count() == 1)
+
+    // the FULL S4 pipeline (scan -> provenance index -> casts -> prefixes)
+    // runs over the foreign scheme unchanged
+    val prepped = Sources.prepareExternal(viaScheme, conf)
+    assert(prepped.columns.toSet ==
+      Set("ext_code", "ext_amount", "ext_name", "file_row_number", "exd_code", "exd_amount"))
+    assert(prepped.orderBy("file_row_number")
+      .select("ext_code", "file_row_number").as[(String, Long)].collect().toSeq ==
+      Seq(("c1", 1L), ("c2", 2L)))
   }
 
   test("withRowIndex is exact and dense across partitions") {
