@@ -1832,6 +1832,27 @@ object EntityQueries {
       graft.ops.Privacy.tClosenessAudit(c, Seq("seg"), "sv", tMilli = 150)
     },
 
+    // suppression-cost curve: how much of the corpus a k-anonymity
+    // release on (nation, segment) would suppress, for k across the
+    // ladder — the BEFORE-choosing-k planning readout. One grouped
+    // count reused by every k via a broadcast ladder cross join
+    QuerySpec("privacy_suppression_curve",
+      raw"""WITH cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+           |             FROM customer GROUP BY 1, 2),
+           |lad AS (SELECT unnest([2, 5, 10, 20, 50]) AS k)
+           |SELECT CAST(k AS BIGINT) AS k, count(*) AS n_classes,
+           |  CAST(sum(n) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+           |  CAST(sum(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT) AS n_suppressed_rows,
+           |  CAST((1000 * sum(CASE WHEN n < k THEN n ELSE 0 END)) // sum(n) AS BIGINT)
+           |    AS suppressed_milli
+           |FROM cls CROSS JOIN lad GROUP BY 1""".stripMargin) { (s, d) =>
+      graft.ops.Privacy.suppressionCurve(
+        s.read.parquet(s"$d/customer.parquet"),
+        Seq("c_nationkey", "c_mktsegment"), ks = Seq(2, 5, 10, 20, 50))
+    },
+
+
     // clustering-depth audit of two layouts of the SAME table: per
     // file, how many files a range query stabbing it must also open.
     // The doc_id//20 ledger scatters n_chars (depth ≈ file count); the

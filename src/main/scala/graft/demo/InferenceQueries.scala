@@ -12,6 +12,38 @@ import graft.QuerySpec
  */
 object InferenceQueries {
 
+  /** Shared DuckDB mirror of the deterministic walk table
+    * ([[graft.ops.Graph.randomWalks]] over the co-order part graph,
+    * nWalks=2, len=3) — ends in a `walks(start, walk, step, node)` CTE
+    * that graph_random_walks and graph_walk_contexts both read. */
+  private val WalksCtes: String = {
+    def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+    def step(prev: String, name: String, st: Int) = {
+      val hs = h60(s"CAST(s.start AS VARCHAR) || ':' || CAST(s.walk AS VARCHAR)" +
+        s" || ':$st:' || CAST(s.node AS VARCHAR)")
+      s"""$name AS (SELECT s.start, s.walk, nb.dst AS node, $st AS step
+         |  FROM $prev s JOIN dg ON dg.src = s.node
+         |  JOIN nb ON nb.src = s.node AND nb.rnk = $hs % dg.deg)""".stripMargin
+    }
+    raw"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         |       AND a.l_partkey <> b.l_partkey),
+         |nb AS (SELECT src, dst,
+         |         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk
+         |       FROM e),
+         |dg AS (SELECT src, count(*) AS deg FROM nb GROUP BY 1),
+         |nodes AS (SELECT DISTINCT node FROM
+         |            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |s0 AS (SELECT node AS start, w.walk, node, 0 AS step FROM nodes
+         |       CROSS JOIN (SELECT unnest(range(0, 2)) AS walk) w),
+         |${step("s0", "s1", 1)},
+         |${step("s1", "s2", 2)},
+         |${step("s2", "s3", 3)},
+         |walks AS (SELECT start, walk, step, node
+         |          FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+         |                UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3))""".stripMargin
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // how sure are we about each event type's mean purchase value? 48
@@ -705,7 +737,10 @@ object InferenceQueries {
            |SELECT src, CAST(attempt AS BIGINT) AS attempt, dst
            |FROM rk WHERE r <= 4""".stripMargin
     }) { (s, d) =>
-      val edges = graft.ops.Graph.coOccurrenceEdges(
+      // raw pairs: the node set distinct-dedups inside negativeSamples
+      // and a LEFT ANTI join is duplicate-insensitive on its right side,
+      // so the global (src, dst) distinct would be a wasted shuffle
+      val edges = graft.ops.Graph.coOccurrencePairs(
         s.read.parquet(s"$d/lineitem.parquet"), "l_orderkey", "l_partkey")
       graft.ops.Graph.negativeSamples(edges, attempts = 8, k = 4)
         .withColumn("attempt", col("attempt").cast("long"))
@@ -718,34 +753,11 @@ object InferenceQueries {
     // walk table (the reproducibility a 100 TB embedding run needs).
     // len chained co-partitioned joins against the once-ranked
     // adjacency; nothing global, nothing collected
-    QuerySpec("graph_random_walks", {
-      def h60(e: String) = s"('0x' || substr(md5($e), 1, 15))::BIGINT"
-      def step(prev: String, name: String, st: Int) = {
-        val hs = h60(s"CAST(s.start AS VARCHAR) || ':' || CAST(s.walk AS VARCHAR)" +
-          s" || ':$st:' || CAST(s.node AS VARCHAR)")
-        s"""$name AS (SELECT s.start, s.walk, nb.dst AS node, $st AS step
-           |  FROM $prev s JOIN dg ON dg.src = s.node
-           |  JOIN nb ON nb.src = s.node AND nb.rnk = $hs % dg.deg)""".stripMargin
-      }
-      raw"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-           |      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-           |       AND a.l_partkey <> b.l_partkey),
-           |nb AS (SELECT src, dst,
-           |         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rnk
-           |       FROM e),
-           |dg AS (SELECT src, count(*) AS deg FROM nb GROUP BY 1),
-           |nodes AS (SELECT DISTINCT node FROM
-           |            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-           |s0 AS (SELECT node AS start, w.walk, node, 0 AS step FROM nodes
-           |       CROSS JOIN (SELECT unnest(range(0, 2)) AS walk) w),
-           |${step("s0", "s1", 1)},
-           |${step("s1", "s2", 2)},
-           |${step("s2", "s3", 3)}
-           |SELECT start, CAST(walk AS BIGINT) AS walk,
-           |  CAST(step AS BIGINT) AS step, node
-           |FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1
-           |      UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)""".stripMargin
-    }) { (s, d) =>
+    QuerySpec("graph_random_walks",
+      s"""$WalksCtes
+         |SELECT start, CAST(walk AS BIGINT) AS walk,
+         |  CAST(step AS BIGINT) AS step, node
+         |FROM walks""".stripMargin) { (s, d) =>
       // raw pairs, not coOccurrenceEdges: randomWalks dedups (src, dst)
       // partition-locally after its own src exchange, so the global
       // distinct would be a pure extra shuffle of the 1.8M-pair set
@@ -754,6 +766,25 @@ object InferenceQueries {
       // co-occurrence graphs are symmetric by construction: the start
       // set is the adjacency's rank-0 srcs, no union-dedup pass
       graft.ops.Graph.randomWalks(edges, nWalks = 2, len = 3, symmetric = true)
+    },
+
+    // skip-gram context pairs off the walk table (DeepWalk §4.2): each
+    // node co-trains with the nodes within 2 steps on the SAME walk —
+    // the (center, context, count) frame a word2vec trainer consumes.
+    // Self-join keyed per (start, walk): fanout bounded by len·window,
+    // never corpus-sized; both directions emitted, revisits counted
+    QuerySpec("graph_walk_contexts",
+      s"""$WalksCtes
+         |SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
+         |FROM walks a JOIN walks b
+         |  ON a.start = b.start AND a.walk = b.walk
+         |  AND a.step <> b.step AND abs(a.step - b.step) <= 2
+         |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val edges = graft.ops.Graph.coOccurrencePairs(
+        s.read.parquet(s"$d/lineitem.parquet"), "l_orderkey", "l_partkey")
+      graft.ops.Graph.walkContexts(
+        graft.ops.Graph.randomWalks(edges, nWalks = 2, len = 3, symmetric = true),
+        window = 2)
     },
 
     // split-conformal calibration of the naive "history repeats"
@@ -1130,6 +1161,38 @@ object InferenceQueries {
            |FROM a""".stripMargin) { (s, d) =>
       val e = s.read.parquet(s"$d/embeddings.parquet")
       graft.ops.Similarity.mrrEval(e, e.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", "label", k = 5)
+    },
+
+    // NDCG@5 — the graded-position eval beside MRR: hits at rank r earn
+    // the micro gain 10^6/log2(r+1), normalized by the query's ideal
+    // DCG. The irrational log discounts are DRIVER-computed milli
+    // literals interpolated into both engines, so the eval is exact
+    // integer arithmetic end-to-end
+    QuerySpec("retrieval_ndcg", {
+      val g = graft.ops.Similarity.ndcgGainsMicro(5)
+      val cum = g.scanLeft(0L)(_ + _).tail
+      raw"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+           |           FROM embeddings WHERE vec_id % 100 = 0),
+           |scored AS (SELECT query_id, q_label, e.label AS c_label,
+           |             row_number() OVER (PARTITION BY query_id
+           |               ORDER BY list_dot_product(qv, e.embedding) DESC, e.vec_id)
+           |               AS rank
+           |           FROM q JOIN embeddings e ON e.vec_id <> query_id),
+           |a AS (SELECT query_id, q_label,
+           |        sum(CASE WHEN c_label = q_label AND rank <= 5
+           |            THEN [${g.mkString(", ")}][rank] ELSE 0 END) AS dcg,
+           |        sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS n_rel
+           |      FROM scored GROUP BY 1, 2)
+           |SELECT query_id, q_label, CAST(dcg AS BIGINT) AS dcg_micro,
+           |  CAST(n_rel AS BIGINT) AS n_rel,
+           |  CAST(CASE WHEN n_rel > 0 THEN (1000 * dcg)
+           |    // ([${cum.mkString(", ")}][CAST(least(n_rel, 5) AS BIGINT)])
+           |    END AS BIGINT) AS ndcg_milli
+           |FROM a""".stripMargin
+    }) { (s, d) =>
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      graft.ops.Similarity.ndcgAtK(e, e.where(col("vec_id") % 100 === 0),
         "vec_id", "embedding", "label", k = 5)
     },
 

@@ -222,6 +222,62 @@ object ScaleQueries {
           (col("n_docs").cast("double") / col("__total").cast("double")).as("doc_share"))
     },
 
+    // rendezvous (highest-random-weight) sharding: each doc lands on the
+    // shard whose hash("shard:key") scores highest — the assignment that
+    // survives capacity changes (see shard_rendezvous_move). Per-shard
+    // population + id range, value-checked against a window-argmax mirror
+    QuerySpec("shard_rendezvous",
+      raw"""WITH sc AS (SELECT doc_id, s,
+           |    ${md5h60("CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} AS h
+           |  FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS s) k),
+           |a AS (SELECT doc_id, s,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, s DESC) AS r
+           |  FROM sc)
+           |SELECT s AS shard, count(*) AS n_docs,
+           |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+           |FROM a WHERE r = 1 GROUP BY 1""".stripMargin) { (s, d) =>
+      Sharding.rendezvousAssign(docs(s, d), "doc_id", nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    },
+
+    // the reason rendezvous exists: growing 8 → 9 shards moves ONLY keys
+    // whose argmax is the NEW shard (expected ~1/9 of the corpus; a
+    // mod-hash reshard moves ~8/9). One scan computes both assignments;
+    // n_moved_elsewhere pins the HRW invariant at exactly 0
+    QuerySpec("shard_rendezvous_move",
+      raw"""WITH s8 AS (SELECT doc_id, s,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY
+           |      ${md5h60("CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} DESC,
+           |      s DESC) AS r
+           |  FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS s) k),
+           |s9 AS (SELECT doc_id, s,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY
+           |      ${md5h60("CAST(s AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")} DESC,
+           |      s DESC) AS r
+           |  FROM documents CROSS JOIN (SELECT unnest(range(0, 9)) AS s) k),
+           |j AS (SELECT a.doc_id, a.s AS sh8, b.s AS sh9
+           |  FROM (SELECT doc_id, s FROM s8 WHERE r = 1) a
+           |  JOIN (SELECT doc_id, s FROM s9 WHERE r = 1) b USING (doc_id))
+           |SELECT count(*) AS n_total,
+           |  CAST(sum(CASE WHEN sh8 <> sh9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+           |  CAST((1000 * sum(CASE WHEN sh8 <> sh9 THEN 1 ELSE 0 END)) // count(*)
+           |    AS BIGINT) AS moved_milli,
+           |  CAST(sum(CASE WHEN sh8 <> sh9 AND sh9 <> 8 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_moved_elsewhere
+           |FROM j""".stripMargin) { (s, d) =>
+      docs(s, d).select(
+          Sharding.rendezvousShard(col("doc_id"), 8).as("sh8"),
+          Sharding.rendezvousShard(col("doc_id"), 9).as("sh9"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("sh8") =!= col("sh9"), 1L).otherwise(0L)).as("n_moved"),
+          expr("(1000 * sum(CASE WHEN sh8 <> sh9 THEN 1 ELSE 0 END)) div count(*)")
+            .as("moved_milli"),
+          sum(when(col("sh8") =!= col("sh9") && col("sh9") =!= 8L, 1L).otherwise(0L))
+            .as("n_moved_elsewhere"))
+    },
+
     // seeded deterministic shuffle → (shard, position): the training-order
     // export addressing, value-checked down to every row's offset
     QuerySpec("text_shards",

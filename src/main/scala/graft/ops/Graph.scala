@@ -148,6 +148,30 @@ object Graph {
   }
 
   /**
+   * Skip-gram context pairs from a walk table — the step that turns
+   * [[randomWalks]] output into word2vec-style training pairs (DeepWalk
+   * §4.2: each node co-trains with the nodes within `window` steps on
+   * the SAME walk). Output `(center, context, n_pairs)` — symmetric
+   * (both directions emitted), self-pairs possible when a walk revisits
+   * a node within the window (those ARE training signal). Scale shape:
+   * one self-join per walk keyed on (start, walk) — per-walk fanout is
+   * bounded by walk length × window, never corpus-sized — then a
+   * map-side-combining count aggregation.
+   */
+  def walkContexts(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val a = walks.select(col("start"), col("walk"),
+      col("step").as("__sa"), col("node").as("center"))
+    val b = walks.select(col("start"), col("walk"),
+      col("step").as("__sb"), col("node").as("context"))
+    a.join(b, Seq("start", "walk"))
+      .where(col("__sb") =!= col("__sa") &&
+        abs(col("__sb") - col("__sa")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /**
    * Deterministic negative sampling for link-prediction training: for
    * every node, up to `k` non-neighbors drawn by hash — the negative
    * half of a contrastive edge dataset, reproducible run to run (no

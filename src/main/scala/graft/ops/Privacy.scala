@@ -129,12 +129,13 @@ object Privacy {
     val q = quasiCols.map(col)
     val base = df.select(q :+ col(sensitiveCol).as("__sv"): _*)
       .where(col("__sv").isNotNull)
-    // the ordered value spine: rank 1..m. The domain bound is a loud
-    // in-plan guard — every spine row carries the capped rank, so a
-    // 100k+1-th distinct value raises instead of vanishing from the audit
+    // the ordered value spine: rank 1..m via the ranged two-phase row
+    // index (no global window). The domain bound is a loud in-plan
+    // guard — every spine row carries the capped rank, so a 100k+1-th
+    // distinct value raises instead of vanishing from the audit
     val domainCap = 100000L
-    val ranked = base.select(col("__sv")).distinct()
-      .withColumn("__rk0", row_number().over(Window.orderBy(col("__sv"))).cast("long"))
+    val ranked = graft.recon.Sources.withRowIndexRanged(
+        base.select(col("__sv")).distinct(), "__rk0", Seq(col("__sv")))
       .select(col("__sv"),
         when(col("__rk0") > domainCap,
           raise_error(concat(
@@ -142,8 +143,11 @@ object Privacy {
             lit(" distinct values — shard the audit"))).cast("long"))
           .otherwise(col("__rk0")).as("__rk"))
     val withRk = base.join(broadcast(ranked), Seq("__sv"))
-    // global cum counts per rank (m rows)
+    // global cum counts per rank. The limit is a NO-OP under the rank
+    // guard (ranks are ≤ domainCap or the query already raised) — it
+    // exists to carry the boundedness into the plan for the cum window
     val g = withRk.groupBy(col("__rk")).agg(count(lit(1)).as("__nv"))
+      .limit(domainCap.toInt)
       .withColumn("__cumg", sum(col("__nv")).over(
         Window.orderBy(col("__rk")).rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("__rk"), col("__cumg"))
@@ -174,6 +178,34 @@ object Privacy {
         .as("emd_milli")): _*)
       .withColumn("pass",
         when(col("emd_milli") <= tMilli, 1L).otherwise(0L))
+  }
+
+  /**
+   * Suppression-cost curve: for each k in the ladder, how much of the
+   * corpus survives a k-anonymity release on `quasiCols` with NO
+   * generalization (every row in a class smaller than k is suppressed).
+   * The release-planning readout a privacy review wants BEFORE choosing
+   * k: `(k, n_classes, n_rows, n_small_classes, n_suppressed_rows,
+   * suppressed_milli)`. One grouped count of the fact table reused for
+   * every k (the ladder rides a broadcast cross join over the
+   * class-size frame — distinct-quasi-tuple sized, never row-sized).
+   */
+  def suppressionCurve(df: DataFrame, quasiCols: Seq[String], ks: Seq[Int]): DataFrame = {
+    require(quasiCols.nonEmpty, "no quasi-identifier columns")
+    require(ks.nonEmpty && ks.forall(_ >= 2), s"ks must all be >= 2: $ks")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sizes = df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("__n"))
+    val ladder = ks.distinct.sorted.map(_.toLong).toDF("k")
+    sizes.crossJoin(broadcast(ladder))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("__n")).as("n_rows"),
+        sum(when(col("__n") < col("k"), 1L).otherwise(0L)).as("n_small_classes"),
+        sum(when(col("__n") < col("k"), col("__n")).otherwise(0L))
+          .as("n_suppressed_rows"))
+      .withColumn("suppressed_milli",
+        expr("(1000 * n_suppressed_rows) div n_rows"))
   }
 
   /** Enforcement half: keep only rows whose class passes

@@ -34,6 +34,36 @@ object Sharding {
   def orderHash(key: Column, seed: Long): Column =
     Sampling.keyHash(concat(lit(s"$seed:"), key.cast("string")))
 
+  /**
+   * Rendezvous (highest-random-weight) shard assignment — the
+   * RESHARDING-stable alternative to `hash mod N`: each key scores
+   * every shard with the seedless hash of "shard:key" and lands on the
+   * argmax. Growing N→N+1 moves ONLY the keys whose new argmax is the
+   * new shard (expected 1/(N+1) of the corpus) — `hash mod N` moves
+   * N/(N+1) of it. At 100 TB that is the difference between copying
+   * ~1% of the corpus and copying ~all of it on every capacity change.
+   *
+   * Pure per-row expression (an N-element in-row argmax — no shuffle,
+   * no |rows|·N blow-up); sized for shard counts in the hundreds. Ties
+   * (a 60-bit hash collision across two shards of ONE key) break to the
+   * higher shard id, mirrored exactly by the oracle's (h DESC, shard
+   * DESC) ordering.
+   */
+  def rendezvousAssign(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    df.withColumn("shard", rendezvousShard(col(keyCol), nShards))
+  }
+
+  /** The HRW argmax as a bare column — for side-by-side audits of two
+    * shard counts over one scan. */
+  def rendezvousShard(key: Column, nShards: Int): Column = {
+    val scored = transform(sequence(lit(0), lit(nShards - 1)), s =>
+      struct(
+        Sampling.keyHash(concat(s.cast("string"), lit(":"), key.cast("string"))).as("h"),
+        s.cast("long").as("shard")))
+    array_max(scored).getField("shard")
+  }
+
   /** Rows + (shard, __order) columns — the assignment alone, no sort.
     * Pure per-row projection: no shuffle. */
   def assignShards(df: DataFrame, keyCol: String, nShards: Int, seed: Long): DataFrame = {

@@ -160,6 +160,59 @@ object Similarity {
           expr("1000 div first_rel_rank")))
   }
 
+  /** floor(1000·log₂(r+1)) — the NDCG rank discount as an exact milli
+    * integer. Computed once on the driver and interpolated as a LITERAL
+    * into both engines' plans, so the irrational log never enters
+    * cross-engine arithmetic. */
+  def log2Milli(r: Int): Long =
+    math.floor(1000.0d * math.log(r + 1.0d) / math.log(2.0d)).toLong
+
+  /** Per-rank NDCG gains in micro units: 10⁶ div log2Milli(r), r=1..k. */
+  def ndcgGainsMicro(k: Int): Seq[Long] = (1 to k).map(r => 1000000L / log2Milli(r))
+
+  /**
+   * NDCG@k retrieval eval — [[mrrEval]]'s graded-position companion:
+   * rank the corpus per query by the exact float dot, credit each
+   * same-label hit at rank r ≤ k with the micro gain 10⁶/log₂(r+1)
+   * (driver-literal table — see [[ndcgGainsMicro]]), normalize by the
+   * ideal DCG for that query's relevant-count. All integer arithmetic;
+   * `ndcg_milli` is null when the label never recurs (no ideal to
+   * normalize by — the same convention as mrrEval's null rank).
+   * Same scale shape as mrrEval: broadcast query set, per-query rank
+   * window (partitioned by query, never global).
+   */
+  def ndcgAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k out of range: $k")
+    val gains = ndcgGainsMicro(k)
+    val cumGains = gains.scanLeft(0L)(_ + _).tail
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col(labelCol).as("q_label")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col(labelCol).as("c_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val gainAtRank = element_at(array(gains.map(lit): _*), col("rank").cast("int"))
+    // guarded: element_at is 1-based and ANSI-raises on index 0, so the
+    // no-relevant-anywhere case must short-circuit to null BEFORE indexing
+    val idealAt = when(col("n_rel") > 0L,
+      element_at(array(cumGains.map(lit): _*),
+        least(col("n_rel"), lit(k.toLong)).cast("int")))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", vec_dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(
+        coalesce(sum(when(col("c_label") === col("q_label") && col("rank") <= k,
+          gainAtRank)), lit(0L)).as("dcg_micro"),
+        sum(when(col("c_label") === col("q_label"), 1L).otherwise(0L)).as("n_rel"))
+      .withColumn("__ideal", idealAt)
+      .withColumn("ndcg_milli",
+        when(col("n_rel") > 0L,
+          expr("(1000 * dcg_micro) div __ideal")))
+      .drop("__ideal")
+  }
+
   /**
    * Project a float-vector frame to its int8-quantized form:
    * (idCol, q array<tinyint>, maxabs float). Pure per-row kernel

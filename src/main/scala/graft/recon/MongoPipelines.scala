@@ -12,8 +12,17 @@ package graft.recon
  * this environment file sources + Catalyst pushdown play the mongod role
  * (SURVEY §4); these builders exist so a production deployment is a config
  * change, not a rewrite.
+ *
+ * Every builder SELF-VALIDATES its emission against the aggregation
+ * grammar ([[MongoGrammar]]) before returning — a malformed stage throws
+ * here, in unit-test territory, not at deploy time against a live mongod.
  */
 object MongoPipelines {
+
+  private def validated(stageJson: String): String = {
+    MongoGrammar.validateStages(stageJson)
+    stageJson
+  }
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
@@ -36,7 +45,7 @@ object MongoPipelines {
     val parts = eqs ++ Seq(
       s"${jsonStr(statusField)}: {$$in: [${statusIn.map(jsonStr).mkString(", ")}]}",
       s"${jsonStr(tsField)}: {$$gte: $fromMs, $$lt: $toMs}")
-    s"{$$match: {${parts.mkString(", ")}}}"
+    validated(s"{$$match: {${parts.mkString(", ")}}}")
   }
 
   /** Stringify `$project`: `$toString` for untyped fields, passthrough for
@@ -48,28 +57,34 @@ object MongoPipelines {
       else
         s"${jsonStr(f)}: {$$toString: ${jsonStr("$" + f)}}"
     }
-    s"{$$project: {${parts.mkString(", ")}}}"
+    validated(s"{$$project: {${parts.mkString(", ")}}}")
   }
 
   /** `$lookup`+`$unwind` remanent re-read (reference:
     * src/data_extractor.py:68-75). */
   def lookupUnwind(fromColl: String, idField: String, asField: String): String =
-    s"""{$$lookup: {from: ${jsonStr(fromColl)}, localField: ${jsonStr(idField)}, """ +
-      s"""foreignField: ${jsonStr(idField)}, as: ${jsonStr(asField)}}}, """ +
-      s"""{$$unwind: ${jsonStr("$" + asField)}}"""
+    validated(
+      s"""{$$lookup: {from: ${jsonStr(fromColl)}, localField: ${jsonStr(idField)}, """ +
+        s"""foreignField: ${jsonStr(idField)}, as: ${jsonStr(asField)}}}, """ +
+        s"""{$$unwind: ${jsonStr("$" + asField)}}""")
 
   /** `$merge` upsert stage (reference: second_conciliate.py:431-438 merge
     * mode; first_populate_table.py:48-55 keepExisting mode). */
   def mergeStage(intoColl: String, keepExisting: Boolean): String = {
     val whenMatched = if (keepExisting) "keepExisting" else "merge"
-    s"""{$$merge: {into: ${jsonStr(intoColl)}, on: "_id", """ +
-      s"""whenMatched: ${jsonStr(whenMatched)}, whenNotMatched: "insert"}}"""
+    validated(
+      s"""{$$merge: {into: ${jsonStr(intoColl)}, on: "_id", """ +
+        s"""whenMatched: ${jsonStr(whenMatched)}, whenNotMatched: "insert"}}""")
   }
 
   /** Full scan pipeline: `[$match, $project]` (reference:
     * src/data_extractor.py:26-50). */
   def scanPipeline(conf: ReconConfig, fields: Seq[String], statusIn: Seq[String],
       statusField: String, tsField: String, fromMs: Long, toMs: Long): String =
-    s"[${matchStage(statusIn, statusField, tsField, fromMs, toMs)}, " +
+    {
+    val p = s"[${matchStage(statusIn, statusField, tsField, fromMs, toMs)}, " +
       s"${projectStage(fields, conf.types)}]"
+    MongoGrammar.validatePipeline(p)
+    p
+  }
 }

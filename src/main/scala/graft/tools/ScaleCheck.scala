@@ -48,7 +48,12 @@ object ScaleCheck {
     // (whose unigram shape measured 99.6 s before the 3-gram fix — the
     // composite most worth a growth trend), the endpoint sweep over the
     // ranged running sum, and the grouped greedy traversal
-    "dedup_weighted_jaccard", "events_peak_concurrency", "sim_coreset_merge")
+    "dedup_weighted_jaccard", "events_peak_concurrency", "sim_coreset_merge",
+    // round-12 additions: the reworked walk chain (adjacency one-exchange
+    // build + per-level cuts) composed into skip-gram pair extraction,
+    // and the real JDK decode path (per-row encode+decode work whose
+    // cost must scale with splits, not with a shuffle)
+    "graph_walk_contexts", "mm_real_integrity")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

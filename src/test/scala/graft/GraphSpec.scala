@@ -272,6 +272,40 @@ class GraphSpec extends SparkSuite {
     val again = Graph.randomWalks(edges, nWalks = 2, len = 3)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(again == out.toSet)
+    // symmetric mode is an optimization, not a semantics change: on a
+    // symmetric graph it emits the identical walk table
+    val sym = Graph.randomWalks(edges, nWalks = 2, len = 3, symmetric = true)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(sym == out.toSet)
+    // duplicate edge rows change nothing: the adjacency dedups internally
+    val dup = Graph.randomWalks(edges.union(edges), nWalks = 2, len = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(dup == out.toSet)
+  }
+
+  test("walkContexts: exact skip-gram pair counts within the window") {
+    // one walk: steps 0..3 visit 1,2,3,2 (hand frame, not randomWalks)
+    val walks = Seq(
+      (1L, 0L, 0L, 1L), (1L, 0L, 1L, 2L), (1L, 0L, 2L, 3L), (1L, 0L, 3L, 2L))
+      .toDF("start", "walk", "step", "node")
+    val out = Graph.walkContexts(walks, window = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // adjacent pairs only, both directions: (1,2),(2,1),(2,3),(3,2)x2 dirs
+    assert(out == Set(
+      (1L, 2L, 1L), (2L, 1L, 1L),
+      (2L, 3L, 2L), (3L, 2L, 2L))) // 2-3 adjacency occurs twice (steps 1-2, 2-3)
+    // window 2 adds the step-distance-2 pairs, including the 2..2 revisit
+    val m = Graph.walkContexts(walks, window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(m((1L, 3L)) == 1L && m((3L, 1L)) == 1L)
+    assert(m((2L, 2L)) == 2L) // revisit within window: both directions
+    // a second walk never pairs with the first
+    val two = walks.union(
+      Seq((9L, 1L, 0L, 7L), (9L, 1L, 1L, 8L)).toDF("start", "walk", "step", "node"))
+    val sep = Graph.walkContexts(two, window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!sep.contains((1L, 7L)) && !sep.contains((3L, 8L)))
+    assert(sep.contains((7L, 8L)))
   }
 
   test("negativeSamples: no real edges, no self-loops, at most k per node, deterministic") {

@@ -156,6 +156,25 @@ class PrivacySpec extends SparkSuite {
     }
   }
 
+  test("suppressionCurve: per-k suppressed mass from one class-size frame") {
+    // classes: (a,x)=1 row, (a,y)=3, (b,x)=6
+    val df = (Seq(("a", "x")) ++ Seq.fill(3)(("a", "y")) ++ Seq.fill(6)(("b", "x")))
+      .toDF("q1", "q2")
+    val out = Privacy.suppressionCurve(df, Seq("q1", "q2"), ks = Seq(2, 5, 10))
+      .orderBy("k")
+      .select("k", "n_classes", "n_rows", "n_small_classes", "n_suppressed_rows",
+        "suppressed_milli")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (2L, 3L, 10L, 1L, 1L, 100L),   // only the singleton suppressed
+      (5L, 3L, 10L, 2L, 4L, 400L),   // singleton + the 3-row class
+      (10L, 3L, 10L, 3L, 10L, 1000L) // everything under k=10
+    ))
+    intercept[IllegalArgumentException] {
+      Privacy.suppressionCurve(df, Seq("q1"), ks = Seq(1))
+    }
+  }
+
   test("tClosenessAudit fails loudly past the 100k domain cap (no silent drop)") {
     // 100_001 distinct sensitive values in one class: must raise, not
     // silently audit a truncated domain

@@ -48,6 +48,31 @@ class ScaleOpsSpec extends SparkSuite {
     assert(p.toSet != other.toSet)
   }
 
+  test("rendezvousAssign: in-range, deterministic, balanced-ish, minimal-move on growth") {
+    val df = (0L until 2000L).toDF("k")
+    val a8 = Sharding.rendezvousAssign(df, "k", nShards = 8)
+      .select("k", "shard").as[(Long, Long)].collect().toMap
+    assert(a8.values.forall(s => s >= 0 && s < 8))
+    // deterministic
+    val again = Sharding.rendezvousAssign(df, "k", nShards = 8)
+      .select("k", "shard").as[(Long, Long)].collect().toMap
+    assert(a8 == again)
+    // roughly balanced: every shard within 2x of the mean (250)
+    val byShard = a8.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byShard.size == 8 && byShard.values.forall(n => n > 125 && n < 500),
+      s"imbalanced: $byShard")
+    // THE rendezvous property: growing 8 -> 9 moves only keys whose new
+    // argmax is the NEW shard — every mover lands on shard 8, and the
+    // moved fraction sits near 1/9 (mod-hash would move ~8/9)
+    val a9 = Sharding.rendezvousAssign(df, "k", nShards = 9)
+      .select("k", "shard").as[(Long, Long)].collect().toMap
+    val movers = a8.keys.filter(k => a8(k) != a9(k)).toSeq
+    assert(movers.forall(k => a9(k) == 8L),
+      "a mover must land on the new shard — HRW invariant")
+    assert(movers.size > 2000 / 9 / 2 && movers.size < 2000 / 9 * 2,
+      s"moved ${movers.size} of 2000; expected ~${2000 / 9}")
+  }
+
   test("curriculumPositions keeps hash shards but orders each shard by score desc") {
     val df = (0L until 300L).map(i => (i, (i % 97).toDouble / 97.0)).toDF("id", "score")
     val cur = Sharding.curriculumPositions(df, "id", "score", nShards = 4, seed = 7L)
