@@ -1338,6 +1338,26 @@ object InferenceQueries {
         batchSize = 32)
     },
 
+    // REAL perceptual near-dup: aHash (8×8 area-averaged luminance, one
+    // bit per cell vs the global mean) computed from GENUINE decoded
+    // pixels, then the banded Hamming join at threshold 0. The
+    // class-seeded generator makes the correct answer pure id
+    // arithmetic — same class ⇒ byte-identical image ⇒ hamming 0; the
+    // spec pins distinct classes pairwise > 8 bit flips apart, so the
+    // oracle's equality join is exhaustive at threshold 0
+    QuerySpec("mm_real_phash",
+      raw"""SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+           |  CAST(0 AS BIGINT) AS hamming
+           |FROM documents a JOIN documents b
+           |  ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id""".stripMargin) {
+      (s, d) =>
+        graft.ops.Multimodal.phashNearDups(
+          graft.ops.Multimodal.decodeAHash(
+            graft.ops.Multimodal.classedMedia(
+              s.read.parquet(s"$d/documents.parquet"), "doc_id", classes = 50)),
+          maxHamming = 0)
+    },
+
     // behavioral bot screen: inter-arrival regularity per user — CV² of
     // the gap distribution (clockwork traffic ≈ 0, human bursts ≳ 1000)
     // and the repeated-gap fraction, both exact integers from

@@ -1084,6 +1084,30 @@ object OpsQueries {
       graft.streaming.EventPipeline.sessionize(events(s, d), gapMs = 600000L)
     },
 
+    // rendezvous-routed stream accounting: per 5-min window × HRW shard
+    // of the user key, event count + exact cents mass — the router's
+    // fan-out table. Stateless per-row routing + one windowed agg; the
+    // stream twin (shardRouteStream) is spec-pinned batch≡stream. The
+    // oracle computes the HRW argmax per DISTINCT user, then joins —
+    // same assignment, |users|·nShards work instead of |events|·nShards
+    QuerySpec("stream_shard_route",
+      raw"""WITH u AS (SELECT DISTINCT user_id FROM events),
+           |sc AS (SELECT user_id, s,
+           |         ('0x' || substr(md5(CAST(s AS VARCHAR) || ':' ||
+           |            CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+           |       FROM u CROSS JOIN (SELECT unnest(range(0, 8)) AS s) k),
+           |a AS (SELECT user_id, s AS shard,
+           |        row_number() OVER (PARTITION BY user_id ORDER BY h DESC, s DESC) AS r
+           |      FROM sc)
+           |SELECT epoch_ms(ts) - epoch_ms(ts) % 300000 AS window_start,
+           |  a.shard, count(*) AS n_events,
+           |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+           |FROM events e JOIN a ON a.user_id = e.user_id AND a.r = 1
+           |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      graft.streaming.EventPipeline.shardRouteCounts(events(s, d),
+        nShards = 8, windowMs = 300000L)
+    },
+
     // ENGINE-NATIVE session windows (Catalyst session_window, the same
     // groupBy that runs under readStream with state-store merge): merge
     // iff gap STRICTLY under 10 min (an event exactly at a window's end

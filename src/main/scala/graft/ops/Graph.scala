@@ -160,9 +160,14 @@ object Graph {
    */
   def walkContexts(walks: DataFrame, window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")
-    val a = walks.select(col("start"), col("walk"),
+    // cut once: the self-join consumes the walk table TWICE, and a walk
+    // table is typically the tail of an expensive join chain (randomWalks
+    // leaves its LAST level uncut — single consumer there, two here)
+    val w = graft.recon.Checkpoints.cut(
+      walks.select(col("start"), col("walk"), col("step"), col("node")))
+    val a = w.select(col("start"), col("walk"),
       col("step").as("__sa"), col("node").as("center"))
-    val b = walks.select(col("start"), col("walk"),
+    val b = w.select(col("start"), col("walk"),
       col("step").as("__sb"), col("node").as("context"))
     a.join(b, Seq("start", "walk"))
       .where(col("__sb") =!= col("__sa") &&

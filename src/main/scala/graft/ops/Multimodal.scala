@@ -225,6 +225,119 @@ object Multimodal {
       .mapPartitions(_.map(id => realRecord(id, corruptMod)))
   }
 
+  /** A real PNG with a deterministic pseudo-random pixel PATTERN (an
+    * integer mix of (x, y, seed) — NOT a solid fill or a monotone
+    * gradient, whose 8×8 averages would collapse aHash onto a handful
+    * of direction patterns). Same class seed ⇒ byte-identical image. */
+  private[graft] def patternPngBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Array.ofDim[Int](w * h) // bulk raster write — per-pixel setRGB
+    var y = 0                        // pays a color-model lookup per call
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = x * 2654435761L + y * 40503L + seed * 97L
+        val g = (((v >> 16) ^ v) & 0xffL).toInt
+        px(y * w + x) = (g << 16) | (g << 8) | g
+        x += 1
+      }
+      y += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /**
+   * REAL average-hash (aHash) over decoded pixels: 8×8 area-averaged
+   * luminance, one bit per cell — set iff the cell's mean is at or
+   * above the global mean (compared by integer cross-multiplication,
+   * so ragged cell sizes stay exact). The production perceptual hash
+   * [[phashNearDups]]'s doc promises — computed from GENUINE pixels,
+   * not payload bytes. None when the payload does not decode.
+   */
+  private[graft] def aHash64(payload: Array[Byte]): Option[Long] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w < 8 || h < 8) return None
+      val cellSum = Array.ofDim[Long](64)
+      val cellN = Array.ofDim[Long](64)
+      var total = 0L
+      val px = img.getRGB(0, 0, w, h, null, 0, w) // bulk raster read
+      var y = 0
+      while (y < h) {
+        val cy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val rgb = px(y * w + x)
+          // integer Rec.601 luminance: (299R + 587G + 114B)
+          val lum = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+            114L * (rgb & 0xff)
+          val c = cy * 8 + x * 8 / w
+          cellSum(c) += lum
+          cellN(c) += 1
+          total += lum
+          x += 1
+        }
+        y += 1
+      }
+      val nPix = w.toLong * h
+      var hash = 0L
+      var c = 0
+      while (c < 64) {
+        // cell mean >= global mean, cross-multiplied (exact)
+        if (cellSum(c) * nPix >= total * cellN(c)) hash |= (1L << c)
+        c += 1
+      }
+      Some(hash)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /**
+   * Class-seeded real media: every id carries an actual PNG whose
+   * dimensions AND pixel pattern depend only on `id % classes` — ids in
+   * one class ship byte-identical images, ids in different classes ship
+   * visually distinct ones (MultimodalDecodeSpec pins the classes'
+   * aHashes pairwise FAR apart). The generator behind the real-pixel
+   * near-dup oracle: which pairs a correct decoder+hash must emit is
+   * pure id arithmetic.
+   */
+  /** Per-JVM cache of the class payloads: a class's image is a pure
+    * function of its class index, so each executor encodes it ONCE —
+    * |classes| encodes per JVM, not |rows|. */
+  private val classPayloadCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
+
+  private[graft] def classPayload(c: Int): Array[Byte] =
+    classPayloadCache.computeIfAbsent(c,
+      k => patternPngBytes(64 + k % 29, 64 + k % 31, k))
+
+  def classedMedia(df: DataFrame, idCol: String, classes: Int): Dataset[MediaRecord] = {
+    require(classes >= 1, s"classes must be >= 1: $classes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val payload = classPayload((id % classes).toInt)
+      MediaRecord(id, "image", payload, payload.length, "png")
+    })
+  }
+
+  /** Partition-batched REAL pixel hash: `(media_id, content_hash)` rows
+    * for every payload that decodes; failures are dropped (they carry
+    * no pixels to hash — route them through [[integrityAudit]]). */
+  def decodeAHash(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(r =>
+      aHash64(r.payload).map(h => (r.media_id, h))))
+      .toDF("media_id", "content_hash")
+  }
+
   private[ops] def realRecord(id: Long, corruptMod: Int): MediaRecord = {
     val image = id % 2 == 0
     val whole =

@@ -165,7 +165,9 @@ object Similarity {
     * into both engines' plans, so the irrational log never enters
     * cross-engine arithmetic. */
   def log2Milli(r: Int): Long =
-    math.floor(1000.0d * math.log(r + 1.0d) / math.log(2.0d)).toLong
+    // ratio FIRST: log(2)/log(2) is exactly 1.0, whereas
+    // (1000·log 2)/log 2 lands at 999.999… and floors to 999
+    math.floor(1000.0d * (math.log(r + 1.0d) / math.log(2.0d))).toLong
 
   /** Per-rank NDCG gains in micro units: 10⁶ div log2Milli(r), r=1..k. */
   def ndcgGainsMicro(k: Int): Seq[Long] = (1 to k).map(r => 1000000L / log2Milli(r))

@@ -153,6 +153,41 @@ object EventPipeline {
   }
 
   /**
+   * Rendezvous shard routing, batch form: per tumbling window × shard,
+   * event count and exact cents mass — the fan-out accounting a
+   * stream router emits. The shard is the HRW argmax of the user key
+   * ([[graft.ops.Sharding.rendezvousShard]]), so a capacity change
+   * re-routes ~1/(N+1) of keys instead of ~all of them; the routing
+   * itself is pure per-row expression work, no extra shuffle beyond
+   * the windowed aggregation.
+   */
+  def shardRouteCounts(events: DataFrame, nShards: Int, windowMs: Long): DataFrame =
+    events
+      .withColumn("__ms", unix_millis(col("ts").cast("timestamp")))
+      .withColumn("window_start", col("__ms") - pmod(col("__ms"), lit(windowMs)))
+      .withColumn("shard",
+        graft.ops.Sharding.rendezvousShard(col("user_id"), nShards))
+      .groupBy(col("window_start"), col("shard"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(floor(value * 100) as bigint)")).as("cents"))
+
+  /** [[shardRouteCounts]] under `readStream`: the HRW routing column
+    * rides the stream as a stateless projection; state is one windowed
+    * count/sum aggregation — ≤ windows·nShards open groups. */
+  def shardRouteStream(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType, nShards: Int,
+      windowSec: Int): DataFrame =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", "10 minutes")
+      .withColumn("shard",
+        graft.ops.Sharding.rendezvousShard(col("user_id"), nShards))
+      .groupBy(window(col("ts"), s"$windowSec seconds"), col("shard"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cast(floor(value * 100) as bigint)")).as("cents"))
+      .select(unix_millis(col("window.start")).as("window_start"),
+        col("shard"), col("n_events"), col("cents"))
+
+  /**
    * Gap-based sessionization, batch form: a new session starts when the
    * user's inter-event gap exceeds `gapMs`. One shuffle on user_id; the
    * per-user window sort is the standard lag+cumsum sessionizer.

@@ -57,6 +57,42 @@ class MultimodalDecodeSpec extends SparkSuite {
     assert(!garbage.decode_ok)
   }
 
+  test("aHash64: real pixel hash — identical images equal, 50 classes far apart") {
+    // determinism + identity: the same pattern hashes the same
+    val a = Multimodal.aHash64(Multimodal.patternPngBytes(70, 75, 7))
+    assert(a.isDefined && a == Multimodal.aHash64(Multimodal.patternPngBytes(70, 75, 7)))
+    // a changed pattern changes pixels, hence the hash
+    assert(a != Multimodal.aHash64(Multimodal.patternPngBytes(70, 75, 8)))
+    // the near-dup oracle's completeness margin: the 50 class images of
+    // classedMedia sit pairwise > 8 bit flips apart, so the hamming-0
+    // query below them cannot emit a cross-class pair
+    val hashes = (0 until 50).map { c =>
+      Multimodal.aHash64(Multimodal.patternPngBytes(64 + c % 29, 64 + c % 31, c)).get
+    }
+    for (i <- 0 until 50; j <- i + 1 until 50) {
+      val d = java.lang.Long.bitCount(hashes(i) ^ hashes(j))
+      assert(d > 8, s"classes $i and $j only $d bit flips apart")
+    }
+    // undecodable payloads hash to None, never a fake value
+    assert(Multimodal.aHash64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.aHash64(Multimodal.pngBytes(70, 70).take(8)).isEmpty)
+  }
+
+  test("classedMedia -> decodeAHash: same class same hash, hamming-0 pairs exact") {
+    val ids = spark.range(0, 40).toDF("doc_id") // classes 0..39, ids 0..39 distinct
+    val hashed = Multimodal.decodeAHash(Multimodal.classedMedia(ids, "doc_id", classes = 10))
+    val rows = hashed.as[(Long, Long)].collect().toMap
+    assert(rows.size == 40)
+    // ids 3, 13, 23, 33 share class 3 -> identical hash
+    assert(Set(rows(3L), rows(13L), rows(23L), rows(33L)).size == 1)
+    val pairs = Multimodal.phashNearDups(hashed, maxHamming = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = (for {
+      a <- 0L until 40L; b <- a + 1 until 40L if a % 10 == b % 10
+    } yield (a, b, 0L)).toSet
+    assert(pairs == expected)
+  }
+
   test("realMedia -> decodeRealFeatures end-to-end: formulas hold, corruption flagged") {
     val ids = spark.range(0, 60).toDF("doc_id")
     val feats = Multimodal.decodeRealFeatures(

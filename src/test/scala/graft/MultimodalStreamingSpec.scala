@@ -494,6 +494,26 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(rows == Set((base, "click", 2L), (base, "view", 1L), (base + 1800000L, "view", 1L)))
   }
 
+  test("shardRouteStream equals batch shardRouteCounts on a replay") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_route").toFile
+    eventsDf.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val stream = EventPipeline.shardRouteStream(spark, dir.getAbsolutePath,
+      eventsDf.schema, nShards = 8, windowSec = 300)
+    val q = stream.writeStream.format("memory").queryName("route_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("route_out")
+      .select("window_start", "shard", "n_events", "cents")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = EventPipeline.shardRouteCounts(eventsDf, nShards = 8, windowMs = 300000L)
+      .select("window_start", "shard", "n_events", "cents")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == batch && got.nonEmpty, s"stream $got != batch $batch")
+    // every shard id in range; total events preserved
+    assert(got.forall(r => r._2 >= 0 && r._2 < 8))
+    assert(got.toSeq.map(_._3).sum == eventsDf.count())
+  }
+
   test("sessionPaths: gap-split sessions with struct-sorted deterministic paths") {
     // user 1: 0:00 click, 0:03 view (one session, gap 10 min), then
     // 0:30 purchase (new session); layout must not affect path order

