@@ -136,4 +136,39 @@ class OpsPropertySpec extends SparkSuite {
       math.abs(x1 - x2) + math.abs(y1 - y2) == 1
     })
   }
+
+  test("property: rendezvous growth N->N+1 only ever moves keys TO the new shard") {
+    // the HRW minimal-movement invariant at every ladder step, not just
+    // 8->9: a key's top choice among N+1 shards either stays its top
+    // choice among N, or IS the new shard
+    val keys = spark.range(0, 500).toDF("k")
+    var prev = graft.ops.Sharding.rendezvousAssign(keys, "k", nShards = 2)
+      .select("k", "shard").as[(Long, Long)].collect().toMap
+    for (n <- 3 to 7) {
+      val next = graft.ops.Sharding.rendezvousAssign(keys, "k", nShards = n)
+        .select("k", "shard").as[(Long, Long)].collect().toMap
+      prev.keys.foreach { k =>
+        assert(next(k) == prev(k) || next(k) == n - 1L,
+          s"key $k moved ${prev(k)} -> ${next(k)} growing to $n shards")
+      }
+      prev = next
+    }
+  }
+
+  test("property: walkContexts pair counts are symmetric for any walk table") {
+    // both directions of an unordered step pair are emitted from the
+    // same self-join rows, so m(a,b) == m(b,a) whatever the walks are
+    forSeeds(Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 1L), Gen.choose(0L, 5L),
+        Gen.choose(0L, 9L))), 5) { rows =>
+      // dedup (start, walk, step) keys: a walk visits ONE node per step
+      val walks = rows.groupBy(r => (r._1, r._2, r._3)).values.map(_.head).toSeq
+        .toDF("start", "walk", "step", "node")
+      val m = graft.ops.Graph.walkContexts(walks, window = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      m.foreach { case ((a, b), n) =>
+        assert(m.get((b, a)).contains(n), s"asymmetric pair ($a,$b): $n vs ${m.get((b, a))}")
+      }
+    }
+  }
 }
