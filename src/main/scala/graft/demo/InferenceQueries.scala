@@ -771,8 +771,11 @@ object InferenceQueries {
     // skip-gram context pairs off the walk table (DeepWalk §4.2): each
     // node co-trains with the nodes within 2 steps on the SAME walk —
     // the (center, context, count) frame a word2vec trainer consumes.
-    // Self-join keyed per (start, walk): fanout bounded by len·window,
-    // never corpus-sized; both directions emitted, revisits counted
+    // The walk table rides as PATH ARRAYS (randomWalkPaths: len left
+    // joins, one consumer each, zero cuts) and the window pairs are a
+    // per-row array transform — no self-join, no walk-table
+    // materialization; the only shuffle is the final count aggregation.
+    // The oracle keeps the self-join formulation: same pairs by definition
     QuerySpec("graph_walk_contexts",
       s"""$WalksCtes
          |SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
@@ -782,8 +785,8 @@ object InferenceQueries {
          |GROUP BY 1, 2""".stripMargin) { (s, d) =>
       val edges = graft.ops.Graph.coOccurrencePairs(
         s.read.parquet(s"$d/lineitem.parquet"), "l_orderkey", "l_partkey")
-      graft.ops.Graph.walkContexts(
-        graft.ops.Graph.randomWalks(edges, nWalks = 2, len = 3, symmetric = true),
+      graft.ops.Graph.walkContextsFromPaths(
+        graft.ops.Graph.randomWalkPaths(edges, nWalks = 2, len = 3, symmetric = true),
         window = 2)
     },
 
@@ -1165,12 +1168,12 @@ object InferenceQueries {
     },
 
     // NDCG@5 — the graded-position eval beside MRR: hits at rank r earn
-    // the micro gain 10^6/log2(r+1), normalized by the query's ideal
+    // the milli gain 10^3/log2(r+1), normalized by the query's ideal
     // DCG. The irrational log discounts are DRIVER-computed milli
     // literals interpolated into both engines, so the eval is exact
     // integer arithmetic end-to-end
     QuerySpec("retrieval_ndcg", {
-      val g = graft.ops.Similarity.ndcgGainsMicro(5)
+      val g = graft.ops.Similarity.ndcgGainsMilli(5)
       val cum = g.scanLeft(0L)(_ + _).tail
       raw"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
            |           FROM embeddings WHERE vec_id % 100 = 0),
@@ -1184,7 +1187,7 @@ object InferenceQueries {
            |            THEN [${g.mkString(", ")}][rank] ELSE 0 END) AS dcg,
            |        sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS n_rel
            |      FROM scored GROUP BY 1, 2)
-           |SELECT query_id, q_label, CAST(dcg AS BIGINT) AS dcg_micro,
+           |SELECT query_id, q_label, CAST(dcg AS BIGINT) AS dcg_milli,
            |  CAST(n_rel AS BIGINT) AS n_rel,
            |  CAST(CASE WHEN n_rel > 0 THEN (1000 * dcg)
            |    // ([${cum.mkString(", ")}][CAST(least(n_rel, 5) AS BIGINT)])
@@ -1277,6 +1280,27 @@ object InferenceQueries {
         graft.ops.Multimodal.realMedia(
           s.read.parquet(s"$d/documents.parquet"), "doc_id", corruptMod = 19)).toDF()
         .select(col("media_id"), col("media_type"), col("width"), col("height"),
+          col("duration_ms"), col("decode_ok").cast("long").as("decode_ok"))
+    },
+
+    // REAL mp4 metadata — the third modality off the stub: genuine
+    // ISO-BMFF containers (ftyp + moov/mvhd at timescale 600) walked with
+    // pure byte arithmetic for duration, 1-in-19 truncated to 8 bytes so
+    // the box walk MUST fail into NULL metadata. The oracle knows the
+    // generation formula (40·(1+id%50) ms) AND the container size
+    // (132 bytes whole, 8 corrupt), so a walker that misreads the
+    // version-0 field offsets or the unit conversion hash-mismatches
+    QuerySpec("mm_real_video",
+      raw"""SELECT doc_id AS media_id, 'video' AS media_type,
+           |  CAST(CASE WHEN doc_id % 19 = 0 THEN 8 ELSE 132 END AS INT) AS n_bytes,
+           |  CASE WHEN doc_id % 19 = 0 THEN NULL
+           |       ELSE 40 * (1 + doc_id % 50) END AS duration_ms,
+           |  CAST(CASE WHEN doc_id % 19 = 0 THEN 0 ELSE 1 END AS BIGINT) AS decode_ok
+           |FROM documents""".stripMargin) { (s, d) =>
+      graft.ops.Multimodal.decodeRealFeatures(
+        graft.ops.Multimodal.realVideoMedia(
+          s.read.parquet(s"$d/documents.parquet"), "doc_id", corruptMod = 19)).toDF()
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
           col("duration_ms"), col("decode_ok").cast("long").as("decode_ok"))
     },
 

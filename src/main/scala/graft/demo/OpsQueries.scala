@@ -555,6 +555,18 @@ object OpsQueries {
         Dedup.simHashNearDups(docs(s, d), "text", "doc_id", maxHamming = 3, maxBucket = 1000))
     },
 
+    // HIGH-DIAMETER clustering: the SAME component assignment as
+    // dedup_components, computed by alternating large-star/small-star
+    // (Kiveris et al. — O(log² n) rounds regardless of diameter, vs
+    // hash-min's O(diameter); the opt-in for provenance chains and
+    // path-shaped link graphs). Shares the recursive-closure oracle, so
+    // the alternation must be value-identical to min-label propagation
+    QuerySpec("dedup_components_alt",
+      SketchOracleSql.simHashComponentsSql(maxHamming = 3, maxBucket = 1000)) { (s, d) =>
+      Dedup.alternatingComponents(
+        Dedup.simHashNearDups(docs(s, d), "text", "doc_id", maxHamming = 3, maxBucket = 1000))
+    },
+
     // weak supervision: lang seeds on 1/7 of docs propagate to every
     // member of their near-dup component by majority vote (count desc,
     // label asc) — a small annotation budget inherited corpus-wide.

@@ -87,7 +87,27 @@ object Graph {
     * letting the start set come straight from the adjacency's rank-0
     * rows — one per src, already distinct — instead of a
     * union-and-dedup shuffle over the full edge set. */
-  def randomWalks(edges: DataFrame, nWalks: Int, len: Int, symmetric: Boolean): DataFrame = {
+  def randomWalks(edges: DataFrame, nWalks: Int, len: Int, symmetric: Boolean): DataFrame =
+    randomWalkPaths(edges, nWalks, len, symmetric)
+      .select(col("start"), col("walk"),
+        posexplode(col("path")).as(Seq("step", "node")))
+      .select(col("start"), col("walk"),
+        col("step").cast("long").as("step"), col("node"))
+
+  /**
+   * The walk table as PATHS: `(start, walk, path)` where `path[s]` is the
+   * node at step s (step 0 = start; a dead-ended walk's path simply stops
+   * growing — same truncation semantics as the row form). This is the
+   * shape the derivation WANTS: the frontier carries its own history as
+   * an array column, so the chain is `len` left joins where every level
+   * has exactly ONE consumer — no per-level lineage cuts (each cut paid
+   * ~1 s of plan-time codegen), no union re-executing join prefixes, and
+   * [[randomWalks]] is one final posexplode away. Consumers that pair
+   * steps WITHIN a walk ([[walkContextsFromPaths]]) read the array
+   * directly and skip the self-join entirely.
+   */
+  def randomWalkPaths(edges: DataFrame, nWalks: Int, len: Int,
+      symmetric: Boolean = false): DataFrame = {
     require(nWalks >= 1 && len >= 1, s"need nWalks, len >= 1: $nWalks, $len")
     // degree is DENORMALIZED onto the ranked adjacency (second window
     // function over the same src partitioning — one exchange), so each
@@ -121,30 +141,33 @@ object Graph {
     val starts = nodes
       .select(col("node").as("start"),
         explode(sequence(lit(0), lit(nWalks - 1))).as("walk"))
+    // the frontier carries (current node, full path): each step is ONE
+    // left join against the cut adjacency — left, so a dead-ended walk
+    // keeps its visited prefix (current node goes NULL, the pick hash of
+    // NULL matches nothing, the path freezes — identical semantics to
+    // the old per-level union, impossible on symmetric graphs anyway).
+    // Every level has one consumer (the next join), so the chain needs
+    // NO lineage cuts: the union-of-levels form re-executed every join
+    // prefix without per-level cuts and paid ~1 s of codegen per cut
+    // with them
     var frontier = starts.select(col("start"), col("walk"),
-      col("start").as("node"), lit(0).as("step"))
-    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+      col("start").as("__cur"), array(col("start")).as("path"))
     for (st <- 1 to len) {
       val pick = Sampling.keyHash(concat(
         col("start").cast("string"), lit(":"), col("walk").cast("string"),
-        lit(":"), lit(st).cast("string"), lit(":"), col("node").cast("string")))
-      // cut each level: the union of levels would otherwise RE-EXECUTE
-      // every prefix of the join chain (level k replays joins 1..k —
-      // O(len²) join executions); the cut makes the total linear, and a
-      // level is |V|·nWalks rows — small relative to the adjacency. The
-      // LAST level has exactly one consumer (the union), so its cut
-      // would buy nothing — skip it
-      val next = frontier
-        .join(nbrR, col("node") === col("__nsrc") &&
-          pick % col("__ndeg") === col("__nrank"))
-        .select(col("start"), col("walk"), col("__ndst").as("node"),
-          lit(st).as("step"))
-      frontier = if (st < len) graft.recon.Checkpoints.cut(next) else next
-      levels += frontier
+        lit(":"), lit(st).cast("string"), lit(":"), col("__cur").cast("string")))
+      // symmetric graphs can never dead-end (every node is a src with
+      // deg >= 1 and hash % deg always hits exactly one rank), so the
+      // cheaper inner join is semantics-preserving there
+      frontier = frontier
+        .join(nbrR, col("__cur") === col("__nsrc") &&
+          pick % col("__ndeg") === col("__nrank"),
+          if (symmetric) "inner" else "left")
+        .select(col("start"), col("walk"), col("__ndst").as("__cur"),
+          when(col("__ndst").isNull, col("path"))
+            .otherwise(array_append(col("path"), col("__ndst"))).as("path"))
     }
-    levels.reduce(_ unionByName _)
-      .select(col("start"), col("walk").cast("long").as("walk"),
-        col("step").cast("long").as("step"), col("node"))
+    frontier.select(col("start"), col("walk").cast("long").as("walk"), col("path"))
   }
 
   /**
@@ -161,8 +184,10 @@ object Graph {
   def walkContexts(walks: DataFrame, window: Int): DataFrame = {
     require(window >= 1, s"window must be >= 1: $window")
     // cut once: the self-join consumes the walk table TWICE, and a walk
-    // table is typically the tail of an expensive join chain (randomWalks
-    // leaves its LAST level uncut — single consumer there, two here)
+    // table is typically the tail of an expensive join chain. When the
+    // walk table comes from [[randomWalkPaths]], use
+    // [[walkContextsFromPaths]] instead — it pairs steps inside the path
+    // ARRAY and needs neither the cut nor the join
     val w = graft.recon.Checkpoints.cut(
       walks.select(col("start"), col("walk"), col("step"), col("node")))
     val a = w.select(col("start"), col("walk"),
@@ -173,6 +198,28 @@ object Graph {
       .where(col("__sb") =!= col("__sa") &&
         abs(col("__sb") - col("__sa")) <= window)
       .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /**
+   * [[walkContexts]] straight off a PATH table ([[randomWalkPaths]]):
+   * the within-window step pairs are generated per row by a nested
+   * array transform — bounded per-row work (len·2·window pairs), ZERO
+   * joins, zero lineage cuts; the only shuffle is the final
+   * (center, context) count aggregation, map-side combined. Identical
+   * output to `walkContexts(randomWalks(...), window)` (spec-pinned):
+   * positions pair exactly like steps, revisits included.
+   */
+  def walkContextsFromPaths(paths: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val pairs = flatten(transform(col("path"), (c, i) =>
+      filter(
+        transform(col("path"), (x, j) =>
+          when(j =!= i && abs(j - i) <= window,
+            struct(c.as("center"), x.as("context")))),
+        p => p.isNotNull)))
+    paths.select(explode(pairs).as("p"))
+      .groupBy(col("p.center").as("center"), col("p.context").as("context"))
       .agg(count(lit(1)).as("n_pairs"))
   }
 

@@ -107,8 +107,12 @@ object Multimodal {
   // ---------------------------------------------------------------- real decode
 
   // ImageIO's default scratch is a TEMP FILE per decode — executor-thread
-  // hostile; in-memory caching is what a 32-thread decode stage wants
-  javax.imageio.ImageIO.setUseCache(false)
+  // hostile; in-memory caching is what a 32-thread decode stage wants.
+  // Applied LAZILY at the decode/encode entry points, not at object init:
+  // setUseCache is a JVM-GLOBAL mutation affecting every other ImageIO
+  // user in the process, so merely class-loading this object for an
+  // unrelated member (e.g. [[syntheticMedia]]) must not flip it.
+  private lazy val imageIoNoCache: Unit = javax.imageio.ImageIO.setUseCache(false)
 
   private def b(a: Array[Byte], i: Int): Int = a(i) & 0xff
 
@@ -128,27 +132,109 @@ object Multimodal {
 
   /** WAV duration in ms from a RIFF chunk walk: `fmt ` gives the byte
     * rate, `data` gives the payload length; duration = dataLen·1000/rate
-    * (floored). None when either chunk is missing/corrupt. */
+    * (floored). None when either chunk is missing/corrupt. `pos` is a
+    * LONG: a hostile chunk size near Int.MAX must overflow into "walked
+    * past the end → None", never into a negative Int index that throws
+    * out of this helper instead of returning the documented None. */
   private[graft] def wavDurationMs(a: Array[Byte]): Option[Long] = {
-    var pos = 12
+    var pos = 12L
     var byteRate = 0
     var dataLen = -1L
     while (pos + 8 <= a.length && (byteRate == 0 || dataLen < 0)) {
-      val id = new String(a, pos, 4, java.nio.charset.StandardCharsets.US_ASCII)
-      val size = leInt(a, pos + 4)
+      val p = pos.toInt // safe: pos + 8 <= a.length bounds it
+      val id = new String(a, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = leInt(a, p + 4)
       if (size < 0) return None
-      if (id == "fmt " && pos + 32 <= a.length) byteRate = leInt(a, pos + 16)
+      if (id == "fmt " && pos + 32 <= a.length) byteRate = leInt(a, p + 16)
       if (id == "data") dataLen = size.toLong
-      pos += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      pos += 8L + size + (size & 1) // RIFF chunks are word-aligned
     }
     if (byteRate > 0 && dataLen >= 0) Some(dataLen * 1000L / byteRate) else None
+  }
+
+  // ------------------------------------------------------------- mp4 box walk
+
+  private def beInt(a: Array[Byte], i: Int): Long =
+    (b(a, i).toLong << 24) | (b(a, i + 1).toLong << 16) |
+      (b(a, i + 2).toLong << 8) | b(a, i + 3).toLong
+
+  private def beLong(a: Array[Byte], i: Int): Long =
+    (beInt(a, i) << 32) | beInt(a, i + 4)
+
+  /** ISO-BMFF magic: bytes 4..7 of the first box spell `ftyp`. */
+  private[graft] def isMp4(a: Array[Byte]): Boolean =
+    a.length >= 12 && a(4) == 'f' && a(5) == 't' && a(6) == 'y' && a(7) == 'p'
+
+  /** Size of the ISO-BMFF box starting at `pos`, honoring the 64-bit
+    * `size == 1` largesize form; None when the header is truncated or the
+    * size is corrupt (smaller than its own header, or past the payload). */
+  private def boxSize(a: Array[Byte], pos: Long): Option[Long] = {
+    if (pos + 8 > a.length) return None
+    val s32 = beInt(a, pos.toInt)
+    val (size, hdr) =
+      if (s32 == 1L) {
+        if (pos + 16 > a.length) return None
+        (beLong(a, pos.toInt + 8), 16L)
+      } else (s32, 8L)
+    if (size < hdr || pos + size > a.length) None else Some(size)
+  }
+
+  /**
+   * REAL mp4 metadata via a `moov/mvhd` box walk — the same pure
+   * byte-arithmetic discipline as [[wavDurationMs]], zero new
+   * dependencies (the JDK cannot decode mp4 FRAMES, but container
+   * metadata is just big-endian box headers): find the top-level `moov`
+   * box, find its `mvhd` child, read (timescale, duration) honoring both
+   * the version-0 (32-bit) and version-1 (64-bit) field layouts.
+   * Returns `(timescale, duration_ms)` with duration_ms =
+   * duration·1000/timescale (floored); None for any truncated box,
+   * hostile size, missing moov/mvhd, or zero timescale — corrupt boxes
+   * are DATA that lands in `null_metadata`, never fabricated numbers.
+   */
+  private[graft] def mp4Metadata(a: Array[Byte]): Option[(Long, Long)] = {
+    if (!isMp4(a)) return None
+    def boxType(pos: Long): String =
+      new String(a, pos.toInt + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // walk siblings from `pos` to `end`, returning the offset of `want`
+    def find(pos0: Long, end: Long, want: String): Option[Long] = {
+      var pos = pos0
+      while (pos + 8 <= end) {
+        boxSize(a, pos) match {
+          case None => return None
+          case Some(size) =>
+            if (boxType(pos) == want) return Some(pos)
+            pos += size
+        }
+      }
+      None
+    }
+    for {
+      moov <- find(0L, a.length.toLong, "moov")
+      moovSize <- boxSize(a, moov)
+      mvhd <- find(moov + 8L, moov + moovSize, "mvhd")
+      mvhdSize <- boxSize(a, mvhd)
+      version = b(a, mvhd.toInt + 8)
+      // v0: ver/flags 4 + creation 4 + modification 4 → ts at +20, dur at +24 (4 bytes)
+      // v1: ver/flags 4 + creation 8 + modification 8 → ts at +28, dur at +32 (8 bytes)
+      tsDur <-
+        if (version == 0 && mvhdSize >= 28 && mvhd + 28 <= a.length)
+          Some((beInt(a, mvhd.toInt + 20), beInt(a, mvhd.toInt + 24)))
+        else if (version == 1 && mvhdSize >= 40 && mvhd + 40 <= a.length)
+          Some((beInt(a, mvhd.toInt + 28), beLong(a, mvhd.toInt + 32)))
+        else None
+      (timescale, duration) = tsDur
+      if timescale > 0 && duration >= 0
+    } yield (timescale, duration * 1000L / timescale)
   }
 
   /**
    * REAL decode of one media record, JDK-only: PNG/JPEG through
    * `javax.imageio.ImageIO.read` (width·height), WAV through
-   * [[wavDurationMs]]. Anything else — or a payload whose magic matches
-   * but whose body does not parse — returns NULL metadata with
+   * [[wavDurationMs]], mp4 container metadata through [[mp4Metadata]]
+   * (duration — the JDK has no mp4 frame codec; pixel dims live in tkhd
+   * per-track boxes and stay out of this movie-level walk, reported 0
+   * like audio). Anything else — or a payload whose magic matches but
+   * whose body does not parse — returns NULL metadata with
    * `decode_ok = false`: corruption is DATA, never an exception that
    * kills a 100 TB stage, and never a silently fabricated dimension.
    */
@@ -157,6 +243,7 @@ object Multimodal {
       decode_ok = false)
     try {
       if (isPng(r.payload) || isJpeg(r.payload)) {
+        imageIoNoCache
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
         if (img == null) fail
         else RealFeatures(r.media_id, r.media_type, r.n_bytes,
@@ -164,6 +251,12 @@ object Multimodal {
       } else if (isWav(r.payload)) {
         wavDurationMs(r.payload) match {
           case Some(ms) => RealFeatures(r.media_id, r.media_type, r.n_bytes,
+            Some(0), Some(0), Some(ms), decode_ok = true)
+          case None => fail
+        }
+      } else if (isMp4(r.payload)) {
+        mp4Metadata(r.payload) match {
+          case Some((_, ms)) => RealFeatures(r.media_id, r.media_type, r.n_bytes,
             Some(0), Some(0), Some(ms), decode_ok = true)
           case None => fail
         }
@@ -181,6 +274,7 @@ object Multimodal {
   /** A real PNG payload: `w`×`h` RGB, deterministic solid fill from the
     * dimensions. JDK encoder, no dependencies. */
   private[graft] def pngBytes(w: Int, h: Int): Array[Byte] = {
+    imageIoNoCache
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val rgb = ((w * 31 + h) * 2654435761L & 0xffffffL).toInt
@@ -208,6 +302,58 @@ object Multimodal {
   }
 
   /**
+   * A real minimal mp4 container: `ftyp` + `moov{mvhd}` boxes with a
+   * version-0 mvhd carrying the given timescale and a duration of
+   * `durationMs·timescale/1000` units (callers pick values where that is
+   * integral, so the decode round-trips exactly). Full 108-byte mvhd —
+   * rate/volume/matrix/next-track-id populated with their spec defaults —
+   * so any conforming walker, not just ours, parses it. Pure byte
+   * emission, no dependencies.
+   */
+  private[graft] def mp4Bytes(durationMs: Long, timescale: Int = 600): Array[Byte] = {
+    require(timescale > 0 && durationMs >= 0 &&
+      durationMs * timescale % 1000L == 0L,
+      s"durationMs·timescale must be a whole number of units: $durationMs @ $timescale")
+    val duration = (durationMs * timescale / 1000L).toInt
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + 108) // big-endian default
+    bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0) // major brand, minor version
+    bb.putInt(8 + 108).put("moov".getBytes("US-ASCII"))
+    bb.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // creation, modification
+      .putInt(timescale).putInt(duration)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate 1.0, volume 1.0, reserved
+      .putInt(0).putInt(0) // reserved
+      .putInt(0x00010000).putInt(0).putInt(0) // identity matrix
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0) // pre_defined
+      .putInt(2) // next_track_ID
+    bb.array()
+  }
+
+  /**
+   * GENUINE video rows from an id column — the mp4 member of the
+   * [[realMedia]] family: every id carries an actual ISO-BMFF container
+   * ([[mp4Bytes]]) with duration 40·(1+id%50) ms at timescale 600 (so the
+   * unit math is exact and the oracle is pure id arithmetic). When
+   * `corruptMod > 0`, ids divisible by it ship only the first 8 payload
+   * bytes — a truncated container whose box walk MUST fail, routing the
+   * row to `null_metadata`. Partition-local generation like [[realMedia]].
+   */
+  def realVideoMedia(df: DataFrame, idCol: String, corruptMod: Int = 0): Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val whole = mp4Bytes(durationMs = 40L * (1 + id % 50), timescale = 600)
+      val payload =
+        if (corruptMod > 0 && id % corruptMod == 0) whole.take(8) else whole
+      MediaRecord(id, "video", payload, payload.length, "mp4")
+    })
+  }
+
+  /**
    * GENUINE media rows derived deterministically from an id column —
    * the real-bytes twin of [[syntheticMedia]]: even ids carry an actual
    * PNG (width 64+id%29, height 64+id%31 — inside the decodable
@@ -230,6 +376,7 @@ object Multimodal {
     * gradient, whose 8×8 averages would collapse aHash onto a handful
     * of direction patterns). Same class seed ⇒ byte-identical image. */
   private[graft] def patternPngBytes(w: Int, h: Int, seed: Int): Array[Byte] = {
+    imageIoNoCache
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     val px = Array.ofDim[Int](w * h) // bulk raster write — per-pixel setRGB
@@ -260,6 +407,7 @@ object Multimodal {
    */
   private[graft] def aHash64(payload: Array[Byte]): Option[Long] = {
     try {
+      imageIoNoCache
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) return None
       val w = img.getWidth

@@ -169,14 +169,17 @@ object Similarity {
     // (1000·log 2)/log 2 lands at 999.999… and floors to 999
     math.floor(1000.0d * (math.log(r + 1.0d) / math.log(2.0d))).toLong
 
-  /** Per-rank NDCG gains in micro units: 10⁶ div log2Milli(r), r=1..k. */
-  def ndcgGainsMicro(k: Int): Seq[Long] = (1 to k).map(r => 1000000L / log2Milli(r))
+  /** Per-rank NDCG gains in MILLI units: 10⁶ div log2Milli(r) =
+    * 10³/log₂(r+1), r=1..k — rank-1 gain is 1000. (Milli precision is
+    * plenty for a top-k eval; the ndcg_milli ratio re-normalizes anyway,
+    * and both engines share these exact driver literals.) */
+  def ndcgGainsMilli(k: Int): Seq[Long] = (1 to k).map(r => 1000000L / log2Milli(r))
 
   /**
    * NDCG@k retrieval eval — [[mrrEval]]'s graded-position companion:
    * rank the corpus per query by the exact float dot, credit each
-   * same-label hit at rank r ≤ k with the micro gain 10⁶/log₂(r+1)
-   * (driver-literal table — see [[ndcgGainsMicro]]), normalize by the
+   * same-label hit at rank r ≤ k with the milli gain 10³/log₂(r+1)
+   * (driver-literal table — see [[ndcgGainsMilli]]), normalize by the
    * ideal DCG for that query's relevant-count. All integer arithmetic;
    * `ndcg_milli` is null when the label never recurs (no ideal to
    * normalize by — the same convention as mrrEval's null rank).
@@ -186,7 +189,7 @@ object Similarity {
   def ndcgAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, labelCol: String, k: Int): DataFrame = {
     require(k >= 1 && k <= 1000, s"k out of range: $k")
-    val gains = ndcgGainsMicro(k)
+    val gains = ndcgGainsMilli(k)
     val cumGains = gains.scanLeft(0L)(_ + _).tail
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv"), col(labelCol).as("q_label")))
@@ -206,12 +209,12 @@ object Similarity {
       .groupBy(col("query_id"), col("q_label"))
       .agg(
         coalesce(sum(when(col("c_label") === col("q_label") && col("rank") <= k,
-          gainAtRank)), lit(0L)).as("dcg_micro"),
+          gainAtRank)), lit(0L)).as("dcg_milli"),
         sum(when(col("c_label") === col("q_label"), 1L).otherwise(0L)).as("n_rel"))
       .withColumn("__ideal", idealAt)
       .withColumn("ndcg_milli",
         when(col("n_rel") > 0L,
-          expr("(1000 * dcg_micro) div __ideal")))
+          expr("(1000 * dcg_milli) div __ideal")))
       .drop("__ideal")
   }
 

@@ -194,11 +194,7 @@ object MongoGrammar {
         case "$match" => validateMatch(body, s"$path.$$match")
         case "$project" => validateProject(body, s"$path.$$project")
         case "$lookup" => validateLookup(body, s"$path.$$lookup")
-        case "$unwind" => body match {
-          case JStr(p) if p.startsWith("$") && p.length > 1 => ()
-          case JStr(p) => fail(s"$path.$$unwind", s"path must start with '$$': '$p'")
-          case _ => fail(s"$path.$$unwind", "operand must be a '$'-prefixed path string")
-        }
+        case "$unwind" => validateUnwind(body, s"$path.$$unwind")
         case "$merge" => validateMerge(body, s"$path.$$merge")
         case "$sort" => body match {
           case JObj(fs) if fs.nonEmpty && fs.forall {
@@ -216,6 +212,41 @@ object MongoGrammar {
       fail(path, s"a stage must hold exactly ONE operator, found ${fs.map(_._1).mkString(", ")}")
     case JObj(_) => fail(path, "empty stage object")
     case _ => fail(path, "stage must be an object")
+  }
+
+  /** `$unwind` takes either the bare path string or the object form the
+    * reference also emits (`{"$unwind": {"path": "$transaction"}}` —
+    * reference: src/data_extractor.py:74), with mongo's two optional
+    * modifiers. ADVICE r12: the string-only grammar rejected pipelines a
+    * faithfully-ported builder would emit. */
+  private def validateUnwind(body: J, path: String): Unit = {
+    def checkPath(p: String, at: String): Unit =
+      if (!p.startsWith("$") || p.length < 2)
+        fail(at, s"path must start with '$$': '$p'")
+    body match {
+      case JStr(p) => checkPath(p, path)
+      case JObj(fields) =>
+        val m = fields.toMap
+        m.get("path") match {
+          case Some(JStr(p)) => checkPath(p, s"$path.path")
+          case Some(_) => fail(s"$path.path", "must be a '$'-prefixed path string")
+          case None => fail(path, "object form requires a 'path' key")
+        }
+        m.get("includeArrayIndex").foreach {
+          case JStr(v) if v.nonEmpty && !v.startsWith("$") => ()
+          case _ => fail(s"$path.includeArrayIndex",
+            "must be a non-empty field name without '$'")
+        }
+        m.get("preserveNullAndEmptyArrays").foreach {
+          case JBool(_) => ()
+          case _ => fail(s"$path.preserveNullAndEmptyArrays", "must be a boolean")
+        }
+        val known = Set("path", "includeArrayIndex", "preserveNullAndEmptyArrays")
+        val extra = fields.map(_._1).filterNot(known.contains)
+        if (extra.nonEmpty) fail(path, s"unknown keys: ${extra.mkString(", ")}")
+      case _ => fail(path,
+        "operand must be a '$'-prefixed path string or a {path: ...} object")
+    }
   }
 
   private def validateMatch(body: J, path: String): Unit = body match {
@@ -274,9 +305,23 @@ object MongoGrammar {
   private def validateMerge(body: J, path: String): Unit = body match {
     case JObj(fields) =>
       val m = fields.toMap
+      // `into` is a collection name or the {db, coll} object the reference
+      // emits for cross-database merges (ADVICE r12: second_conciliate.py
+      // addresses the target as {db, coll})
       m.get("into") match {
         case Some(JStr(v)) if v.nonEmpty => ()
-        case _ => fail(s"$path.into", "required non-empty string")
+        case Some(JObj(fs)) =>
+          val im = fs.toMap
+          Seq("db", "coll").foreach { k =>
+            im.get(k) match {
+              case Some(JStr(v)) if v.nonEmpty => ()
+              case _ => fail(s"$path.into.$k", "required non-empty string")
+            }
+          }
+          val extra = fs.map(_._1).filterNot(Set("db", "coll").contains)
+          if (extra.nonEmpty) fail(s"$path.into", s"unknown keys: ${extra.mkString(", ")}")
+        case _ => fail(s"$path.into",
+          "required: a non-empty collection name or a {db, coll} object")
       }
       m.get("on") match {
         case None | Some(JStr(_)) => ()

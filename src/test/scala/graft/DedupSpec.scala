@@ -277,6 +277,32 @@ class DedupSpec extends SparkSuite {
       30L -> 30L, 31L -> 30L, 32L -> 30L))
   }
 
+  test("alternatingComponents matches hash-min on mixed shapes") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L), (31L, 32L), (30L, 32L))
+      .toDF("doc1", "doc2")
+    val alt = Dedup.alternatingComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(alt == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L))
+  }
+
+  test("alternatingComponents: logarithmic rounds on a 100-node path graph") {
+    // a diameter-99 path: hash-min propagates the min ONE hop per round
+    // (99 rounds — its default maxIter=25 budget throws), while star
+    // alternation halves path structure per round and must land well
+    // inside a log-scale budget
+    val path = (0L until 99L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    intercept[IllegalStateException](Dedup.connectedComponents(path).count())
+    val (labels, rounds) =
+      Dedup.alternatingComponentsWithRounds(path, "doc1", "doc2", maxIter = 40)
+    assert(rounds <= 12, s"expected O(log n) rounds on a path-100, got $rounds")
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got == (0L to 99L).map(_ -> 0L).toMap)
+    // and the hash-min result agrees once its budget covers the diameter
+    val hashMin = Dedup.connectedComponents(path, maxIter = 120)
+      .as[(Long, Long)].collect().toMap
+    assert(got == hashMin)
+  }
+
   test("incrementalComponents equals a full recompute across merge shapes") {
     // seen graph: components {1,2,3} (label 1) and {10,11} (label 10);
     // doc 50 is seen but isolated (no pair, so not in the label frame)

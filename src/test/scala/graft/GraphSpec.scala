@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, posexplode}
 import graft.ops.Graph
 
 class GraphSpec extends SparkSuite {
@@ -281,6 +282,30 @@ class GraphSpec extends SparkSuite {
     val dup = Graph.randomWalks(edges.union(edges), nWalks = 2, len = 3)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(dup == out.toSet)
+  }
+
+  test("walkContextsFromPaths ≡ walkContexts(randomWalks) — the no-join path form") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (2L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    for (win <- Seq(1, 2, 3)) {
+      val viaJoin = Graph.walkContexts(
+        Graph.randomWalks(edges, nWalks = 2, len = 3, symmetric = true), win)
+        .as[(Long, Long, Long)].collect().toSet
+      val viaPaths = Graph.walkContextsFromPaths(
+        Graph.randomWalkPaths(edges, nWalks = 2, len = 3, symmetric = true), win)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(viaPaths == viaJoin, s"window $win: $viaPaths != $viaJoin")
+      assert(viaPaths.nonEmpty)
+    }
+    // paths round-trip: posexplode of the path table IS the walk table
+    val rows = Graph.randomWalks(edges, 2, 3, symmetric = true)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val fromPaths = Graph.randomWalkPaths(edges, 2, 3, symmetric = true)
+      .select(col("start"), col("walk"),
+        posexplode(col("path")).as(Seq("step", "node")))
+      .as[(Long, Long, Int, Long)].collect()
+      .map(t => (t._1, t._2, t._3.toLong, t._4)).toSet
+    assert(fromPaths == rows)
   }
 
   test("walkContexts: exact skip-gram pair counts within the window") {

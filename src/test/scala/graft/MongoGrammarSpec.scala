@@ -74,6 +74,25 @@ class MongoGrammarSpec extends AnyFunSuite {
     rejected("""{$limit: 0}""", "positive integer")
   }
 
+  test("reference-shaped object forms validate: $unwind {path}, $merge.into {db, coll}") {
+    // the reference emits {"$unwind": {"path": "$transaction"}} and
+    // addresses $merge targets as {db, coll} — both must pass (ADVICE r12)
+    MongoGrammar.validateStages("""{$unwind: {path: "$transaction"}}""")
+    MongoGrammar.validateStages(
+      """{$unwind: {path: "$rem", includeArrayIndex: "i", preserveNullAndEmptyArrays: false}}""")
+    MongoGrammar.validateStages(
+      """{$merge: {into: {db: "sales", coll: "recon_out"}, on: "_id", whenMatched: "merge"}}""")
+    // and their near-misses still fail with a located error
+    rejected("""{$unwind: {path: "rem"}}""", "must start with")
+    rejected("""{$unwind: {paht: "$rem"}}""", "path")
+    rejected("""{$unwind: {path: "$rem", arrayIndex: "i"}}""", "unknown keys")
+    rejected("""{$unwind: {path: "$rem", preserveNullAndEmptyArrays: "yes"}}""", "boolean")
+    rejected("""{$unwind: 1}""", "operand must be")
+    rejected("""{$merge: {into: {db: "sales"}, on: "_id"}}""", "into.coll")
+    rejected("""{$merge: {into: {db: "sales", coll: ""}, on: "_id"}}""", "into.coll")
+    rejected("""{$merge: {into: {db: "s", coll: "c", shard: "x"}}}""", "unknown keys")
+  }
+
   test("parser rejects malformed JSON outright") {
     intercept[IllegalArgumentException](MongoGrammar.validatePipeline("""[{$match: {a: 1}}"""))
     intercept[IllegalArgumentException](MongoGrammar.validatePipeline("""[{$match: {a: 1}}] x"""))

@@ -42,6 +42,62 @@ class MultimodalDecodeSpec extends SparkSuite {
     assert(Multimodal.wavDurationMs(Multimodal.wavBytes(8000)).contains(1000L))
   }
 
+  test("mp4Metadata: real moov/mvhd box walk — exact units, both versions, hostile bytes") {
+    // v0 round-trip at timescale 600: 40·(1+k) ms are whole 600ths
+    val v0 = Multimodal.mp4Bytes(durationMs = 2000L, timescale = 600)
+    assert(v0.length == 132)
+    assert(Multimodal.mp4Metadata(v0).contains((600L, 2000L)))
+    val f = Multimodal.decodeReal(rec(7L, "video", v0, "mp4"))
+    assert(f.decode_ok && f.duration_ms.contains(2000L) &&
+      f.width.contains(0) && f.height.contains(0))
+    // flooring: 100 units at timescale 3 = 33333.33ms -> 33333
+    def patchTs(a: Array[Byte], ts: Int, dur: Int): Array[Byte] = {
+      val c = a.clone()
+      val bb = java.nio.ByteBuffer.wrap(c)
+      bb.putInt(24 + 8 + 12, ts).putInt(24 + 8 + 16, dur) // mvhd body at 32
+      c
+    }
+    assert(Multimodal.mp4Metadata(patchTs(v0, 3, 100)).contains((3L, 33333L)))
+    // a VERSION-1 mvhd (64-bit creation/modification/duration): build by hand
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + 44)
+    bb.putInt(16).put("ftyp".getBytes("US-ASCII")).putInt(0x69736f6d).putInt(0)
+      .putInt(8 + 44).put("moov".getBytes("US-ASCII"))
+      .putInt(44).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0x01000000) // version 1
+      .putLong(0L).putLong(0L) // creation, modification (64-bit)
+      .putInt(1000).putLong(12345L) // timescale, duration (64-bit)
+    assert(Multimodal.mp4Metadata(bb.array()).contains((1000L, 12345L)))
+    // hostile inputs return None, never throw:
+    assert(Multimodal.mp4Metadata(v0.take(8)).isEmpty) // truncated container
+    assert(Multimodal.mp4Metadata(v0.take(40)).isEmpty) // moov cut mid-box
+    val zeroTs = patchTs(v0, 0, 100) // zero timescale must not divide
+    assert(Multimodal.mp4Metadata(zeroTs).isEmpty)
+    val badSize = v0.clone() // moov claims a size past the payload end
+    java.nio.ByteBuffer.wrap(badSize).putInt(16, 4096)
+    assert(Multimodal.mp4Metadata(badSize).isEmpty)
+    val tinySize = v0.clone() // box size smaller than its own header
+    java.nio.ByteBuffer.wrap(tinySize).putInt(16, 3)
+    assert(Multimodal.mp4Metadata(tinySize).isEmpty)
+    assert(!Multimodal.decodeReal(rec(8L, "video", v0.take(8), "mp4")).decode_ok)
+  }
+
+  test("realVideoMedia -> decodeRealFeatures: container formulas hold, corruption flagged") {
+    val ids = spark.range(0, 60).toDF("doc_id")
+    val rows = Multimodal.decodeRealFeatures(
+      Multimodal.realVideoMedia(ids, "doc_id", corruptMod = 19)).collect()
+    assert(rows.length == 60)
+    rows.foreach { f =>
+      assert(f.media_type == "video")
+      if (f.media_id % 19 == 0)
+        assert(!f.decode_ok && f.duration_ms.isEmpty && f.n_bytes == 8,
+          s"id ${f.media_id} should be a truncated container")
+      else
+        assert(f.decode_ok && f.n_bytes == 132 &&
+          f.duration_ms.contains(40L * (1 + f.media_id % 50)),
+          s"bad mp4 walk at id ${f.media_id}: $f")
+    }
+  }
+
   test("corruption is data: truncated/garbage payloads yield NULLs, not throws") {
     // magic intact but body gone -> ImageIO returns null -> fail
     val cutPng = Multimodal.decodeReal(
@@ -55,6 +111,13 @@ class MultimodalDecodeSpec extends SparkSuite {
     val garbage = Multimodal.decodeReal(
       rec(6L, "image", Array.tabulate[Byte](64)(i => (i * 7).toByte), "png"))
     assert(!garbage.decode_ok)
+    // ADVICE r12: a hostile chunk size near Int.MAX must return None from
+    // wavDurationMs ITSELF (Long walk position) — an Int pos wrapped
+    // negative and threw from the chunk-id read instead
+    val hostile = Multimodal.wavBytes(100)
+    java.nio.ByteBuffer.wrap(hostile).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, 0x7ffffff0) // fmt chunk claims ~2^31 bytes
+    assert(Multimodal.wavDurationMs(hostile).isEmpty)
   }
 
   test("aHash64: real pixel hash — identical images equal, 50 classes far apart") {

@@ -155,6 +155,25 @@ class OpsPropertySpec extends SparkSuite {
     }
   }
 
+  test("property: alternatingComponents equals hash-min on random pair graphs") {
+    // star alternation and min-label propagation are different algorithms
+    // with ONE contract: component = min reachable id — any divergence on
+    // any graph shape (chains, cliques, crossing edges, self-pairs
+    // filtered, duplicates) is a bug in one of them
+    forSeeds(Gen.listOfN(30,
+        Gen.zip(Gen.choose(0L, 24L), Gen.choose(0L, 24L))), 8) { raw =>
+      val pairs = raw.filter(p => p._1 != p._2)
+      if (pairs.nonEmpty) {
+        val df = pairs.toDF("doc1", "doc2")
+        val alt = graft.ops.Dedup.alternatingComponents(df)
+          .as[(Long, Long)].collect().toMap
+        val hm = graft.ops.Dedup.connectedComponents(df, maxIter = 60)
+          .as[(Long, Long)].collect().toMap
+        assert(alt == hm, s"alt $alt != hash-min $hm for pairs $pairs")
+      }
+    }
+  }
+
   test("property: walkContexts pair counts are symmetric for any walk table") {
     // both directions of an unordered step pair are emitted from the
     // same self-join rows, so m(a,b) == m(b,a) whatever the walks are

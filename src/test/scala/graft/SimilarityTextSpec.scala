@@ -78,7 +78,7 @@ class SimilarityTextSpec extends SparkSuite {
 
   test("ndcgAtK: hand-computed gains, perfect-ranking = 1000, lonely labels null") {
     // same fixture as mrrEval: query 1's ranking is 3(B) 4(B) 2(A) 5(A)
-    // -> hits at ranks 3 and 4 of k=5; gains micro = 10^6/log2milli(r+1):
+    // -> hits at ranks 3 and 4 of k=5; gains milli = 10^6 div log2milli(r):
     // g(3) = 10^6/2000 = 500, g(4) = 10^6/2321 = 430; dcg = 930.
     // ideal for n_rel=2: g(1)+g(2) = 1000 + 631 = 1631.
     // ndcg = 930000/1631 = 570 milli (floor).
@@ -90,10 +90,10 @@ class SimilarityTextSpec extends SparkSuite {
       (4L, Array(0.98f, 0.0f, 0.02f), "B"),
       (6L, Array(0.0f, -1.0f, 0.0f), "C")
     ).toDF("vec_id", "embedding", "label")
-    assert(Similarity.ndcgGainsMicro(4) == Seq(1000L, 631L, 500L, 430L))
+    assert(Similarity.ndcgGainsMilli(4) == Seq(1000L, 631L, 500L, 430L))
     val q = lv.where(col("vec_id") === 1 || col("vec_id") === 6)
     val rows = Similarity.ndcgAtK(lv, q, "vec_id", "embedding", "label", k = 5)
-      .select("query_id", "dcg_micro", "n_rel", "ndcg_milli")
+      .select("query_id", "dcg_milli", "n_rel", "ndcg_milli")
       .as[(Long, Long, Long, Option[Long])].collect().toSet
     assert(rows == Set(
       (1L, 930L, 2L, Some(570L)),
