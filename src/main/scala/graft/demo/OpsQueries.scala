@@ -38,6 +38,19 @@ object OpsQueries {
   private[demo] def embedIncrementalOracle: String =
     LshOracleSql.incrementalCosineSql(h = 4, threshold = 0.4d, maxBucket = 4096)
 
+  // IVF-PQ training-set cap (VERDICT r12 #4): Lloyd routing + PQ codebook
+  // training read a deterministic ~50% keyHash sample of the corpus —
+  // at 100 TB training on everything is the wrong cost (the codebook
+  // converges on a sample; FAISS-style practice trains on 10^5-10^6
+  // vectors regardless of corpus size). Serving (cell assignment, encode,
+  // probe) still touches the FULL corpus. The gate is md5-based
+  // (Sampling.keyHash), mirrored exactly in the oracle's trainer CTEs.
+  private[demo] val IvfPqTrainThr: Long = Sampling.threshold(0.5)
+  private[demo] def trainSample(e: DataFrame): DataFrame =
+    e.where(Sampling.keyHash(col("vec_id")) < IvfPqTrainThr)
+  private[demo] def trainGateSql(ref: String): String =
+    s"('0x' || substr(md5(CAST($ref AS VARCHAR)), 1, 15))::BIGINT < $IvfPqTrainThr"
+
   /** ≡ Similarity.pqTopK(k=5, m=8, subDim=8, nCentroids=16, modulus=5) on
     * embeddings with every-100th query — the full codebook→encode→
     * reconstruct→score→rank mirror, shared by `sim_pq_topk` and the
@@ -847,11 +860,13 @@ object OpsQueries {
     // whole composed path is value-checked end to end
     QuerySpec("sim_ivfpq_topk",
       ivfpqSql(k = 16, modulus = 50, iters = 1, m = 32, subDim = 2,
-        pqC = 32, pqModulus = 5, queryMod = 100, nprobe = 6, topk = 5)) { (s, d) =>
+        pqC = 32, pqModulus = 5, queryMod = 100, nprobe = 6, topk = 5,
+        sampledTraining = true)) { (s, d) =>
       val e = embs(s, d)
-      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      val train = trainSample(e) // train on the keyHash sample, serve the full corpus
+      val cents = Similarity.kmeansCentroids(train, "vec_id", "embedding",
         k = 16, iters = 1, modulus = 50)
-      val cb = Similarity.pqCodebookTrained(e, "vec_id", "embedding",
+      val cb = Similarity.pqCodebookTrained(train, "vec_id", "embedding",
         m = 32, subDim = 2, nCentroids = 32, iters = 1, modulus = 5)
       Similarity.ivfpqTopKWith(e, e.where(col("vec_id") % 100 === 0),
         "vec_id", "embedding", k = 5, cents, cb, m = 32, subDim = 2, nprobe = 6)
@@ -874,7 +889,8 @@ object OpsQueries {
            |  WHERE rank <= 5),
            |ivfpq AS (SELECT query_id, neighbor_id FROM (
            |${ivfpqSql(k = 16, modulus = 50, iters = 1, m = 32, subDim = 2,
-                pqC = 32, pqModulus = 5, queryMod = 100, nprobe = 6, topk = 5)}))
+                pqC = 32, pqModulus = 5, queryMod = 100, nprobe = 6, topk = 5,
+                sampledTraining = true)}))
            |SELECT b.query_id, count(*) AS k,
            |  CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
            |  CAST(sum(CASE WHEN p.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
@@ -886,9 +902,10 @@ object OpsQueries {
       val queries = e.where(col("vec_id") % 100 === 0)
       val brute = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbor_id"))
-      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      val train = trainSample(e)
+      val cents = Similarity.kmeansCentroids(train, "vec_id", "embedding",
         k = 16, iters = 1, modulus = 50)
-      val cb = Similarity.pqCodebookTrained(e, "vec_id", "embedding",
+      val cb = Similarity.pqCodebookTrained(train, "vec_id", "embedding",
         m = 32, subDim = 2, nCentroids = 32, iters = 1, modulus = 5)
       val ivfpq = Similarity.ivfpqTopKWith(e, queries, "vec_id", "embedding",
         k = 5, cents, cb, m = 32, subDim = 2, nprobe = 6)
@@ -909,12 +926,14 @@ object OpsQueries {
     // value-identical to the in-memory composition
     QuerySpec("sim_ivfpq_index_probe",
       ivfpqSql(k = 16, modulus = 50, iters = 1, m = 32, subDim = 2,
-        pqC = 32, pqModulus = 5, queryMod = 100, nprobe = 6, topk = 5)) { (s, d) =>
+        pqC = 32, pqModulus = 5, queryMod = 100, nprobe = 6, topk = 5,
+        sampledTraining = true)) { (s, d) =>
       val e = embs(s, d)
       val tmp = CurationQueries.runTmpDir(s, "graft_ivfpq_index")
       graft.ops.IndexStore.writeIvfPqIndex(e, "vec_id", "embedding",
         tmp.getAbsolutePath, kCells = 16, ivfIters = 1, ivfModulus = 50,
-        m = 32, subDim = 2, pqC = 32, pqIters = 1, pqModulus = 5)
+        m = 32, subDim = 2, pqC = 32, pqIters = 1, pqModulus = 5,
+        train = Some(trainSample(e)))
       val probed = graft.ops.IndexStore.ivfPqProbe(
         e.where(col("vec_id") % 100 === 0), tmp.getAbsolutePath, k = 5, nprobe = 6)
       // EAGER: the frame's input files are deleted on the next line
@@ -936,7 +955,8 @@ object OpsQueries {
     // top-k would otherwise triple the bench/oracle cost of the pair above
     QuerySpec("sim_ivfpq_recall_curve",
       raw"""${ivfpqCandCtes(k = 16, modulus = 50, iters = 1, m = 32, subDim = 2,
-              pqC = 32, pqModulus = 5, queryMod = 200, nprobeMax = 12)},
+              pqC = 32, pqModulus = 5, queryMod = 200, nprobeMax = 12,
+              sampledTraining = true)},
            |brute AS (
            |  SELECT query_id, neighbor_id FROM (
            |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -966,9 +986,10 @@ object OpsQueries {
       val brute = graft.recon.Checkpoints.cut(
         Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
           .select(col("query_id"), col("neighbor_id")))
-      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      val train = trainSample(e)
+      val cents = Similarity.kmeansCentroids(train, "vec_id", "embedding",
         k = 16, iters = 1, modulus = 50)
-      val cb = Similarity.pqCodebookTrained(e, "vec_id", "embedding",
+      val cb = Similarity.pqCodebookTrained(train, "vec_id", "embedding",
         m = 32, subDim = 2, nCentroids = 32, iters = 1, modulus = 5)
       // one scored candidate stream at nprobe=12, cut so the three arms
       // below share its materialization instead of re-training/rescoring
@@ -1156,16 +1177,23 @@ object OpsQueries {
   /** WITH-prefix shared by every trained-codebook oracle: seed codebook
     * `c0`, `iters` Lloyd iterations, final assignment `af` of (vec_id,
     * embedding, centroid_id) against the trained codebook `c$iters`. */
-  private def kmeansCtes(k: Int, modulus: Int, iters: Int): String = {
-    def assignCte(name: String, cents: String): String =
+  private def kmeansCtes(k: Int, modulus: Int, iters: Int,
+      sampledTraining: Boolean = false): String = {
+    // `sampledTraining` mirrors the Spark side's trainSample gate: seeds
+    // and the per-iteration assignments read only the keyHash sample;
+    // the FINAL assignment `af` (serving) always reads everything
+    def gate(ref: String) = if (sampledTraining) s" AND ${trainGateSql(ref)}" else ""
+    def assignCte(name: String, cents: String, where: String = ""): String =
       s"""$name AS (
          |  SELECT vec_id, embedding, centroid_id FROM (
          |    SELECT e.vec_id, e.embedding, c.centroid_id,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY list_dot_product(e.embedding, c.cv) DESC, c.centroid_id) AS rn
-         |    FROM embeddings e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+         |    FROM embeddings e CROSS JOIN $cents c$where) WHERE rn = 1)""".stripMargin
+    val trainWhere =
+      if (sampledTraining) s" WHERE ${trainGateSql("e.vec_id")}" else ""
     val iterCtes = (1 to iters).map { i =>
-      s"""${assignCte(s"a$i", s"c${i - 1}")},
+      s"""${assignCte(s"a$i", s"c${i - 1}", trainWhere)},
          |m$i AS (
          |  SELECT a.centroid_id, d.d, CAST(avg(a.embedding[d.d]) AS FLOAT) AS m
          |  FROM a$i a CROSS JOIN dims d GROUP BY 1, 2),
@@ -1180,7 +1208,7 @@ object OpsQueries {
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id, embedding AS cv
        |  FROM (SELECT vec_id, embedding FROM embeddings
-       |        WHERE vec_id % $modulus = 0 ORDER BY vec_id LIMIT $k)),
+       |        WHERE vec_id % $modulus = 0${gate("vec_id")} ORDER BY vec_id LIMIT $k)),
        |$iterCtes,
        |${assignCte("af", s"c$iters")}""".stripMargin
   }
@@ -1217,7 +1245,7 @@ object OpsQueries {
    * `pqrecon` concatenates the m subspaces in order via an m-way join.
    */
   private def pqTrainedCtes(m: Int, subDim: Int, pqC: Int, iters: Int,
-      pqModulus: Int): String = {
+      pqModulus: Int, sampledTraining: Boolean = false): String = {
     // ≡ Similarity.l2Score: argmax(dot(v,c) − ½‖c‖²) = argmin ‖v−c‖²,
     // float32 dots cast to DOUBLE, double arithmetic — bit-identical to
     // the Spark kernel path (0.5e0 forces a DOUBLE literal, not DECIMAL)
@@ -1226,13 +1254,20 @@ object OpsQueries {
     // the subspace index rides as DATA (`pss`), not as m unrolled CTE
     // blocks — the per-subspace form was O(m·iters) CTEs and took DuckDB
     // minutes to even plan at m=32; this shape is a constant ~10 CTEs
+    // training reads `ptrain` (the keyHash sample) when sampled; the final
+    // encode in pqrecon always reads the full `psub`
+    val trainSrc = if (sampledTraining) "ptrain" else "psub"
+    val trainCte =
+      if (sampledTraining)
+        s"ptrain AS (SELECT * FROM psub WHERE ${trainGateSql("vec_id")}),\n"
+      else ""
     val iterCtes = (1 to iters).map { i =>
       s"""pqa$i AS (
          |  SELECT s, vec_id, sv, j FROM (
          |    SELECT t.s, t.vec_id, t.sv, c.j,
          |      row_number() OVER (PARTITION BY t.s, t.vec_id
          |        ORDER BY ${l2score("t.sv", "c.cs")} DESC, c.j) AS rn
-         |    FROM psub t JOIN pq${i - 1} c ON c.s = t.s) WHERE rn = 1),
+         |    FROM $trainSrc t JOIN pq${i - 1} c ON c.s = t.s) WHERE rn = 1),
          |pqm$i AS (
          |  SELECT a.s, a.j, d.d, CAST(avg(a.sv[d.d]) AS FLOAT) AS m
          |  FROM pqa$i a CROSS JOIN sdims d GROUP BY 1, 2, 3),
@@ -1242,16 +1277,17 @@ object OpsQueries {
          |  SELECT c.s, c.j, c.cs FROM pq${i - 1} c
          |  WHERE NOT EXISTS (SELECT 1 FROM pqm$i x WHERE x.s = c.s AND x.j = c.j))""".stripMargin
     }.mkString(",\n")
+    val seedGate = if (sampledTraining) s" AND ${trainGateSql("vec_id")}" else ""
     s"""sdims AS (SELECT unnest(range(1, ${subDim + 1})) AS d),
        |pss AS (SELECT unnest(range(0, $m)) AS s),
        |psub AS (
        |  SELECT e.vec_id, p.s, e.embedding[p.s*$subDim+1 : (p.s+1)*$subDim] AS sv
        |  FROM embeddings e CROSS JOIN pss p),
-       |pq0 AS (
+       |${trainCte}pq0 AS (
        |  SELECT p.s, row_number() OVER (PARTITION BY p.s ORDER BY t.vec_id) - 1 AS j,
        |    t.embedding[p.s*$subDim+1 : (p.s+1)*$subDim] AS cs
        |  FROM (SELECT vec_id, embedding FROM embeddings
-       |        WHERE vec_id % $pqModulus = 0 ORDER BY vec_id LIMIT $pqC) t
+       |        WHERE vec_id % $pqModulus = 0$seedGate ORDER BY vec_id LIMIT $pqC) t
        |  CROSS JOIN pss p),
        |$iterCtes,
        |pqrecon AS (
@@ -1270,8 +1306,10 @@ object OpsQueries {
     * ([[kmeansCtes]]) and trained PQ codebooks ([[pqTrainedCtes]]):
     * nprobe-cell routing, asymmetric PQ scoring, per-query top-k. */
   private def ivfpqSql(k: Int, modulus: Int, iters: Int, m: Int, subDim: Int,
-      pqC: Int, pqModulus: Int, queryMod: Int, nprobe: Int, topk: Int): String =
-    s"""${ivfpqCandCtes(k, modulus, iters, m, subDim, pqC, pqModulus, queryMod, nprobe)}
+      pqC: Int, pqModulus: Int, queryMod: Int, nprobe: Int, topk: Int,
+      sampledTraining: Boolean = false): String =
+    s"""${ivfpqCandCtes(k, modulus, iters, m, subDim, pqC, pqModulus, queryMod,
+          nprobe, sampledTraining)}
        |SELECT query_id, neighbor_id, score, rank FROM (
        |  SELECT query_id, neighbor_id, score, row_number() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, neighbor_id) AS rank FROM cand)
@@ -1283,9 +1321,10 @@ object OpsQueries {
     * `nprobeMax` by filtering `pr` — shared by [[ivfpqSql]] and the
     * recall-curve mirror. Starts with WITH. */
   private def ivfpqCandCtes(k: Int, modulus: Int, iters: Int, m: Int, subDim: Int,
-      pqC: Int, pqModulus: Int, queryMod: Int, nprobeMax: Int): String =
-    s"""${kmeansCtes(k, modulus, iters)},
-       |${pqTrainedCtes(m, subDim, pqC, iters, pqModulus)},
+      pqC: Int, pqModulus: Int, queryMod: Int, nprobeMax: Int,
+      sampledTraining: Boolean = false): String =
+    s"""${kmeansCtes(k, modulus, iters, sampledTraining)},
+       |${pqTrainedCtes(m, subDim, pqC, iters, pqModulus, sampledTraining)},
        |probes AS (
        |  SELECT query_id, qv, centroid_id, pr FROM (
        |    SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,

@@ -237,10 +237,15 @@ object IndexStore {
    */
   def writeIvfPqIndex(df: DataFrame, idCol: String, vecCol: String, dir: String,
       kCells: Int, ivfIters: Int, ivfModulus: Long,
-      m: Int, subDim: Int, pqC: Int, pqIters: Int, pqModulus: Long): Unit = {
+      m: Int, subDim: Int, pqC: Int, pqIters: Int, pqModulus: Long,
+      train: Option[DataFrame] = None): Unit = {
     val spark = df.sparkSession
-    val cents = Similarity.kmeansCentroids(df, idCol, vecCol, kCells, ivfIters, ivfModulus)
-    val cb = Similarity.pqCodebookTrained(df, idCol, vecCol, m, subDim, pqC,
+    // `train` caps the Lloyd/codebook training set (a deterministic
+    // sample of `df`) while the ENCODED corpus stays `df` in full — at
+    // 100 TB training on everything buys nothing the sample doesn't
+    val trainDf = train.getOrElse(df)
+    val cents = Similarity.kmeansCentroids(trainDf, idCol, vecCol, kCells, ivfIters, ivfModulus)
+    val cb = Similarity.pqCodebookTrained(trainDf, idCol, vecCol, m, subDim, pqC,
       pqIters, pqModulus)
     val cells = Similarity.ivfIndexWith(df, idCol, vecCol, cents)
       .select(col(idCol), col("centroid_id"))

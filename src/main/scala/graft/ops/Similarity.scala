@@ -464,29 +464,54 @@ object Similarity {
    * (centroid_id, cv) with centroid ids 0..k-1 (re-labeled from the
    * seeds, stable across iterations).
    */
+  /** Trainer iteration boundary: codebooks are BROADCAST-SIZED by
+    * contract (k·dim floats — the artifact [[IndexStore]] writes
+    * `coalesce(1)`), so each Lloyd round collects the new centroid rows
+    * to the driver, applies the empty-cluster fallback LOCALLY (the
+    * dataframe form — `means union (prev anti-join means)` — consumed
+    * the whole assignment+mean aggregation TWICE per round), and
+    * re-enters the plan as a LocalRelation. One corpus job per round; a
+    * lineage cut here paid ~1 s of whole-stage codegen per round and
+    * still executed the means twice. Values identical either way. At
+    * 100 TB the corpus side stays fully distributed — only the
+    * codebook crosses the driver, exactly as it must to be broadcast. */
+  private def local(spark: org.apache.spark.sql.SparkSession,
+      rows: Seq[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
       iters: Int, modulus: Long): DataFrame = {
-    var cents = graft.recon.Checkpoints.cut(
-      centroids(df, idCol, vecCol, k, modulus)
-        .select(
-          (row_number().over(Window.orderBy(col("centroid_id"))) - 1).as("centroid_id"),
-          col("cv")))
+    val spark = df.sparkSession
+    // spread the training rows across the cluster: the training frame is
+    // sample-capped by contract (callers gate it — see the sim_ivfpq_*
+    // queries — because Lloyd over the FULL corpus is the wrong cost at
+    // 100 TB), and a capped sample arrives on however few splits the
+    // gate's input had; the per-row argmax work wants every core
+    val training = df.select(col(idCol), col(vecCol))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val seedsDf = centroids(df, idCol, vecCol, k, modulus)
+      .select(
+        (row_number().over(Window.orderBy(col("centroid_id"))) - 1).as("centroid_id"),
+        col("cv"))
+    val schema = seedsDf.schema
+    var centRows: Seq[org.apache.spark.sql.Row] = seedsDf.collect().toSeq
     (0 until iters).foreach { _ =>
-      val assigned = ivfIndexWith(df, idCol, vecCol, cents)
+      val assigned = ivfIndexWith(training, idCol, vecCol, local(spark, centRows, schema))
       val means = assigned
         .select(col("centroid_id"), posexplode(col(vecCol)).as(Seq("__dim", "__v")))
         .groupBy(col("centroid_id"), col("__dim"))
         .agg(avg(col("__v")).as("__m"))
         .groupBy(col("centroid_id"))
         .agg(array_sort(collect_list(struct(col("__dim"), col("__m")))).as("__dm"))
-        .select(col("centroid_id"),
+        .select(col("centroid_id").cast(schema("centroid_id").dataType),
           transform(col("__dm"), e => e.getField("__m").cast("float")).as("cv"))
-      // empty clusters keep their previous centroid
-      cents = graft.recon.Checkpoints.cut(
-        means.unionByName(
-          cents.join(means.select("centroid_id"), Seq("centroid_id"), "left_anti")))
+        .collect().toSeq
+      // empty clusters keep their previous centroid — driver-local set math
+      val refreshed = means.map(_.get(0)).toSet
+      centRows = means ++ centRows.filterNot(r => refreshed.contains(r.get(0)))
     }
-    cents
+    local(spark, centRows, schema)
   }
 
   /**
@@ -644,17 +669,27 @@ object Similarity {
       .select(col("p.s").as("s"), col("j"), col("p.cs").as("cs"))
   }
 
-  /** The codebook as ONE broadcastable row: `__cb[s+1][j+1] = cs` —
-    * nested arrays ordered by (s, j) so codes index positionally. */
-  private def codebookArray(codebook: DataFrame): DataFrame =
-    broadcast(codebook
-      .groupBy(col("s"))
-      .agg(array_sort(collect_list(struct(col("j"), col("cs")))).as("__js"))
-      .groupBy()
-      .agg(array_sort(collect_list(struct(col("s"),
-        col("__js")))).as("__ss"))
-      .select(transform(col("__ss"), e =>
-        transform(e.getField("__js"), je => je.getField("cs"))).as("__cb")))
+  /** The codebook as a nested-array plan LITERAL: `__cb[s+1][j+1] = cs`,
+    * ordered by (s, j) so codes index positionally. Codebooks are
+    * driver-small by contract (m·C subvectors — the artifact
+    * [[IndexStore]] writes `coalesce(1)`), so ONE collect replaces the
+    * two-level groupBy + broadcast-exchange job chain the dataframe form
+    * paid on every encode/reconstruct/assign call. Values identical. */
+  private def codebookLit(codebook: DataFrame): Column = {
+    val rows = codebook.select(col("s").cast("int"), col("j").cast("int"),
+      col("cs")).collect()
+    val nested: Seq[Seq[Seq[Float]]] = rows
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (s, rs) =>
+        val sorted = rs.sortBy(_.getInt(1)).toSeq
+        // positional indexing (code j lives at array slot j+1) requires
+        // contiguous codes — true for every codebook builder here
+        require(sorted.map(_.getInt(1)) == (0 until sorted.size),
+          s"codebook subspace $s has non-contiguous codes")
+        sorted.map(_.getSeq[Float](2))
+      }
+    typedLit(nested)
+  }
 
   /**
    * PQ-encode a corpus: `(idCol, codes)` with `codes[s]` = the 0-based
@@ -669,7 +704,7 @@ object Similarity {
   def pqEncode(df: DataFrame, idCol: String, vecCol: String, codebook: DataFrame,
       m: Int, subDim: Int): DataFrame =
     df.select(col(idCol), col(vecCol))
-      .join(codebookArray(codebook))
+      .withColumn("__cb", codebookLit(codebook))
       .select(col(idCol), transform(sequence(lit(0), lit(m - 1)), s => {
         val entries = element_at(col("__cb"), s + 1)
         val best = array_max(transform(sequence(lit(1), size(entries)), jj =>
@@ -681,9 +716,9 @@ object Similarity {
       }).as("codes"))
 
   /** Decode `(idCol, codes)` back to `(idCol, recon)` — concatenation of
-    * the coded subvectors via the broadcast codebook; per-row, narrow. */
+    * the coded subvectors via the literal codebook; per-row, narrow. */
   def pqReconstruct(encoded: DataFrame, idCol: String, codebook: DataFrame): DataFrame =
-    encoded.join(codebookArray(codebook))
+    encoded.withColumn("__cb", codebookLit(codebook))
       .select(col(idCol),
         flatten(zip_with(col("codes"), col("__cb"),
           (c, js) => element_at(js, c + 1))).as("recon"))
@@ -709,19 +744,18 @@ object Similarity {
         s => slice(col(vecCol), s * subDim + 1, lit(subDim)))).as(Seq("s", "sv")))
 
   /** Nearest codebook entry per (vector, subspace) row under L2
-    * ([[l2Score]]): one broadcast of the grouped codebook, per-row argmax
-    * over that subspace's entries, tie → lowest code. Returns the input
-    * plus `j`. */
+    * ([[l2Score]]): the literal codebook ([[codebookLit]]) indexed by
+    * subspace, per-row argmax over that subspace's entries (positional —
+    * code j at slot j+1), tie → lowest code. Returns the input plus `j`.
+    * No join, no broadcast build job. */
   private def assignSubspace(sub: DataFrame, codebook: DataFrame): DataFrame =
-    sub.join(broadcast(codebook.groupBy(col("s"))
-        .agg(collect_list(struct(col("j"), col("cs"))).as("__e"))), Seq("s"))
+    sub.withColumn("__e", element_at(codebookLit(codebook), col("s").cast("int") + 1))
       .withColumn("j",
-        array_max(transform(col("__e"), e =>
+        (-array_max(transform(sequence(lit(1), size(col("__e"))), jj =>
           struct(
-            l2Score(col("sv"), e.getField("cs")).as("sim"),
-            (-e.getField("j")).as("neg_j"), // tie → lowest code
-            e.getField("j").as("j"))))
-          .getField("j"))
+            l2Score(col("sv"), element_at(col("__e"), jj)).as("sim"),
+            (-jj).as("neg_j")))) // tie → lowest code
+          .getField("neg_j")) - 1)
       .drop("__e")
 
   /**
@@ -738,27 +772,43 @@ object Similarity {
   def pqCodebookTrained(df: DataFrame, idCol: String, vecCol: String, m: Int,
       subDim: Int, nCentroids: Int, iters: Int, modulus: Long): DataFrame = {
     require(m >= 1 && subDim >= 1, s"bad m=$m subDim=$subDim")
-    val sub = graft.recon.Checkpoints.cut(subspaceRows(df, idCol, vecCol, m, subDim))
-    val seeds = centroids(df, idCol, vecCol, nCentroids, modulus)
+    // the subspace-row frame feeds one assignment per iteration: cut it
+    // only when it actually has multiple consumers (iters > 1) — for the
+    // common one-step trainer the cut was pure codegen overhead. The
+    // repartition spreads the sample-capped training rows (see
+    // [[kmeansCentroids]]) so the per-(row, subspace) argmax parallelizes
+    val subRaw = subspaceRows(
+      df.select(col(idCol), col(vecCol))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism),
+      idCol, vecCol, m, subDim)
+    val sub = if (iters > 1) graft.recon.Checkpoints.cut(subRaw) else subRaw
+    val spark = df.sparkSession
+    val seedsDf = centroids(df, idCol, vecCol, nCentroids, modulus)
       .select((row_number().over(Window.orderBy(col("centroid_id"))) - 1).as("j"), col("cv"))
       .select(col("j"), posexplode(transform(sequence(lit(0), lit(m - 1)),
         s => slice(col("cv"), s * subDim + 1, lit(subDim)))).as(Seq("s", "cs")))
-    var cb = graft.recon.Checkpoints.cut(seeds.select(col("s"), col("j"), col("cs")))
+      .select(col("s"), col("j"), col("cs"))
+    // codebooks are broadcast-sized by contract: the iteration boundary
+    // is a driver round-trip with the empty-cluster fallback applied
+    // locally (see [[kmeansCentroids]] — the dataframe fallback executed
+    // the means aggregation twice per round)
+    val schema = seedsDf.schema
+    var cbRows: Seq[org.apache.spark.sql.Row] = seedsDf.collect().toSeq
     (0 until iters).foreach { _ =>
-      val means = assignSubspace(sub, cb)
+      val means = assignSubspace(sub, local(spark, cbRows, schema))
         .select(col("s"), col("j"), posexplode(col("sv")).as(Seq("__dim", "__v")))
         .groupBy(col("s"), col("j"), col("__dim"))
         .agg(avg(col("__v")).as("__m"))
         .groupBy(col("s"), col("j"))
         .agg(array_sort(collect_list(struct(col("__dim"), col("__m")))).as("__dm"))
-        .select(col("s"), col("j"),
+        .select(col("s").cast(schema("s").dataType),
+          col("j").cast(schema("j").dataType),
           transform(col("__dm"), e => e.getField("__m").cast("float")).as("cs"))
-      // empty clusters keep their previous centroid
-      cb = graft.recon.Checkpoints.cut(
-        means.unionByName(
-          cb.join(means.select("s", "j"), Seq("s", "j"), "left_anti")))
+        .collect().toSeq
+      val refreshed = means.map(r => (r.get(0), r.get(1))).toSet
+      cbRows = means ++ cbRows.filterNot(r => refreshed.contains((r.get(0), r.get(1))))
     }
-    cb
+    local(spark, cbRows, schema)
   }
 
   /** [[pqEncode]] under L2 ([[l2Score]]) — the encoder that pairs with a

@@ -24,6 +24,26 @@ object Profile {
       println(f"STAGE=$tag#$i ROWS=$n SECONDS=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
 
+    if (args.length > 1 && args(1) == "ivfpq") {
+      import graft.ops.Similarity
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      // warm
+      e.count()
+      time("kmeans_i1")(Similarity.kmeansCentroids(e, "vec_id", "embedding",
+        k = 16, iters = 1, modulus = 50).count())
+      time("pq_cb_trained")(Similarity.pqCodebookTrained(e, "vec_id", "embedding",
+        m = 32, subDim = 2, nCentroids = 32, iters = 1, modulus = 5).count())
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", 16, 1, 50)
+      val cb = Similarity.pqCodebookTrained(e, "vec_id", "embedding", 32, 2, 32, 1, 5)
+      time("encodeL2")(Similarity.pqEncodeL2(e, "vec_id", "embedding", cb, 32, 2).count())
+      time("cells")(Similarity.ivfIndexWith(e, "vec_id", "embedding", cents).count())
+      time("full_topk")(Similarity.ivfpqTopKWith(e,
+        e.where(col("vec_id") % 100 === 0), "vec_id", "embedding",
+        k = 5, cents, cb, m = 32, subDim = 2, nprobe = 6).count())
+      spark.stop()
+      return
+    }
     time("shingles")(Dedup.shingleTable(docs, "text", "doc_id", 3).count())
     time("signatures")(Dedup.minHashSignatures(docs, "text", "doc_id", 3, 64).count())
     time("candidates")(Dedup.minHashCandidates(docs, "text", "doc_id", 3, 64, 8, 100).count())
