@@ -10,14 +10,33 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** Baseline medians from a committed BENCH_DETAIL.json, for the
+    * in-run regression flagging that decides who gets extra reps.
+    * Absent/unreadable baseline → empty map (first run, renamed file). */
+  private def baselineMedians(path: String): Map[String, Double] =
+    try {
+      val json = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      graft.tools.BenchDiff.medians(json)
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // k timed repetitions per query, MEDIAN reported: single-run totals
-    // flagged a 1.42x "regression" in round 5 that was pure JIT/machine
-    // variance (same query swung 2.5x by run order) — the median of 3 is
-    // robust to one cold/noisy rep while keeping wall time bounded
+    // VARIANCE DISCIPLINE (VERDICT r12 #2): every query gets `reps`
+    // timed repetitions (median reported); then the TOP-20 slowest plus
+    // any query whose median regressed ≥2× and ≥0.5 s against the
+    // committed baseline detail get topped up to `hotReps` — so the
+    // numbers most likely to decide a regression verdict are
+    // medians-of-5, and the per-rep times ship in the artifact so a
+    // load-noise flag can be cleared from data instead of judgment
+    // (round 5's 1.42× "regression" and round 12's layout_bloom_skip
+    // flag were both machine variance)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val hotReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOT_REPS", "5").toInt.max(reps)
+    val hotTopN = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOT_TOPN", "20").toInt.max(0)
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val baseline = baselineMedians(sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_DETAIL.json"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -45,51 +64,73 @@ object Bench {
         .select(col("id"), md5(col("id").cast("string")).as("h"))
         .groupBy(pmod(xxhash64(col("h")), lit(16))).count().count()
     }
-    // (name, per-rep seconds, succeeded) — a failed query must be loud
-    // (stderr) and visible in the JSON (-1 marker + errors list), never a
-    // silent fast run
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-        val times = (0 until reps).map { _ =>
-          val t0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDir).count(); true }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-              false
-            }
-          val secs = (System.nanoTime() - t0) / 1e9
-          // between reps (outside the timed window): drop this query's
-          // lineage-cut blocks (localCheckpoint RDDs) — letting 40+
-          // queries' blocks pile up in the block manager taxes every
-          // later query
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-          System.gc()
-          (secs, ok)
+    // one timed rep; failures must be loud (stderr) and visible in the
+    // JSON (-1 marker + errors list), never a silent fast run
+    def oneRep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          false
         }
-        (name, times.map(_._1), times.forall(_._2))
-      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      // between reps (outside the timed window): drop this query's
+      // lineage-cut blocks (localCheckpoint RDDs) — letting 40+
+      // queries' blocks pile up in the block manager taxes every
+      // later query
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+      (secs, ok)
+    }
+    val registry = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = scala.collection.mutable.LinkedHashMap[String, (Vector[Double], Boolean)]()
+    registry.foreach { case (name, fn) =>
+      val rs = (0 until reps).map(_ => oneRep(name, fn))
+      results(name) = (rs.map(_._1).toVector, rs.forall(_._2))
+    }
+    // hot set: top-N slowest by phase-1 median + baseline-flagged —
+    // topped up to hotReps so their reported medians rest on more data
+    val flagged = results.collect { case (n, (ts, true))
+      if baseline.get(n).exists(b => median(ts) >= 2.0 * b && median(ts) - b >= 0.5) => n
+    }.toSet
+    val slowest = results.toSeq.filter(_._2._2)
+      .sortBy { case (_, (ts, _)) => -median(ts) }.take(hotTopN).map(_._1).toSet
+    val hot = (slowest ++ flagged).toSeq.sorted
+    hot.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val (ts, ok) = results(name)
+      val extra = (ts.size until hotReps).map(_ => oneRep(name, fn))
+      results(name) = (ts ++ extra.map(_._1), ok && extra.forall(_._2))
+    }
+    if (flagged.nonEmpty)
+      System.err.println(s"[bench] baseline-flagged, re-repped to $hotReps: ${flagged.toSeq.sorted.mkString(", ")}")
+
     def fmtNum(v: Double) = if (v.isNaN || v.isInfinite) "-1.0" else v.toString
-    val qs = results.map { case (k, ts, ok) =>
+    val ordered = results.toSeq
+    val qs = ordered.map { case (k, (ts, ok)) =>
       "\"" + k + "\":" + (if (ok) fmtNum(median(ts)) else -1.0)
     }.mkString("{", ",", "}")
-    // per-query spread so a noisy machine is visible in the artifact
-    // itself (median is the headline; min/max bound the variance)
-    val detail = results.map { case (k, ts, _) =>
-      s""""$k":{"median":${fmtNum(median(ts))},"min":${fmtNum(ts.min)},"max":${fmtNum(ts.max)}}"""
+    // per-query spread AND the raw rep times: the artifact itself must be
+    // able to clear (or confirm) a regression flag from data — median is
+    // the headline, min/max bound the variance, reps_s is the evidence
+    val detail = ordered.map { case (k, (ts, _)) =>
+      val repsJson = ts.map(fmtNum).mkString("[", ",", "]")
+      s""""$k":{"median":${fmtNum(median(ts))},"min":${fmtNum(ts.min)},"max":${fmtNum(ts.max)},"reps_s":$repsJson}"""
     }.mkString("{", ",", "}")
-    val errs = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val total = results.map(r => median(r._2)).sum
+    val errs = ordered.filterNot(_._2._2).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = ordered.map(r => median(r._2._1)).sum
     // "total_detail", not "total": a consumer that sums or collects metric
     // lines must not double-count the headline below
-    val detailLine = s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"queries_detail":$detail,"reps":$reps,"errors":$errs,"sf":"$sfDir"}"""
+    val detailLine = s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"queries_detail":$detail,"reps":$reps,"hot_reps":$hotReps,"errors":$errs,"sf":"$sfDir"}"""
     println(detailLine)
     // the driver tail-truncates long stdout (it kept only ~22 of 140
     // medians in rounds 1-9), so the full per-query detail also goes to a
     // committed file where a regression in any query stays diffable
     try {
-      val p = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"))
+      val p = java.nio.file.Paths.get(detailPath)
       java.nio.file.Files.write(p, (detailLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_DETAIL.json: ${e.getMessage}")
@@ -97,7 +138,7 @@ object Bench {
     // the driver tail-truncates long output: the giant per-query line above
     // lost its leading total in all of rounds 1-8 ("parsed": null). Print a
     // compact headline LAST so truncation can never eat it.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_s":$total,"n_queries":${results.size},"reps":$reps,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_s":$total,"n_queries":${ordered.size},"reps":$reps,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
