@@ -85,7 +85,13 @@ object ScaleCheck {
     }
 
     val queries = graft.SparkEntry.queries
-    val unknown = Flagships.filterNot(queries.contains)
+    // the HEADROOM tier (VERDICT r12 #7) reuses this harness with an
+    // explicit query list (the most expensive benches) over
+    // sf0.1 → ScaleData's generated sf1 — two measured decades total
+    val flagships = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Flagships)
+    val unknown = flagships.filterNot(queries.contains)
     require(unknown.isEmpty, s"flagships not in the registry: ${unknown.mkString(", ")}")
 
     def run(name: String, dir: String): (Double, Seq[String]) = {
@@ -108,7 +114,7 @@ object ScaleCheck {
     }
 
     var failed = 0
-    Flagships.foreach { name =>
+    flagships.foreach { name =>
       val (tS, fS) = run(name, smallDir)
       val (tB, fB) = run(name, bigDir)
       // floor the denominator: a 0.1 s small-SF run is mostly fixed cost
