@@ -741,11 +741,21 @@ object Dedup {
    * independent of iteration order, so the result is deterministic on any
    * cluster layout.
    *
+   * `jump = true` adds POINTER JUMPING — each node also adopts its
+   * label's label, so covered distance doubles per round (O(log
+   * diameter) rounds). MEASURED trade on the sf0.1 near-dup graph
+   * (diameter ~6): 7 plain rounds → 6 jumped rounds at +60% per-round
+   * cost (the extra label self-join) — a net LOSS, so plain is the
+   * default; turn it on for edge-dominated deep graphs where every saved
+   * round is a saved join of the FULL edge set and the label self-join is
+   * comparatively free. For extreme diameters with edge contraction, see
+   * [[alternatingComponents]].
+   *
    * Returns (node, component) for every node appearing in a pair, where
    * component = the minimum reachable node id.
    */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc1", bCol: String = "doc2",
-      maxIter: Int = 25, verbose: Boolean = false): DataFrame = {
+      maxIter: Int = 25, verbose: Boolean = false, jump: Boolean = false): DataFrame = {
     import graft.recon.Checkpoints.cut
     def note(tag: String, t0: Long): Unit = if (verbose)
       println(f"CC STAGE=$tag SECONDS=${(System.nanoTime() - t0) / 1e9}%.2f")
@@ -779,9 +789,22 @@ object Dedup {
       val compType = labels.schema("component").dataType
       val viaNbr = edges.join(labels, edges("dst") === labels("node"))
         .select(edges("src").as("node"), col("component"), lit(null).cast(compType).as("__old"))
+      // pointer jump: node → label(label(node)). A label is always a node
+      // of the graph (it starts as a node id and min() only ever picks
+      // node ids), so the inner self-join is total; the shortcut label is
+      // a reachable node's id, hence still an upper bound on the true min.
+      // `jump = false` keeps the plain one-hop propagation (the spec uses
+      // it to pin the O(diameter) vs O(log diameter) contrast)
       val self = labels.select(col("node"), col("component"), col("component").as("__old"))
+      val contributions =
+        if (!jump) self.unionByName(viaNbr)
+        else self.unionByName(viaNbr).unionByName(
+          labels.alias("x")
+            .join(labels.alias("y"), col("x.component") === col("y.node"))
+            .select(col("x.node").as("node"), col("y.component").as("component"),
+              lit(null).cast(compType).as("__old")))
       val next = cut(
-        self.unionByName(viaNbr).groupBy("node")
+        contributions.groupBy("node")
           .agg(min("component").as("component"), min("__old").as("__old")))
       done = next.where(col("component") =!= col("__old")).isEmpty
       labels = next.select("node", "component")
@@ -799,12 +822,14 @@ object Dedup {
   /**
    * Alternating large-star/small-star connected components (the
    * Kiveris et al. SOCC'14 "Connected Components in MapReduce and
-   * Beyond" scheme, re-derived) — the HIGH-DIAMETER complement of
-   * [[connectedComponents]]: hash-min needs O(diameter) rounds, which is
-   * fine for shallow near-dup graphs but grinds on provenance chains and
-   * path-shaped link graphs; star alternation converges in O(log² n)
-   * rounds regardless of diameter (in practice ~log n), because each
-   * round HALVES path structures instead of walking them.
+   * Beyond" scheme, re-derived) — the HIGH-DIAMETER / EDGE-DOMINATED
+   * complement of [[connectedComponents]]: plain hash-min needs
+   * O(diameter) rounds (the pointer jump brings it to O(log diameter),
+   * but every round still joins the FULL edge set against the labels);
+   * star alternation converges in O(log² n) rounds regardless of
+   * diameter AND its edge set CONTRACTS toward stars round over round —
+   * on a 100 TB link graph the shrinking join input is the difference,
+   * not just the round count.
    *
    * Both operations keep edges in canonical `(u, v), u > v` form:
    *   - large-star: symmetrize; at each center c with neighborhood Γ(c),

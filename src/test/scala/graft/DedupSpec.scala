@@ -286,10 +286,11 @@ class DedupSpec extends SparkSuite {
   }
 
   test("alternatingComponents: logarithmic rounds on a 100-node path graph") {
-    // a diameter-99 path: hash-min propagates the min ONE hop per round
-    // (99 rounds — its default maxIter=25 budget throws), while star
+    // a diameter-99 path: PLAIN hash-min propagates the min ONE hop per
+    // round (99 rounds — its default maxIter=25 budget throws); star
     // alternation halves path structure per round and must land well
-    // inside a log-scale budget
+    // inside a log-scale budget; hash-min WITH the pointer jump doubles
+    // covered distance per round and converges inside the same budget
     val path = (0L until 99L).map(i => (i, i + 1)).toDF("doc1", "doc2")
     intercept[IllegalStateException](Dedup.connectedComponents(path).count())
     val (labels, rounds) =
@@ -297,10 +298,14 @@ class DedupSpec extends SparkSuite {
     assert(rounds <= 12, s"expected O(log n) rounds on a path-100, got $rounds")
     val got = labels.as[(Long, Long)].collect().toMap
     assert(got == (0L to 99L).map(_ -> 0L).toMap)
-    // and the hash-min result agrees once its budget covers the diameter
-    val hashMin = Dedup.connectedComponents(path, maxIter = 120)
+    // hash-min agrees: WITH the pointer jump inside the default budget,
+    // and without it once the budget covers the diameter
+    val jumped = Dedup.connectedComponents(path, jump = true)
       .as[(Long, Long)].collect().toMap
-    assert(got == hashMin)
+    assert(got == jumped)
+    val plain = Dedup.connectedComponents(path, maxIter = 120)
+      .as[(Long, Long)].collect().toMap
+    assert(got == plain)
   }
 
   test("incrementalComponents equals a full recompute across merge shapes") {
