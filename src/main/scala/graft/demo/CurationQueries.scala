@@ -567,6 +567,31 @@ object CurationQueries {
     // layout: meta + signatures + bucket-stats sidecar), then probe the
     // new batch AGAINST THE LOADED FILES — same oracle as the in-memory
     // dedup_minhash_incremental, so the round-trip must be value-identical
+    // the near-dup INGEST GATE, value-checked end to end: build the seen
+    // corpus's index on disk, gate the batch against it AND against
+    // itself (smaller id survives in-batch), emit per-doc admission
+    // decisions with both match counts. The oracle mirrors the banded
+    // probe, the seen-side bucket cap, the slot-agreement verify, and the
+    // first-survives in-batch rule — a gate that admits one duplicate or
+    // rejects one novel doc hash-mismatches
+    QuerySpec("dedup_gate_decisions",
+      SketchOracleSql.gateDecisionsSql(k = 16, bands = 4,
+        minAgreement = 0.5d, maxBucket = 100)) { (s, d) =>
+      val all = docs(s, d)
+      val tmp = runTmpDir(s, "graft_gate_index")
+      graft.ops.IndexStore.writeMinHashIndex(
+        all.where(col("doc_id") % 3 === 0), "text", "doc_id",
+        tmp.getAbsolutePath, shingleN = 3, k = 16, bands = 4)
+      // EAGER: the index files are deleted on the next line
+      val out = graft.recon.Checkpoints.cut(
+        graft.ops.IngestGate.gateBatch(
+          all.where(col("doc_id") % 3 =!= 0), "text", "doc_id",
+          tmp.getAbsolutePath, minAgreement = 0.5d, maxBucket = 100),
+        eager = true)
+      deleteRecursively(tmp)
+      out
+    },
+
     QuerySpec("dedup_index_probe",
       SketchOracleSql.minHashIncrementalSql(k = 16, bands = 4,
         minAgreement = 0.5d, maxBucket = 100)) { (s, d) =>

@@ -1730,6 +1730,58 @@ object SketchOracleSql {
        |WHERE slot_agreement >= $minAgreement""".stripMargin
   }
 
+  /** ≡ [[graft.ops.IngestGate.gateBatch]] with batch = doc_id % 3 ≠ 0
+    * against an index of doc_id % 3 = 0: per batch doc the count of
+    * index matches (banded candidates at ≥ minAgreement slot agreement,
+    * seen-side bucket cap), the count of SMALLER-ID in-batch matches
+    * (same probe of the batch against itself), and the admission bit
+    * (both counts zero). */
+  def gateDecisionsSql(k: Int, bands: Int, minAgreement: Double,
+      maxBucket: Int): String = {
+    require(k % bands == 0)
+    def agr(cands: String) =
+      s"""SELECT c.new_doc, c.seen_doc,
+         |    CAST(len(list_filter(range(1, $k + 1), i -> a.hs[i] = b.hs[i])) AS DOUBLE)
+         |      / $k AS slot_agreement
+         |  FROM $cands c JOIN sig a ON a.doc = c.new_doc JOIN sig b ON b.doc = c.seen_doc""".stripMargin
+    s"""WITH ${sigCtes(k)},
+       |sigN AS (SELECT * FROM sig WHERE doc % 3 <> 0),
+       |sigS AS (SELECT * FROM sig WHERE doc % 3 = 0),
+       |bandedN AS (
+       |${bandBranches("sigN", k, bands)}),
+       |bandedS AS (
+       |${bandBranches("sigS", k, bands)}),
+       |bszS AS (SELECT band, band_hash, count(*) AS n FROM bandedS GROUP BY 1, 2),
+       |candsX AS (
+       |  SELECT DISTINCT n.doc AS new_doc, s.doc AS seen_doc
+       |  FROM bandedN n
+       |  JOIN bandedS s ON n.band = s.band AND n.band_hash = s.band_hash
+       |  JOIN bszS z ON s.band = z.band AND s.band_hash = z.band_hash
+       |  WHERE z.n <= $maxBucket),
+       |crossN AS (
+       |  SELECT new_doc, count(*) AS n FROM (${agr("candsX")})
+       |  WHERE slot_agreement >= $minAgreement GROUP BY 1),
+       |bszN AS (SELECT band, band_hash, count(*) AS n FROM bandedN GROUP BY 1, 2),
+       |candsB AS (
+       |  SELECT DISTINCT n.doc AS new_doc, s.doc AS seen_doc
+       |  FROM bandedN n
+       |  JOIN bandedN s ON n.band = s.band AND n.band_hash = s.band_hash
+       |  JOIN bszN z ON s.band = z.band AND s.band_hash = z.band_hash
+       |  WHERE z.n <= $maxBucket),
+       |batchN AS (
+       |  SELECT new_doc, count(*) AS n FROM (${agr("candsB")})
+       |  WHERE slot_agreement >= $minAgreement AND seen_doc < new_doc GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(x.n, 0) AS BIGINT) AS n_index_matches,
+       |  CAST(coalesce(b.n, 0) AS BIGINT) AS n_batch_matches,
+       |  CAST(CASE WHEN coalesce(x.n, 0) = 0 AND coalesce(b.n, 0) = 0
+       |    THEN 1 ELSE 0 END AS BIGINT) AS admitted
+       |FROM documents d
+       |LEFT JOIN crossN x ON x.new_doc = d.doc_id
+       |LEFT JOIN batchN b ON b.new_doc = d.doc_id
+       |WHERE d.doc_id % 3 <> 0""".stripMargin
+  }
+
   /** CTE chain ending at `lab(doc_id, label)`: every document labeled by
     * its MinHash near-dup component (minimum reachable doc id via the
     * recursive closure); documents in no pair keep their own id. The

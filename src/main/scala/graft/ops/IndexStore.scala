@@ -158,6 +158,31 @@ object IndexStore {
     refreshMinHashStats(spark, dir)
   }
 
+  /** [[mergeIntoMinHashIndex]] made IDEMPOTENT for crash replays: only
+    * signatures whose doc id is NOT already indexed are appended (an
+    * anti-join against the signature table — the same membership
+    * discipline as the [[Ingest]] ledger), so a batch re-merged after a
+    * crash between merge and commit is a no-op instead of a
+    * double-append that would inflate bucket counts past `maxBucket`.
+    * Returns the number of docs actually appended. Single-writer
+    * contract, like every other merge here. */
+  def mergeIntoMinHashIndexIdempotent(batch: DataFrame, textCol: String,
+      idCol: String, dir: String): Long = {
+    val spark = batch.sparkSession
+    val meta = loadMinHashMeta(spark, dir)
+    val fresh = graft.recon.Checkpoints.cut(
+      Dedup.minHashSignatures(batch, textCol, idCol, meta.shingleN, meta.k, meta.hash)
+        .join(loadMinHashSignatures(spark, dir).select(col("doc")),
+          Seq("doc"), "left_anti"),
+      eager = true)
+    val n = fresh.count()
+    if (n > 0) {
+      fresh.write.mode("append").parquet(s"$dir/signatures")
+      refreshMinHashStats(spark, dir)
+    }
+    n
+  }
+
   private def refreshMinHashStats(spark: SparkSession, dir: String): Unit = {
     val meta = loadMinHashMeta(spark, dir)
     replaceDir(

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{IndexStore, IngestGate}
+
+/** The near-dup ingest gate: ledger-driven exactly-once micro-batches,
+  * index-vs-batch and in-batch screening, crash-replay idempotency. */
+class IngestGateSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_$tag").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  // distinctive texts: near-dups share almost all 3-shingles
+  private val seedDocs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "one two three four five six seven eight nine ten eleven twelve"))
+
+  private def writeIndex(dir: String): Unit =
+    IndexStore.writeMinHashIndex(seedDocs.toDF("doc_id", "text"), "text", "doc_id",
+      dir, shingleN = 3, k = 32, bands = 8)
+
+  test("gateBatch: index dups rejected, in-batch first survives, novel admitted") {
+    val idx = tmpDir("gate_idx")
+    writeIndex(idx)
+    val batch = Seq(
+      // 10: near-dup of seed doc 1 (one word changed)
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota KAPPA2"),
+      // 11 and 12: in-batch near-dups of each other; 11 (smaller) survives
+      (11L, "red orange yellow green blue indigo violet ultraviolet infrared"),
+      (12L, "red orange yellow green blue indigo violet ultraviolet INFRARED2"),
+      // 13: novel
+      (13L, "completely different words about ships sailing across wide oceans tonight")
+    ).toDF("doc_id", "text")
+    val out = IngestGate.gateBatch(batch, "text", "doc_id", idx,
+        minAgreement = 0.5d, maxBucket = 100)
+      .select("doc_id", "n_index_matches", "n_batch_matches", "admitted")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(10L)._2 >= 1L && out(10L)._4 == 0L, s"10 should hit the index: ${out(10L)}")
+    assert(out(11L) == ((11L, 0L, 0L, 1L)), s"11 is the in-batch survivor: ${out(11L)}")
+    assert(out(12L)._3 >= 1L && out(12L)._4 == 0L, s"12 should hit 11: ${out(12L)}")
+    assert(out(13L) == ((13L, 0L, 0L, 1L)), s"13 is novel: ${out(13L)}")
+  }
+
+  test("runOnce: exactly-once ledgered batches; admitted docs become the next batch's index") {
+    val idx = tmpDir("gate_idx2")
+    val data = tmpDir("gate_data")
+    val ledger = tmpDir("gate_ledger") + "/ledger"
+    val out = tmpDir("gate_out")
+    writeIndex(idx)
+    // batch 1: one novel doc + one seed near-dup
+    Seq(
+      (20L, "red orange yellow green blue indigo violet ultraviolet infrared"),
+      (21L, "one two three four five six seven eight nine ten eleven TWELVE2"))
+      .toDF("doc_id", "text").write.parquet(s"$data/b1")
+    val id1 = IngestGate.runOnce(spark, data, ledger, "text", "doc_id", idx, out)
+    assert(id1.contains(0L))
+    val d1 = IngestGate.decisions(spark, out)
+      .select("doc_id", "admitted").as[(Long, Long)].collect().toMap
+    assert(d1 == Map(20L -> 1L, 21L -> 0L))
+    // no new files → no batch
+    assert(IngestGate.runOnce(spark, data, ledger, "text", "doc_id", idx, out).isEmpty)
+    // batch 2: a copy of batch-1-ADMITTED doc 20 must now be rejected
+    // (proves the merge made batch 1 visible), plus one novel doc
+    Seq(
+      (30L, "red orange yellow green blue indigo violet ultraviolet infrared"),
+      (31L, "entirely fresh content regarding mountains and quiet snowfall at dawn"))
+      .toDF("doc_id", "text").write.parquet(s"$data/b2")
+    val id2 = IngestGate.runOnce(spark, data, ledger, "text", "doc_id", idx, out)
+    assert(id2.contains(1L))
+    val d2 = IngestGate.decisions(spark, out)
+      .where(col("batch_id") === 1L)
+      .select("doc_id", "n_index_matches", "admitted")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(d2(30L)._2 >= 1L && d2(30L)._3 == 0L, s"30 should hit admitted doc 20: ${d2(30L)}")
+    assert(d2(31L)._3 == 1L)
+    // REJECTED docs never entered the index: 21 and 30 are absent
+    val indexed = IndexStore.loadMinHashSignatures(spark, idx)
+      .select("doc").as[Long].collect().toSet
+    assert(indexed == Set(1L, 2L, 20L, 31L), s"index holds $indexed")
+  }
+
+  test("crash replay is idempotent: re-merge no-ops, decisions replay identically") {
+    val idx = tmpDir("gate_idx3")
+    writeIndex(idx)
+    val batch = Seq(
+      (40L, "red orange yellow green blue indigo violet ultraviolet infrared"),
+      (41L, "alpha beta gamma delta epsilon zeta eta theta iota KAPPA3"))
+      .toDF("doc_id", "text")
+    val before = IngestGate.gateBatch(batch, "text", "doc_id", idx)
+      .collect().map(_.toSeq).toSet
+    val admitted = batch.where(col("doc_id") === 40L)
+    // the crash window: merge succeeded, ledger commit didn't — the
+    // replayed run re-merges and re-gates
+    assert(IndexStore.mergeIntoMinHashIndexIdempotent(admitted, "text", "doc_id", idx) == 1L)
+    assert(IndexStore.mergeIntoMinHashIndexIdempotent(admitted, "text", "doc_id", idx) == 0L)
+    assert(IndexStore.loadMinHashSignatures(spark, idx).count() == 3L) // no double-append
+    // decisions replay BIT-IDENTICALLY even though doc 40 now sits in the
+    // index: the probe excludes the batch's own ids from the seen side
+    val after = IngestGate.gateBatch(batch, "text", "doc_id", idx)
+      .collect().map(_.toSeq).toSet
+    assert(after == before)
+  }
+}
