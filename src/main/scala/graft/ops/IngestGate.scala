@@ -94,9 +94,18 @@ object IngestGate {
     val batchId = Ingest.ledger(spark, ledgerPath)
       .agg(coalesce(max(col("batch_id")), lit(-1L))).head().getLong(0) + 1L
     val batch = Ingest.readBatch(spark, dataDir, files)
-    // EAGER cut: decisions are consumed three times below (write, the
-    // admitted semi-join, and the caller may re-read) and must come from
-    // ONE evaluation
+    applyBatch(batch, batchId, textCol, idCol, indexDir, outDir, minAgreement, maxBucket)
+    Ingest.commit(spark, ledgerPath, files, batchId)
+    Some(batchId)
+  }
+
+  /** Gate + persist + merge for ONE batch — the idempotent core shared
+    * by the ledgered [[runOnce]] and the streaming [[maintain]]. */
+  private[graft] def applyBatch(batch: DataFrame, batchId: Long, textCol: String,
+      idCol: String, indexDir: String, outDir: String,
+      minAgreement: Double, maxBucket: Int): Unit = {
+    // EAGER cut: decisions are consumed twice below (write + the admitted
+    // semi-join) and must come from ONE evaluation
     val decisions = graft.recon.Checkpoints.cut(
       gateBatch(batch, textCol, idCol, indexDir, minAgreement, maxBucket),
       eager = true)
@@ -105,9 +114,28 @@ object IngestGate {
     val admitted = batch.join(
       decisions.where(col("admitted") === 1L).select(col(idCol)), Seq(idCol), "left_semi")
     IndexStore.mergeIntoMinHashIndexIdempotent(admitted, textCol, idCol, indexDir)
-    Ingest.commit(spark, ledgerPath, files, batchId)
-    Some(batchId)
   }
+
+  /**
+   * The Structured Streaming form: gate every micro-batch of a document
+   * STREAM via `foreachBatch` (the same idiom as
+   * [[IncrementalAgg.maintain]]). foreachBatch is AT-LEAST-ONCE; replays
+   * are safe because [[gateBatch]]'s decisions replay bit-identically
+   * (the probe excludes the batch's own ids from the seen side), the
+   * per-batch decisions directory is overwritten, and the index merge is
+   * the anti-join-guarded idempotent one. Caller sets the checkpoint
+   * location and trigger; ONE gate stream per index (single-writer
+   * contract, like every IndexStore merge).
+   */
+  def maintain(stream: DataFrame, textCol: String, idCol: String,
+      indexDir: String, outDir: String, minAgreement: Double = 0.5d,
+      maxBucket: Int = 100)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      applyBatch(batch, batchId, textCol, idCol, indexDir, outDir,
+        minAgreement, maxBucket)
+      ()
+    }
 
   /** All decisions so far: `(batch_id, idCol, counts, admitted)`. */
   def decisions(spark: SparkSession, outDir: String): DataFrame =

@@ -83,6 +83,45 @@ class IngestGateSpec extends SparkSuite {
     assert(indexed == Set(1L, 2L, 20L, 31L), s"index holds $indexed")
   }
 
+  test("maintain: the streaming twin gates file micro-batches exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val idx = tmpDir("gate_idx_s")
+    val src = tmpDir("gate_src_s")
+    val out = tmpDir("gate_out_s")
+    writeIndex(idx)
+    val b1 = Seq(
+      (20L, "red orange yellow green blue indigo violet ultraviolet infrared"),
+      (21L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val b2 = Seq(
+      (30L, "red orange yellow green blue indigo violet ultraviolet infrared"),
+      (31L, "entirely fresh content regarding mountains and quiet snowfall at dawn"))
+      .toDF("doc_id", "text")
+    b1.coalesce(1).write.parquet(s"$src/p1")
+    Thread.sleep(50) // distinct mtimes → deterministic file order
+    b2.coalesce(1).write.parquet(s"$src/p2")
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/p*")
+    val q = IngestGate.maintain(stream, "text", "doc_id", idx, out)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_gate_ck").toString)
+      .start()
+    q.awaitTermination(120000L)
+    val d = IngestGate.decisions(spark, out)
+      .select("doc_id", "admitted").as[(Long, Long)].collect().toMap
+    assert(d.keySet == Set(20L, 21L, 30L, 31L))
+    assert(d(21L) == 0L, "seed copy must be rejected") // exact seed-2 text
+    assert(d(31L) == 1L, "novel doc must be admitted")
+    // 20 and 30 are copies of each other across micro-batches: exactly
+    // ONE is admitted regardless of which file streamed first
+    assert(d(20L) + d(30L) == 1L, s"exactly one of the copies survives: $d")
+    val indexed = IndexStore.loadMinHashSignatures(spark, idx)
+      .select("doc").as[Long].collect().toSet
+    assert(indexed.size == 4 && indexed.contains(31L) &&
+      (indexed.contains(20L) ^ indexed.contains(30L)), s"index holds $indexed")
+  }
+
   test("crash replay is idempotent: re-merge no-ops, decisions replay identically") {
     val idx = tmpDir("gate_idx3")
     writeIndex(idx)
