@@ -53,7 +53,11 @@ object ScaleCheck {
     // build + per-level cuts) composed into skip-gram pair extraction,
     // and the real JDK decode path (per-row encode+decode work whose
     // cost must scale with splits, not with a shuffle)
-    "graph_walk_contexts", "mm_real_integrity")
+    "graph_walk_contexts", "mm_real_integrity",
+    // round-13 addition: the ingest gate (index write + banded
+    // cross-probe + in-batch self-probe) — the admission composite whose
+    // bucket caps must hold as the corpus grows
+    "dedup_gate_decisions")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
