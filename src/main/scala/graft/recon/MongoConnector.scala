@@ -37,7 +37,8 @@ object MongoConnector {
   /** MongoDB database-name rules: non-empty, < 64 bytes, none of the
     * characters the server rejects (`/\. "$*<>:|?` and NUL). */
   private[recon] def validateDbName(db: String): Unit = {
-    require(db.nonEmpty && db.length < 64, s"database name length out of range: '$db'")
+    require(db.nonEmpty && db.getBytes("UTF-8").length < 64,
+      s"database name length out of range (server limit is 64 BYTES): '$db'")
     val bad = "/\\. \"$*<>:|?\u0000"
     db.find(bad.contains(_)).foreach(c =>
       throw new IllegalArgumentException(

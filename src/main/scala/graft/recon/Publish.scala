@@ -68,6 +68,9 @@ object Publish {
       try {
         val bytes = new Array[Byte](64)
         val n = in.read(bytes)
+        // a zero-byte pointer is corruption, not "nothing published" —
+        // fail loudly rather than silently hiding a promoted version
+        require(n > 0, s"Publish: pointer file $p is empty/corrupt")
         Some(new String(bytes, 0, n, "UTF-8").trim.toLong)
       } finally in.close()
     }
