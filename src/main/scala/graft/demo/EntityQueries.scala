@@ -95,6 +95,34 @@ object EntityQueries {
          |       FROM i JOIN sz za ON za.doc = i.id_a JOIN sz zb ON zb.doc = i.id_b
          |       WHERE i.inter * 1000 >= (za.n + zb.n - i.inter) * $tMilli)""".stripMargin
 
+  /** Shared Spark arm of the two `recon_linkage_*` queries: nation-blocked
+    * customer pairs against a deterministically-perturbed twin, scored
+    * with [[graft.ops.Linkage]] milli log-odds and banded. */
+  private def linkageScored(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Linkage
+    val c = customer(s, d).select(
+      col("c_custkey").as("k"), col("c_name").as("nm"),
+      col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
+      floor(col("c_acctbal") * lit(100) + lit(0.5)).cast("long").as("cents"))
+    val b = c.select(col("k"),
+      when(col("k") % 17 === 0, concat(col("nm"), lit("~"))).otherwise(col("nm")).as("nm"),
+      col("nat"),
+      when(col("k") % 29 === 0, lit(null).cast("string"))
+        .when(col("k") % 13 === 0, lit("UNKNOWN")).otherwise(col("seg")).as("seg"),
+      (col("cents") + when(col("k") % 11 === 0, 7L).otherwise(0L)
+        + when(col("k") % 23 === 0, 50000L).otherwise(0L)).as("cents"))
+    val pairs = Linkage.blockPairs(c, b, Seq("nat"))
+    val rules = Seq(
+      Linkage.FieldRule("name", col("a_nm") === col("b_nm"), None, 2400L, -800L),
+      Linkage.FieldRule("seg", col("a_seg") === col("b_seg"),
+        Some(col("b_seg").isNull), 1600L, -600L),
+      Linkage.FieldRule("bal", abs(col("a_cents") - col("b_cents")) <= 10L,
+        None, 1200L, -400L))
+    Linkage.score(pairs, rules)
+      .withColumn("band", Linkage.band(col("score_milli"),
+        Seq("match" -> 3000L, "possible" -> 1000L), "nonmatch"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // fuzzy entity matching at join scale: every customer-name pair
@@ -117,6 +145,76 @@ object EntityQueries {
            |  CAST(levenshtein(s_a, s_b) AS BIGINT) AS dist
            |FROM cand WHERE levenshtein(s_a, s_b) <= 1""".stripMargin) { (s, d) =>
       graft.ops.Fuzzy.pairsWithin1(customer(s, d), "c_name", "c_custkey")
+    },
+
+    // Fellegi–Sunter probabilistic linkage, banded: customers linked to a
+    // deterministically-perturbed twin (typo'd names 1-in-17, segment
+    // rewritten 1-in-13 / missing 1-in-29, balance drifted 1-in-11 and
+    // 1-in-23) through nation blocking — one equi shuffle, never a
+    // cartesian compare. Field agreements carry configured milli
+    // log-odds; missing fields contribute 0. The per-band truth counts
+    // (same custkey = true link) audit the threshold choice end-to-end
+    QuerySpec("recon_linkage_bands",
+      raw"""WITH c AS (SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,
+           |    c_mktsegment AS seg,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents FROM customer),
+           |b AS (SELECT k, CASE WHEN k % 17 = 0 THEN nm || '~' ELSE nm END AS nm, nat,
+           |    CASE WHEN k % 29 = 0 THEN NULL
+           |         WHEN k % 13 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
+           |    cents + CASE WHEN k % 11 = 0 THEN 7 ELSE 0 END
+           |          + CASE WHEN k % 23 = 0 THEN 50000 ELSE 0 END AS cents
+           |  FROM c),
+           |p AS (SELECT a.k AS ak, b.k AS bk,
+           |    CASE WHEN a.nm = b.nm THEN 2400 ELSE -800 END
+           |    + CASE WHEN b.seg IS NULL THEN 0
+           |           WHEN a.seg = b.seg THEN 1600 ELSE -600 END
+           |    + CASE WHEN abs(a.cents - b.cents) <= 10 THEN 1200 ELSE -400 END AS score
+           |  FROM c a JOIN b ON a.nat = b.nat)
+           |SELECT CASE WHEN score >= 3000 THEN 'match'
+           |            WHEN score >= 1000 THEN 'possible'
+           |            ELSE 'nonmatch' END AS band,
+           |  count(*) AS n_pairs,
+           |  CAST(sum(CASE WHEN ak = bk THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           |  CAST((1000 * sum(CASE WHEN ak = bk THEN 1 ELSE 0 END)) // count(*)
+           |    AS BIGINT) AS precision_milli,
+           |  CAST(min(score) AS BIGINT) AS min_score_milli,
+           |  CAST(max(score) AS BIGINT) AS max_score_milli
+           |FROM p GROUP BY 1""".stripMargin) { (s, d) =>
+      val scored = linkageScored(s, d)
+      scored.groupBy(col("band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("a_k") === col("b_k"), 1L).otherwise(0L)).as("n_true"),
+          expr("(1000 * sum(CASE WHEN a_k = b_k THEN 1 ELSE 0 END)) div count(*)")
+            .as("precision_milli"),
+          min(col("score_milli")).as("min_score_milli"),
+          max(col("score_milli")).as("max_score_milli"))
+    },
+
+    // the pair-level arm of the same linkage: every match/possible pair
+    // with its exact milli score — the reviewer queue a linkage deploy
+    // actually ships (nonmatch pairs never leave the block join)
+    QuerySpec("recon_linkage_pairs",
+      raw"""WITH c AS (SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,
+           |    c_mktsegment AS seg,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents FROM customer),
+           |b AS (SELECT k, CASE WHEN k % 17 = 0 THEN nm || '~' ELSE nm END AS nm, nat,
+           |    CASE WHEN k % 29 = 0 THEN NULL
+           |         WHEN k % 13 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
+           |    cents + CASE WHEN k % 11 = 0 THEN 7 ELSE 0 END
+           |          + CASE WHEN k % 23 = 0 THEN 50000 ELSE 0 END AS cents
+           |  FROM c),
+           |p AS (SELECT a.k AS custkey_a, b.k AS custkey_b,
+           |    CASE WHEN a.nm = b.nm THEN 2400 ELSE -800 END
+           |    + CASE WHEN b.seg IS NULL THEN 0
+           |           WHEN a.seg = b.seg THEN 1600 ELSE -600 END
+           |    + CASE WHEN abs(a.cents - b.cents) <= 10 THEN 1200 ELSE -400 END AS score
+           |  FROM c a JOIN b ON a.nat = b.nat)
+           |SELECT custkey_a, custkey_b, CAST(score AS BIGINT) AS score_milli,
+           |  CASE WHEN score >= 3000 THEN 'match' ELSE 'possible' END AS band
+           |FROM p WHERE score >= 1000""".stripMargin) { (s, d) =>
+      linkageScored(s, d).where(col("score_milli") >= 1000L)
+        .select(col("a_k").as("custkey_a"), col("b_k").as("custkey_b"),
+          col("score_milli"), col("band"))
     },
 
     // SCD-2 dimension build from the raw event log: consecutive

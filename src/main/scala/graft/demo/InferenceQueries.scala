@@ -350,6 +350,66 @@ object InferenceQueries {
       Graph.modularityMicro(edges, Graph.labelPropagation(edges, iters = 2))
     },
 
+    // modularity-GUIDED communities: two synchronous Louvain local-move
+    // sweeps from singletons — every node adopts the neighbor community
+    // with the best EXACT integer modularity gain (score = e2·w −
+    // k·(Σtot − [stay]·k), ties to the smaller id), then the partition
+    // is scored with the same exact micro-modularity as
+    // graph_modularity. The gain arithmetic, the tie-break, and the
+    // final Q are all value-checked — a one-bit disagreement anywhere
+    // in the sweep moves some node and hash-mismatches
+    QuerySpec("graph_louvain", {
+      def round(r: Int) =
+        raw"""tot$r AS (SELECT l.label, sum(d.deg) AS t
+             |       FROM l${r - 1} l JOIN deg d USING (node) GROUP BY 1),
+             |nb$r AS (SELECT e.src, l.label, count(*) AS w
+             |       FROM e JOIN l${r - 1} l ON l.node = e.dst GROUP BY 1, 2),
+             |cd$r AS (SELECT src, label, sum(w) AS w FROM (
+             |         SELECT src, label, w FROM nb$r
+             |         UNION ALL SELECT node, label, 0 FROM l${r - 1}) GROUP BY 1, 2),
+             |sc$r AS (SELECT c.src, c.label,
+             |         t.e2 * c.w - d.deg * (tt.t -
+             |           CASE WHEN c.label = cu.label THEN d.deg ELSE 0 END) AS s
+             |       FROM cd$r c JOIN l${r - 1} cu ON cu.node = c.src
+             |       JOIN deg d ON d.node = c.src JOIN tot$r tt ON tt.label = c.label
+             |       CROSS JOIN tote t),
+             |pk$r AS (SELECT src, label FROM (
+             |        SELECT src, label, row_number() OVER (PARTITION BY src
+             |          ORDER BY s DESC, label ASC) AS r FROM sc$r) WHERE r = 1),
+             |l$r AS (SELECT l.node, CASE WHEN l.node % 2 = ${r % 2}
+             |          THEN p.label ELSE l.label END AS label
+             |        FROM l${r - 1} l JOIN pk$r p ON p.src = l.node)""".stripMargin
+      raw"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           |            AND a.l_partkey <> b.l_partkey),
+           |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+           |tote AS (SELECT count(*) AS e2 FROM e),
+           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+           |${round(1)},
+           |${round(2)},
+           |ds AS (SELECT l.label, sum(d.deg) AS dc, count(*) AS n_nodes
+           |       FROM deg d JOIN l2 l USING (node) GROUP BY 1),
+           |ia AS (SELECT la.label, count(*) AS i2
+           |       FROM e JOIN l2 la ON la.node = e.src JOIN l2 lb ON lb.node = e.dst
+           |       WHERE la.label = lb.label GROUP BY 1)
+           |SELECT CAST(ds.label AS BIGINT) AS label,
+           |  CAST(ds.n_nodes AS BIGINT) AS n_nodes,
+           |  CAST(COALESCE(ia.i2, 0) // 2 AS BIGINT) AS intra_edges,
+           |  CAST(ds.dc AS BIGINT) AS deg_sum,
+           |  CAST((CAST(COALESCE(ia.i2, 0) AS HUGEINT) * 1000000) // t.e2
+           |    - (CAST(ds.dc AS HUGEINT) * ds.dc * 1000000)
+           |      // (CAST(t.e2 AS HUGEINT) * t.e2) AS BIGINT) AS q_micro
+           |FROM ds LEFT JOIN ia USING (label) CROSS JOIN tote t""".stripMargin
+    }) { (s, d) =>
+      import graft.ops.Graph
+      // unlike graph_modularity (5 edge references, exchange reuse
+      // suffices), the louvain sweep references the co-order graph ~9
+      // times (per-round candidate builds + e2 + modularity) — cut it
+      val edges = graft.recon.Checkpoints.cut(Graph.coOccurrenceEdges(
+        s.read.parquet(s"$d/lineitem.parquet"), "l_orderkey", "l_partkey"))
+      Graph.modularityMicro(edges, Graph.louvainMove(edges, rounds = 2))
+    },
+
     // what each successive BPE merge buys: corpus chars-per-subtoken in
     // exact milli under the first k ∈ 0..3 merges of the learned list.
     // Monotone nondecreasing by construction (a merge can only shrink
@@ -1167,6 +1227,32 @@ object InferenceQueries {
         "vec_id", "embedding", "label", k = 5)
     },
 
+    // Recall@10 — the coverage leg of the eval triad (MRR: first hit;
+    // NDCG: graded positions; recall: how many of the relevant items the
+    // top-k finds at all). Denominator capped at k so prevalence doesn't
+    // masquerade as retrieval failure; label-less queries keep NULL
+    QuerySpec("retrieval_recall_at_k",
+      raw"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+           |           FROM embeddings WHERE vec_id % 100 = 0),
+           |scored AS (SELECT query_id, q_label, e.label AS c_label,
+           |             row_number() OVER (PARTITION BY query_id
+           |               ORDER BY list_dot_product(qv, e.embedding) DESC, e.vec_id)
+           |               AS rank
+           |           FROM q JOIN embeddings e ON e.vec_id <> query_id)
+           |SELECT query_id, q_label,
+           |  CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+           |  CAST(sum(CASE WHEN c_label = q_label AND rank <= 10 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_hit,
+           |  CAST(CASE WHEN sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) > 0
+           |    THEN (1000 * sum(CASE WHEN c_label = q_label AND rank <= 10 THEN 1 ELSE 0 END))
+           |      // least(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END), 10)
+           |    END AS BIGINT) AS recall_milli
+           |FROM scored GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      graft.ops.Similarity.recallAtK(e, e.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", "label", k = 10)
+    },
+
     // NDCG@5 — the graded-position eval beside MRR: hits at rank r earn
     // the milli gain 10^3/log2(r+1), normalized by the query's ideal
     // DCG. The irrational log discounts are DRIVER-computed milli
@@ -1302,6 +1388,43 @@ object InferenceQueries {
           s.read.parquet(s"$d/documents.parquet"), "doc_id", corruptMod = 19)).toDF()
         .select(col("media_id"), col("media_type"), col("n_bytes"),
           col("duration_ms"), col("decode_ok").cast("long").as("decode_ok"))
+    },
+
+    // REAL sample-level audio analysis — one level deeper than header
+    // metadata: each id carries a genuine PCM16 WAV whose waveform is a
+    // deterministic integer tone (sample i = ((id·31+i·7) mod 2003) −
+    // 1001), and the RIFF data chunk is scanned for Σ|s|, peak |s|, and
+    // the zero-crossing count. The oracle recomputes every sample from
+    // the formula, so a scanner that misreads one int16 (sign, endian,
+    // offset) hash-mismatches; 1-in-19 truncated payloads land in NULLs
+    QuerySpec("mm_real_audio",
+      raw"""WITH ok AS (SELECT doc_id AS id, 80 * (1 + doc_id % 25) AS n
+           |            FROM documents WHERE doc_id % 19 <> 0),
+           |sm AS (SELECT id, n, unnest(range(0, n)) AS i FROM ok),
+           |v AS (SELECT id, n, i,
+           |        ((id * 31 + i * 7) % 2003) - 1001 AS s,
+           |        CASE WHEN i < n - 1
+           |             THEN ((id * 31 + (i + 1) * 7) % 2003) - 1001 END AS s2
+           |      FROM sm),
+           |a AS (SELECT id, max(n) AS n,
+           |        sum(abs(s)) AS sum_abs, max(abs(s)) AS peak_abs,
+           |        sum(CASE WHEN s2 IS NOT NULL AND ((s < 0) <> (s2 < 0))
+           |            THEN 1 ELSE 0 END) AS nx
+           |      FROM v GROUP BY 1)
+           |SELECT id AS media_id, CAST(n AS BIGINT) AS n_samples,
+           |  CAST(sum_abs AS BIGINT) AS sum_abs,
+           |  CAST(peak_abs AS BIGINT) AS peak_abs,
+           |  CAST(nx AS BIGINT) AS n_crossings, CAST(1 AS BIGINT) AS decode_ok
+           |FROM a
+           |UNION ALL
+           |SELECT doc_id, NULL, NULL, NULL, NULL, CAST(0 AS BIGINT)
+           |FROM documents WHERE doc_id % 19 = 0""".stripMargin) { (s, d) =>
+      graft.ops.Multimodal.audioSampleStats(
+        graft.ops.Multimodal.realAudioMedia(
+          s.read.parquet(s"$d/documents.parquet"), "doc_id", corruptMod = 19)).toDF()
+        .select(col("media_id"), col("n_samples"), col("sum_abs"),
+          col("peak_abs"), col("n_crossings"),
+          col("decode_ok").cast("long").as("decode_ok"))
     },
 
     // integrity audit over GENUINE bytes: the 1-in-19 truncated payloads

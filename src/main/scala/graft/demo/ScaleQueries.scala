@@ -278,6 +278,70 @@ object ScaleQueries {
             .as("n_moved_elsewhere"))
     },
 
+    // consistent-hash ring with virtual nodes — HRW's classic sibling:
+    // 16 vnodes per shard on a 60-bit md5 ring, key → first vnode
+    // clockwise (wrap to the ring head). The ring is a sorted literal
+    // array in the plan; assignment is a pure per-row expression. The
+    // oracle rebuilds the very same ring from the same md5 math and
+    // mirrors the successor pick as a window argmin
+    QuerySpec("shard_ring",
+      raw"""WITH vn AS (SELECT s, v,
+           |    ${md5h60("'ring:' || CAST(s AS VARCHAR) || ':' || CAST(v AS VARCHAR)")} AS vh
+           |  FROM (SELECT unnest(range(0, 8)) AS s) a
+           |  CROSS JOIN (SELECT unnest(range(0, 16)) AS v) b),
+           |k AS (SELECT doc_id, ${md5h60("CAST(doc_id AS VARCHAR)")} AS kh FROM documents),
+           |a AS (SELECT k.doc_id, vn.s,
+           |    row_number() OVER (PARTITION BY k.doc_id
+           |      ORDER BY (vn.vh < k.kh), vn.vh, vn.s) AS r
+           |  FROM k CROSS JOIN vn)
+           |SELECT s AS shard, count(*) AS n_docs,
+           |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+           |FROM a WHERE r = 1 GROUP BY 1""".stripMargin) { (s, d) =>
+      Sharding.ringAssign(docs(s, d), "doc_id", nShards = 8, vnodesPerShard = 16)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    },
+
+    // ring resharding invariant: growing 8 → 9 shards inserts ONLY the
+    // new shard's 16 vnodes, so every moved key moves INTO shard 8 —
+    // n_moved_elsewhere pins exactly 0, and the moved fraction is near
+    // the 16/144 ≈ 111‰ vnode share (vs ~8/9 for a mod-hash reshard)
+    QuerySpec("shard_ring_move",
+      raw"""WITH vn AS (SELECT s, v,
+           |    ${md5h60("'ring:' || CAST(s AS VARCHAR) || ':' || CAST(v AS VARCHAR)")} AS vh
+           |  FROM (SELECT unnest(range(0, 9)) AS s) a
+           |  CROSS JOIN (SELECT unnest(range(0, 16)) AS v) b),
+           |k AS (SELECT doc_id, ${md5h60("CAST(doc_id AS VARCHAR)")} AS kh FROM documents),
+           |a8 AS (SELECT k.doc_id, vn.s,
+           |    row_number() OVER (PARTITION BY k.doc_id
+           |      ORDER BY (vn.vh < k.kh), vn.vh, vn.s) AS r
+           |  FROM k CROSS JOIN vn WHERE vn.s < 8),
+           |a9 AS (SELECT k.doc_id, vn.s,
+           |    row_number() OVER (PARTITION BY k.doc_id
+           |      ORDER BY (vn.vh < k.kh), vn.vh, vn.s) AS r
+           |  FROM k CROSS JOIN vn),
+           |j AS (SELECT a.doc_id, a.s AS sh8, b.s AS sh9
+           |  FROM (SELECT doc_id, s FROM a8 WHERE r = 1) a
+           |  JOIN (SELECT doc_id, s FROM a9 WHERE r = 1) b USING (doc_id))
+           |SELECT count(*) AS n_total,
+           |  CAST(sum(CASE WHEN sh8 <> sh9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+           |  CAST((1000 * sum(CASE WHEN sh8 <> sh9 THEN 1 ELSE 0 END)) // count(*)
+           |    AS BIGINT) AS moved_milli,
+           |  CAST(sum(CASE WHEN sh8 <> sh9 AND sh9 <> 8 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_moved_elsewhere
+           |FROM j""".stripMargin) { (s, d) =>
+      docs(s, d).select(
+          Sharding.ringShard(col("doc_id"), 8, 16).as("sh8"),
+          Sharding.ringShard(col("doc_id"), 9, 16).as("sh9"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("sh8") =!= col("sh9"), 1L).otherwise(0L)).as("n_moved"),
+          expr("(1000 * sum(CASE WHEN sh8 <> sh9 THEN 1 ELSE 0 END)) div count(*)")
+            .as("moved_milli"),
+          sum(when(col("sh8") =!= col("sh9") && col("sh9") =!= 8L, 1L).otherwise(0L))
+            .as("n_moved_elsewhere"))
+    },
+
     // seeded deterministic shuffle → (shard, position): the training-order
     // export addressing, value-checked down to every row's offset
     QuerySpec("text_shards",

@@ -35,6 +35,18 @@ final case class RealFeatures(
     duration_ms: Option[Long],
     decode_ok: Boolean)
 
+/** Sample-level PCM statistics ([[Multimodal.audioSampleStats]]): exact
+  * integers from a real int16 scan; a failed walk is NULLs + `decode_ok
+  * = false`, same contract as [[RealFeatures]]. */
+final case class AudioStats(
+    media_id: Long,
+    n_bytes: Int,
+    n_samples: Option[Long],
+    sum_abs: Option[Long],
+    peak_abs: Option[Long],
+    n_crossings: Option[Long],
+    decode_ok: Boolean)
+
 /**
  * Multimodal-column plumbing: binary payloads with typed metadata, decoded /
  * feature-extracted in partition-batches. TWO decode paths:
@@ -150,6 +162,50 @@ object Multimodal {
       pos += 8L + size + (size & 1) // RIFF chunks are word-aligned
     }
     if (byteRate > 0 && dataLen >= 0) Some(dataLen * 1000L / byteRate) else None
+  }
+
+  /**
+   * REAL PCM16 sample statistics from a WAV payload — the audio analog
+   * of decoding pixels, one level deeper than [[wavDurationMs]]'s
+   * header math: walk the RIFF chunks to the `data` chunk, then scan
+   * its little-endian int16 mono samples for (count, Σ|s|, max|s|, and
+   * the number of strict sign crossings — the classic zero-crossing
+   *-rate numerator). All-integer, exactly mirrorable by an oracle that
+   * knows the generation formula. None for truncated/hostile payloads:
+   * corruption is data, never an exception or a fabricated statistic.
+   */
+  private[graft] def wavPcm16Stats(a: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (!isWav(a)) return None
+    var pos = 12L
+    var dataOff = -1L
+    var dataLen = -1L
+    while (pos + 8 <= a.length && dataLen < 0) {
+      val p = pos.toInt
+      val id = new String(a, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = leInt(a, p + 4)
+      if (size < 0) return None
+      if (id == "data") { dataOff = pos + 8; dataLen = size.toLong }
+      pos += 8L + size + (size & 1)
+    }
+    if (dataLen < 0 || dataOff + dataLen > a.length) return None
+    val n = dataLen / 2
+    var i = 0L
+    var sumAbs = 0L
+    var peak = 0L
+    var crossings = 0L
+    var prevNeg = false
+    while (i < n) {
+      val p = (dataOff + 2 * i).toInt
+      val s = ((a(p + 1) << 8) | (a(p) & 0xff)).toShort.toLong
+      val abs = if (s < 0) -s else s
+      sumAbs += abs
+      if (abs > peak) peak = abs
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) crossings += 1
+      prevNeg = neg
+      i += 1
+    }
+    Some((n, sumAbs, peak, crossings))
   }
 
   // ------------------------------------------------------------- mp4 box walk
@@ -331,6 +387,58 @@ object Multimodal {
       .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0) // pre_defined
       .putInt(2) // next_track_ID
     bb.array()
+  }
+
+  /** A real non-silent WAV payload: PCM mono 16-bit at `sampleRate`,
+    * sample i = ((id·31 + i·7) mod 2003) − 1001 — pure integer
+    * arithmetic both engines can compute, amplitude inside int16. */
+  private[graft] def toneWavBytes(id: Long, nSamples: Int,
+      sampleRate: Int = 8000): Array[Byte] = {
+    val a = wavBytes(nSamples, sampleRate)
+    val bb = java.nio.ByteBuffer.wrap(a).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(44)
+    var i = 0
+    while (i < nSamples) {
+      bb.putShort((((id * 31 + i.toLong * 7) % 2003) - 1001).toShort)
+      i += 1
+    }
+    a
+  }
+
+  /**
+   * GENUINE non-silent audio rows from an id column: every id carries an
+   * actual PCM16 WAV ([[toneWavBytes]]) of 80·(1+id%25) samples whose
+   * waveform is the deterministic integer tone above — so sample-level
+   * statistics have an exact oracle. `corruptMod > 0` truncates 1-in-mod
+   * payloads to 8 bytes (the stats walk MUST fail into NULLs).
+   * Partition-local generation like [[realMedia]].
+   */
+  def realAudioMedia(df: DataFrame, idCol: String, corruptMod: Int = 0): Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val whole = toneWavBytes(id, nSamples = 80 * (1 + (id % 25)).toInt)
+      val payload =
+        if (corruptMod > 0 && id % corruptMod == 0) whole.take(8) else whole
+      MediaRecord(id, "audio", payload, payload.length, "wav")
+    })
+  }
+
+  /** Partition-batched PCM16 sample statistics over real WAV bytes —
+    * (n_samples, sum_abs, peak_abs, n_crossings) per media row, NULLs +
+    * `decode_ok = false` when the RIFF walk or sample scan fails. */
+  def audioSampleStats(media: Dataset[MediaRecord]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      wavPcm16Stats(r.payload) match {
+        case Some((n, sumAbs, peak, x)) =>
+          AudioStats(r.media_id, r.n_bytes, Some(n), Some(sumAbs), Some(peak),
+            Some(x), decode_ok = true)
+        case None =>
+          AudioStats(r.media_id, r.n_bytes, None, None, None, None,
+            decode_ok = false)
+      }
+    })
   }
 
   /**

@@ -64,6 +64,51 @@ object Sharding {
     array_max(scored).getField("shard")
   }
 
+  /**
+   * Consistent-hash RING with virtual nodes — the other classic
+   * resharding-stable scheme, complementing [[rendezvousShard]] (HRW).
+   * Each shard owns `vnodesPerShard` points on a 60-bit ring (the md5-60
+   * of "ring:shard:vnode" — driver-computable, engine-portable); a key
+   * lands on the first vnode clockwise from its own hash (smallest vnode
+   * hash ≥ key hash, wrapping to the ring's global minimum). Growing
+   * N→N+1 inserts only the NEW shard's vnodes, so keys move ONLY into
+   * the new shard (expected ~V_new/V_total of the corpus) — the same
+   * minimal-movement contract as HRW, but with O(log V) per-key cost on
+   * a sorted ring vs HRW's O(N) argmax, which is why rings win once
+   * shard counts reach the thousands. Vnode-hash ties break to the
+   * lower shard id ((h, shard) lexicographic — mirrored by the oracle).
+   *
+   * The ring itself is tiny (N·V longs) and embedded in the plan as a
+   * sorted literal array; assignment is a pure per-row expression — no
+   * shuffle, no join, no broadcast exchange.
+   */
+  def ringVnodes(nShards: Int, vnodesPerShard: Int): Seq[(Long, Int)] = {
+    require(nShards > 0 && vnodesPerShard > 0,
+      s"nShards and vnodesPerShard must be positive: $nShards, $vnodesPerShard")
+    val pts = for (s <- 0 until nShards; v <- 0 until vnodesPerShard)
+      yield (graft.functions.TextOps.md5Hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"ring:$s:$v")), s)
+    pts.sorted
+  }
+
+  /** Ring successor lookup as a bare column: filter the sorted literal
+    * ring to vnodes at-or-clockwise-of the key hash, take the first,
+    * wrap to the ring head when the key hashes past every vnode. */
+  def ringShard(key: Column, nShards: Int, vnodesPerShard: Int): Column = {
+    val ring = ringVnodes(nShards, vnodesPerShard)
+    val arr = array(ring.map { case (h, s) =>
+      struct(lit(h).as("h"), lit(s.toLong).as("shard")) }: _*)
+    val kh = Sampling.keyHash(key)
+    val succ = filter(arr, e => e.getField("h") >= kh)
+    when(size(succ) > 0, element_at(succ, 1).getField("shard"))
+      .otherwise(element_at(arr, 1).getField("shard"))
+  }
+
+  /** Rows + a `shard` column from the vnode ring. Pure projection. */
+  def ringAssign(df: DataFrame, keyCol: String, nShards: Int,
+      vnodesPerShard: Int): DataFrame =
+    df.withColumn("shard", ringShard(col(keyCol), nShards, vnodesPerShard))
+
   /** Rows + (shard, __order) columns — the assignment alone, no sort.
     * Pure per-row projection: no shuffle. */
   def assignShards(df: DataFrame, keyCol: String, nShards: Int, seed: Long): DataFrame = {

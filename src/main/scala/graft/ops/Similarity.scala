@@ -160,6 +160,39 @@ object Similarity {
           expr("1000 div first_rel_rank")))
   }
 
+  /**
+   * Recall@k — the third leg of the eval triad beside [[mrrEval]] (rank
+   * of the FIRST hit) and [[ndcgAtK]] (graded positions): what fraction
+   * of a query's relevant items the top-k actually retrieves. The
+   * denominator is CAPPED at k (a query with 40 relevant items can at
+   * best fill k slots — the uncapped ratio would punish it for corpus
+   * prevalence, not retrieval quality); `recall_milli` = 1000·hits div
+   * min(n_rel, k), exact integers. Queries with no relevant item at all
+   * surface with NULL recall instead of vanishing. Same broadcast
+   * query-side + per-query window shape as [[mrrEval]].
+   */
+  def recallAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), col(labelCol).as("q_label")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col(labelCol).as("c_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", vec_dot(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(sum(when(col("c_label") === col("q_label"), 1L).otherwise(0L))
+          .as("n_rel"),
+        sum(when(col("c_label") === col("q_label") && col("rank") <= k, 1L)
+          .otherwise(0L)).as("n_hit"))
+      .withColumn("recall_milli",
+        when(col("n_rel") > 0L,
+          expr(s"(1000 * n_hit) div least(n_rel, $k)")))
+  }
+
   /** floor(1000·log₂(r+1)) — the NDCG rank discount as an exact milli
     * integer. Computed once on the driver and interpolated as a LITERAL
     * into both engines' plans, so the irrational log never enters

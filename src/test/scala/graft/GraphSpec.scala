@@ -195,6 +195,40 @@ class GraphSpec extends SparkSuite {
       10L -> 10L, 11L -> 3L, 12L -> 3L))
   }
 
+  test("louvainMove: alternating sweeps find the two bridged triangles") {
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4 (e2 = 14). Hand-trace
+    // with parity alternation (round r moves node % 2 == r % 2):
+    // r1 (odd movers):  1→2, 3→1, 5→6        → {1:2, 2:2, 3:1, 4:4, 5:6, 6:6}
+    // r2 (even movers): 4→6 (score 16 beats stay 0); 2 and 6 stay
+    //                                         → {1:2, 2:2, 3:1, 4:6, 5:6, 6:6}
+    // r3 (odd movers):  3→2 (28−12=16 beats stay 0); 1 and 5 stay
+    //                                         → communities {1,2,3}=2, {4,5,6}=6
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r3 = Graph.louvainMove(edges, rounds = 3).as[(Long, Long)].collect().toMap
+    assert(r3 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 6L, 5L -> 6L, 6L -> 6L))
+    // converged: a fourth round changes nothing
+    val r4 = Graph.louvainMove(edges, rounds = 4).as[(Long, Long)].collect().toMap
+    assert(r4 == r3)
+    // the found partition carries the textbook modularity (see the
+    // modularityMicro spec below: Q_micro = 178571 per community)
+    val q = Graph.modularityMicro(edges, Graph.louvainMove(edges, rounds = 3))
+      .select("label", "q_micro").as[(Long, Long)].collect().toMap
+    assert(q == Map(2L -> 178571L, 6L -> 178571L))
+    intercept[IllegalArgumentException](Graph.louvainMove(edges, rounds = 0))
+  }
+
+  test("louvainMove round 1: singleton gains are 14 − k·k, ties to smaller community") {
+    // same graph, one round: only odd nodes move; hand-scores
+    // node 1 (k=2): nb 2 → 14−4=10, nb 3 → 14−6=8, stay 0 → label 2
+    // node 3 (k=3): nb 1 → 8, nb 2 → 8 (tie → 1), nb 4 → 14−9=5 → label 1
+    // node 5 (k=2): nb 4 → 8, nb 6 → 10 → label 6
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r1 = Graph.louvainMove(edges, rounds = 1).as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 4L, 5L -> 6L, 6L -> 6L))
+  }
+
   test("pageRank mass stays within the floor-loss envelope") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val e = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")

@@ -42,6 +42,58 @@ class MultimodalDecodeSpec extends SparkSuite {
     assert(Multimodal.wavDurationMs(Multimodal.wavBytes(8000)).contains(1000L))
   }
 
+  test("wavPcm16Stats: exact sample scan — model equality, truncation, hostile sizes") {
+    // the generated tone matches a direct scala model of the formula
+    val id = 7L
+    val n = 160
+    val bytes = Multimodal.toneWavBytes(id, n)
+    val samples = (0 until n).map(i => (((id * 31 + i.toLong * 7) % 2003) - 1001))
+    val expSum = samples.map(math.abs).sum
+    val expPeak = samples.map(math.abs).max
+    val expX = samples.sliding(2).count { case Seq(a, b) => (a < 0) != (b < 0) }
+    assert(Multimodal.wavPcm16Stats(bytes)
+      .contains((n.toLong, expSum, expPeak, expX.toLong)))
+    // duration walk still reads the same payload (shared RIFF layout):
+    // dataLen·1000/byteRate = (2n)·1000/16000 = n/8 ms
+    assert(Multimodal.wavDurationMs(bytes).contains(n.toLong * 2 * 1000 / 16000))
+    // silence: all-zero samples — zero sum, zero peak, zero crossings
+    assert(Multimodal.wavPcm16Stats(Multimodal.wavBytes(80))
+      .contains((80L, 0L, 0L, 0L)))
+    // truncation and garbage return None, never throw
+    assert(Multimodal.wavPcm16Stats(bytes.take(8)).isEmpty)
+    assert(Multimodal.wavPcm16Stats(bytes.take(50)).isEmpty) // data chunk cut short
+    assert(Multimodal.wavPcm16Stats(Array.fill[Byte](40)(0x41)).isEmpty)
+    // hostile chunk size near Int.MAX must walk to None, not throw
+    val hostile = bytes.clone()
+    val bb = java.nio.ByteBuffer.wrap(hostile).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(40, Int.MaxValue - 2) // corrupt the data chunk size
+    assert(Multimodal.wavPcm16Stats(hostile).isEmpty)
+  }
+
+  test("realAudioMedia -> audioSampleStats: formulas hold end-to-end, corruption flagged") {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val rows = Multimodal.audioSampleStats(
+      Multimodal.realAudioMedia(ids, "doc_id", corruptMod = 19)).collect()
+    assert(rows.length == 40)
+    rows.foreach { st =>
+      val id = st.media_id
+      if (id % 19 == 0) {
+        assert(!st.decode_ok && st.n_samples.isEmpty && st.sum_abs.isEmpty &&
+          st.peak_abs.isEmpty && st.n_crossings.isEmpty, s"id $id should be corrupt")
+      } else {
+        val n = 80 * (1 + (id % 25)).toInt
+        val samples = (0 until n).map(i => (((id * 31 + i.toLong * 7) % 2003) - 1001))
+        assert(st.decode_ok && st.n_samples.contains(n.toLong) &&
+          st.sum_abs.contains(samples.map(math.abs).sum) &&
+          st.peak_abs.contains(samples.map(math.abs).max) &&
+          st.n_crossings.contains(
+            samples.sliding(2).count { case Seq(a, b) => (a < 0) != (b < 0) }.toLong),
+          s"bad sample stats at id $id: $st")
+      }
+    }
+  }
+
   test("mp4Metadata: real moov/mvhd box walk — exact units, both versions, hostile bytes") {
     // v0 round-trip at timescale 600: 40·(1+k) ms are whole 600ths
     val v0 = Multimodal.mp4Bytes(durationMs = 2000L, timescale = 600)

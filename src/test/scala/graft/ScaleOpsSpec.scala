@@ -73,6 +73,53 @@ class ScaleOpsSpec extends SparkSuite {
       s"moved ${movers.size} of 2000; expected ~${2000 / 9}")
   }
 
+  test("ringAssign: in-range, deterministic, balanced-ish, minimal-move on growth") {
+    val df = (0L until 2000L).toDF("k")
+    val a8 = Sharding.ringAssign(df, "k", nShards = 8, vnodesPerShard = 16)
+      .select("k", "shard").as[(Long, Long)].collect().toMap
+    assert(a8.values.forall(s => s >= 0 && s < 8))
+    val again = Sharding.ringAssign(df, "k", nShards = 8, vnodesPerShard = 16)
+      .select("k", "shard").as[(Long, Long)].collect().toMap
+    assert(a8 == again)
+    // vnodes smooth the arc-length variance: every shard within ~2.5x of
+    // the 250 mean (a 1-vnode ring could easily be 10x off)
+    val byShard = a8.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byShard.size == 8 && byShard.values.forall(n => n > 100 && n < 625),
+      s"imbalanced: $byShard")
+    // ring invariant: growing 8 -> 9 inserts only shard 8's vnodes, so
+    // every mover lands on shard 8 and the moved share tracks the new
+    // vnode share 16/144 ≈ 1/9
+    val a9 = Sharding.ringAssign(df, "k", nShards = 9, vnodesPerShard = 16)
+      .select("k", "shard").as[(Long, Long)].collect().toMap
+    val movers = a8.keys.filter(k => a8(k) != a9(k)).toSeq
+    assert(movers.forall(k => a9(k) == 8L),
+      "a ring mover must land on the new shard")
+    assert(movers.size > 2000 / 9 / 3 && movers.size < 2000 / 9 * 3,
+      s"moved ${movers.size} of 2000; expected ~${2000 / 9}")
+  }
+
+  test("ringVnodes: sorted, sized, distinct hashes; ringShard wraps past the last vnode") {
+    val ring = Sharding.ringVnodes(8, 16)
+    assert(ring.length == 128 && ring == ring.sorted)
+    assert(ring.map(_._1).distinct.length == 128, "60-bit vnode collisions")
+    assert(ring.map(_._2).distinct.sorted == (0 until 8))
+    intercept[IllegalArgumentException](Sharding.ringVnodes(0, 16))
+    intercept[IllegalArgumentException](Sharding.ringVnodes(8, 0))
+    // a key hashing past every vnode must wrap to the ring head: verify
+    // via the assignment law on a large key set — every assigned shard
+    // equals the successor-or-wrap of the key hash in the scala model
+    val keys = (0L until 300L).toDF("k")
+    val got = Sharding.ringAssign(keys, "k", 8, 16)
+      .select("k", "shard").as[(Long, Long)].collect().toMap
+    val model = (0L until 300L).map { k =>
+      val kh = graft.functions.TextOps.md5Hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(k.toString))
+      val succ = ring.find(_._1 >= kh).getOrElse(ring.head)
+      k -> succ._2.toLong
+    }.toMap
+    assert(got == model)
+  }
+
   test("curriculumPositions keeps hash shards but orders each shard by score desc") {
     val df = (0L until 300L).map(i => (i, (i % 97).toDouble / 97.0)).toDF("id", "score")
     val cur = Sharding.curriculumPositions(df, "id", "score", nShards = 4, seed = 7L)

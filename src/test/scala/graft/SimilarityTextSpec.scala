@@ -110,6 +110,36 @@ class SimilarityTextSpec extends SparkSuite {
     assert(all.nonEmpty && all.forall(v => v >= 0L && v <= 1000L))
   }
 
+  test("recallAtK: capped denominator, hand counts, lonely labels null") {
+    // same fixture: query 1 (label A) ranking is 3(B) 4(B) 2(A) 5(A) —
+    // k=2: 0 of min(2,2) hits -> 0 milli; k=3: 1 of 2 -> 500; k=4: 2/2 -> 1000.
+    // query 6 (label C, unique): n_rel=0 -> NULL recall.
+    val lv = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), "A"),
+      (2L, Array(0.5f, 0.0f, 0.0f), "A"),
+      (5L, Array(0.4f, 0.0f, 0.0f), "A"),
+      (3L, Array(0.99f, 0.0f, 0.01f), "B"),
+      (4L, Array(0.98f, 0.0f, 0.02f), "B"),
+      (6L, Array(0.0f, -1.0f, 0.0f), "C")
+    ).toDF("vec_id", "embedding", "label")
+    val q = lv.where(col("vec_id") === 1 || col("vec_id") === 6)
+    def at(k: Int) = Similarity.recallAtK(lv, q, "vec_id", "embedding", "label", k)
+      .select("query_id", "n_rel", "n_hit", "recall_milli")
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(at(2) == Set((1L, 2L, 0L, Some(0L)), (6L, 0L, 0L, None)))
+    assert(at(3) == Set((1L, 2L, 1L, Some(500L)), (6L, 0L, 0L, None)))
+    assert(at(4) == Set((1L, 2L, 2L, Some(1000L)), (6L, 0L, 0L, None)))
+    // the cap: a 1-slot budget against 2 relevant items can still reach
+    // 1000 — query 2's ranking is 1(A) 3(B) 4(B) 5(A): hit at rank 1,
+    // denominator min(2, 1) = 1
+    val q2 = lv.where(col("vec_id") === 2)
+    val r1 = Similarity.recallAtK(lv, q2, "vec_id", "embedding", "label", k = 1)
+      .select("recall_milli").as[Option[Long]].head()
+    assert(r1.contains(1000L))
+    intercept[IllegalArgumentException](
+      Similarity.recallAtK(lv, q, "vec_id", "embedding", "label", k = 0))
+  }
+
   test("kCenterCoreset: farthest-point traversal picks the hand trajectory") {
     // seed = min id 1 (e1). Farthest from {e1}: ids 3,4 tie at dot 0 -> 3.
     // From {e1,e2}: id 4 (dot 0) beats id 2 (0.9 to e1). Then id 2 last.
