@@ -95,10 +95,21 @@ object EntityQueries {
          |       FROM i JOIN sz za ON za.doc = i.id_a JOIN sz zb ON zb.doc = i.id_b
          |       WHERE i.inter * 1000 >= (za.n + zb.n - i.inter) * $tMilli)""".stripMargin
 
-  /** Shared Spark arm of the two `recon_linkage_*` queries: nation-blocked
-    * customer pairs against a deterministically-perturbed twin, scored
-    * with [[graft.ops.Linkage]] milli log-odds and banded. */
-  private def linkageScored(s: SparkSession, d: String): DataFrame = {
+  /** Shared field rules of the `recon_linkage_*` family: configured
+    * milli log-odds over name / segment (missing-aware) / balance. */
+  private def linkageRules: Seq[graft.ops.Linkage.FieldRule] = {
+    import graft.ops.Linkage.FieldRule
+    Seq(
+      FieldRule("name", col("a_nm") === col("b_nm"), None, 2400L, -800L),
+      FieldRule("seg", col("a_seg") === col("b_seg"),
+        Some(col("b_seg").isNull), 1600L, -600L),
+      FieldRule("bal", abs(col("a_cents") - col("b_cents")) <= 10L,
+        None, 1200L, -400L))
+  }
+
+  /** Nation-blocked customer pairs against a deterministically-perturbed
+    * twin — the candidate set every `recon_linkage_*` query works from. */
+  private def linkagePairs(s: SparkSession, d: String): DataFrame = {
     import graft.ops.Linkage
     val c = customer(s, d).select(
       col("c_custkey").as("k"), col("c_name").as("nm"),
@@ -111,14 +122,14 @@ object EntityQueries {
         .when(col("k") % 13 === 0, lit("UNKNOWN")).otherwise(col("seg")).as("seg"),
       (col("cents") + when(col("k") % 11 === 0, 7L).otherwise(0L)
         + when(col("k") % 23 === 0, 50000L).otherwise(0L)).as("cents"))
-    val pairs = Linkage.blockPairs(c, b, Seq("nat"))
-    val rules = Seq(
-      Linkage.FieldRule("name", col("a_nm") === col("b_nm"), None, 2400L, -800L),
-      Linkage.FieldRule("seg", col("a_seg") === col("b_seg"),
-        Some(col("b_seg").isNull), 1600L, -600L),
-      Linkage.FieldRule("bal", abs(col("a_cents") - col("b_cents")) <= 10L,
-        None, 1200L, -400L))
-    Linkage.score(pairs, rules)
+    Linkage.blockPairs(c, b, Seq("nat"))
+  }
+
+  /** Shared Spark arm of the scoring queries: [[linkagePairs]] scored
+    * with [[linkageRules]] and banded. */
+  private def linkageScored(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Linkage
+    Linkage.score(linkagePairs(s, d), linkageRules)
       .withColumn("band", Linkage.band(col("score_milli"),
         Seq("match" -> 3000L, "possible" -> 1000L), "nonmatch"))
   }
@@ -215,6 +226,112 @@ object EntityQueries {
       linkageScored(s, d).where(col("score_milli") >= 1000L)
         .select(col("a_k").as("custkey_a"), col("b_k").as("custkey_b"),
           col("score_milli"), col("band"))
+    },
+
+    // the estimation arm of the same linkage: per-field m/u agreement
+    // rates from the truth-labeled pair sample (m = P(agree | true link),
+    // u = P(agree | non-link), exact milli; missing fields excluded from
+    // both denominators) — the measured inputs the configured log-odds
+    // weights come from. One pass over the blocked pairs
+    QuerySpec("recon_linkage_weights",
+      raw"""WITH c AS (SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,
+           |    c_mktsegment AS seg,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents FROM customer),
+           |b AS (SELECT k, CASE WHEN k % 17 = 0 THEN nm || '~' ELSE nm END AS nm, nat,
+           |    CASE WHEN k % 29 = 0 THEN NULL
+           |         WHEN k % 13 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
+           |    cents + CASE WHEN k % 11 = 0 THEN 7 ELSE 0 END
+           |          + CASE WHEN k % 23 = 0 THEN 50000 ELSE 0 END AS cents
+           |  FROM c),
+           |p AS (SELECT a.k = b.k AS t,
+           |    a.nm = b.nm AS ag_name,
+           |    b.seg IS NULL AS ms_seg, a.seg = b.seg AS ag_seg,
+           |    abs(a.cents - b.cents) <= 10 AS ag_bal
+           |  FROM c a JOIN b ON a.nat = b.nat),
+           |g AS (SELECT
+           |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS t_all,
+           |    sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS f_all,
+           |    sum(CASE WHEN t AND NOT ms_seg THEN 1 ELSE 0 END) AS t_seg,
+           |    sum(CASE WHEN NOT t AND NOT ms_seg THEN 1 ELSE 0 END) AS f_seg,
+           |    sum(CASE WHEN t AND ag_name THEN 1 ELSE 0 END) AS ta_name,
+           |    sum(CASE WHEN NOT t AND ag_name THEN 1 ELSE 0 END) AS fa_name,
+           |    sum(CASE WHEN t AND NOT ms_seg AND ag_seg THEN 1 ELSE 0 END) AS ta_seg,
+           |    sum(CASE WHEN NOT t AND NOT ms_seg AND ag_seg THEN 1 ELSE 0 END) AS fa_seg,
+           |    sum(CASE WHEN t AND ag_bal THEN 1 ELSE 0 END) AS ta_bal,
+           |    sum(CASE WHEN NOT t AND ag_bal THEN 1 ELSE 0 END) AS fa_bal
+           |  FROM p)
+           |SELECT 'name' AS field, CAST(t_all AS BIGINT) AS n_true,
+           |  CAST(f_all AS BIGINT) AS n_false,
+           |  CAST((1000 * ta_name) // t_all AS BIGINT) AS m_milli,
+           |  CAST((1000 * fa_name) // f_all AS BIGINT) AS u_milli FROM g
+           |UNION ALL SELECT 'seg', CAST(t_seg AS BIGINT), CAST(f_seg AS BIGINT),
+           |  CAST((1000 * ta_seg) // t_seg AS BIGINT),
+           |  CAST((1000 * fa_seg) // f_seg AS BIGINT) FROM g
+           |UNION ALL SELECT 'bal', CAST(t_all AS BIGINT), CAST(f_all AS BIGINT),
+           |  CAST((1000 * ta_bal) // t_all AS BIGINT),
+           |  CAST((1000 * fa_bal) // f_all AS BIGINT) FROM g""".stripMargin) { (s, d) =>
+      import graft.ops.Linkage
+      val pairs = linkagePairs(s, d)
+      Linkage.estimateWeights(pairs, col("a_k") === col("b_k"), linkageRules)
+    },
+
+    // UNSUPERVISED m/u fitting — one Winkler EM iteration over the same
+    // blocked pairs, no truth labels anywhere: per-pair match
+    // responsibilities from starting milli probabilities (missing fields
+    // neutral at 1000), then the weighted M-step re-estimate. All
+    // integer floor arithmetic, so the whole mixture fit is
+    // value-checked bit for bit; responsibilities never materialize
+    // (one aggregate pass, map-side combined)
+    QuerySpec("recon_linkage_em",
+      raw"""WITH c AS (SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,
+           |    c_mktsegment AS seg,
+           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents FROM customer),
+           |b AS (SELECT k, CASE WHEN k % 17 = 0 THEN nm || '~' ELSE nm END AS nm, nat,
+           |    CASE WHEN k % 29 = 0 THEN NULL
+           |         WHEN k % 13 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
+           |    cents + CASE WHEN k % 11 = 0 THEN 7 ELSE 0 END
+           |          + CASE WHEN k % 23 = 0 THEN 50000 ELSE 0 END AS cents
+           |  FROM c),
+           |p AS (SELECT a.nm = b.nm AS agn,
+           |    b.seg IS NULL AS msg, a.seg = b.seg AS ags,
+           |    abs(a.cents - b.cents) <= 10 AS agb
+           |  FROM c a JOIN b ON a.nat = b.nat),
+           |l AS (SELECT agn, msg, ags, agb,
+           |    CAST(CASE WHEN agn THEN 900 ELSE 100 END AS BIGINT) AS lm1,
+           |    CAST(CASE WHEN agn THEN 5 ELSE 995 END AS BIGINT) AS lu1,
+           |    CAST(CASE WHEN msg THEN 1000 WHEN ags THEN 950 ELSE 50 END AS BIGINT) AS lm2,
+           |    CAST(CASE WHEN msg THEN 1000 WHEN ags THEN 200 ELSE 800 END AS BIGINT) AS lu2,
+           |    CAST(CASE WHEN agb THEN 900 ELSE 100 END AS BIGINT) AS lm3,
+           |    CAST(CASE WHEN agb THEN 10 ELSE 990 END AS BIGINT) AS lu3
+           |  FROM p),
+           |e AS (SELECT *, 20 * lm1 * lm2 * lm3 AS num,
+           |        980 * lu1 * lu2 * lu3 AS den2 FROM l),
+           |w AS (SELECT *, (1000 * num) // (num + den2) AS w FROM e),
+           |g AS (SELECT
+           |    sum(w) AS sw_a, sum(1000 - w) AS swu_a,
+           |    sum(CASE WHEN agn THEN w ELSE 0 END) AS swa_name,
+           |    sum(CASE WHEN agn THEN 1000 - w ELSE 0 END) AS swua_name,
+           |    sum(CASE WHEN NOT msg THEN w ELSE 0 END) AS sw_seg,
+           |    sum(CASE WHEN NOT msg THEN 1000 - w ELSE 0 END) AS swu_seg,
+           |    sum(CASE WHEN NOT msg AND ags THEN w ELSE 0 END) AS swa_seg,
+           |    sum(CASE WHEN NOT msg AND ags THEN 1000 - w ELSE 0 END) AS swua_seg,
+           |    sum(CASE WHEN agb THEN w ELSE 0 END) AS swa_bal,
+           |    sum(CASE WHEN agb THEN 1000 - w ELSE 0 END) AS swua_bal
+           |  FROM w)
+           |SELECT 'name' AS field, CAST(900 AS BIGINT) AS m_milli,
+           |  CAST(5 AS BIGINT) AS u_milli,
+           |  CAST((1000 * swa_name) // sw_a AS BIGINT) AS m_next_milli,
+           |  CAST((1000 * swua_name) // swu_a AS BIGINT) AS u_next_milli FROM g
+           |UNION ALL SELECT 'seg', 950, 200,
+           |  CAST((1000 * swa_seg) // sw_seg AS BIGINT),
+           |  CAST((1000 * swua_seg) // swu_seg AS BIGINT) FROM g
+           |UNION ALL SELECT 'bal', 900, 10,
+           |  CAST((1000 * swa_bal) // sw_a AS BIGINT),
+           |  CAST((1000 * swua_bal) // swu_a AS BIGINT) FROM g""".stripMargin) { (s, d) =>
+      import graft.ops.Linkage
+      Linkage.emStep(linkagePairs(s, d), linkageRules,
+        Seq(("name", 900L, 5L), ("seg", 950L, 200L), ("bal", 900L, 10L)),
+        pMilli = 20L)
     },
 
     // SCD-2 dimension build from the raw event log: consecutive

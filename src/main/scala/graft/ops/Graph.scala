@@ -445,16 +445,19 @@ object Graph {
   def louvainMove(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     import graft.recon.Checkpoints.cut
-    // deg (≥5 references: Σtot and the scoring broadcast per round, the
-    // singleton start) and each round's label result (four consumers,
-    // compounding across rounds) are lineage-cut; measured at sf0.1 the
-    // cut variant beats recompute-per-consumer by ~25%
+    // every lazy cut pays its subtree's AQE-off plan+codegen at
+    // CONSTRUCTION time (~1-2 s each), so the cut count is the BUILD
+    // knob: the label frame carries the node degree along (one cut per
+    // round covers both the community state and the scoring inputs),
+    // and nothing else is cut — measured at sf0.1 this shape beats both
+    // the no-cut form (plan fan-out re-executes each round 4×, 25 s)
+    // and the separate-deg-cut form (one more planned subtree)
     val e2 = edges.agg(count(lit(1)).as("__e2"))
-    val deg = cut(edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("__k")))
-    var labels = cut(deg.select(col("node")).withColumn("label", col("node")))
+    var labels = cut(edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("__k"))
+      .withColumn("label", col("node")))
     for (r <- 1 to rounds) {
-      val tot = labels.join(deg, Seq("node"))
-        .groupBy(col("label")).agg(sum(col("__k")).as("__tot"))
+      val tot = labels.groupBy(col("label")).agg(sum(col("__k")).as("__tot"))
       // edges from i into each neighbor community, PLUS the current
       // community at weight 0 so "stay" is always a candidate (its true
       // edge count, if any, arrives from the neighbor side of the
@@ -465,10 +468,10 @@ object Graph {
         .unionByName(labels.select(col("node").as("src"), col("label"),
           lit(0L).as("__w")))
         .groupBy(col("src"), col("label")).agg(sum(col("__w")).as("__w"))
-      val cur = labels.select(col("node").as("src"), col("label").as("__cur"))
+      val cur = labels.select(col("node").as("src"), col("label").as("__cur"),
+        col("__k"))
       val scored = cand
         .join(broadcast(cur), Seq("src"))
-        .join(broadcast(deg.select(col("node").as("src"), col("__k"))), Seq("src"))
         .join(broadcast(tot), Seq("label"))
         .crossJoin(broadcast(e2))
         .withColumn("__score",
@@ -483,11 +486,11 @@ object Graph {
         .select(col("src").as("node"), (-col("__m.__neg")).as("__new"))
       // only this round's parity moves; everyone else holds their label
       labels = cut(labels.join(picked, Seq("node"))
-        .select(col("node"),
+        .select(col("node"), col("__k"),
           when(col("node") % 2 === lit(r % 2), col("__new"))
             .otherwise(col("label")).as("label")))
     }
-    labels
+    labels.select(col("node"), col("label"))
   }
 
   /**

@@ -71,6 +71,120 @@ object Linkage {
       rules.map(r => col(s"w_${r.field}_milli")).reduce(_ + _))
   }
 
+  /**
+   * The estimation arm of Fellegi–Sunter: per-field m/u agreement rates
+   * from a TRUTH-LABELED pair sample — m = P(field agrees | true link),
+   * u = P(field agrees | non-link) — in exact milli units. `log(m/u)`
+   * is the agreement weight the scoring arm consumes; the logs stay a
+   * driver-side concern (configured literals, see [[score]]), the rates
+   * are the distributed computation. Missing fields are excluded from
+   * both denominators (they carry weight 0 in scoring, so their rate
+   * must not dilute the estimate). One aggregate over the pair frame;
+   * output one row per field:
+   * `(field, n_true, n_false, m_milli, u_milli)`.
+   */
+  def estimateWeights(pairs: DataFrame, isTrue: Column,
+      rules: Seq[FieldRule]): DataFrame = {
+    require(rules.nonEmpty, "estimation requires at least one field rule")
+    // ONE pass over the pair frame computes every field's four counters;
+    // the per-field rows are then sliced out of the single-row aggregate
+    // (lineage-cut so the union's |rules| consumers don't re-run the scan)
+    val aggs = rules.flatMap { r =>
+      val present = r.missing match {
+        case Some(m) => !m
+        case None    => lit(true)
+      }
+      val agree1 = when(present && r.agree, 1L).otherwise(0L)
+      val pres1 = when(present, 1L).otherwise(0L)
+      Seq(
+        sum(when(isTrue, pres1).otherwise(0L)).as(s"__t_${r.field}"),
+        sum(when(!isTrue, pres1).otherwise(0L)).as(s"__f_${r.field}"),
+        sum(when(isTrue, agree1).otherwise(0L)).as(s"__ta_${r.field}"),
+        sum(when(!isTrue, agree1).otherwise(0L)).as(s"__fa_${r.field}"))
+    }
+    val one = graft.recon.Checkpoints.cut(pairs.agg(aggs.head, aggs.tail: _*))
+    rules.map { r =>
+      val f = r.field
+      one.select(lit(f).as("field"),
+        col(s"__t_$f").as("n_true"), col(s"__f_$f").as("n_false"),
+        when(col(s"__t_$f") > 0L, expr(s"(1000 * __ta_$f) div __t_$f"))
+          .as("m_milli"),
+        when(col(s"__f_$f") > 0L, expr(s"(1000 * __fa_$f) div __f_$f"))
+          .as("u_milli"))
+    }.reduce(_ unionByName _)
+  }
+
+  /**
+   * One UNSUPERVISED EM iteration for the m/u probabilities (Winkler's
+   * classic fit of the Fellegi–Sunter mixture — no truth labels, unlike
+   * [[estimateWeights]]): given starting milli probabilities
+   * `(field, m, u)` and a match prior `pMilli`, the E-step scores every
+   * pair's match responsibility
+   *   w = p·Π lm_f / (p·Π lm_f + (1−p)·Π lu_f)   (milli, floor div)
+   * with per-field likelihoods lm = m if agree else 1000−m (missing
+   * fields contribute a neutral 1000), and the M-step re-estimates
+   *   m' = Σ w·[agree] / Σ w,   u' = Σ (1000−w)·[agree] / Σ (1000−w)
+   * over the pairs where the field is present. ALL integer arithmetic:
+   * with ≤ 5 fields the numerator p·Π lm stays ≤ 10³·(10³)⁵ = 10¹⁸ —
+   * caller beware above that — and both engines floor-divide
+   * identically, so the fit is value-checkable bit for bit.
+   *
+   * One aggregate pass per iteration (the standard EM-at-scale shape:
+   * responsibilities never materialize, they stream through the
+   * map-side combine). Output one row per field:
+   * `(field, m_milli, u_milli, m_next_milli, u_next_milli)`.
+   */
+  def emStep(pairs: DataFrame, rules: Seq[FieldRule],
+      init: Seq[(String, Long, Long)], pMilli: Long): DataFrame = {
+    require(rules.nonEmpty, "EM requires at least one field rule")
+    require(rules.size <= 5, s"integer headroom caps EM at 5 fields: ${rules.size}")
+    require(pMilli > 0 && pMilli < 1000, s"prior must be in (0,1000) milli: $pMilli")
+    val initMap: Map[String, (Long, Long)] =
+      init.map { case (f, m, u) => f -> (m, u) }.toMap
+    require(rules.forall(r => initMap.contains(r.field)),
+      s"init must cover every rule field: ${init.map(_._1).mkString(", ")}")
+    initMap.values.foreach { case (m, u) =>
+      require(m > 0 && m < 1000 && u > 0 && u < 1000,
+        s"m/u must be in (0,1000) milli: $m, $u")
+    }
+    val parts = rules.map { r =>
+      val (m0, u0) = initMap(r.field)
+      val present = r.missing match {
+        case Some(miss) => !miss
+        case None       => lit(true)
+      }
+      val lm = when(!present, lit(1000L))
+        .otherwise(when(r.agree, lit(m0)).otherwise(lit(1000L - m0)))
+      val lu = when(!present, lit(1000L))
+        .otherwise(when(r.agree, lit(u0)).otherwise(lit(1000L - u0)))
+      (r.field, present, when(present && r.agree, 1L).otherwise(0L), lm, lu)
+    }
+    val num = parts.map(_._4).foldLeft(lit(pMilli): Column)(_ * _)
+    val den2 = parts.map(_._5).foldLeft(lit(1000L - pMilli): Column)(_ * _)
+    val w = expr(s"(1000 * __num) div (__num + __den2)")
+    val scored = pairs
+      .withColumn("__num", num).withColumn("__den2", den2)
+      .withColumn("__w", w)
+    val aggs = parts.flatMap { case (f, present, agree1, _, _) =>
+      Seq(
+        sum(when(present, col("__w")).otherwise(0L)).as(s"__sw_$f"),
+        sum(when(present, lit(1000L) - col("__w")).otherwise(0L)).as(s"__swu_$f"),
+        sum(agree1 * col("__w")).as(s"__swa_$f"),
+        sum(agree1 * (lit(1000L) - col("__w"))).as(s"__swua_$f"))
+    }
+    val one = graft.recon.Checkpoints.cut(scored.agg(aggs.head, aggs.tail: _*))
+    rules.map { r =>
+      val f = r.field
+      val (m0, u0) = initMap(f)
+      one.select(lit(f).as("field"),
+        lit(m0).as("m_milli"), lit(u0).as("u_milli"),
+        when(col(s"__sw_$f") > 0L, expr(s"(1000 * __swa_$f) div __sw_$f"))
+          .as("m_next_milli"),
+        when(col(s"__swu_$f") > 0L, expr(s"(1000 * __swua_$f) div __swu_$f"))
+          .as("u_next_milli"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Decision band from descending (label, threshold) pairs: the first
     * band whose threshold the score reaches; scores below every
     * threshold get `floorLabel`. */

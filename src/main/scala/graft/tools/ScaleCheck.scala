@@ -57,7 +57,12 @@ object ScaleCheck {
     // round-13 addition: the ingest gate (index write + banded
     // cross-probe + in-batch self-probe) — the admission composite whose
     // bucket caps must hold as the corpus grows
-    "dedup_gate_decisions")
+    "dedup_gate_decisions",
+    // round-13 third-sitting additions: the Louvain sweep (per-round
+    // edge-sized candidate aggregates whose broadcast frames must stay
+    // node-sized) and the blocked linkage scorer (pair volume =
+    // Σ|A_k|·|B_k| — the blocking-key capacity contract)
+    "graph_louvain", "recon_linkage_bands")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -52,6 +52,72 @@ class LinkageSpec extends SparkSuite {
     assert(s(1L) == 1000L && s(2L) == 0L)
   }
 
+  test("estimateWeights: m/u rates in milli, missing fields out of both denominators") {
+    val rules = Seq(
+      Linkage.FieldRule("nm", col("a_nm") === col("b_nm"), None, 2000L, -500L),
+      Linkage.FieldRule("v", abs(col("a_v") - col("b_v")) <= 10L,
+        Some(col("b_v").isNull), 1000L, -300L))
+    // pairs: (true, name-agree, v present, v-agree)
+    val p = Seq(
+      (1L, 1L, "x", "x", Some(5L), Some(5L)),   // true: nm agree, v agree
+      (2L, 2L, "y", "z", Some(5L), Some(50L)),  // true: nm disagree, v disagree
+      (3L, 3L, "w", "w", Some(5L), None),       // true: nm agree, v MISSING
+      (1L, 2L, "x", "z", Some(5L), Some(8L)),   // false: v agree
+      (2L, 3L, "y", "w", Some(5L), None)        // false: v MISSING
+    ).toDF("a_id", "b_id", "a_nm", "b_nm", "a_vo", "b_v")
+      .withColumn("a_v", col("a_vo"))
+    val got = Linkage.estimateWeights(p, col("a_id") === col("b_id"), rules)
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // nm: 3 true (2 agree -> 666), 2 false (0 agree -> 0)
+    assert(got("nm") == ((3L, 2L, Some(666L), Some(0L))))
+    // v: denominators exclude missing: 2 true (1 agree -> 500), 1 false (1 agree -> 1000)
+    assert(got("v") == ((2L, 1L, Some(500L), Some(1000L))))
+    // empty class -> NULL rate, not a division error
+    val onlyTrue = p.where(col("a_id") === col("b_id"))
+    val gt = Linkage.estimateWeights(onlyTrue, col("a_id") === col("b_id"), rules)
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(gt("nm").isEmpty && gt("v").isEmpty)
+    intercept[IllegalArgumentException](
+      Linkage.estimateWeights(p, col("a_id") === col("b_id"), Nil))
+  }
+
+  test("emStep: hand-computed responsibilities and M-step; missing pairs neutral") {
+    // one field, m0=800, u0=100, prior 500:
+    //  A (agree):    w = 1000·(500·800) div (500·800 + 500·100) = 888
+    //  B (disagree): w = 1000·(500·200) div (500·200 + 500·900) = 181
+    //  C (missing):  excluded from the M-step sums entirely
+    // M-step: m' = 1000·888 div (888+181) = 830; u' = 1000·112 div (112+819) = 120
+    val rules = Seq(Linkage.FieldRule("nm", col("a_nm") === col("b_nm"),
+      Some(col("b_nm").isNull), 0L, 0L))
+    val p = Seq(
+      ("x", Some("x")), ("y", Some("z")), ("w", None)
+    ).toDF("a_nm", "b_nm")
+    val got = Linkage.emStep(p, rules, Seq(("nm", 800L, 100L)), pMilli = 500L)
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect()
+    assert(got.toSeq == Seq(("nm", 800L, 100L, Some(830L), Some(120L))))
+    // a missing field is NEUTRAL in the E-step: with a second all-missing
+    // field the responsibilities (and hence m'/u' of the first) are identical
+    val rules2 = rules :+ Linkage.FieldRule("v", col("a_v") === col("b_v"),
+      Some(col("b_v").isNull), 0L, 0L)
+    val p2 = p.withColumn("a_v", lit(1L)).withColumn("b_v", lit(null).cast("long"))
+    val got2 = Linkage.emStep(p2, rules2,
+        Seq(("nm", 800L, 100L), ("v", 900L, 50L)), pMilli = 500L)
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._4, r._5))).toMap
+    assert(got2("nm") == ((Some(830L), Some(120L))))
+    assert(got2("v") == ((None, None))) // never present -> NULL next estimates
+    // guards
+    intercept[IllegalArgumentException](Linkage.emStep(p, Nil, Nil, 500L))
+    intercept[IllegalArgumentException](
+      Linkage.emStep(p, rules, Seq(("nm", 0L, 100L)), 500L))
+    intercept[IllegalArgumentException](
+      Linkage.emStep(p, rules, Seq(("nm", 800L, 100L)), 1000L))
+    intercept[IllegalArgumentException](
+      Linkage.emStep(p, rules, Seq(("other", 800L, 100L)), 500L))
+  }
+
   test("band: descending thresholds, floor label below every band") {
     val df = Seq(5200L, 3000L, 2999L, 1000L, -100L).toDF("s")
       .withColumn("band", Linkage.band(col("s"),

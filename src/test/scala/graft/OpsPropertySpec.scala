@@ -155,6 +155,67 @@ class OpsPropertySpec extends SparkSuite {
     }
   }
 
+  test("property: ring growth N->N+1 only ever moves keys TO the new shard") {
+    // the consistent-hash-ring analog of the HRW ladder property: adding
+    // shard N's vnodes can only capture keys (a key whose successor was
+    // vnode v keeps v unless a NEW vnode lands between the key and v)
+    val keys = spark.range(0, 500).toDF("k")
+    var prev = graft.ops.Sharding.ringAssign(keys, "k", nShards = 2, vnodesPerShard = 8)
+      .select("k", "shard").as[(Long, Long)].collect().toMap
+    for (n <- 3 to 7) {
+      val next = graft.ops.Sharding.ringAssign(keys, "k", n, vnodesPerShard = 8)
+        .select("k", "shard").as[(Long, Long)].collect().toMap
+      prev.keys.foreach { k =>
+        assert(next(k) == prev(k) || next(k) == n - 1L,
+          s"key $k moved ${prev(k)} -> ${next(k)} growing the ring to $n shards")
+      }
+      prev = next
+    }
+  }
+
+  test("property: linkage score is the exact weight sum; uninformative EM is a fixed point") {
+    import graft.ops.Linkage
+    // random pairs: score must equal the per-field contribution sum, and
+    // flipping one field's agreement moves the score by exactly
+    // (wAgree - wDisagree)
+    val rules = Seq(
+      Linkage.FieldRule("a", col("xa") === col("ya"), None, 1700L, -300L),
+      Linkage.FieldRule("b", col("xb") === col("yb"),
+        Some(col("yb").isNull), 900L, -1100L))
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, rnd.nextInt(3).toLong, rnd.nextInt(3).toLong,
+        rnd.nextInt(3).toLong,
+        if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(3).toLong))
+    }
+    val df = rows.toDF("id", "xa", "ya", "xb", "yb")
+    val got = Linkage.score(df, rules)
+      .select(col("id"), col("w_a_milli"), col("w_b_milli"), col("score_milli"))
+      .as[(Long, Long, Long, Long)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    got.foreach { case (id, wa, wb, s) =>
+      val (_, xa, ya, xb, yb) = byId(id)
+      assert(wa == (if (xa == ya) 1700L else -300L))
+      assert(wb == (yb match {
+        case None => 0L
+        case Some(v) => if (xb == v) 900L else -1100L
+      }))
+      assert(s == wa + wb, s"score must be the exact sum at id $id")
+    }
+    // EM with m0 = u0 everywhere is uninformative: every pair's
+    // responsibility collapses to the prior, so m' = u' exactly
+    val em = Linkage.emStep(df,
+      Seq(Linkage.FieldRule("a", col("xa") === col("ya"), None, 0L, 0L),
+        Linkage.FieldRule("b", col("xb") === col("yb"),
+          Some(col("yb").isNull), 0L, 0L)),
+      Seq(("a", 700L, 700L), ("b", 400L, 400L)), pMilli = 250L)
+      .select("field", "m_next_milli", "u_next_milli")
+      .as[(String, Option[Long], Option[Long])].collect()
+    em.foreach { case (f, m1, u1) =>
+      assert(m1 == u1, s"uninformative EM must keep m' = u' for field $f")
+    }
+  }
+
   test("property: alternatingComponents equals hash-min on random pair graphs") {
     // star alternation and min-label propagation are different algorithms
     // with ONE contract: component = min reachable id — any divergence on
