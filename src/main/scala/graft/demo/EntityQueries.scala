@@ -1569,6 +1569,43 @@ object EntityQueries {
       graft.ops.Changepoint.maxCusum(hourly, "event_type", "bucket", "n_events")
     },
 
+    // rank-based changepoint beside the CUSUM one: Pettitt's
+    // prefix-vs-suffix Mann–Whitney statistic over the same hourly
+    // series — distribution-free, one outlier bounded at ±1 per pair.
+    // The O(n²) pair sum collapses to one rank pass + a prefix sum via
+    // U_t = Σ_{i≤t}(n+1−2·avgrank); mid-ranks keep ties exact by
+    // doubling. Both engines compute the identical longs
+    QuerySpec("events_pettitt",
+      raw"""WITH b AS (SELECT event_type, epoch_ms(ts) // 3600000 AS bucket,
+           |             CAST(count(*) AS BIGINT) AS x
+           |           FROM events GROUP BY 1, 2),
+           |bounds AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+           |           FROM b GROUP BY 1),
+           |grid AS (SELECT event_type, unnest(range(mn, mx + 1)) AS bucket FROM bounds),
+           |g AS (SELECT grid.event_type, grid.bucket, COALESCE(b.x, 0) AS x
+           |      FROM grid LEFT JOIN b ON b.event_type = grid.event_type
+           |                           AND b.bucket = grid.bucket),
+           |rk AS (SELECT event_type, bucket, x,
+           |         count(*) OVER (PARTITION BY event_type) AS n,
+           |         2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+           |           + count(*) OVER (PARTITION BY event_type, x) - 1 AS r2
+           |       FROM g),
+           |u AS (SELECT event_type, bucket, n,
+           |        sum(2 * n + 2 - 2 * r2) OVER (PARTITION BY event_type
+           |          ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS u_doubled
+           |      FROM rk),
+           |p AS (SELECT *, row_number() OVER (PARTITION BY event_type
+           |        ORDER BY abs(u_doubled) DESC, bucket) AS pk FROM u)
+           |SELECT event_type, bucket AS cp_bucket,
+           |  CAST(u_doubled AS BIGINT) AS u_doubled,
+           |  CAST(n AS BIGINT) AS n_points
+           |FROM p WHERE pk = 1""".stripMargin) { (s, d) =>
+      val hourly = graft.ops.Resample.gapFill(
+        graft.ops.Resample.resample(events(s, d), "event_type", "ts", "value",
+          intervalMs = 3600000L), "event_type")
+      graft.ops.Changepoint.pettitt(hourly, "event_type", "bucket", "n_events")
+    },
+
     // time-series regularization to a 4-hour grid per user: silent
     // buckets PRESENT as zero-count filled rows, with the decimal sum
     // carried forward (LOCF). The grid is generated per entity in-plan

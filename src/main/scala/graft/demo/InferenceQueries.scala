@@ -1505,6 +1505,26 @@ object InferenceQueries {
           maxHamming = 0)
     },
 
+    // REAL acoustic near-dup: a 64-bit loudness-shape fingerprint from
+    // GENUINE PCM16 samples (64 block means vs the global mean, exact
+    // integer cross-multiplication) + the same banded Hamming join the
+    // image pHash uses. Class-seeded waveforms make the answer pure id
+    // arithmetic — same class ⇒ byte-identical audio ⇒ hamming 0; the
+    // spec pins distinct classes pairwise > 8 bit flips apart, so the
+    // oracle's class-equality join is exhaustive at threshold 0
+    QuerySpec("mm_real_audio_neardup",
+      raw"""SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+           |  CAST(0 AS BIGINT) AS hamming
+           |FROM documents a JOIN documents b
+           |  ON a.doc_id % 40 = b.doc_id % 40 AND a.doc_id < b.doc_id""".stripMargin) {
+      (s, d) =>
+        graft.ops.Multimodal.phashNearDups(
+          graft.ops.Multimodal.decodeAudioFingerprint(
+            graft.ops.Multimodal.classedAudioMedia(
+              s.read.parquet(s"$d/documents.parquet"), "doc_id", classes = 40)),
+          maxHamming = 0)
+    },
+
     // behavioral bot screen: inter-arrival regularity per user — CV² of
     // the gap distribution (clockwork traffic ≈ 0, human bursts ≳ 1000)
     // and the repeated-gap fraction, both exact integers from

@@ -342,6 +342,43 @@ object ScaleQueries {
             .as("n_moved_elsewhere"))
     },
 
+    // capacity-weighted ring: a heterogeneous fleet (counts 4/4/8/16 —
+    // one big shard, one medium, two small) gets key share proportional
+    // to its vnode share from the same ring machinery. The oracle builds
+    // the variable-count vnode set from a VALUES capacity table and
+    // mirrors the successor pick; share_milli makes the proportionality
+    // visible (and value-checked) per shard
+    QuerySpec("shard_ring_weighted",
+      raw"""WITH cap AS (SELECT * FROM (VALUES (0, 4), (1, 4), (2, 8), (3, 16))
+           |             c(s, cnt)),
+           |vn AS (SELECT s, v,
+           |    ${md5h60("'ring:' || CAST(s AS VARCHAR) || ':' || CAST(v AS VARCHAR)")} AS vh
+           |  FROM cap, unnest(range(0, cnt)) AS u(v)),
+           |k AS (SELECT doc_id, ${md5h60("CAST(doc_id AS VARCHAR)")} AS kh FROM documents),
+           |a AS (SELECT k.doc_id, vn.s,
+           |    row_number() OVER (PARTITION BY k.doc_id
+           |      ORDER BY (vn.vh < k.kh), vn.vh, vn.s) AS r
+           |  FROM k CROSS JOIN vn),
+           |t AS (SELECT count(*) AS n FROM documents)
+           |SELECT s AS shard, CAST(cap.cnt AS BIGINT) AS n_vnodes,
+           |  count(*) AS n_docs,
+           |  CAST((1000 * count(*)) // t.n AS BIGINT) AS share_milli
+           |FROM a JOIN cap USING (s) CROSS JOIN t
+           |WHERE r = 1 GROUP BY s, cap.cnt, t.n""".stripMargin) { (s, d) =>
+      val counts = Seq(4, 4, 8, 16)
+      val capDf = s.createDataFrame(
+        counts.zipWithIndex.map { case (c, i) => (i.toLong, c.toLong) })
+        .toDF("shard", "n_vnodes")
+      val total = docs(s, d).agg(count(lit(1)).as("__n"))
+      docs(s, d)
+        .select(Sharding.ringShardWeighted(col("doc_id"), counts).as("shard"))
+        .groupBy(col("shard")).agg(count(lit(1)).as("n_docs"))
+        .join(broadcast(capDf), Seq("shard"))
+        .crossJoin(broadcast(total))
+        .select(col("shard"), col("n_vnodes"), col("n_docs"),
+          expr("(1000 * n_docs) div __n").as("share_milli"))
+    },
+
     // seeded deterministic shuffle → (shard, position): the training-order
     // export addressing, value-checked down to every row's offset
     QuerySpec("text_shards",

@@ -27,6 +27,46 @@ import org.apache.spark.sql.functions._
  */
 object Changepoint {
 
+  /**
+   * Pettitt's nonparametric changepoint (Pettitt 1979) — the RANK-based
+   * companion to [[maxCusum]]: where CUSUM reacts to mean shifts and one
+   * fat-finger outlier can drag it, the Pettitt statistic
+   * U_t = Σ_{i≤t} Σ_{j>t} sign(x_j − x_i) is a prefix-vs-suffix
+   * Mann–Whitney comparison — distribution-free, outlier-bounded (every
+   * pair contributes ±1 at most), the standard hydrology/climatology
+   * regime test.
+   *
+   * The naive form is O(n²) pairs; this uses the exact identity
+   *   U_t = Σ_{i≤t} (n + 1 − 2·avgrank(x_i))
+   * (within-prefix pairs cancel by antisymmetry), which is one rank
+   * pass + one prefix sum — O(n log n), series-partitioned windows
+   * only. Tie handling is mid-rank; everything is kept integral by
+   * DOUBLING: avgrank = (2·minrank + ties − 1)/2, so
+   * u_doubled_t = Σ (2n + 2 − 2·(2·minrank + ties − 1))/…  — all longs,
+   * bit-identical in both engines.
+   *
+   * Output one row per series: the bucket where |U| peaks (ties → the
+   * earliest bucket), the doubled statistic there, and n.
+   */
+  def pettitt(df: DataFrame, seriesCol: String, orderCol: String,
+      valueCol: String): DataFrame = {
+    val nW = Window.partitionBy(col(seriesCol))
+    val rankW = nW.orderBy(col(valueCol))
+    val tieW = Window.partitionBy(col(seriesCol), col(valueCol))
+    val cumW = nW.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pickW = nW.orderBy(abs(col("u_doubled")).desc, col(orderCol))
+    df.withColumn("__n", count(lit(1)).over(nW))
+      .withColumn("__r2",
+        lit(2L) * rank().over(rankW) + count(lit(1)).over(tieW) - lit(1L))
+      .withColumn("__term", lit(2L) * col("__n") + lit(2L) - lit(2L) * col("__r2"))
+      .withColumn("u_doubled", sum(col("__term")).over(cumW))
+      .withColumn("__rk", row_number().over(pickW))
+      .where(col("__rk") === 1)
+      .select(col(seriesCol), col(orderCol).as("cp_bucket"),
+        col("u_doubled"), col("__n").as("n_points"))
+  }
+
   /** One row per series: the bucket where |CUSUM| peaks (ties → the
     * earliest bucket), with the peak value and the series' n/total for
     * interpretation. `valueCol` must be integral. */

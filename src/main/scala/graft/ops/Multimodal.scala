@@ -594,6 +594,102 @@ object Multimodal {
       .toDF("media_id", "content_hash")
   }
 
+  /**
+   * 64-bit AUDIO fingerprint from REAL PCM16 samples — the acoustic
+   * analog of [[aHash64]]: the data chunk splits into 64 equal-share
+   * blocks and bit b is set when block b's sample mean exceeds the
+   * global mean (exact integer cross-multiplication, `Σ_b·n > Σ·n_b` —
+   * no division, so ragged block boundaries stay exact). Loudness-shape
+   * invariant to uniform gain, the property that makes it a near-dup
+   * key. None below 64 samples or on any walk failure.
+   */
+  private[graft] def audioFingerprint64(a: Array[Byte]): Option[Long] = {
+    wavPcm16Stats(a) match {
+      case None => None
+      case Some((n, _, _, _)) if n < 64 => None
+      case Some((n, _, _, _)) =>
+        // second pass over the located data chunk for the block sums
+        var pos = 12L
+        var dataOff = -1L
+        while (pos + 8 <= a.length && dataOff < 0) {
+          val p = pos.toInt
+          val id = new String(a, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          val size = leInt(a, p + 4)
+          if (size < 0) return None
+          if (id == "data") dataOff = pos + 8
+          pos += 8L + size + (size & 1)
+        }
+        def sample(i: Long): Long = {
+          val p = (dataOff + 2 * i).toInt
+          ((a(p + 1) << 8) | (a(p) & 0xff)).toShort.toLong
+        }
+        var total = 0L
+        var i = 0L
+        while (i < n) { total += sample(i); i += 1 }
+        var fp = 0L
+        var b = 0
+        while (b < 64) {
+          val start = b.toLong * n / 64
+          val end = (b + 1).toLong * n / 64
+          var s = 0L
+          var j = start
+          while (j < end) { s += sample(j); j += 1 }
+          // block mean > global mean  ⟺  s·n > total·(end−start)
+          if (s * n > total * (end - start)) fp |= (1L << b)
+          b += 1
+        }
+        Some(fp)
+    }
+  }
+
+  private val audioClassPayloadCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Byte]]()
+
+  /** Class-seeded REAL audio payload: same class ⇒ byte-identical WAV.
+    * Samples come from an integer bit-mix of (class, i) — NOT the
+    * sawtooth tone, whose near-periodic block means collapse distinct
+    * classes onto close fingerprints (measured: 8-bit separation; the
+    * mixed waveform gives ~32) — length 640 + 16·(c % 25) samples. */
+  private[graft] def audioClassPayload(c: Int): Array[Byte] =
+    audioClassPayloadCache.computeIfAbsent(c, k => {
+      val n = 640 + 16 * (k % 25)
+      val a = wavBytes(n)
+      val bb = java.nio.ByteBuffer.wrap(a).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.position(44)
+      var i = 0
+      while (i < n) {
+        var x = 7919L * k + 13L + i.toLong * 0x9E3779B97F4A7C15L
+        x ^= x >>> 31; x *= 0xBF58476D1CE4E5B9L; x ^= x >>> 27
+        bb.putShort(((x % 1001L).toShort))
+        i += 1
+      }
+      a
+    })
+
+  /** GENUINE class-seeded audio rows — the WAV member of the
+    * [[classedMedia]] family: same class ⇒ byte-identical waveform ⇒
+    * fingerprint Hamming 0, so the near-dup answer is pure id math. */
+  def classedAudioMedia(df: DataFrame, idCol: String, classes: Int): Dataset[MediaRecord] = {
+    require(classes >= 1, s"classes must be >= 1: $classes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions(_.map { id =>
+      val payload = audioClassPayload((id % classes).toInt)
+      MediaRecord(id, "audio", payload, payload.length, "wav")
+    })
+  }
+
+  /** Partition-batched REAL audio fingerprints: `(media_id,
+    * content_hash)` for every payload whose sample walk succeeds —
+    * the acoustic input to [[phashNearDups]]'s banded Hamming join. */
+  def decodeAudioFingerprint(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap(r =>
+      audioFingerprint64(r.payload).map(h => (r.media_id, h))))
+      .toDF("media_id", "content_hash")
+  }
+
   private[ops] def realRecord(id: Long, corruptMod: Int): MediaRecord = {
     val image = id % 2 == 0
     val whole =

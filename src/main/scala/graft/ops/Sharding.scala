@@ -91,11 +91,35 @@ object Sharding {
     pts.sorted
   }
 
+  /**
+   * CAPACITY-WEIGHTED ring: shard s owns `vnodeCounts(s)` points, so its
+   * expected key share is vnodeCounts(s)/Σcounts — the standard way a
+   * heterogeneous fleet (big and small executors, hot and cold storage
+   * tiers) gets load proportional to capacity from the same ring
+   * machinery. Same hash family and tie-break as [[ringVnodes]]; the
+   * uniform ring is the special case of equal counts.
+   */
+  def ringVnodesWeighted(vnodeCounts: Seq[Int]): Seq[(Long, Int)] = {
+    require(vnodeCounts.nonEmpty && vnodeCounts.forall(_ > 0),
+      s"every shard needs at least one vnode: ${vnodeCounts.mkString(", ")}")
+    val pts = for ((cnt, s) <- vnodeCounts.zipWithIndex; v <- 0 until cnt)
+      yield (graft.functions.TextOps.md5Hash60(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"ring:$s:$v")), s)
+    pts.sorted
+  }
+
+  /** [[ringShard]] over a capacity-weighted ring. */
+  def ringShardWeighted(key: Column, vnodeCounts: Seq[Int]): Column =
+    ringPick(key, ringVnodesWeighted(vnodeCounts))
+
   /** Ring successor lookup as a bare column: filter the sorted literal
     * ring to vnodes at-or-clockwise-of the key hash, take the first,
     * wrap to the ring head when the key hashes past every vnode. */
-  def ringShard(key: Column, nShards: Int, vnodesPerShard: Int): Column = {
-    val ring = ringVnodes(nShards, vnodesPerShard)
+  def ringShard(key: Column, nShards: Int, vnodesPerShard: Int): Column =
+    ringPick(key, ringVnodes(nShards, vnodesPerShard))
+
+  /** Successor-or-wrap pick over an already-sorted vnode ring. */
+  private def ringPick(key: Column, ring: Seq[(Long, Int)]): Column = {
     val arr = array(ring.map { case (h, s) =>
       struct(lit(h).as("h"), lit(s.toLong).as("shard")) }: _*)
     val kh = Sampling.keyHash(key)

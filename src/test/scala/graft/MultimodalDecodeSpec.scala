@@ -94,6 +94,57 @@ class MultimodalDecodeSpec extends SparkSuite {
     }
   }
 
+  test("audioFingerprint64: model equality, gain invariance, classes far apart") {
+    // direct scala model of the 64-block sign pattern
+    val bytes = Multimodal.audioClassPayload(3)
+    val n = (bytes.length - 44) / 2
+    def sample(i: Int): Long = {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.getShort(44 + 2 * i).toLong
+    }
+    val total = (0 until n).map(sample).sum
+    var exp = 0L
+    for (b <- 0 until 64) {
+      val (s0, s1) = ((b.toLong * n / 64).toInt, ((b + 1).toLong * n / 64).toInt)
+      val s = (s0 until s1).map(sample).sum
+      if (s * n > total * (s1 - s0)) exp |= (1L << b)
+    }
+    assert(Multimodal.audioFingerprint64(bytes).contains(exp))
+    // loudness-shape invariance: doubling every sample keeps the pattern
+    val loud = bytes.clone()
+    val bb = java.nio.ByteBuffer.wrap(loud).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (i <- 0 until n) bb.putShort(44 + 2 * i, (sample(i) * 2).toShort)
+    assert(Multimodal.audioFingerprint64(loud).contains(exp))
+    // silence has no shape: all-zero samples -> fingerprint 0
+    assert(Multimodal.audioFingerprint64(Multimodal.wavBytes(128)).contains(0L))
+    // too short / corrupt -> None
+    assert(Multimodal.audioFingerprint64(Multimodal.wavBytes(63)).isEmpty)
+    assert(Multimodal.audioFingerprint64(bytes.take(8)).isEmpty)
+    // the 40 class fingerprints are pairwise > 8 bit flips apart — the
+    // separation the neardup oracle's class-equality join relies on
+    val fps = (0 until 40).map(c =>
+      Multimodal.audioFingerprint64(Multimodal.audioClassPayload(c)).get)
+    for (i <- 0 until 40; j <- (i + 1) until 40) {
+      val ham = java.lang.Long.bitCount(fps(i) ^ fps(j))
+      assert(ham > 8, s"classes $i and $j only $ham bits apart")
+    }
+  }
+
+  test("classedAudioMedia -> fingerprint neardups: same class pairs exactly, hamming 0") {
+    import spark.implicits._
+    val ids = (0L until 30L).toDF("doc_id")
+    val pairs = Multimodal.phashNearDups(
+      Multimodal.decodeAudioFingerprint(
+        Multimodal.classedAudioMedia(ids, "doc_id", classes = 10)),
+      maxHamming = 0)
+      .select("media_id_a", "media_id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = (for {
+      a <- 0L until 30L; b <- (a + 1) until 30L if a % 10 == b % 10
+    } yield (a, b, 0L)).toSet
+    assert(pairs == expected)
+  }
+
   test("mp4Metadata: real moov/mvhd box walk — exact units, both versions, hostile bytes") {
     // v0 round-trip at timescale 600: 40·(1+k) ms are whole 600ths
     val v0 = Multimodal.mp4Bytes(durationMs = 2000L, timescale = 600)
