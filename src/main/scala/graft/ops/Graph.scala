@@ -494,6 +494,77 @@ object Graph {
   }
 
   /**
+   * Contract a partition into its supernode multigraph — the coarsening
+   * step between Louvain levels: every edge maps to its endpoints'
+   * communities and aggregates into a WEIGHTED super-edge, intra-
+   * community edges becoming self-loops (in the doubled directed
+   * representation an internal undirected edge contributes 2 to its
+   * community's self-loop, which keeps Σw and every supernode's
+   * weighted degree exactly equal to its members' original degree sum —
+   * the invariant modularity bookkeeping needs). Output `(src, dst, w)`
+   * supernode edges; community-sized, usually far smaller than |E|.
+   */
+  def contractGraph(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
+      .join(labels.select(col("node").as("src"), col("label").as("__la")), Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("label").as("__lb")), Seq("dst"))
+      .groupBy(col("__la").as("src"), col("__lb").as("dst"))
+      .agg(count(lit(1)).cast("long").as("w"))
+
+  /**
+   * WEIGHTED synchronous Louvain local move over `(src, dst, w)` edges
+   * (self-loops allowed — they ride each node's weighted degree and
+   * Σtot but are excluded from the move candidates, since a node's
+   * internal edges move with it): the level-2 sweep run on
+   * [[contractGraph]]'s output, same exact-integer gain
+   * `Σw·e_{i→c} − k_i·(Σtot_c − [stay]·k_i)` and the same
+   * parity-alternating mover subsets as [[louvainMove]].
+   *
+   * `cutRounds = false` skips the per-round lineage cuts — right when
+   * the input is an already-materialized community-sized graph, where
+   * re-executing the small per-round aggregates costs less than each
+   * cut's plan+codegen; leave it on for node-scale inputs.
+   */
+  def louvainMoveWeighted(wEdges: DataFrame, rounds: Int,
+      cutRounds: Boolean = true): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    import graft.recon.Checkpoints.cut
+    def maybeCut(df: DataFrame): DataFrame = if (cutRounds) cut(df) else df
+    val e2 = wEdges.agg(sum(col("w")).as("__e2"))
+    var labels = maybeCut(wEdges.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("__k"))
+      .withColumn("label", col("node")))
+    for (r <- 1 to rounds) {
+      val tot = labels.groupBy(col("label")).agg(sum(col("__k")).as("__tot"))
+      val cand = wEdges.where(col("src") =!= col("dst"))
+        .join(broadcast(labels.select(col("node").as("dst"), col("label"))), Seq("dst"))
+        .select(col("src"), col("label"), col("w").as("__w"))
+        .unionByName(labels.select(col("node").as("src"), col("label"),
+          lit(0L).as("__w")))
+        .groupBy(col("src"), col("label")).agg(sum(col("__w")).as("__w"))
+      val cur = labels.select(col("node").as("src"), col("label").as("__cur"),
+        col("__k"))
+      val scored = cand
+        .join(broadcast(cur), Seq("src"))
+        .join(broadcast(tot), Seq("label"))
+        .crossJoin(broadcast(e2))
+        .withColumn("__score",
+          col("__e2") * col("__w") -
+            col("__k") * (col("__tot") -
+              when(col("label") === col("__cur"), col("__k")).otherwise(lit(0L))))
+      val picked = scored
+        .groupBy(col("src"))
+        .agg(max(struct(col("__score"), (-col("label")).as("__neg"))).as("__m"))
+        .select(col("src").as("node"), (-col("__m.__neg")).as("__new"))
+      labels = maybeCut(labels.join(picked, Seq("node"))
+        .select(col("node"), col("__k"),
+          when(col("node") % 2 === lit(r % 2), col("__new"))
+            .otherwise(col("label")).as("label")))
+    }
+    labels.select(col("node"), col("label"))
+  }
+
+  /**
    * Bounded-round k-core peeling: iteratively remove nodes of degree
    * < k from a SYMMETRIC edge list; survivors after `rounds` passes
    * approximate the k-core — the dense collaboration/co-occurrence

@@ -218,6 +218,41 @@ class GraphSpec extends SparkSuite {
     intercept[IllegalArgumentException](Graph.louvainMove(edges, rounds = 0))
   }
 
+  test("contractGraph: supernode multigraph keeps Σw and weighted degrees exact") {
+    // level-1 result on the bridged triangles: {1,2,3}->2, {4,5,6}->6.
+    // Internal directed edges become self-loops of weight 6 each; the
+    // bridge 3-4 becomes the 1-weight super-edge both ways
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val l1 = Graph.louvainMove(edges, rounds = 3)
+    val wE = Graph.contractGraph(edges, l1).as[(Long, Long, Long)].collect().toSet
+    assert(wE == Set((2L, 2L, 6L), (6L, 6L, 6L), (2L, 6L, 1L), (6L, 2L, 1L)))
+    // invariants: Σw = |directed edges|; supernode degree = member degree sum
+    assert(wE.toSeq.map(_._3).sum == 14L)
+    assert(wE.toSeq.filter(_._1 == 2L).map(_._3).sum == 7L) // k1+k2+k3 = 2+2+3
+  }
+
+  test("louvainMoveWeighted: the optimal coarse partition is a fixed point; self-loops ride degrees") {
+    import org.apache.spark.sql.functions.col
+    // the contracted triangles: merging the two supernodes would LOWER
+    // modularity (score(2->c6) = 14·1 − 7·7 = −35 < stay 0), so both stay
+    val wE = Seq((2L, 2L, 6L), (6L, 6L, 6L), (2L, 6L, 1L), (6L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    val l2 = Graph.louvainMoveWeighted(wE, rounds = 2, cutRounds = false)
+      .as[(Long, Long)].collect().toMap
+    assert(l2 == Map(2L -> 2L, 6L -> 6L))
+    // a strongly-bridged pair with OPPOSITE parity merges: supernodes 3
+    // and 6, cross weight 5, self-loops 2 — round 1 moves the odd node
+    // into the even one (score 14·5 − 7·7 = 21 > stay 0)
+    val wE2 = Seq((3L, 3L, 2L), (6L, 6L, 2L), (3L, 6L, 5L), (6L, 3L, 5L))
+      .toDF("src", "dst", "w")
+    val m = Graph.louvainMoveWeighted(wE2, rounds = 2, cutRounds = false)
+      .as[(Long, Long)].collect().toMap
+    assert(m(3L) == 6L && m(6L) == 6L, s"expected a merge into 6, got $m")
+    intercept[IllegalArgumentException](
+      Graph.louvainMoveWeighted(wE, rounds = 0, cutRounds = false))
+  }
+
   test("louvainMove round 1: singleton gains are 14 − k·k, ties to smaller community") {
     // same graph, one round: only odd nodes move; hand-scores
     // node 1 (k=2): nb 2 → 14−4=10, nb 3 → 14−6=8, stay 0 → label 2
