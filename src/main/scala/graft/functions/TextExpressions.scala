@@ -122,6 +122,35 @@ case class BpeSegment(child: Expression, merges: Seq[(String, String)])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Consistent-hash ring successor of a 60-bit key hash → shard id
+  * ([[TextOps.ringSuccessor]]): binary search over the sorted vnode hash
+  * array embedded as codegen reference objects — O(log V) per key, so
+  * the ring keeps its advertised cost at thousand-shard fleets where the
+  * higher-order-function filter scan was O(N·V) per row and bloated the
+  * plan with an N·V-element literal. `hashes` ascending; `shards(i)`
+  * owns vnode i. */
+case class RingPick(child: Expression, hashes: Array[Long], shards: Array[Long])
+    extends UnaryExpression {
+  require(hashes.nonEmpty && hashes.length == shards.length,
+    s"ring needs matched non-empty vnode arrays: ${hashes.length}, ${shards.length}")
+  require((1 until hashes.length).forall(i => hashes(i - 1) <= hashes(i)),
+    "ring vnode hashes must be ascending")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ring_pick requires a bigint key hash, got ${other.catalogString}")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    TextOps.ringSuccessor(v.asInstanceOf[Long], hashes, shards)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val hRef = ctx.addReferenceObj("ringHashes", hashes, "long[]")
+    val sRef = ctx.addReferenceObj("ringShards", shards, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.ringSuccessor($c, $hRef, $sRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Word n-gram shingles of an array<string> of tokens → array<string>
   * ([[TextOps.wordShingles]]): tokens i..i+n−1 space-joined, empty below
   * `n` tokens. Codegen'd — shingling stays inside whole-stage codegen
@@ -163,6 +192,8 @@ object TextFunctions {
     column(BpeSegment(expression(word), merges))
   def word_shingles(tokens: Column, n: Int): Column =
     column(WordShingles(expression(tokens), n))
+  def ring_pick(keyHash: Column, hashes: Array[Long], shards: Array[Long]): Column =
+    column(RingPick(expression(keyHash), hashes, shards))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -47,6 +47,23 @@ object TextOps {
     * compares identically as BIGINT in DuckDB and long here. */
   def md5Hash60(t: UTF8String): Long = md5Hash64(t) >>> 4
 
+  /** Consistent-hash ring successor via BINARY SEARCH over the sorted
+    * vnode hash array: the shard of the first vnode with hash ≥ `h`,
+    * wrapping to index 0 past the last vnode — O(log V) per key, the
+    * cost the ring scheme promises (vs the O(N·V) linear filter scan a
+    * higher-order-function form pays). `hashes` must be ascending;
+    * `shards(i)` is vnode i's owner. Both arrays are plan-constant
+    * reference objects, shared across rows. */
+  def ringSuccessor(h: Long, hashes: Array[Long], shards: Array[Long]): Long = {
+    var lo = 0
+    var hi = hashes.length // first index with hashes(idx) >= h, else length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (hashes(mid) >= h) hi = mid else lo = mid + 1
+    }
+    shards(if (lo == hashes.length) 0 else lo)
+  }
+
   /**
    * k MinHash slot hashes of one shingle: ONE md5, then slot i =
    * splitmix64(md5 + i) >>> 4 — 60-bit non-negative values. 64× fewer

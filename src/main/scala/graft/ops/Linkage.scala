@@ -125,9 +125,13 @@ object Linkage {
    * fields contribute a neutral 1000), and the M-step re-estimates
    *   m' = Σ w·[agree] / Σ w,   u' = Σ (1000−w)·[agree] / Σ (1000−w)
    * over the pairs where the field is present. ALL integer arithmetic:
-   * with ≤ 5 fields the numerator p·Π lm stays ≤ 10³·(10³)⁵ = 10¹⁸ —
-   * caller beware above that — and both engines floor-divide
-   * identically, so the fit is value-checkable bit for bit.
+   * with ≤ 4 fields the likelihood product p·Π lm stays ≤ 10³·(10³)⁴ =
+   * 10¹⁵, so the responsibility numerator 1000·(p·Π lm) ≤ 10¹⁸ fits a
+   * signed 64-bit Long with headroom (a 5th field would push it to
+   * 10²¹ and SILENTLY wrap under Spark's non-ANSI arithmetic while
+   * DuckDB raised — exactly the cross-engine divergence the exact-milli
+   * convention exists to prevent, hence the hard cap). Both engines
+   * floor-divide identically, so the fit is value-checkable bit for bit.
    *
    * One aggregate pass per iteration (the standard EM-at-scale shape:
    * responsibilities never materialize, they stream through the
@@ -137,7 +141,9 @@ object Linkage {
   def emStep(pairs: DataFrame, rules: Seq[FieldRule],
       init: Seq[(String, Long, Long)], pMilli: Long): DataFrame = {
     require(rules.nonEmpty, "EM requires at least one field rule")
-    require(rules.size <= 5, s"integer headroom caps EM at 5 fields: ${rules.size}")
+    // ≤ 4 fields: 1000·pMilli·Π lm ≤ 1000·10³·(10³)⁴ = 10¹⁸ < Long.Max;
+    // at 5 the responsibility numerator wraps (see scaladoc)
+    require(rules.size <= 4, s"integer headroom caps EM at 4 fields: ${rules.size}")
     require(pMilli > 0 && pMilli < 1000, s"prior must be in (0,1000) milli: $pMilli")
     val initMap: Map[String, (Long, Long)] =
       init.map { case (f, m, u) => f -> (m, u) }.toMap

@@ -634,12 +634,25 @@ object Multimodal {
           var s = 0L
           var j = start
           while (j < end) { s += sample(j); j += 1 }
-          // block mean > global mean  ⟺  s·n > total·(end−start)
-          if (s * n > total * (end - start)) fp |= (1L << b)
+          // block mean > global mean  ⟺  s·n > total·(end−start), compared
+          // in 128-bit (|s| ≤ 32767·n/64 makes s·n ≈ 512·n² overflow Long
+          // past n ≈ 1.3e8 samples — a ~270 MB chunk is a legal WAV, and a
+          // silent wrap here flips fingerprint bits)
+          if (cmpProd128(s, n, total, end - start) > 0) fp |= (1L << b)
           b += 1
         }
         Some(fp)
     }
+  }
+
+  /** Exact sign of `a·b − c·d` over full signed-64 ranges: both products
+    * evaluated as signed 128-bit (hi via `Math.multiplyHigh`, lo wrapping)
+    * and compared lexicographically — no overflow anywhere. */
+  private[graft] def cmpProd128(a: Long, b: Long, c: Long, d: Long): Int = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(lo1, lo2)
   }
 
   private val audioClassPayloadCache =

@@ -112,21 +112,20 @@ object Sharding {
   def ringShardWeighted(key: Column, vnodeCounts: Seq[Int]): Column =
     ringPick(key, ringVnodesWeighted(vnodeCounts))
 
-  /** Ring successor lookup as a bare column: filter the sorted literal
-    * ring to vnodes at-or-clockwise-of the key hash, take the first,
-    * wrap to the ring head when the key hashes past every vnode. */
+  /** Ring successor lookup as a bare column: binary-search the sorted
+    * vnode ring for the first vnode hash ≥ the key hash, wrapping to the
+    * ring head when the key hashes past every vnode. */
   def ringShard(key: Column, nShards: Int, vnodesPerShard: Int): Column =
     ringPick(key, ringVnodes(nShards, vnodesPerShard))
 
-  /** Successor-or-wrap pick over an already-sorted vnode ring. */
-  private def ringPick(key: Column, ring: Seq[(Long, Int)]): Column = {
-    val arr = array(ring.map { case (h, s) =>
-      struct(lit(h).as("h"), lit(s.toLong).as("shard")) }: _*)
-    val kh = Sampling.keyHash(key)
-    val succ = filter(arr, e => e.getField("h") >= kh)
-    when(size(succ) > 0, element_at(succ, 1).getField("shard"))
-      .otherwise(element_at(arr, 1).getField("shard"))
-  }
+  /** Successor-or-wrap pick over an already-sorted vnode ring — the
+    * native binary-search expression ([[graft.functions.RingPick]]),
+    * O(log V) per key with the ring as a codegen reference object, not
+    * an N·V-element plan literal (the higher-order `filter` form scanned
+    * every vnode per row, strictly worse than HRW at large fleets). */
+  private def ringPick(key: Column, ring: Seq[(Long, Int)]): Column =
+    graft.functions.TextFunctions.ring_pick(Sampling.keyHash(key),
+      ring.map(_._1).toArray, ring.map(_._2.toLong).toArray)
 
   /** Rows + a `shard` column from the vnode ring. Pure projection. */
   def ringAssign(df: DataFrame, keyCol: String, nShards: Int,

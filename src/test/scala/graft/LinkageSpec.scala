@@ -116,6 +116,12 @@ class LinkageSpec extends SparkSuite {
       Linkage.emStep(p, rules, Seq(("nm", 800L, 100L)), 1000L))
     intercept[IllegalArgumentException](
       Linkage.emStep(p, rules, Seq(("other", 800L, 100L)), 500L))
+    // 5 fields overflow the Long responsibility numerator (1000·p·Πlm can
+    // reach 10²¹) — the cap must reject them loudly, not wrap silently
+    val rules5 = (1 to 5).map(i =>
+      Linkage.FieldRule(s"f$i", col("a_nm") === col("b_nm"), None, 0L, 0L))
+    intercept[IllegalArgumentException](Linkage.emStep(p, rules5,
+      (1 to 5).map(i => (s"f$i", 999L, 999L)), 500L))
   }
 
   test("band: descending thresholds, floor label below every band") {

@@ -130,6 +130,27 @@ class MultimodalDecodeSpec extends SparkSuite {
     }
   }
 
+  test("cmpProd128: exact a*b vs c*d sign at and past Long overflow (BigInteger model)") {
+    import java.math.BigInteger
+    def model(a: Long, b: Long, c: Long, d: Long): Int =
+      BigInteger.valueOf(a).multiply(BigInteger.valueOf(b))
+        .compareTo(BigInteger.valueOf(c).multiply(BigInteger.valueOf(d))).sign
+    val interesting = Seq(0L, 1L, -1L, 2L, -2L, 1000L, -999L,
+      Int.MaxValue.toLong, Long.MaxValue, Long.MinValue, Long.MaxValue / 3,
+      3037000499L /* ~sqrt(Long.Max): products straddle the overflow line */,
+      3037000500L, -3037000499L)
+    for (a <- interesting; b <- interesting; c <- interesting; d <- interesting)
+      assert(Multimodal.cmpProd128(a, b, c, d).sign == model(a, b, c, d),
+        s"cmpProd128($a,$b,$c,$d)")
+    // the exact ADVICE scenario: s·n past 2^63 with positive means — the
+    // wrapped compare flipped the sign; the 128-bit one must not
+    val n = 200000000L // 2e8 samples (~400 MB data chunk)
+    val s = 32767L * n / 64 // a max-amplitude block sum: s·n ≈ 2e19 > Long.Max
+    assert(Multimodal.cmpProd128(s, n, 1L, n / 64) == model(s, n, 1L, n / 64))
+    assert(BigInteger.valueOf(s).multiply(BigInteger.valueOf(n)) !=
+      BigInteger.valueOf(s * n), "sanity: the old compare genuinely wrapped here")
+  }
+
   test("classedAudioMedia -> fingerprint neardups: same class pairs exactly, hamming 0") {
     import spark.implicits._
     val ids = (0L until 30L).toDF("doc_id")

@@ -120,6 +120,24 @@ class ScaleOpsSpec extends SparkSuite {
     assert(got == model)
   }
 
+  test("ringSuccessor binary search matches the linear successor-or-wrap model") {
+    import graft.functions.TextOps.ringSuccessor
+    val hashes = Array(10L, 20L, 20L, 35L, 90L)
+    val shards = Array(0L, 1L, 2L, 3L, 4L)
+    def model(h: Long): Long = {
+      val i = hashes.indexWhere(_ >= h)
+      shards(if (i < 0) 0 else i)
+    }
+    // below-first, exact-equal (duplicate hashes → first wins), between,
+    // past-last wrap, and a dense sweep
+    assert(ringSuccessor(5L, hashes, shards) == 0L)
+    assert(ringSuccessor(20L, hashes, shards) == 1L, "ties take the first vnode")
+    assert(ringSuccessor(21L, hashes, shards) == 3L)
+    assert(ringSuccessor(91L, hashes, shards) == 0L, "past the last vnode wraps")
+    (0L to 100L).foreach(h => assert(ringSuccessor(h, hashes, shards) == model(h), s"h=$h"))
+    assert(ringSuccessor(7L, Array(3L), Array(9L)) == 9L, "single-vnode ring wraps")
+  }
+
   test("curriculumPositions keeps hash shards but orders each shard by score desc") {
     val df = (0L until 300L).map(i => (i, (i % 97).toDouble / 97.0)).toDF("id", "score")
     val cur = Sharding.curriculumPositions(df, "id", "score", nShards = 4, seed = 7L)
