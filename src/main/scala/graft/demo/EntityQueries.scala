@@ -107,8 +107,18 @@ object EntityQueries {
         None, 1200L, -400L))
   }
 
-  /** Nation-blocked customer pairs against a deterministically-perturbed
-    * twin — the candidate set every `recon_linkage_*` query works from. */
+  /** MULTI-PASS blocked customer pairs against a deterministically-
+    * perturbed twin — the candidate set every `recon_linkage_*` query
+    * works from. Blocking is the linkage capacity knob, and a bare
+    * 25-value nation key made candidate pairs grow quadratically with
+    * data (the one super-linear shape r13's headroom tier measured), so
+    * the flagship now runs the production pattern: pass 1 blocks on the
+    * COMPOSITE (nation, $100 balance band) — pair count per 10× data
+    * grows ~10× slower than nation alone — and pass 2 backstops recall
+    * with an exact-name block (a drifted balance crosses its band, but
+    * 16/17 of twins keep their name). Both passes run under an in-plan
+    * forecast budget ([[graft.ops.Linkage.blockPairsBudgeted]]) that
+    * refuses to materialize an exploding pair table. */
   private def linkagePairs(s: SparkSession, d: String): DataFrame = {
     import graft.ops.Linkage
     val c = customer(s, d).select(
@@ -122,8 +132,42 @@ object EntityQueries {
         .when(col("k") % 13 === 0, lit("UNKNOWN")).otherwise(col("seg")).as("seg"),
       (col("cents") + when(col("k") % 11 === 0, 7L).otherwise(0L)
         + when(col("k") % 23 === 0, 50000L).otherwise(0L)).as("cents"))
-    Linkage.blockPairs(c, b, Seq("nat"))
+    // cents ≥ −99999, so the +100000 shift keeps the band div non-negative
+    // (Spark `div` truncates toward zero, DuckDB `//` floors — they only
+    // agree on non-negative operands)
+    def banded(df: DataFrame) =
+      df.withColumn("band", expr("(cents + 100000) div 10000"))
+    Linkage.blockPairsMulti(banded(c), banded(b),
+      Seq(Seq("nat", "band"), Seq("nm")), "k", "k", maxPairs = 50000000L)
   }
+
+  /** Shared oracle CTE chain of the `recon_linkage_*` family: the
+    * perturbed twin + the multi-pass blocked pair set — mirrors
+    * [[linkagePairs]] exactly (composite pass, then the name pass minus
+    * the pairs the composite already co-located — disjoint by
+    * construction, so UNION ALL with no dedup shuffle). */
+  private val linkageOracleCtes: String =
+    raw"""WITH c AS (SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,
+         |    c_mktsegment AS seg,
+         |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents FROM customer),
+         |b AS (SELECT k, CASE WHEN k % 17 = 0 THEN nm || '~' ELSE nm END AS nm, nat,
+         |    CASE WHEN k % 29 = 0 THEN NULL
+         |         WHEN k % 13 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
+         |    cents + CASE WHEN k % 11 = 0 THEN 7 ELSE 0 END
+         |          + CASE WHEN k % 23 = 0 THEN 50000 ELSE 0 END AS cents
+         |  FROM c),
+         |cb AS (SELECT k, nm, nat, seg, cents,
+         |    (cents + 100000) // 10000 AS band FROM c),
+         |bb AS (SELECT k, nm, nat, seg, cents,
+         |    (cents + 100000) // 10000 AS band FROM b),
+         |pr AS MATERIALIZED (
+         |  SELECT a.k AS ak, b.k AS bk, a.nm AS anm, b.nm AS bnm,
+         |         a.seg AS aseg, b.seg AS bseg, a.cents AS ac, b.cents AS bc
+         |  FROM cb a JOIN bb b ON a.nat = b.nat AND a.band = b.band
+         |  UNION ALL
+         |  SELECT a.k, b.k, a.nm, b.nm, a.seg, b.seg, a.cents, b.cents
+         |  FROM cb a JOIN bb b ON a.nm = b.nm
+         |  WHERE NOT COALESCE(a.nat = b.nat AND a.band = b.band, FALSE))""".stripMargin
 
   /** Shared Spark arm of the scoring queries: [[linkagePairs]] scored
     * with [[linkageRules]] and banded. */
@@ -161,26 +205,20 @@ object EntityQueries {
     // Fellegi–Sunter probabilistic linkage, banded: customers linked to a
     // deterministically-perturbed twin (typo'd names 1-in-17, segment
     // rewritten 1-in-13 / missing 1-in-29, balance drifted 1-in-11 and
-    // 1-in-23) through nation blocking — one equi shuffle, never a
-    // cartesian compare. Field agreements carry configured milli
-    // log-odds; missing fields contribute 0. The per-band truth counts
-    // (same custkey = true link) audit the threshold choice end-to-end
+    // 1-in-23) through MULTI-PASS blocking — (nation, $100 balance band)
+    // composite ∪ exact name, each pass one equi shuffle under an in-plan
+    // pair-budget forecast, never a cartesian compare. Field agreements
+    // carry configured milli log-odds; missing fields contribute 0. The
+    // per-band truth counts (same custkey = true link) audit the
+    // threshold choice end-to-end
     QuerySpec("recon_linkage_bands",
-      raw"""WITH c AS (SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,
-           |    c_mktsegment AS seg,
-           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents FROM customer),
-           |b AS (SELECT k, CASE WHEN k % 17 = 0 THEN nm || '~' ELSE nm END AS nm, nat,
-           |    CASE WHEN k % 29 = 0 THEN NULL
-           |         WHEN k % 13 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
-           |    cents + CASE WHEN k % 11 = 0 THEN 7 ELSE 0 END
-           |          + CASE WHEN k % 23 = 0 THEN 50000 ELSE 0 END AS cents
-           |  FROM c),
-           |p AS (SELECT a.k AS ak, b.k AS bk,
-           |    CASE WHEN a.nm = b.nm THEN 2400 ELSE -800 END
-           |    + CASE WHEN b.seg IS NULL THEN 0
-           |           WHEN a.seg = b.seg THEN 1600 ELSE -600 END
-           |    + CASE WHEN abs(a.cents - b.cents) <= 10 THEN 1200 ELSE -400 END AS score
-           |  FROM c a JOIN b ON a.nat = b.nat)
+      linkageOracleCtes + raw""",
+           |p AS (SELECT ak, bk,
+           |    CASE WHEN anm = bnm THEN 2400 ELSE -800 END
+           |    + CASE WHEN bseg IS NULL THEN 0
+           |           WHEN aseg = bseg THEN 1600 ELSE -600 END
+           |    + CASE WHEN abs(ac - bc) <= 10 THEN 1200 ELSE -400 END AS score
+           |  FROM pr)
            |SELECT CASE WHEN score >= 3000 THEN 'match'
            |            WHEN score >= 1000 THEN 'possible'
            |            ELSE 'nonmatch' END AS band,
@@ -205,21 +243,13 @@ object EntityQueries {
     // with its exact milli score — the reviewer queue a linkage deploy
     // actually ships (nonmatch pairs never leave the block join)
     QuerySpec("recon_linkage_pairs",
-      raw"""WITH c AS (SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,
-           |    c_mktsegment AS seg,
-           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents FROM customer),
-           |b AS (SELECT k, CASE WHEN k % 17 = 0 THEN nm || '~' ELSE nm END AS nm, nat,
-           |    CASE WHEN k % 29 = 0 THEN NULL
-           |         WHEN k % 13 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
-           |    cents + CASE WHEN k % 11 = 0 THEN 7 ELSE 0 END
-           |          + CASE WHEN k % 23 = 0 THEN 50000 ELSE 0 END AS cents
-           |  FROM c),
-           |p AS (SELECT a.k AS custkey_a, b.k AS custkey_b,
-           |    CASE WHEN a.nm = b.nm THEN 2400 ELSE -800 END
-           |    + CASE WHEN b.seg IS NULL THEN 0
-           |           WHEN a.seg = b.seg THEN 1600 ELSE -600 END
-           |    + CASE WHEN abs(a.cents - b.cents) <= 10 THEN 1200 ELSE -400 END AS score
-           |  FROM c a JOIN b ON a.nat = b.nat)
+      linkageOracleCtes + raw""",
+           |p AS (SELECT ak AS custkey_a, bk AS custkey_b,
+           |    CASE WHEN anm = bnm THEN 2400 ELSE -800 END
+           |    + CASE WHEN bseg IS NULL THEN 0
+           |           WHEN aseg = bseg THEN 1600 ELSE -600 END
+           |    + CASE WHEN abs(ac - bc) <= 10 THEN 1200 ELSE -400 END AS score
+           |  FROM pr)
            |SELECT custkey_a, custkey_b, CAST(score AS BIGINT) AS score_milli,
            |  CASE WHEN score >= 3000 THEN 'match' ELSE 'possible' END AS band
            |FROM p WHERE score >= 1000""".stripMargin) { (s, d) =>
@@ -234,20 +264,12 @@ object EntityQueries {
     // both denominators) — the measured inputs the configured log-odds
     // weights come from. One pass over the blocked pairs
     QuerySpec("recon_linkage_weights",
-      raw"""WITH c AS (SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,
-           |    c_mktsegment AS seg,
-           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents FROM customer),
-           |b AS (SELECT k, CASE WHEN k % 17 = 0 THEN nm || '~' ELSE nm END AS nm, nat,
-           |    CASE WHEN k % 29 = 0 THEN NULL
-           |         WHEN k % 13 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
-           |    cents + CASE WHEN k % 11 = 0 THEN 7 ELSE 0 END
-           |          + CASE WHEN k % 23 = 0 THEN 50000 ELSE 0 END AS cents
-           |  FROM c),
-           |p AS (SELECT a.k = b.k AS t,
-           |    a.nm = b.nm AS ag_name,
-           |    b.seg IS NULL AS ms_seg, a.seg = b.seg AS ag_seg,
-           |    abs(a.cents - b.cents) <= 10 AS ag_bal
-           |  FROM c a JOIN b ON a.nat = b.nat),
+      linkageOracleCtes + raw""",
+           |p AS (SELECT ak = bk AS t,
+           |    anm = bnm AS ag_name,
+           |    bseg IS NULL AS ms_seg, aseg = bseg AS ag_seg,
+           |    abs(ac - bc) <= 10 AS ag_bal
+           |  FROM pr),
            |g AS (SELECT
            |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS t_all,
            |    sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS f_all,
@@ -283,19 +305,11 @@ object EntityQueries {
     // value-checked bit for bit; responsibilities never materialize
     // (one aggregate pass, map-side combined)
     QuerySpec("recon_linkage_em",
-      raw"""WITH c AS (SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,
-           |    c_mktsegment AS seg,
-           |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents FROM customer),
-           |b AS (SELECT k, CASE WHEN k % 17 = 0 THEN nm || '~' ELSE nm END AS nm, nat,
-           |    CASE WHEN k % 29 = 0 THEN NULL
-           |         WHEN k % 13 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
-           |    cents + CASE WHEN k % 11 = 0 THEN 7 ELSE 0 END
-           |          + CASE WHEN k % 23 = 0 THEN 50000 ELSE 0 END AS cents
-           |  FROM c),
-           |p AS (SELECT a.nm = b.nm AS agn,
-           |    b.seg IS NULL AS msg, a.seg = b.seg AS ags,
-           |    abs(a.cents - b.cents) <= 10 AS agb
-           |  FROM c a JOIN b ON a.nat = b.nat),
+      linkageOracleCtes + raw""",
+           |p AS (SELECT anm = bnm AS agn,
+           |    bseg IS NULL AS msg, aseg = bseg AS ags,
+           |    abs(ac - bc) <= 10 AS agb
+           |  FROM pr),
            |l AS (SELECT agn, msg, ags, agb,
            |    CAST(CASE WHEN agn THEN 900 ELSE 100 END AS BIGINT) AS lm1,
            |    CAST(CASE WHEN agn THEN 5 ELSE 995 END AS BIGINT) AS lu1,

