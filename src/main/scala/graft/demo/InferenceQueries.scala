@@ -376,7 +376,7 @@ object InferenceQueries {
              |pk$r AS (SELECT src, label FROM (
              |        SELECT src, label, row_number() OVER (PARTITION BY src
              |          ORDER BY s DESC, label ASC) AS r FROM sc$r) WHERE r = 1),
-             |l$r AS MATERIALIZED (SELECT l.node, CASE WHEN l.node % 2 = ${r % 2}
+             |l$r AS MATERIALIZED (SELECT l.node, CASE WHEN ((l.node % 2) + 2) % 2 = ${r % 2}
              |          THEN p.label ELSE l.label END AS label
              |        FROM l${r - 1} l JOIN pk$r p ON p.src = l.node)""".stripMargin
       raw"""WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -436,7 +436,7 @@ object InferenceQueries {
              |pk$r AS (SELECT src, label FROM (
              |        SELECT src, label, row_number() OVER (PARTITION BY src
              |          ORDER BY s DESC, label ASC) AS r FROM sc$r) WHERE r = 1),
-             |l$r AS MATERIALIZED (SELECT l.node, CASE WHEN l.node % 2 = ${r % 2}
+             |l$r AS MATERIALIZED (SELECT l.node, CASE WHEN ((l.node % 2) + 2) % 2 = ${r % 2}
              |          THEN p.label ELSE l.label END AS label
              |        FROM l${r - 1} l JOIN pk$r p ON p.src = l.node)""".stripMargin
       def wround(r: Int) =
@@ -457,7 +457,7 @@ object InferenceQueries {
              |wpk$r AS (SELECT src, label FROM (
              |        SELECT src, label, row_number() OVER (PARTITION BY src
              |          ORDER BY s DESC, label ASC) AS r FROM wsc$r) WHERE r = 1),
-             |m$r AS MATERIALIZED (SELECT m.node, CASE WHEN m.node % 2 = ${r % 2}
+             |m$r AS MATERIALIZED (SELECT m.node, CASE WHEN ((m.node % 2) + 2) % 2 = ${r % 2}
              |          THEN p.label ELSE m.label END AS label
              |        FROM m${r - 1} m JOIN wpk$r p ON p.src = m.node)""".stripMargin
       raw"""WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -507,6 +507,115 @@ object InferenceQueries {
       val fin = l1.join(l2s, Seq("label"))
         .select(col("node"), col("__final").as("label"))
       Graph.modularityMicro(edges, fin)
+    },
+
+    // the FULL Louvain hierarchy with its convergence gate value-checked:
+    // louvainLevels chains local-move sweeps through contractions until a
+    // level fails to RAISE the exact modularity numerator Σ_c(e2·i2−dc²)
+    // — compared as integers, so both engines agree bit-for-bit on WHICH
+    // levels exist. The oracle computes all 3 candidate levels and gates
+    // each level's rows on the same cumulative integer comparisons the
+    // driver loop makes (level L emits iff every gain up to L was > 0)
+    QuerySpec("graph_louvain_hierarchy", {
+      def round(r: Int) =
+        raw"""tot$r AS MATERIALIZED (SELECT l.label, sum(d.deg) AS t
+             |       FROM l${r - 1} l JOIN deg d USING (node) GROUP BY 1),
+             |nb$r AS (SELECT e.src, l.label, count(*) AS w
+             |       FROM e JOIN l${r - 1} l ON l.node = e.dst GROUP BY 1, 2),
+             |cd$r AS (SELECT src, label, sum(w) AS w FROM (
+             |         SELECT src, label, w FROM nb$r
+             |         UNION ALL SELECT node, label, 0 FROM l${r - 1}) GROUP BY 1, 2),
+             |sc$r AS (SELECT c.src, c.label,
+             |         t.e2 * c.w - d.deg * (tt.t -
+             |           CASE WHEN c.label = cu.label THEN d.deg ELSE 0 END) AS s
+             |       FROM cd$r c JOIN l${r - 1} cu ON cu.node = c.src
+             |       JOIN deg d ON d.node = c.src JOIN tot$r tt ON tt.label = c.label
+             |       CROSS JOIN tote t),
+             |pk$r AS (SELECT src, label FROM (
+             |        SELECT src, label, row_number() OVER (PARTITION BY src
+             |          ORDER BY s DESC, label ASC) AS r FROM sc$r) WHERE r = 1),
+             |l$r AS MATERIALIZED (SELECT l.node, CASE WHEN ((l.node % 2) + 2) % 2 = ${r % 2}
+             |          THEN p.label ELSE l.label END AS label
+             |        FROM l${r - 1} l JOIN pk$r p ON p.src = l.node)""".stripMargin
+      // one weighted sweep round over super-edges `ce` with degrees `wd`,
+      // state CTEs prefixed `p` (level 2: p="m", level 3: p="n") — Σw is
+      // contraction-invariant, so tote.e2 serves every level
+      def wround(p: String, ce: String, wd: String, r: Int) =
+        raw"""${p}tot$r AS (SELECT m.label, sum(d.k) AS t
+             |       FROM ${p}${r - 1} m JOIN $wd d USING (node) GROUP BY 1),
+             |${p}nb$r AS (SELECT ce.src, m.label, sum(ce.w) AS w
+             |       FROM $ce ce JOIN ${p}${r - 1} m ON m.node = ce.dst
+             |       WHERE ce.src <> ce.dst GROUP BY 1, 2),
+             |${p}cd$r AS (SELECT src, label, sum(w) AS w FROM (
+             |         SELECT src, label, w FROM ${p}nb$r
+             |         UNION ALL SELECT node, label, 0 FROM ${p}${r - 1}) GROUP BY 1, 2),
+             |${p}sc$r AS (SELECT c.src, c.label,
+             |         t.e2 * c.w - d.k * (tt.t -
+             |           CASE WHEN c.label = cu.label THEN d.k ELSE 0 END) AS s
+             |       FROM ${p}cd$r c JOIN ${p}${r - 1} cu ON cu.node = c.src
+             |       JOIN $wd d ON d.node = c.src JOIN ${p}tot$r tt ON tt.label = c.label
+             |       CROSS JOIN tote t),
+             |${p}pk$r AS (SELECT src, label FROM (
+             |        SELECT src, label, row_number() OVER (PARTITION BY src
+             |          ORDER BY s DESC, label ASC) AS r FROM ${p}sc$r) WHERE r = 1),
+             |${p}$r AS MATERIALIZED (SELECT m.node, CASE WHEN ((m.node % 2) + 2) % 2 = ${r % 2}
+             |          THEN p.label ELSE m.label END AS label
+             |        FROM ${p}${r - 1} m JOIN ${p}pk$r p ON p.src = m.node)""".stripMargin
+      // exact modularity numerator Σ_c (e2·i2_c − dc_c²) of node-space
+      // labels `lbl`, in HUGEINT — the gate scalar
+      def qn(name: String, lbl: String) =
+        raw"""$name AS (SELECT sum(CAST(t.e2 AS HUGEINT) * COALESCE(ia.i2, 0)
+             |         - CAST(ds.dc AS HUGEINT) * ds.dc) AS q
+             |       FROM (SELECT l.label, sum(d.deg) AS dc
+             |             FROM deg d JOIN $lbl l USING (node) GROUP BY 1) ds
+             |       LEFT JOIN (SELECT la.label, count(*) AS i2
+             |             FROM e JOIN $lbl la ON la.node = e.src
+             |                    JOIN $lbl lb ON lb.node = e.dst
+             |             WHERE la.label = lb.label GROUP BY 1) ia USING (label)
+             |       CROSS JOIN tote t)""".stripMargin
+      raw"""WITH e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           |            AND a.l_partkey <> b.l_partkey),
+           |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+           |tote AS (SELECT count(*) AS e2 FROM e),
+           |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),
+           |${round(1)},
+           |${round(2)},
+           |${qn("q1", "l2")},
+           |ce AS MATERIALIZED (SELECT la.label AS src, lb.label AS dst, count(*) AS w
+           |       FROM e JOIN l2 la ON la.node = e.src JOIN l2 lb ON lb.node = e.dst
+           |       GROUP BY 1, 2),
+           |wd AS MATERIALIZED (SELECT src AS node, sum(w) AS k FROM ce GROUP BY 1),
+           |m0 AS MATERIALIZED (SELECT node, node AS label FROM wd),
+           |${wround("m", "ce", "wd", 1)},
+           |${wround("m", "ce", "wd", 2)},
+           |fin2 AS MATERIALIZED (SELECT l2.node, m2.label FROM l2
+           |       JOIN m2 ON m2.node = l2.label),
+           |${qn("q2", "fin2")},
+           |ce2 AS MATERIALIZED (SELECT ma.label AS src, mb.label AS dst, sum(ce.w) AS w
+           |       FROM ce JOIN m2 ma ON ma.node = ce.src
+           |               JOIN m2 mb ON mb.node = ce.dst GROUP BY 1, 2),
+           |wd2 AS MATERIALIZED (SELECT src AS node, sum(w) AS k FROM ce2 GROUP BY 1),
+           |n0 AS MATERIALIZED (SELECT node, node AS label FROM wd2),
+           |${wround("n", "ce2", "wd2", 1)},
+           |${wround("n", "ce2", "wd2", 2)},
+           |fin3 AS MATERIALIZED (SELECT f.node, n2.label FROM fin2 f
+           |       JOIN n2 ON n2.node = f.label),
+           |${qn("q3", "fin3")}
+           |SELECT CAST(1 AS BIGINT) AS level, node, label FROM l2
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), node, label FROM fin2
+           |  WHERE (SELECT q FROM q2) > (SELECT q FROM q1)
+           |UNION ALL
+           |SELECT CAST(3 AS BIGINT), node, label FROM fin3
+           |  WHERE (SELECT q FROM q2) > (SELECT q FROM q1)
+           |    AND (SELECT q FROM q3) > (SELECT q FROM q2)""".stripMargin
+    }) { (s, d) =>
+      import graft.ops.Graph
+      val edges = graft.recon.Checkpoints.cut(Graph.coOccurrenceEdges(
+        s.read.parquet(s"$d/lineitem.parquet"), "l_orderkey", "l_partkey"))
+      Graph.louvainLevels(edges, maxLevels = 3, roundsPerLevel = 2)
+        .select(col("level").cast("long").as("level"), col("node"), col("label"))
     },
 
     // what each successive BPE merge buys: corpus chars-per-subtoken in

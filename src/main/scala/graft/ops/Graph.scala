@@ -422,7 +422,10 @@ object Graph {
    * Oscillation control: a FULLY synchronous sweep 2-cycles on
    * symmetric structures (two tied nodes adopt each other's community
    * forever), so rounds alternate mover parity — round r moves only
-   * nodes with `node % 2 = r % 2`, the rest hold their label. This is
+   * nodes with `pmod(node, 2) = r % 2` (pmod, not `%`: Spark's `%`
+   * keeps the dividend's sign, so a negative odd id would never match
+   * either parity and silently never move), the rest hold their label.
+   * This is
    * the deterministic version of the mover-subset trick distributed
    * Louvain uses (random subsets / coloring); two rounds together make
    * one full sweep, and the alternation provably breaks 2-cycles on
@@ -451,46 +454,94 @@ object Graph {
     // round covers both the community state and the scoring inputs),
     // and nothing else is cut — measured at sf0.1 this shape beats both
     // the no-cut form (plan fan-out re-executes each round 4×, 25 s)
-    // and the separate-deg-cut form (one more planned subtree)
-    val e2 = edges.agg(count(lit(1)).as("__e2"))
-    var labels = cut(edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("__k"))
-      .withColumn("label", col("node")))
-    for (r <- 1 to rounds) {
+    // and the separate-deg-cut form (one more planned subtree).
+    // ROUND 1 IS SPECIALIZED: from singleton communities the label frame
+    // IS the degree frame (label = node, Σtot_c = k_c), so the first
+    // sweep derives everything from the edges directly — no init-labels
+    // cut, no broadcast-labels join. TWO more execution savings shared by
+    // every round: (a) only the MOVING PARITY is scored — non-movers hold
+    // their label whatever the argmax says, so their half of the
+    // candidate shuffle was pure waste; (b) 2|E| enters as a plan literal
+    // from ONE count action instead of a per-round broadcast-aggregate
+    // job (the cuts make round construction EXECUTE eagerly through the
+    // broadcast chain, so every removed broadcast job is serial wall
+    // time, not just plan nodes).
+    val e2 = lit(edges.count())
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("__k"))
+    def movers(df: DataFrame, keyCol: String, r: Int) =
+      df.where(pmod(col(keyCol), lit(2)) === lit(r % 2))
+    // round 1: candidates straight off the edge list (neighbor labels are
+    // the neighbors themselves), stay-candidate from the degree frame
+    // ONE shuffle per round, not two: hash-partitioning on src alone
+    // satisfies BOTH the (src, label) candidate aggregate and the src
+    // argmax (same-key rows co-locate), so an explicit repartition(src)
+    // replaces the two aggregate exchanges — and the partial-combine the
+    // plain groupBy would run before its shuffle buys ~nothing here
+    // (distinct edges ⇒ few duplicate (src, label) pairs per partition)
+    val cand1 = movers(edges, "src", 1)
+      .select(col("src"), col("dst").as("label"), lit(1L).as("__w"))
+      .unionByName(movers(deg, "node", 1).select(col("node").as("src"),
+        col("node").as("label"), lit(0L).as("__w")))
+      .repartition(col("src"))
+      .groupBy(col("src"), col("label")).agg(sum(col("__w")).as("__w"))
+    val scored1 = cand1
+      .join(broadcast(deg.select(col("node").as("src"), col("__k"))), Seq("src"))
+      .join(broadcast(deg.select(col("node").as("label"), col("__k").as("__tot"))),
+        Seq("label"))
+      .withColumn("__score",
+        e2 * col("__w") -
+          col("__k") * (col("__tot") -
+            when(col("label") === col("src"), col("__k")).otherwise(lit(0L))))
+    var labels = cut(louvainPickApply(scored1,
+      deg.withColumn("label", col("node")), r = 1))
+    for (r <- 2 to rounds) {
       val tot = labels.groupBy(col("label")).agg(sum(col("__k")).as("__tot"))
-      // edges from i into each neighbor community, PLUS the current
-      // community at weight 0 so "stay" is always a candidate (its true
-      // edge count, if any, arrives from the neighbor side of the
-      // union) — one shuffle builds the whole candidate table
-      val cand = edges
+      // edges from a MOVING i into each neighbor community, PLUS the
+      // current community at weight 0 so "stay" is always a candidate
+      // (its true edge count, if any, arrives from the neighbor side of
+      // the union) — one half-edge shuffle builds the candidate table
+      val cand = movers(edges, "src", r)
         .join(broadcast(labels.select(col("node").as("dst"), col("label"))), Seq("dst"))
         .select(col("src"), col("label"), lit(1L).as("__w"))
-        .unionByName(labels.select(col("node").as("src"), col("label"),
-          lit(0L).as("__w")))
+        .unionByName(movers(labels, "node", r).select(col("node").as("src"),
+          col("label"), lit(0L).as("__w")))
+        .repartition(col("src"))
         .groupBy(col("src"), col("label")).agg(sum(col("__w")).as("__w"))
       val cur = labels.select(col("node").as("src"), col("label").as("__cur"),
         col("__k"))
       val scored = cand
         .join(broadcast(cur), Seq("src"))
         .join(broadcast(tot), Seq("label"))
-        .crossJoin(broadcast(e2))
         .withColumn("__score",
-          col("__e2") * col("__w") -
+          e2 * col("__w") -
             col("__k") * (col("__tot") -
               when(col("label") === col("__cur"), col("__k")).otherwise(lit(0L))))
-      // argmax via struct max: (score desc, label asc) ≡ max of
-      // (score, −label) — partial-aggregable, no window sort
-      val picked = scored
-        .groupBy(col("src"))
-        .agg(max(struct(col("__score"), (-col("label")).as("__neg"))).as("__m"))
-        .select(col("src").as("node"), (-col("__m.__neg")).as("__new"))
-      // only this round's parity moves; everyone else holds their label
-      labels = cut(labels.join(picked, Seq("node"))
-        .select(col("node"), col("__k"),
-          when(col("node") % 2 === lit(r % 2), col("__new"))
-            .otherwise(col("label")).as("label")))
+      labels = cut(louvainPickApply(scored, labels, r))
     }
     labels.select(col("node"), col("label"))
+  }
+
+  /** Shared tail of one Louvain sweep round: the partial-aggregable
+    * struct-max argmax over the scored candidates ((score desc, label
+    * asc) ≡ max of (score, −label) — no window sort), then the
+    * parity-gated move applied to the current `(node, __k, label)` frame.
+    * `pmod` (not `%`): Spark's `%` keeps the dividend's sign, so a
+    * NEGATIVE odd node id would hash to −1, never match either parity,
+    * and silently never move in any round. */
+  private def louvainPickApply(scored: DataFrame, labels: DataFrame,
+      r: Int): DataFrame = {
+    val picked = scored
+      .groupBy(col("src"))
+      .agg(max(struct(col("__score"), (-col("label")).as("__neg"))).as("__m"))
+      .select(col("src").as("node"), (-col("__m.__neg")).as("__new"))
+    // LEFT join: only the moving parity was scored; everyone else has no
+    // picked row and holds (the coalesce is safety — every scored mover
+    // has at least its stay candidate, so movers are never null)
+    labels.join(picked, Seq("node"), "left")
+      .select(col("node"), col("__k"),
+        when(pmod(col("node"), lit(2)) === lit(r % 2),
+          coalesce(col("__new"), col("label")))
+          .otherwise(col("label")).as("label"))
   }
 
   /**
@@ -506,10 +557,130 @@ object Graph {
    */
   def contractGraph(edges: DataFrame, labels: DataFrame): DataFrame =
     edges
-      .join(labels.select(col("node").as("src"), col("label").as("__la")), Seq("src"))
-      .join(labels.select(col("node").as("dst"), col("label").as("__lb")), Seq("dst"))
+      // node-sized label frame broadcast TWICE (same contract as the
+      // sweep rounds) — without the hint a cut LogicalRDD has no size
+      // stats and Spark sort-merge-joins, shuffling the edge table twice
+      .join(broadcast(labels.select(col("node").as("src"), col("label").as("__la"))),
+        Seq("src"))
+      .join(broadcast(labels.select(col("node").as("dst"), col("label").as("__lb"))),
+        Seq("dst"))
       .groupBy(col("__la").as("src"), col("__lb").as("dst"))
       .agg(count(lit(1)).cast("long").as("w"))
+
+  /** [[contractGraph]] for an already-WEIGHTED `(src, dst, w)` edge list
+    * — super-edge weights SUM instead of counting, so contracting a
+    * contraction preserves Σw and every supernode's weighted degree (the
+    * invariant that keeps modularity bookkeeping exact across levels). */
+  def contractGraphWeighted(wEdges: DataFrame, labels: DataFrame): DataFrame =
+    wEdges
+      .join(broadcast(labels.select(col("node").as("src"), col("label").as("__la"))),
+        Seq("src"))
+      .join(broadcast(labels.select(col("node").as("dst"), col("label").as("__lb"))),
+        Seq("dst"))
+      .groupBy(col("__la").as("src"), col("__lb").as("dst"))
+      .agg(sum(col("w")).as("w"))
+
+  /**
+   * FULL multi-level Louvain with an exact-integer convergence gate —
+   * the generalization of the hand-wired two-level chain: level 1 is
+   * [[louvainMove]] on the unweighted edges; each partition then
+   * contracts ([[contractGraph]] / [[contractGraphWeighted]]) into a
+   * weighted supernode multigraph and the next level runs
+   * [[louvainMoveWeighted]] on it. After each level the EXACT modularity
+   * NUMERATOR over the original graph,
+   *   Qnum = Σ_c (e2 · i2_c − dc_c²)   (over the constant denominator e2²,
+   * computed in DECIMAL(38,0) so a 10¹³-edge corpus can't overflow it),
+   * is compared as integers: a level that fails to raise Qnum is
+   * discarded and the loop stops — the standard Louvain termination, with
+   * no ε or float anywhere, so both engines agree on WHICH levels exist
+   * bit for bit. `maxLevels` bounds the loop like every iterative op
+   * here; the gate usually stops it earlier (a level that moves nothing
+   * contracts to an identical graph, so the gate must fire).
+   *
+   * The per-level gate is one scalar action (driver-side loop control,
+   * the [[graft.ops.Vocab]] trainer shape); each level's node-space
+   * labels and its contraction are lineage-cut — every later level
+   * consumes them several times.
+   *
+   * Output: `(level, node, label)` in ORIGINAL node space for every level
+   * that RAN (level 1 always; level L+1 only if it raised Qnum).
+   */
+  def louvainLevels(edges: DataFrame, maxLevels: Int,
+      roundsPerLevel: Int = 2): DataFrame = {
+    require(maxLevels >= 1, s"maxLevels must be >= 1, got $maxLevels")
+    import graft.recon.Checkpoints.cut
+    val e2 = edges.count() // hoisted: every per-level gate reuses it
+    def qnum(labels: DataFrame): java.math.BigDecimal =
+      modularityNumExactWith(edges, e2, labels)
+    var flat = cut(louvainMove(edges, roundsPerLevel)) // node space
+    val out = scala.collection.mutable.ArrayBuffer(
+      flat.select(lit(1).as("level"), col("node"), col("label")))
+    var q = qnum(flat)
+    var contracted: DataFrame = null  // level-(L−1) supernode multigraph
+    var prevSuper: DataFrame = null   // its most recent sweep labels
+    var stopped = false
+    for (level <- 2 to maxLevels if !stopped) {
+      contracted = cut(
+        if (prevSuper == null) contractGraph(edges, flat)
+        else contractGraphWeighted(contracted, prevSuper))
+      // per-round cuts only while the contraction is still big: once it
+      // shrinks to a broadcast-scale super-graph, re-executing the small
+      // per-round aggregates costs less than each cut's plan+codegen
+      // (the documented cutRounds trade; the count doubles as the cut's
+      // materialization action)
+      val lv = louvainMoveWeighted(contracted, roundsPerLevel,
+        cutRounds = contracted.count() > 200000L)
+      val flatNext = cut(flat
+        .join(broadcast(lv.select(col("node").as("label"),
+          col("label").as("__next"))), Seq("label"))
+        .select(col("node"), col("__next").as("label")))
+      val qNext = qnum(flatNext)
+      // exact integer compare — the level survives only if it RAISES Q
+      if (qNext.compareTo(q) > 0) {
+        out += flatNext.select(lit(level).as("level"), col("node"), col("label"))
+        flat = flatNext
+        prevSuper = lv
+        q = qNext
+      } else stopped = true
+    }
+    out.reduce(_ unionByName _)
+  }
+
+  /** The exact modularity numerator `Σ_c (e2·i2_c − dc_c²)` of a
+    * partition over `edges`, in DECIMAL(38,0) — the scale-safe scalar
+    * [[louvainLevels]]' convergence gate compares (e2 ≈ 10¹³ at the
+    * 100 TB tier squares past Long). One aggregate pass over
+    * [[modularityMicro]]-shaped inputs. */
+  private[graft] def modularityNumExact(edges: DataFrame,
+      labels: DataFrame): java.math.BigDecimal =
+    modularityNumExactWith(edges, edges.count(), labels)
+
+  /** [[modularityNumExact]] with 2|E| supplied — ONE distributed job:
+    * the aggregate returns (Σ i2_c, Σ dc_c²) and the driver finishes
+    * `e2·Σi2 − Σdc²` in BigDecimal (Σi2 ≤ e2 fits a Long; the square sum
+    * rides DECIMAL(38,0)). */
+  private def modularityNumExactWith(edges: DataFrame, e2: Long,
+      labels: DataFrame): java.math.BigDecimal = {
+    val lbl = labels.select(col("node"), col("label"))
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("__deg"))
+    val dsum = deg.join(broadcast(lbl), Seq("node"))
+      .groupBy(col("label")).agg(sum(col("__deg")).as("__dc"))
+    val intra = edges
+      .join(broadcast(lbl.select(col("node").as("src"), col("label").as("__la"))),
+        Seq("src"))
+      .join(broadcast(lbl.select(col("node").as("dst"), col("label").as("__lb"))),
+        Seq("dst"))
+      .where(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label")).agg(count(lit(1)).as("__i2"))
+    val row = dsum.join(intra, Seq("label"), "left")
+      .agg(coalesce(sum(coalesce(col("__i2"), lit(0L))), lit(0L)).as("__si2"),
+        coalesce(sum(col("__dc").cast("decimal(38,0)") * col("__dc")),
+          lit(0L).cast("decimal(38,0)")).as("__sdc2"))
+      .head()
+    new java.math.BigDecimal(e2)
+      .multiply(new java.math.BigDecimal(row.getLong(0)))
+      .subtract(row.getDecimal(1))
+  }
 
   /**
    * WEIGHTED synchronous Louvain local move over `(src, dst, w)` edges
@@ -530,36 +701,53 @@ object Graph {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     import graft.recon.Checkpoints.cut
     def maybeCut(df: DataFrame): DataFrame = if (cutRounds) cut(df) else df
-    val e2 = wEdges.agg(sum(col("w")).as("__e2"))
-    var labels = maybeCut(wEdges.groupBy(col("src").as("node"))
-      .agg(sum(col("w")).as("__k"))
-      .withColumn("label", col("node")))
-    for (r <- 1 to rounds) {
+    // one action for Σw (see [[louvainMove]] — a per-round broadcast
+    // aggregate is serial wall time under the eager broadcast chain)
+    val e2 = lit(wEdges.agg(coalesce(sum(col("w")), lit(0L))).head().getLong(0))
+    // round 1 specialized exactly like [[louvainMove]]: singleton labels
+    // ARE the weighted-degree frame (self-loops ride the degree and Σtot
+    // but can't be candidates — a singleton's neighbor labels are the
+    // neighbors themselves), so the init-labels cut disappears
+    val wd = wEdges.groupBy(col("src").as("node")).agg(sum(col("w")).as("__k"))
+    def movers(df: DataFrame, keyCol: String, r: Int) =
+      df.where(pmod(col(keyCol), lit(2)) === lit(r % 2))
+    // repartition(src) fuses the round's two aggregate exchanges into one
+    // (see [[louvainMove]])
+    val cand1 = movers(wEdges.where(col("src") =!= col("dst")), "src", 1)
+      .select(col("src"), col("dst").as("label"), col("w").as("__w"))
+      .unionByName(movers(wd, "node", 1).select(col("node").as("src"),
+        col("node").as("label"), lit(0L).as("__w")))
+      .repartition(col("src"))
+      .groupBy(col("src"), col("label")).agg(sum(col("__w")).as("__w"))
+    val scored1 = cand1
+      .join(broadcast(wd.select(col("node").as("src"), col("__k"))), Seq("src"))
+      .join(broadcast(wd.select(col("node").as("label"), col("__k").as("__tot"))),
+        Seq("label"))
+      .withColumn("__score",
+        e2 * col("__w") -
+          col("__k") * (col("__tot") -
+            when(col("label") === col("src"), col("__k")).otherwise(lit(0L))))
+    var labels = maybeCut(louvainPickApply(scored1,
+      wd.withColumn("label", col("node")), r = 1))
+    for (r <- 2 to rounds) {
       val tot = labels.groupBy(col("label")).agg(sum(col("__k")).as("__tot"))
-      val cand = wEdges.where(col("src") =!= col("dst"))
+      val cand = movers(wEdges.where(col("src") =!= col("dst")), "src", r)
         .join(broadcast(labels.select(col("node").as("dst"), col("label"))), Seq("dst"))
         .select(col("src"), col("label"), col("w").as("__w"))
-        .unionByName(labels.select(col("node").as("src"), col("label"),
-          lit(0L).as("__w")))
+        .unionByName(movers(labels, "node", r).select(col("node").as("src"),
+          col("label"), lit(0L).as("__w")))
+        .repartition(col("src"))
         .groupBy(col("src"), col("label")).agg(sum(col("__w")).as("__w"))
       val cur = labels.select(col("node").as("src"), col("label").as("__cur"),
         col("__k"))
       val scored = cand
         .join(broadcast(cur), Seq("src"))
         .join(broadcast(tot), Seq("label"))
-        .crossJoin(broadcast(e2))
         .withColumn("__score",
-          col("__e2") * col("__w") -
+          e2 * col("__w") -
             col("__k") * (col("__tot") -
               when(col("label") === col("__cur"), col("__k")).otherwise(lit(0L))))
-      val picked = scored
-        .groupBy(col("src"))
-        .agg(max(struct(col("__score"), (-col("label")).as("__neg"))).as("__m"))
-        .select(col("src").as("node"), (-col("__m.__neg")).as("__new"))
-      labels = maybeCut(labels.join(picked, Seq("node"))
-        .select(col("node"), col("__k"),
-          when(col("node") % 2 === lit(r % 2), col("__new"))
-            .otherwise(col("label")).as("label")))
+      labels = maybeCut(louvainPickApply(scored, labels, r))
     }
     labels.select(col("node"), col("label"))
   }
@@ -738,12 +926,17 @@ object Graph {
     val lbl = partition.select(col("node"), col("label"))
     val tot = edges.agg(count(lit(1)).as("__e2"))
     val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("__deg"))
-    val dsum = deg.join(lbl, Seq("node"))
+    // the node-sized label frame broadcasts into every edge-sized join
+    // (same contract as the louvain sweeps): cut LogicalRDDs carry no
+    // size stats, so unhinted these were sort-merge edge shuffles
+    val dsum = deg.join(broadcast(lbl), Seq("node"))
       .groupBy(col("label")).agg(sum(col("__deg")).as("__dc"),
         count(lit(1)).as("n_nodes"))
     val intra = edges
-      .join(lbl.select(col("node").as("src"), col("label").as("__la")), Seq("src"))
-      .join(lbl.select(col("node").as("dst"), col("label").as("__lb")), Seq("dst"))
+      .join(broadcast(lbl.select(col("node").as("src"), col("label").as("__la"))),
+        Seq("src"))
+      .join(broadcast(lbl.select(col("node").as("dst"), col("label").as("__lb"))),
+        Seq("dst"))
       .where(col("__la") === col("__lb"))
       .groupBy(col("__la").as("label")).agg(count(lit(1)).as("__i2"))
     dsum.join(intra, Seq("label"), "left")

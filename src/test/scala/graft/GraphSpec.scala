@@ -253,6 +253,38 @@ class GraphSpec extends SparkSuite {
       Graph.louvainMoveWeighted(wE, rounds = 0, cutRounds = false))
   }
 
+  test("louvainLevels: exact-Q gate terminates before maxLevels on a converged hierarchy") {
+    // two 4-cliques bridged by one edge: level 1 partially collapses the
+    // cliques (parity alternation), level 2's weighted sweep on the
+    // contraction finishes them, and the next level can move nothing —
+    // its Qnum gain is 0, so the gate MUST stop the loop before the
+    // maxLevels = 5 budget
+    val c1 = for (a <- 1L to 4L; b <- 1L to 4L if a != b) yield (a, b)
+    val c2 = for (a <- 11L to 14L; b <- 11L to 14L if a != b) yield (a, b)
+    val edges = (c1 ++ c2 ++ Seq((4L, 11L), (11L, 4L))).toDF("src", "dst")
+    val levels = Graph.louvainLevels(edges, maxLevels = 5, roundsPerLevel = 2)
+      .as[(Int, Long, Long)].collect()
+    val byLevel = levels.groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap)
+    val ls = byLevel.keys.toSeq.sorted
+    assert(ls.head == 1 && ls == (1 to ls.size), s"levels must be contiguous from 1: $ls")
+    assert(ls.size < 5, "the gate must stop before the maxLevels budget")
+    // every emitted level covers all nodes and strictly raises exact Qnum
+    val qs = ls.map { l =>
+      val m = byLevel(l)
+      assert(m.keySet == ((1L to 4L) ++ (11L to 14L)).toSet, s"level $l incomplete")
+      Graph.modularityNumExact(edges, m.toSeq.toDF("node", "label"))
+    }
+    qs.sliding(2).foreach {
+      case Seq(a, b) => assert(b.compareTo(a) > 0, s"level gain not positive: $a -> $b")
+      case _ =>
+    }
+    // the final level is the two cliques
+    val fin = byLevel(ls.last)
+    assert(fin.values.toSet.size == 2)
+    assert((1L to 4L).map(fin).toSet.size == 1 && (11L to 14L).map(fin).toSet.size == 1)
+    intercept[IllegalArgumentException](Graph.louvainLevels(edges, maxLevels = 0))
+  }
+
   test("louvainMove round 1: singleton gains are 14 − k·k, ties to smaller community") {
     // same graph, one round: only odd nodes move; hand-scores
     // node 1 (k=2): nb 2 → 14−4=10, nb 3 → 14−6=8, stay 0 → label 2
