@@ -1010,6 +1010,41 @@ object OpsQueries {
       }.reduce(_ unionByName _)
     },
 
+    // IVF-PQ with the EXACT RE-RANK tail (Jégou §V.D): the PQ scan
+    // shortlists 4k candidates per query in code space, only those join
+    // back to the raw vectors for the true float dot, and the top-k ranks
+    // by the exact score — the production recall recovery (PQ error now
+    // only costs recall when truth misses the shortlist; measured 0.76 →
+    // 0.9+ mean recall@5, pinned in SimilarityTextSpec). The oracle runs
+    // the same shortlist + exact-dot re-rank chain end to end
+    QuerySpec("sim_ivfpq_rerank",
+      raw"""${ivfpqCandCtes(k = 16, modulus = 50, iters = 1, m = 32, subDim = 2,
+              pqC = 32, pqModulus = 5, queryMod = 100, nprobeMax = 6,
+              sampledTraining = true)},
+           |short AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, neighbor_id) AS pqr FROM cand)
+           |  WHERE pqr <= 20)
+           |SELECT query_id, neighbor_id, score, rank FROM (
+           |  SELECT s.query_id, s.neighbor_id,
+           |    list_dot_product(q.embedding, e.embedding) AS score,
+           |    row_number() OVER (PARTITION BY s.query_id
+           |      ORDER BY list_dot_product(q.embedding, e.embedding) DESC,
+           |               s.neighbor_id) AS rank
+           |  FROM short s JOIN embeddings q ON q.vec_id = s.query_id
+           |               JOIN embeddings e ON e.vec_id = s.neighbor_id)
+           |WHERE rank <= 5""".stripMargin) { (s, d) =>
+      val e = embs(s, d)
+      val train = trainSample(e)
+      val cents = Similarity.kmeansCentroids(train, "vec_id", "embedding",
+        k = 16, iters = 1, modulus = 50)
+      val cb = Similarity.pqCodebookTrained(train, "vec_id", "embedding",
+        m = 32, subDim = 2, nCentroids = 32, iters = 1, modulus = 5)
+      Similarity.ivfpqTopKReranked(e, e.where(col("vec_id") % 100 === 0),
+        "vec_id", "embedding", k = 5, cents, cb, m = 32, subDim = 2,
+        nprobe = 6, shortlist = 20)
+    },
+
     // SemDeDup (Abbas et al. 2023): semantic near-dup pairs scored only
     // within trained k-means cells — the codebook bounds candidate pairs
     // to Σ(cluster²) instead of N²; the full path (Lloyd training,

@@ -944,6 +944,46 @@ object Similarity {
       .select(col("query_id"), col("pr"), col(idCol).as("neighbor_id"), col("score"))
   }
 
+  /**
+   * IVF-PQ with an EXACT RE-RANK tail — the standard production recall
+   * recovery (the re-ranking stage of Jégou et al. TPAMI'11 §V.D,
+   * re-derived): the PQ candidate stream first SHORTLISTS
+   * `shortlist = C·k ≫ k` neighbors per query by the asymmetric PQ
+   * score; only those rows join back to the raw vectors for the true
+   * float dot, and the final top-k ranks by the exact score (ties →
+   * neighbor id, like every scorer here). Quantization error now costs
+   * recall ONLY when a true neighbor falls outside the shortlist
+   * entirely; routing misses remain nprobe's knob.
+   *
+   * Scale shape: the PQ scan is unchanged (codes + cell ids, never raw
+   * vectors); the exact pass broadcasts the |Q|·shortlist id pairs into
+   * ONE narrow pass over the corpus — at 100 TB the re-rank reads only
+   * the shortlisted vectors' pages, the whole point of doing the heavy
+   * scan in code space first.
+   */
+  def ivfpqTopKReranked(df: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, ivfCents: DataFrame, pqCodebook: DataFrame,
+      m: Int, subDim: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cands = ivfpqCandidatesWith(df, queries, idCol, vecCol, ivfCents,
+      pqCodebook, m, subDim, nprobe)
+    val wPq = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val short = cands.withColumn("__pqr", row_number().over(wPq))
+      .where(col("__pqr") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = df.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qv"))), Seq("query_id"))
+      .withColumn("score", vec_dot(col("__qv"), col("__nv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
   /** [[ivfpqTopKWith]] against an at-rest coded corpus (see
     * [[ivfpqCandidatesFrom]]): per-query top-k over the probed cells. */
   def ivfpqTopKFromIndex(codedCells: DataFrame, queries: DataFrame, idCol: String,

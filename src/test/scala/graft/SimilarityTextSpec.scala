@@ -273,6 +273,24 @@ class SimilarityTextSpec extends SparkSuite {
     // measured 0.28.
     val ivfpq = meanRecall("sim_ivfpq_recall")
     assert(ivfpq >= 0.6, f"IVF-PQ mean recall regressed: $ivfpq%.3f < 0.6")
+    // the EXACT RE-RANK tail (sim_ivfpq_rerank: shortlist 4k by PQ score,
+    // true-dot re-rank) must lift recall@5 to the production bar — PQ
+    // quantization error only costs recall when truth misses the 20-deep
+    // shortlist entirely. Same deterministic-inputs argument as above.
+    val rr = {
+      val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val queries = e.where(col("vec_id") % 100 === 0)
+      val brute = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val rer = graft.SparkEntry.queries("sim_ivfpq_rerank")(spark, "/root/testdata/sf0.001")
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      val r = brute.join(rer, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(coalesce(col("__hit"), lit(0))).cast("double").as("h")).head()
+      r.getDouble(1) / r.getDouble(0)
+    }
+    assert(rr >= 0.9, f"re-ranked IVF-PQ mean recall regressed: $rr%.3f < 0.9")
+    assert(rr > ivfpq, "the exact re-rank must beat the raw PQ ranking it refines")
   }
 
   test("cascade re-rank beats raw truncation on the sf0.001 fixture") {
