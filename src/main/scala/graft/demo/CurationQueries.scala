@@ -101,6 +101,84 @@ object CurationQueries {
   private val B = 0.75d
   private val Bm25Terms = Seq("spark", "dup", "merge")
 
+  /** Oracle CTE chain of the `vocab_unigram_*` family — mirrors
+    * [[graft.ops.Vocab.unigramSeed]] + [[graft.ops.Vocab.unigramEmStep]]
+    * relationally: substring candidates → single-char floor + top-`topN`
+    * multi → milli likelihoods → the per-word forward/backward lattice
+    * DP, unrolled over the hard word-length cap of 10 as lateral-alias
+    * columns over a pivoted (pos, len) score matrix, all in HUGEINT
+    * (same bounds as the Spark DECIMAL(38,0) arithmetic). Ends with the
+    * `em(piece, l_milli, exp_count_milli)` + `emtot(t)` CTEs. */
+  private def unigramOracleCtes(topN: Int): String = {
+    val W = 10; val P = 4
+    // pivoted scores s_p_l = lm of the piece at (pos, len), per word
+    val pivots = (for (p <- 1 to W; l <- 1 to P if p + l - 1 <= W)
+      yield s"MAX(CASE WHEN pos = $p AND len = $l THEN lm END) AS s_${p}_$l")
+      .mkString(",\n       ")
+    // forward: f_j = Σ_{l ≤ min(4,j)} f_{j−l} · s_{j−l+1}_l
+    val fCols = (1 to W).map { j =>
+      val terms = (1 to math.min(P, j))
+        .map(l => s"f${j - l} * s_${j - l + 1}_$l").mkString(" + ")
+      s"CASE WHEN n >= $j THEN $terms END AS f$j"
+    }.mkString(",\n       ")
+    // backward by suffix length d: b_d = Σ_l s_{n−d+1}_l · b_{d−l} — the
+    // data-dependent position resolves through a per-l column list
+    def sList(l: Int) =
+      "[" + (1 to (W - l + 1)).map(p => s"s_${p}_$l").mkString(", ") + "]"
+    val bCols = (1 to W).map { d =>
+      val terms = (1 to math.min(P, d))
+        .map(l => s"${sList(l)}[n - $d + 1] * b${d - l}").mkString(" + ")
+      s"CASE WHEN n >= $d THEN $terms END AS b$d"
+    }.mkString(",\n       ")
+    val fList = "[" + (1 to W).map(j => s"f$j").mkString(", ") + "]"
+    val f0List = "[" + (0 to W).map(j => s"f$j").mkString(", ") + "]"
+    val bList = "[" + (0 to W).map(d => s"b$d").mkString(", ") + "]"
+    raw"""WITH tt AS (SELECT CASE WHEN length(trim(text)) = 0 THEN []
+         |          ELSE string_split_regex(trim(lower(text)), '\s+') END AS t FROM documents),
+         |wc0 AS (SELECT word, count(*) AS freq
+         |        FROM (SELECT unnest(t) AS word FROM tt) GROUP BY 1),
+         |wc AS MATERIALIZED (SELECT word, freq, length(word) AS n FROM wc0
+         |      WHERE length(word) BETWEEN 1 AND $W),
+         |occ AS MATERIALIZED (
+         |  SELECT word, freq, n, CAST(i AS INTEGER) AS pos, CAST(l AS INTEGER) AS len,
+         |         substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece
+         |  FROM wc, range(1, ${W + 1}) t1(i), range(1, ${P + 1}) t2(l)
+         |  WHERE i + l - 1 <= n),
+         |cand AS (SELECT piece, sum(freq) AS weight FROM occ GROUP BY 1),
+         |selp AS MATERIALIZED (
+         |  SELECT piece, weight FROM cand WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, weight FROM (
+         |    SELECT piece, weight, row_number() OVER (ORDER BY weight DESC, piece) AS r
+         |    FROM cand WHERE length(piece) > 1) WHERE r <= $topN),
+         |wt AS (SELECT sum(weight) AS w FROM selp),
+         |ps AS MATERIALIZED (SELECT piece,
+         |      GREATEST(1, (1000 * weight) // (SELECT w FROM wt)) AS lm FROM selp),
+         |sc AS MATERIALIZED (SELECT o.word, o.freq, o.n, o.pos, o.len, o.piece,
+         |       CAST(COALESCE(p.lm, 0) AS HUGEINT) AS lm
+         |     FROM occ o LEFT JOIN ps p USING (piece)),
+         |sm AS MATERIALIZED (SELECT word, any_value(freq) AS freq, any_value(n) AS n,
+         |       $pivots
+         |     FROM sc GROUP BY word),
+         |fb AS MATERIALIZED (SELECT word, freq, n,
+         |       CAST(1 AS HUGEINT) AS f0,
+         |       $fCols,
+         |       CAST(1 AS HUGEINT) AS b0,
+         |       $bCols
+         |     FROM sm),
+         |good AS MATERIALIZED (SELECT * FROM (
+         |      SELECT *, $fList[n] AS z FROM fb) WHERE z > 0),
+         |resp AS (SELECT s.piece, s.freq,
+         |      (1000 * $f0List[s.pos] * s.lm
+         |        * $bList[g.n - s.pos - s.len + 2]) // g.z AS contrib
+         |    FROM sc s JOIN good g USING (word) WHERE s.lm > 0),
+         |em AS MATERIALIZED (SELECT p.piece, CAST(p.lm AS BIGINT) AS l_milli,
+         |      CAST(COALESCE(r.c, 0) AS BIGINT) AS exp_count_milli
+         |    FROM ps p LEFT JOIN (SELECT piece, sum(freq * contrib) AS c
+         |                         FROM resp GROUP BY 1) r USING (piece)),
+         |emtot AS (SELECT sum(exp_count_milli) AS t FROM em)""".stripMargin
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // canonical normalization, the stage every curation pipeline runs
@@ -418,6 +496,94 @@ object CurationQueries {
           sum(col("n_subtokens")).as("n_subtokens"))
         .select(col("lang"), col("n_words"), col("n_subtokens"),
           expr("(n_subtokens * 1000) div n_words").as("fertility_milli"))
+    },
+
+    // the OTHER tokenizer family (Kudo ACL'18, SentencePiece unigram):
+    // seed pieces = single-char floor + top-40 substrings by corpus
+    // weight, then ONE soft-EM pass over every word's segmentation
+    // lattice — forward/backward masses as exact integer products
+    // (DECIMAL(38,0) ≡ HUGEINT; word length hard-capped at 10, pieces at
+    // 4, which bounds every intermediate under 10³⁶), per-occurrence
+    // responsibilities in floor milli, and the M-step re-estimate. The
+    // oracle unrolls the SAME lattice DP as lateral-alias columns over a
+    // pivoted (pos, len) score matrix — the whole fit is value-checked
+    // bit for bit, like recon_linkage_em for the F–S mixture
+    QuerySpec("vocab_unigram_em",
+      unigramOracleCtes(topN = 40) + raw"""
+           |SELECT piece, l_milli, exp_count_milli,
+           |  CASE WHEN (SELECT t FROM emtot) > 0
+           |       THEN CAST((1000 * CAST(exp_count_milli AS HUGEINT))
+           |                 // (SELECT t FROM emtot) AS BIGINT) END AS p_next_milli
+           |FROM em""".stripMargin) { (s, d) =>
+      import graft.ops.Vocab
+      // cut once: the seeding action and the EM pass otherwise each
+      // re-run the corpus-sized wordCounts aggregation
+      val wc = graft.recon.Checkpoints.cut(Vocab.wordCounts(docs(s, d), "text"))
+      Vocab.unigramEmStep(wc, Vocab.unigramSeed(wc, maxPieceLen = 4, topN = 40))
+    },
+
+    // the PRUNE step between unigram-EM iterations: single chars are the
+    // coverage floor and always survive; multi-char pieces keep only the
+    // top-12 by expected count (ties → piece asc) — the lowest-value
+    // pieces leave the inventory, exactly SentencePiece's shrink step.
+    // kept is value-checked, so a one-bit disagreement anywhere in the
+    // EM chain flips a boundary piece and fails the row
+    QuerySpec("vocab_unigram_prune",
+      unigramOracleCtes(topN = 40) + raw"""
+           |SELECT piece, l_milli, exp_count_milli,
+           |  CAST(CASE WHEN length(piece) = 1 THEN 1
+           |       WHEN mr <= 12 THEN 1 ELSE 0 END AS BIGINT) AS kept
+           |FROM (SELECT *, row_number() OVER (
+           |        PARTITION BY CASE WHEN length(piece) = 1 THEN 0 ELSE 1 END
+           |        ORDER BY exp_count_milli DESC, piece) AS mr FROM em)""".stripMargin) { (s, d) =>
+      import graft.ops.Vocab
+      val wc = graft.recon.Checkpoints.cut(Vocab.wordCounts(docs(s, d), "text"))
+      val em = Vocab.unigramEmStep(wc, Vocab.unigramSeed(wc, maxPieceLen = 4, topN = 40))
+        .select("piece", "l_milli", "exp_count_milli")
+      Vocab.unigramPrune(em, keepMulti = 12)
+    },
+
+    // fertility head-to-head over the SAME word population (length ≤ 10):
+    // expected pieces per word under the unigram lattice (Σ occurrence
+    // responsibilities — already milli) vs BPE subtokens under the
+    // corpus's standard 3-merge list. THE comparison a tokenizer choice
+    // hinges on; one row per tokenizer, exact integer arithmetic
+    QuerySpec("vocab_unigram_fertility", {
+      val merges = Seq(("e", "r"), ("i", "n"), ("s", "t"))
+      val base = raw"' ' || array_to_string(string_split(word, ''), ' ') || ' '"
+      val seg = merges.foldLeft(base) { case (c, (a, b)) =>
+        s"regexp_replace(regexp_replace($c, ' $a $b ', ' $a$b ', 'g'), ' $a $b ', ' $a$b ', 'g')"
+      }
+      unigramOracleCtes(topN = 40) + raw""",
+           |den AS (SELECT sum(freq) AS nw FROM wc),
+           |bpe AS (SELECT sum(freq) AS nw, sum(freq *
+           |          len(string_split(trim($seg), ' '))) AS ns FROM wc)
+           |SELECT 'unigram' AS tokenizer,
+           |  CAST((SELECT nw FROM den) AS BIGINT) AS n_words,
+           |  CAST((SELECT t FROM emtot) AS BIGINT) AS subtokens_milli,
+           |  CAST((SELECT t FROM emtot) // (SELECT nw FROM den) AS BIGINT) AS fertility_milli
+           |UNION ALL
+           |SELECT 'bpe', CAST(nw AS BIGINT), CAST(ns * 1000 AS BIGINT),
+           |  CAST((ns * 1000) // nw AS BIGINT) FROM bpe""".stripMargin
+    }) { (s, d) =>
+      import graft.ops.Vocab
+      val merges = Seq(("e", "r"), ("i", "n"), ("s", "t"))
+      val wcAll = Vocab.wordCounts(docs(s, d), "text")
+      val wc = graft.recon.Checkpoints.cut(
+        wcAll.where(length(col("word")) <= 10))
+      val em = Vocab.unigramEmStep(wc, Vocab.unigramSeed(wc, maxPieceLen = 4, topN = 40))
+      val uniRow = em.agg(coalesce(sum(col("exp_count_milli")), lit(0L)).as("__t"))
+        .crossJoin(broadcast(wc.agg(sum(col("freq")).as("__nw"))))
+        .select(lit("unigram").as("tokenizer"), col("__nw").as("n_words"),
+          col("__t").as("subtokens_milli"),
+          expr("__t div __nw").as("fertility_milli"))
+      val bpeRow = wc.select(col("freq"),
+          size(split(Vocab.segment(col("word"), merges), " ")).cast("long").as("__ns"))
+        .agg(sum(col("freq")).as("n_words"),
+          (sum(col("freq") * col("__ns")) * 1000L).as("subtokens_milli"))
+        .select(lit("bpe").as("tokenizer"), col("n_words"), col("subtokens_milli"),
+          expr("subtokens_milli div n_words").as("fertility_milli"))
+      uniRow.unionByName(bpeRow)
     },
 
     // corpus data card: per-(lang, source) + per-lang + whole-corpus

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -173,6 +173,169 @@ object Vocab {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("__c")).as("n_chars"),
         sum(col("__n")).as("n_subtokens"))
+
+  // ------------------------------------------------ unigram-LM tokenizer
+  //
+  // The OTHER tokenizer family a data pipeline meets (Kudo, "Subword
+  // regularization", ACL'18 — the SentencePiece unigram trainer,
+  // re-derived): pieces carry unigram likelihoods; a word's segmentations
+  // form a lattice, and EM alternates expected piece counts (E, by
+  // forward–backward over the lattice) with likelihood re-estimation (M),
+  // pruning the lowest-value pieces between iterations. Everything here
+  // is EXACT integer arithmetic so the DuckDB oracle value-checks the fit
+  // bit for bit: likelihoods are milli integers in [1, 1000], lattice
+  // masses are products of ≤ `maxWordLen` of them summed over ≤ 401
+  // compositions — bounded by 401·1000¹⁰ < 10³³, and the occurrence
+  // responsibility numerator 1000·f·L·b by ~10³⁵ — inside DECIMAL(38,0)
+  // and HUGEINT. Those bounds are why `maxWordLen ≤ 10` and
+  // `maxPieceLen ≤ 4` are hard caps, not tuning suggestions; words past
+  // the cap are excluded from the fit (documented, oracle-mirrored).
+  //
+  // Like BPE, the corpus collapses to its word-frequency table first —
+  // every EM pass is vocab-sized, only [[wordCounts]] sees the data.
+
+  /** Seed piece inventory: every single character (coverage floor) plus
+    * the `topN` multi-char substrings by corpus weight (occurrences ×
+    * word freq; ties → piece lexicographic), with initial milli
+    * likelihoods `max(1, (1000·weight) div Σweight)` over the SELECTED
+    * set. Piece tables are driver-small by contract (the codebook rule);
+    * the candidate aggregation is distributed, only the ≤ |chars|+topN
+    * survivors collect. */
+  def unigramSeed(wc: DataFrame, maxPieceLen: Int = 4, topN: Int = 40,
+      maxWordLen: Int = 10): Seq[(String, Long)] = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 4, s"maxPieceLen 1..4: $maxPieceLen")
+    require(maxWordLen >= 1 && maxWordLen <= 10, s"maxWordLen 1..10: $maxWordLen")
+    require(topN >= 0, s"topN must be >= 0: $topN")
+    val cand = unigramCandidates(wc, maxPieceLen, maxWordLen)
+    val singles = cand.where(length(col("piece")) === 1)
+    val multi = cand.where(length(col("piece")) > 1)
+      .orderBy(col("weight").desc, col("piece")).limit(topN)
+    val sel = singles.unionByName(multi)
+      .select(col("piece"), col("weight")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val wtot = sel.map(_._2).sum
+    require(wtot > 0, "empty corpus: no seed pieces")
+    sel.map { case (p, w) => (p, math.max(1L, 1000L * w / wtot)) }
+  }
+
+  /** `(piece, weight)` — corpus-weighted substring occurrence counts over
+    * the length-capped vocab (every (pos, len ≤ maxPieceLen) occurrence
+    * counts, weighted by word freq). Narrow explode, one bounded
+    * shuffle. */
+  private def unigramCandidates(wc: DataFrame, maxPieceLen: Int,
+      maxWordLen: Int): DataFrame =
+    wc.where(length(col("word")) <= maxWordLen)
+      .select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, length(word)), p ->
+           |  transform(sequence(1, least($maxPieceLen, length(word) - p + 1)),
+           |    l -> substr(word, p, l))))""".stripMargin)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("weight"))
+
+  /**
+   * One SOFT-EM iteration over the segmentation lattice, exact integers:
+   * for every word (length ≤ `maxWordLen`, freq-weighted), forward mass
+   * `f(j) = Σ_l f(j−l)·L(piece at j−l+1, len l)` and the mirrored
+   * backward mass accumulate in DECIMAL(38,0); each piece OCCURRENCE
+   * earns responsibility `(1000·f·L·b) div Z` (milli, ≤ 1000 — its share
+   * of the lattice mass), and the M-step re-estimates
+   * `p'(piece) = (1000·Σ resp) div Σ_all resp`. Unknown-character words
+   * (Z = 0 — possible only on a corpus the seed never saw) are excluded
+   * like the real trainer's byte-fallback boundary.
+   *
+   * Output one row per piece:
+   * `(piece, l_milli, exp_count_milli, p_next_milli)` — expected counts
+   * in milli occurrence units. One vocab-sized pass; the piece table
+   * rides as a plan literal (broadcast-small by the [[unigramSeed]]
+   * contract).
+   */
+  def unigramEmStep(wcIn: DataFrame, pieces: Seq[(String, Long)],
+      maxPieceLen: Int = 4, maxWordLen: Int = 10): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 4, s"maxPieceLen 1..4: $maxPieceLen")
+    require(maxWordLen >= 1 && maxWordLen <= 10, s"maxWordLen 1..10: $maxWordLen")
+    require(pieces.nonEmpty, "EM needs a piece inventory")
+    require(pieces.forall(p => p._2 >= 1L && p._2 <= 1000L),
+      "piece likelihoods must be milli in [1, 1000] (the DECIMAL(38,0) headroom bound)")
+    require(pieces.map(_._1).distinct.size == pieces.size, "duplicate pieces")
+    val spark = wcIn.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+    val pm = typedLit(pieces.toMap)
+    val wc = wcIn.where(length(col("word")) <= maxWordLen && length(col("word")) >= 1)
+    // the lattice DP as an `aggregate` FOLD, not unrolled plan columns: a
+    // recursive column unroll inlines f(j)'s whole subtree into every
+    // consumer (tetranacci blow-up — the 10-deep version planned+codegen'd
+    // for ~9 s), while the fold is ONE O(maxPieceLen) lambda evaluated
+    // iteratively per row. Higher-order lambdas run interpreted — fine
+    // here by design: the frame is vocab-sized, never corpus-sized.
+    // Forward: acc[j+1] = f(j) = Σ_l f(j−l)·L(substr(j−l+1, l));
+    // backward by suffix length d: acc[d+1] = b(d) = Σ_l L(n−d+1, l)·b(d−l).
+    def fold(term: Int => String): String =
+      s"""aggregate(sequence(1, length(word)),
+         |  array(CAST(1 AS $dec)),
+         |  (acc, j) -> array_append(acc, ${(1 to maxPieceLen).map(term)
+               .mkString(" + ")}))""".stripMargin
+    def lAt(pos: String, l: Int): String =
+      s"CAST(coalesce(element_at(__pm, substr(word, $pos, $l)), 0) AS $dec)"
+    val fExpr = fold(l =>
+      s"IF(j >= $l, element_at(acc, j - $l + 1) * ${lAt(s"j - $l + 1", l)}, CAST(0 AS $dec))")
+    val bExpr = fold(l =>
+      s"IF(j >= $l, ${lAt(s"length(word) - j + 1", l)} * element_at(acc, j - $l + 1), CAST(0 AS $dec))")
+    val prepared = wc.withColumn("__pm", pm)
+      .select(col("word"), col("freq"), col("__pm"),
+        length(col("word")).as("__n"),
+        expr(fExpr).as("__f"), expr(bExpr).as("__b"))
+      .withColumn("__z", element_at(col("__f"), col("__n") + 1))
+      .where(col("__z") > lit(0L).cast(dec))
+    val occ = prepared.select(col("word"), col("freq"), col("__n"), col("__f"),
+        col("__b"), col("__z"),
+        explode(expr(s"""flatten(transform(sequence(1, __n), p ->
+          |  transform(sequence(1, least($maxPieceLen, __n - p + 1)),
+          |    l -> struct(p AS pos, l AS len))))""".stripMargin)).as("__o"))
+      .select(col("freq"),
+        expr("substr(word, __o.pos, __o.len)").as("piece"),
+        element_at(col("__f"), col("__o.pos")).as("__fv"),
+        coalesce(element_at(pm, expr("substr(word, __o.pos, __o.len)")), lit(0L))
+          .cast(dec).as("__lv"),
+        element_at(col("__b"), col("__n") - col("__o.pos") - col("__o.len") + 2)
+          .as("__bv"),
+        col("__z"))
+      .withColumn("__contrib",
+        expr(s"(CAST(1000 AS $dec) * __fv * __lv * __bv) div __z"))
+    val counts = occ.groupBy(col("piece"))
+      .agg(sum(col("freq") * col("__contrib")).as("exp_count_milli"))
+    val inventory = pieces.toDF("piece", "l_milli")
+    val joined = inventory.join(counts, Seq("piece"), "left")
+      .select(col("piece"), col("l_milli"),
+        coalesce(col("exp_count_milli"), lit(0L)).as("exp_count_milli"))
+    val total = joined.agg(
+      coalesce(sum(col("exp_count_milli")), lit(0L)).as("__tot"))
+    joined.crossJoin(broadcast(total))
+      .select(col("piece"), col("l_milli"), col("exp_count_milli"),
+        // the ×1000 rides DECIMAL so a web-scale count can't wrap the Long
+        when(col("__tot") > 0,
+          expr(s"(CAST(1000 AS $dec) * exp_count_milli) div __tot"))
+          .as("p_next_milli"))
+  }
+
+  /** The SHRINK step between unigram-EM iterations (SentencePiece's
+    * prune): single-char pieces always survive — they are the coverage
+    * floor that keeps every word segmentable — and multi-char pieces
+    * keep only the top `keepMulti` by (expected count desc, piece asc).
+    * Input is [[unigramEmStep]]'s `(piece, l_milli, exp_count_milli)`
+    * shape; output adds `kept` (1/0). The rank window runs over the
+    * piece inventory — broadcast-small by the [[unigramSeed]] contract,
+    * so the single-partition window is bounded by construction. */
+  def unigramPrune(em: DataFrame, keepMulti: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keepMulti >= 0, s"keepMulti must be >= 0: $keepMulti")
+    val w = Window
+      .partitionBy(when(length(col("piece")) === 1, 0).otherwise(1))
+      .orderBy(col("exp_count_milli").desc, col("piece"))
+    em.withColumn("__mr", row_number().over(w))
+      .select(col("piece"), col("l_milli"), col("exp_count_milli"),
+        when(length(col("piece")) === 1, 1L)
+          .when(col("__mr") <= keepMulti, 1L).otherwise(0L).as("kept"))
+  }
 
   /** Top-`k` merge candidates by corpus weight (ties → pair
     * lexicographic, the deterministic analogue of "first seen").

@@ -260,6 +260,68 @@ class CurationOpsSpec extends SparkSuite {
     assert(top == Seq(("a", "a", 4L, 1), ("a", "b", 3L, 2)))
   }
 
+  test("unigram EM: hand-traced lattice masses, responsibilities, M-step on 'abab'") {
+    import graft.ops.Vocab
+    // pieces a=300, b=300, ab=400 over the single word "abab" (freq 1).
+    // Lattice: a|b|a|b = 300⁴, ab|a|b = a|b|ab = 400·300², ab|ab = 400².
+    // Z = 8,100,000,000 + 36,000,000 + 36,000,000 + 160,000 = 8,172,160,000.
+    // Occurrence responsibilities (milli, floor):
+    //   each single char: 1000·8.136e9/Z = 995 → exp a = b = 1990
+    //   each 'ab':        1000·3.616e7/Z = 4   → exp ab = 8
+    // M-step: tot = 3988 → p'(a) = p'(b) = 1990000 div 3988 = 498,
+    //         p'(ab) = 8000 div 3988 = 2.
+    val wc = Seq(("abab", 1L)).toDF("word", "freq")
+    val pieces = Seq(("a", 300L), ("ab", 400L), ("b", 300L))
+    val got = Vocab.unigramEmStep(wc, pieces)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      "a" -> ((300L, 1990L, 498L)),
+      "b" -> ((300L, 1990L, 498L)),
+      "ab" -> ((400L, 8L, 2L))))
+    // freq weighting: the same word 5× multiplies expected counts, not probs
+    val wc5 = Seq(("abab", 5L)).toDF("word", "freq")
+    val g5 = Vocab.unigramEmStep(wc5, pieces)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(g5 == Map("a" -> 9950L, "b" -> 9950L, "ab" -> 40L))
+    // a word with an unknown character is excluded (Z = 0), not a crash;
+    // words past the length cap are excluded from the fit
+    val mixed = Seq(("abab", 1L), ("aqa", 7L), ("ababababababab", 9L))
+      .toDF("word", "freq")
+    val gm = Vocab.unigramEmStep(mixed, pieces)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(gm == Map("a" -> 1990L, "b" -> 1990L, "ab" -> 8L))
+    // guards
+    intercept[IllegalArgumentException](Vocab.unigramEmStep(wc, Nil))
+    intercept[IllegalArgumentException](
+      Vocab.unigramEmStep(wc, Seq(("a", 0L))))
+    intercept[IllegalArgumentException](
+      Vocab.unigramEmStep(wc, Seq(("a", 1001L))))
+    intercept[IllegalArgumentException](
+      Vocab.unigramEmStep(wc, Seq(("a", 10L), ("a", 20L))))
+    intercept[IllegalArgumentException](
+      Vocab.unigramEmStep(wc, pieces, maxWordLen = 11))
+  }
+
+  test("unigramSeed: single-char floor + top-N multi by weight, milli-normalized") {
+    import graft.ops.Vocab
+    // "abab"×2, "ab"×1: substring weights — a:6=2·2+1·... trace:
+    // abab occurrences (len≤4): a@1,a@3 (2), b@2,b@4 (2), ab@1,ab@3 (2),
+    // ba@2 (1), aba@1 (1), bab@2 (1), abab@1 (1) — ×freq 2;
+    // ab: a (1), b (1), ab (1) — ×1.
+    // weights: a=5, b=5, ab=5, ba=2, aba=2, bab=2, abab=2
+    val wc = Seq(("abab", 2L), ("ab", 1L)).toDF("word", "freq")
+    val seed = Vocab.unigramSeed(wc, maxPieceLen = 4, topN = 2)
+    // singles always kept; top-2 multi by (weight desc, piece asc) = ab, aba
+    assert(seed.map(_._1) == Seq("a", "ab", "aba", "b"))
+    // Σweight over the SELECTED set = 5+5+5+2 = 17;
+    // milli: a = 5000/17 = 294, aba = 2000/17 = 117
+    val m = seed.toMap
+    assert(m("a") == 294L && m("b") == 294L && m("ab") == 294L && m("aba") == 117L)
+    // topN = 0 keeps only the single-char floor
+    assert(Vocab.unigramSeed(wc, topN = 0).map(_._1) == Seq("a", "b"))
+  }
+
   test("BPE segment merges every pair occurrence, incl. boundary-adversarial words") {
     import graft.ops.Vocab
     // reference: merge all (token-disjoint, since a != b) occurrences,
