@@ -29,11 +29,81 @@ object Ingest {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The ledger frame `(file_path, batch_id)`; empty if none yet. */
-  def ledger(spark: SparkSession, ledgerPath: String): DataFrame = {
+  /** Root of the COMPACTED ledger snapshots — a [[graft.recon.Publish]]
+    * versioned layout beside the append dir, so the fold is promoted by
+    * one atomic pointer flip and readers never see a half-written
+    * snapshot. */
+  private[graft] def ledgerCompactRoot(ledgerPath: String): String =
+    ledgerPath.stripSuffix("/") + "__compacted"
+
+  /** The append-side ledger part files currently on disk (flat,
+    * non-hidden — [[commit]] writes `coalesce(1)` parquet appends). */
+  private def rawLedgerFiles(spark: SparkSession, ledgerPath: String): Seq[String] = {
     val p = new Path(ledgerPath)
-    if (fs(spark, p).exists(p)) spark.read.parquet(ledgerPath)
-    else spark.range(0).select(lit("").as("file_path"), lit(0L).as("batch_id"))
+    val f = fs(spark, p)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString).sorted
+  }
+
+  /** The ledger frame `(file_path, batch_id)`; empty if none yet. Reads
+    * the promoted compacted snapshot (if any) plus the raw appends since
+    * it. A crash inside [[compactLedger]]'s delete window can leave a
+    * row in BOTH — harmless by construction: every consumer is an
+    * anti/semi-join membership probe or a max, and the next compaction
+    * folds the duplicates away. */
+  def ledger(spark: SparkSession, ledgerPath: String): DataFrame = {
+    val cols = Seq(col("file_path"), col("batch_id"))
+    val compacted = graft.recon.Publish
+      .currentVersion(spark, ledgerCompactRoot(ledgerPath))
+      .map(_ => graft.recon.Publish.readCurrent(spark, ledgerCompactRoot(ledgerPath))
+        .select(cols: _*))
+    val raws = rawLedgerFiles(spark, ledgerPath)
+    val raw = if (raws.isEmpty) None
+      else Some(spark.read.parquet(raws: _*).select(cols: _*))
+    (compacted, raw) match {
+      case (Some(c), Some(r)) => c.unionByName(r)
+      case (Some(c), None) => c
+      case (None, Some(r)) => r
+      case (None, None) =>
+        spark.range(0).select(lit("").as("file_path"), lit(0L).as("batch_id"))
+    }
+  }
+
+  /**
+   * Fold the ledger's append history into ONE promoted snapshot file —
+   * the GC that keeps a years-long ledger readable (every [[runOnce]]
+   * adds a part file; without compaction the diff join eventually opens
+   * millions of tiny footers). Two-phase and crash-safe at every window:
+   *
+   *   1. snapshot = promoted snapshot ∪ the raw part files listed NOW
+   *      (exact-duplicate rows from a previous crash fold away here);
+   *   2. [[graft.recon.Publish.publish]] writes it as the next version
+   *      and atomically flips the pointer (a crash before the flip
+   *      leaves an orphan dir, readers untouched);
+   *   3. only then are the folded raw files deleted — a crash mid-delete
+   *      leaves duplicate rows, which every ledger consumer tolerates
+   *      (see [[ledger]]) and the next compaction removes.
+   *
+   * Single-writer contract like [[commit]] (run it from the same
+   * scheduler slot, never concurrently with an ingest step). Returns the
+   * number of raw part files folded; 0 = nothing to compact.
+   */
+  def compactLedger(spark: SparkSession, ledgerPath: String): Int = {
+    val raws = rawLedgerFiles(spark, ledgerPath)
+    if (raws.isEmpty) return 0
+    val snapshot = ledger(spark, ledgerPath)
+      .dropDuplicates(Seq("file_path", "batch_id"))
+      .coalesce(1)
+    val root = ledgerCompactRoot(ledgerPath)
+    graft.recon.Publish.publish(snapshot, root)
+    val p = new Path(ledgerPath)
+    val f = fs(spark, p)
+    raws.foreach(r => f.delete(new Path(r), false))
+    graft.recon.Publish.prune(spark, root, keep = 2)
+    raws.size
   }
 
   /** Data files under `dataDir` (non-hidden, recursive) not yet in the

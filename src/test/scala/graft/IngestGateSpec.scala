@@ -122,6 +122,68 @@ class IngestGateSpec extends SparkSuite {
       (indexed.contains(20L) ^ indexed.contains(30L)), s"index holds $indexed")
   }
 
+  test("ledger compaction mid-stream: gate decisions identical to the uncompacted control") {
+    import graft.ops.Ingest
+    // two pipelines fed the IDENTICAL batch sequence; pipeline A compacts
+    // its ledger between batches, pipeline B never does — every decision
+    // row must match exactly (replay equivalence), and the compacted
+    // ledger must keep the same membership
+    val batches = Seq(
+      Seq((20L, "red orange yellow green blue indigo violet ultraviolet infrared"),
+        (21L, "one two three four five six seven eight nine ten eleven TWELVE2")),
+      Seq((30L, "red orange yellow green blue indigo violet ultraviolet infrared"),
+        (31L, "entirely fresh content regarding mountains and quiet snowfall at dawn")),
+      Seq((40L, "entirely fresh content regarding mountains and quiet snowfall at DAWN2"),
+        (41L, "novel musings on rivers winding through ancient forest valleys slowly")))
+    def runPipeline(tag: String, compactAfter: Set[Int]): (String, String) = {
+      val idx = tmpDir(s"cmp_idx_$tag"); val data = tmpDir(s"cmp_data_$tag")
+      val ledger = tmpDir(s"cmp_led_$tag") + "/ledger"
+      val out = tmpDir(s"cmp_out_$tag")
+      writeIndex(idx)
+      batches.zipWithIndex.foreach { case (docs, i) =>
+        docs.toDF("doc_id", "text").write.parquet(s"$data/b$i")
+        assert(IngestGate.runOnce(spark, data, ledger, "text", "doc_id", idx, out)
+          .contains(i.toLong))
+        if (compactAfter(i)) {
+          val before = Ingest.ledger(spark, ledger)
+            .as[(String, Long)].collect().toSet
+          assert(Ingest.compactLedger(spark, ledger) > 0)
+          val after = Ingest.ledger(spark, ledger)
+            .as[(String, Long)].collect().toSet
+          assert(after == before, "compaction must preserve ledger membership")
+          // the fold actually folded: one promoted snapshot, no raw parts
+          assert(Ingest.compactLedger(spark, ledger) == 0, "second fold must no-op")
+        }
+      }
+      (ledger, out)
+    }
+    val (ledA, outA) = runPipeline("a", compactAfter = Set(0, 1))
+    val (_, outB) = runPipeline("b", compactAfter = Set.empty)
+    val decA = IngestGate.decisions(spark, outA)
+      .select("batch_id", "doc_id", "n_index_matches", "n_batch_matches", "admitted")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val decB = IngestGate.decisions(spark, outB)
+      .select("batch_id", "doc_id", "n_index_matches", "n_batch_matches", "admitted")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(decA == decB, "compaction must not change any gate decision")
+    // commit guard still sees compacted paths as ingested
+    val somePath = Ingest.ledger(spark, ledA).select("file_path")
+      .as[String].head()
+    intercept[IllegalArgumentException](
+      Ingest.commit(spark, ledA, Seq(somePath), batchId = 99L))
+    // crash-window simulation: snapshot promoted but raw files NOT yet
+    // deleted → duplicate rows; membership probes unaffected, and the
+    // next compaction folds the duplicates away
+    graft.recon.Publish.publish(
+      Ingest.ledger(spark, ledA).coalesce(1), Ingest.ledgerCompactRoot(ledA))
+    val dupLedger = Ingest.ledger(spark, ledA)
+    val distinctRows = dupLedger.dropDuplicates(Seq("file_path", "batch_id")).count()
+    assert(dupLedger.count() > distinctRows, "the crash window must show duplicates")
+    assert(Ingest.compactLedger(spark, ledA) > 0)
+    val healed = Ingest.ledger(spark, ledA)
+    assert(healed.count() == distinctRows, "re-compaction must fold duplicates away")
+  }
+
   test("crash replay is idempotent: re-merge no-ops, decisions replay identically") {
     val idx = tmpDir("gate_idx3")
     writeIndex(idx)
