@@ -543,6 +543,57 @@ object CurationQueries {
       Vocab.unigramPrune(em, keepMulti = 12)
     },
 
+    // the APPLY arm of the unigram tokenizer: exact Viterbi segmentation
+    // per word — max-product DP over the same pivoted score matrix, ties
+    // to the shortest last piece, backtrace unrolled as a chained-CTE
+    // walk from the word end. Segmentation string, piece count, AND the
+    // exact lattice-max product are all value-checked; unsegmentable
+    // (unknown-char) words excluded on both sides
+    QuerySpec("vocab_unigram_segment", {
+      val W = 10; val P = 4
+      def sList(l: Int) =
+        "[" + (1 to (W - l + 1)).map(p => s"s_${p}_$l").mkString(", ") + "]"
+      val vCols = (1 to W).map { j =>
+        val terms = (1 to math.min(P, j))
+          .map(l => s"v${j - l} * s_${j - l + 1}_$l").mkString(", ")
+        s"CASE WHEN n >= $j THEN greatest($terms) END AS v$j"
+      }.mkString(",\n           |       ")
+      val vList = "[" + (0 to W).map(j => s"v$j").mkString(", ") + "]"
+      def pick(prev: String) = "CASE " + (1 to P).map(l =>
+        s"""WHEN $prev >= $l AND vl[$prev - $l + 1] * sl$l[$prev - $l + 1]
+           | = vl[$prev + 1] THEN $l""".stripMargin).mkString(" ") + " END"
+      val slCols = (1 to P).map(l => s"${sList(l)} AS sl$l").mkString(",\n           |       ")
+      val btCtes = (1 to W).map { i =>
+        s"""bt$i AS MATERIALIZED (SELECT *,
+           |  CASE WHEN p${i - 1} > 0 THEN ${pick(s"p${i - 1}")} END AS l$i,
+           |  CASE WHEN p${i - 1} > 0 THEN p${i - 1} - l$i ELSE 0 END AS p$i,
+           |  CASE WHEN p${i - 1} > 0
+           |       THEN substr(word, p${i - 1} - l$i + 1, l$i) END AS pc$i
+           |FROM bt${i - 1})""".stripMargin
+      }.mkString(",\n")
+      val pcList = "[" + (1 to W).map(i => s"pc$i").mkString(", ") + "]"
+      unigramOracleCtes(topN = 40) + raw""",
+           |vv AS MATERIALIZED (SELECT word, freq, n,
+           |       CAST(1 AS HUGEINT) AS v0,
+           |       $vCols,
+           |       $slCols
+           |     FROM sm),
+           |bt0 AS MATERIALIZED (SELECT word, freq, n, n AS p0,
+           |       $vList AS vl, sl1, sl2, sl3, sl4
+           |     FROM vv WHERE $vList[n + 1] > 0),
+           |$btCtes
+           |SELECT word, CAST(freq AS BIGINT) AS freq,
+           |  CAST(len(pcs) AS BIGINT) AS n_pieces,
+           |  array_to_string(list_reverse(pcs), ' ') AS seg,
+           |  CAST(vl[n + 1] AS VARCHAR) AS score_q
+           |FROM (SELECT *, list_filter($pcList, x -> x IS NOT NULL) AS pcs
+           |      FROM bt$W)""".stripMargin
+    }) { (s, d) =>
+      import graft.ops.Vocab
+      val wc = graft.recon.Checkpoints.cut(Vocab.wordCounts(docs(s, d), "text"))
+      Vocab.unigramSegment(wc, Vocab.unigramSeed(wc, maxPieceLen = 4, topN = 40))
+    },
+
     // fertility head-to-head over the SAME word population (length ≤ 10):
     // expected pieces per word under the unigram lattice (Σ occurrence
     // responsibilities — already milli) vs BPE subtokens under the

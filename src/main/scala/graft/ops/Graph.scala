@@ -924,7 +924,6 @@ object Graph {
    */
   def modularityMicro(edges: DataFrame, partition: DataFrame): DataFrame = {
     val lbl = partition.select(col("node"), col("label"))
-    val tot = edges.agg(count(lit(1)).as("__e2"))
     val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("__deg"))
     // the node-sized label frame broadcasts into every edge-sized join
     // (same contract as the louvain sweeps): cut LogicalRDDs carry no
@@ -932,6 +931,9 @@ object Graph {
     val dsum = deg.join(broadcast(lbl), Seq("node"))
       .groupBy(col("label")).agg(sum(col("__deg")).as("__dc"),
         count(lit(1)).as("n_nodes"))
+    // 2|E| = Σ degrees — read it off the label-sized dsum frame instead
+    // of paying a third full edge pass for a count
+    val tot = dsum.agg(sum(col("__dc")).as("__e2"))
     val intra = edges
       .join(broadcast(lbl.select(col("node").as("src"), col("label").as("__la"))),
         Seq("src"))

@@ -317,6 +317,69 @@ object Vocab {
           .as("p_next_milli"))
   }
 
+  /**
+   * The APPLY arm of the unigram tokenizer: exact VITERBI segmentation —
+   * per word the maximum-product piece sequence under the milli
+   * likelihoods, `v(j) = max_l v(j−l)·L(substr(j−l+1, l))`, ties broken
+   * to the SHORTEST last piece (the l = 1..maxPieceLen probe order,
+   * identical in both engines since every compare is exact integer).
+   * Both the DP and the backtrace run as `aggregate` folds (see
+   * [[unigramEmStep]] — unrolled recursive columns blow up the plan);
+   * the backtrace walks from the word end, appending pieces in reverse.
+   * Words the inventory cannot segment (an unknown character ⇒
+   * `v(n) = 0`) are excluded, the byte-fallback boundary again.
+   *
+   * Output: `(word, freq, n_pieces, seg, score_q)` — the segmentation
+   * space-joined, its piece count, and the exact lattice-max product in
+   * DECIMAL(38,0) (the same ≤10³³ headroom bound as the EM masses).
+   */
+  def unigramSegment(wcIn: DataFrame, pieces: Seq[(String, Long)],
+      maxPieceLen: Int = 4, maxWordLen: Int = 10): DataFrame = {
+    require(maxPieceLen >= 1 && maxPieceLen <= 4, s"maxPieceLen 1..4: $maxPieceLen")
+    require(maxWordLen >= 1 && maxWordLen <= 10, s"maxWordLen 1..10: $maxWordLen")
+    require(pieces.nonEmpty, "segmentation needs a piece inventory")
+    require(pieces.forall(p => p._2 >= 1L && p._2 <= 1000L),
+      "piece likelihoods must be milli in [1, 1000]")
+    val dec = "decimal(38,0)"
+    val pm = typedLit(pieces.toMap)
+    val wc = wcIn.where(length(col("word")) <= maxWordLen && length(col("word")) >= 1)
+    def lAt(pos: String, l: Int): String =
+      s"CAST(coalesce(element_at(__pm, substr(word, $pos, $l)), 0) AS $dec)"
+    val vExpr =
+      s"""aggregate(sequence(1, length(word)),
+         |  array(CAST(1 AS $dec)),
+         |  (acc, j) -> array_append(acc, greatest(${(1 to maxPieceLen).map(l =>
+              s"IF(j >= $l, element_at(acc, j - $l + 1) * ${lAt(s"j - $l + 1", l)}, CAST(0 AS $dec))")
+              .mkString(", ")})))""".stripMargin
+    // backtrace fold: state (p, parts) — from position p pick the
+    // SHORTEST l whose step product equals v(p); at most n steps, idle
+    // once p reaches 0
+    val pick = (1 to maxPieceLen).map(l =>
+      s"""WHEN st.p >= $l AND element_at(__v, st.p - $l + 1)
+         |  * ${lAt(s"st.p - $l + 1", l)} = element_at(__v, st.p + 1) THEN $l""".stripMargin)
+      .mkString("CASE ", " ", " END")
+    val btExpr =
+      s"""aggregate(sequence(1, length(word)),
+         |  named_struct('p', CAST(length(word) AS INT),
+         |               'parts', CAST(array() AS array<string>)),
+         |  (st, x) -> IF(st.p = 0, st, named_struct(
+         |    'p', st.p - ($pick),
+         |    'parts', array_append(st.parts,
+         |      substr(word, st.p - ($pick) + 1, ($pick))))))""".stripMargin
+    wc.withColumn("__pm", pm)
+      .withColumn("__v", expr(vExpr))
+      .withColumn("score_q", element_at(col("__v"), length(col("word")) + 1))
+      .where(col("score_q") > lit(0L).cast(dec))
+      .withColumn("__bt", expr(btExpr))
+      .select(col("word"), col("freq"),
+        size(col("__bt.parts")).cast("long").as("n_pieces"),
+        array_join(reverse(col("__bt.parts")), " ").as("seg"),
+        // exact digits as a STRING: the product exceeds BIGINT (≤ 10³³)
+        // and decimal renderings differ across engines — digit strings
+        // value-compare exactly
+        col("score_q").cast("string").as("score_q"))
+  }
+
   /** The SHRINK step between unigram-EM iterations (SentencePiece's
     * prune): single-char pieces always survive — they are the coverage
     * floor that keeps every word segmentable — and multi-char pieces

@@ -303,6 +303,28 @@ class CurationOpsSpec extends SparkSuite {
       Vocab.unigramEmStep(wc, pieces, maxWordLen = 11))
   }
 
+  test("unigramSegment: Viterbi max-product path, shortest-piece tie-break, OOV excluded") {
+    import graft.ops.Vocab
+    // a=300, b=300, ab=400 on "abab": v = [1, 300, 9e4, 2.7e7, 8.1e9] —
+    // the all-singles path beats every 'ab' use (90000 > 400 at v2)
+    val wc = Seq(("abab", 2L), ("aqa", 1L)).toDF("word", "freq")
+    val got = Vocab.unigramSegment(wc, Seq(("a", 300L), ("ab", 400L), ("b", 300L)))
+      .select("word", "freq", "n_pieces", "seg")
+      .as[(String, Long, Long, String)].collect()
+    assert(got.toSeq == Seq(("abab", 2L, 4L, "a b a b")), s"got ${got.toSeq}")
+    // 'aqa' has an unknown char -> v(n) = 0 -> excluded, not crashed
+    // exact tie (20·50 = 1000 = L(ab)) breaks to the SHORTEST last piece
+    val tie = Vocab.unigramSegment(Seq(("ab", 1L)).toDF("word", "freq"),
+      Seq(("a", 20L), ("ab", 1000L), ("b", 50L)))
+      .select("seg").as[String].collect()
+    assert(tie.toSeq == Seq("a b"))
+    // a genuinely better multi-char piece wins: a=20, b=20, ab=1000
+    val multi = Vocab.unigramSegment(Seq(("abab", 1L)).toDF("word", "freq"),
+      Seq(("a", 20L), ("ab", 1000L), ("b", 20L)))
+      .select("n_pieces", "seg").as[(Long, String)].collect()
+    assert(multi.toSeq == Seq((2L, "ab ab")))
+  }
+
   test("unigramSeed: single-char floor + top-N multi by weight, milli-normalized") {
     import graft.ops.Vocab
     // "abab"×2, "ab"×1: substring weights — a:6=2·2+1·... trace:
