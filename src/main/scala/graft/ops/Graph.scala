@@ -609,41 +609,66 @@ object Graph {
       roundsPerLevel: Int = 2): DataFrame = {
     require(maxLevels >= 1, s"maxLevels must be >= 1, got $maxLevels")
     import graft.recon.Checkpoints.cut
-    val e2 = edges.count() // hoisted: every per-level gate reuses it
-    def qnum(labels: DataFrame): java.math.BigDecimal =
-      modularityNumExactWith(edges, e2, labels)
     var flat = cut(louvainMove(edges, roundsPerLevel)) // node space
     val out = scala.collection.mutable.ArrayBuffer(
       flat.select(lit(1).as("level"), col("node"), col("label")))
-    var q = qnum(flat)
-    var contracted: DataFrame = null  // level-(L−1) supernode multigraph
-    var prevSuper: DataFrame = null   // its most recent sweep labels
-    var stopped = false
-    for (level <- 2 to maxLevels if !stopped) {
-      contracted = cut(
-        if (prevSuper == null) contractGraph(edges, flat)
-        else contractGraphWeighted(contracted, prevSuper))
-      // per-round cuts only while the contraction is still big: once it
-      // shrinks to a broadcast-scale super-graph, re-executing the small
-      // per-round aggregates costs less than each cut's plan+codegen
-      // (the documented cutRounds trade; the count doubles as the cut's
-      // materialization action)
-      val lv = louvainMoveWeighted(contracted, roundsPerLevel,
-        cutRounds = contracted.count() > 200000L)
-      val flatNext = cut(flat
-        .join(broadcast(lv.select(col("node").as("label"),
-          col("label").as("__next"))), Seq("label"))
-        .select(col("node"), col("__next").as("label")))
-      val qNext = qnum(flatNext)
-      // exact integer compare — the level survives only if it RAISES Q
-      if (qNext.compareTo(q) > 0) {
-        out += flatNext.select(lit(level).as("level"), col("node"), col("label"))
-        flat = flatNext
-        prevSuper = lv
-        q = qNext
-      } else stopped = true
+    if (maxLevels > 1) {
+      // Every gate scalar comes off the CONTRACTION, never the original
+      // edges: Qnum of a partition on G ≡ the singleton Qnum of its
+      // contraction (self-loops carry i2_c, super-degrees carry dc —
+      // exact integers both ways), and each level's contraction is built
+      // anyway as the next level's input. So the gate costs one
+      // community-sized aggregate, and a REJECTED level never touches
+      // node space at all (no flat join, no cut) — at 100 TB the
+      // convergence probe is contraction-sized, not corpus-sized.
+      val e2 = edges.count() // Σw is contraction-invariant — compute once
+      var contracted = cut(contractGraph(edges, flat))
+      var q = singletonQnum(contracted, e2)
+      var stopped = false
+      for (level <- 2 to maxLevels if !stopped) {
+        // per-round cuts only while the contraction is still big: once
+        // it shrinks to a broadcast-scale super-graph, re-executing the
+        // small per-round aggregates costs less than each cut's
+        // plan+codegen (the documented cutRounds trade; the count
+        // doubles as the cut's materialization action)
+        val big = contracted.count() > 200000L
+        val lv0 = louvainMoveWeighted(contracted, roundsPerLevel, cutRounds = big)
+        // small-graph sweeps come back UNCUT (cutRounds = false) but have
+        // three consumers here (two contraction broadcasts + the flat
+        // join) — one cut beats re-running the whole sweep thrice
+        val lv = if (big) lv0 else cut(lv0)
+        val nextContracted = cut(contractGraphWeighted(contracted, lv))
+        val qNext = singletonQnum(nextContracted, e2)
+        // exact integer compare — the level survives only if it RAISES Q
+        if (qNext.compareTo(q) > 0) {
+          flat = cut(flat
+            .join(broadcast(lv.select(col("node").as("label"),
+              col("label").as("__next"))), Seq("label"))
+            .select(col("node"), col("__next").as("label")))
+          out += flat.select(lit(level).as("level"), col("node"), col("label"))
+          contracted = nextContracted
+          q = qNext
+        } else stopped = true
+      }
     }
     out.reduce(_ unionByName _)
+  }
+
+  /** Exact modularity numerator of the SINGLETON partition of a weighted
+    * `(src, dst, w)` graph: `Σ_n (e2·w_nn − k_n²)` in DECIMAL(38,0) —
+    * by the contraction invariant this IS the numerator of the partition
+    * the graph was contracted by, at community-sized cost. One aggregate. */
+  private def singletonQnum(wEdges: DataFrame, e2: Long): java.math.BigDecimal = {
+    val row = wEdges.groupBy(col("src"))
+      .agg(sum(col("w")).as("__k"),
+        sum(when(col("dst") === col("src"), col("w")).otherwise(0L)).as("__self"))
+      .agg(coalesce(sum(col("__self")), lit(0L)).as("__si2"),
+        coalesce(sum(col("__k").cast("decimal(38,0)") * col("__k")),
+          lit(0L).cast("decimal(38,0)")).as("__sk2"))
+      .head()
+    new java.math.BigDecimal(e2)
+      .multiply(new java.math.BigDecimal(row.getLong(0)))
+      .subtract(row.getDecimal(1))
   }
 
   /** The exact modularity numerator `Σ_c (e2·i2_c − dc_c²)` of a
