@@ -121,6 +121,15 @@ object EntityQueries {
     * refuses to materialize an exploding pair table. */
   private def linkagePairs(s: SparkSession, d: String): DataFrame = {
     import graft.ops.Linkage
+    val (cb, bb) = linkageSides(s, d)
+    Linkage.blockPairsMulti(cb, bb,
+      Seq(Seq("nat", "band"), Seq("nm")), "k", "k", maxPairs = 50000000L)
+  }
+
+  /** The two BANDED linkage sides (base customers + perturbed twin),
+    * each carrying the composite-blocking band column — shared by
+    * [[linkagePairs]] and the `recon_linkage_forecast` capacity audit. */
+  private def linkageSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val c = customer(s, d).select(
       col("c_custkey").as("k"), col("c_name").as("nm"),
       col("c_nationkey").as("nat"), col("c_mktsegment").as("seg"),
@@ -137,8 +146,7 @@ object EntityQueries {
     // agree on non-negative operands)
     def banded(df: DataFrame) =
       df.withColumn("band", expr("(cents + 100000) div 10000"))
-    Linkage.blockPairsMulti(banded(c), banded(b),
-      Seq(Seq("nat", "band"), Seq("nm")), "k", "k", maxPairs = 50000000L)
+    (banded(c), banded(b))
   }
 
   /** Shared oracle CTE chain of the `recon_linkage_*` family: the
@@ -237,6 +245,39 @@ object EntityQueries {
             .as("precision_milli"),
           min(col("score_milli")).as("min_score_milli"),
           max(col("score_milli")).as("max_score_milli"))
+    },
+
+    // the CAPACITY AUDIT the budget guard runs, as a first-class query:
+    // per blocking pass, the EXACT candidate-pair forecast
+    // Σ_k |A_k|·|B_k| from the two per-key count frames — keys shuffle,
+    // data never does. This is the number an operator reads BEFORE
+    // committing a cluster to the block join (the nm pass forecasts its
+    // pre-exclusion upper bound, exactly what blockPairsBudgeted gates)
+    QuerySpec("recon_linkage_forecast",
+      linkageOracleCtes + raw""",
+           |fa1 AS (SELECT nat, band, count(*) AS c FROM cb GROUP BY 1, 2),
+           |fb1 AS (SELECT nat, band, count(*) AS c FROM bb GROUP BY 1, 2),
+           |j1 AS (SELECT count(*) AS k, COALESCE(sum(fa1.c * fb1.c), 0) AS p
+           |       FROM fa1 JOIN fb1 USING (nat, band)),
+           |fa2 AS (SELECT nm, count(*) AS c FROM cb GROUP BY 1),
+           |fb2 AS (SELECT nm, count(*) AS c FROM bb GROUP BY 1),
+           |j2 AS (SELECT count(*) AS k, COALESCE(sum(fa2.c * fb2.c), 0) AS p
+           |       FROM fa2 JOIN fb2 USING (nm)),
+           |tot AS (SELECT (SELECT count(*) FROM cb) AS nl,
+           |               (SELECT count(*) FROM bb) AS nr)
+           |SELECT 'nat_band' AS pass, CAST(nl AS BIGINT) AS n_left,
+           |  CAST(nr AS BIGINT) AS n_right, CAST(k AS BIGINT) AS n_overlap_keys,
+           |  CAST(p AS BIGINT) AS n_output_rows FROM j1 CROSS JOIN tot
+           |UNION ALL
+           |SELECT 'nm', CAST(nl AS BIGINT), CAST(nr AS BIGINT),
+           |  CAST(k AS BIGINT), CAST(p AS BIGINT) FROM j2 CROSS JOIN tot""".stripMargin) { (s, d) =>
+      import graft.ops.JoinForecast
+      val (cb, bb) = linkageSides(s, d)
+      Seq(("nat_band", Seq("nat", "band")), ("nm", Seq("nm"))).map { case (tag, keys) =>
+        JoinForecast.joinSizeEstimate(cb, bb, keys)
+          .select(lit(tag).as("pass"), col("n_left"), col("n_right"),
+            col("n_overlap_keys"), col("n_output_rows"))
+      }.reduce(_ unionByName _)
     },
 
     // the pair-level arm of the same linkage: every match/possible pair
