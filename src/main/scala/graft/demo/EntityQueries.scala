@@ -267,16 +267,19 @@ object EntityQueries {
            |               (SELECT count(*) FROM bb) AS nr)
            |SELECT 'nat_band' AS pass, CAST(nl AS BIGINT) AS n_left,
            |  CAST(nr AS BIGINT) AS n_right, CAST(k AS BIGINT) AS n_overlap_keys,
-           |  CAST(p AS BIGINT) AS n_output_rows FROM j1 CROSS JOIN tot
+           |  CAST(p AS VARCHAR) AS n_output_rows FROM j1 CROSS JOIN tot
            |UNION ALL
            |SELECT 'nm', CAST(nl AS BIGINT), CAST(nr AS BIGINT),
-           |  CAST(k AS BIGINT), CAST(p AS BIGINT) FROM j2 CROSS JOIN tot""".stripMargin) { (s, d) =>
+           |  CAST(k AS BIGINT), CAST(p AS VARCHAR) FROM j2 CROSS JOIN tot""".stripMargin) { (s, d) =>
       import graft.ops.JoinForecast
       val (cb, bb) = linkageSides(s, d)
+      // the forecast rides DECIMAL(38,0) inside the operator (a hub key
+      // past 2^63 must not wrap); across the compare boundary it travels
+      // as exact digit STRINGS — decimal renderings differ between engines
       Seq(("nat_band", Seq("nat", "band")), ("nm", Seq("nm"))).map { case (tag, keys) =>
         JoinForecast.joinSizeEstimate(cb, bb, keys)
           .select(lit(tag).as("pass"), col("n_left"), col("n_right"),
-            col("n_overlap_keys"), col("n_output_rows"))
+            col("n_overlap_keys"), col("n_output_rows").cast("string").as("n_output_rows"))
       }.reduce(_ unionByName _)
     },
 
@@ -1468,11 +1471,12 @@ object EntityQueries {
            |SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_left,
            |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_right,
            |  CAST(count(*) AS BIGINT) AS n_overlap_keys,
-           |  CAST(COALESCE(sum(pairs), 0) AS BIGINT) AS n_output_rows
+           |  CAST(CAST(COALESCE(sum(pairs), 0) AS HUGEINT) AS VARCHAR) AS n_output_rows
            |FROM j""".stripMargin) { (s, d) =>
       graft.ops.JoinForecast.joinSizeEstimate(
         s.read.parquet(s"$d/orders.parquet").select(col("o_orderkey").as("k")),
         lineitem(s, d).select(col("l_orderkey").as("k")), Seq("k"))
+        .withColumn("n_output_rows", col("n_output_rows").cast("string"))
     },
 
     // the skew companion: which keys dominate a SELF-join of events on
@@ -1481,16 +1485,20 @@ object EntityQueries {
     // local prune, then a global window over <= k x partitions rows)
     QuerySpec("recon_join_skew",
       raw"""WITH c AS (SELECT user_id, count(*) AS f FROM events GROUP BY 1),
-           |p AS (SELECT user_id, CAST(f * f AS BIGINT) AS n_pairs FROM c),
+           |p AS (SELECT user_id, CAST(f AS HUGEINT) * f AS n_pairs FROM c),
            |t AS (SELECT sum(n_pairs) AS tot FROM p),
            |r AS (SELECT user_id, n_pairs,
            |        row_number() OVER (ORDER BY n_pairs DESC, user_id) AS rank FROM p)
-           |SELECT user_id, n_pairs,
+           |SELECT user_id, CAST(n_pairs AS VARCHAR) AS n_pairs,
            |  CAST((n_pairs * 1000) // t.tot AS BIGINT) AS share_milli,
            |  CAST(rank AS BIGINT) AS rank
            |FROM r, t WHERE rank <= 10""".stripMargin) { (s, d) =>
+      // pair counts ride DECIMAL(38,0) in the operator and exact digit
+      // STRINGS across the compare boundary; the oracle's shares divide
+      // in HUGEINT (DuckDB's `//` over DECIMAL detours through DOUBLE)
       val ev = events(s, d).select("user_id")
       graft.ops.JoinForecast.skewTopK(ev, ev, Seq("user_id"), k = 10)
+        .withColumn("n_pairs", col("n_pairs").cast("string"))
     },
 
     // one-pass column profiling: null rates (exact milli) + portable

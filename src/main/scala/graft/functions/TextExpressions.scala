@@ -128,13 +128,20 @@ case class BpeSegment(child: Expression, merges: Seq[(String, String)])
   * the ring keeps its advertised cost at thousand-shard fleets where the
   * higher-order-function filter scan was O(N·V) per row and bloated the
   * plan with an N·V-element literal. `hashes` ascending; `shards(i)`
-  * owns vnode i. */
-case class RingPick(child: Expression, hashes: Array[Long], shards: Array[Long])
+  * owns vnode i. The ring is held as `Seq[Long]` (value equals /
+  * hashCode), NOT arrays: case-class equality over Array fields is
+  * reference-based, which would make two identical ring_pick
+  * expressions never `semanticEquals` — defeating canonicalization,
+  * subexpression elimination, and plan caching. Eval/codegen convert
+  * once to primitive arrays. */
+case class RingPick(child: Expression, hashes: Seq[Long], shards: Seq[Long])
     extends UnaryExpression {
   require(hashes.nonEmpty && hashes.length == shards.length,
     s"ring needs matched non-empty vnode arrays: ${hashes.length}, ${shards.length}")
   require((1 until hashes.length).forall(i => hashes(i - 1) <= hashes(i)),
     "ring vnode hashes must be ascending")
+  @transient private lazy val hashesArr: Array[Long] = hashes.toArray
+  @transient private lazy val shardsArr: Array[Long] = shards.toArray
   override def dataType: DataType = LongType
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType => TypeCheckResult.TypeCheckSuccess
@@ -142,10 +149,10 @@ case class RingPick(child: Expression, hashes: Array[Long], shards: Array[Long])
       s"ring_pick requires a bigint key hash, got ${other.catalogString}")
   }
   override protected def nullSafeEval(v: Any): Any =
-    TextOps.ringSuccessor(v.asInstanceOf[Long], hashes, shards)
+    TextOps.ringSuccessor(v.asInstanceOf[Long], hashesArr, shardsArr)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val hRef = ctx.addReferenceObj("ringHashes", hashes, "long[]")
-    val sRef = ctx.addReferenceObj("ringShards", shards, "long[]")
+    val hRef = ctx.addReferenceObj("ringHashes", hashesArr, "long[]")
+    val sRef = ctx.addReferenceObj("ringShards", shardsArr, "long[]")
     defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.ringSuccessor($c, $hRef, $sRef)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -193,7 +200,7 @@ object TextFunctions {
   def word_shingles(tokens: Column, n: Int): Column =
     column(WordShingles(expression(tokens), n))
   def ring_pick(keyHash: Column, hashes: Array[Long], shards: Array[Long]): Column =
-    column(RingPick(expression(keyHash), hashes, shards))
+    column(RingPick(expression(keyHash), hashes.toSeq, shards.toSeq))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

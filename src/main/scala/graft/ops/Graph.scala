@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -417,7 +417,11 @@ object Graph {
    * from its current community's total, the standard "gain of staying"
    * normalization). Argmax over the neighbor communities plus the
    * current one; ties break to the smaller community id. Both engines
-   * compute identical bits.
+   * compute identical bits. Scores ride Long up to Σw =
+   * [[SweepScoreLongSafeE2]] (|score| ≤ 2·e2² < 2^63 there) and
+   * auto-upgrade to DECIMAL(38,0) past it — the 10¹³-edge tier where
+   * k_i·Σtot_c would wrap a Long silently; `scoreDecimal = true`
+   * forces the decimal path (spec'd identical on small graphs).
    *
    * Oscillation control: a FULLY synchronous sweep 2-cycles on
    * symmetric structures (two tied nodes adopt each other's community
@@ -445,7 +449,8 @@ object Graph {
    * Output: `(node, label)` — the community assignment after `rounds`
    * alternating sweeps from singleton communities.
    */
-  def louvainMove(edges: DataFrame, rounds: Int): DataFrame = {
+  def louvainMove(edges: DataFrame, rounds: Int,
+      scoreDecimal: Boolean = false): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     import graft.recon.Checkpoints.cut
     // every lazy cut pays its subtree's AQE-off plan+codegen at
@@ -466,7 +471,9 @@ object Graph {
     // job (the cuts make round construction EXECUTE eagerly through the
     // broadcast chain, so every removed broadcast job is serial wall
     // time, not just plan nodes).
-    val e2 = lit(edges.count())
+    val e2n = edges.count()
+    val e2 = lit(e2n)
+    val score = sweepScore(e2, scoreDecimal || e2n > SweepScoreLongSafeE2) _
     val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("__k"))
     def movers(df: DataFrame, keyCol: String, r: Int) =
       df.where(pmod(col(keyCol), lit(2)) === lit(r % 2))
@@ -488,10 +495,7 @@ object Graph {
       .join(broadcast(deg.select(col("node").as("src"), col("__k"))), Seq("src"))
       .join(broadcast(deg.select(col("node").as("label"), col("__k").as("__tot"))),
         Seq("label"))
-      .withColumn("__score",
-        e2 * col("__w") -
-          col("__k") * (col("__tot") -
-            when(col("label") === col("src"), col("__k")).otherwise(lit(0L))))
+      .withColumn("__score", score(col("label") === col("src")))
     var labels = cut(louvainPickApply(scored1,
       deg.withColumn("label", col("node")), r = 1))
     for (r <- 2 to rounds) {
@@ -512,13 +516,30 @@ object Graph {
       val scored = cand
         .join(broadcast(cur), Seq("src"))
         .join(broadcast(tot), Seq("label"))
-        .withColumn("__score",
-          e2 * col("__w") -
-            col("__k") * (col("__tot") -
-              when(col("label") === col("__cur"), col("__k")).otherwise(lit(0L))))
+        .withColumn("__score", score(col("label") === col("__cur")))
       labels = cut(louvainPickApply(scored, labels, r))
     }
     labels.select(col("node"), col("label"))
+  }
+
+  /** Largest Σw (= 2|E| unweighted) at which the Long sweep score is
+    * provably wrap-free: |score| = |e2·e_{i→c} − k_i·(Σtot_c − [stay]k_i)|
+    * ≤ 2·e2², so e2 ≤ 2·10⁹ keeps it under 2^63. Past this bound (the
+    * 10¹³-edge 100 TB tier) the sweeps auto-upgrade to DECIMAL(38,0) —
+    * exact to 10³⁸, same argmax, both engines agree — rather than wrap
+    * silently under Spark's non-ANSI Long arithmetic while a BIGINT
+    * oracle raises. Long stays the default below the bound because the
+    * score projection is the hottest expression in the suite. */
+  private[graft] val SweepScoreLongSafeE2 = 2000000000L
+
+  /** One Louvain sweep round's gain score, `e2·e_{i→c} − k_i·(Σtot_c −
+    * [stay]·k_i)`, over the candidate frame's `__w`/`__k`/`__tot`
+    * columns — in Long, or in DECIMAL(38,0) when `dec` (the Σw >
+    * [[SweepScoreLongSafeE2]] tier). */
+  private def sweepScore(e2: Column, dec: Boolean)(stay: Column): Column = {
+    def d(c: Column) = if (dec) c.cast("decimal(38,0)") else c
+    d(e2) * col("__w") -
+      d(col("__k")) * (col("__tot") - when(stay, col("__k")).otherwise(lit(0L)))
   }
 
   /** Shared tail of one Louvain sweep round: the partial-aggregable
@@ -609,7 +630,13 @@ object Graph {
       roundsPerLevel: Int = 2): DataFrame = {
     require(maxLevels >= 1, s"maxLevels must be >= 1, got $maxLevels")
     import graft.recon.Checkpoints.cut
-    var flat = cut(louvainMove(edges, roundsPerLevel)) // node space
+    // NO extra cut on the level-1 state: louvainMove's final round
+    // already lineage-cut its label frame, so every consumer below (the
+    // contraction broadcasts, the out slice, the level-2 relabel join)
+    // rescans that materialized RDD through a trivial projection — a
+    // second cut here re-copied node-sized data and paid one more
+    // AQE-off plan+codegen charge (~1.3 s) for nothing.
+    var flat = louvainMove(edges, roundsPerLevel) // node space
     val out = scala.collection.mutable.ArrayBuffer(
       flat.select(lit(1).as("level"), col("node"), col("label")))
     if (maxLevels > 1) {
@@ -618,35 +645,91 @@ object Graph {
       // contraction (self-loops carry i2_c, super-degrees carry dc —
       // exact integers both ways), and each level's contraction is built
       // anyway as the next level's input. So the gate costs one
-      // community-sized aggregate, and a REJECTED level never touches
-      // node space at all (no flat join, no cut) — at 100 TB the
-      // convergence probe is contraction-sized, not corpus-sized.
+      // community-sized aggregate, and a REJECTED level's gate never
+      // touches node space — at 100 TB the convergence probe is
+      // contraction-sized, not corpus-sized. The same aggregate carries
+      // the super-edge COUNT, so the next level's cutRounds decision
+      // costs no separate count() job.
       val e2 = edges.count() // Σw is contraction-invariant — compute once
+      val decZ = lit(null).cast("decimal(38,0)")
+      // slice 1: super-edge rows of a contraction
+      def tagged(con: DataFrame): DataFrame =
+        con.select(lit(1).as("__slice"), col("src").as("__a"),
+          col("dst").as("__b"), col("w").as("__w"), decZ.as("__sk2"))
+      // gate SCALARS as one in-plan row (Σ self-loop w, super-edge count,
+      // Σ k² in DECIMAL(38,0)) aggregated from a contraction subtree —
+      // materializing gate rows inside the level's cut makes every
+      // convergence probe a filter-collect over an already-computed RDD
+      // instead of a separately planned aggregate action (~1.5-2 s of
+      // plan+codegen+job each at sf0.1). The aggregated subtree executes
+      // once more inside the cut — community-sized, far cheaper.
+      def gateRow(con: DataFrame, slice: Int): DataFrame =
+        con.groupBy(col("src"))
+          .agg(sum(col("w")).as("__k"), count(lit(1)).as("__n"),
+            sum(when(col("dst") === col("src"), col("w")).otherwise(0L))
+              .as("__self"))
+          .agg(coalesce(sum(col("__self")), lit(0L)).as("__si2"),
+            coalesce(sum(col("__n")), lit(0L)).as("__ne"),
+            coalesce(sum(col("__k").cast("decimal(38,0)") * col("__k")),
+              lit(0L).cast("decimal(38,0)")).as("__sk2"))
+          .select(lit(slice).as("__slice"), col("__si2").as("__a"),
+            col("__ne").as("__b"), lit(0L).as("__w"), col("__sk2"))
+      // Qnum per gate slice off the materialized rows: by the contraction
+      // invariant Σ_n (e2·w_nn − k_n²) of the SINGLETON partition of a
+      // contraction IS the numerator of the partition the graph was
+      // contracted by — community-sized, never corpus-sized
+      def readGates(combo: DataFrame): Map[Int, java.math.BigDecimal] =
+        combo.where(col("__slice") >= 3)
+          .select(col("__slice"), col("__a"), col("__sk2")).collect()
+          .map { r =>
+            r.getInt(0) -> new java.math.BigDecimal(e2)
+              .multiply(new java.math.BigDecimal(r.getLong(1)))
+              .subtract(r.getDecimal(2))
+          }.toMap
       var contracted = cut(contractGraph(edges, flat))
-      var q = singletonQnum(contracted, e2)
+      // level 1's own Qnum is DEFERRED into level 2's cut (slice 4, an
+      // aggregate over the already-cut level-1 contraction) — probing it
+      // here would cost a whole extra planned action for a scalar the
+      // level-2 materialization can carry along
+      var q: java.math.BigDecimal = null
       var stopped = false
       for (level <- 2 to maxLevels if !stopped) {
-        // per-round cuts only while the contraction is still big: once
-        // it shrinks to a broadcast-scale super-graph, re-executing the
-        // small per-round aggregates costs less than each cut's
-        // plan+codegen (the documented cutRounds trade; the count
-        // doubles as the cut's materialization action)
-        val big = contracted.count() > 200000L
-        val lv0 = louvainMoveWeighted(contracted, roundsPerLevel, cutRounds = big)
-        // small-graph sweeps come back UNCUT (cutRounds = false) but have
-        // three consumers here (two contraction broadcasts + the flat
-        // join) — one cut beats re-running the whole sweep thrice
-        val lv = if (big) lv0 else cut(lv0)
-        val nextContracted = cut(contractGraphWeighted(contracted, lv))
-        val qNext = singletonQnum(nextContracted, e2)
-        // exact integer compare — the level survives only if it RAISES Q
-        if (qNext.compareTo(q) > 0) {
-          flat = cut(flat
+        // per-round cuts unconditionally: even on a broadcast-scale
+        // super-graph, planning the UNCUT two-round sweep as one deep
+        // AQE-off tree measured slower (~4.8 s vs ~3.7 s at sf0.1 L3)
+        // than two shallow round cuts whose execution is trivial
+        val lv = louvainMoveWeighted(contracted, roundsPerLevel,
+          cutRounds = true, sumW = Some(e2))
+        // ONE cut frame per level carries ALL the level's products — the
+        // contraction (__slice 1), the node-space relabel (__slice 2),
+        // and the gate scalars (__slice 3; plus, at level 2 only, the
+        // deferred level-1 gate as __slice 4): an accepted level always
+        // consumes them together, so splitting them across cuts/actions
+        // paid extra plan+codegen charges for no extra reuse. A rejected
+        // level wastes one node-sized broadcast join inside the
+        // materialization — cheaper than the cut it replaces, and it
+        // happens at most once (rejection stops the loop).
+        val con = contractGraphWeighted(contracted, lv)
+        val base = tagged(con)
+          .unionByName(flat
             .join(broadcast(lv.select(col("node").as("label"),
               col("label").as("__next"))), Seq("label"))
-            .select(col("node"), col("__next").as("label")))
+            .select(lit(2).as("__slice"), col("node").as("__a"),
+              col("__next").as("__b"), lit(0L).as("__w"), decZ.as("__sk2")))
+          .unionByName(gateRow(con, 3))
+        val combined = cut(
+          if (level == 2) base.unionByName(gateRow(contracted, 4)) else base)
+        val gates = readGates(combined)
+        if (level == 2) q = gates(4)
+        val qNext = gates(3)
+        // exact integer compare — the level survives only if it RAISES Q
+        if (qNext.compareTo(q) > 0) {
+          flat = combined.where(col("__slice") === 2)
+            .select(col("__a").as("node"), col("__b").as("label"))
           out += flat.select(lit(level).as("level"), col("node"), col("label"))
-          contracted = nextContracted
+          contracted = combined.where(col("__slice") === 1)
+            .select(col("__a").as("src"), col("__b").as("dst"),
+              col("__w").as("w"))
           q = qNext
         } else stopped = true
       }
@@ -655,20 +738,27 @@ object Graph {
   }
 
   /** Exact modularity numerator of the SINGLETON partition of a weighted
-    * `(src, dst, w)` graph: `Σ_n (e2·w_nn − k_n²)` in DECIMAL(38,0) —
-    * by the contraction invariant this IS the numerator of the partition
-    * the graph was contracted by, at community-sized cost. One aggregate. */
-  private def singletonQnum(wEdges: DataFrame, e2: Long): java.math.BigDecimal = {
+    * `(src, dst, w)` graph — `Σ_n (e2·w_nn − k_n²)` in DECIMAL(38,0) —
+    * plus its super-edge row count, from ONE aggregate. By the
+    * contraction invariant the numerator IS that of the partition the
+    * graph was contracted by, at community-sized cost; the count rides
+    * along so [[louvainLevels]]' next cutRounds decision needs no
+    * separate count() job. */
+  private[graft] def singletonQnumAndSize(wEdges: DataFrame,
+      e2: Long): (java.math.BigDecimal, Long) = {
     val row = wEdges.groupBy(col("src"))
       .agg(sum(col("w")).as("__k"),
+        count(lit(1)).as("__n"),
         sum(when(col("dst") === col("src"), col("w")).otherwise(0L)).as("__self"))
       .agg(coalesce(sum(col("__self")), lit(0L)).as("__si2"),
         coalesce(sum(col("__k").cast("decimal(38,0)") * col("__k")),
-          lit(0L).cast("decimal(38,0)")).as("__sk2"))
+          lit(0L).cast("decimal(38,0)")).as("__sk2"),
+        coalesce(sum(col("__n")), lit(0L)).as("__ne"))
       .head()
-    new java.math.BigDecimal(e2)
+    val qnum = new java.math.BigDecimal(e2)
       .multiply(new java.math.BigDecimal(row.getLong(0)))
       .subtract(row.getDecimal(1))
+    (qnum, row.getLong(2))
   }
 
   /** The exact modularity numerator `Σ_c (e2·i2_c − dc_c²)` of a
@@ -722,13 +812,20 @@ object Graph {
    * cut's plan+codegen; leave it on for node-scale inputs.
    */
   def louvainMoveWeighted(wEdges: DataFrame, rounds: Int,
-      cutRounds: Boolean = true): DataFrame = {
+      cutRounds: Boolean = true, scoreDecimal: Boolean = false,
+      sumW: Option[Long] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     import graft.recon.Checkpoints.cut
     def maybeCut(df: DataFrame): DataFrame = if (cutRounds) cut(df) else df
     // one action for Σw (see [[louvainMove]] — a per-round broadcast
-    // aggregate is serial wall time under the eager broadcast chain)
-    val e2 = lit(wEdges.agg(coalesce(sum(col("w")), lit(0L))).head().getLong(0))
+    // aggregate is serial wall time under the eager broadcast chain);
+    // callers that KNOW Σw pass it via `sumW` and skip even that one job
+    // ([[louvainLevels]]: Σw is contraction-invariant, so the original
+    // edge count serves every level)
+    val e2n = sumW.getOrElse(
+      wEdges.agg(coalesce(sum(col("w")), lit(0L))).head().getLong(0))
+    val e2 = lit(e2n)
+    val score = sweepScore(e2, scoreDecimal || e2n > SweepScoreLongSafeE2) _
     // round 1 specialized exactly like [[louvainMove]]: singleton labels
     // ARE the weighted-degree frame (self-loops ride the degree and Σtot
     // but can't be candidates — a singleton's neighbor labels are the
@@ -748,10 +845,7 @@ object Graph {
       .join(broadcast(wd.select(col("node").as("src"), col("__k"))), Seq("src"))
       .join(broadcast(wd.select(col("node").as("label"), col("__k").as("__tot"))),
         Seq("label"))
-      .withColumn("__score",
-        e2 * col("__w") -
-          col("__k") * (col("__tot") -
-            when(col("label") === col("src"), col("__k")).otherwise(lit(0L))))
+      .withColumn("__score", score(col("label") === col("src")))
     var labels = maybeCut(louvainPickApply(scored1,
       wd.withColumn("label", col("node")), r = 1))
     for (r <- 2 to rounds) {
@@ -768,10 +862,7 @@ object Graph {
       val scored = cand
         .join(broadcast(cur), Seq("src"))
         .join(broadcast(tot), Seq("label"))
-        .withColumn("__score",
-          e2 * col("__w") -
-            col("__k") * (col("__tot") -
-              when(col("label") === col("__cur"), col("__k")).otherwise(lit(0L))))
+        .withColumn("__score", score(col("label") === col("__cur")))
       labels = maybeCut(louvainPickApply(scored, labels, r))
     }
     labels.select(col("node"), col("label"))
@@ -945,6 +1036,15 @@ object Graph {
    * their sum, the partition's Q) are engine-exact integers. Cost: two
    * equi-joins of the edge list against the (node, label) frame and
    * bounded per-label aggregates — no wedges, no windows.
+   *
+   * PRECONDITION: `partition` must be a TOTAL partition of the edge
+   * list's nodes — exactly one `(node, label)` row per node with an
+   * edge. 2m is derived as the label-joined degree sum (it saves a
+   * third full edge pass), so a partition frame missing nodes (or
+   * duplicating them) silently rescales every q_micro's denominator
+   * from true 2m to the covered-degree sum; it does NOT merely skip
+   * the uncovered communities. Every in-repo caller passes the full
+   * assignment a detection op returned.
    * Output: `(label, n_nodes, intra_edges, deg_sum, q_micro)`.
    */
   def modularityMicro(edges: DataFrame, partition: DataFrame): DataFrame = {

@@ -25,15 +25,21 @@ object JoinForecast {
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as(as))
 
   /** One row: input sizes, overlapping key count, and the exact output
-    * row count of the equi-join on `keys` — computed without running it. */
+    * row count of the equi-join on `keys` — computed without running it.
+    * `n_output_rows` is DECIMAL(38,0): the whole point of the forecast is
+    * the catastrophic tier (a hub key driving 10¹³⁺ pairs), and exactly
+    * there a Long `Σ f_A·f_B` would wrap silently under Spark's non-ANSI
+    * arithmetic — a guard reading a wrapped small-positive forecast would
+    * wave the explosion through. Decimal keeps the sum exact to 10³⁸. */
   def joinSizeEstimate(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "no join keys")
     val ca = counts(a, keys, "__fa")
     val cb = counts(b, keys, "__fb")
     val joined = ca.join(cb, keys)
-      .select((col("__fa") * col("__fb")).as("__pairs"))
+      .select((col("__fa").cast("decimal(38,0)") * col("__fb")).as("__pairs"))
     joined.agg(count(lit(1)).as("n_overlap_keys"),
-        coalesce(sum(col("__pairs")), lit(0L)).as("n_output_rows"))
+        coalesce(sum(col("__pairs")), lit(0L).cast("decimal(38,0)"))
+          .as("n_output_rows"))
       .crossJoin(broadcast(ca.agg(coalesce(sum(col("__fa")), lit(0L)).as("n_left"))))
       .crossJoin(broadcast(cb.agg(coalesce(sum(col("__fb")), lit(0L)).as("n_right"))))
       .select(col("n_left"), col("n_right"), col("n_overlap_keys"), col("n_output_rows"))
@@ -41,13 +47,17 @@ object JoinForecast {
 
   /** The `k` join keys contributing the most output pairs (ties → key
     * order), each with its exact pair count and milli share of the
-    * total join output — the salting candidate list. */
+    * total join output — the salting candidate list. `n_pairs` rides
+    * DECIMAL(38,0) for the same reason as [[joinSizeEstimate]]: the keys
+    * this ranks are precisely the ones whose f_A·f_B can wrap a Long. */
   def skewTopK(a: DataFrame, b: DataFrame, keys: Seq[String], k: Int): DataFrame = {
     require(keys.nonEmpty, "no join keys")
     require(k >= 1, s"k must be >= 1: $k")
     val pairs = counts(a, keys, "__fa").join(counts(b, keys, "__fb"), keys)
-      .select(keys.map(col) :+ (col("__fa") * col("__fb")).as("n_pairs"): _*)
-    val total = pairs.agg(coalesce(sum(col("n_pairs")), lit(0L)).as("__tot"))
+      .select(keys.map(col) :+
+        (col("__fa").cast("decimal(38,0)") * col("__fb")).as("n_pairs"): _*)
+    val total = pairs
+      .agg(coalesce(sum(col("n_pairs")), lit(0L).cast("decimal(38,0)")).as("__tot"))
     // two-phase top-k: the count frame is key-sized, which at lake
     // scale is still too big for one global sort window — prune to k
     // per partition first (partition-id-grouped window, the bounded

@@ -69,7 +69,10 @@ object Linkage {
    * In-plan PAIR-BUDGET guard around [[blockPairsAll]]: the candidate
    * count `Σ_k |A_k|·|B_k|` is forecast EXACTLY from the two per-key
    * count frames ([[JoinForecast.joinSizeEstimate]] — keys shuffle, data
-   * never does), and when it exceeds `maxPairs` the plan refuses to run:
+   * never does; the sum rides DECIMAL(38,0), so a hub key whose pair
+   * product passes 2^63 cannot wrap into a small-positive forecast that
+   * waves the explosion through), and when it exceeds `maxPairs` the
+   * plan refuses to run:
    * the 1-row forecast broadcasts into the probe side and every probe row
    * passes a `raise_error` gate BEFORE entering the block join, so an
    * exploding blocking key (the hub-nation / null-zip classic) fails at

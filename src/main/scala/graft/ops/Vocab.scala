@@ -327,14 +327,23 @@ object Vocab {
    * [[unigramEmStep]] — unrolled recursive columns blow up the plan);
    * the backtrace walks from the word end, appending pieces in reverse.
    * Words the inventory cannot segment (an unknown character ⇒
-   * `v(n) = 0`) are excluded, the byte-fallback boundary again.
+   * `v(n) = 0`) are excluded by default — or, with `byteFallback = true`,
+   * kept TOTAL the way real SentencePiece is: every single character the
+   * inventory lacks scores the floor likelihood 1 milli (the same floor
+   * [[unigramSeed]] guarantees its own single chars), so `v(n) ≥ 1` for
+   * every word and segmentation never drops rows. Unknown MULTI-char
+   * pieces stay at 0 either way — fallback is per character, exactly
+   * SentencePiece's single-char/byte fallback. The flag changes only the
+   * l = 1 lookup, so on a corpus the inventory fully covers the two
+   * modes are bit-identical.
    *
    * Output: `(word, freq, n_pieces, seg, score_q)` — the segmentation
    * space-joined, its piece count, and the exact lattice-max product in
    * DECIMAL(38,0) (the same ≤10³³ headroom bound as the EM masses).
    */
   def unigramSegment(wcIn: DataFrame, pieces: Seq[(String, Long)],
-      maxPieceLen: Int = 4, maxWordLen: Int = 10): DataFrame = {
+      maxPieceLen: Int = 4, maxWordLen: Int = 10,
+      byteFallback: Boolean = false): DataFrame = {
     require(maxPieceLen >= 1 && maxPieceLen <= 4, s"maxPieceLen 1..4: $maxPieceLen")
     require(maxWordLen >= 1 && maxWordLen <= 10, s"maxWordLen 1..10: $maxWordLen")
     require(pieces.nonEmpty, "segmentation needs a piece inventory")
@@ -343,8 +352,10 @@ object Vocab {
     val dec = "decimal(38,0)"
     val pm = typedLit(pieces.toMap)
     val wc = wcIn.where(length(col("word")) <= maxWordLen && length(col("word")) >= 1)
-    def lAt(pos: String, l: Int): String =
-      s"CAST(coalesce(element_at(__pm, substr(word, $pos, $l)), 0) AS $dec)"
+    def lAt(pos: String, l: Int): String = {
+      val miss = if (byteFallback && l == 1) "1" else "0"
+      s"CAST(coalesce(element_at(__pm, substr(word, $pos, $l)), $miss) AS $dec)"
+    }
     val vExpr =
       s"""aggregate(sequence(1, length(word)),
          |  array(CAST(1 AS $dec)),

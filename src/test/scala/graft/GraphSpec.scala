@@ -253,6 +253,25 @@ class GraphSpec extends SparkSuite {
       Graph.louvainMoveWeighted(wE, rounds = 0, cutRounds = false))
   }
 
+  test("louvain DECIMAL(38,0) score path (the >2·10⁹-Σw auto-upgrade) picks identically") {
+    // past SweepScoreLongSafeE2 the sweeps score in decimal so k·Σtot
+    // can't wrap a Long; forcing that path on a small graph must leave
+    // every move decision bit-identical to the Long path
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val longPath = Graph.louvainMove(edges, rounds = 3).as[(Long, Long)].collect().toMap
+    val decPath = Graph.louvainMove(edges, rounds = 3, scoreDecimal = true)
+      .as[(Long, Long)].collect().toMap
+    assert(decPath == longPath)
+    val wE = Seq((3L, 3L, 2L), (6L, 6L, 2L), (3L, 6L, 5L), (6L, 3L, 5L))
+      .toDF("src", "dst", "w")
+    val wLong = Graph.louvainMoveWeighted(wE, rounds = 2, cutRounds = false)
+      .as[(Long, Long)].collect().toMap
+    val wDec = Graph.louvainMoveWeighted(wE, rounds = 2, cutRounds = false,
+      scoreDecimal = true).as[(Long, Long)].collect().toMap
+    assert(wDec == wLong)
+  }
+
   test("louvainLevels: exact-Q gate terminates before maxLevels on a converged hierarchy") {
     // two 4-cliques bridged by one edge: level 1 partially collapses the
     // cliques (parity alternation), level 2's weighted sweep on the

@@ -1,6 +1,8 @@
 package graft
 
 import graft.ops.JoinForecast
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.DecimalType
 
 class JoinForecastSpec extends SparkSuite {
   import spark.implicits._
@@ -9,7 +11,13 @@ class JoinForecastSpec extends SparkSuite {
   private def b = Seq((1L, 10), (1L, 11), (1L, 12), (3L, 13), (4L, 14)).toDF("k", "vb")
 
   test("joinSizeEstimate equals the actual join's output count") {
-    val est = JoinForecast.joinSizeEstimate(a, b, Seq("k"))
+    val df = JoinForecast.joinSizeEstimate(a, b, Seq("k"))
+    // the forecast column is DECIMAL(38,0): a hub key's f_A·f_B (or the
+    // total) past 2^63 must stay exact, never wrap — the guard that reads
+    // this number exists precisely for that tier
+    assert(df.schema("n_output_rows").dataType == DecimalType(38, 0))
+    val est = df.select(col("n_left"), col("n_right"), col("n_overlap_keys"),
+        col("n_output_rows").cast("long"))
       .as[(Long, Long, Long, Long)].head()
     val actual = a.join(b, Seq("k")).count()
     // key 1: 2*3=6 pairs; key 3: 1*1=1 → 7 output rows, 2 overlap keys
@@ -20,13 +28,17 @@ class JoinForecastSpec extends SparkSuite {
   test("disjoint keys forecast zero output, not a null") {
     val c = Seq((9L, "q")).toDF("k", "vc")
     val est = JoinForecast.joinSizeEstimate(a, c, Seq("k"))
+      .select(col("n_left"), col("n_right"), col("n_overlap_keys"),
+        col("n_output_rows").cast("long"))
       .as[(Long, Long, Long, Long)].head()
     assert(est == ((4L, 1L, 0L, 0L)))
   }
 
   test("skewTopK ranks keys by pair contribution with exact milli shares") {
-    val top = JoinForecast.skewTopK(a, b, Seq("k"), k = 2)
-      .select("k", "n_pairs", "share_milli", "rank")
+    val df = JoinForecast.skewTopK(a, b, Seq("k"), k = 2)
+    assert(df.schema("n_pairs").dataType == DecimalType(38, 0))
+    val top = df
+      .select(col("k"), col("n_pairs").cast("long"), col("share_milli"), col("rank"))
       .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._4)
     assert(top == Seq((1L, 6L, 857L, 1L), (3L, 1L, 142L, 2L)))
   }

@@ -138,6 +138,26 @@ class ScaleOpsSpec extends SparkSuite {
     assert(ringSuccessor(7L, Array(3L), Array(9L)) == 9L, "single-vnode ring wraps")
   }
 
+  test("RingPick value-equality: two identical rings semanticEquals (plan dedup)") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.LongType
+    // built from two SEPARATE array instances — Array-field case classes
+    // compare by reference and would defeat canonicalization / common-
+    // subexpression elimination for every ring_pick pair
+    def mk() = graft.functions.RingPick(BoundReference(0, LongType, nullable = false),
+      Array(10L, 20L, 35L).toSeq, Array(0L, 1L, 2L).toSeq)
+    val (p1, p2) = (mk(), mk())
+    assert(p1 == p2 && p1.hashCode == p2.hashCode)
+    assert(p1.semanticEquals(p2))
+    // and eval still binary-searches the same ring
+    val out = Seq(5L, 21L, 99L).toDF("h")
+      .select(graft.functions.TextFunctions
+        .ring_pick(col("h"), Array(10L, 20L, 35L), Array(0L, 1L, 2L)).as("s"))
+      .as[Long].collect().toSeq
+    assert(out == Seq(0L, 2L, 0L))
+  }
+
   test("curriculumPositions keeps hash shards but orders each shard by score desc") {
     val df = (0L until 300L).map(i => (i, (i % 97).toDouble / 97.0)).toDF("id", "score")
     val cur = Sharding.curriculumPositions(df, "id", "score", nShards = 4, seed = 7L)
