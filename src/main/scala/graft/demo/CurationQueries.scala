@@ -108,8 +108,15 @@ object CurationQueries {
     * DP, unrolled over the hard word-length cap of 10 as lateral-alias
     * columns over a pivoted (pos, len) score matrix, all in HUGEINT
     * (same bounds as the Spark DECIMAL(38,0) arithmetic). Ends with the
-    * `em(piece, l_milli, exp_count_milli)` + `emtot(t)` CTEs. */
-  private def unigramOracleCtes(topN: Int): String = {
+    * `em(piece, l_milli, exp_count_milli)` + `emtot(t)` CTEs.
+    *
+    * `trainWhere` restricts the words the INVENTORY is seeded from (the
+    * apply side still scores every word); `fallback1` gives unknown
+    * single chars the floor likelihood 1 — together they mirror
+    * [[graft.ops.Vocab.unigramSegment]]'s `byteFallback` deployment
+    * shape (inventory trained on a subcorpus, applied corpus-wide). */
+  private def unigramOracleCtes(topN: Int, trainWhere: String = "",
+      fallback1: Boolean = false): String = {
     val W = 10; val P = 4
     // pivoted scores s_p_l = lm of the piece at (pos, len), per word
     val pivots = (for (p <- 1 to W; l <- 1 to P if p + l - 1 <= W)
@@ -144,7 +151,8 @@ object CurationQueries {
          |         substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece
          |  FROM wc, range(1, ${W + 1}) t1(i), range(1, ${P + 1}) t2(l)
          |  WHERE i + l - 1 <= n),
-         |cand AS (SELECT piece, sum(freq) AS weight FROM occ GROUP BY 1),
+         |cand AS (SELECT piece, sum(freq) AS weight FROM occ
+         |         ${if (trainWhere.nonEmpty) s"WHERE $trainWhere" else ""} GROUP BY 1),
          |selp AS MATERIALIZED (
          |  SELECT piece, weight FROM cand WHERE length(piece) = 1
          |  UNION ALL
@@ -155,7 +163,9 @@ object CurationQueries {
          |ps AS MATERIALIZED (SELECT piece,
          |      GREATEST(1, (1000 * weight) // (SELECT w FROM wt)) AS lm FROM selp),
          |sc AS MATERIALIZED (SELECT o.word, o.freq, o.n, o.pos, o.len, o.piece,
-         |       CAST(COALESCE(p.lm, 0) AS HUGEINT) AS lm
+         |       CAST(COALESCE(p.lm, ${if (fallback1)
+                   "CASE WHEN length(o.piece) = 1 THEN 1 ELSE 0 END" else "0"})
+         |         AS HUGEINT) AS lm
          |     FROM occ o LEFT JOIN ps p USING (piece)),
          |sm AS MATERIALIZED (SELECT word, any_value(freq) AS freq, any_value(n) AS n,
          |       $pivots
@@ -177,6 +187,53 @@ object CurationQueries {
          |    FROM ps p LEFT JOIN (SELECT piece, sum(freq * contrib) AS c
          |                         FROM resp GROUP BY 1) r USING (piece)),
          |emtot AS (SELECT sum(exp_count_milli) AS t FROM em)""".stripMargin
+  }
+
+  /** Full oracle SQL of the unigram Viterbi APPLY arm (the
+    * `vocab_unigram_segment*` family): [[unigramOracleCtes]] → max-product
+    * DP over the pivoted score matrix → shortest-last-piece backtrace as
+    * a chained-CTE walk from the word end. Shared by the fully-covered
+    * and the byte-fallback variants — only the CTE-chain knobs differ. */
+  private def unigramViterbiSql(topN: Int, trainWhere: String = "",
+      fallback1: Boolean = false): String = {
+    val W = 10; val P = 4
+    def sList(l: Int) =
+      "[" + (1 to (W - l + 1)).map(p => s"s_${p}_$l").mkString(", ") + "]"
+    val vCols = (1 to W).map { j =>
+      val terms = (1 to math.min(P, j))
+        .map(l => s"v${j - l} * s_${j - l + 1}_$l").mkString(", ")
+      s"CASE WHEN n >= $j THEN greatest($terms) END AS v$j"
+    }.mkString(",\n           |       ")
+    val vList = "[" + (0 to W).map(j => s"v$j").mkString(", ") + "]"
+    def pick(prev: String) = "CASE " + (1 to P).map(l =>
+      s"""WHEN $prev >= $l AND vl[$prev - $l + 1] * sl$l[$prev - $l + 1]
+         | = vl[$prev + 1] THEN $l""".stripMargin).mkString(" ") + " END"
+    val slCols = (1 to P).map(l => s"${sList(l)} AS sl$l").mkString(",\n           |       ")
+    val btCtes = (1 to W).map { i =>
+      s"""bt$i AS MATERIALIZED (SELECT *,
+         |  CASE WHEN p${i - 1} > 0 THEN ${pick(s"p${i - 1}")} END AS l$i,
+         |  CASE WHEN p${i - 1} > 0 THEN p${i - 1} - l$i ELSE 0 END AS p$i,
+         |  CASE WHEN p${i - 1} > 0
+         |       THEN substr(word, p${i - 1} - l$i + 1, l$i) END AS pc$i
+         |FROM bt${i - 1})""".stripMargin
+    }.mkString(",\n")
+    val pcList = "[" + (1 to W).map(i => s"pc$i").mkString(", ") + "]"
+    unigramOracleCtes(topN, trainWhere, fallback1) + raw""",
+         |vv AS MATERIALIZED (SELECT word, freq, n,
+         |       CAST(1 AS HUGEINT) AS v0,
+         |       $vCols,
+         |       $slCols
+         |     FROM sm),
+         |bt0 AS MATERIALIZED (SELECT word, freq, n, n AS p0,
+         |       $vList AS vl, sl1, sl2, sl3, sl4
+         |     FROM vv WHERE $vList[n + 1] > 0),
+         |$btCtes
+         |SELECT word, CAST(freq AS BIGINT) AS freq,
+         |  CAST(len(pcs) AS BIGINT) AS n_pieces,
+         |  array_to_string(list_reverse(pcs), ' ') AS seg,
+         |  CAST(vl[n + 1] AS VARCHAR) AS score_q
+         |FROM (SELECT *, list_filter($pcList, x -> x IS NOT NULL) AS pcs
+         |      FROM bt$W)""".stripMargin
   }
 
   val all: Seq[QuerySpec] = Seq(
@@ -549,49 +606,30 @@ object CurationQueries {
     // walk from the word end. Segmentation string, piece count, AND the
     // exact lattice-max product are all value-checked; unsegmentable
     // (unknown-char) words excluded on both sides
-    QuerySpec("vocab_unigram_segment", {
-      val W = 10; val P = 4
-      def sList(l: Int) =
-        "[" + (1 to (W - l + 1)).map(p => s"s_${p}_$l").mkString(", ") + "]"
-      val vCols = (1 to W).map { j =>
-        val terms = (1 to math.min(P, j))
-          .map(l => s"v${j - l} * s_${j - l + 1}_$l").mkString(", ")
-        s"CASE WHEN n >= $j THEN greatest($terms) END AS v$j"
-      }.mkString(",\n           |       ")
-      val vList = "[" + (0 to W).map(j => s"v$j").mkString(", ") + "]"
-      def pick(prev: String) = "CASE " + (1 to P).map(l =>
-        s"""WHEN $prev >= $l AND vl[$prev - $l + 1] * sl$l[$prev - $l + 1]
-           | = vl[$prev + 1] THEN $l""".stripMargin).mkString(" ") + " END"
-      val slCols = (1 to P).map(l => s"${sList(l)} AS sl$l").mkString(",\n           |       ")
-      val btCtes = (1 to W).map { i =>
-        s"""bt$i AS MATERIALIZED (SELECT *,
-           |  CASE WHEN p${i - 1} > 0 THEN ${pick(s"p${i - 1}")} END AS l$i,
-           |  CASE WHEN p${i - 1} > 0 THEN p${i - 1} - l$i ELSE 0 END AS p$i,
-           |  CASE WHEN p${i - 1} > 0
-           |       THEN substr(word, p${i - 1} - l$i + 1, l$i) END AS pc$i
-           |FROM bt${i - 1})""".stripMargin
-      }.mkString(",\n")
-      val pcList = "[" + (1 to W).map(i => s"pc$i").mkString(", ") + "]"
-      unigramOracleCtes(topN = 40) + raw""",
-           |vv AS MATERIALIZED (SELECT word, freq, n,
-           |       CAST(1 AS HUGEINT) AS v0,
-           |       $vCols,
-           |       $slCols
-           |     FROM sm),
-           |bt0 AS MATERIALIZED (SELECT word, freq, n, n AS p0,
-           |       $vList AS vl, sl1, sl2, sl3, sl4
-           |     FROM vv WHERE $vList[n + 1] > 0),
-           |$btCtes
-           |SELECT word, CAST(freq AS BIGINT) AS freq,
-           |  CAST(len(pcs) AS BIGINT) AS n_pieces,
-           |  array_to_string(list_reverse(pcs), ' ') AS seg,
-           |  CAST(vl[n + 1] AS VARCHAR) AS score_q
-           |FROM (SELECT *, list_filter($pcList, x -> x IS NOT NULL) AS pcs
-           |      FROM bt$W)""".stripMargin
-    }) { (s, d) =>
+    QuerySpec("vocab_unigram_segment",
+      unigramViterbiSql(topN = 40)) { (s, d) =>
       import graft.ops.Vocab
       val wc = graft.recon.Checkpoints.cut(Vocab.wordCounts(docs(s, d), "text"))
       Vocab.unigramSegment(wc, Vocab.unigramSeed(wc, maxPieceLen = 4, topN = 40))
+    },
+
+    // the BYTE-FALLBACK deployment shape of the same tokenizer: the
+    // inventory is seeded from a SUBCORPUS (words over a..m only), then
+    // applied corpus-wide — words carrying characters the seed never saw
+    // segment through floor-likelihood single-char fallback pieces
+    // instead of being dropped, exactly SentencePiece's totality
+    // contract. seg, piece count, and the exact lattice-max product are
+    // value-checked; the word population must equal the full capped
+    // vocabulary (zero drops) for the row hash to match
+    QuerySpec("vocab_unigram_segment_fallback",
+      unigramViterbiSql(topN = 40,
+        trainWhere = "regexp_matches(word, '^[a-m]+$')",
+        fallback1 = true)) { (s, d) =>
+      import graft.ops.Vocab
+      val wc = graft.recon.Checkpoints.cut(Vocab.wordCounts(docs(s, d), "text"))
+      val train = wc.where(col("word").rlike("^[a-m]+$"))
+      Vocab.unigramSegment(wc, Vocab.unigramSeed(train, maxPieceLen = 4, topN = 40),
+        byteFallback = true)
     },
 
     // fertility head-to-head over the SAME word population (length ≤ 10):

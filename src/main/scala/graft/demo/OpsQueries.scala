@@ -942,6 +942,41 @@ object OpsQueries {
       out
     },
 
+    // the index lifecycle a GROWING corpus actually runs: build the
+    // IVF-PQ index over 90% of the vectors, then APPEND the remaining
+    // batch — encoded against the FROZEN centroids/codebook (ingest
+    // never retrains), merged idempotently (the replayed second merge
+    // must append 0 rows — the crash-replay discipline the dedup ingest
+    // gate pins), and probed FROM THE FILES. The training sample is
+    // fixed up front, so the oracle is the from-scratch full-corpus
+    // probe: append ∪ old answering value-identically to a rebuild is
+    // exactly the contract that makes incremental ingest trustworthy
+    QuerySpec("sim_ivfpq_index_append",
+      ivfpqSql(k = 16, modulus = 50, iters = 1, m = 32, subDim = 2,
+        pqC = 32, pqModulus = 5, queryMod = 100, nprobe = 6, topk = 5,
+        sampledTraining = true)) { (s, d) =>
+      val e = embs(s, d)
+      val old = e.where(pmod(col("vec_id"), lit(10)) =!= 7)
+      val batch = e.where(pmod(col("vec_id"), lit(10)) === 7)
+      val tmp = CurationQueries.runTmpDir(s, "graft_ivfpq_append")
+      graft.ops.IndexStore.writeIvfPqIndex(old, "vec_id", "embedding",
+        tmp.getAbsolutePath, kCells = 16, ivfIters = 1, ivfModulus = 50,
+        m = 32, subDim = 2, pqC = 32, pqIters = 1, pqModulus = 5,
+        train = Some(trainSample(e)))
+      val n1 = graft.ops.IndexStore.mergeIntoIvfPqIndexIdempotent(
+        batch, tmp.getAbsolutePath)
+      val n2 = graft.ops.IndexStore.mergeIntoIvfPqIndexIdempotent(
+        batch, tmp.getAbsolutePath) // crash replay of the same batch
+      require(n1 > 0 && n2 == 0,
+        s"idempotent append broke exactly-once: first=$n1 replay=$n2")
+      val probed = graft.ops.IndexStore.ivfPqProbe(
+        e.where(col("vec_id") % 100 === 0), tmp.getAbsolutePath, k = 5, nprobe = 6)
+      // EAGER: the frame's input files are deleted on the next line
+      val out = graft.recon.Checkpoints.cut(probed, eager = true)
+      CurationQueries.deleteRecursively(tmp)
+      out
+    },
+
     // the recall/cost CURVE of the composed IVF-PQ index — (nprobe,
     // mean_recall) for nprobe ∈ {2, 6, 12} against the brute-force truth,
     // the knob a 100 TB operator actually turns (+1 nprobe ≈ +1/16 of the

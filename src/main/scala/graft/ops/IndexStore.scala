@@ -326,4 +326,27 @@ object IndexStore {
       .join(cells, Seq(meta.idCol))
       .write.mode("append").parquet(s"$dir/codes")
   }
+
+  /** [[mergeIntoIvfPqIndex]] made IDEMPOTENT for crash replays — the
+    * same exactly-once discipline as [[mergeIntoMinHashIndexIdempotent]]
+    * and the [[Ingest]] ledger: only batch ids NOT already in the coded
+    * corpus are encoded and appended (encoding still uses the FROZEN
+    * centroids/codebook — daily ingest never retrains), so a batch
+    * re-merged after a crash between merge and commit is a no-op instead
+    * of a double-append that would return duplicate neighbors from every
+    * probe of the touched cells. The fresh slice is pinned EAGERLY
+    * before the append so the anti-join can't read the directory it is
+    * writing. Returns the number of vectors actually appended.
+    * Single-writer contract, like every other merge here. */
+  def mergeIntoIvfPqIndexIdempotent(batch: DataFrame, dir: String): Long = {
+    val spark = batch.sparkSession
+    val meta = loadIvfPqMeta(spark, dir)
+    val fresh = graft.recon.Checkpoints.cut(
+      batch.join(loadIvfPqCodes(spark, dir).select(col(meta.idCol)),
+        Seq(meta.idCol), "left_anti"),
+      eager = true)
+    val n = fresh.count()
+    if (n > 0) mergeIntoIvfPqIndex(fresh, dir)
+    n
+  }
 }

@@ -218,10 +218,35 @@ object Linkage {
    */
   def emStep(pairs: DataFrame, rules: Seq[FieldRule],
       init: Seq[(String, Long, Long)], pMilli: Long): DataFrame = {
-    require(rules.nonEmpty, "EM requires at least one field rule")
     // ≤ 4 fields: 1000·pMilli·Π lm ≤ 1000·10³·(10³)⁴ = 10¹⁸ < Long.Max;
     // at 5 the responsibility numerator wraps (see scaladoc)
-    require(rules.size <= 4, s"integer headroom caps EM at 4 fields: ${rules.size}")
+    require(rules.size <= 4, s"integer headroom caps EM at 4 fields: ${rules.size}" +
+      " — use emStepDecimal for 5-10 fields")
+    emStepImpl(pairs, rules, init, pMilli, dec = false)
+  }
+
+  /**
+   * [[emStep]] with the likelihood products, responsibilities, and
+   * M-step sums in DECIMAL(38,0) — the 5–10-field envelope the Long
+   * path's hard cap refuses (the [[graft.ops.Vocab.unigramEmStep]]
+   * arithmetic pattern): `1000·p·Π lm ≤ 10^(3F+6) ≤ 10³⁶` at F = 10,
+   * inside decimal's 10³⁸, and the M-step numerators `1000·Σ w·[agree]`
+   * ride decimal too, so a web-scale pair count cannot wrap them either.
+   * Identical semantics — floor divisions over exact integers — so on
+   * ≤ 4 fields the two paths are bit-identical (spec-pinned); decimal
+   * is not the default because the responsibility projection runs per
+   * candidate pair, the linkage hot path.
+   */
+  def emStepDecimal(pairs: DataFrame, rules: Seq[FieldRule],
+      init: Seq[(String, Long, Long)], pMilli: Long): DataFrame = {
+    require(rules.size <= 10,
+      s"DECIMAL(38,0) headroom caps EM at 10 fields: ${rules.size}")
+    emStepImpl(pairs, rules, init, pMilli, dec = true)
+  }
+
+  private def emStepImpl(pairs: DataFrame, rules: Seq[FieldRule],
+      init: Seq[(String, Long, Long)], pMilli: Long, dec: Boolean): DataFrame = {
+    require(rules.nonEmpty, "EM requires at least one field rule")
     require(pMilli > 0 && pMilli < 1000, s"prior must be in (0,1000) milli: $pMilli")
     val initMap: Map[String, (Long, Long)] =
       init.map { case (f, m, u) => f -> (m, u) }.toMap
@@ -243,18 +268,21 @@ object Linkage {
         .otherwise(when(r.agree, lit(u0)).otherwise(lit(1000L - u0)))
       (r.field, present, when(present && r.agree, 1L).otherwise(0L), lm, lu)
     }
-    val num = parts.map(_._4).foldLeft(lit(pMilli): Column)(_ * _)
-    val den2 = parts.map(_._5).foldLeft(lit(1000L - pMilli): Column)(_ * _)
+    def d(c: Column): Column = if (dec) c.cast("decimal(38,0)") else c
+    val num = parts.map(_._4).foldLeft(d(lit(pMilli)))(_ * _)
+    val den2 = parts.map(_._5).foldLeft(d(lit(1000L - pMilli)))(_ * _)
+    // IntegralDivide returns BIGINT either way; w ≤ 1000 always fits
     val w = expr(s"(1000 * __num) div (__num + __den2)")
     val scored = pairs
       .withColumn("__num", num).withColumn("__den2", den2)
       .withColumn("__w", w)
     val aggs = parts.flatMap { case (f, present, agree1, _, _) =>
       Seq(
-        sum(when(present, col("__w")).otherwise(0L)).as(s"__sw_$f"),
-        sum(when(present, lit(1000L) - col("__w")).otherwise(0L)).as(s"__swu_$f"),
-        sum(agree1 * col("__w")).as(s"__swa_$f"),
-        sum(agree1 * (lit(1000L) - col("__w"))).as(s"__swua_$f"))
+        sum(when(present, d(col("__w"))).otherwise(d(lit(0L)))).as(s"__sw_$f"),
+        sum(when(present, d(lit(1000L) - col("__w"))).otherwise(d(lit(0L))))
+          .as(s"__swu_$f"),
+        sum(d(agree1 * col("__w"))).as(s"__swa_$f"),
+        sum(d(agree1 * (lit(1000L) - col("__w")))).as(s"__swua_$f"))
     }
     val one = graft.recon.Checkpoints.cut(scored.agg(aggs.head, aggs.tail: _*))
     rules.map { r =>
@@ -262,9 +290,11 @@ object Linkage {
       val (m0, u0) = initMap(f)
       one.select(lit(f).as("field"),
         lit(m0).as("m_milli"), lit(u0).as("u_milli"),
-        when(col(s"__sw_$f") > 0L, expr(s"(1000 * __swa_$f) div __sw_$f"))
+        when(col(s"__sw_$f") > 0L,
+          expr(s"CAST((1000 * __swa_$f) div __sw_$f AS BIGINT)"))
           .as("m_next_milli"),
-        when(col(s"__swu_$f") > 0L, expr(s"(1000 * __swua_$f) div __swu_$f"))
+        when(col(s"__swu_$f") > 0L,
+          expr(s"CAST((1000 * __swua_$f) div __swu_$f AS BIGINT)"))
           .as("u_next_milli"))
     }.reduce(_ unionByName _)
   }

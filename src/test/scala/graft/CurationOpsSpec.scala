@@ -325,6 +325,37 @@ class CurationOpsSpec extends SparkSuite {
     assert(multi.toSeq == Seq((2L, "ab ab")))
   }
 
+  test("unigramSegment byteFallback: TOTAL segmentation — unknown chars fall back to single-char pieces") {
+    import graft.ops.Vocab
+    // 'aqa' and 'zz' contain chars the inventory never saw; with
+    // byteFallback they segment through floor-likelihood single chars
+    // instead of being dropped — ZERO dropped words, like SentencePiece
+    val wc = Seq(("abab", 2L), ("aqa", 1L), ("zz", 1L)).toDF("word", "freq")
+    val pieces = Seq(("a", 300L), ("ab", 400L), ("b", 300L))
+    val got = Vocab.unigramSegment(wc, pieces, byteFallback = true)
+      .select("word", "n_pieces", "seg")
+      .as[(String, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == Seq("abab", "aqa", "zz"), s"dropped words: $got")
+    assert(got == Seq(("abab", 4L, "a b a b"), ("aqa", 3L, "a q a"),
+      ("zz", 2L, "z z")), s"got $got")
+    // fully-covered corpus: fallback mode is bit-identical to default
+    val cov = Seq(("abab", 2L)).toDF("word", "freq")
+    val a = Vocab.unigramSegment(cov, pieces)
+      .select("word", "n_pieces", "seg", "score_q")
+      .as[(String, Long, String, String)].collect().toSeq
+    val b = Vocab.unigramSegment(cov, pieces, byteFallback = true)
+      .select("word", "n_pieces", "seg", "score_q")
+      .as[(String, Long, String, String)].collect().toSeq
+    assert(a == b)
+    // unknown MULTI-char pieces still score 0: fallback is per character,
+    // so 'zz' segments as two floor singles, never one unknown bigram —
+    // and the max product is exactly 1·1 (digit-string '1')
+    assert(got.find(_._1 == "zz").isDefined)
+    val zq = Vocab.unigramSegment(wc, pieces, byteFallback = true)
+      .where(col("word") === "zz").select("score_q").as[String].head()
+    assert(zq == "1")
+  }
+
   test("unigramSeed: single-char floor + top-N multi by weight, milli-normalized") {
     import graft.ops.Vocab
     // "abab"×2, "ab"×1: substring weights — a:6=2·2+1·... trace:

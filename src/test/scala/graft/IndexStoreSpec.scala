@@ -108,6 +108,40 @@ class IndexStoreSpec extends SparkSuite {
     assert(fromDisk.where(col("new_doc") === 20L && col("seen_doc") === 10L).count() === 1L)
   }
 
+  test("ivfpq: idempotent append replays to a no-op; probe(old ∪ appended) ≡ rebuilt") {
+    // 12 vectors in two clean clusters around (1,0,0,0) and (0,0,1,0);
+    // the frozen training set is the OLD slice so append exercises
+    // encode-with-loaded-centroids, never a retrain
+    def v(i: Long): Array[Float] = {
+      val axis = if (i % 2 == 0) 0 else 2
+      val arr = Array.fill(4)(0.05f * ((i % 3).toInt + 1))
+      arr(axis) = 1.0f + 0.01f * (i % 5)
+      arr
+    }
+    val all = (0L until 12L).map(i => (i, v(i))).toDF("vec_id", "embedding")
+    val old = all.where(col("vec_id") < 9L)
+    val batch = all.where(col("vec_id") >= 9L)
+    def build(dir: String, df: org.apache.spark.sql.DataFrame): Unit =
+      IndexStore.writeIvfPqIndex(df, "vec_id", "embedding", dir,
+        kCells = 2, ivfIters = 1, ivfModulus = 4, m = 2, subDim = 2,
+        pqC = 2, pqIters = 1, pqModulus = 3, train = Some(old))
+    val incDir = tmp()
+    build(incDir, old)
+    assert(IndexStore.mergeIntoIvfPqIndexIdempotent(batch, incDir) === 3L)
+    // crash replay of the SAME batch: exactly-once, zero appended
+    assert(IndexStore.mergeIntoIvfPqIndexIdempotent(batch, incDir) === 0L)
+    assert(IndexStore.loadIvfPqCodes(spark, incDir).count() === 12L)
+    // the appended index answers value-identically to a from-scratch
+    // rebuild over the full corpus with the same frozen training set
+    val fullDir = tmp()
+    build(fullDir, all)
+    val queries = all.where(col("vec_id") % 3 === 0)
+    val probeInc = IndexStore.ivfPqProbe(queries, incDir, k = 3, nprobe = 2)
+    val probeFull = IndexStore.ivfPqProbe(queries, fullDir, k = 3, nprobe = 2)
+    assert(rowsOf(probeInc) === rowsOf(probeFull))
+    assert(probeInc.count() > 0L)
+  }
+
   test("meta sidecar refuses a mis-typed load") {
     val dir = tmp()
     IndexStore.writeMinHashIndex(seenDocs, "text", "doc_id", dir,

@@ -167,6 +167,75 @@ class LinkageSpec extends SparkSuite {
       (1 to 5).map(i => (s"f$i", 999L, 999L)), 500L))
   }
 
+  test("emStepDecimal: 6-field fit matches a BigInteger model; ≤4 fields ≡ emStep") {
+    import java.math.BigInteger
+    // 6 boolean fields over 5 pairs — the envelope the Long path's
+    // hard cap refuses (1000·p·Π lm reaches 10²² here). The oracle is a
+    // driver-side BigInteger replay of the exact same floor divisions.
+    val nF = 6
+    val agreeMat: Seq[Seq[Boolean]] = Seq(
+      Seq(true, true, true, false, true, true),
+      Seq(false, false, true, false, false, true),
+      Seq(true, false, false, true, true, false),
+      Seq(false, false, false, false, false, false),
+      Seq(true, true, true, true, true, true))
+    val cols = (1 to nF).flatMap(i => Seq(s"a_f$i", s"b_f$i"))
+    val rows = agreeMat.map(r =>
+      org.apache.spark.sql.Row.fromSeq(r.flatMap(a =>
+        Seq(1L, if (a) 1L else 2L))))
+    val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val p = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val rules = (1 to nF).map(i =>
+      Linkage.FieldRule(s"f$i", col(s"a_f$i") === col(s"b_f$i"), None, 0L, 0L))
+    val init = (1 to nF).map(i => (s"f$i", (700 + 40 * i).toLong, (50 + 10 * i).toLong))
+    val pMilli = 300L
+    val got = Linkage.emStepDecimal(p, rules, init, pMilli)
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._4.get, r._5.get))).toMap
+    // BigInteger replay
+    val Th = BigInteger.valueOf(1000L)
+    val ws = agreeMat.map { r =>
+      var num = BigInteger.valueOf(pMilli)
+      var den2 = BigInteger.valueOf(1000L - pMilli)
+      for (i <- 0 until nF) {
+        val (_, m0, u0) = init(i)
+        num = num.multiply(BigInteger.valueOf(if (r(i)) m0 else 1000L - m0))
+        den2 = den2.multiply(BigInteger.valueOf(if (r(i)) u0 else 1000L - u0))
+      }
+      Th.multiply(num).divide(num.add(den2))
+    }
+    val want = (0 until nF).map { i =>
+      var sw = BigInteger.ZERO; var swu = BigInteger.ZERO
+      var swa = BigInteger.ZERO; var swua = BigInteger.ZERO
+      agreeMat.zip(ws).foreach { case (r, w) =>
+        val wu = Th.subtract(w)
+        sw = sw.add(w); swu = swu.add(wu)
+        if (r(i)) { swa = swa.add(w); swua = swua.add(wu) }
+      }
+      s"f${i + 1}" -> ((Th.multiply(swa).divide(sw).longValueExact(),
+        Th.multiply(swua).divide(swu).longValueExact()))
+    }.toMap
+    assert(got == want, s"got $got want $want")
+    // ≤ 4 fields: decimal path bit-identical to the Long path
+    val rules1 = Seq(Linkage.FieldRule("nm", col("a_nm") === col("b_nm"),
+      Some(col("b_nm").isNull), 0L, 0L))
+    val p1 = Seq(("x", Some("x")), ("y", Some("z")), ("w", None))
+      .toDF("a_nm", "b_nm")
+    val longPath = Linkage.emStep(p1, rules1, Seq(("nm", 800L, 100L)), 500L)
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect().toSeq
+    val decPath = Linkage.emStepDecimal(p1, rules1, Seq(("nm", 800L, 100L)), 500L)
+      .as[(String, Long, Long, Option[Long], Option[Long])].collect().toSeq
+    assert(longPath == decPath)
+    // 11 fields exceed even the decimal headroom contract
+    val rules11 = (1 to 11).map(i =>
+      Linkage.FieldRule(s"f$i", col("a_nm") === col("b_nm"), None, 0L, 0L))
+    intercept[IllegalArgumentException](Linkage.emStepDecimal(p1, rules11,
+      (1 to 11).map(i => (s"f$i", 500L, 500L)), 500L))
+  }
+
   test("band: descending thresholds, floor label below every band") {
     val df = Seq(5200L, 3000L, 2999L, 1000L, -100L).toDF("s")
       .withColumn("band", Linkage.band(col("s"),
