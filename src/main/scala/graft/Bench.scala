@@ -64,10 +64,19 @@ object Bench {
         .select(col("id"), md5(col("id").cast("string")).as("h"))
         .groupBy(pmod(xxhash64(col("h")), lit(16))).count().count()
     }
+    // host 1-min load average at a rep's start — the shared-box noise
+    // signal the LOAD WATCHDOG below keys on (this host's load swings
+    // 0→20+ between sittings; a rep that STARTED loaded is suspect)
+    def loadAvg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     // one timed rep; failures must be loud (stderr) and visible in the
     // JSON (-1 marker + errors list), never a silent fast run
     def oneRep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Boolean) = {
+        : (Double, Boolean, Double) = {
+      val repLoad = loadAvg()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -82,43 +91,74 @@ object Bench {
       // later query
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc()
-      (secs, ok)
+      (secs, ok, repLoad)
     }
     val registry = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = scala.collection.mutable.LinkedHashMap[String, (Vector[Double], Boolean)]()
+    val results = scala.collection.mutable.LinkedHashMap[
+      String, (Vector[Double], Boolean, Vector[Double])]()
     registry.foreach { case (name, fn) =>
       val rs = (0 until reps).map(_ => oneRep(name, fn))
-      results(name) = (rs.map(_._1).toVector, rs.forall(_._2))
+      results(name) = (rs.map(_._1).toVector, rs.forall(_._2), rs.map(_._3).toVector)
     }
     // hot set: top-N slowest by phase-1 median + baseline-flagged —
     // topped up to hotReps so their reported medians rest on more data
-    val flagged = results.collect { case (n, (ts, true))
+    val flagged = results.collect { case (n, (ts, true, _))
       if baseline.get(n).exists(b => median(ts) >= 2.0 * b && median(ts) - b >= 0.5) => n
     }.toSet
     val slowest = results.toSeq.filter(_._2._2)
-      .sortBy { case (_, (ts, _)) => -median(ts) }.take(hotTopN).map(_._1).toSet
+      .sortBy { case (_, (ts, _, _)) => -median(ts) }.take(hotTopN).map(_._1).toSet
     val hot = (slowest ++ flagged).toSeq.sorted
-    hot.foreach { name =>
+    def topUp(name: String, upTo: Int): Unit = {
       val fn = SparkEntry.queries(name)
-      val (ts, ok) = results(name)
-      val extra = (ts.size until hotReps).map(_ => oneRep(name, fn))
-      results(name) = (ts ++ extra.map(_._1), ok && extra.forall(_._2))
+      val (ts, ok, ls) = results(name)
+      val extra = (ts.size until upTo).map(_ => oneRep(name, fn))
+      results(name) = (ts ++ extra.map(_._1), ok && extra.forall(_._2),
+        ls ++ extra.map(_._3))
     }
+    hot.foreach(topUp(_, hotReps))
     if (flagged.nonEmpty)
       System.err.println(s"[bench] baseline-flagged, re-repped to $hotReps: ${flagged.toSeq.sorted.mkString(", ")}")
+    // LOAD WATCHDOG (VERDICT r14 #2): any query whose EVERY rep started
+    // above the effective load gate gets one more rep now — the end of
+    // the run is a LATER window, and on this shared host external load
+    // bands come and go in minutes, so a single quiet rep per noisy
+    // query repairs the min (the adjudication statistic) even when
+    // medians stay inflated. The gate is RELATIVE to the run's own
+    // median rep-start load (the bench's own 32-thread bursts keep
+    // 1-min loadavg at ~5-9 even on an otherwise idle box, so an
+    // absolute gate would flag everything): a query is noisy only when
+    // it ran entirely inside an external band well above the run's own
+    // baseline. One bounded pass, skipped when the pass itself would
+    // run loaded (nothing to buy). Per-rep loads ship in the artifact
+    // so a regression flag can be cleared from data.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "4.0").toDouble
+    val allLoads = results.values.flatMap(_._3).filter(_ >= 0).toSeq
+    val runLoad = if (allLoads.isEmpty) 0.0 else median(allLoads)
+    val thr = math.max(loadGate, 1.5 * runLoad)
+    val noisy = results.collect { case (n, (_, true, ls))
+      if ls.nonEmpty && ls.min > thr => n }.toSeq.sorted
+    if (noisy.nonEmpty && loadAvg() <= thr) {
+      System.err.println(f"[bench] load watchdog: re-repping ${noisy.size} " +
+        f"queries whose every rep started above load $thr%.1f (run median $runLoad%.1f)")
+      noisy.foreach(n => topUp(n, results(n)._1.size + 1))
+    } else if (noisy.nonEmpty)
+      System.err.println(f"[bench] load watchdog: ${noisy.size} queries ran " +
+        f"loaded (> $thr%.1f) but the window never cleared — mins stay suspect")
 
     def fmtNum(v: Double) = if (v.isNaN || v.isInfinite) "-1.0" else v.toString
     val ordered = results.toSeq
-    val qs = ordered.map { case (k, (ts, ok)) =>
+    val qs = ordered.map { case (k, (ts, ok, _)) =>
       "\"" + k + "\":" + (if (ok) fmtNum(median(ts)) else -1.0)
     }.mkString("{", ",", "}")
     // per-query spread AND the raw rep times: the artifact itself must be
     // able to clear (or confirm) a regression flag from data — median is
-    // the headline, min/max bound the variance, reps_s is the evidence
-    val detail = ordered.map { case (k, (ts, _)) =>
+    // the headline, min/max bound the variance, reps_s is the evidence,
+    // loads_1m is each rep's host load at start (the noise witness)
+    val detail = ordered.map { case (k, (ts, _, ls)) =>
       val repsJson = ts.map(fmtNum).mkString("[", ",", "]")
-      s""""$k":{"median":${fmtNum(median(ts))},"min":${fmtNum(ts.min)},"max":${fmtNum(ts.max)},"reps_s":$repsJson}"""
+      val loadsJson = ls.map(fmtNum).mkString("[", ",", "]")
+      s""""$k":{"median":${fmtNum(median(ts))},"min":${fmtNum(ts.min)},"max":${fmtNum(ts.max)},"reps_s":$repsJson,"loads_1m":$loadsJson}"""
     }.mkString("{", ",", "}")
     val errs = ordered.filterNot(_._2._2).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = ordered.map(r => median(r._2._1)).sum

@@ -153,4 +153,23 @@ object Ingest {
     files.toDF("file_path").select(col("file_path"), lit(batchId).as("batch_id"))
       .coalesce(1).write.mode("append").parquet(ledgerPath)
   }
+
+  /** [[commit]] for AT-LEAST-ONCE callers (a replayed foreachBatch):
+    * already-ledgered paths are silently skipped instead of rejected —
+    * the anti-join guard makes a full replay a no-op, a partial one
+    * commit-the-rest. Returns the number of files actually ledgered.
+    * [[commit]] stays the strict form for the single-shot [[IngestGate]]
+    * loop, where a duplicate commit means a logic bug, not a replay. */
+  def commitIdempotent(spark: SparkSession, ledgerPath: String,
+      files: Seq[String], batchId: Long): Int = {
+    if (files.isEmpty) return 0
+    import spark.implicits._
+    val fresh = files.toDF("file_path")
+      .join(ledger(spark, ledgerPath).select("file_path"), Seq("file_path"), "left_anti")
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (fresh.nonEmpty)
+      fresh.toDF("file_path").select(col("file_path"), lit(batchId).as("batch_id"))
+        .coalesce(1).write.mode("append").parquet(ledgerPath)
+    fresh.size
+  }
 }

@@ -126,16 +126,49 @@ object IngestGate {
    * the anti-join-guarded idempotent one. Caller sets the checkpoint
    * location and trigger; ONE gate stream per index (single-writer
    * contract, like every IndexStore merge).
+   *
+   * `ledgerPath` additionally records each micro-batch's input FILES in
+   * the [[Ingest]] ledger (via the at-least-once
+   * [[Ingest.commitIdempotent]] — a replayed foreachBatch re-commits
+   * nothing), the provenance record that outlives the stream checkpoint;
+   * with `compactEvery = n > 0` the stream folds that ledger every n-th
+   * batch through [[Ingest.compactLedger]] — the same crash-safe
+   * write→validate→flip→delete discipline as the batch pipeline, run
+   * from INSIDE foreachBatch so it inherits the stream's single-writer
+   * slot (never concurrent with a commit). A crash in compaction's
+   * flip→delete window leaves duplicate ledger rows; every ledger reader
+   * tolerates them and the next in-stream fold removes them, so the
+   * live stream never stalls on a torn compaction.
    */
   def maintain(stream: DataFrame, textCol: String, idCol: String,
       indexDir: String, outDir: String, minAgreement: Double = 0.5d,
-      maxBucket: Int = 100)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      maxBucket: Int = 100, ledgerPath: Option[String] = None,
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(compactEvery == 0 || ledgerPath.nonEmpty,
+      "compactEvery needs a ledgerPath to compact")
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       applyBatch(batch, batchId, textCol, idCol, indexDir, outDir,
         minAgreement, maxBucket)
+      ledgerPath.foreach { lp =>
+        val spark = batch.sparkSession
+        // input_file_name(), not Dataset.inputFiles: foreachBatch hands
+        // over the micro-batch behind a plan with no file-listing
+        // relation (inputFiles comes back empty), while the per-row
+        // provenance function still resolves. One distinct over the
+        // (micro-batch-sized) frame; blank = a non-file source, which
+        // simply has no provenance to ledger.
+        val files = batch
+          .select(org.apache.spark.sql.functions.input_file_name().as("f"))
+          .distinct().collect().map(_.getString(0))
+          .filter(_.nonEmpty).toSeq.sorted
+        Ingest.commitIdempotent(spark, lp, files, batchId)
+        if (compactEvery > 0 && (batchId + 1L) % compactEvery == 0L)
+          Ingest.compactLedger(spark, lp)
+      }
       ()
     }
+  }
 
   /** All decisions so far: `(batch_id, idCol, counts, admitted)`. */
   def decisions(spark: SparkSession, outDir: String): DataFrame =

@@ -62,7 +62,13 @@ object ScaleCheck {
     // edge-sized candidate aggregates whose broadcast frames must stay
     // node-sized) and the blocked linkage scorer (pair volume =
     // Σ|A_k|·|B_k| — the blocking-key capacity contract)
-    "graph_louvain", "recon_linkage_bands")
+    "graph_louvain", "recon_linkage_bands",
+    // round-15 additions (VERDICT r14 #5): the full multi-level Louvain
+    // hierarchy (contraction-sized convergence gates — the probe must
+    // never grow with node space) and the unigram soft-EM step (its
+    // lattice DP must stay a vocab-sized fold — the corpus only ever
+    // touches wordCounts)
+    "graph_louvain_hierarchy", "vocab_unigram_em")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

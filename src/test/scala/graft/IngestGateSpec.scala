@@ -122,6 +122,82 @@ class IngestGateSpec extends SparkSuite {
       (indexed.contains(20L) ^ indexed.contains(30L)), s"index holds $indexed")
   }
 
+  test("maintain + ledger: in-stream compaction every 2 batches; torn flip→delete heals while live") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.ops.Ingest
+    val idx = tmpDir("gate_idx_lc")
+    val src = tmpDir("gate_src_lc")
+    val out = tmpDir("gate_out_lc")
+    val ledger = tmpDir("gate_led_lc") + "/ledger"
+    val ck = java.nio.file.Files.createTempDirectory("graft_gate_lc_ck").toString
+    writeIndex(idx)
+    def runAvailable(): Unit = {
+      val stream = spark.readStream
+        .schema(Seq((0L, "")).toDF("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$src/p*")
+      val q = IngestGate.maintain(stream, "text", "doc_id", idx, out,
+          ledgerPath = Some(ledger), compactEvery = 2)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination(120000L)
+    }
+    Seq((20L, "red orange yellow green blue indigo violet ultraviolet infrared"),
+      (21L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$src/p1")
+    Thread.sleep(50)
+    Seq((30L, "red orange yellow green blue indigo violet ultraviolet infrared"),
+      (31L, "entirely fresh content regarding mountains and quiet snowfall at dawn"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$src/p2")
+    runAvailable()
+    // two micro-batches ran, so the every-2nd fold fired: the ledger is
+    // ONE promoted snapshot, nothing raw left to fold
+    assert(Ingest.compactLedger(spark, ledger) == 0, "batch-2 fold must have run in-stream")
+    val led1 = Ingest.ledger(spark, ledger).as[(String, Long)].collect()
+    assert(led1.length == 2 && led1.map(_._1).distinct.length == 2,
+      s"one ledger row per streamed file: ${led1.toSeq}")
+    // --- the torn compaction, while the stream is live -----------------
+    // batch 3 commits its file; compaction then crashes BETWEEN the
+    // pointer flip and the raw-file delete (simulated: publish the
+    // snapshot, delete nothing) → duplicate rows in the ledger view
+    Thread.sleep(50)
+    Seq((40L, "entirely fresh content regarding mountains and quiet snowfall at DAWN2"),
+      (41L, "novel musings on rivers winding through ancient forest valleys slowly"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$src/p3")
+    // same provenance format the stream ledgers (input_file_name), so
+    // the replayed batch-3 commit recognizes the path and no-ops
+    val p3file = spark.read.parquet(s"$src/p3")
+      .select(input_file_name()).distinct().collect().map(_.getString(0)).toSeq
+    assert(Ingest.commitIdempotent(spark, ledger, p3file, batchId = 2L) == 1)
+    graft.recon.Publish.publish(
+      Ingest.ledger(spark, ledger).coalesce(1), Ingest.ledgerCompactRoot(ledger))
+    val torn = Ingest.ledger(spark, ledger)
+    assert(torn.count() > torn.dropDuplicates(Seq("file_path", "batch_id")).count(),
+      "the crash window must show duplicate ledger rows")
+    // the stream RESUMES over the torn ledger: batch 3 replays (its
+    // commit no-ops — already ledgered), batch 4 commits, and the
+    // every-2nd fold at batch 4 heals the duplicates in-stream
+    Thread.sleep(50)
+    Seq((50L, "novel musings on rivers winding through ancient forest valleys SLOWLY2"),
+      (51L, "final fresh treatise concerning deserts dunes and distant caravan routes"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$src/p4")
+    runAvailable()
+    val healed = Ingest.ledger(spark, ledger).as[(String, Long)].collect()
+    assert(healed.length == 4 && healed.map(_._1).distinct.length == 4,
+      s"post-heal ledger must hold each of the 4 files exactly once: ${healed.toSeq}")
+    assert(Ingest.compactLedger(spark, ledger) == 0, "batch-4 fold must have healed in-stream")
+    // decisions replayed bit-identically through the torn window: the
+    // same admission pattern the non-ledgered maintain run produces
+    val d = IngestGate.decisions(spark, out)
+      .select("doc_id", "admitted").as[(Long, Long)].collect().toMap
+    assert(d.keySet == Set(20L, 21L, 30L, 31L, 40L, 41L, 50L, 51L))
+    assert(d(21L) == 0L, "seed copy rejected")
+    assert(d(20L) + d(30L) == 1L, "one of the cross-batch copies survives")
+    assert(d(31L) == 1L && d(40L) == 0L, "31 admitted; 40 duplicates it")
+    assert(d(41L) == 1L && d(50L) == 0L, "41 admitted; 50 duplicates it")
+    assert(d(51L) == 1L, "novel doc admitted")
+  }
+
   test("ledger compaction mid-stream: gate decisions identical to the uncompacted control") {
     import graft.ops.Ingest
     // two pipelines fed the IDENTICAL batch sequence; pipeline A compacts
