@@ -168,13 +168,19 @@ object Bench {
     println(detailLine)
     // the driver tail-truncates long stdout (it kept only ~22 of 140
     // medians in rounds 1-9), so the full per-query detail also goes to a
-    // committed file where a regression in any query stays diffable
-    try {
-      val p = java.nio.file.Paths.get(detailPath)
-      java.nio.file.Files.write(p, (detailLine + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write BENCH_DETAIL.json: ${e.getMessage}")
-    }
+    // committed file where a regression in any query stays diffable.
+    // PARTIAL runs (SPARK_GRAFT_BENCH_ONLY) must NOT clobber that
+    // committed full-registry baseline (a 2-query profiling run once
+    // replaced it) — they only write when an explicit detail path says so
+    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_DETAIL")) {
+      try {
+        val p = java.nio.file.Paths.get(detailPath)
+        java.nio.file.Files.write(p, (detailLine + "\n").getBytes("UTF-8"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write BENCH_DETAIL.json: ${e.getMessage}")
+      }
+    } else
+      System.err.println("[bench] partial run (BENCH_ONLY): BENCH_DETAIL.json not written")
     // the driver tail-truncates long output: the giant per-query line above
     // lost its leading total in all of rounds 1-8 ("parsed": null). Print a
     // compact headline LAST so truncation can never eat it.
