@@ -170,10 +170,12 @@ object EntityQueries {
          |    (cents + 100000) // 10000 AS band FROM b),
          |pr AS MATERIALIZED (
          |  SELECT a.k AS ak, b.k AS bk, a.nm AS anm, b.nm AS bnm,
-         |         a.seg AS aseg, b.seg AS bseg, a.cents AS ac, b.cents AS bc
+         |         a.seg AS aseg, b.seg AS bseg, a.cents AS ac, b.cents AS bc,
+         |         a.nat AS anat, b.nat AS bnat, a.band AS aband, b.band AS bband
          |  FROM cb a JOIN bb b ON a.nat = b.nat AND a.band = b.band
          |  UNION ALL
-         |  SELECT a.k, b.k, a.nm, b.nm, a.seg, b.seg, a.cents, b.cents
+         |  SELECT a.k, b.k, a.nm, b.nm, a.seg, b.seg, a.cents, b.cents,
+         |         a.nat, b.nat, a.band, b.band
          |  FROM cb a JOIN bb b ON a.nm = b.nm
          |  WHERE NOT COALESCE(a.nat = b.nat AND a.band = b.band, FALSE))""".stripMargin
 
@@ -389,6 +391,90 @@ object EntityQueries {
       import graft.ops.Linkage
       Linkage.emStep(linkagePairs(s, d), linkageRules,
         Seq(("name", 900L, 5L), ("seg", 950L, 200L), ("bal", 900L, 10L)),
+        pMilli = 20L)
+    },
+
+    // the DECIMAL arm of the same Winkler EM, at SIX fields — past the
+    // Long path's hard cap (1000·p·Π lm reaches ~10²² here; int64 ends
+    // at 9.2·10¹⁸). Spark runs emStepDecimal's DECIMAL(38,0) products;
+    // the oracle runs the identical floor divisions in HUGEINT — both
+    // exact to well past the six-field envelope, so every responsibility
+    // and both M-step rates are value-checked bit for bit. Fields 4-6
+    // (nation, balance band, exact balance) agree on every composite-
+    // pass pair but split on the name-pass backstop, so the fit is
+    // non-degenerate across passes
+    QuerySpec("recon_linkage_em6",
+      linkageOracleCtes + raw""",
+           |p AS (SELECT anm = bnm AS f1, bseg IS NULL AS msg, aseg = bseg AS f2,
+           |    abs(ac - bc) <= 10 AS f3, anat = bnat AS f4,
+           |    aband = bband AS f5, ac = bc AS f6
+           |  FROM pr),
+           |l AS (SELECT f1, msg, f2, f3, f4, f5, f6,
+           |    CAST(CASE WHEN f1 THEN 900 ELSE 100 END AS HUGEINT) AS lm1,
+           |    CAST(CASE WHEN f1 THEN 5 ELSE 995 END AS HUGEINT) AS lu1,
+           |    CAST(CASE WHEN msg THEN 1000 WHEN f2 THEN 950 ELSE 50 END AS HUGEINT) AS lm2,
+           |    CAST(CASE WHEN msg THEN 1000 WHEN f2 THEN 200 ELSE 800 END AS HUGEINT) AS lu2,
+           |    CAST(CASE WHEN f3 THEN 900 ELSE 100 END AS HUGEINT) AS lm3,
+           |    CAST(CASE WHEN f3 THEN 10 ELSE 990 END AS HUGEINT) AS lu3,
+           |    CAST(CASE WHEN f4 THEN 990 ELSE 10 END AS HUGEINT) AS lm4,
+           |    CAST(CASE WHEN f4 THEN 700 ELSE 300 END AS HUGEINT) AS lu4,
+           |    CAST(CASE WHEN f5 THEN 985 ELSE 15 END AS HUGEINT) AS lm5,
+           |    CAST(CASE WHEN f5 THEN 650 ELSE 350 END AS HUGEINT) AS lu5,
+           |    CAST(CASE WHEN f6 THEN 850 ELSE 150 END AS HUGEINT) AS lm6,
+           |    CAST(CASE WHEN f6 THEN 5 ELSE 995 END AS HUGEINT) AS lu6
+           |  FROM p),
+           |e AS (SELECT *, 20 * lm1 * lm2 * lm3 * lm4 * lm5 * lm6 AS num,
+           |        980 * lu1 * lu2 * lu3 * lu4 * lu5 * lu6 AS den2 FROM l),
+           |w AS (SELECT *, CAST((1000 * num) // (num + den2) AS BIGINT) AS w FROM e),
+           |g AS (SELECT
+           |    sum(w) AS sw_a, sum(1000 - w) AS swu_a,
+           |    sum(CASE WHEN f1 THEN w ELSE 0 END) AS swa1,
+           |    sum(CASE WHEN f1 THEN 1000 - w ELSE 0 END) AS swua1,
+           |    sum(CASE WHEN NOT msg THEN w ELSE 0 END) AS sw2,
+           |    sum(CASE WHEN NOT msg THEN 1000 - w ELSE 0 END) AS swu2,
+           |    sum(CASE WHEN NOT msg AND f2 THEN w ELSE 0 END) AS swa2,
+           |    sum(CASE WHEN NOT msg AND f2 THEN 1000 - w ELSE 0 END) AS swua2,
+           |    sum(CASE WHEN f3 THEN w ELSE 0 END) AS swa3,
+           |    sum(CASE WHEN f3 THEN 1000 - w ELSE 0 END) AS swua3,
+           |    sum(CASE WHEN f4 THEN w ELSE 0 END) AS swa4,
+           |    sum(CASE WHEN f4 THEN 1000 - w ELSE 0 END) AS swua4,
+           |    sum(CASE WHEN f5 THEN w ELSE 0 END) AS swa5,
+           |    sum(CASE WHEN f5 THEN 1000 - w ELSE 0 END) AS swua5,
+           |    sum(CASE WHEN f6 THEN w ELSE 0 END) AS swa6,
+           |    sum(CASE WHEN f6 THEN 1000 - w ELSE 0 END) AS swua6
+           |  FROM w)
+           |SELECT 'name' AS field, CAST(900 AS BIGINT) AS m_milli,
+           |  CAST(5 AS BIGINT) AS u_milli,
+           |  CAST((1000 * swa1) // sw_a AS BIGINT) AS m_next_milli,
+           |  CAST((1000 * swua1) // swu_a AS BIGINT) AS u_next_milli FROM g
+           |UNION ALL SELECT 'seg', 950, 200,
+           |  CAST((1000 * swa2) // sw2 AS BIGINT),
+           |  CAST((1000 * swua2) // swu2 AS BIGINT) FROM g
+           |UNION ALL SELECT 'bal10', 900, 10,
+           |  CAST((1000 * swa3) // sw_a AS BIGINT),
+           |  CAST((1000 * swua3) // swu_a AS BIGINT) FROM g
+           |UNION ALL SELECT 'nat', 990, 700,
+           |  CAST((1000 * swa4) // sw_a AS BIGINT),
+           |  CAST((1000 * swua4) // swu_a AS BIGINT) FROM g
+           |UNION ALL SELECT 'band', 985, 650,
+           |  CAST((1000 * swa5) // sw_a AS BIGINT),
+           |  CAST((1000 * swua5) // swu_a AS BIGINT) FROM g
+           |UNION ALL SELECT 'bal0', 850, 5,
+           |  CAST((1000 * swa6) // sw_a AS BIGINT),
+           |  CAST((1000 * swua6) // swu_a AS BIGINT) FROM g""".stripMargin) { (s, d) =>
+      import graft.ops.Linkage
+      import graft.ops.Linkage.FieldRule
+      val rules6 = Seq(
+        FieldRule("name", col("a_nm") === col("b_nm"), None, 0L, 0L),
+        FieldRule("seg", col("a_seg") === col("b_seg"),
+          Some(col("b_seg").isNull), 0L, 0L),
+        FieldRule("bal10", abs(col("a_cents") - col("b_cents")) <= 10L, None, 0L, 0L),
+        FieldRule("nat", col("a_nat") === col("b_nat"), None, 0L, 0L),
+        FieldRule("band", col("a_band") === col("b_band"), None, 0L, 0L),
+        FieldRule("bal0", col("a_cents") === col("b_cents"), None, 0L, 0L))
+      Linkage.emStepDecimal(linkagePairs(s, d), rules6,
+        Seq(("name", 900L, 5L), ("seg", 950L, 200L), ("bal10", 900L, 10L),
+          ("nat", 990L, 700L), ("band", 985L, 650L), ("bal0", 850L, 5L)),
         pMilli = 20L)
     },
 
