@@ -349,4 +349,22 @@ object IndexStore {
     if (n > 0) mergeIntoIvfPqIndex(fresh, dir)
     n
   }
+
+  /** Structured Streaming maintenance of a persisted IVF-PQ index — the
+    * third arm of the lifecycle (build-once / incremental-append /
+    * streaming): every micro-batch of vectors folds in through
+    * [[mergeIntoIvfPqIndexIdempotent]], so foreachBatch's at-least-once
+    * replays append nothing and a probe anywhere in the stream's
+    * lifetime answers exactly as a from-scratch rebuild over the vectors
+    * ingested so far (the contract `sim_ivfpq_index_append` pins for the
+    * batch arm). Encoding always uses the FROZEN centroids/codebook —
+    * retraining is a rebuild decision, never an ingest side effect.
+    * Caller sets checkpoint and trigger; ONE maintenance stream per
+    * index (single-writer contract, like every merge here). */
+  def maintainIvfPq(stream: DataFrame, indexDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      mergeIntoIvfPqIndexIdempotent(batch, indexDir)
+      ()
+    }
 }

@@ -142,6 +142,60 @@ class IndexStoreSpec extends SparkSuite {
     assert(probeInc.count() > 0L)
   }
 
+  test("ivfpq: streaming maintenance — micro-batched appends end at the rebuilt index state") {
+    import org.apache.spark.sql.streaming.Trigger
+    def v(i: Long): Array[Float] = {
+      val axis = if (i % 2 == 0) 0 else 2
+      val arr = Array.fill(4)(0.05f * ((i % 3).toInt + 1))
+      arr(axis) = 1.0f + 0.01f * (i % 5)
+      arr
+    }
+    val all = (0L until 12L).map(i => (i, v(i))).toDF("vec_id", "embedding")
+    val old = all.where(col("vec_id") < 6L)
+    def build(dir: String, df: org.apache.spark.sql.DataFrame): Unit =
+      IndexStore.writeIvfPqIndex(df, "vec_id", "embedding", dir,
+        kCells = 2, ivfIters = 1, ivfModulus = 4, m = 2, subDim = 2,
+        pqC = 2, pqIters = 1, pqModulus = 3, train = Some(old))
+    val idxDir = tmp()
+    build(idxDir, old)
+    // two files → two micro-batches (maxFilesPerTrigger=1)
+    val src = tmp()
+    all.where(col("vec_id") >= 6L && col("vec_id") < 9L)
+      .coalesce(1).write.parquet(s"$src/b1")
+    Thread.sleep(50)
+    all.where(col("vec_id") >= 9L).coalesce(1).write.parquet(s"$src/b2")
+    val ck = java.nio.file.Files.createTempDirectory("graft_ivfpq_ck").toString
+    def runStream(): Unit = {
+      val stream = spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$src/b*")
+      val q = IndexStore.maintainIvfPq(stream, idxDir)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination(120000L)
+    }
+    runStream()
+    assert(IndexStore.loadIvfPqCodes(spark, idxDir).count() === 12L)
+    // a REPLAYED stream (fresh checkpoint, same files → every batch
+    // re-delivered) appends nothing: the idempotent merge absorbs
+    // foreachBatch's at-least-once delivery
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_ivfpq_ck2").toString
+    val stream2 = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/b*")
+    val q2 = IndexStore.maintainIvfPq(stream2, idxDir)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck2).start()
+    q2.awaitTermination(120000L)
+    assert(IndexStore.loadIvfPqCodes(spark, idxDir).count() === 12L,
+      "replayed stream must not double-append")
+    // end state ≡ from-scratch rebuild over everything ingested
+    val fullDir = tmp()
+    build(fullDir, all)
+    val queries = all.where(col("vec_id") % 3 === 0)
+    assert(rowsOf(IndexStore.ivfPqProbe(queries, idxDir, k = 3, nprobe = 2)) ===
+      rowsOf(IndexStore.ivfPqProbe(queries, fullDir, k = 3, nprobe = 2)))
+  }
+
   test("meta sidecar refuses a mis-typed load") {
     val dir = tmp()
     IndexStore.writeMinHashIndex(seenDocs, "text", "doc_id", dir,
