@@ -35,6 +35,9 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val hotReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOT_REPS", "5").toInt.max(reps)
     val hotTopN = sys.env.getOrElse("SPARK_GRAFT_BENCH_HOT_TOPN", "20").toInt.max(0)
+    // parsed UP FRONT like every other knob: a malformed value must fail
+    // in milliseconds, not after the whole sitting has run
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "4.0").toDouble
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
     val baseline = baselineMedians(sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_DETAIL.json"))
     val spark = SparkSession.builder()
@@ -56,14 +59,7 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names not in the registry: ${unknown.mkString(", ")}")
     }
-    // warm the JVM (classloading, codegen, shuffle machinery) outside any
-    // timed window so the first real query isn't charged ~3s of JIT
-    locally {
-      import org.apache.spark.sql.functions._
-      spark.range(200000)
-        .select(col("id"), md5(col("id").cast("string")).as("h"))
-        .groupBy(pmod(xxhash64(col("h")), lit(16))).count().count()
-    }
+    graft.tools.Warmup.warmJvm(spark)
     // host 1-min load average at a rep's start — the shared-box noise
     // signal the LOAD WATCHDOG below keys on (this host's load swings
     // 0→20+ between sittings; a rep that STARTED loaded is suspect)
@@ -132,7 +128,6 @@ object Bench {
     // baseline. One bounded pass, skipped when the pass itself would
     // run loaded (nothing to buy). Per-rep loads ship in the artifact
     // so a regression flag can be cleared from data.
-    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_GATE", "4.0").toDouble
     val allLoads = results.values.flatMap(_._3).filter(_ >= 0).toSeq
     val runLoad = if (allLoads.isEmpty) 0.0 else median(allLoads)
     val thr = math.max(loadGate, 1.5 * runLoad)

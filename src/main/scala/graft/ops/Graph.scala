@@ -644,20 +644,19 @@ object Graph {
       // edges: Qnum of a partition on G ≡ the singleton Qnum of its
       // contraction (self-loops carry i2_c, super-degrees carry dc —
       // exact integers both ways), and each level's contraction is built
-      // anyway as the next level's input. So the gate costs one
-      // community-sized aggregate, and a REJECTED level's gate never
-      // touches node space — at 100 TB the convergence probe is
-      // contraction-sized, not corpus-sized. The same aggregate carries
-      // the super-edge COUNT, so the next level's cutRounds decision
-      // costs no separate count() job.
+      // anyway as the next level's input — at 100 TB the convergence
+      // probe is contraction-sized, not corpus-sized. (The level's CUT
+      // also carries the node-space relabel, so rejecting a level still
+      // pays that one broadcast join inside the materialization — the
+      // documented trade at the `combined` cut below.)
       val e2 = edges.count() // Σw is contraction-invariant — compute once
       val decZ = lit(null).cast("decimal(38,0)")
       // slice 1: super-edge rows of a contraction
       def tagged(con: DataFrame): DataFrame =
         con.select(lit(1).as("__slice"), col("src").as("__a"),
           col("dst").as("__b"), col("w").as("__w"), decZ.as("__sk2"))
-      // gate SCALARS as one in-plan row (Σ self-loop w, super-edge count,
-      // Σ k² in DECIMAL(38,0)) aggregated from a contraction subtree —
+      // gate SCALARS as one in-plan row (Σ self-loop w and Σ k² in
+      // DECIMAL(38,0)) aggregated from a contraction subtree —
       // materializing gate rows inside the level's cut makes every
       // convergence probe a filter-collect over an already-computed RDD
       // instead of a separately planned aggregate action (~1.5-2 s of
@@ -665,15 +664,14 @@ object Graph {
       // once more inside the cut — community-sized, far cheaper.
       def gateRow(con: DataFrame, slice: Int): DataFrame =
         con.groupBy(col("src"))
-          .agg(sum(col("w")).as("__k"), count(lit(1)).as("__n"),
+          .agg(sum(col("w")).as("__k"),
             sum(when(col("dst") === col("src"), col("w")).otherwise(0L))
               .as("__self"))
           .agg(coalesce(sum(col("__self")), lit(0L)).as("__si2"),
-            coalesce(sum(col("__n")), lit(0L)).as("__ne"),
             coalesce(sum(col("__k").cast("decimal(38,0)") * col("__k")),
               lit(0L).cast("decimal(38,0)")).as("__sk2"))
           .select(lit(slice).as("__slice"), col("__si2").as("__a"),
-            col("__ne").as("__b"), lit(0L).as("__w"), col("__sk2"))
+            lit(0L).as("__b"), lit(0L).as("__w"), col("__sk2"))
       // Qnum per gate slice off the materialized rows: by the contraction
       // invariant Σ_n (e2·w_nn − k_n²) of the SINGLETON partition of a
       // contraction IS the numerator of the partition the graph was
@@ -735,30 +733,6 @@ object Graph {
       }
     }
     out.reduce(_ unionByName _)
-  }
-
-  /** Exact modularity numerator of the SINGLETON partition of a weighted
-    * `(src, dst, w)` graph — `Σ_n (e2·w_nn − k_n²)` in DECIMAL(38,0) —
-    * plus its super-edge row count, from ONE aggregate. By the
-    * contraction invariant the numerator IS that of the partition the
-    * graph was contracted by, at community-sized cost; the count rides
-    * along so [[louvainLevels]]' next cutRounds decision needs no
-    * separate count() job. */
-  private[graft] def singletonQnumAndSize(wEdges: DataFrame,
-      e2: Long): (java.math.BigDecimal, Long) = {
-    val row = wEdges.groupBy(col("src"))
-      .agg(sum(col("w")).as("__k"),
-        count(lit(1)).as("__n"),
-        sum(when(col("dst") === col("src"), col("w")).otherwise(0L)).as("__self"))
-      .agg(coalesce(sum(col("__self")), lit(0L)).as("__si2"),
-        coalesce(sum(col("__k").cast("decimal(38,0)") * col("__k")),
-          lit(0L).cast("decimal(38,0)")).as("__sk2"),
-        coalesce(sum(col("__n")), lit(0L)).as("__ne"))
-      .head()
-    val qnum = new java.math.BigDecimal(e2)
-      .multiply(new java.math.BigDecimal(row.getLong(0)))
-      .subtract(row.getDecimal(1))
-    (qnum, row.getLong(2))
   }
 
   /** The exact modularity numerator `Σ_c (e2·i2_c − dc_c²)` of a

@@ -22,11 +22,7 @@ object HierProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    locally {
-      spark.range(200000)
-        .select(col("id"), md5(col("id").cast("string")).as("h"))
-        .groupBy(pmod(xxhash64(col("h")), lit(16))).count().count()
-    }
+    Warmup.warmJvm(spark)
     var t0 = System.nanoTime()
     def lap(tag: String): Unit = {
       val t = System.nanoTime()

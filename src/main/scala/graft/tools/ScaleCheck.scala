@@ -91,13 +91,7 @@ object ScaleCheck {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // warm JIT/codegen outside any timed window, like Bench
-    locally {
-      import org.apache.spark.sql.functions._
-      spark.range(200000)
-        .select(col("id"), md5(col("id").cast("string")).as("h"))
-        .groupBy(pmod(xxhash64(col("h")), lit(16))).count().count()
-    }
+    Warmup.warmJvm(spark)
 
     val queries = graft.SparkEntry.queries
     // the HEADROOM tier (VERDICT r12 #7) reuses this harness with an
