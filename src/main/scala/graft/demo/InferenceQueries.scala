@@ -276,6 +276,100 @@ object InferenceQueries {
         s.read.parquet(s"$d/documents.parquet"), Seq("lang", "source"), "r11")
     },
 
+    // USER-LEVEL DP prep + release: clip every user to their first 64
+    // events (ts, event_id order — deterministic under replay), so one
+    // user adds/removes at most 64 rows from any released cell, THEN
+    // noise the clipped per-type counts with the same sticky
+    // discrete-Laplace draw as privacy_dp_release. Noise calibrated to
+    // sensitivity 1 on UNCLIPPED data protects event-level neighbors
+    // only — the bound is what makes the release user-level. The audit
+    // columns (raw vs clipped vs released, users touched by the cap)
+    // are the evidence row the release ships with
+    QuerySpec("privacy_contribution_bound",
+      raw"""WITH r AS (SELECT event_type,
+           |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           |      FROM events),
+           |raw AS (SELECT event_type, count(*) AS n_raw FROM events GROUP BY 1),
+           |cl AS (SELECT event_type, count(*) AS n_clipped FROM r WHERE rn <= 64 GROUP BY 1),
+           |uc AS (SELECT CAST(coalesce(sum(CASE WHEN c > 64 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |         AS n_users_clipped
+           |       FROM (SELECT user_id, count(*) AS c FROM events GROUP BY 1)),
+           |nz AS (SELECT event_type, n_clipped,
+           |        ('0x' || substr(md5('r15cb:' || event_type), 1, 15))::BIGINT AS hh
+           |      FROM cl),
+           |k AS (SELECT event_type, n_clipped,
+           |        CASE WHEN hh < 178729391883036 THEN -8
+           |             WHEN hh < 664566250050231 THEN -7
+           |             WHEN hh < 1985207753201749 THEN -6
+           |             WHEN hh < 5575083553127362 THEN -5
+           |             WHEN hh < 15333377706490033 THEN -4
+           |             WHEN hh < 41859171380333926 THEN -3
+           |             WHEN hh < 113963754309397679 THEN -2
+           |             WHEN hh < 309964331834089956 THEN -1
+           |             WHEN hh < 842749140086939325 THEN 0
+           |             WHEN hh < 1038749717611631602 THEN 1
+           |             WHEN hh < 1110854300540695355 THEN 2
+           |             WHEN hh < 1137380094214539248 THEN 3
+           |             WHEN hh < 1147138388367901919 THEN 4
+           |             WHEN hh < 1150728264167827532 THEN 5
+           |             WHEN hh < 1152048905670979050 THEN 6
+           |             WHEN hh < 1152534742529146245 THEN 7
+           |             ELSE 8 END AS noise
+           |      FROM nz)
+           |SELECT raw.event_type, raw.n_raw, k.n_clipped,
+           |  raw.n_raw - k.n_clipped AS n_dropped, uc.n_users_clipped,
+           |  CAST(greatest(0, k.n_clipped + k.noise) AS BIGINT) AS n_released
+           |FROM raw JOIN k USING (event_type) CROSS JOIN uc""".stripMargin) { (s, d) =>
+      val ev = OpsQueries.events(s, d)
+      val order = Seq(col("ts"), col("event_id"))
+      val clipped = graft.ops.Privacy.clipContributions(ev, "user_id", order, 64)
+      graft.ops.Privacy.contributionAudit(ev, "user_id", "event_type", order, 64)
+        .join(graft.ops.Privacy.dpNoisedCounts(clipped, Seq("event_type"), "r15cb"),
+          Seq("event_type"))
+    },
+
+    // can the METADATA screen stand in for the token screen? Cohen's κ
+    // between a chars-band judge (no text read at all) and a
+    // token-level judge (word count + mean word length — two Gopher
+    // criteria). Raw agreement flatters skewed judges; κ strips the
+    // chance floor. Exact-integer milli both sides (n² in
+    // DECIMAL(38,0)/HUGEINT — the corpus-sized-n convention)
+    QuerySpec("quality_filter_kappa",
+      raw"""WITH w AS (SELECT doc_id, n_chars,
+           |    CASE WHEN length(trim(text)) = 0 THEN []
+           |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS words
+           |  FROM documents),
+           |f AS (SELECT doc_id, n_chars, CAST(len(words) AS BIGINT) AS n_words,
+           |    CASE WHEN len(words) = 0 THEN 0.0
+           |         ELSE CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+           |              / CAST(len(words) AS DOUBLE) END AS mwl
+           |  FROM w),
+           |j AS (SELECT (n_chars BETWEEN 150 AND 400) AS a,
+           |             (n_words BETWEEN 30 AND 75 AND mwl BETWEEN 4.0 AND 5.0) AS b
+           |      FROM f),
+           |g AS (SELECT count(*) AS n,
+           |        coalesce(sum(CASE WHEN a = b THEN 1 ELSE 0 END), 0) AS agree,
+           |        coalesce(sum(CASE WHEN a THEN 1 ELSE 0 END), 0) AS r1,
+           |        coalesce(sum(CASE WHEN b THEN 1 ELSE 0 END), 0) AS c1 FROM j),
+           |q AS (SELECT *, CAST(r1 AS HUGEINT) * c1
+           |        + CAST(n - r1 AS HUGEINT) * (n - c1) AS qq FROM g)
+           |SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
+           |  CAST(r1 AS BIGINT) AS n_pos_a, CAST(c1 AS BIGINT) AS n_pos_b,
+           |  CAST(CASE WHEN n > 0 THEN (1000 * agree) // n END AS BIGINT) AS po_milli,
+           |  CAST(CASE WHEN CAST(n AS HUGEINT) * n <> qq
+           |       THEN (1000 * (CAST(n AS HUGEINT) * agree - qq))
+           |            // (CAST(n AS HUGEINT) * n - qq)
+           |       END AS BIGINT) AS kappa_milli
+           |FROM q""".stripMargin) { (s, d) =>
+      val dd = s.read.parquet(s"$d/documents.parquet")
+      val g = graft.ops.TextAnalysis.gopherFilters(dd, "text", "doc_id")
+        .join(dd.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      graft.ops.Profiling.cohenKappaMilli(g,
+        col("n_chars").between(150L, 400L),
+        col("n_words").between(30L, 75L) &&
+          col("mean_word_len").between(4.0d, 5.0d))
+    },
+
     // is language mix independent of source? Full contingency audit —
     // zero cells included via the margin cross join — with exact-milli
     // expected counts and χ² contributions (integer-summable, so the

@@ -379,6 +379,77 @@ object ScaleQueries {
           expr("(1000 * n_docs) div __n").as("share_milli"))
     },
 
+    // the third sharding discipline beside HRW and the vnode ring:
+    // EXACT range sharding — boundaries are the ceil(i·n/8)-th smallest
+    // order-value cents (true order statistics, not RangePartitioner's
+    // run-varying reservoir sample), so assignment is monotone in the
+    // key and a range scan touches contiguous shards. The oracle
+    // re-derives every boundary from row_number ranks and re-assigns
+    // every row; per-shard counts, lo/hi pin balance AND monotonicity
+    QuerySpec("shard_range",
+      raw"""WITH k AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+           |n AS (SELECT count(*) AS n FROM k),
+           |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM k),
+           |b AS (SELECT i, min(v) AS bv
+           |      FROM (SELECT unnest(range(1, 8)) AS i) ii CROSS JOIN n
+           |      JOIN r ON r.rk >= (i * n.n + 7) // 8
+           |      GROUP BY i),
+           |a AS (SELECT k.v, (SELECT count(*) FROM b WHERE b.bv <= k.v) AS shard FROM k)
+           |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_rows,
+           |  min(v) AS lo_cents, max(v) AS hi_cents
+           |FROM a GROUP BY 1""".stripMargin) { (s, d) =>
+      val ord = s.read.parquet(s"$d/orders.parquet")
+        .select(floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      Sharding.rangeAssign(ord, "cents", nShards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_rows"), min(col("cents")).as("lo_cents"),
+          max(col("cents")).as("hi_cents"))
+    },
+
+    // range-reshard movement: boundaries refreshed after 10% data growth
+    // (the 90% o_orderkey%10<>0 subset is "yesterday"). Quantiles barely
+    // shift under uniform growth, so movers are the keys sitting between
+    // the old and new cut points — moved_milli stays small and max_jump
+    // pins the LOCALITY invariant (a key crosses at most the few
+    // boundaries that moved past it; hash resharding scatters globally)
+    QuerySpec("shard_range_move",
+      raw"""WITH k AS (SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+           |           FROM orders),
+           |ko AS (SELECT v FROM k WHERE o_orderkey % 10 <> 0),
+           |no_ AS (SELECT count(*) AS n FROM ko),
+           |nn_ AS (SELECT count(*) AS n FROM k),
+           |ro AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM ko),
+           |rn_ AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM k),
+           |bo AS (SELECT i, min(v) AS bv
+           |       FROM (SELECT unnest(range(1, 8)) AS i) ii CROSS JOIN no_
+           |       JOIN ro ON ro.rk >= (i * no_.n + 7) // 8 GROUP BY i),
+           |bn AS (SELECT i, min(v) AS bv
+           |       FROM (SELECT unnest(range(1, 8)) AS i) ii CROSS JOIN nn_
+           |       JOIN rn_ ON rn_.rk >= (i * nn_.n + 7) // 8 GROUP BY i),
+           |a AS (SELECT k.v,
+           |        (SELECT count(*) FROM bo WHERE bo.bv <= k.v) AS s_old,
+           |        (SELECT count(*) FROM bn WHERE bn.bv <= k.v) AS s_new
+           |      FROM k)
+           |SELECT count(*) AS n_total,
+           |  CAST(sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+           |  CAST((1000 * sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END)) // count(*)
+           |    AS BIGINT) AS moved_milli,
+           |  CAST(max(abs(s_old - s_new)) AS BIGINT) AS max_jump
+           |FROM a""".stripMargin) { (s, d) =>
+      val ord = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey"), floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      val oldB = Sharding.rangeBoundaries(
+        ord.where(col("o_orderkey") % 10 =!= 0), col("cents"), 8)
+      val newB = Sharding.rangeBoundaries(ord, col("cents"), 8)
+      ord.select(Sharding.rangeShard(col("cents"), oldB).as("s_old"),
+          Sharding.rangeShard(col("cents"), newB).as("s_new"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("s_old") =!= col("s_new"), 1L).otherwise(0L)).as("n_moved"),
+          expr("(1000 * sum(CASE WHEN s_old <> s_new THEN 1 ELSE 0 END)) div count(*)")
+            .as("moved_milli"),
+          max(abs(col("s_old") - col("s_new"))).as("max_jump"))
+    },
+
     // seeded deterministic shuffle → (shard, position): the training-order
     // export addressing, value-checked down to every row's offset
     QuerySpec("text_shards",

@@ -253,6 +253,59 @@ object Privacy {
     }.reduce(_ unionByName _)
   }
 
+  /**
+   * Bounded-sensitivity preprocessing for USER-LEVEL privacy: keep each
+   * user's first `cap` rows in `order` (which must totally order the
+   * rows WITHIN a user — include a unique id as the last key, or a tie
+   * straddling the cap makes the kept set engine-dependent), drop the
+   * rest. After clipping, any per-cell count changes by at most `cap`
+   * when one user's entire history is added or removed — the
+   * sensitivity bound a user-level DP release (e.g.
+   * [[dpNoisedCounts]]) needs BEFORE its noise means anything: noise
+   * calibrated to sensitivity 1 on unclipped data protects event-level
+   * neighbors only, and a single hot user (a bot, a crawler) can
+   * otherwise dominate every released cell.
+   *
+   * "First `cap` in time order" (not a random subset) is the
+   * reproducible convention: deterministic under replay, engine-exact,
+   * and biased toward a user's EARLIEST behavior — document that bias
+   * to consumers. One shuffle on the user key; the window is
+   * user-partitioned (never global), so hot users cost their own rows
+   * and nothing else.
+   */
+  def clipContributions(df: DataFrame, userCol: String, order: Seq[Column],
+      cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    require(order.nonEmpty, "clipContributions needs ordering columns")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(order: _*)
+    df.withColumn("__cc_rn", row_number().over(w))
+      .where(col("__cc_rn") <= cap)
+      .drop("__cc_rn")
+  }
+
+  /**
+   * The evidence row a contribution-bounded release ships beside its
+   * counts: per `keyCol` cell, raw vs clipped volume, plus the global
+   * count of users the cap actually touched (how much signal the bound
+   * cost — a cap that clips nobody bounds nothing a smaller cap
+   * wouldn't). Cost shape: the clip's user-partitioned window, two
+   * hash aggregates over the fact table, and a 1-row user census that
+   * rides every output row via a broadcast cross join.
+   */
+  def contributionAudit(df: DataFrame, userCol: String, keyCol: String,
+      order: Seq[Column], cap: Int): DataFrame = {
+    val clipped = clipContributions(df, userCol, order, cap)
+    val raw = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_raw"))
+    val kept = clipped.groupBy(col(keyCol)).agg(count(lit(1)).as("n_clipped"))
+    val census = df.groupBy(col(userCol)).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(when(col("__c") > cap, 1L).otherwise(0L)), lit(0L))
+        .as("n_users_clipped"))
+    raw.join(kept, Seq(keyCol))
+      .withColumn("n_dropped", col("n_raw") - col("n_clipped"))
+      .crossJoin(broadcast(census))
+  }
+
   /** Discrete-Laplace(ε=1) CDF thresholds scaled by 2^60 for noise
     * values −8..+7 (a 60-bit hash at or beyond the last is +8). The
     * two-sided geometric pmf P(k) ∝ α^|k| with α = e^−1, truncated at

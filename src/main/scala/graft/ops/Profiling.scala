@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -239,5 +239,56 @@ object Profiling {
           expr("(1000 * (n_gaps * __sg2 - __sg * __sg)) div (__sg * __sg)"))
           .cast("long").as("cv2_milli"),
         (lit(1000L) - expr("(1000 * __nd) div n_gaps")).as("dup_gap_milli"))
+  }
+
+  /**
+   * Cohen's kappa between two binary judges — chance-corrected
+   * agreement, the inter-annotator statistic of label-quality review
+   * (and of "do my two quality filters measure the same thing" when the
+   * judges are heuristics): κ = (p_o − p_e)/(1 − p_e) with p_e the
+   * agreement two INDEPENDENT judges with these marginals would reach.
+   * Raw agreement flatters skewed judges (two filters that each pass 95%
+   * of docs agree ≥ 90% by chance alone); κ strips that off.
+   *
+   * Exact integer arithmetic end to end: one conditional aggregate over
+   * the fact table (map-side combined — the pair table never
+   * materializes), then
+   *   κ_milli = (1000·(n·a − q)) div (n² − q),  q = r₁c₁ + r₀c₀
+   * cross-multiplied in DECIMAL(38,0) (n² passes Long at ~3·10⁹ rows;
+   * a corpus-sized n must not wrap — the [[cramersV]] convention).
+   * Degenerate marginals (either judge constant ⇒ p_e = 1) yield NULL,
+   * never a division error — κ is undefined there, and a 0/0 that
+   * happens to run would report spurious perfection. NULL verdicts
+   * raise in-plan: silently skipping them would report agreement over
+   * an electorate neither judge actually scored.
+   *
+   * Output (one row): `n, n_agree, n_pos_a, n_pos_b, po_milli,
+   * kappa_milli` — truncated-toward-zero milli on both engines
+   * (Spark `div` ≡ DuckDB integer `//`; κ may be negative:
+   * worse-than-chance disagreement is a real verdict).
+   */
+  def cohenKappaMilli(df: DataFrame, judgeA: Column, judgeB: Column): DataFrame = {
+    def verdict(j: Column, name: String): Column =
+      when(j.isNull, raise_error(lit(
+        s"cohenKappaMilli: NULL $name verdict — judges must score every " +
+          "row; filter the unscored population explicitly first")))
+        .otherwise(j)
+    val base = df.select(verdict(judgeA, "judge-A").as("__a"),
+      verdict(judgeB, "judge-B").as("__b"))
+    base.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(col("__a") === col("__b"), 1L).otherwise(0L)), lit(0L))
+          .as("n_agree"),
+        coalesce(sum(when(col("__a"), 1L).otherwise(0L)), lit(0L)).as("n_pos_a"),
+        coalesce(sum(when(col("__b"), 1L).otherwise(0L)), lit(0L)).as("n_pos_b"))
+      .withColumn("__q",
+        expr("""CAST(n_pos_a AS DECIMAL(38,0)) * n_pos_b
+               |  + CAST(n - n_pos_a AS DECIMAL(38,0)) * (n - n_pos_b)""".stripMargin))
+      .select(col("n"), col("n_agree"), col("n_pos_a"), col("n_pos_b"),
+        when(col("n") > 0, expr("(1000 * n_agree) div n")).as("po_milli"),
+        when(expr("CAST(n AS DECIMAL(38,0)) * n") =!= col("__q"),
+          expr("""(1000 * (CAST(n AS DECIMAL(38,0)) * n_agree - __q))
+                 |  div (CAST(n AS DECIMAL(38,0)) * n - __q)""".stripMargin))
+          .cast("long").as("kappa_milli"))
   }
 }

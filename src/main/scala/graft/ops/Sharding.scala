@@ -195,4 +195,76 @@ object Sharding {
       .sortWithinPartitions(col("shard"), col("__order"), col(keyCol))
       .drop("__order")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /**
+   * EXACT range-shard boundaries over an orderable integer key: the k−1
+   * split points `b_1 ≤ … ≤ b_{k−1}` where `b_i` is the `ceil(i·n/k)`-th
+   * smallest key value (duplicates counted), so shard `i` holds the keys
+   * in `[b_i, b_{i+1})` — ~n/k rows each, up to duplicate-run
+   * granularity. The third classic sharding discipline beside hash-mod /
+   * HRW / the vnode ring: assignment is MONOTONE in the key, so a range
+   * scan touches contiguous shards — the property hash schemes trade
+   * away. Unlike Spark's own `RangePartitioner` (whose boundaries come
+   * from reservoir SAMPLING and change run to run), these are exact order
+   * statistics: reproducible, auditable, and mirrorable bit-for-bit by
+   * any SQL engine.
+   *
+   * Scale shape: per-value counts are ONE hash aggregate
+   * (value-domain-sized output); cumulative ranks ride the ranged
+   * two-phase running sum ([[graft.recon.Sources.withRunningSumRanged]] —
+   * no global window anywhere); the boundary pick broadcasts a
+   * (k−1)-row rank frame against the cum frame; the collect is k−1 longs
+   * — metadata-scale by contract (the Lloyd-codebook discipline). Fewer
+   * than k distinct values collapses adjacent boundaries (upper shards
+   * empty), documented rather than hidden.
+   */
+  def rangeBoundaries(df: DataFrame, key: Column, nShards: Int): Seq[Long] = {
+    require(nShards > 1, s"nShards must be > 1: $nShards")
+    val counts = df.select(key.cast("long").as("__v"))
+      .where(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    // ONE materialization serves both the total-count probe and the
+    // boundary pick: an uncut cum frame re-executes the running sum's
+    // window+offsets subtree per consumer (and once more inside the
+    // broadcast build). The in-plan single-action variant — ranks
+    // derived from max(__cum) inside a broadcast branch — measured
+    // WORSE at sf0.1 (min 1.36 → 2.63 s: two extra cum evaluations buy
+    // back more than the saved scalar job), so the explicit cut stays.
+    val cum = graft.recon.Checkpoints.cut(
+      graft.recon.Sources.withRunningSumRanged(
+        counts, "__cum", col("__c"), Seq(col("__v"))))
+    val n = cum.agg(coalesce(max(col("__cum")), lit(0L))).head().getLong(0)
+    if (n == 0L) return Seq.fill(nShards - 1)(0L)
+    val spark = df.sparkSession
+    val ranks = (1 until nShards).map { i =>
+      // ceil(i·n/k) exactly in Long (i·n ≤ k·n ≪ 2^63 at any real scale)
+      (i, (i.toLong * n + nShards - 1) / nShards)
+    }
+    import spark.implicits._
+    val rankDf = ranks.toDF("__i", "__r")
+    // b_i = the smallest value whose cumulative count reaches rank r_i
+    val rows = cum.crossJoin(broadcast(rankDf))
+      .where(col("__cum") >= col("__r"))
+      .groupBy(col("__i")).agg(min(col("__v")).as("__b"))
+      .collect()
+    val byI = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (1 until nShards).map(byI)
+  }
+
+  /** `shard(x) = #{i : x ≥ b_i}` over [[rangeBoundaries]] output — a
+    * pure codegen fold of k−1 indicator adds (no shuffle, no join), and
+    * monotone in `x` by construction: `x ≤ y ⇒ shard(x) ≤ shard(y)`. */
+  def rangeShard(key: Column, boundaries: Seq[Long]): Column = {
+    require(boundaries.nonEmpty, "empty boundary list")
+    require(boundaries == boundaries.sorted, "boundaries must be sorted")
+    boundaries.foldLeft(lit(0L): Column)((acc, b) =>
+      acc + when(key >= lit(b), 1L).otherwise(0L))
+  }
+
+  /** Rows + a `shard` column from exact range boundaries computed on
+    * `df` itself. Two metadata-scale jobs (total count + boundary pick),
+    * then a pure projection. */
+  def rangeAssign(df: DataFrame, keyCol: String, nShards: Int): DataFrame =
+    df.withColumn("shard",
+      rangeShard(col(keyCol), rangeBoundaries(df, col(keyCol), nShards)))
 }

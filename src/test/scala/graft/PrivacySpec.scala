@@ -187,4 +187,36 @@ class PrivacySpec extends SparkSuite {
       e.printStackTrace(new java.io.PrintWriter(sw)); sw.toString }
     assert(full.contains("domain exceeds"), s"wrong failure: ${e.getMessage}")
   }
+
+  // users: u1 has 5 rows (2 type-a + 3 type-b), u2 has 2, u3 has 3 —
+  // cap 3 keeps u1's FIRST three by (ts, id), u2/u3 untouched
+  private val contrib = Seq(
+    (1L, "u1", 10L, "a"), (2L, "u1", 20L, "a"), (3L, "u1", 30L, "b"),
+    (4L, "u1", 40L, "b"), (5L, "u1", 50L, "b"),
+    (6L, "u2", 10L, "a"), (7L, "u2", 20L, "b"),
+    (8L, "u3", 10L, "a"), (9L, "u3", 20L, "a"), (10L, "u3", 30L, "b")
+  ).toDF("id", "user", "ts", "typ")
+
+  test("clipContributions keeps each user's first cap rows in order, layout-independent") {
+    val kept = Privacy.clipContributions(
+        contrib.repartition(7), "user", Seq(col("ts"), col("id")), cap = 3)
+      .select("id").as[Long].collect().toSet
+    // u1 loses ids 4, 5 (ts 40, 50); everyone else survives whole
+    assert(kept == Set(1L, 2L, 3L, 6L, 7L, 8L, 9L, 10L))
+    // after clipping, NO user exceeds the cap — the sensitivity bound
+    val maxPer = Privacy.clipContributions(
+        contrib, "user", Seq(col("ts"), col("id")), cap = 3)
+      .groupBy("user").count().select("count").as[Long].collect()
+    assert(maxPer.forall(_ <= 3))
+  }
+
+  test("contributionAudit: hand-checked raw/clipped/dropped and the user census") {
+    val out = Privacy.contributionAudit(
+        contrib, "user", "typ", Seq(col("ts"), col("id")), cap = 3)
+      .select("typ", "n_raw", "n_clipped", "n_dropped", "n_users_clipped")
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // raw: a=5, b=5. u1's kept set is (a,a,b): clipped a=5, b=3
+    assert(out("a") == (("a", 5L, 5L, 0L, 1L)))
+    assert(out("b") == (("b", 5L, 3L, 2L, 1L)))
+  }
 }

@@ -142,4 +142,44 @@ class ProfilingSpec extends SparkSuite {
     assert(m("hum") == ((2L, Some(960L), 0L)))
     assert(!m.contains("one"))
   }
+
+  private def kappaRow(df: org.apache.spark.sql.DataFrame) =
+    Profiling.cohenKappaMilli(df, col("a"), col("b"))
+      .select("n", "n_agree", "n_pos_a", "n_pos_b", "po_milli", "kappa_milli")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])].head()
+
+  test("cohenKappaMilli: hand-computed 2x2, layout-independent") {
+    // A+ rows 1-6, B+ rows 1-4 and 7: agree=7, r1=6, c1=5
+    // q = 6*5 + 4*5 = 50; kappa = 1000*(70-50)/(100-50) = 400
+    val df = (1L to 10L).map(i => (i <= 6L, i <= 4L || i == 7L))
+      .toDF("a", "b").repartition(5)
+    assert(kappaRow(df) == ((10L, 7L, 6L, 5L, Some(700L), Some(400L))))
+  }
+
+  test("cohenKappaMilli: perfect agreement 1000, inversion -1000") {
+    val same = Seq((true, true), (false, false), (true, true)).toDF("a", "b")
+    assert(kappaRow(same)._6 == Some(1000L))
+    val inv = Seq((true, false), (false, true)).toDF("a", "b")
+    assert(kappaRow(inv) == ((2L, 0L, 1L, 1L, Some(0L), Some(-1000L))))
+  }
+
+  test("cohenKappaMilli: both judges constant => kappa NULL, never a division error") {
+    // pe = 1 exactly iff both marginals sit at n (or both at 0) — the
+    // undefined case; a 0/0 that 'ran' would report spurious perfection
+    val allT = Seq((true, true), (true, true)).toDF("a", "b")
+    assert(kappaRow(allT) == ((2L, 2L, 2L, 2L, Some(1000L), None)))
+    // ONE constant judge is NOT degenerate: A always true, B mixed
+    // agree=1, r1=2, c1=1, q=2, kappa = 1000*(2*1-2)/(4-2) = 0
+    val oneConst = Seq((true, true), (true, false)).toDF("a", "b")
+    assert(kappaRow(oneConst) == ((2L, 1L, 2L, 1L, Some(500L), Some(0L))))
+  }
+
+  test("cohenKappaMilli raises on a NULL verdict instead of silently skipping") {
+    val df = Seq((Some(true), Some(true)), (None, Some(false)))
+      .toDF("a", "b")
+    val e = intercept[Exception] { kappaRow(df) }
+    val full = { val sw = new java.io.StringWriter
+      e.printStackTrace(new java.io.PrintWriter(sw)); sw.toString }
+    assert(full.contains("NULL judge-A verdict"), s"wrong failure: ${e.getMessage}")
+  }
 }

@@ -73,6 +73,60 @@ class ScaleOpsSpec extends SparkSuite {
       s"moved ${movers.size} of 2000; expected ~${2000 / 9}")
   }
 
+  test("rangeBoundaries: exact order statistics, hand-checked with duplicates") {
+    // values 1..100, k=4: ranks ceil(25,50,75) -> boundaries 25, 50, 75
+    val df = (1L to 100L).toDF("v")
+    assert(Sharding.rangeBoundaries(df, col("v"), 4) == Seq(25L, 50L, 75L))
+    // duplicates counted: 10x1, 10x2, 10x3 with k=3 -> ranks 10, 20 ->
+    // boundary values 1 and 2 (the 10th and 20th smallest WITH dups)
+    val dup = (Seq.fill(10)(1L) ++ Seq.fill(10)(2L) ++ Seq.fill(10)(3L)).toDF("v")
+    assert(Sharding.rangeBoundaries(dup, col("v"), 3) == Seq(1L, 2L))
+    // fewer distinct values than shards: boundaries collapse, never throw
+    val one = Seq.fill(5)(42L).toDF("v")
+    assert(Sharding.rangeBoundaries(one, col("v"), 4) == Seq(42L, 42L, 42L))
+  }
+
+  test("rangeShard: monotone in the key, balanced on uniform data, layout-independent") {
+    val df = (1L to 100L).toDF("v").repartition(7)
+    val bs = Sharding.rangeBoundaries(df, col("v"), 4)
+    val assigned = Sharding.rangeAssign(df, "v", 4)
+      .select("v", "shard").as[(Long, Long)].collect().sortBy(_._1)
+    // monotone: sorting by key sorts the shard ids — THE range property
+    assert(assigned.map(_._2).toSeq == assigned.map(_._2).sorted.toSeq)
+    // balanced up to duplicate-run granularity: 24/25/25/26 on 1..100
+    val sizes = assigned.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes == Map(0L -> 24, 1L -> 25, 2L -> 25, 3L -> 26), s"sizes: $sizes")
+    // boundary keys land in their UPPER shard (x >= b_i)
+    assert(assigned.toMap.apply(bs.head) == 1L)
+    // degenerate single-value corpus: everything in the top shard, no throw
+    val one = Seq.fill(5)(42L).toDF("v")
+    assert(Sharding.rangeAssign(one, "v", 4).select("shard")
+      .as[Long].collect().forall(_ == 3L))
+  }
+
+  test("rangeShard movement under boundary refresh is boundary-local") {
+    // grow 1..90 -> 1..100: each rank-25 quantile shifts by <= 3 values,
+    // so only keys BETWEEN an old and new boundary change shard, and
+    // never by more than one position
+    val old = (1L to 90L).toDF("v")
+    val full = (1L to 100L).toDF("v")
+    val bOld = Sharding.rangeBoundaries(old, col("v"), 4)
+    val bNew = Sharding.rangeBoundaries(full, col("v"), 4)
+    val moved = full.select(col("v"),
+        Sharding.rangeShard(col("v"), bOld).as("so"),
+        Sharding.rangeShard(col("v"), bNew).as("sn"))
+      .where(col("so") =!= col("sn"))
+      .select("v", "so", "sn").as[(Long, Long, Long)].collect()
+    assert(moved.forall { case (_, so, sn) => math.abs(so - sn) == 1 },
+      s"a range-reshard mover crossed >1 boundary: ${moved.toSeq}")
+    // movers are exactly the keys between the shifted cut points
+    val expected = bOld.zip(bNew).flatMap { case (o, n) =>
+      (math.min(o, n) until math.max(o, n)).map(identity)
+    }.toSet
+    assert(moved.map(_._1).toSet == expected,
+      s"movers ${moved.map(_._1).toSet} != boundary gaps $expected")
+  }
+
   test("ringAssign: in-range, deterministic, balanced-ish, minimal-move on growth") {
     val df = (0L until 2000L).toDF("k")
     val a8 = Sharding.ringAssign(df, "k", nShards = 8, vnodesPerShard = 16)
