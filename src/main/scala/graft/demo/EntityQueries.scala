@@ -2191,6 +2191,55 @@ object EntityQueries {
         .withColumn("recall", col("n_hit").cast("double") / col("k").cast("double"))
     },
 
+    // rank-biased overlap (Webber 2010) between the full-dim ranking
+    // and the 32-dim Matryoshka ranking, top-10 at patience p=0.9 —
+    // the ORDER-aware upgrade of sim_matryoshka_recall's set recall
+    // (a cascade nominator that finds the right docs in the wrong
+    // order still costs re-rank budget). Weights are exact rational
+    // (1−p)p^(d−1)/(1−p^k) floored to micro in BigInt and interpolated
+    // into BOTH engines — no pow/libm anywhere; per-depth floors mirror
+    QuerySpec("retrieval_rbo", {
+      val w = graft.ops.Retrieval.rboWeightsMicro(pMilli = 900, k = 10)
+      val values = w.zipWithIndex.map { case (wd, i) => s"(${i + 1}, $wd)" }
+        .mkString(", ")
+      raw"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           |           FROM embeddings WHERE vec_id % 100 = 0),
+           |br AS (SELECT query_id, neighbor_id, rank FROM (
+           |    SELECT query_id, e.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY list_dot_product(qv, e.embedding) DESC, e.vec_id) AS rank
+           |    FROM q JOIN embeddings e ON e.vec_id <> query_id)
+           |  WHERE rank <= 10),
+           |mt AS (SELECT query_id, neighbor_id, rank FROM (
+           |    SELECT query_id, e.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY list_dot_product(qv[1:32], e.embedding[1:32]) DESC, e.vec_id) AS rank
+           |    FROM q JOIN embeddings e ON e.vec_id <> query_id)
+           |  WHERE rank <= 10),
+           |wt(d, wv) AS (SELECT * FROM (VALUES $values)),
+           |pr AS (SELECT br.query_id, greatest(br.rank, mt.rank) AS m
+           |       FROM br JOIN mt USING (query_id, neighbor_id)),
+           |cd AS (SELECT query_id, wt.d, wt.wv, count(*) AS c
+           |       FROM pr JOIN wt ON pr.m <= wt.d GROUP BY 1, 2, 3),
+           |per AS (SELECT query_id, sum((wv * c) // d) AS rbo,
+           |          max(CASE WHEN d = 10 THEN c END) AS ok
+           |        FROM cd GROUP BY 1)
+           |SELECT qq.query_id,
+           |  CAST(coalesce(per.ok, 0) AS BIGINT) AS overlap_k,
+           |  CAST(coalesce(per.rbo, 0) AS BIGINT) AS rbo_micro
+           |FROM (SELECT DISTINCT query_id FROM br) qq
+           |LEFT JOIN per USING (query_id)""".stripMargin
+    }) { (s, d) =>
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      val qs = e.where(col("vec_id") % 100 === 0)
+      val brute = graft.ops.Similarity.bruteForceTopK(e, qs,
+        "vec_id", "embedding", k = 10)
+      val mat = graft.ops.Similarity.matryoshkaTopK(e, qs,
+        "vec_id", "embedding", dims = 32, k = 10)
+      graft.ops.Retrieval.rboMicro(brute, mat, "query_id", "neighbor_id",
+        "rank", pMilli = 900, k = 10)
+    },
+
     // t-closeness audit (quasi = market segment, sensitive = acctbal
     // k$-band, ordered): per class, exact-integer EMD-milli between
     // the class and global band distributions — the skew l-diversity

@@ -276,6 +276,46 @@ object InferenceQueries {
         s.read.parquet(s"$d/documents.parquet"), Seq("lang", "source"), "r11")
     },
 
+    // LOCAL differential privacy — the untrusted-collector model beside
+    // privacy_dp_release's central one: every row's event_type passes
+    // through Warner randomized response (report truth w.p. 0.75, else
+    // uniform over the other 4; both draws sticky 60-bit md5 of
+    // salt:event_id), then the collector debiases frequencies by the
+    // exact channel inversion. True categories never reach the output;
+    // estimates sum to n exactly before the one final floor
+    QuerySpec("privacy_local_rr", {
+      val cats = Seq("click", "error", "purchase", "signup", "view") // sorted
+      val branches = cats.map { c =>
+        val others = cats.filterNot(_ == c).map(o => s"'$o'").mkString(", ")
+        s"WHEN '$c' THEN [$others][CAST(ha + 1 AS INT)]"
+      }.mkString("\n           |            ")
+      raw"""WITH r AS (SELECT event_type,
+           |        ('0x' || substr(md5('r15rr:keep:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           |          % 1000 AS hk,
+           |        ('0x' || substr(md5('r15rr:alt:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           |          % 4 AS ha
+           |      FROM events),
+           |rep AS (SELECT CASE WHEN hk < 750 THEN event_type
+           |          ELSE CASE event_type
+           |            $branches
+           |          END END AS reported FROM r),
+           |obs AS (SELECT reported AS event_type, count(*) AS n_reported
+           |        FROM rep GROUP BY 1),
+           |tot AS (SELECT count(*) AS n FROM rep),
+           |cats(event_type) AS (
+           |  SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']))
+           |SELECT cats.event_type,
+           |  CAST(coalesce(obs.n_reported, 0) AS BIGINT) AS n_reported,
+           |  CAST((1000 * 4 * coalesce(obs.n_reported, 0) - tot.n * 250) // 2750
+           |    AS BIGINT) AS n_est
+           |FROM cats LEFT JOIN obs USING (event_type) CROSS JOIN tot""".stripMargin
+    }) { (s, d) =>
+      graft.ops.Privacy.rrFrequencyEstimate(OpsQueries.events(s, d),
+        "event_type", "event_id",
+        Seq("click", "error", "purchase", "signup", "view"),
+        pMilli = 750, salt = "r15rr")
+    },
+
     // USER-LEVEL DP prep + release: clip every user to their first 64
     // events (ts, event_id order — deterministic under replay), so one
     // user adds/removes at most 64 rows from any released cell, THEN

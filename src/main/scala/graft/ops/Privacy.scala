@@ -306,6 +306,85 @@ object Privacy {
       .crossJoin(broadcast(census))
   }
 
+  /**
+   * Generalized randomized response over a PUBLIC category domain —
+   * LOCAL differential privacy, the model where the collector itself is
+   * untrusted (vs [[dpNoisedCounts]]' central model, where true counts
+   * exist server-side and only the release is noised): each row reports
+   * its TRUE category with probability `p = pMilli/1000` and one of the
+   * other `K−1` categories uniformly otherwise, so any single report is
+   * (ln(p·(K−1)/(1−p)))-deniable no matter what the collector stores.
+   * Warner 1965 / the direct-encoding arm of RAPPOR.
+   *
+   * Determinism contract (the [[discreteLaplace1]] "sticky noise"
+   * form): both the flip decision and the replacement pick are 60-bit
+   * md5 draws seeded by `salt:id`, so a re-run reports identically and
+   * spends no extra budget; the salt is the secret, exactly as
+   * documented on [[dpNoisedCounts]]. The domain must be PUBLIC and
+   * total — an unlisted category raises in-plan rather than silently
+   * passing the true value through.
+   *
+   * Pure per-row projection (a K-branch CASE over literal categories —
+   * codegen, no shuffle, no state). Sized for the small categorical
+   * domains local DP is used on (KB-scale K; the CASE is K² literals).
+   */
+  def randomizedResponse(df: DataFrame, catCol: String, idCol: String,
+      categories: Seq[String], pMilli: Int, salt: String): DataFrame = {
+    require(categories.size >= 2, "randomizedResponse needs >= 2 categories")
+    require(categories.distinct.size == categories.size, "duplicate categories")
+    require(pMilli > 0 && pMilli <= 1000, s"pMilli out of (0, 1000]: $pMilli")
+    require(!salt.contains(":"), s"salt must not contain ':': '$salt'")
+    val k = categories.size
+    val keep = pmod(Sampling.keyHash(
+      concat(lit(s"$salt:keep:"), col(idCol).cast("string"))), lit(1000L)) <
+      lit(pMilli.toLong)
+    val alt = pmod(Sampling.keyHash(
+      concat(lit(s"$salt:alt:"), col(idCol).cast("string"))), lit((k - 1).toLong))
+    val sorted = categories.sorted
+    val replacement = sorted.foldRight(
+      raise_error(concat(lit("randomizedResponse: category outside the public domain: "),
+        col(catCol))): Column) { (c, rest) =>
+      val others = sorted.filterNot(_ == c)
+      when(col(catCol) === c,
+        element_at(array(others.map(lit): _*), (alt + 1L).cast("int"))).otherwise(rest)
+    }
+    df.withColumn("reported", when(keep, col(catCol)).otherwise(replacement))
+  }
+
+  /**
+   * Debiased frequency estimate from [[randomizedResponse]] reports:
+   * with observed counts `y_c` over `n` reports,
+   *   n̂_c = (1000·(K−1)·y_c − n·(1000−pMilli)) div (pMilli·K − 1000)
+   * — the unbiased inversion of the report channel, cross-multiplied so
+   * the only division is one final integer floor (the estimates sum
+   * to n exactly before flooring — Σ(K−1 numerators) telescopes to
+   * n·den). Zero cells ride a literal category frame, so an unreported
+   * category still gets its (negative-leaning) estimate. The true
+   * per-row categories never appear in the output — only reported
+   * counts and their debiased inversion.
+   */
+  def rrFrequencyEstimate(df: DataFrame, catCol: String, idCol: String,
+      categories: Seq[String], pMilli: Int, salt: String): DataFrame = {
+    val k = categories.size
+    require(pMilli.toLong * k > 1000L,
+      s"pMilli=$pMilli uninformative for K=$k (denominator <= 0): the " +
+        "report channel is at or below uniform")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val reported = randomizedResponse(df, catCol, idCol, categories, pMilli, salt)
+    val obs = reported.groupBy(col("reported").as(catCol))
+      .agg(count(lit(1)).as("n_reported"))
+    val cats = categories.sorted.toDF(catCol)
+    val tot = reported.agg(count(lit(1)).as("__n"))
+    val den = pMilli.toLong * k - 1000L
+    cats.join(obs, Seq(catCol), "left")
+      .withColumn("n_reported", coalesce(col("n_reported"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col(catCol), col("n_reported"),
+        expr(s"(1000 * ${k - 1} * n_reported - __n * ${1000L - pMilli}) div $den")
+          .as("n_est"))
+  }
+
   /** Discrete-Laplace(ε=1) CDF thresholds scaled by 2^60 for noise
     * values −8..+7 (a 60-bit hash at or beyond the last is +8). The
     * two-sided geometric pmf P(k) ∝ α^|k| with α = e^−1, truncated at

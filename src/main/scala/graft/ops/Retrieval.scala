@@ -355,4 +355,69 @@ object Retrieval {
     top.withColumn("rank",
       row_number().over(Window.orderBy(col("score_micro").desc, col(idCol))))
   }
+
+  /**
+   * Normalized truncated-RBO weights in micro, exact: with `p = pMilli/
+   * 1000 = a/b`, depth d's weight `(1−p)·p^(d−1) / (1−p^k)` is the
+   * rational `(b−a)·a^(d−1)·b^(k−d) / (b^k − a^k)` — computed in BigInt
+   * and floored once to micro, so BOTH engines consume the same integer
+   * literals and no `pow`/libm call exists anywhere (the [[Similarity]]
+   * NDCG-discount convention). Weights sum to ~10⁶ (short by ≤ k from
+   * the floors): two identical rankings score rbo_micro ≈ 10⁶.
+   */
+  def rboWeightsMicro(pMilli: Int, k: Int): Seq[Long] = {
+    require(pMilli > 0 && pMilli < 1000, s"pMilli must be in (0, 1000): $pMilli")
+    require(k >= 1, s"k must be >= 1: $k")
+    val a = BigInt(pMilli); val b = BigInt(1000)
+    val den = b.pow(k) - a.pow(k)
+    (1 to k).map { d =>
+      ((BigInt(1000000) * (b - a) * a.pow(d - 1) * b.pow(k - d)) / den).toLong
+    }
+  }
+
+  /**
+   * Rank-biased overlap (Webber et al. 2010), truncated at depth `k`,
+   * between two rankers' per-query top lists — "do these rankers agree,
+   * weighted toward the top" with a tunable patience `p` (depth d
+   * carries weight ∝ p^(d−1)): the ranking-comparison number behind
+   * "can the cheap ranker replace the expensive one", where plain
+   * set-recall ignores ORDER and Spearman needs both lists complete.
+   * Inputs are two `(queryCol, idCol, rankCol)` frames (ranks 1-based,
+   * e.g. [[Similarity.bruteForceTopK]] output); rows past `k` are
+   * ignored.
+   *
+   * Exact arithmetic: rbo_micro = Σ_d (W_d · |S_d ∩ T_d|) div d with
+   * [[rboWeightsMicro]] literals — per-depth floor, mirrored verbatim
+   * by the oracle. Overlap counts come from ONE equi-join on
+   * (query, id) — a doc in both prefixes contributes to every depth ≥
+   * max(rank_A, rank_B) via a k-row broadcast depth table, so the
+   * shuffle carries only the intersection pairs, never |corpus| rows.
+   * Queries with disjoint lists score 0 (kept via a left join from
+   * ranker A's query set). Output: `(queryCol, overlap_k, rbo_micro)`.
+   */
+  def rboMicro(rankA: DataFrame, rankB: DataFrame, queryCol: String,
+      idCol: String, rankCol: String, pMilli: Int, k: Int): DataFrame = {
+    val w = rboWeightsMicro(pMilli, k)
+    val spark = rankA.sparkSession
+    import spark.implicits._
+    val depths = broadcast(
+      w.zipWithIndex.map { case (wd, i) => (i + 1L, wd) }.toDF("__d", "__w"))
+    val a = rankA.select(col(queryCol), col(idCol), col(rankCol).as("__ra"))
+      .where(col("__ra") <= k)
+    val b = rankB.select(col(queryCol), col(idCol), col(rankCol).as("__rb"))
+      .where(col("__rb") <= k)
+    val pairs = a.join(b, Seq(queryCol, idCol))
+      .select(col(queryCol), greatest(col("__ra"), col("__rb")).as("__m"))
+    val perDepth = pairs.join(depths, col("__m") <= col("__d"))
+      .groupBy(col(queryCol), col("__d"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val per = perDepth.groupBy(col(queryCol))
+      .agg(sum(expr("(__w * __c) div __d")).as("__rbo"),
+        max(when(col("__d") === k, col("__c"))).as("__ok"))
+    a.select(col(queryCol)).distinct()
+      .join(per, Seq(queryCol), "left")
+      .select(col(queryCol),
+        coalesce(col("__ok"), lit(0L)).as("overlap_k"),
+        coalesce(col("__rbo"), lit(0L)).as("rbo_micro"))
+  }
 }

@@ -210,6 +210,62 @@ class PrivacySpec extends SparkSuite {
     assert(maxPer.forall(_ <= 3))
   }
 
+  test("randomizedResponse: no flips at p=1000; flip rate near 1-p; deterministic") {
+    val cats = Seq("a", "b", "c")
+    val df = (0L until 2000L).map(i => (i, Seq("a", "a", "b", "c")((i % 4).toInt)))
+      .toDF("id", "cat")
+    val pure = Privacy.randomizedResponse(df, "cat", "id", cats, pMilli = 1000, "s")
+      .where(col("reported") =!= col("cat")).count()
+    assert(pure == 0L)
+    val noisy = Privacy.randomizedResponse(df, "cat", "id", cats, pMilli = 750, "s")
+    val flips = noisy.where(col("reported") =!= col("cat")).count()
+    assert(flips > 2000 * 0.20 && flips < 2000 * 0.30, s"flip count $flips")
+    // sticky: a re-run reports identically (same salt => same draws)
+    val again = Privacy.randomizedResponse(df, "cat", "id", cats, pMilli = 750, "s")
+      .select("id", "reported").as[(Long, String)].collect().toMap
+    val first = noisy.select("id", "reported").as[(Long, String)].collect().toMap
+    assert(first == again)
+    // reported values stay inside the public domain
+    assert(noisy.where(!col("reported").isin(cats: _*)).count() == 0L)
+  }
+
+  test("randomizedResponse raises on a category outside the public domain") {
+    val df = Seq((1L, "a"), (2L, "zz")).toDF("id", "cat")
+    val e = intercept[Exception] {
+      Privacy.randomizedResponse(df, "cat", "id", Seq("a", "b"), 500, "s").collect()
+    }
+    val full = { val sw = new java.io.StringWriter
+      e.printStackTrace(new java.io.PrintWriter(sw)); sw.toString }
+    assert(full.contains("outside the public domain"), s"wrong failure: ${e.getMessage}")
+  }
+
+  test("rrFrequencyEstimate: telescoping sum, debias tracks truth, uninformative p rejected") {
+    val cats = Seq("a", "b", "c")
+    // skewed truth: a=1000, b=600, c=400
+    val df = (0L until 2000L).map { i =>
+      (i, if (i < 1000) "a" else if (i < 1600) "b" else "c")
+    }.toDF("id", "cat")
+    val est = Privacy.rrFrequencyEstimate(df, "cat", "id", cats, 750, "s")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // sum of floors lands in (n - K, n]
+    val s = est.values.map(_._2).sum
+    assert(s > 2000L - 3 && s <= 2000L, s"estimates sum $s")
+    // the debiased estimate tracks the true skew (deterministic draws,
+    // so this is a fixed value, not a flaky statistical assertion)
+    assert(math.abs(est("a")._2 - 1000L) < 150, s"a: ${est("a")}")
+    assert(math.abs(est("b")._2 - 600L) < 150, s"b: ${est("b")}")
+    assert(math.abs(est("c")._2 - 400L) < 150, s"c: ${est("c")}")
+    // p at the uniform channel (pK = 1000) is uninformative: refuse
+    val e = intercept[IllegalArgumentException] {
+      Privacy.rrFrequencyEstimate(df, "cat", "id", cats, 333, "s")
+    }
+    assert(e.getMessage.contains("uninformative"))
+    // exact recovery at p=1000
+    val exact = Privacy.rrFrequencyEstimate(df, "cat", "id", cats, 1000, "s")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(exact == Map("a" -> 1000L, "b" -> 600L, "c" -> 400L))
+  }
+
   test("contributionAudit: hand-checked raw/clipped/dropped and the user census") {
     val out = Privacy.contributionAudit(
         contrib, "user", "typ", Seq(col("ts"), col("id")), cap = 3)

@@ -621,4 +621,49 @@ class SimilarityTextSpec extends SparkSuite {
     val df = Seq(Tuple1("abc123,def")).toDF("text")
     assert(df.select(TextAnalysis.subTokenCount(col("text"))).as[Int].head() == 4)
   }
+
+  test("rboWeightsMicro: exact rational weights, decreasing, sum ~1e6") {
+    // p=1/2, k=2: w1 = 1e6*500*1000/750000 = 666666, w2 = 333333
+    assert(graft.ops.Retrieval.rboWeightsMicro(500, 2) == Seq(666666L, 333333L))
+    val w = graft.ops.Retrieval.rboWeightsMicro(900, 10)
+    assert(w == w.sorted.reverse && w.distinct == w, s"not strictly decreasing: $w")
+    val s = w.sum
+    assert(s <= 1000000L && s > 1000000L - 10L, s"weights sum $s")
+  }
+
+  test("rboMicro: hand-computed overlap, identical = weight sum, disjoint = 0") {
+    import graft.ops.Retrieval
+    // query q1: A = x,y,z; B = y,x,z -> c = (0, 2, 3)
+    // p=1/2, k=3 weights (571428, 285714, 142857):
+    // rbo = 0 + (285714*2) div 2 + (142857*3) div 3 = 428571
+    // q2: identical lists -> sum of weights = 999999
+    // q3: disjoint lists -> kept with 0
+    val a = Seq(("q1", 10L, 1), ("q1", 11L, 2), ("q1", 12L, 3),
+      ("q2", 20L, 1), ("q2", 21L, 2), ("q2", 22L, 3),
+      ("q3", 30L, 1), ("q3", 31L, 2), ("q3", 32L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val b = Seq(("q1", 11L, 1), ("q1", 10L, 2), ("q1", 12L, 3),
+      ("q2", 20L, 1), ("q2", 21L, 2), ("q2", 22L, 3),
+      ("q3", 40L, 1), ("q3", 41L, 2), ("q3", 42L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Retrieval.rboMicro(a, b, "query_id", "neighbor_id", "rank",
+        pMilli = 500, k = 3)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("q1") == ((3L, 428571L)), s"q1: ${out("q1")}")
+    assert(out("q2") == ((3L, 999999L)), s"q2: ${out("q2")}")
+    assert(out("q3") == ((0L, 0L)), s"q3: ${out("q3")}")
+  }
+
+  test("rboMicro ignores rows past k and is layout-independent") {
+    import graft.ops.Retrieval
+    // rank-4 rows must not contribute even when they agree
+    val a = Seq(("q", 1L, 1), ("q", 2L, 2), ("q", 3L, 3), ("q", 9L, 4))
+      .toDF("query_id", "neighbor_id", "rank").repartition(4)
+    val b = Seq(("q", 1L, 1), ("q", 2L, 2), ("q", 3L, 3), ("q", 9L, 4))
+      .toDF("query_id", "neighbor_id", "rank").repartition(3)
+    val w3 = Retrieval.rboWeightsMicro(500, 3).sum
+    val r = Retrieval.rboMicro(a, b, "query_id", "neighbor_id", "rank", 500, 3)
+      .as[(String, Long, Long)].head()
+    assert(r == (("q", 3L, w3)), s"got $r")
+  }
 }
