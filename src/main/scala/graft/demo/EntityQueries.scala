@@ -2872,6 +2872,50 @@ object EntityQueries {
       graft.ops.Graph.kCore(edges, k = 8, rounds = 3)
     },
 
+    // 4-truss of the co-order subgraph: every surviving EDGE sits in
+    // >= 2 triangles — the edge-grain cohesion screen (a bridge edge
+    // between dense communities peels immediately even when k-core
+    // keeps it). Two peel rounds, (degree, id)-oriented triangle
+    // enumeration per round mirrored CTE-for-CTE; hot CTEs
+    // MATERIALIZED (DuckDB re-inlines iterative graph chains
+    // exponentially otherwise — the louvain oracle lesson)
+    QuerySpec("graph_ktruss", {
+      def round(i: Int, prev: String) =
+        raw"""dg$i AS MATERIALIZED (SELECT src, count(*) AS deg FROM $prev GROUP BY 1),
+             |f$i AS MATERIALIZED (SELECT e.src AS a, e.dst AS b FROM $prev e
+             |  JOIN dg$i da ON da.src = e.src JOIN dg$i db ON db.src = e.dst
+             |  WHERE da.deg < db.deg OR (da.deg = db.deg AND e.src < e.dst)),
+             |tri$i AS MATERIALIZED (SELECT p.a AS x, p.b AS y, q.b AS z
+             |  FROM f$i p JOIN f$i q ON p.a = q.a AND p.b <> q.b
+             |  JOIN f$i r ON r.a = p.b AND r.b = q.b),
+             |sup$i AS (SELECT a, b, count(*) AS s FROM (
+             |  SELECT x AS a, y AS b FROM tri$i UNION ALL SELECT x, z FROM tri$i
+             |  UNION ALL SELECT y, z FROM tri$i) GROUP BY 1, 2),
+             |keep$i AS MATERIALIZED (SELECT f$i.a, f$i.b,
+             |    coalesce(sup$i.s, 0) AS support
+             |  FROM f$i LEFT JOIN sup$i ON sup$i.a = f$i.a AND sup$i.b = f$i.b
+             |  WHERE coalesce(sup$i.s, 0) >= 2),
+             |sym$i AS (SELECT a AS src, b AS dst FROM keep$i
+             |  UNION ALL SELECT b, a FROM keep$i)""".stripMargin
+      raw"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           |            WHERE l_partkey % 20 = 0),
+           |sym0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst
+           |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+           |       AND a.l_partkey <> b.l_partkey
+           |      GROUP BY 1, 2),
+           |${round(1, "sym0")},
+           |${round(2, "sym1")}
+           |SELECT least(a, b) AS src, greatest(a, b) AS dst,
+           |  CAST(support AS BIGINT) AS support
+           |FROM keep2""".stripMargin
+    }) { (s, d) =>
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .where(col("l_partkey") % 20 === 0)
+      graft.ops.Graph.kTruss(
+        graft.ops.Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey"),
+        k = 4, rounds = 2)
+    },
+
     // exactly-100 deterministic global sample (smallest key hashes) —
     // the eval-set contract a binomial fraction gate can't give;
     // plans as distributed top-n heaps, never a global sort

@@ -873,6 +873,76 @@ object Graph {
   }
 
   /**
+   * Bounded-round k-truss peel (Cohen 2008): the subgraph in which
+   * every EDGE sits inside at least `k−2` triangles — the edge-grain
+   * tightening of [[kCore]]'s node-degree criterion, and the standard
+   * cohesive-subgraph primitive between "connected" (too loose) and
+   * "clique" (too rigid). A bridge edge between two dense communities
+   * has support 0 and peels immediately even when both endpoints pass
+   * any degree screen — exactly the boilerplate-bridge edge a near-dup
+   * community analysis wants cut.
+   *
+   * Per round: triangle enumeration on the CURRENT subgraph via the
+   * [[triangleCounts]] (degree, id)-orientation (each undirected edge
+   * survives in exactly one direction, wedges form only at the
+   * lowest-ordered vertex — the skew bound), per-edge support as one
+   * aggregate over the three edge projections of the triangle list,
+   * then the filter. `rounds` bounds the loop like [[kCore]]; a peel
+   * that removes nothing is a fixed point, so the reported support —
+   * computed in the FINAL round's enumeration, i.e. the support that
+   * justified survival — is stable once converged.
+   *
+   * Lineage cuts are MANDATORY here, not optional (the round-11 rule's
+   * expensive-re-executed-subtree case, measured the hard way): the
+   * oriented frame feeds three triangle-join legs, three support
+   * projections and the survivor join, and the survivor frame feeds
+   * both next-round directions — uncut, each round multiplies the
+   * whole upstream ~7×, compounding per round (506 s at sf0.01 for two
+   * rounds; ~8 s with the cuts).
+   *
+   * Input: symmetric `(src, dst)` edges. Output: canonical
+   * `(src < dst, support)` rows of the peeled subgraph.
+   */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    import graft.recon.Checkpoints.cut
+    var cur = edges.select(col("src"), col("dst"))
+    var kept: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val deg = cur.groupBy("src").agg(count(lit(1)).as("__deg"))
+      // one materialized oriented frame per round: 7 consumers below
+      val f = cut(cur
+        .join(deg.select(col("src").as("__ua"), col("__deg").as("__da")),
+          col("src") === col("__ua"))
+        .join(deg.select(col("src").as("__ub"), col("__deg").as("__db")),
+          col("dst") === col("__ub"))
+        .where(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("src") < col("dst")))
+        .select(col("src").as("a"), col("dst").as("b")))
+      // triangle list consumed by three support projections
+      val tri = cut(f.select(col("a"), col("b").as("y"))
+        .join(f.select(col("a"), col("b").as("z")), Seq("a"))
+        .where(col("y") =!= col("z"))
+        .join(f.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"))
+        .select(col("a").as("x"), col("y"), col("z")))
+      val sup = tri.select(col("x").as("a"), col("y").as("b"))
+        .unionAll(tri.select(col("x").as("a"), col("z").as("b")))
+        .unionAll(tri.select(col("y").as("a"), col("z").as("b")))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+      // survivors feed both next-round directions (and the final output)
+      kept = cut(f.join(sup, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("support"), lit(0L)).as("support"))
+        .where(col("support") >= (k - 2).toLong))
+      cur = kept.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(kept.select(col("b").as("src"), col("a").as("dst")))
+    }
+    kept.select(least(col("a"), col("b")).as("src"),
+      greatest(col("a"), col("b")).as("dst"), col("support"))
+  }
+
+  /**
    * Bounded-hop BFS: minimum hop distance from a SEED set, out to
    * `maxHops` — "what is within k clicks/copies/co-orders of this
    * set", the blast-radius query behind contamination spread and

@@ -498,4 +498,44 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect().toSet
     assert(full == Set((1L, 2L, 1000L), (1L, 3L, 1000L), (2L, 3L, 1000L)))
   }
+
+  test("kTruss: pendant triangle and bridge peel at k=4, K4 survives with support 2") {
+    // K4 on {0,1,2,3} (every edge in 2 triangles) + a pendant triangle
+    // {0,10,11} (each edge in 1) + a bridge 3-20 (support 0)
+    val k4 = for (u <- 0L to 3L; v <- 0L to 3L if u < v) yield (u, v)
+    val und = k4 ++ Seq((0L, 10L), (0L, 11L), (10L, 11L), (3L, 20L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.kTruss(edges, k = 4, rounds = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == k4.map { case (u, v) => (u, v, 2L) }.toSet, s"got $out")
+  }
+
+  test("kTruss: k=3 keeps every triangle edge, still drops the bridge") {
+    val k4 = for (u <- 0L to 3L; v <- 0L to 3L if u < v) yield (u, v)
+    val und = k4 ++ Seq((0L, 10L), (0L, 11L), (10L, 11L), (3L, 20L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst").repartition(5)
+    val out = Graph.kTruss(edges, k = 3, rounds = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out.keySet == (k4 ++ Seq((0L, 10L), (0L, 11L), (10L, 11L))).toSet,
+      s"got ${out.keySet}")
+    // pendant-triangle edges carry support exactly 1
+    assert(out((0L, 10L)) == 1L && out((10L, 11L)) == 1L)
+  }
+
+  test("kTruss: a second round peels what round one's removals expose") {
+    // chain of two triangles sharing edge (1,2): {0,1,2} and {1,2,3},
+    // plus a third triangle {3,4,5} glued by edge (3,4)... at k=4 every
+    // edge has support <= 2 only on (1,2); one round leaves nothing
+    // with support >= 2 except where both triangles survive — after
+    // round 1 all edges of support 1 are gone, which kills (1,2)'s
+    // triangles, so round 2 empties the graph entirely
+    val und = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r1 = Graph.kTruss(edges, k = 4, rounds = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r1 == Set((1L, 2L, 2L)), s"round 1: $r1") // only the shared edge
+    val r2 = Graph.kTruss(edges, k = 4, rounds = 2)
+    assert(r2.count() == 0L, "the exposed shared edge must peel in round 2")
+  }
 }
