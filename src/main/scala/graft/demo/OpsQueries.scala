@@ -1211,6 +1211,36 @@ object OpsQueries {
         nShards = 8, windowMs = 300000L)
     },
 
+    // local-DP ingest ledger: randomized response BEFORE any
+    // aggregation (the collector's windowed counts only ever hold
+    // REPORTED types — the stream twin runs the same projection
+    // stateless under readStream, spec'd batch ≡ replay). Same channel
+    // as privacy_local_rr, per 5-min tumbling window
+    QuerySpec("stream_local_rr", {
+      val cats = Seq("click", "error", "purchase", "signup", "view") // sorted
+      val branches = cats.map { c =>
+        val others = cats.filterNot(_ == c).map(o => s"'$o'").mkString(", ")
+        s"WHEN '$c' THEN [$others][CAST(ha + 1 AS INT)]"
+      }.mkString("\n           |            ")
+      raw"""WITH r AS (SELECT ts, event_type,
+           |        ('0x' || substr(md5('r15srr:keep:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           |          % 1000 AS hk,
+           |        ('0x' || substr(md5('r15srr:alt:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           |          % 4 AS ha
+           |      FROM events),
+           |rep AS (SELECT ts, CASE WHEN hk < 750 THEN event_type
+           |          ELSE CASE event_type
+           |            $branches
+           |          END END AS reported FROM r)
+           |SELECT epoch_ms(ts) - epoch_ms(ts) % 300000 AS window_start,
+           |  reported, count(*) AS n_reported
+           |FROM rep GROUP BY 1, 2""".stripMargin
+    }) { (s, d) =>
+      graft.streaming.EventPipeline.rrRouteCounts(events(s, d),
+        Seq("click", "error", "purchase", "signup", "view"),
+        pMilli = 750, salt = "r15srr", windowMs = 300000L)
+    },
+
     // ENGINE-NATIVE session windows (Catalyst session_window, the same
     // groupBy that runs under readStream with state-store merge): merge
     // iff gap STRICTLY under 10 min (an event exactly at a window's end

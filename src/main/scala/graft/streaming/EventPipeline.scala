@@ -188,6 +188,43 @@ object EventPipeline {
         col("shard"), col("n_events"), col("cents"))
 
   /**
+   * Local-DP ingest accounting, batch form: every event's type passes
+   * through Warner randomized response
+   * ([[graft.ops.Privacy.randomizedResponse]]) BEFORE any aggregation —
+   * the collector's ledger only ever holds REPORTED categories, the
+   * whole point of the local model — then per tumbling window ×
+   * reported type, a count. Downstream debiasing
+   * ([[graft.ops.Privacy.rrFrequencyEstimate]]'s channel inversion) is
+   * a deterministic function of these rows per window. The response is
+   * a stateless per-row projection (sticky md5 draws), so the only
+   * state is the windowed count aggregation.
+   */
+  def rrRouteCounts(events: DataFrame, categories: Seq[String], pMilli: Int,
+      salt: String, windowMs: Long): DataFrame =
+    graft.ops.Privacy.randomizedResponse(events, "event_type", "event_id",
+        categories, pMilli, salt)
+      .withColumn("__ms", unix_millis(col("ts").cast("timestamp")))
+      .withColumn("window_start", col("__ms") - pmod(col("__ms"), lit(windowMs)))
+      .groupBy(col("window_start"), col("reported"))
+      .agg(count(lit(1)).as("n_reported"))
+
+  /** [[rrRouteCounts]] under `readStream`: the randomized response rides
+    * the stream as a stateless projection (the true category never
+    * reaches the state store, let alone the sink); state is one windowed
+    * count — ≤ windows·|categories| open groups. */
+  def rrRouteStream(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType, categories: Seq[String],
+      pMilli: Int, salt: String, windowSec: Int): DataFrame =
+    graft.ops.Privacy.randomizedResponse(
+        spark.readStream.schema(schema).parquet(sourceDir)
+          .withWatermark("ts", "10 minutes"),
+        "event_type", "event_id", categories, pMilli, salt)
+      .groupBy(window(col("ts"), s"$windowSec seconds"), col("reported"))
+      .agg(count(lit(1)).as("n_reported"))
+      .select(unix_millis(col("window.start")).as("window_start"),
+        col("reported"), col("n_reported"))
+
+  /**
    * Gap-based sessionization, batch form: a new session starts when the
    * user's inter-event gap exceeds `gapMs`. One shuffle on user_id; the
    * per-user window sort is the standard lag+cumsum sessionizer.

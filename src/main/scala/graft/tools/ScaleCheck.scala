@@ -68,7 +68,12 @@ object ScaleCheck {
     // never grow with node space) and the unigram soft-EM step (its
     // lattice DP must stay a vocab-sized fold — the corpus only ever
     // touches wordCounts)
-    "graph_louvain_hierarchy", "vocab_unigram_em")
+    "graph_louvain_hierarchy", "vocab_unigram_em",
+    // round-15 second sitting: the k-truss peel (per-round triangle
+    // enumeration over the shrinking subgraph — the cut-mandatory
+    // shape whose uncut draft measured 506 s at sf0.01; its growth
+    // trend guards against the wedge join going super-linear)
+    "graph_ktruss")
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

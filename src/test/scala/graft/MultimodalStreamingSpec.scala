@@ -514,6 +514,28 @@ class MultimodalStreamingSpec extends SparkSuite {
     assert(got.toSeq.map(_._3).sum == eventsDf.count())
   }
 
+  test("rrRouteStream equals batch rrRouteCounts on a replay; truth never surfaces") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rr").toFile
+    eventsDf.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val cats = Seq("click", "purchase", "view")
+    val stream = EventPipeline.rrRouteStream(spark, dir.getAbsolutePath,
+      eventsDf.schema, cats, pMilli = 700, salt = "t", windowSec = 300)
+    val q = stream.writeStream.format("memory").queryName("rr_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("rr_out")
+      .select("window_start", "reported", "n_reported")
+      .as[(Long, String, Long)].collect().toSet
+    val batch = EventPipeline.rrRouteCounts(eventsDf, cats,
+        pMilli = 700, salt = "t", windowMs = 300000L)
+      .select("window_start", "reported", "n_reported")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == batch && got.nonEmpty, s"stream $got != batch $batch")
+    // the ledger only holds domain categories, and all events are counted
+    assert(got.forall(r => cats.contains(r._2)))
+    assert(got.toSeq.map(_._3).sum == eventsDf.count())
+  }
+
   test("sessionPaths: gap-split sessions with struct-sorted deterministic paths") {
     // user 1: 0:00 click, 0:03 view (one session, gap 10 min), then
     // 0:30 purchase (new session); layout must not affect path order
