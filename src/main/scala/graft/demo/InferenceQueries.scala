@@ -306,8 +306,8 @@ object InferenceQueries {
            |  SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']))
            |SELECT cats.event_type,
            |  CAST(coalesce(obs.n_reported, 0) AS BIGINT) AS n_reported,
-           |  CAST((1000 * 4 * coalesce(obs.n_reported, 0) - tot.n * 250) // 2750
-           |    AS BIGINT) AS n_est
+           |  CAST((1000 * 4 * CAST(coalesce(obs.n_reported, 0) AS HUGEINT)
+           |    - CAST(tot.n AS HUGEINT) * 250) // 2750 AS BIGINT) AS n_est
            |FROM cats LEFT JOIN obs USING (event_type) CROSS JOIN tot""".stripMargin
     }) { (s, d) =>
       graft.ops.Privacy.rrFrequencyEstimate(OpsQueries.events(s, d),

@@ -380,9 +380,14 @@ object Privacy {
     cats.join(obs, Seq(catCol), "left")
       .withColumn("n_reported", coalesce(col("n_reported"), lit(0L)))
       .crossJoin(broadcast(tot))
+      // DECIMAL(38,0) numerator: 1000·(K−1)·y reaches 10¹⁹ already at a
+      // 10¹³-row corpus with a 10³-category domain — the Long-wrap class
+      // the exact-integer convention forbids (Spark wraps silently where
+      // a BIGINT oracle raises)
       .select(col(catCol), col("n_reported"),
-        expr(s"(1000 * ${k - 1} * n_reported - __n * ${1000L - pMilli}) div $den")
-          .as("n_est"))
+        expr(s"""(1000 * ${k - 1} * CAST(n_reported AS DECIMAL(38,0))
+                |  - CAST(__n AS DECIMAL(38,0)) * ${1000L - pMilli}) div $den"""
+          .stripMargin).as("n_est"))
   }
 
   /** Discrete-Laplace(ε=1) CDF thresholds scaled by 2^60 for noise
