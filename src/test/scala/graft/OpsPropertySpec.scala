@@ -251,4 +251,76 @@ class OpsPropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("property: range-shard assignment is monotone and balanced for any value list") {
+    val genVals: Gen[List[Long]] =
+      Gen.chooseNum(8, 120).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-1000L, 1000L)))
+    forSeeds(genVals, 8) { vals =>
+      val df = vals.toDF("v")
+      val k = 4
+      val assigned = graft.ops.Sharding.rangeAssign(df, "v", k)
+        .select("v", "shard").as[(Long, Long)].collect().sortBy(_._1)
+      // monotone in the key — THE range invariant, duplicates included
+      assert(assigned.map(_._2).toSeq == assigned.map(_._2).sorted.toSeq,
+        s"non-monotone on $vals")
+      // every shard's load is bounded by n/k plus its largest duplicate
+      // run (a dup straddling a quantile lands whole in one shard)
+      val n = vals.size
+      val maxRun = vals.groupBy(identity).values.map(_.size).max
+      val sizes = assigned.groupBy(_._2).view.mapValues(_.size)
+      sizes.foreach { case (s, sz) =>
+        assert(sz <= n / k + maxRun + 1,
+          s"shard $s holds $sz of $n (maxRun $maxRun) on $vals")
+      }
+    }
+  }
+
+  test("property: RR estimates telescope to n for any skew and any informative p") {
+    val cats = Seq("a", "b", "c", "d")
+    val genCase: Gen[(List[Int], Int)] = for {
+      weights <- Gen.listOfN(4, Gen.chooseNum(0, 50))
+      p <- Gen.chooseNum(300, 1000) // pK > 1000 for K=4 needs p > 250
+    } yield (weights, p)
+    forSeeds(genCase, 6) { case (weights, p) =>
+      val rows = weights.zip(cats).flatMap { case (w, c) => List.fill(w)(c) }
+        .zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      if (rows.nonEmpty) {
+        val df = rows.toDF("id", "cat")
+        val est = graft.ops.Privacy
+          .rrFrequencyEstimate(df, "cat", "id", cats, p, "ps")
+          .select("n_est").as[Long].collect()
+        val n = rows.size.toLong
+        // exact before flooring; each of the K floors loses < 1
+        assert(est.sum > n - cats.size && est.sum <= n,
+          s"sum ${est.sum} for n=$n, weights=$weights, p=$p")
+      }
+    }
+  }
+
+  test("property: RBO is bounded by the weight sum and exact on self-comparison") {
+    val genRanks: Gen[List[Long]] =
+      Gen.chooseNum(1, 8).flatMap(n => Gen.pick(n, 0L until 20L).map(_.toList))
+    forSeeds(Gen.zip(genRanks, genRanks), 6) { case (la, lb) =>
+      def rdf(l: List[Long]) = l.zipWithIndex
+        .map { case (id, i) => ("q", id, i + 1) }
+        .toDF("query_id", "neighbor_id", "rank")
+      val k = 5
+      val wSum = graft.ops.Retrieval.rboWeightsMicro(800, k).sum
+      val cross = graft.ops.Retrieval
+        .rboMicro(rdf(la), rdf(lb), "query_id", "neighbor_id", "rank", 800, k)
+        .select("rbo_micro").as[Long].head()
+      assert(cross >= 0L && cross <= wSum, s"rbo $cross out of [0, $wSum] for $la vs $lb")
+      val self = graft.ops.Retrieval
+        .rboMicro(rdf(la), rdf(la), "query_id", "neighbor_id", "rank", 800, k)
+        .select("rbo_micro").as[Long].head()
+      // identical lists: overlap at depth d is min(d, |list|), so the
+      // score is the closed-form Σ (W_d·min(d,m)) div d — exactly W_d
+      // while the list covers the depth, a floored fraction beyond it
+      val m = math.min(la.size, k)
+      val expect = graft.ops.Retrieval.rboWeightsMicro(800, k).zipWithIndex
+        .map { case (w, i) => (w * math.min(i + 1, m)) / (i + 1) }.sum
+      assert(self == expect, s"self-RBO $self != $expect for $la")
+    }
+  }
 }
