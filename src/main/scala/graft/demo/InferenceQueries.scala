@@ -401,13 +401,18 @@ object InferenceQueries {
            |            // (CAST(n AS HUGEINT) * n - qq)
            |       END AS BIGINT) AS kappa_milli
            |FROM q""".stripMargin) { (s, d) =>
-      val dd = s.read.parquet(s"$d/documents.parquet")
-      val g = graft.ops.TextAnalysis.gopherFilters(dd, "text", "doc_id")
-        .join(dd.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-      graft.ops.Profiling.cohenKappaMilli(g,
+      // both judges read the SAME row, so the whole query is one scan +
+      // one 1-row aggregate — the gopherFilters-then-self-join draft
+      // paid a doc_id join of two corpus-sized sides for nothing
+      val words = graft.ops.TextAnalysis.tokens(col("text"))
+      val nWords = size(words).cast("long")
+      val mwl = when(nWords === 0, lit(0.0d))
+        .otherwise(aggregate(words, lit(0L), (acc, w) => acc + length(w))
+          .cast("double") / nWords.cast("double"))
+      graft.ops.Profiling.cohenKappaMilli(
+        s.read.parquet(s"$d/documents.parquet"),
         col("n_chars").between(150L, 400L),
-        col("n_words").between(30L, 75L) &&
-          col("mean_word_len").between(4.0d, 5.0d))
+        nWords.between(30L, 75L) && mwl.between(4.0d, 5.0d))
     },
 
     // is language mix independent of source? Full contingency audit —
