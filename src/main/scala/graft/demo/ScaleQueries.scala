@@ -86,6 +86,49 @@ object ScaleQueries {
         Sampling.hashSplit(docs(s, d), "doc_id", Splits), "split", "lang")
     },
 
+    // raking / iterative proportional fitting: ONE weight column that
+    // hits the language targets AND the source targets simultaneously
+    // (sequential one-dim mixes undo each other). Three alternating
+    // row/col scaling rounds in exact micro weights, every floor
+    // mirrored; achieved marginal shares reported against the target
+    // total, so unreachable targets surface as shares under 1000
+    QuerySpec("text_rake_weights", {
+      val langT = Seq("de", "en", "es", "fr", "zh").map(_ -> 200L)
+      val srcT = (0 until 20).map(i => s"src$i" -> 50L)
+      def values(t: Seq[(String, Long)]) =
+        t.map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+      def step(i: Int, prev: String, part: String, tcol: String) =
+        raw"""r$i AS (SELECT *, sum(CAST(n AS HUGEINT) * w) OVER (PARTITION BY $part) AS cur
+             |        FROM $prev),
+             |w$i AS (SELECT lang, source, n, tr, tc, ntot,
+             |          CASE WHEN cur > 0 THEN (w * $tcol * ntot * 1000) // cur
+             |               ELSE 0 END AS w
+             |        FROM r$i)""".stripMargin
+      val steps = (1 to 3).flatMap { r =>
+        Seq(step(2 * r - 1, s"w${2 * r - 2}", "lang", "tr"),
+          step(2 * r, s"w${2 * r - 1}", "source", "tc"))
+      }.mkString(",\n           |")
+      raw"""WITH cells AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+           |tot AS (SELECT sum(n) AS ntot FROM cells),
+           |tr(lang, tr) AS (SELECT * FROM (VALUES ${values(langT)})),
+           |tc(source, tc) AS (SELECT * FROM (VALUES ${values(srcT)})),
+           |w0 AS (SELECT cells.lang, cells.source, cells.n, tr.tr, tc.tc, tot.ntot,
+           |         CAST(1000000 AS HUGEINT) AS w
+           |       FROM cells JOIN tr USING (lang) JOIN tc USING (source) CROSS JOIN tot),
+           |$steps,
+           |f AS (SELECT *, sum(CAST(n AS HUGEINT) * w) OVER (PARTITION BY lang) AS mr,
+           |        sum(CAST(n AS HUGEINT) * w) OVER (PARTITION BY source) AS mc
+           |      FROM w6)
+           |SELECT lang, source, CAST(n AS BIGINT) AS n, CAST(w AS BIGINT) AS weight_micro,
+           |  CAST((1000 * mr) // (CAST(ntot AS HUGEINT) * 1000000) AS BIGINT) AS row_share_milli,
+           |  CAST((1000 * mc) // (CAST(ntot AS HUGEINT) * 1000000) AS BIGINT) AS col_share_milli
+           |FROM f""".stripMargin
+    }) { (s, d) =>
+      Sampling.rakeWeights(docs(s, d), "lang", "source",
+        Seq("de", "en", "es", "fr", "zh").map(_ -> 200L),
+        (0 until 20).map(i => s"src$i" -> 50L), rounds = 3)
+    },
+
     // LEAKAGE-FREE split: hash-split on the near-dup COMPONENT label
     // instead of the doc id, so a train doc can never have a near-copy
     // in val/test (the classic eval-leak at corpus scale — per-doc

@@ -390,4 +390,95 @@ object Sampling {
       .where(keyHash(col(keyCol)) < col("__thr"))
       .drop("__thr")
   }
+
+  /**
+   * Raking / iterative proportional fitting (Deming & Stephan 1940):
+   * per-cell reweighting of a two-way contingency so the WEIGHTED
+   * marginals match BOTH target distributions simultaneously — the
+   * two-marginal generalization of [[mixtureResample]]'s one-stratum
+   * mix (hit the language targets AND the source targets with one
+   * weight column, where sequential one-dim mixes undo each other).
+   * Rounds alternate row and column scaling, `w ← w·T_r/cur_r`; each
+   * step lands its marginal exactly (up to floors) and the alternation
+   * converges geometrically on any cell table with enough support.
+   *
+   * Exact integer arithmetic: weights in MICRO, one floor division per
+   * scaling step, products cross-multiplied in DECIMAL(38,0) (mass
+   * `n·w` reaches 10¹⁹ already at a 10⁹-row corpus — past Long), so
+   * the oracle replays every floor bit-for-bit. An observed row/col
+   * value missing from the targets raises in-plan (a silent 0-target
+   * would quietly erase the cell); a target 0 legitimately suppresses.
+   * A target over a row/col with NO observed mass is unreachable —
+   * its mass stays 0 and the achieved-share columns show the miss
+   * (raking reallocates, it cannot invent rows).
+   *
+   * Cost shape: ONE corpus aggregate builds the cell table; every
+   * round is window arithmetic over that category-sized frame
+   * (partitioned by row/col value — never a global window), and the
+   * chain is linear (single consumer per step — no cuts needed).
+   * Output: `(rowCol, colCol, n, weight_micro, row_share_milli,
+   * col_share_milli)` where the shares are the ACHIEVED weighted
+   * marginals after `rounds`.
+   */
+  def rakeWeights(df: DataFrame, rowCol: String, colCol: String,
+      targetRowMilli: Seq[(String, Long)], targetColMilli: Seq[(String, Long)],
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    def checkTargets(t: Seq[(String, Long)], which: String): Unit = {
+      require(t.map(_._1).distinct.size == t.size, s"duplicate $which target keys")
+      require(t.forall(_._2 >= 0L), s"negative $which target")
+      require(t.map(_._2).sum == 1000L,
+        s"$which targets must sum to 1000, got ${t.map(_._2).sum}")
+    }
+    checkTargets(targetRowMilli, "row"); checkTargets(targetColMilli, "col")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val cells0 = df.groupBy(col(rowCol), col(colCol)).agg(count(lit(1)).as("n"))
+    def tDf(t: Seq[(String, Long)], key: String, v: String) =
+      broadcast(t.toDF(key, v))
+    def guarded(t: Column, key: Column, which: String): Column =
+      when(t.isNull, raise_error(concat(
+        lit(s"rakeWeights: $which value missing from targets: "), key)))
+        .otherwise(t)
+    val tot = cells0.agg(sum(col("n")).as("__N"))
+    val cells = cells0
+      .join(tDf(targetRowMilli, rowCol, "__tr"), Seq(rowCol), "left")
+      .join(tDf(targetColMilli, colCol, "__tc"), Seq(colCol), "left")
+      .select(col(rowCol), col(colCol), col("n"),
+        guarded(col("__tr"), col(rowCol), "row").as("__tr"),
+        guarded(col("__tc"), col(colCol), "col").as("__tc"))
+      .crossJoin(broadcast(tot))
+    val byRow = Window.partitionBy(col(rowCol))
+    val byCol = Window.partitionBy(col(colCol))
+    // micro weights; target row mass T_r = t_r·N·1000 in micro-mass
+    // units (total mass N·10⁶); every product in DECIMAL(38,0)
+    var w = cells.withColumn("__w", lit(1000000L))
+    def step(win: org.apache.spark.sql.expressions.WindowSpec,
+        tCol: String): DataFrame = {
+      val cur = sum(expr("CAST(n AS DECIMAL(38,0)) * __w")).over(win)
+      w.withColumn("__cur", cur)
+        .withColumn("__w",
+          when(col("__cur") > 0,
+            expr(s"(CAST(__w AS DECIMAL(38,0)) * $tCol * __N * 1000) div __cur"))
+            .otherwise(lit(0L)))
+        .drop("__cur")
+    }
+    for (_ <- 1 to rounds) { w = step(byRow, "__tr"); w = step(byCol, "__tc") }
+    // shares are reported against the TARGET total mass N·10⁶ (not the
+    // achieved total): with full support they coincide after the final
+    // column step, and with unreachable targets the shortfall shows up
+    // as shares not summing to 1000 — the honest readout, and it needs
+    // no global window (a whole-frame funnel PlanAudit rightly flags)
+    val mass = expr("CAST(n AS DECIMAL(38,0)) * __w")
+    w.withColumn("__m", mass)
+      .withColumn("__mr", sum(col("__m")).over(byRow))
+      .withColumn("__mc", sum(col("__m")).over(byCol))
+      .select(col(rowCol), col(colCol), col("n"),
+        col("__w").cast("long").as("weight_micro"),
+        expr("""CAST((1000 * __mr) div (CAST(__N AS DECIMAL(38,0)) * 1000000)
+               |  AS BIGINT)""".stripMargin).as("row_share_milli"),
+        expr("""CAST((1000 * __mc) div (CAST(__N AS DECIMAL(38,0)) * 1000000)
+               |  AS BIGINT)""".stripMargin).as("col_share_milli"))
+  }
 }

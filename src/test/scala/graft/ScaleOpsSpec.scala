@@ -260,6 +260,61 @@ class ScaleOpsSpec extends SparkSuite {
     }
   }
 
+  test("rakeWeights: hand-traced 2x2 round, floors included") {
+    // cells: (a,x)=2, (a,y)=1, (b,x)=1; N=4, all targets 500
+    // row step: w_a = (1e6*500*4*1000) div 3e6 = 666666; w_b = 2000000
+    // col step: cur_x = 2*666666 + 2000000 = 3333332
+    //   w_ax = (666666*2e6) div 3333332 = 399999
+    //   w_bx = (2000000*2e6) div 3333332 = 1200000
+    //   w_ay = (666666*2e6) div 666666 = 2000000 (exact)
+    val df = (Seq.fill(2)(("a", "x")) ++ Seq(("a", "y"), ("b", "x"))).toDF("r", "c")
+    val out = Sampling.rakeWeights(df, "r", "c",
+        Seq("a" -> 500L, "b" -> 500L), Seq("x" -> 500L, "y" -> 500L), rounds = 1)
+      .select("r", "c", "weight_micro").as[(String, String, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(out == Map(("a", "x") -> 399999L, ("a", "y") -> 2000000L,
+      ("b", "x") -> 1200000L), s"got $out")
+  }
+
+  test("rakeWeights converges to both marginals on a full-support skewed table") {
+    val counts = Seq(("a", "x", 30), ("a", "y", 5), ("a", "z", 10),
+      ("b", "x", 2), ("b", "y", 20), ("b", "z", 8),
+      ("c", "x", 6), ("c", "y", 9), ("c", "z", 40))
+    val df = counts.flatMap { case (r, c, n) => Seq.fill(n)((r, c)) }
+      .zipWithIndex.map { case ((r, c), i) => (i.toLong, r, c) }
+      .toDF("id", "r", "c").repartition(5)
+    val rows = Seq("a" -> 300L, "b" -> 300L, "c" -> 400L)
+    val cols = Seq("x" -> 250L, "y" -> 250L, "z" -> 500L)
+    val out = Sampling.rakeWeights(df, "r", "c", rows, cols, rounds = 6)
+      .select("r", "c", "row_share_milli", "col_share_milli")
+      .as[(String, String, Long, Long)].collect()
+    val rShare = out.map(t => t._1 -> t._3).toMap
+    val cShare = out.map(t => t._2 -> t._4).toMap
+    rows.foreach { case (r, t) =>
+      assert(math.abs(rShare(r) - t) <= 3, s"row $r: ${rShare(r)} vs $t") }
+    cols.foreach { case (c, t) =>
+      assert(math.abs(cShare(c) - t) <= 3, s"col $c: ${cShare(c)} vs $t") }
+  }
+
+  test("rakeWeights: zero target suppresses; missing target value raises; bad sums refused") {
+    val df = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("r", "c")
+    val sup = Sampling.rakeWeights(df, "r", "c",
+        Seq("a" -> 1000L, "b" -> 0L), Seq("x" -> 500L, "y" -> 500L), rounds = 2)
+      .where(col("r") === "b").select("weight_micro").as[Long].collect()
+    assert(sup.forall(_ == 0L))
+    val e = intercept[Exception] {
+      Sampling.rakeWeights(df, "r", "c",
+        Seq("a" -> 1000L), Seq("x" -> 500L, "y" -> 500L), rounds = 1).collect()
+    }
+    val full = { val sw = new java.io.StringWriter
+      e.printStackTrace(new java.io.PrintWriter(sw)); sw.toString }
+    assert(full.contains("missing from targets"), s"wrong failure: ${e.getMessage}")
+    intercept[IllegalArgumentException] {
+      Sampling.rakeWeights(df, "r", "c",
+        Seq("a" -> 600L, "b" -> 500L), Seq("x" -> 500L, "y" -> 500L), rounds = 1)
+    }
+  }
+
   test("temperatureResample flattens toward sqrt proportions; smallest stratum intact") {
     // 900 a / 400 b / 100 c → kept ≈ sqrt(n·100): 300 / 200 / 100
     val df = ((1 to 900).map(i => (s"a$i", "a")) ++ (1 to 400).map(i => (s"b$i", "b")) ++
