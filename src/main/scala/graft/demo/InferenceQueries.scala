@@ -1010,6 +1010,55 @@ object InferenceQueries {
       graft.ops.RobustStats.cupedExact(u, "metric", "x", "y")
     },
 
+    // difference-in-differences — the panel causal design beside CUPED
+    // and the A/B z-test: hash-assigned pseudo-treatment (the
+    // deterministic stand-in an events table without an experiment flag
+    // gets), pre/post at the global mid-timestamp, and the DiD
+    // estimate that cancels both the group level gap and the common
+    // time trend. Eight exact conditional sums in ONE pass; means and
+    // the estimate are one fixed-shape double expression
+    QuerySpec("events_did",
+      raw"""WITH e AS (SELECT
+           |        ('0x' || substr(md5('did:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           |          % 2 AS treat,
+           |        epoch_us(ts) AS us,
+           |        CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+           |bnd AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+           |f AS (SELECT treat, CASE WHEN us > mid THEN 1 ELSE 0 END AS post, cents
+           |      FROM e CROSS JOIN bnd),
+           |m AS (SELECT
+           |  sum(CASE WHEN treat = 1 AND post = 0 THEN 1 ELSE 0 END) AS n_t_pre,
+           |  sum(CASE WHEN treat = 1 AND post = 0 THEN CAST(cents AS HUGEINT) ELSE 0 END) AS s_t_pre,
+           |  sum(CASE WHEN treat = 1 AND post = 1 THEN 1 ELSE 0 END) AS n_t_post,
+           |  sum(CASE WHEN treat = 1 AND post = 1 THEN CAST(cents AS HUGEINT) ELSE 0 END) AS s_t_post,
+           |  sum(CASE WHEN treat = 0 AND post = 0 THEN 1 ELSE 0 END) AS n_c_pre,
+           |  sum(CASE WHEN treat = 0 AND post = 0 THEN CAST(cents AS HUGEINT) ELSE 0 END) AS s_c_pre,
+           |  sum(CASE WHEN treat = 0 AND post = 1 THEN 1 ELSE 0 END) AS n_c_post,
+           |  sum(CASE WHEN treat = 0 AND post = 1 THEN CAST(cents AS HUGEINT) ELSE 0 END) AS s_c_post
+           |  FROM f)
+           |SELECT CAST(n_t_pre AS BIGINT) AS n_t_pre, CAST(s_t_pre AS VARCHAR) AS s_t_pre,
+           |  CAST(n_t_post AS BIGINT) AS n_t_post, CAST(s_t_post AS VARCHAR) AS s_t_post,
+           |  CAST(n_c_pre AS BIGINT) AS n_c_pre, CAST(s_c_pre AS VARCHAR) AS s_c_pre,
+           |  CAST(n_c_post AS BIGINT) AS n_c_post, CAST(s_c_post AS VARCHAR) AS s_c_post,
+           |  CASE WHEN n_t_pre > 0 AND n_t_post > 0 AND n_c_pre > 0 AND n_c_post > 0
+           |       THEN (CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+           |             - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+           |            - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+           |               - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE))
+           |       END AS did
+           |FROM m""".stripMargin) { (s, d) =>
+      val e = OpsQueries.events(s, d)
+        .select(pmod(graft.ops.Sampling.keyHash(
+            concat(lit("did:"), col("user_id").cast("string"))), lit(2L)).as("treat"),
+          expr("unix_micros(ts)").as("us"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val bnd = e.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val f = e.crossJoin(broadcast(bnd))
+        .select(col("treat"),
+          when(col("us") > col("mid"), 1L).otherwise(0L).as("post"), col("cents"))
+      graft.ops.RobustStats.didExact(f, "treat", "post", "cents")
+    },
+
     // reliability diagram for a behavioral score: pre-period purchase
     // propensity (milli rate) as the prediction, any post-period
     // purchase as the outcome; per score decile the exact mean

@@ -526,4 +526,46 @@ object RobustStats {
         when(col(valueCol) < col("__elo"), -1L)
           .when(col(valueCol) > col("__ehi"), 1L).otherwise(0L).as("clip_dir"))
   }
+
+  /**
+   * Difference-in-differences point estimate — the panel causal design
+   * beside [[cupedExact]]'s covariate adjustment and the A/B z-test:
+   * with a treatment flag and a pre/post period flag,
+   *   DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)
+   * cancels both the group level difference AND the common time trend,
+   * leaving the treatment effect under parallel trends. ONE aggregate
+   * pass (eight conditional sums, map-side combined); cell sums ride
+   * DECIMAL(38,0) and ship as digit strings (Σcents at the corpus tier
+   * brushes Long), the four means and the estimate are ONE fixed-shape
+   * double expression per the [[corrExact]] engine-exactness
+   * convention. An EMPTY cell (no treated-pre rows, say) yields NULL —
+   * a DiD with a missing corner is undefined, not zero.
+   *
+   * Input: `treatCol`/`postCol` as 0/1 longs, `valueCol` integral
+   * (cents/milli — caller's scaling). Output (one row): per-cell
+   * `n_*`/`s_*` evidence plus `did`.
+   */
+  def didExact(df: DataFrame, treatCol: String, postCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val z = lit(0L).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    def cond(t: Int, p: Int) = col(treatCol) === t.toLong && col(postCol) === p.toLong
+    def cells(t: Int, p: Int, tag: String) = Seq(
+      sum(when(cond(t, p), 1L).otherwise(0L)).as(s"n_$tag"),
+      coalesce(sum(when(cond(t, p), v)), z).as(s"__s_$tag"))
+    val exprs = cells(1, 0, "t_pre") ++ cells(1, 1, "t_post") ++
+      cells(0, 0, "c_pre") ++ cells(0, 1, "c_post")
+    val agg = df.agg(exprs.head, exprs.tail: _*)
+    def mean(tag: String) =
+      col(s"__s_$tag").cast("double") / col(s"n_$tag").cast("double")
+    agg.select(
+      col("n_t_pre"), col("__s_t_pre").cast("string").as("s_t_pre"),
+      col("n_t_post"), col("__s_t_post").cast("string").as("s_t_post"),
+      col("n_c_pre"), col("__s_c_pre").cast("string").as("s_c_pre"),
+      col("n_c_post"), col("__s_c_post").cast("string").as("s_c_post"),
+      when(col("n_t_pre") > 0 && col("n_t_post") > 0 &&
+          col("n_c_pre") > 0 && col("n_c_post") > 0,
+        (mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre")))
+        .as("did"))
+  }
 }

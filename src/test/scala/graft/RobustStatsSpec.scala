@@ -276,4 +276,21 @@ class RobustStatsSpec extends SparkSuite {
       .select("n_test", "coverage_milli").as[(Long, Option[Long])].head()
     assert(empty == ((0L, None)))
   }
+
+  test("didExact: hand-computed panel; an empty corner yields NULL, never zero") {
+    // T pre [10,20] mean 15; T post [40]; C pre [5]; C post [10,20]
+    // DiD = (40-15) - (15-5) = 15.0 — every mean exact in doubles
+    val panel = Seq((1L, 0L, 10L), (1L, 0L, 20L), (1L, 1L, 40L),
+      (0L, 0L, 5L), (0L, 1L, 10L), (0L, 1L, 20L))
+      .toDF("treat", "post", "v").repartition(4)
+    val r = RobustStats.didExact(panel, "treat", "post", "v")
+      .select("n_t_pre", "s_t_pre", "n_c_post", "s_c_post", "did")
+      .as[(Long, String, Long, String, Option[Double])].head()
+    assert(r == ((2L, "30", 2L, "30", Some(15.0d))), s"got $r")
+    // drop the control-pre corner: the design is undefined
+    val hole = panel.where(!(col("treat") === 0L && col("post") === 0L))
+    val d2 = RobustStats.didExact(hole, "treat", "post", "v")
+      .select("did").as[Option[Double]].head()
+    assert(d2.isEmpty)
+  }
 }
