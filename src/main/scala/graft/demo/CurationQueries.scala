@@ -261,6 +261,57 @@ object CurationQueries {
         (norm =!= col("text")).as("changed"))
     },
 
+    // URL canonicalization as a dedup key (the web-corpus ingest step):
+    // deterministic per-doc URLs with mixed-case scheme/host, shuffled
+    // params, tracking junk and fragments collapse onto their canonical
+    // form — every regex/sort/join step mirrored operator-for-operator
+    // (the formula only generates VARIANTS; the collapse under test is
+    // the canonicalizer's). Within one (host, path) bucket both query
+    // orderings and all fragments land in ONE group
+    QuerySpec("text_url_canonical",
+      raw"""WITH g AS (SELECT doc_id,
+           |    (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+           |    (CASE doc_id % 3 WHEN 0 THEN 'WWW.Example.COM'
+           |                     WHEN 1 THEN 'Docs.Example.com'
+           |                     ELSE 'example.com' END) ||
+           |    '/p/' || CAST(doc_id // 7 AS VARCHAR) ||
+           |    (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_source=feed'
+           |          ELSE '?a=1&b=2&gclid=g123' END) ||
+           |    (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url
+           |  FROM documents),
+           |c AS (SELECT doc_id,
+           |    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+           |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(.*)$$', 1) AS rest,
+           |    regexp_extract(url, '\?([^#]*)', 1) AS q
+           |  FROM g),
+           |p AS (SELECT doc_id, scheme,
+           |    lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS host,
+           |    CASE WHEN regexp_extract(rest, '^[^/?#]*([^?#]*)', 1) = '' THEN '/'
+           |         ELSE regexp_extract(rest, '^[^/?#]*([^?#]*)', 1) END AS path,
+           |    array_to_string(list_sort(list_filter(string_split(q, '&'),
+           |      x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)='))),
+           |      '&') AS qq
+           |  FROM c),
+           |u AS (SELECT doc_id, scheme || '://' || host || path ||
+           |        CASE WHEN qq <> '' THEN '?' || qq ELSE '' END AS url_canonical
+           |      FROM p)
+           |SELECT url_canonical, count(*) AS n_variants, min(doc_id) AS min_doc
+           |FROM u GROUP BY 1""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      val url = concat(
+        when(pmod(id, lit(4)) === 0, "HTTPS://").otherwise("https://"),
+        when(pmod(id, lit(3)) === 0, "WWW.Example.COM")
+          .when(pmod(id, lit(3)) === 1, "Docs.Example.com")
+          .otherwise("example.com"),
+        lit("/p/"), expr("doc_id div 7").cast("string"),
+        when(pmod(id, lit(2)) === 0, "?b=2&a=1&utm_source=feed")
+          .otherwise("?a=1&b=2&gclid=g123"),
+        when(pmod(id, lit(5)) === 0, "#sec").otherwise(""))
+      docs(s, d).select(id, TextAnalysis.canonicalUrl(url).as("url_canonical"))
+        .groupBy(col("url_canonical"))
+        .agg(count(lit(1)).as("n_variants"), min(id).as("min_doc"))
+    },
+
     // Gopher-style repetition filters, token granularity (the synthetic
     // docs are single-line, so line-level dup fractions would be
     // degenerate): duplicate-token, top-token and duplicate-bigram

@@ -31,6 +31,34 @@ object TextAnalysis {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(text, "\\p{Cntrl}", " "), "\\s+", " "))
 
+  /**
+   * URL canonicalization — the dedup key of web-corpus ingestion:
+   * lowercase scheme and host, strip the fragment, drop tracking
+   * parameters (`utm_*`, `fbclid`, `gclid`), sort the surviving query
+   * parameters (one resource reached via differently-ordered params is
+   * one resource), empty path → `/`. Deliberately NOT a full RFC 3986
+   * normalizer — no percent-decoding, no default-port or dot-segment
+   * handling (those need a real parser); what it does do is pure
+   * codegen string/array expression work a SQL oracle mirrors
+   * operator-for-operator. A value with no `scheme://` passes through
+   * untouched (not a hierarchical URL — mangling it would corrupt, not
+   * canonicalize).
+   */
+  def canonicalUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val rest = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://(.*)$", 1)
+    val host = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val path0 = regexp_extract(rest, "^[^/?#]*([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)=")))
+    when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+          .otherwise(lit(""))))
+  }
+
   /** Token count (whitespace segmentation; 0 for blank). */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(split(trim(text), "\\s+")))

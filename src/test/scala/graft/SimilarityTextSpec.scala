@@ -622,6 +622,21 @@ class SimilarityTextSpec extends SparkSuite {
     assert(df.select(TextAnalysis.subTokenCount(col("text"))).as[Int].head() == 4)
   }
 
+  test("canonicalUrl: folds case, strips tracking/fragment, sorts params, idempotent") {
+    def canon(u: String): String =
+      Seq(Tuple1(u)).toDF("u")
+        .select(TextAnalysis.canonicalUrl(col("u"))).as[String].head()
+    assert(canon("HTTPS://WWW.Ex.COM/Path/P?b=2&a=1&utm_source=x#frag")
+      == "https://www.ex.com/Path/P?a=1&b=2") // path case preserved
+    assert(canon("https://ex.com") == "https://ex.com/") // empty path -> /
+    assert(canon("https://ex.com/?utm_campaign=z&gclid=1&fbclid=2")
+      == "https://ex.com/") // all params tracking -> no query at all
+    assert(canon("not a url at all") == "not a url at all") // pass-through
+    // idempotent: canonical output survives a second pass unchanged
+    val once = canon("HTTP://A.B/c?z=9&y=8&utm_x=1#f")
+    assert(canon(once) == once, s"not idempotent: $once -> ${canon(once)}")
+  }
+
   test("rboWeightsMicro: exact rational weights, decreasing, sum ~1e6") {
     // p=1/2, k=2: w1 = 1e6*500*1000/750000 = 666666, w2 = 333333
     assert(graft.ops.Retrieval.rboWeightsMicro(500, 2) == Seq(666666L, 333333L))
