@@ -900,7 +900,10 @@ object Graph {
    * whole upstream ~7×, compounding per round (506 s at sf0.01 for two
    * rounds; ~8 s with the cuts).
    *
-   * Input: symmetric `(src, dst)` edges. Output: canonical
+   * Input: symmetric `(src, dst)` edges, DISTINCT — a duplicated edge
+   * row inflates every support count it touches (same precondition as
+   * [[kCore]]'s degrees; [[coOccurrenceEdges]] satisfies it, the
+   * no-dedup [[coOccurrencePairs]] does not). Output: canonical
    * `(src < dst, support)` rows of the peeled subgraph.
    */
   def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {

@@ -542,8 +542,10 @@ object RobustStats {
    * a DiD with a missing corner is undefined, not zero.
    *
    * Input: `treatCol`/`postCol` as 0/1 longs, `valueCol` integral
-   * (cents/milli — caller's scaling). Output (one row): per-cell
-   * `n_*`/`s_*` evidence plus `did`.
+   * (cents/milli — caller's scaling). A row whose flags are outside
+   * {0,1} (or NULL) belongs to NO cell — that would silently shrink
+   * the design, so it raises in-plan instead. Output (one row):
+   * per-cell `n_*`/`s_*` evidence plus `did`.
    */
   def didExact(df: DataFrame, treatCol: String, postCol: String,
       valueCol: String): DataFrame = {
@@ -553,13 +555,24 @@ object RobustStats {
     def cells(t: Int, p: Int, tag: String) = Seq(
       sum(when(cond(t, p), 1L).otherwise(0L)).as(s"n_$tag"),
       coalesce(sum(when(cond(t, p), v)), z).as(s"__s_$tag"))
-    val exprs = cells(1, 0, "t_pre") ++ cells(1, 1, "t_post") ++
-      cells(0, 0, "c_pre") ++ cells(0, 1, "c_post")
+    val offDesign = sum(when(
+      col(treatCol).isin(0L, 1L) && col(postCol).isin(0L, 1L), 0L)
+      .otherwise(1L)).as("__off")
+    val exprs = (cells(1, 0, "t_pre") ++ cells(1, 1, "t_post") ++
+      cells(0, 0, "c_pre") ++ cells(0, 1, "c_post")) :+ offDesign
     val agg = df.agg(exprs.head, exprs.tail: _*)
     def mean(tag: String) =
       col(s"__s_$tag").cast("double") / col(s"n_$tag").cast("double")
+    // the guard rides a KEPT output column (a dropped guard column
+    // would be pruned and never evaluate — the tClosenessAudit pattern)
     agg.select(
-      col("n_t_pre"), col("__s_t_pre").cast("string").as("s_t_pre"),
+      when(col("__off") > 0, raise_error(concat(
+        lit("didExact: "), col("__off"),
+        lit(" rows with treat/post outside {0,1} — they belong to no " +
+          "cell and would silently shrink the design; recode or filter " +
+          "them explicitly first"))).cast("long"))
+        .otherwise(col("n_t_pre")).as("n_t_pre"),
+      col("__s_t_pre").cast("string").as("s_t_pre"),
       col("n_t_post"), col("__s_t_post").cast("string").as("s_t_post"),
       col("n_c_pre"), col("__s_c_pre").cast("string").as("s_c_pre"),
       col("n_c_post"), col("__s_c_post").cast("string").as("s_c_post"),

@@ -292,5 +292,13 @@ class RobustStatsSpec extends SparkSuite {
     val d2 = RobustStats.didExact(hole, "treat", "post", "v")
       .select("did").as[Option[Double]].head()
     assert(d2.isEmpty)
+    // a row with flags outside {0,1} belongs to no cell: raise, don't shrink
+    val off = panel.unionByName(Seq((2L, 0L, 7L)).toDF("treat", "post", "v"))
+    val e = intercept[Exception] {
+      RobustStats.didExact(off, "treat", "post", "v").collect()
+    }
+    val full = { val sw = new java.io.StringWriter
+      e.printStackTrace(new java.io.PrintWriter(sw)); sw.toString }
+    assert(full.contains("outside {0,1}"), s"wrong failure: ${e.getMessage}")
   }
 }
