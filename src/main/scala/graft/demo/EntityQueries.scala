@@ -1338,8 +1338,12 @@ object EntityQueries {
            |c AS (SELECT node, count(*) AS n FROM m GROUP BY 1)
            |SELECT dg.src AS node, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_triangles
            |FROM dg LEFT JOIN c ON c.node = dg.src""".stripMargin) { (s, d) =>
-      val edges = graft.ops.Graph.coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey")
-      graft.ops.Graph.triangleCounts(edges)
+      // canonical half-list input: the orientation re-keys every edge by
+      // (degree, id) anyway, so feeding the symmetric list only doubled
+      // the degree-join volume (plan diff: plans/r15/graph_triangles_*)
+      graft.ops.Graph.triangleCountsCanonical(
+        graft.ops.Graph.coOccurrenceCanonicalEdges(lineitem(s, d),
+          "l_orderkey", "l_partkey"))
     },
 
     // small-file compaction planning: per-(source, lang) byte inventories
@@ -1931,8 +1935,10 @@ object EntityQueries {
            |    THEN (2000 * COALESCE(c.n, 0)) // (dg.deg * (dg.deg - 1))
            |    ELSE 0 END AS BIGINT) AS coeff_milli
            |FROM dg LEFT JOIN c ON c.node = dg.src""".stripMargin) { (s, d) =>
-      val edges = graft.ops.Graph.coOccurrenceEdges(lineitem(s, d), "l_orderkey", "l_partkey")
-      graft.ops.Graph.clusteringCoefficients(edges)
+      // canonical half-list input, same reasoning as graph_triangles
+      graft.ops.Graph.clusteringCoefficientsCanonical(
+        graft.ops.Graph.coOccurrenceCanonicalEdges(lineitem(s, d),
+          "l_orderkey", "l_partkey"))
     },
 
     // deterministic synchronous label propagation (2 rounds) over the

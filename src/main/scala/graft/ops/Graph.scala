@@ -32,27 +32,68 @@ object Graph {
    * The self-join is an equi-join on the basket key — per-basket fanout
    * is `deg²`, bounded by basket size, never a cartesian.
    */
-  def coOccurrenceEdges(df: DataFrame, basketCol: String, itemCol: String): DataFrame =
-    coOccurrencePairs(df, basketCol, itemCol).distinct()
+  def coOccurrenceEdges(df: DataFrame, basketCol: String, itemCol: String): DataFrame = {
+    // Generate CANONICAL pairs (src < dst) and explode to both directions
+    // AFTER the distinct: per-basket fan-out halves (d(d−1)/2 instead of
+    // d(d−1)) and the global pair dedup — the edge build's largest
+    // shuffle — carries half the rows/bytes (guide §2.3). The explode is
+    // a narrow op; the output row set is identical (each unordered pair
+    // appears exactly once canonically, so symmetrizing after the dedup
+    // reproduces the symmetric distinct edge list bit for bit).
+    // measurement escape hatch (ConfAB pairs the two shapes in-session;
+    // the shared host's load bands make cross-JVM timing incomparable)
+    if (df.sparkSession.conf.getOption("spark.graft.edgesLegacy").contains("true"))
+      return coOccurrencePairs(df, basketCol, itemCol).distinct()
+    val canon = coOccurrenceCanonicalPairs(df, basketCol, itemCol).distinct()
+    canon.select(explode(array(
+        struct(col("src").as("src"), col("dst").as("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
+
+  /** The DISTINCT undirected co-occurrence edge list in canonical
+    * `src < dst` orientation — one row per edge, half of
+    * [[coOccurrenceEdges]]' rows. The preferred input for consumers
+    * that re-orient edges anyway ([[triangleCountsCanonical]],
+    * [[clusteringCoefficientsCanonical]]): the symmetrizing explode
+    * (and its per-reference recompute in uncut fan-out plans) never
+    * happens, and every downstream join moves half the rows. */
+  def coOccurrenceCanonicalEdges(df: DataFrame, basketCol: String,
+      itemCol: String): DataFrame =
+    coOccurrenceCanonicalPairs(df, basketCol, itemCol).distinct()
+
+  /** One row per basket-sharing item pair in canonical `src < dst`
+    * orientation — half of [[coOccurrencePairs]]' fan-out; may repeat
+    * across baskets (no global dedup). ONE distinct (basket, item) frame
+    * self-joined: identical subplans on both sides, so ReuseExchange
+    * materializes the exchange once — the two-frame form (one aliased
+    * src, one dst) planned two distinct shuffles of the same data. The
+    * explicit basket repartition feeds the dedup partition-locally AND
+    * satisfies the self-join's clustering, so no further exchange before
+    * the pair fan-out. */
+  private def coOccurrenceCanonicalPairs(df: DataFrame, basketCol: String,
+      itemCol: String): DataFrame = {
+    val bi = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .repartition(col("__b")).dropDuplicates("__b", "__i")
+    bi.alias("x").join(bi.alias("y"), col("x.__b") === col("y.__b"))
+      .where(col("x.__i") < col("y.__i"))
+      .select(col("x.__i").as("src"), col("y.__i").as("dst"))
+  }
 
   /** [[coOccurrenceEdges]] WITHOUT the final global (src, dst) dedup —
     * pairs may repeat across baskets. For consumers that re-partition by
     * src anyway (e.g. [[randomWalks]]'s adjacency build, which dedups
     * partition-locally after its own src exchange), the global distinct
     * is a pure extra shuffle of the pair set; skip it. */
-  def coOccurrencePairs(df: DataFrame, basketCol: String, itemCol: String): DataFrame = {
-    // ONE distinct (basket, item) frame self-joined: identical subplans
-    // on both sides, so ReuseExchange materializes the exchange once —
-    // the two-frame form (one aliased src, one dst) planned two distinct
-    // shuffles of the same data. The explicit basket repartition feeds
-    // the dedup partition-locally AND satisfies the self-join's
-    // clustering, so no further exchange before the pair fan-out.
-    val bi = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
-      .repartition(col("__b")).dropDuplicates("__b", "__i")
-    bi.alias("x").join(bi.alias("y"), col("x.__b") === col("y.__b"))
-      .where(col("x.__i") =!= col("y.__i"))
-      .select(col("x.__i").as("src"), col("y.__i").as("dst"))
-  }
+  def coOccurrencePairs(df: DataFrame, basketCol: String, itemCol: String): DataFrame =
+    // canonical fan-out + symmetrizing explode: per basket-pair the join
+    // emits ONE row instead of two ([[coOccurrenceCanonicalPairs]]), the
+    // explode is narrow, and the multiset of output rows is identical
+    coOccurrenceCanonicalPairs(df, basketCol, itemCol)
+      .select(explode(array(
+        struct(col("src").as("src"), col("dst").as("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
   /**
    * Deterministic hash-driven random walks — the data-prep stage of
@@ -340,6 +381,56 @@ object Graph {
     deg.select(col("src").as("node"))
       .join(counts, Seq("node"), "left")
       .select(col("node"), coalesce(col("__n"), lit(0L)).as("n_triangles"))
+  }
+
+  /** [[triangleCounts]] over the CANONICAL `src < dst` distinct edge
+    * list (one row per undirected edge, e.g.
+    * [[coOccurrenceCanonicalEdges]]): identical output, half the input —
+    * degrees come from one explode of the half-list, and the orientation
+    * join re-orients every canonical row by (degree, id) instead of
+    * filtering the symmetric list down to the same set (the symmetric
+    * form moved 2m rows through the two degree joins to keep m). */
+  def triangleCountsCanonical(canon: DataFrame): DataFrame = {
+    val deg = canon
+      .select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("__deg"))
+    val da = deg.select(col("node").as("__ua"), col("__deg").as("__da"))
+    val db = deg.select(col("node").as("__ub"), col("__deg").as("__db"))
+    // (degree, id) forward orientation as a SWAP, not a filter: src < dst
+    // already, so the tie case keeps (src, dst) — the same strict total
+    // order as [[triangleCounts]]
+    val fwd = col("__da") < col("__db") ||
+      (col("__da") === col("__db") && col("src") < col("dst"))
+    val f = canon
+      .join(da, col("src") === col("__ua"))
+      .join(db, col("dst") === col("__ub"))
+      .select(when(fwd, col("src")).otherwise(col("dst")).as("a"),
+        when(fwd, col("dst")).otherwise(col("src")).as("b"))
+    val e1 = f.select(col("a"), col("b").as("y"))
+    val e2 = f.select(col("a"), col("b").as("z"))
+    val tri = e1.join(e2, Seq("a")).where(col("y") =!= col("z"))
+      .join(f.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"))
+      .select(col("a").as("x"), col("y"), col("z"))
+    val members = tri.select(col("x").as("node"))
+      .unionAll(tri.select(col("y").as("node")))
+      .unionAll(tri.select(col("z").as("node")))
+    val counts = members.groupBy("node").agg(count(lit(1)).as("__n"))
+    deg.select(col("node"))
+      .join(counts, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__n"), lit(0L)).as("n_triangles"))
+  }
+
+  /** [[clusteringCoefficients]] over the canonical edge list — see
+    * [[triangleCountsCanonical]]. */
+  def clusteringCoefficientsCanonical(canon: DataFrame): DataFrame = {
+    val deg = canon
+      .select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    triangleCountsCanonical(canon).join(deg, Seq("node"))
+      .select(col("node"), col("deg"), col("n_triangles"),
+        when(col("deg") >= 2,
+          expr("(2000 * n_triangles) div (deg * (deg - 1))"))
+          .otherwise(0L).as("coeff_milli"))
   }
 
   /**
@@ -630,6 +721,14 @@ object Graph {
       roundsPerLevel: Int = 2): DataFrame = {
     require(maxLevels >= 1, s"maxLevels must be >= 1, got $maxLevels")
     import graft.recon.Checkpoints.cut
+    // scratch profiling hook (HierProfile): laps only when the env asks
+    val lapOn = sys.env.contains("GRAFT_LOUVAIN_LAPS")
+    var lapT0 = System.nanoTime()
+    def lap(tag: String): Unit = if (lapOn) {
+      val t = System.nanoTime()
+      println(f"LL LAP $tag%-28s ${(t - lapT0) / 1e9}%6.2f s")
+      lapT0 = t
+    }
     // NO extra cut on the level-1 state: louvainMove's final round
     // already lineage-cut its label frame, so every consumer below (the
     // contraction broadcasts, the out slice, the level-2 relabel join)
@@ -637,6 +736,7 @@ object Graph {
     // second cut here re-copied node-sized data and paid one more
     // AQE-off plan+codegen charge (~1.3 s) for nothing.
     var flat = louvainMove(edges, roundsPerLevel) // node space
+    lap("level1 louvainMove build")
     val out = scala.collection.mutable.ArrayBuffer(
       flat.select(lit(1).as("level"), col("node"), col("label")))
     if (maxLevels > 1) {
@@ -650,6 +750,7 @@ object Graph {
       // pays that one broadcast join inside the materialization — the
       // documented trade at the `combined` cut below.)
       val e2 = edges.count() // Σw is contraction-invariant — compute once
+      lap("e2 count")
       val decZ = lit(null).cast("decimal(38,0)")
       // slice 1: super-edge rows of a contraction
       def tagged(con: DataFrame): DataFrame =
@@ -685,6 +786,7 @@ object Graph {
               .subtract(r.getDecimal(2))
           }.toMap
       var contracted = cut(contractGraph(edges, flat))
+      lap("level1 contraction cut")
       // level 1's own Qnum is DEFERRED into level 2's cut (slice 4, an
       // aggregate over the already-cut level-1 contraction) — probing it
       // here would cost a whole extra planned action for a scalar the
@@ -698,6 +800,7 @@ object Graph {
         // than two shallow round cuts whose execution is trivial
         val lv = louvainMoveWeighted(contracted, roundsPerLevel,
           cutRounds = true, sumW = Some(e2))
+        lap(s"level$level weighted sweep")
         // ONE cut frame per level carries ALL the level's products — the
         // contraction (__slice 1), the node-space relabel (__slice 2),
         // and the gate scalars (__slice 3; plus, at level 2 only, the
@@ -717,7 +820,9 @@ object Graph {
           .unionByName(gateRow(con, 3))
         val combined = cut(
           if (level == 2) base.unionByName(gateRow(contracted, 4)) else base)
+        lap(s"level$level combined cut")
         val gates = readGates(combined)
+        lap(s"level$level readGates")
         if (level == 2) q = gates(4)
         val qNext = gates(3)
         // exact integer compare — the level survives only if it RAISES Q

@@ -2,105 +2,169 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
 
 /**
  * Distributed spectral analysis of an embedding column with EXACT
  * cross-engine arithmetic: power iteration on the (uncentered) second
  * moment C = Σᵣ xᵣxᵣᵀ without ever materializing C — each step is
  * C·v = Σᵣ xᵣ(xᵣ·v), i.e. one per-row dot product and one per-dim sum,
- * two hash aggregations over the exploded (row, dim, value) frame. That
- * is the matrix-free form that scales: state per step is one d-vector,
- * shuffles are keyed by row id then by dim, and nothing grows with the
- * corpus.
+ * computed in ONE corpus pass per step over the row-wise ARRAY frame:
+ * the per-row dot `xᵣ·v` rides a zip_with/aggregate projection against
+ * the broadcast-free dim-indexed literal `v`, and the per-dim sums are a
+ * map-side-combined aggregate of the per-row contribution arrays. The
+ * d-vector algebra between passes (renormalization, Rayleigh/deflation
+ * dot products) is DIMENSION-sized — metadata by the same contract as
+ * Lloyd centroids — and runs on the driver in BigInteger, replicating
+ * the engine's integer ops bit for bit.
+ *
+ * This shape replaced a join-based formulation whose every step shuffled
+ * the corpus-sized exploded frame through a sort-merge join against the
+ * row-dot table (guide §2.4: remove shuffles outright — the row dot is a
+ * per-row projection, so no join is fundamentally required) and
+ * lineage-cut ~10 d-row frames per query (each cut a plan+codegen
+ * charge). Per step the new plan is: one scan of the quantized arrays,
+ * zero joins, zero corpus shuffles, one 64-group aggregate.
  *
  * Exactness: components quantize to `floor(x·10⁶)` (exactly summable
  * integers, the same trick as the drift/centroid queries), every moment
  * rides DECIMAL(38,0), and the iterate is renormalized after each step
  * by an ADAPTIVE integer divisor `max|u| div B + 1` — data-dependent but
  * itself exact, so any engine mirroring the computation lands on
- * bit-identical integers at every step. Division uses
- * truncation-toward-zero spelled as `sign(u)·(|u| div s)` because Spark's
- * `div` truncates while DuckDB's `//` floors — they only agree on
- * non-negative operands. With |v| ≤ ~10⁸ and 10⁶-scaled components, the
+ * bit-identical integers at every step. Division truncates toward zero
+ * (BigInteger.divide ≡ Spark's `div` on the non-negative operands the
+ * sign split produces). With |v| ≤ ~10⁸ and 10⁶-scaled components, the
  * largest moment is n·10¹¹·(d·10¹⁴) — inside DECIMAL(38,0) headroom for
  * any real corpus and dimension; the deflated operator's tighter 10⁴
  * iterate bound keeps its extra vvᵀ products inside the same headroom.
+ *
+ * PRECONDITION: embedding array elements are non-null (the testdata
+ * schema contract pins float32 arrays). C is a sum over ROWS — duplicate
+ * ids contribute one term per row.
  */
 object Spectral {
 
   private val Dec38 = DecimalType(38, 0)
+  private type JBD = java.math.BigDecimal
+  private type JBI = java.math.BigInteger
+  // type aliases don't carry statics — bind the companion object too
+  private val BiZero = java.math.BigInteger.ZERO
+  private val BiOne = java.math.BigInteger.ONE
 
-  /** Exploded, quantized component frame: (__id, dim, q) with
-    * q = floor(x·10⁶) as DECIMAL(38,0). Lineage-cut: every C
-    * application reads it twice and the trace once more, so the explode
-    * materializes once instead of once per consumer (the
-    * ngramJaccardPairs shingle-table pattern). */
-  private def quantized(emb: DataFrame, idCol: String, vecCol: String) =
+  /** Quantized row-wise array frame: (__id, q) with
+    * q[i] = floor(x[i]·10⁶) as DECIMAL(38,0). Lineage-cut once: every
+    * power step and the trace re-read it. */
+  private def quantizedArr(emb: DataFrame, idCol: String, vecCol: String) =
     graft.recon.Checkpoints.cut(
       emb.select(col(idCol).as("__id"),
-          posexplode(col(vecCol)).as(Seq("dim", "__x")))
-        .select(col("__id"), col("dim").cast("long").as("dim"),
-          floor(col("__x").cast("double") * 1000000d).cast(Dec38).as("q")))
+        transform(col(vecCol), x =>
+          floor(x.cast("double") * 1000000d).cast(Dec38)).as("q")))
 
-  /** Truncation-toward-zero rescale of `(dim, valCol)` to |out| ≤ bound,
-    * by the adaptive exact divisor `max|val| div bound + 1`. The input
-    * is lineage-cut first: it is always a d-row frame, referenced twice
-    * here (the divisor aggregate and the division) and again by every
-    * downstream step — without the cut each reference re-executes the
-    * whole upstream corpus pass, and the iteration DAG doubles per
-    * round (measured: Catalyst never finished planning two deflation
-    * rounds; with the cuts the plan is linear in the round count). */
-  private def rescaled(u: DataFrame, valCol: String, bound: Long,
-      outCol: String): DataFrame = {
-    val uc = graft.recon.Checkpoints.cut(u)
-    // the divisor must STAY decimal: `div` materializes its quotient as
-    // a LONG, which silently wraps once max|val| exceeds bound·2⁶³ (a
-    // deflation iterate reaches ~10³³) — so floor-divide via the exact
-    // identity (x − x % b) / b, whose division has no remainder and is
-    // therefore exact in any rounding mode; x ≥ 0 makes floor = trunc
-    val sc = uc.agg((expr(
-      s"cast((max(abs($valCol)) - max(abs($valCol)) % $bound) / $bound" +
-        " as decimal(38,0))") + 1).as("sc"))
-    uc.crossJoin(broadcast(sc))
-      .select(col("dim"),
-        when(col(valCol) >= 0, expr(s"$valCol div sc"))
-          .otherwise(-expr(s"(-$valCol) div sc")).as(outCol))
+  /** One matrix-free corpus pass u ← C·v (v = None is the implicit
+    * all-ones start): per row dt = q·v as a projection, then the per-dim
+    * contribution sums via posexplode + hash aggregate (a row's dims are
+    * adjacent, so the partial combine collapses to d rows per partition
+    * before the only — d-row — exchange). Returns the dense d-vector. */
+  private def applyC(qarr: DataFrame, v: Option[IndexedSeq[JBD]]): Array[JBD] =
+    applyCWithTrace(qarr, v, withTrace = false)._1
+
+  /** As [[applyC]]; `withTrace = true` additionally folds the trace
+    * Σᵣ qᵣ·qᵣ into the SAME pass as one extra exploded slot (index d) —
+    * the consumers always need both, and a separate trace pass would
+    * re-scan the corpus for one scalar. */
+  private def applyCWithTrace(qarr: DataFrame, v: Option[IndexedSeq[JBD]],
+      withTrace: Boolean): (Array[JBD], Option[JBD]) = {
+    val dt = v match {
+      case None => aggregate(col("q"), lit(0L).cast(Dec38), (a, x) => a + x)
+      case Some(vs) =>
+        val vl = array(vs.map(b => lit(b).cast(Dec38)): _*)
+        aggregate(zip_with(col("q"), vl, (a, b) => a * b),
+          lit(0L).cast(Dec38), (a, x) => a + x)
+    }
+    val contrib = transform(col("q"), x => x * col("__dt"))
+    val slots =
+      if (!withTrace) contrib
+      else concat(contrib, array(aggregate(transform(col("q"), x => x * x),
+        lit(0L).cast(Dec38), (a, x) => a + x)))
+    val rows = qarr.select(col("q"), dt.as("__dt"))
+      .select(posexplode(slots).as(Seq("dim", "__c")))
+      .groupBy(col("dim")).agg(sum(col("__c")).as("u"))
+      .collect()
+    if (rows.isEmpty) (Array.empty[JBD], None)
+    else {
+      val dMax = rows.map(_.getInt(0)).max + 1
+      val all = Array.fill[JBD](dMax)(java.math.BigDecimal.ZERO)
+      rows.foreach(r => all(r.getInt(0)) =
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+      if (withTrace) (all.init, Some(all.last)) else (all, None)
+    }
   }
 
-  /** One matrix-free step u ← C·v over the quantized frame. The d-row
-    * result is lineage-cut so multi-referencing consumers (Rayleigh
-    * stats, deflation's two projector terms) cost one corpus pass
-    * total, not one per reference. */
-  private def applyC(xs: DataFrame, v: DataFrame, vCol: String): DataFrame = {
-    val dt = xs.join(broadcast(v), "dim").groupBy(col("__id"))
-      .agg(sum(col("q") * col(vCol)).as("dt"))
-    graft.recon.Checkpoints.cut(
-      xs.join(dt, "__id").groupBy(col("dim"))
-        .agg(sum(col("q") * col("dt")).as("u")))
+  /** Truncation-toward-zero rescale to |out| ≤ bound by the adaptive
+    * exact divisor `max|val| div bound + 1` — driver-side BigInteger on
+    * the d-vector, replicating the engine-side decimal identity
+    * (x − x % b) / b (exact: the division has no remainder; x ≥ 0 makes
+    * floor = trunc). */
+  private def rescaledD(u: Array[JBD], bound: Long): Array[JBD] = {
+    if (u.isEmpty) return u
+    val b = java.math.BigInteger.valueOf(bound)
+    val maxAbs = u.map(_.toBigInteger.abs).reduce((a, c) => a.max(c))
+    val sc = maxAbs.divide(b).add(BiOne)
+    u.map { x =>
+      val xi = x.toBigInteger
+      val q = xi.abs.divide(sc)
+      new JBD(if (xi.signum < 0) q.negate else q)
+    }
   }
+
+  private def dot(a: Array[JBD], b: Array[JBD]): JBI =
+    a.iterator.zip(b.iterator)
+      .map { case (x, y) => x.toBigInteger.multiply(y.toBigInteger) }
+      .foldLeft(BiZero)(_.add(_))
+
+  private def l1(a: Array[JBD]): JBI =
+    a.iterator.map(_.toBigInteger.abs).foldLeft(BiZero)(_.add(_))
 
   /** `iters` power-iteration rounds from the all-ones start. Returns the
-    * final unnormalized iterate `(dim, u)` and the rescaled vector that
-    * produced it (None when iters = 1: the implicit all-ones v0). */
-  private def powerU(xs: DataFrame, iters: Int): (DataFrame, Option[DataFrame]) = {
-    val dot0 = xs.groupBy(col("__id")).agg(sum(col("q")).as("dt"))
-    var u = graft.recon.Checkpoints.cut(
-      xs.join(dot0, "__id").groupBy(col("dim"))
-        .agg(sum(col("q") * col("dt")).as("u")))
-    var vPrev: Option[DataFrame] = None
+    * final unnormalized iterate and the rescaled vector that produced it
+    * (None when iters = 1: the implicit all-ones v0). */
+  /** `iters` power rounds from the all-ones start; the trace rides the
+    * first pass (it is v-independent). Returns (final unnormalized
+    * iterate, the rescaled v that produced it — None when iters = 1 —
+    * and the trace). */
+  private def powerU(qarr: DataFrame, iters: Int)
+      : (Array[JBD], Option[Array[JBD]], Option[JBD]) = {
+    var (u, tr) = applyCWithTrace(qarr, None, withTrace = true)
+    var vPrev: Option[Array[JBD]] = None
     for (_ <- 2 to iters) {
-      val v = rescaled(u, "u", 100000000L, "v")
+      val v = rescaledD(u, 100000000L)
       vPrev = Some(v)
-      u = applyC(xs, v, "v")
+      u = applyC(qarr, Some(v.toIndexedSeq))
     }
-    (u, vPrev)
+    (u, vPrev, tr)
   }
 
   private def signedMilliShare(valCol: String, sabsCol: String): Column =
     when(col(sabsCol) === 0, lit(0L))
       .when(col(valCol) >= 0, expr(s"($valCol * 1000) div $sabsCol"))
       .otherwise(-expr(s"((-$valCol) * 1000) div $sabsCol"))
+
+  /** The d-row (dim, u) frame from a driver vector — dimension-sized,
+    * the LocalRelation the final projection reads. */
+  private def vecDf(spark: org.apache.spark.sql.SparkSession,
+      u: Array[JBD], valName: String): DataFrame = {
+    val schema = StructType(Seq(StructField("dim", LongType, nullable = false),
+      StructField(valName, Dec38, nullable = true)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        u.toIndexedSeq.zipWithIndex.map { case (x, i) =>
+          org.apache.spark.sql.Row(i.toLong, x.setScale(0))
+        }).asJava
+    // LocalRelation, not an RDD: the d-row output frame should cost no job
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def litDec(x: JBI): Column = lit(new JBD(x)).cast(Dec38)
 
   /**
    * Top principal direction of `vecCol` (array&lt;float&gt;, fixed
@@ -116,21 +180,20 @@ object Spectral {
   def topDirection(emb: DataFrame, idCol: String, vecCol: String,
       iters: Int = 2): DataFrame = {
     require(iters >= 1 && iters <= 4, s"iters out of range [1,4]: $iters")
-    val xs = quantized(emb, idCol, vecCol)
-    val (u, vPrev) = powerU(xs, iters)
+    val qarr = quantizedArr(emb, idCol, vecCol)
+    val (u, vPrev, tr) = powerU(qarr, iters)
     // Rayleigh numerator vᵀCv = Σᵣ(qᵣ·v)² ≥ 0; with v0 = ones, den = d
-    val uv = vPrev match {
-      case Some(v) => u.join(v, "dim")
-        .agg(sum(col("u") * col("v")).as("num"),
-          sum(col("v") * col("v")).cast(Dec38).as("den"),
-          sum(abs(col("u"))).as("sabs"))
-      case None => u
-        .agg(sum(col("u")).as("num"),
-          count(lit(1)).cast(Dec38).as("den"),
-          sum(abs(col("u"))).as("sabs"))
+    val (num, den, sabs) = vPrev match {
+      case Some(v) => (dot(u, v), dot(v, v), l1(u))
+      case None => (u.foldLeft(BiZero)((a, x) => a.add(x.toBigInteger)),
+        java.math.BigInteger.valueOf(u.length.toLong), l1(u))
     }
-    val tr = xs.agg(sum(col("q") * col("q")).as("tr"))
-    u.crossJoin(broadcast(uv)).crossJoin(broadcast(tr))
+    vecDf(emb.sparkSession, u, "u")
+      .withColumn("sabs", litDec(sabs))
+      .withColumn("num", litDec(num))
+      .withColumn("den", litDec(den))
+      .withColumn("tr", tr.map(t => lit(t).cast(Dec38))
+        .getOrElse(lit(null).cast(Dec38)))
       .select(col("dim"),
         signedMilliShare("u", "sabs").as("loading_milli"),
         when(col("den") === 0 || col("tr") === 0, lit(null).cast("double"))
@@ -149,7 +212,8 @@ object Spectral {
    * `itersTop` rounds, rescaled to |v| ≤ 10⁴; the start vector is the
    * all-ones vector projected off v, and each T-step renormalizes to
    * |w| ≤ 10⁴ so the largest product (vᵀv)·(C·w) stays within
-   * DECIMAL(38,0) headroom.
+   * DECIMAL(38,0) headroom. Only the C applications touch the corpus —
+   * one pass each; the projector algebra is d-sized driver BigInteger.
    *
    * Output per dimension: `dim`, `loading_milli` (signed L1 share of
    * the final iterate), `explained_share` (Rayleigh wᵀCw/(wᵀw) over the
@@ -168,35 +232,38 @@ object Spectral {
       s"itersTop out of range [1,4]: $itersTop")
     require(itersDeflate >= 1 && itersDeflate <= 4,
       s"itersDeflate out of range [1,4]: $itersDeflate")
-    val xs = quantized(emb, idCol, vecCol)
-    val (u1, _) = powerU(xs, itersTop)
-    val vs = rescaled(u1, "u", 10000L, "v")
-    val vstats = vs.agg(sum(col("v") * col("v")).cast(Dec38).as("vv"),
-      sum(col("v")).cast(Dec38).as("sv"))
+    val qarr = quantizedArr(emb, idCol, vecCol)
+    val (u1, _, tr) = powerU(qarr, itersTop)
+    val vs = rescaledD(u1, 10000L)
+    val vv = dot(vs, vs)
+    val sv = vs.foldLeft(BiZero)((a, x) => a.add(x.toBigInteger))
     // w0 = (vᵀv)·1 − v·(vᵀ1), the ones vector projected off v
-    var w = rescaled(
-      vs.crossJoin(broadcast(vstats))
-        .select(col("dim"), (col("vv") - col("v") * col("sv")).as("tw")),
-      "tw", 10000L, "w")
-    for (_ <- 1 to itersDeflate) {
-      val cw = applyC(xs, w, "w").withColumnRenamed("u", "cw")
-      val j = vs.join(cw, "dim")
-      val vc = j.agg(sum(col("v") * col("cw")).as("vc"))
-      val tw = j.crossJoin(broadcast(vc))
-        .crossJoin(broadcast(vstats.select(col("vv"))))
-        .select(col("dim"),
-          (col("vv") * col("cw") - col("v") * col("vc")).as("tw"))
-      w = rescaled(tw, "tw", 10000L, "w")
+    var w = rescaledD(
+      vs.map(vi => new JBD(vv.subtract(vi.toBigInteger.multiply(sv)))),
+      10000L)
+    var cwF = Array.empty[JBD]
+    for (i <- 1 to itersDeflate) {
+      val cw = applyC(qarr, Some(w.toIndexedSeq))
+      val vc = dot(vs, cw)
+      val tw = vs.indices.map { j =>
+        new JBD(vv.multiply(cw(j).toBigInteger)
+          .subtract(vs(j).toBigInteger.multiply(vc)))
+      }.toArray
+      w = rescaledD(tw, 10000L)
     }
-    val cwF = applyC(xs, w, "w").withColumnRenamed("u", "cw")
-    val st = w.join(cwF, "dim").join(vs, "dim")
-      .agg(sum(col("w") * col("cw")).as("num"),
-        sum(col("w") * col("w")).cast(Dec38).as("den"),
-        sum(abs(col("w"))).cast(Dec38).as("sabs"),
-        sum(col("v") * col("w")).cast(Dec38).as("vw"))
-    val tr = xs.agg(sum(col("q") * col("q")).as("tr"))
-    w.crossJoin(broadcast(st)).crossJoin(broadcast(tr))
-      .crossJoin(broadcast(vstats.select(col("vv"))))
+    cwF = applyC(qarr, Some(w.toIndexedSeq))
+    val num = dot(w, cwF)
+    val den = dot(w, w)
+    val sabs = l1(w)
+    val vw = dot(vs, w)
+    vecDf(emb.sparkSession, w, "w")
+      .withColumn("sabs", litDec(sabs))
+      .withColumn("num", litDec(num))
+      .withColumn("den", litDec(den))
+      .withColumn("vw", litDec(vw))
+      .withColumn("vv", litDec(vv))
+      .withColumn("tr", tr.map(t => lit(t).cast(Dec38))
+        .getOrElse(lit(null).cast(Dec38)))
       .select(col("dim"),
         signedMilliShare("w", "sabs").as("loading_milli"),
         when(col("den") === 0 || col("tr") === 0, lit(null).cast("double"))

@@ -28,6 +28,11 @@ object Checkpoints {
 
   final val DirConf = "spark.graft.checkpointDir"
 
+  /** Storage level for local-checkpoint cut blocks (a
+    * `StorageLevel.fromString` name, e.g. `MEMORY_AND_DISK_SER`);
+    * unset → Spark's local-checkpoint default (`MEMORY_AND_DISK`). */
+  final val CutStorageConf = "spark.graft.cutStorageLevel"
+
   private val cleanupHooked = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Delete the per-app checkpoint subdir when the application ends. */
@@ -61,6 +66,13 @@ object Checkpoints {
     * must be pinned before this call returns. */
   def cut(df: DataFrame, eager: Boolean = false): DataFrame = {
     val spark = df.sparkSession
+    // scratch diagnostics: cut subtrees are LogicalRDD leaves downstream,
+    // so Explain/PlanAudit never see inside them — this env-gated dump is
+    // the only window into the plans that actually run
+    if (sys.env.contains("GRAFT_CUT_EXPLAIN"))
+      println(s"==== CUT SUBTREE (${df.schema.fieldNames.mkString(",")}) ====\n" +
+        df.queryExecution.executedPlan.toString.take(
+          sys.env.get("GRAFT_CUT_EXPLAIN").flatMap(_.toIntOption).getOrElse(8000)))
     // Lazy is only real if the subtree is planned WITHOUT AQE: checkpoint()
     // calls queryExecution.toRdd up front, and an AdaptiveSparkPlanExec
     // EXECUTES all its intermediate query stages inside execute() — i.e. at
@@ -107,7 +119,17 @@ object Checkpoints {
         hookCleanup(sc)
         planned(df.checkpoint(eager = eager))
       case _ =>
-        planned(df.localCheckpoint(eager = eager))
+        // optional storage-level override for the local-checkpoint blocks
+        // (e.g. MEMORY_AND_DISK_SER): cut frames are re-read by several
+        // consumers, so block size vs decode cost is a measurable trade —
+        // keep it a conf so the A/B harness can pair-time it in-session.
+        // Always keep a disk tier: a truncated-lineage block that gets
+        // evicted without one cannot be recomputed.
+        spark.conf.getOption(CutStorageConf).filter(_.nonEmpty) match {
+          case Some(lvl) => planned(df.localCheckpoint(eager = eager,
+            org.apache.spark.storage.StorageLevel.fromString(lvl)))
+          case None => planned(df.localCheckpoint(eager = eager))
+        }
     }
   }
 }
