@@ -1186,18 +1186,25 @@ object EntityQueries {
            |    ELSE (nb.n_both * 1000) // (SELECT count(*) FROM ex) END AS BIGINT) AS recall_milli
            |FROM nb""".stripMargin
     }) { (s, d) =>
-      import graft.recon.Checkpoints.cut
       val dd = docs(s, d)
-      val ex = cut(graft.ops.SetSimilarity
+      // ONE consumption of each (expensive) pair pipeline: a full outer
+      // join on the unique pair key carries both membership flags, so all
+      // three counts fall out of one aggregate — the previous three-agg
+      // crossJoin form consumed each side twice and needed a lineage cut
+      // per side (2 extra plan+codegen charges and a second execution of
+      // both sketch pipelines' tails; guide §1.2 step 1: don't compute
+      // things twice)
+      val ex = graft.ops.SetSimilarity
         .jaccardPrefixJoin(dd, "text", "doc_id", shingleN = 3, tMilli = 800)
-        .select(col("id_a"), col("id_b")))
-      val ls = cut(graft.ops.Dedup
+        .select(col("id_a"), col("id_b"), lit(1L).as("__ex"))
+      val ls = graft.ops.Dedup
         .minHashNearDups(dd, "text", "doc_id", shingleN = 3, k = 16, bands = 4,
           threshold = 0.8d, maxBucket = 100)
-        .select(col("doc1").as("id_a"), col("doc2").as("id_b")))
-      ex.agg(count(lit(1)).as("n_exact"))
-        .crossJoin(ls.agg(count(lit(1)).as("n_lsh")))
-        .crossJoin(ex.join(ls, Seq("id_a", "id_b")).agg(count(lit(1)).as("n_both")))
+        .select(col("doc1").as("id_a"), col("doc2").as("id_b"), lit(1L).as("__ls"))
+      ex.join(ls, Seq("id_a", "id_b"), "full_outer")
+        .agg(coalesce(sum(col("__ex")), lit(0L)).as("n_exact"),
+          coalesce(sum(col("__ls")), lit(0L)).as("n_lsh"),
+          coalesce(sum(col("__ex") * col("__ls")), lit(0L)).as("n_both"))
         .withColumn("recall_milli",
           expr("CASE WHEN n_exact = 0 THEN 1000 ELSE (n_both * 1000) div n_exact END"))
     },

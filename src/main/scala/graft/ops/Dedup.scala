@@ -766,14 +766,31 @@ object Dedup {
     // localCheckpoint preserves the partitioning, so the per-round join
     // reshuffles only the (changing) label frame, not the edges
     val tEdges = System.nanoTime()
-    val edges = cut(
+    val spark = pairs.sparkSession
+    val edges0 = cut(
       pairs.select(explode(array(
           struct(col(aCol).as("src"), col(bCol).as("dst")),
           struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct()
         .repartition(col("dst")))
+    // near-dup pair graphs are usually FAR smaller than the corpus that
+    // produced them, and every round below is a cut subtree (planned
+    // AQE-off — no runtime coalescing): size the loop's partitions from
+    // the measured edge count (Adaptive; guide §2.2). The count triggers
+    // the edge materialization that round 1 would have paid anyway; when
+    // the adaptive width is below the session's, the static edge frame is
+    // re-cut once at that width so the per-round join stays co-partitioned
+    val m = edges0.count()
+    val p = graft.ops.Adaptive.parts(spark, m)
+    val edges =
+      if (p < spark.sessionState.conf.numShufflePartitions)
+        graft.ops.Adaptive.withShufflePartitions(spark, p) {
+          cut(edges0.repartition(p, col("dst")))
+        }
+      else edges0
     note("edges", tEdges)
+    graft.ops.Adaptive.withShufflePartitions(spark, p) {
     val tLabels = System.nanoTime()
     var labels = cut(
       edges.select(col("src").as("node")).distinct().withColumn("component", col("node")))
@@ -817,6 +834,7 @@ object Dedup {
       s"connectedComponents did not converge within maxIter=$maxIter rounds " +
         "(component diameter exceeds the budget); raise maxIter")
     labels
+    }
   }
 
   /**
@@ -860,44 +878,56 @@ object Dedup {
   private[graft] def alternatingComponentsWithRounds(pairs: DataFrame, aCol: String,
       bCol: String, maxIter: Int): (DataFrame, Int) = {
     import graft.recon.Checkpoints.cut
+    val spark = pairs.sparkSession
     val nodes = cut(pairs
       .select(explode(array(col(aCol), col(bCol))).as("node")).distinct())
     var edges = cut(pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
       .where(col("u") =!= col("v")).distinct())
+    // the convergence probe already counts the edge set every round —
+    // carry the count along and size each round's (cut, AQE-off) plan
+    // from it (Adaptive; guide §2.2). Star alternation CONTRACTS the
+    // edge set round over round, so the width shrinks with it.
+    var m = edges.count()
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxIter) {
-      // large-star over the symmetrized neighborhoods: ONE pass explode
-      // (the union-of-two-selects form would re-read the cut frame twice,
-      // which is free here but keeps the one-consumer discipline)
-      val sym = edges.select(explode(array(
-          struct(col("u").as("c"), col("v").as("n")),
-          struct(col("v").as("c"), col("u").as("n")))).as("e"))
-        .select(col("e.c").as("c"), col("e.n").as("n"))
-      val minsL = sym.groupBy("c")
-        .agg(least(min(col("n")), first(col("c"))).as("m"))
-      val large = sym.join(minsL, Seq("c"))
-        .where(col("n") > col("c"))
-        .select(col("n").as("u"), col("m").as("v"))
-        .distinct()
-      // small-star over the canonical orientation: every neighbor of u is
-      // already < u, so the min aggregate needs no self fold-in
-      val minsS = large.groupBy("u").agg(min(col("v")).as("m"))
-      val next = cut(
-        large.join(minsS, Seq("u"))
-          .select(explode(array(
-            struct(col("u").as("a"), col("m").as("b")),
-            struct(col("v").as("a"), col("m").as("b")))).as("e"))
-          .select(col("e.a").as("u"), col("e.b").as("v"))
-          .where(col("u") =!= col("v"))
-          .distinct())
+      val roundParts = graft.ops.Adaptive.parts(spark, 2L * m)
+      val next = graft.ops.Adaptive.withShufflePartitions(spark, roundParts) {
+        // large-star over the symmetrized neighborhoods: ONE pass explode
+        // (the union-of-two-selects form would re-read the cut frame twice,
+        // which is free here but keeps the one-consumer discipline)
+        val sym = edges.select(explode(array(
+            struct(col("u").as("c"), col("v").as("n")),
+            struct(col("v").as("c"), col("u").as("n")))).as("e"))
+          .select(col("e.c").as("c"), col("e.n").as("n"))
+        val minsL = sym.groupBy("c")
+          .agg(least(min(col("n")), first(col("c"))).as("m"))
+        val large = sym.join(minsL, Seq("c"))
+          .where(col("n") > col("c"))
+          .select(col("n").as("u"), col("m").as("v"))
+          .distinct()
+        // small-star over the canonical orientation: every neighbor of u is
+        // already < u, so the min aggregate needs no self fold-in
+        val minsS = large.groupBy("u").agg(min(col("v")).as("m"))
+        cut(
+          large.join(minsS, Seq("u"))
+            .select(explode(array(
+              struct(col("u").as("a"), col("m").as("b")),
+              struct(col("v").as("a"), col("m").as("b")))).as("e"))
+            .select(col("e.a").as("u"), col("e.b").as("v"))
+            .where(col("u") =!= col("v"))
+            .distinct())
+      }
       // fixpoint: next ⊆ edges and |next| = |edges| ⇒ equal sets (both
-      // distinct) — one anti-join probe + two counts over cut frames
-      converged = next.join(edges, Seq("u", "v"), "left_anti").isEmpty &&
-        next.count() == edges.count()
+      // distinct) — one anti-join probe + one count over cut frames (the
+      // previous round's count is carried in `m`, not re-run)
+      val nextCount = next.count()
+      converged = nextCount == m &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = next
+      m = nextCount
       rounds += 1
     }
     if (!converged) throw new IllegalStateException(

@@ -565,6 +565,12 @@ object Graph {
     val e2n = edges.count()
     val e2 = lit(e2n)
     val score = sweepScore(e2, scoreDecimal || e2n > SweepScoreLongSafeE2) _
+    // the sweep's shuffles all carry ≤ |directed edges| = e2n rows, and
+    // every round is cut (planned AQE-off, so no runtime coalescing):
+    // size their partitions from the measured edge count instead of the
+    // session width ([[Adaptive]]; guide §2.2)
+    val sweepParts = Adaptive.parts(edges.sparkSession, e2n)
+    Adaptive.withShufflePartitions(edges.sparkSession, sweepParts) {
     val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("__k"))
     def movers(df: DataFrame, keyCol: String, r: Int) =
       df.where(pmod(col(keyCol), lit(2)) === lit(r % 2))
@@ -611,6 +617,7 @@ object Graph {
       labels = cut(louvainPickApply(scored, labels, r))
     }
     labels.select(col("node"), col("label"))
+    }
   }
 
   /** Largest Σw (= 2|E| unweighted) at which the Long sweep score is
@@ -785,8 +792,19 @@ object Graph {
               .multiply(new java.math.BigDecimal(r.getLong(1)))
               .subtract(r.getDecimal(2))
           }.toMap
-      var contracted = cut(contractGraph(edges, flat))
+      // the contraction subtree is edge-sized — size its partitions from
+      // the measured edge count like the sweeps ([[Adaptive]])
+      var contracted = Adaptive.withShufflePartitions(edges.sparkSession,
+        Adaptive.parts(edges.sparkSession, e2)) {
+        cut(contractGraph(edges, flat))
+      }
       lap("level1 contraction cut")
+      // materialize the contraction now (it materializes either way at
+      // the level's first action) and take its ROW count — the exact
+      // partition-sizing input for everything the next level plans,
+      // which Σw can only bound from above
+      var supRows = contracted.count()
+      lap("level1 contraction count")
       // level 1's own Qnum is DEFERRED into level 2's cut (slice 4, an
       // aggregate over the already-cut level-1 contraction) — probing it
       // here would cost a whole extra planned action for a scalar the
@@ -794,12 +812,13 @@ object Graph {
       var q: java.math.BigDecimal = null
       var stopped = false
       for (level <- 2 to maxLevels if !stopped) {
+        val levelParts = Adaptive.parts(edges.sparkSession, supRows)
         // per-round cuts unconditionally: even on a broadcast-scale
         // super-graph, planning the UNCUT two-round sweep as one deep
         // AQE-off tree measured slower (~4.8 s vs ~3.7 s at sf0.1 L3)
         // than two shallow round cuts whose execution is trivial
         val lv = louvainMoveWeighted(contracted, roundsPerLevel,
-          cutRounds = true, sumW = Some(e2))
+          cutRounds = true, sumW = Some(e2), partsHint = Some(levelParts))
         lap(s"level$level weighted sweep")
         // ONE cut frame per level carries ALL the level's products — the
         // contraction (__slice 1), the node-space relabel (__slice 2),
@@ -810,16 +829,19 @@ object Graph {
         // level wastes one node-sized broadcast join inside the
         // materialization — cheaper than the cut it replaces, and it
         // happens at most once (rejection stops the loop).
-        val con = contractGraphWeighted(contracted, lv)
-        val base = tagged(con)
-          .unionByName(flat
-            .join(broadcast(lv.select(col("node").as("label"),
-              col("label").as("__next"))), Seq("label"))
-            .select(lit(2).as("__slice"), col("node").as("__a"),
-              col("__next").as("__b"), lit(0L).as("__w"), decZ.as("__sk2")))
-          .unionByName(gateRow(con, 3))
-        val combined = cut(
-          if (level == 2) base.unionByName(gateRow(contracted, 4)) else base)
+        val combined = Adaptive.withShufflePartitions(edges.sparkSession,
+            levelParts) {
+          val con = contractGraphWeighted(contracted, lv)
+          val base = tagged(con)
+            .unionByName(flat
+              .join(broadcast(lv.select(col("node").as("label"),
+                col("label").as("__next"))), Seq("label"))
+              .select(lit(2).as("__slice"), col("node").as("__a"),
+                col("__next").as("__b"), lit(0L).as("__w"), decZ.as("__sk2")))
+            .unionByName(gateRow(con, 3))
+          cut(
+            if (level == 2) base.unionByName(gateRow(contracted, 4)) else base)
+        }
         lap(s"level$level combined cut")
         val gates = readGates(combined)
         lap(s"level$level readGates")
@@ -833,6 +855,9 @@ object Graph {
           contracted = combined.where(col("__slice") === 1)
             .select(col("__a").as("src"), col("__b").as("dst"),
               col("__w").as("w"))
+          // next level's partition-sizing input — a slice count over the
+          // already-materialized combined frame
+          supRows = contracted.count()
           q = qNext
         } else stopped = true
       }
@@ -892,7 +917,7 @@ object Graph {
    */
   def louvainMoveWeighted(wEdges: DataFrame, rounds: Int,
       cutRounds: Boolean = true, scoreDecimal: Boolean = false,
-      sumW: Option[Long] = None): DataFrame = {
+      sumW: Option[Long] = None, partsHint: Option[Int] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     import graft.recon.Checkpoints.cut
     def maybeCut(df: DataFrame): DataFrame = if (cutRounds) cut(df) else df
@@ -905,6 +930,13 @@ object Graph {
       wEdges.agg(coalesce(sum(col("w")), lit(0L))).head().getLong(0))
     val e2 = lit(e2n)
     val score = sweepScore(e2, scoreDecimal || e2n > SweepScoreLongSafeE2) _
+    // partition sizing like [[louvainMove]]: callers that know the
+    // super-edge ROW count pass it via `partsHint` ([[louvainLevels]]
+    // counts each materialized contraction); otherwise Σw — an upper
+    // bound on the rows (integer weights ≥ 1) — is the free proxy
+    val sweepParts = partsHint.getOrElse(
+      Adaptive.parts(wEdges.sparkSession, e2n))
+    Adaptive.withShufflePartitions(wEdges.sparkSession, sweepParts) {
     // round 1 specialized exactly like [[louvainMove]]: singleton labels
     // ARE the weighted-degree frame (self-loops ride the degree and Σtot
     // but can't be candidates — a singleton's neighbor labels are the
@@ -945,6 +977,7 @@ object Graph {
       labels = maybeCut(louvainPickApply(scored, labels, r))
     }
     labels.select(col("node"), col("label"))
+    }
   }
 
   /**
