@@ -178,13 +178,19 @@ object IndexStore {
     val n = fresh.count()
     if (n > 0) {
       fresh.write.mode("append").parquet(s"$dir/signatures")
-      refreshMinHashStats(spark, dir)
+      refreshMinHashStatsWith(spark, dir, meta)
     }
     n
   }
 
-  private def refreshMinHashStats(spark: SparkSession, dir: String): Unit = {
-    val meta = loadMinHashMeta(spark, dir)
+  private def refreshMinHashStats(spark: SparkSession, dir: String): Unit =
+    refreshMinHashStatsWith(spark, dir, loadMinHashMeta(spark, dir))
+
+  /** [[refreshMinHashStats]] with the meta already in hand — the merge
+    * paths read it anyway, so the sidecar refresh re-reading the meta
+    * parquet was a repeat listing + head job per merge. */
+  private def refreshMinHashStatsWith(spark: SparkSession, dir: String,
+      meta: MinHashMeta): Unit = {
     replaceDir(
       Dedup.bandedSignatures(loadMinHashSignatures(spark, dir), meta.k, meta.bands,
           meta.hash)
@@ -272,10 +278,12 @@ object IndexStore {
     val cents = Similarity.kmeansCentroids(trainDf, idCol, vecCol, kCells, ivfIters, ivfModulus)
     val cb = Similarity.pqCodebookTrained(trainDf, idCol, vecCol, m, subDim, pqC,
       pqIters, pqModulus)
-    val cells = Similarity.ivfIndexWith(df, idCol, vecCol, cents)
-      .select(col(idCol), col("centroid_id"))
-    Similarity.pqEncodeL2(df, idCol, vecCol, cb, m, subDim)
-      .join(cells, Seq(idCol))
+    // cell assignment + L2 encode fused into ONE narrow corpus pass (both
+    // are per-row broadcast argmaxes); the former two-frame build paid a
+    // full corpus join on the id to reunite them (guide §2.4)
+    Similarity.withCodesL2(Similarity.ivfIndexWith(df, idCol, vecCol, cents),
+        vecCol, cb, m, subDim)
+      .select(col(idCol), col("codes"), col("centroid_id"))
       .write.mode("overwrite").parquet(s"$dir/codes")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/ivf_centroids")
     cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/pq_codebook")
@@ -315,15 +323,23 @@ object IndexStore {
     * ingest never retrains; re-train and rebuild when drift warrants it,
     * the standard IVF-PQ operating posture) and append the coded rows.
     * History code files are immutable, like the minhash signatures. */
-  def mergeIntoIvfPqIndex(batch: DataFrame, dir: String): Unit = {
+  def mergeIntoIvfPqIndex(batch: DataFrame, dir: String): Unit =
+    mergeIntoIvfPqIndexWith(batch, dir, loadIvfPqMeta(batch.sparkSession, dir))
+
+  /** [[mergeIntoIvfPqIndex]] with the meta already in hand — the
+    * idempotent wrapper reads it for its own anti-join, so re-reading
+    * the meta parquet (listing + footer + head job) per merge was a pure
+    * repeat action (guide §6: fewer, larger actions). */
+  private def mergeIntoIvfPqIndexWith(batch: DataFrame, dir: String,
+      meta: IvfPqMeta): Unit = {
     val spark = batch.sparkSession
-    val meta = loadIvfPqMeta(spark, dir)
     val cents = loadIvfPqCentroids(spark, dir)
     val cb = loadIvfPqCodebook(spark, dir)
-    val cells = Similarity.ivfIndexWith(batch, meta.idCol, meta.vecCol, cents)
-      .select(col(meta.idCol), col("centroid_id"))
-    Similarity.pqEncodeL2(batch, meta.idCol, meta.vecCol, cb, meta.m, meta.subDim)
-      .join(cells, Seq(meta.idCol))
+    // fused assign+encode pass, like [[writeIvfPqIndex]]
+    Similarity.withCodesL2(
+        Similarity.ivfIndexWith(batch, meta.idCol, meta.vecCol, cents),
+        meta.vecCol, cb, meta.m, meta.subDim)
+      .select(col(meta.idCol), col("codes"), col("centroid_id"))
       .write.mode("append").parquet(s"$dir/codes")
   }
 
@@ -346,7 +362,7 @@ object IndexStore {
         Seq(meta.idCol), "left_anti"),
       eager = true)
     val n = fresh.count()
-    if (n > 0) mergeIntoIvfPqIndex(fresh, dir)
+    if (n > 0) mergeIntoIvfPqIndexWith(fresh, dir, meta)
     n
   }
 

@@ -846,16 +846,35 @@ object Similarity {
 
   /** [[pqEncode]] under L2 ([[l2Score]]) — the encoder that pairs with a
     * TRAINED codebook: codes minimize reconstruction error instead of
-    * maximizing dot. Ties → lowest code, like [[pqEncode]]. Data-parallel
-    * over (vector, subspace) rows; the groupBy on the id reassembles the
-    * m codes in subspace order. */
+    * maximizing dot. Ties → lowest code, like [[pqEncode]]. ONE narrow
+    * pass with the per-subspace argmax as an array transform (the
+    * [[pqEncode]] shape) — the former (vector, subspace)-row explode +
+    * per-id reassembly aggregate paid a full corpus shuffle for values
+    * this per-row expression computes identically (guide §2.4: remove
+    * shuffles outright). */
   def pqEncodeL2(df: DataFrame, idCol: String, vecCol: String, codebook: DataFrame,
       m: Int, subDim: Int): DataFrame =
-    assignSubspace(subspaceRows(df, idCol, vecCol, m, subDim), codebook)
-      .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("s"), col("j")))).as("__sj"))
-      .select(col(idCol),
-        transform(col("__sj"), e => e.getField("j")).as("codes"))
+    withCodesL2(df.select(col(idCol), col(vecCol)), vecCol, codebook, m, subDim)
+      .select(col(idCol), col("codes"))
+
+  /** Append a `codes` column ([[pqEncodeL2]] semantics — same argmax,
+    * same tie-break, bit-identical values) to `df` WITHOUT projecting
+    * its other columns away: lets the IVF-PQ builders fuse cell
+    * assignment and encoding into one narrow pass instead of re-joining
+    * two single-purpose frames on the id. */
+  private[graft] def withCodesL2(df: DataFrame, vecCol: String,
+      codebook: DataFrame, m: Int, subDim: Int): DataFrame =
+    df.withColumn("__cb", codebookLit(codebook))
+      .withColumn("codes", transform(sequence(lit(0), lit(m - 1)), s => {
+        val entries = element_at(col("__cb"), s + 1)
+        val best = array_max(transform(sequence(lit(1), size(entries)), jj =>
+          struct(
+            l2Score(slice(col(vecCol), s * subDim + 1, lit(subDim)),
+              element_at(entries, jj)).as("sim"),
+            (-jj).as("neg_j"))))
+        (-best.getField("neg_j")) - 1 // back to 0-based code, ties → lowest
+      }))
+      .drop("__cb")
 
   /**
    * PQ ANN top-k with asymmetric scoring: the corpus is stored as codes;
@@ -909,11 +928,14 @@ object Similarity {
   def ivfpqCandidatesWith(df: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, ivfCents: DataFrame, pqCodebook: DataFrame, m: Int, subDim: Int,
       nprobeMax: Int): DataFrame = {
-    val cells = ivfIndexWith(df, idCol, vecCol, ivfCents)
-      .select(col(idCol), col("centroid_id"))
-    // L2 encoder: codes must minimize reconstruction error (see [[l2Score]])
-    val coded = pqEncodeL2(df, idCol, vecCol, pqCodebook, m, subDim)
-      .join(cells, Seq(idCol))
+    // cell assignment AND the L2 encode (codes must minimize
+    // reconstruction error — see [[l2Score]]) are both per-row
+    // broadcast-argmax expressions, so they ride ONE narrow pass over the
+    // corpus; the former two-frame build re-joined them on the id, a full
+    // corpus shuffle for columns born on the same row (guide §2.4)
+    val coded = withCodesL2(ivfIndexWith(df, idCol, vecCol, ivfCents),
+        vecCol, pqCodebook, m, subDim)
+      .select(col(idCol), col("codes"), col("centroid_id"))
     ivfpqCandidatesFrom(coded, queries, idCol, vecCol, ivfCents, pqCodebook, nprobeMax)
   }
 
@@ -928,9 +950,15 @@ object Similarity {
   def ivfpqCandidatesFrom(codedCells: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, ivfCents: DataFrame, pqCodebook: DataFrame,
       nprobeMax: Int): DataFrame = {
-    val cands = pqReconstruct(codedCells.select(col(idCol), col("codes")),
-        idCol, pqCodebook)
-      .join(codedCells.select(col(idCol), col("centroid_id")), Seq(idCol))
+    // reconstruction is a per-row lookup against the literal codebook —
+    // appended in place, never a project-away-and-rejoin of the coded
+    // corpus with itself (that was a full self-join on the id)
+    val cands = codedCells
+      .withColumn("__cb", codebookLit(pqCodebook))
+      .select(col(idCol),
+        flatten(zip_with(col("codes"), col("__cb"),
+          (c, js) => element_at(js, c + 1))).as("recon"),
+        col("centroid_id"))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .join(broadcast(ivfCents))
       .withColumn("__sim", vec_dot(col("qv"), col("cv")))
