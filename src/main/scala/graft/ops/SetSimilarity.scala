@@ -82,7 +82,20 @@ object SetSimilarity {
     val sh = graft.recon.Checkpoints.cut(elements) // (doc, shingle), distinct
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // PIN the rank window's exchange width (an explicit-count repartition
+    // is exempt from AQE coalescing; it satisfies the window's hash(doc)
+    // requirement, so no second exchange appears): the shuffle is only a
+    // few compressed MB, so AQE's bytes-based coalescing collapsed it to
+    // a handful of partitions — and since EVERYTHING downstream (prefix
+    // self-join, candidate dedup, both intersection joins, the per-pair
+    // aggregate) is broadcast-joined or partition-local on this same
+    // hash(doc) partitioning, the entire compute-bound tail of the query
+    // inherited those few tasks (measured at sf0.1: a 4-task stage with
+    // 13-20 s of CPU was the whole tail of dedup_lsh_planner). Session
+    // width = the cluster's configured parallelism — right at any scale.
     val ranked = sh.join(dfreq, Seq("shingle"))
+      .repartition(sh.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc"))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("doc")).orderBy(col("df"), col("shingle"))))
     // p = n − ⌈t·n⌉ + 1, all-integer: ⌈t·n⌉ = (tMilli·n + 999) div 1000
@@ -148,7 +161,11 @@ object SetSimilarity {
       Dedup.shingleTable(df, textCol, idCol, shingleN)) // (doc, shingle), distinct
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // pinned rank-window exchange width — the whole compute-bound tail
+    // rides this partitioning; see [[prefixJaccardCore]]
     val ranked = sh.join(dfreq, Seq("shingle"))
+      .repartition(sh.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc"))
       .withColumn("r", row_number().over(
         Window.partitionBy(col("doc")).orderBy(col("df"), col("shingle"))))
     val prefix = ranked.join(sizes, Seq("doc"))
