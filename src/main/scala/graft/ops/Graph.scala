@@ -1048,7 +1048,18 @@ object Graph {
     require(k >= 3, s"k must be >= 3, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     import graft.recon.Checkpoints.cut
-    var cur = edges.select(col("src"), col("dst"))
+    // cut the INPUT edge list too: round 1's oriented-frame subtree
+    // references it three times (directly + twice through the degree
+    // aggregate), and ReuseExchange only dedups the exchanges, not the
+    // derivation maps between them — for a co-occurrence self-join input
+    // that re-executed the fan-out map stages per reference. The count
+    // (a scan of the just-materialized blocks) feeds the adaptive width
+    // for every round's cut plans ([[Adaptive]]; rounds only shrink the
+    // edge set, so the initial count is a sound upper bound).
+    var cur = cut(edges.select(col("src"), col("dst")))
+    val m = cur.count()
+    Adaptive.withShufflePartitions(edges.sparkSession,
+      Adaptive.parts(edges.sparkSession, m)) {
     var kept: DataFrame = null
     for (_ <- 1 to rounds) {
       val deg = cur.groupBy("src").agg(count(lit(1)).as("__deg"))
@@ -1081,6 +1092,7 @@ object Graph {
     }
     kept.select(least(col("a"), col("b")).as("src"),
       greatest(col("a"), col("b")).as("dst"), col("support"))
+    }
   }
 
   /**
